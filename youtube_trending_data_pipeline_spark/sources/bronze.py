@@ -1,0 +1,61 @@
+"""Bronze layer: raw per-day JSON documents.
+
+Reference shape (SURVEY.md §1.2): one JSON object per day mapping region
+code -> a verbatim YouTube ``videoListResponse``
+(dags/trending_daily_ingestion.py:76-91). The engine reads it with an
+explicit schema — no inference pass over 100 TB of JSON — and immediately
+demultiplexes to one row per (region, item): the reference's nested
+``for region: for video:`` loops (ing:154-160) become two explodes that
+Catalyst parallelizes per input split.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
+
+from youtube_trending_data_pipeline_spark.schemas import VIDEO_LIST_RESPONSE
+
+
+def read_bronze_day(
+    spark: SparkSession, path: str, regions: list[str] | None = None
+) -> DataFrame:
+    """Read day-file(s) at ``path`` -> columns (region, response).
+
+    The top-level object maps region -> response, so the file is read with
+    every requested region as an optional struct field, then unpivoted with
+    a generator expression. Absent regions produce no rows — the semantics
+    of the reference's ``if region in today_json`` guard (ing:155, P7).
+
+    ``regions`` defaults to the reference's DEFAULT_REGIONS (ing:29); at
+    scale pass the full region list — the scan stays one pass regardless.
+    """
+    regions = regions or ["QA", "US", "DE"]
+    schema = StructType([StructField(r, VIDEO_LIST_RESPONSE) for r in regions])
+    raw = spark.read.schema(schema).option("multiLine", True).json(path)
+    # region demultiplex (SURVEY §2 J4): map-of-structs -> rows, dropping
+    # regions that are absent from the file.
+    stacked = raw.select(
+        F.explode(
+            F.map_filter(
+                F.create_map(
+                    *[x for r in regions for x in (F.lit(r), F.col(r))]
+                ),
+                lambda _, v: v.isNotNull(),
+            )
+        ).alias("region", "response")
+    )
+    return stacked
+
+
+def region_items(bronze: DataFrame) -> DataFrame:
+    """(region, response) -> one row per (region, item) (J4 second explode)."""
+    return bronze.select(
+        "region", F.explode("response.items").alias("item")
+    )
+
+
+def write_bronze_day(bronze: DataFrame, path: str) -> None:
+    """Persist the raw day (S3 sink parity: ing:83-91) as JSON under ``path``."""
+    bronze.write.mode("overwrite").json(path)

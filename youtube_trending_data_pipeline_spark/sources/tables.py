@@ -1,0 +1,46 @@
+"""Silver/gold table IO over partitioned Parquet.
+
+Replaces the reference's BigQuery ``load_table_from_dataframe`` sinks
+(dags/trending_daily_ingestion.py:191-208, trending_daily_aggregates.py:93-105)
+and its Airflow branch-skip idempotency (ing:47-55, agg:28-43) with the
+Spark-idiomatic dynamic partition overwrite: re-running a date is
+idempotent by construction instead of skipped.
+
+Layout: every table partitioned by ``date`` so the daily/weekly scans
+(S6/S7) prune partitions instead of filtering rows — at 100 TB that is the
+difference between reading one day and reading the lake.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_table(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def append_partitioned(df: DataFrame, path: str, partition_col: str = "date") -> None:
+    """WRITE_APPEND parity (S10). Prefer overwrite_date_partition for re-runs."""
+    df.write.mode("append").partitionBy(partition_col).parquet(path)
+
+
+def overwrite_date_partition(df: DataFrame, path: str, partition_col: str = "date") -> None:
+    """Idempotent daily load: replaces only the partitions present in ``df``
+    (spark.sql.sources.partitionOverwriteMode=dynamic, set in session.py).
+    This subsumes the reference's existence-probe branch (C1)."""
+    df.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+
+
+def partition_exists(spark: SparkSession, path: str, date: dt.date) -> bool:
+    """Existence probe (S8: ``SELECT id ... LIMIT 1``) — kept for parity with
+    the reference's branch operator; partition pruning makes it O(one
+    partition's footer), and ``limit(1).isEmpty()`` short-circuits."""
+    try:
+        df = spark.read.parquet(path)
+    except Exception:
+        return False
+    return not df.where(F.col("date") == F.lit(date)).limit(1).isEmpty()
