@@ -1,0 +1,731 @@
+"""Query catalog: every SURVEY.md §2 operator expressed on the driver's
+TPC-H-ish tables, paired with the DuckDB oracle SQL the driver compares
+against (row-count + schema + order-insensitive value hash at sf0.01).
+
+Conventions (driver contract, __spark_entry__.py docstring):
+* every computed column aliased identically in Spark and SQL;
+* float aggregates rounded identically on both sides (hash stability);
+* DuckDB SUM(BIGINT) returns HUGEINT -> always CAST(... AS BIGINT) in the
+  oracle to match Spark's long;
+* queries with no SQL equivalent (LSH, SimHash, ...) set ``oracle=None``
+  and get the driver's weaker rows-only check.
+
+Each entry cites the reference operator id (SURVEY §2) it demonstrates.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from youtube_trending_data_pipeline_spark.functions.durations import (
+    iso8601_duration_seconds,
+)
+from youtube_trending_data_pipeline_spark.functions.vectors import cosine_similarity
+from youtube_trending_data_pipeline_spark.operators.mode import mode_per_group
+from youtube_trending_data_pipeline_spark.operators.topk import top_k_per_group
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS); Spark has no nanos type, so
+        # read it as long nanoseconds-since-epoch (session-settable legacy
+        # conf — set here too so driver-created sessions work). Ordering and
+        # day-bucketing on the long are identical to the timestamp's; day
+        # extraction is pure epoch arithmetic (timezone-proof).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def event_day(ts_nanos: Column | str) -> Column:
+    """UTC day of an epoch-nanos column, as DATE, via pure arithmetic
+    (matches DuckDB ``CAST(ts AS DATE)`` on the naive timestamp)."""
+    c = F.col(ts_nanos) if isinstance(ts_nanos, str) else ts_nanos
+    return F.date_add(
+        F.lit("1970-01-01").cast("date"),
+        F.floor(c / F.lit(86_400_000_000_000)).cast("int"),
+    )
+
+
+def cents(col: Column | str) -> Column:
+    """Exact integer cents from a 2-dp double column.
+
+    Sums of BIGINT are exact and order-independent, so aggregates computed
+    on cents then divided back to double are *bit-identical* between Spark
+    and the DuckDB oracle regardless of partitioning/merge order — double
+    summation is not. Every money/value aggregate in this catalog uses
+    this; the oracle SQL mirrors it with CAST(ROUND(x*100) AS BIGINT).
+
+    Corollary: ``ROUND(double, k)`` itself diverges between engines on
+    half-way decimals (Spark rounds the shortest decimal representation:
+    40.855 -> 40.86; DuckDB rounds the binary value 40.8549..9 -> 40.85),
+    so fractional rounding is always expressed as *integer* rounding in a
+    scaled space — ``ROUND(x * 10^k)`` then divide — where halves are
+    exactly representable and both engines agree.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c * 100).cast("long")
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    doc: str
+
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None, doc: str = ""):
+    def deco(fn):
+        QUERIES[name] = QuerySpec(fn=fn, oracle=oracle, doc=doc)
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Scans / filters / projections (SURVEY §2.1, §2.2)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "s5_scan_project",
+    "SELECT c_custkey, c_mktsegment FROM customer",
+    "S5: projected scan; Parquet column pruning (ing:135-137)",
+)
+def s5_scan_project(spark, sf_dir):
+    return t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+
+
+@register(
+    "s6_scan_filter_eq",
+    "SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem "
+    "WHERE l_returnflag = 'R'",
+    "S6/P3: equality-filtered scan; predicate pushdown (agg:55-56)",
+)
+def s6_scan_filter_eq(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "lineitem")
+        .where(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+    )
+
+
+@register(
+    "s7_scan_range",
+    "SELECT o_orderkey, o_totalprice FROM orders "
+    "WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1995-01-01' AND DATE '1995-03-31'",
+    "S7/P4: BETWEEN range scan (wk:24-29)",
+)
+def s7_scan_range(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "orders")
+        .where(
+            F.col("o_orderdate")
+            .cast("date")
+            .between(F.lit("1995-01-01").cast("date"), F.lit("1995-03-31").cast("date"))
+        )
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+@register(
+    "s8_existence_probe",
+    "SELECT (COUNT(*) > 0) AS has_rows FROM orders "
+    "WHERE CAST(o_orderdate AS DATE) = DATE '1995-01-01'",
+    "S8/S9: existence probe; engine uses limit(1).isEmpty short-circuit (ing:47-55)",
+)
+def s8_existence_probe(spark, sf_dir):
+    orders = t(spark, sf_dir, "orders")
+    probe = orders.where(F.col("o_orderdate").cast("date") == F.lit("1995-01-01").cast("date"))
+    exists = not probe.limit(1).isEmpty()
+    return spark.createDataFrame([(exists,)], "has_rows boolean")
+
+
+@register(
+    "p6_in_set",
+    "SELECT o_orderkey, o_orderpriority FROM orders "
+    "WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')",
+    "P6: membership predicate (ing:161)",
+)
+def p6_in_set(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .select("o_orderkey", "o_orderpriority")
+    )
+
+
+@register(
+    "p1_nested_extract",
+    "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k "
+    "FROM events",
+    "P1/F10: nested-JSON field extraction with cast (ing:160-178)",
+)
+def p1_nested_extract(spark, sf_dir):
+    return t(spark, sf_dir, "events").select(
+        "event_id",
+        F.get_json_object("props", "$.k").try_cast("long").alias("prop_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (SURVEY §2.3)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "j1_anti_join",
+    "SELECT c.c_custkey FROM customer c "
+    "WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)",
+    "J1: left anti-join — customers with no orders (ing:135-138,161-164)",
+)
+def j1_anti_join(spark, sf_dir):
+    customer = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey")
+
+
+@register(
+    "j2_semi_join",
+    "SELECT c.c_custkey, c.c_mktsegment FROM customer c "
+    "WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
+    "AND o.o_orderstatus = 'F')",
+    "J2: left semi-join scope restriction (wk:39-41)",
+)
+def j2_semi_join(spark, sf_dir):
+    customer = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_mktsegment")
+
+
+@register(
+    "j3_multiway_join",
+    """
+    SELECT n.n_name AS nation, CAST(COUNT(*) AS BIGINT) AS order_cnt,
+           CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0
+             AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+    "J3: latent dim join (videos x channels, README.md:64) as fact x dim x dim; "
+    "small dims broadcast",
+)
+def j3_multiway_join(spark, sf_dir):
+    orders = t(spark, sf_dir, "orders")
+    customer = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("order_cnt"),
+            (F.sum(cents("o_totalprice")) / 100.0).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "j4_explode_tokens",
+    "SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt "
+    "FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) "
+    "WHERE token <> '' GROUP BY token",
+    "J4: demultiplex/explode (region map -> rows, ing:154-160) as token explode",
+)
+def j4_explode_tokens(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (SURVEY §2.4)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a1_distinct",
+    "SELECT DISTINCT c_mktsegment FROM customer",
+    "A1: grouping-key discovery (agg:59)",
+)
+def a1_distinct(spark, sf_dir):
+    return t(spark, sf_dir, "customer").select("c_mktsegment").distinct()
+
+
+@register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(q100) AS BIGINT) / 100.0 AS sum_qty,
+           CAST(SUM(p100) AS BIGINT) / 100.0 AS sum_base_price,
+           CAST(SUM(p100 * (100 - d100)) AS BIGINT) / 10000.0 AS sum_disc_price,
+           CAST(SUM(p100 * (100 - d100) * (100 + t100)) AS BIGINT) / 1000000.0 AS sum_charge,
+           CAST(ROUND(CAST(SUM(q100) AS BIGINT) / COUNT(*)) AS BIGINT) / 100.0 AS avg_qty,
+           CAST(ROUND(CAST(SUM(p100) AS BIGINT) / COUNT(*)) AS BIGINT) / 100.0 AS avg_price,
+           CAST(ROUND(CAST(SUM(d100) AS BIGINT) * 100.0 / COUNT(*)) AS BIGINT) / 10000.0 AS avg_disc,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM (SELECT l_returnflag, l_linestatus,
+                 CAST(ROUND(l_quantity * 100) AS BIGINT) AS q100,
+                 CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS p100,
+                 CAST(ROUND(l_discount * 100) AS BIGINT) AS d100,
+                 CAST(ROUND(l_tax * 100) AS BIGINT) AS t100
+          FROM lineitem WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02')
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    "A2-A4 flagship: per-group SUM/AVG/COUNT over lineitem (agg:65-76 analogue; "
+    "TPC-H Q1 shape). Partial agg + single hash exchange.",
+)
+def q1_pricing_summary(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    pre = li.where(
+        F.col("l_shipdate").cast("date") <= F.lit("1998-09-02").cast("date")
+    ).select(
+        "l_returnflag",
+        "l_linestatus",
+        cents("l_quantity").alias("q100"),
+        cents("l_extendedprice").alias("p100"),
+        cents("l_discount").alias("d100"),
+        cents("l_tax").alias("t100"),
+    )
+    n = F.count(F.lit(1))
+    return pre.groupBy("l_returnflag", "l_linestatus").agg(
+        (F.sum("q100") / 100.0).alias("sum_qty"),
+        (F.sum("p100") / 100.0).alias("sum_base_price"),
+        (F.sum(F.col("p100") * (100 - F.col("d100"))) / 10000.0).alias("sum_disc_price"),
+        (
+            F.sum(F.col("p100") * (100 - F.col("d100")) * (100 + F.col("t100")))
+            / 1000000.0
+        ).alias("sum_charge"),
+        (F.round(F.sum("q100") / n).cast("long") / 100.0).alias("avg_qty"),
+        (F.round(F.sum("p100") / n).cast("long") / 100.0).alias("avg_price"),
+        (F.round(F.sum("d100") * 100.0 / n).cast("long") / 10000.0).alias("avg_disc"),
+        n.alias("count_order"),
+    )
+
+
+@register(
+    "a5_derived_guard",
+    """
+    SELECT event_type,
+           CAST(SUM(v100) AS BIGINT) / 100.0 AS total_value,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CASE WHEN SUM(v100) > 0
+                THEN CAST(ROUND(COUNT(*) * 10000000.0 / CAST(SUM(v100) AS BIGINT)) AS BIGINT) / 100.0
+                ELSE 0.0 END AS events_per_kvalue
+    FROM (SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS v100 FROM events)
+    GROUP BY event_type
+    """,
+    "A5: derived post-aggregate with zero-guard (engagement_ratio, agg:79-84)",
+)
+def a5_derived_guard(spark, sf_dir):
+    pre = t(spark, sf_dir, "events").select("event_type", cents("value").alias("v100"))
+    n = F.count(F.lit(1))
+    return pre.groupBy("event_type").agg(
+        (F.sum("v100") / 100.0).alias("total_value"),
+        n.alias("n_events"),
+        F.when(
+            F.sum("v100") > 0,
+            F.round(n * 10000000.0 / F.sum("v100")).cast("long") / 100.0,
+        )
+        .otherwise(F.lit(0.0))
+        .alias("events_per_kvalue"),
+    )
+
+
+@register(
+    "a6_mode_per_group",
+    """
+    SELECT user_id, event_type AS mode_event_type FROM (
+      SELECT user_id, event_type, COUNT(*) AS cnt,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY COUNT(*) DESC, event_type ASC) AS rn
+      FROM events GROUP BY user_id, event_type
+    ) WHERE rn = 1
+    """,
+    "A6/W1: per-group mode with deterministic tie-break cnt DESC, value ASC "
+    "(agg:87-88; declared deviation from pandas first-seen, SURVEY §7a)",
+)
+def a6_mode_per_group(spark, sf_dir):
+    return mode_per_group(
+        t(spark, sf_dir, "events"), ["user_id"], "event_type", out_col="mode_event_type"
+    )
+
+
+@register(
+    "a8_a9_conditional_agg",
+    """
+    SELECT user_id,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN v100 ELSE 0 END) AS BIGINT) / 100.0
+             AS click_value,
+           CAST(ROUND(CAST(SUM(CASE WHEN event_type = 'view' THEN v100 END) AS BIGINT)
+                 / SUM(CASE WHEN event_type = 'view' THEN 1 END)) AS BIGINT) / 100.0
+             AS avg_view_value
+    FROM (SELECT user_id, event_type, CAST(ROUND(value * 100) AS BIGINT) AS v100 FROM events)
+    GROUP BY user_id
+    """,
+    "A8/A9: conditional SUM / conditional AVG with ROUND (wk:39-41)",
+)
+def a8_a9_conditional_agg(spark, sf_dir):
+    is_click = F.col("event_type") == "click"
+    is_view = F.col("event_type") == "view"
+    pre = t(spark, sf_dir, "events").select(
+        "user_id", "event_type", cents("value").alias("v100")
+    )
+    return pre.groupBy("user_id").agg(
+        F.sum(F.when(is_click, 1).otherwise(0)).cast("long").alias("clicks"),
+        (F.sum(F.when(is_click, F.col("v100")).otherwise(0)) / 100.0).alias(
+            "click_value"
+        ),
+        (
+            F.round(
+                F.sum(F.when(is_view, F.col("v100"))) / F.sum(F.when(is_view, 1))
+            ).cast("long")
+            / 100.0
+        ).alias("avg_view_value"),
+    )
+
+
+@register(
+    "a10_count_distinct",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS distinct_parts,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    "A10+: COUNT and COUNT DISTINCT per group (agg:30-34 extended)",
+)
+def a10_count_distinct(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("distinct_parts"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@register(
+    "a12_rollup",
+    """
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "A12: rollup grouping sets — free in Spark, absent in reference (SURVEY §2.4)",
+)
+def a12_rollup(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "n_rows",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Windows / sorts / top-k (SURVEY §2.5, §2.6)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "w_rank_lag_running",
+    """
+    SELECT o_custkey, o_orderkey,
+           ROW_NUMBER() OVER w AS order_seq,
+           LAG(o_orderkey) OVER w AS prev_orderkey,
+           CAST(SUM(p100) OVER (PARTITION BY o_custkey
+                ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) / 100.0
+             AS running_spend
+    FROM (SELECT o_custkey, o_orderkey, o_orderdate,
+                 CAST(ROUND(o_totalprice * 100) AS BIGINT) AS p100 FROM orders)
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    "W-extension: row_number / lag / running sum (absent in reference, SURVEY §2.5)",
+)
+def w_rank_lag_running(spark, sf_dir):
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    pre = t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate", cents("o_totalprice").alias("p100")
+    )
+    return pre.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).alias("order_seq"),
+        F.lag("o_orderkey").over(w).alias("prev_orderkey"),
+        (
+            F.sum("p100").over(w.rowsBetween(Window.unboundedPreceding, 0)) / 100.0
+        ).alias("running_spend"),
+    )
+
+
+@register(
+    "w2_trailing_window",
+    """
+    SELECT event_id, user_id,
+           CAST(ROUND(CAST(SUM(v100) OVER w AS BIGINT)
+                / (COUNT(*) OVER w)) AS BIGINT) / 100.0 AS trailing_avg_value
+    FROM (SELECT event_id, user_id, ts, CAST(ROUND(value * 100) AS BIGINT) AS v100
+          FROM events)
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+    "W2: trailing 7-row window per key (weekly trailing 7-day report, wk:24-27)",
+)
+def w2_trailing_window(spark, sf_dir):
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-6, 0)
+    pre = t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", cents("value").alias("v100")
+    )
+    return pre.select(
+        "event_id",
+        "user_id",
+        (
+            F.round(F.sum("v100").over(w) / F.count(F.lit(1)).over(w)).cast("long")
+            / 100.0
+        ).alias("trailing_avg_value"),
+    )
+
+
+@register(
+    "l_topk_per_group",
+    """
+    SELECT c_mktsegment, c_custkey, c_acctbal, rank FROM (
+      SELECT c_mktsegment, c_custkey, c_acctbal,
+             ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                ORDER BY c_acctbal DESC, c_custkey ASC) AS rank
+      FROM customer
+    ) WHERE rank <= 5
+    """,
+    "L2/L3: top-k per group via row_number (trending top-20 analogue, ing:78)",
+)
+def l_topk_per_group(spark, sf_dir):
+    return top_k_per_group(
+        t(spark, sf_dir, "customer").select("c_mktsegment", "c_custkey", "c_acctbal"),
+        ["c_mktsegment"],
+        [F.desc("c_acctbal"), F.asc("c_custkey")],
+        k=5,
+    )
+
+
+@register(
+    "l_global_topk",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100
+    """,
+    "L: global deterministic top-k (TakeOrderedAndProject, no full sort)",
+)
+def l_global_topk(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations (SURVEY §2.7)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "u1_union_all",
+    """
+    SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+      SELECT l_returnflag FROM lineitem WHERE l_linenumber <= 2
+      UNION ALL
+      SELECT l_returnflag FROM lineitem WHERE l_linenumber > 2
+    ) GROUP BY l_returnflag
+    """,
+    "U1: UNION ALL of splits (pd.concat, ing:140,181-184)",
+)
+def u1_union_all(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    lo = li.where(F.col("l_linenumber") <= 2).select("l_returnflag")
+    hi = li.where(F.col("l_linenumber") > 2).select("l_returnflag")
+    return lo.unionByName(hi).groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+@register(
+    "u2_except_intersect",
+    """
+    SELECT 'except' AS op, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+      SELECT DISTINCT l_partkey FROM lineitem
+      EXCEPT
+      SELECT p_partkey FROM part WHERE p_size > 25
+    )
+    UNION ALL
+    SELECT 'intersect' AS op, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+      SELECT DISTINCT l_partkey FROM lineitem
+      INTERSECT
+      SELECT p_partkey FROM part WHERE p_size > 25
+    )
+    """,
+    "U2: EXCEPT / INTERSECT (set-membership difference, ing:138,161,164)",
+)
+def u2_except_intersect(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").select("l_partkey").distinct()
+    big = (
+        t(spark, sf_dir, "part")
+        .where(F.col("p_size") > 25)
+        .select(F.col("p_partkey").alias("l_partkey"))
+    )
+    ex = li.exceptAll(li.join(big, "l_partkey", "left_semi")).select(
+        F.lit("except").alias("op")
+    )
+    inter = li.intersect(big).select(F.lit("intersect").alias("op"))
+    return ex.unionByName(inter).groupBy("op").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+# ---------------------------------------------------------------------------
+# Scalar functions (SURVEY §2.8)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "f1_duration_parse",
+    """
+    SELECT l_orderkey, l_linenumber, duration_str,
+           CAST(l_linenumber * 3600 + CAST(FLOOR(l_quantity) AS BIGINT) * 60
+                + (l_suppkey % 60) AS BIGINT) AS duration_sec
+    FROM (SELECT l_orderkey, l_linenumber, l_quantity, l_suppkey,
+                 'PT' || l_linenumber || 'H' || CAST(FLOOR(l_quantity) AS BIGINT)
+                 || 'M' || (l_suppkey % 60) || 'S' AS duration_str
+          FROM lineitem)
+    """,
+    "F1: ISO-8601 duration -> seconds as pure column expr (ing:40-42); oracle "
+    "computes the arithmetic directly, Spark side parses the constructed string",
+)
+def f1_duration_parse(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.concat(
+            F.lit("PT"),
+            F.col("l_linenumber").cast("string"),
+            F.lit("H"),
+            F.floor("l_quantity").cast("long").cast("string"),
+            F.lit("M"),
+            (F.col("l_suppkey") % 60).cast("string"),
+            F.lit("S"),
+        ).alias("duration_str"),
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "duration_str",
+        iso8601_duration_seconds(F.col("duration_str")).alias("duration_sec"),
+    )
+
+
+@register(
+    "f_datetime",
+    """
+    SELECT o_orderkey,
+           CAST(EXTRACT(year FROM o_orderdate) AS INT) AS order_year,
+           CAST(EXTRACT(month FROM o_orderdate) AS INT) AS order_month,
+           STRFTIME(o_orderdate, '%Y-%m-%d') AS order_day,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 6 DAY AS DATE) AS week_end
+    FROM orders
+    """,
+    "F5-F7: date extraction / formatting / arithmetic (ing:88, wk:24)",
+)
+def f_datetime(spark, sf_dir):
+    return t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day"),
+        F.date_add(F.col("o_orderdate").cast("date"), 6).alias("week_end"),
+    )
+
+
+@register(
+    "f9_format_number",
+    """
+    SELECT o_orderpriority,
+           FORMAT('{:,}', CAST(SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) AS BIGINT))
+             AS total_price_fmt
+    FROM orders GROUP BY o_orderpriority
+    """,
+    "F9/A11: thousands-separator formatting of aggregates (wk:39-40)",
+)
+def f9_format_number(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.format_number(F.sum(F.floor("o_totalprice").cast("long")), 0).alias(
+                "total_price_fmt"
+            )
+        )
+    )
+
+
+@register(
+    "f_string_funcs",
+    """
+    SELECT p_partkey,
+           UPPER(p_brand) AS brand_upper,
+           SUBSTRING(p_name, 1, 10) AS name_prefix,
+           CAST(LENGTH(p_name) AS INT) AS name_len,
+           CASE WHEN p_type LIKE '%BRASS%' THEN 'brass' ELSE 'other' END AS type_class,
+           REGEXP_EXTRACT(p_type, '^([A-Z]+)', 1) AS type_head
+    FROM part
+    """,
+    "F-string extension: upper/substring/length/case/regexp (SURVEY §2.8 absent row)",
+)
+def f_string_funcs(spark, sf_dir):
+    return t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.substring("p_name", 1, 10).alias("name_prefix"),
+        F.length("p_name").cast("int").alias("name_len"),
+        F.when(F.col("p_type").contains("BRASS"), "brass")
+        .otherwise("other")
+        .alias("type_class"),
+        F.regexp_extract("p_type", "^([A-Z]+)", 1).alias("type_head"),
+    )
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.fn for name, spec in QUERIES.items()}
+
+
+def all_oracles() -> dict[str, str]:
+    return {
+        name: spec.oracle for name, spec in QUERIES.items() if spec.oracle is not None
+    }
