@@ -1,0 +1,79 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline catalog queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is executed to completion with a count-collapsing action so
+timing covers scan+compute+shuffle, not result transfer to the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from youtube_trending_data_pipeline_spark.catalog import QUERIES
+from youtube_trending_data_pipeline_spark.session import get_spark
+
+# Headline set: one per operator family — scans, joins, aggregation, window,
+# top-k, set-op, scalar-heavy, explode — plus the flagship.
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "j1_anti_join",
+    "j3_multiway_join",
+    "a6_mode_per_group",
+    "a8_a9_conditional_agg",
+    "w_rank_lag_running",
+    "w2_trailing_window",
+    "l_topk_per_group",
+    "l_global_topk",
+    "u1_union_all",
+    "f1_duration_parse",
+    "j4_explode_tokens",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM + parquet footers once so per-query times measure the
+    # engine, not first-touch JIT/IO
+    QUERIES["q1_pricing_summary"].fn(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        spec = QUERIES[name]
+        t0 = time.perf_counter()
+        # noop sink executes the full plan on the executors without
+        # collecting rows to the driver
+        spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "catalog_bench_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
