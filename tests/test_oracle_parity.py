@@ -13,7 +13,9 @@ import math
 import duckdb
 import pytest
 
-from youtube_trending_data_pipeline_spark.catalog import QUERIES
+from youtube_trending_data_pipeline_spark.catalog import QUERIES, _load_extensions
+
+_load_extensions()
 
 TABLES = [
     "region",

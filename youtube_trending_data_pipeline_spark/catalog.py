@@ -722,10 +722,18 @@ def f_string_funcs(spark, sf_dir):
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    _load_extensions()
     return {name: spec.fn for name, spec in QUERIES.items()}
 
 
+def _load_extensions() -> None:
+    # catalog_ext registers into QUERIES on import (kept separate to keep
+    # this module focused on reference-parity operators)
+    from youtube_trending_data_pipeline_spark import catalog_ext  # noqa: F401
+
+
 def all_oracles() -> dict[str, str]:
+    _load_extensions()
     return {
         name: spec.oracle for name, spec in QUERIES.items() if spec.oracle is not None
     }

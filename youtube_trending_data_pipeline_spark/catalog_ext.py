@@ -1,0 +1,365 @@
+"""Catalog extensions: training-data pipeline operators (SURVEY §7 step 7
+and the BASELINE.json north star) — dedup, similarity search, text
+analysis, multimodal plumbing — registered with DuckDB oracles wherever
+the semantics are SQL-expressible, rows-only otherwise.
+
+Float determinism policy is the same as catalog.py: every floating
+aggregate either (a) derives from exact integers, or (b) is a fold in a
+defined order that both engines execute identically (verified bit-exact
+for list_sum/aggregate in tests/test_oracle_parity.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from youtube_trending_data_pipeline_spark.catalog import register, t
+from youtube_trending_data_pipeline_spark.functions.text import (
+    LANG_MARKERS,
+    STOPWORDS,
+    fingerprint,
+    lang_id,
+    mean_token_length,
+    punct_ratio,
+    stopword_ratio,
+    token_count,
+)
+from youtube_trending_data_pipeline_spark.operators import dedup as dd
+from youtube_trending_data_pipeline_spark.operators import similarity as sim
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    """
+    SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS content_hash,
+           CAST(MIN(doc_id) AS BIGINT) AS keeper_id,
+           CAST(COUNT(*) AS BIGINT) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+    "Exact dedup: hash-groupBy on normalized content (extension; one shuffle "
+    "of fixed-width hashes, not documents)",
+)
+def dedup_exact(spark, sf_dir):
+    return dd.exact_duplicates(t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "dedup_minhash_lsh",
+    None,  # xxhash64-based signatures are not reproducible in DuckDB
+    "MinHash+LSH near-dup: shingle -> 64-perm minhash -> 16-band bucket join "
+    "(extension; rows-only check)",
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    return dd.minhash_near_duplicates(
+        t(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.5
+    ).orderBy("id_a", "id_b")
+
+
+@register(
+    "dedup_simhash",
+    None,  # xxhash64-based signature
+    "SimHash near-dup: 64-bit sign aggregate + 4x16-bit pigeonhole banding "
+    "(extension; rows-only check)",
+)
+def dedup_simhash(spark, sf_dir):
+    return dd.simhash_near_duplicates(
+        t(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=3
+    ).orderBy("id_a", "id_b")
+
+
+@register(
+    "dedup_ngram_jaccard",
+    """
+    WITH grams AS (
+      SELECT doc_id, source, n_chars,
+             list_distinct(list_transform(range(1, GREATEST(length(text) - 2, 0) + 1),
+                           i -> substr(text, CAST(i AS INT), 3))) AS g
+      FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CASE WHEN len(list_distinct(list_concat(a.g, b.g))) > 0
+                THEN CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                     / len(list_distinct(list_concat(a.g, b.g)))
+                ELSE 0.0 END AS jaccard
+    FROM grams a JOIN grams b
+      ON a.source = b.source AND a.doc_id < b.doc_id
+    """,
+    "Exact char-3-gram Jaccard within source blocks (extension; blocked "
+    "self-join — never global all-pairs)",
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    return dd.ngram_jaccard_pairs(
+        t(spark, sf_dir, "documents"), "doc_id", "text", ["source"], n=3
+    )
+
+
+def _embedding_lsh_oracle(planes: int = 8, seed: int = 7, threshold: float = 0.2) -> str:
+    """Generate the DuckDB mirror of hyperplane_signature + cosine filter.
+
+    The random planes are seeded constants, so the oracle inlines them as
+    literal arrays; both engines then execute the identical double-
+    precision fold (verified bit-exact)."""
+    hp = sim._hyperplanes(64, planes, seed)
+
+    def dot_sql(vec: str, plane: list[float]) -> str:
+        arr = "[" + ", ".join(repr(w) for w in plane) + "]"
+        return (
+            f"list_sum(list_transform(list_zip({vec}, {arr}), "
+            f"p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+        )
+
+    def sig_sql(vec: str) -> str:
+        bits = [
+            f"(CASE WHEN {dot_sql(vec, plane)} > 0 THEN {1 << j} ELSE 0 END)"
+            for j, plane in enumerate(hp)
+        ]
+        return "(" + " + ".join(bits) + ")"
+
+    cos = _COS_SQL.format(a="a.embedding", b="b.embedding")
+    return f"""
+    WITH sigs AS (
+      SELECT vec_id, embedding, {sig_sql("embedding")} AS bucket FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos} AS cos
+    FROM sigs a JOIN sigs b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE {cos} >= {threshold}
+    """
+
+
+@register(
+    "dedup_embedding_cosine",
+    None,  # replaced with generated SQL right below (needs _COS_SQL defined)
+    "Embedding cosine near-dup via hyperplane-LSH blocking then exact cosine "
+    "(extension; oracle inlines the seeded plane constants)",
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    return dd.embedding_near_duplicates(
+        t(spark, sf_dir, "embeddings"), "vec_id", "embedding", threshold=0.2
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+_COS_SQL = """
+  list_sum(list_transform(list_zip({a}, {b}),
+           p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+  / (sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+   * sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+"""
+
+
+@register(
+    "sim_bruteforce_topk",
+    f"""
+    SELECT query_id, neighbor_id, cos, rank FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_COS_SQL.format(a="q.embedding", b="c.embedding")} AS cos,
+             ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                ORDER BY {_COS_SQL.format(a="q.embedding", b="c.embedding")} DESC,
+                                         c.vec_id ASC) AS rank
+      FROM embeddings q, embeddings c
+      WHERE q.vec_id < 5 AND c.vec_id >= 5
+    ) WHERE rank <= 3
+    """,
+    "Brute-force cosine top-k ANN baseline (extension; corpus-parallel scan, "
+    "broadcast queries, bit-exact double math both engines)",
+)
+def sim_bruteforce_topk(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.where(F.col("vec_id") >= 5)
+    return sim.brute_force_topk(corpus, queries, k=3)
+
+
+@register(
+    "sim_lsh_topk",
+    None,  # approximate path; recall measured in tests instead
+    "Hyperplane-LSH approximate top-k with exact re-rank (extension; "
+    "rows-only check, recall asserted in tests/test_extensions.py)",
+)
+def sim_lsh_topk(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.where(F.col("vec_id") >= 5)
+    return sim.lsh_topk(corpus, queries, k=3).orderBy("query_id", "rank")
+
+
+@register(
+    "sim_label_centroids",
+    """
+    SELECT label, dim, sum_comp / n AS avg_component FROM (
+      SELECT label, dim,
+             list_sum(list(comp ORDER BY vec_id)) AS sum_comp,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT label, vec_id,
+                   unnest(range(len(embedding))) AS dim,
+                   unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS comp
+            FROM embeddings)
+      GROUP BY label, dim
+    )
+    """,
+    "Per-label centroids via posexplode; (label, dim) shuffle key keeps the "
+    "reduction fully parallel. Fold order fixed by vec_id for bit-exactness.",
+)
+def sim_label_centroids(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "label",
+        "vec_id",
+        F.posexplode(F.col("embedding")).alias("dim", "comp"),
+    ).select("label", "vec_id", F.col("dim").cast("long").alias("dim"),
+             F.col("comp").cast("double").alias("comp"))
+    return (
+        exploded.groupBy("label", "dim")
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("vec_id", "comp"))),
+                F.lit(0.0),
+                lambda acc, s: acc + s["comp"],
+            ).alias("sum_comp"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select("label", "dim", (F.col("sum_comp") / F.col("n")).alias("avg_component"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+def _sql_tokens(col: str = "text") -> str:
+    return f"list_filter(str_split_regex({col}, '\\s+'), x -> x <> '')"
+
+
+def _sql_marker_score(markers: tuple[str, ...]) -> str:
+    inlist = ", ".join(f"'{m}'" for m in markers)
+    return f"len(list_filter(toks, x -> x IN ({inlist})))"
+
+
+@register(
+    "text_stats",
+    f"""
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CASE WHEN len(toks) > 0
+                THEN CAST(len(list_filter(toks, x -> x IN
+                     ({", ".join(f"'{s}'" for s in STOPWORDS)}))) AS DOUBLE) / len(toks)
+                ELSE 0.0 END AS stop_ratio,
+           CASE WHEN length(text) > 0
+                THEN CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))
+                     AS DOUBLE) / length(text)
+                ELSE 0.0 END AS punct_ratio,
+           CASE WHEN len(toks) > 0
+                THEN CAST(list_sum(list_transform(toks, x -> CAST(length(x) AS BIGINT)))
+                     AS DOUBLE) / len(toks)
+                ELSE 0.0 END AS mean_tok_len
+    FROM (SELECT doc_id, text, {_sql_tokens()} AS toks FROM documents)
+    """,
+    "Quality scoring: token count, stopword ratio, punctuation ratio, mean "
+    "token length — all integer-derived, bit-exact (extension)",
+)
+def text_stats(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        stopword_ratio("text").alias("stop_ratio"),
+        punct_ratio("text").alias("punct_ratio"),
+        mean_token_length("text").alias("mean_tok_len"),
+    )
+
+
+def _langid_oracle() -> str:
+    langs = sorted(LANG_MARKERS)
+    scores = ", ".join(
+        f"{_sql_marker_score(LANG_MARKERS[lang])} AS s_{lang}" for lang in langs
+    )
+    # first language (sorted order) achieving the maximum score wins —
+    # mirrors the strict-greater fold in functions/text.py::lang_id
+    cases = []
+    for i, lang in enumerate(langs):
+        conds = [f"s_{lang} >= s_{other}" for other in langs if other != lang]
+        cases.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    case_sql = "CASE " + " ".join(cases) + " ELSE 'und' END"
+    return f"""
+    SELECT doc_id, lang, {case_sql} AS lang_pred
+    FROM (SELECT doc_id, lang, {scores}
+          FROM (SELECT doc_id, lang, {_sql_tokens()} AS toks FROM documents))
+    """
+
+
+@register(
+    "text_langid",
+    _langid_oracle(),
+    "Language-ID heuristic: marker-token scores, argmax with deterministic "
+    "tie-break (extension; swap pandas-UDF fastText at deploy time)",
+)
+def text_langid(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", lang_id("text").alias("lang_pred"))
+
+
+@register(
+    "text_fingerprint",
+    """
+    SELECT doc_id,
+           md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+    FROM documents
+    """,
+    "Document fingerprinting: md5 of normalized content (extension)",
+)
+def text_fingerprint(spark, sf_dir):
+    return t(spark, sf_dir, "documents").select(
+        "doc_id", fingerprint("text").alias("fp")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (stubbed decode; real Spark plumbing)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_image_features",
+    None,  # binary + Python-kernel stub: no SQL equivalent
+    "Multimodal: binary media column -> Arrow-batched mapInPandas feature "
+    "extraction (decode kernel STUBBED — codecs not in container); rows-only",
+)
+def multimodal_image_features(spark, sf_dir):
+    from youtube_trending_data_pipeline_spark.operators.multimodal import (
+        extract_image_features,
+    )
+
+    media = t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("asset_id"),
+        F.lit("image").alias("media_type"),
+        F.encode("text", "utf-8").alias("content"),
+        F.lit(None).cast("string").alias("uri"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+        F.lit(None).cast("string").alias("codec"),
+    )
+    return extract_image_features(media).orderBy("asset_id")
+
+
+# Late-bind the generated LSH oracle (needs _COS_SQL, defined mid-module).
+from youtube_trending_data_pipeline_spark.catalog import QUERIES as _Q
+from youtube_trending_data_pipeline_spark.catalog import QuerySpec as _QS
+
+_Q["dedup_embedding_cosine"] = _QS(
+    fn=dedup_embedding_cosine,
+    oracle=_embedding_lsh_oracle(),
+    doc=_Q["dedup_embedding_cosine"].doc,
+)
