@@ -1,0 +1,148 @@
+"""Behavioral tests for the training-data extension operators: planted
+near-duplicates must be found, LSH recall vs brute force must be high,
+multimodal plumbing must round-trip Arrow batches."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from youtube_trending_data_pipeline_spark.operators import dedup as dd
+from youtube_trending_data_pipeline_spark.operators import similarity as sim
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(spark):
+    """documents table + planted exact and near duplicates."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    base = docs.limit(10).collect()
+    extra = []
+    for i, row in enumerate(base):
+        # exact copy (new id)
+        extra.append((10_000 + i, row["text"], row["lang"], row["source"], row["n_chars"]))
+        # near copy: append two words (high word-shingle overlap)
+        extra.append(
+            (20_000 + i, row["text"] + " spark extra", row["lang"], row["source"], row["n_chars"])
+        )
+    extra_df = spark.createDataFrame(
+        extra, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    return docs.unionByName(extra_df)
+
+
+def test_exact_dedup_finds_planted_copies(spark, docs_with_dups):
+    groups = dd.exact_duplicates(docs_with_dups, "doc_id", "text")
+    dups = groups.where(F.col("n_copies") > 1)
+    assert dups.count() == 10  # the 10 planted exact copies
+    # keeper is the min id (the original)
+    assert dups.where(F.col("keeper_id") >= 10_000).count() == 0
+    kept = dd.drop_exact_duplicates(docs_with_dups, "doc_id", "text")
+    assert kept.count() == docs_with_dups.count() - 10
+
+
+def test_minhash_lsh_finds_planted_near_dups(spark, docs_with_dups):
+    found = dd.minhash_near_duplicates(
+        docs_with_dups, "doc_id", "text", threshold=0.5
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in found.collect()}
+    # exact copies estimate jaccard 1.0; near copies high overlap
+    exact_found = sum(1 for i in range(10) if any(p for p in pairs if 10_000 + i in p))
+    near_found = sum(1 for i in range(10) if any(p for p in pairs if 20_000 + i in p))
+    assert exact_found == 10
+    assert near_found >= 8  # LSH is probabilistic; banding should catch most
+
+
+def test_minhash_estimate_accuracy(spark, docs_with_dups):
+    sigs = dd.minhash_signatures(docs_with_dups, "doc_id", "text")
+    cands = spark.createDataFrame(
+        [(i, 10_000 + i) for i in range(10)], "id_a long, id_b long"
+    )
+    est = dd.minhash_jaccard_estimate(cands, sigs)
+    # identical docs -> every signature position matches
+    assert all(r["est_jaccard"] == 1.0 for r in est.collect())
+
+
+def test_simhash_exact_and_near(spark, docs_with_dups):
+    found = dd.simhash_near_duplicates(
+        docs_with_dups, "doc_id", "text", max_hamming=16
+    )
+    rows = {(r["id_a"], r["id_b"]): r["hamming"] for r in found.collect()}
+    # identical docs -> identical signature -> hamming 0
+    for i in range(10):
+        assert rows.get((i, 10_000 + i)) == 0
+    # near copies -> small hamming distance
+    near_hits = [h for (a, b), h in rows.items() if b >= 20_000 and a == b - 20_000]
+    assert len(near_hits) >= 8
+
+
+def test_ngram_jaccard_pairs(spark, docs_with_dups):
+    out = dd.ngram_jaccard_pairs(
+        docs_with_dups, "doc_id", "text", ["source"], n=3
+    ).where(F.col("jaccard") >= 0.9)
+    pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    for i in range(10):
+        assert any(10_000 + i in p for p in pairs)
+
+
+def test_lsh_topk_recall_vs_bruteforce(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.where(F.col("vec_id") >= 10)
+    exact = sim.brute_force_topk(corpus, queries, k=5)
+    approx = sim.lsh_topk(corpus, queries, k=5, planes=4, tables=8)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"LSH recall too low: {recall}"
+
+
+def test_embedding_near_dup_with_planted_vector(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    # plant a copy of vec 0 with id 9000 — cosine 1.0, same LSH bucket
+    v0 = emb.where(F.col("vec_id") == 0).select(
+        F.lit(9000).cast("long").alias("vec_id"), "embedding", "label"
+    )
+    planted = emb.unionByName(v0)
+    found = dd.embedding_near_duplicates(
+        planted, "vec_id", "embedding", threshold=0.999
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in found.collect()}
+    assert (0, 9000) in pairs
+
+
+def test_multimodal_batch_plumbing(spark):
+    from youtube_trending_data_pipeline_spark.operators.multimodal import (
+        extract_image_features,
+        sample_video_frames,
+    )
+
+    media = spark.createDataFrame(
+        [
+            ("a1", "image", b"\x89PNGfake", None, None, None, None, None),
+            ("a2", "image", b"\xff\xd8JPGfake", None, None, None, None, None),
+            ("v1", "video", b"", None, None, None, 3500, "h264"),
+        ],
+        "asset_id string, media_type string, content binary, uri string, "
+        "width int, height int, duration_ms long, codec string",
+    )
+    feats = extract_image_features(media)
+    rows = {r["asset_id"]: r for r in feats.collect()}
+    assert set(rows) == {"a1", "a2"}  # video filtered out JVM-side
+    assert len(rows["a1"]["feature"]) == 8
+    assert rows["a1"]["n_bytes"] == 8
+    # determinism
+    again = {r["asset_id"]: r for r in extract_image_features(media).collect()}
+    assert again["a1"]["feature"] == rows["a1"]["feature"]
+
+    frames = sample_video_frames(media, every_ms=1000)
+    ts = [r["frame_ts_ms"] for r in frames.collect()]
+    assert ts == [0, 1000, 2000, 3000]
+
+
+def test_label_centroids_shape(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = sim.label_centroids(emb)
+    n_labels = emb.select("label").distinct().count()
+    assert cents.count() == n_labels * 64
