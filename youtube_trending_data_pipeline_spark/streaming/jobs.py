@@ -1,0 +1,95 @@
+"""Structured Streaming variants of the pipeline (SURVEY §2.9, §7 stretch).
+
+The reference is a once-a-day micro-batch (cron "45 23 * * *",
+dags/trending_daily_ingestion.py:223); the streaming-native re-expression
+is a file-source stream over the bronze landing directory with an
+``availableNow`` trigger — same code path for continuous and catch-up
+runs, and checkpointing replaces the reference's existence-probe
+idempotency branch (ing:47-55) with exactly-once file-source progress.
+
+Watermarked tumbling-window aggregation is included for the event-stream
+shape (absent in the reference, first-class in the engine).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.types import StructField, StructType
+
+from youtube_trending_data_pipeline_spark.operators.flatten import flatten_videos
+from youtube_trending_data_pipeline_spark.schemas import VIDEO_LIST_RESPONSE
+
+
+def stream_bronze_to_silver(
+    spark: SparkSession,
+    bronze_dir: str,
+    silver_dir: str,
+    checkpoint_dir: str,
+    run_date: dt.date,
+    regions: list[str] | None = None,
+) -> StreamingQuery:
+    """File-source stream: bronze day-files -> silver videos parquet.
+
+    ``availableNow`` processes everything currently in the directory then
+    stops — the streaming-native daily batch. The checkpoint makes re-runs
+    exactly-once (files already processed are skipped), subsuming the
+    reference's branch-skip idempotency (C1).
+    """
+    regions = regions or ["QA", "US", "DE"]
+    schema = StructType([StructField(r, VIDEO_LIST_RESPONSE) for r in regions])
+    raw = (
+        spark.readStream.schema(schema)
+        .option("multiLine", True)
+        .option("maxFilesPerTrigger", 64)
+        .json(bronze_dir)
+    )
+    stacked = raw.select(
+        F.explode(
+            F.map_filter(
+                F.create_map(*[x for r in regions for x in (F.lit(r), F.col(r))]),
+                lambda _, v: v.isNotNull(),
+            )
+        ).alias("region", "response")
+    ).select("region", F.explode("response.items").alias("item"))
+    silver = flatten_videos(stacked, run_date)
+    return (
+        silver.writeStream.format("parquet")
+        .option("path", silver_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .partitionBy("date")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Watermarked tumbling-window aggregate over a (streaming) event frame.
+
+    Late rows beyond ``watermark`` are dropped and window state is evicted
+    — bounded state regardless of stream length, the streaming analogue of
+    the gold daily_insights aggregation.
+    """
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
