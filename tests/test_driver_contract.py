@@ -1,0 +1,39 @@
+"""Sanity checks of the __spark_entry__ driver contract itself."""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def entry_mod():
+    path = os.path.join(os.path.dirname(os.path.dirname(__file__)), "__spark_entry__.py")
+    spec = importlib.util.spec_from_file_location("__spark_entry__", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_entry_smoke(entry_mod, spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert df.schema is not None
+
+
+def test_queries_and_oracles_consistent(entry_mod):
+    q = entry_mod.queries()
+    o = entry_mod.oracle_sql()
+    assert len(q) >= 40
+    assert set(o) <= set(q)
+    # every oracle is a non-empty SQL string
+    assert all(isinstance(s, str) and "SELECT" in s.upper() for s in o.values())
+
+
+def test_all_queries_runnable_at_smoke_sf(entry_mod, spark):
+    for name, fn in entry_mod.queries().items():
+        df = fn(spark, "/root/testdata/sf0.001")
+        assert df.columns, name

@@ -451,6 +451,79 @@ def a12_rollup(spark, sf_dir):
     )
 
 
+@register(
+    "domain_daily_insights",
+    """
+    WITH base AS (
+      SELECT CAST(ts AS DATE) AS day, event_type, user_id,
+             CAST(ROUND(value * 100) AS BIGINT) AS v100
+      FROM events
+    ), agg AS (
+      SELECT day,
+             CAST(SUM(v100) AS BIGINT) / 100.0 AS total_value,
+             CAST(ROUND(CAST(SUM(v100) AS BIGINT) / COUNT(*)) AS BIGINT) / 100.0
+               AS average_value,
+             CAST(MAX(v100) AS BIGINT) / 100.0 AS highest_value,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases,
+             CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS views,
+             CASE WHEN SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) > 0
+                  THEN CAST(ROUND((SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                            + 2.0 * SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END))
+                            * 100000.0
+                            / SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)) AS BIGINT) / 100.0
+                  ELSE 0.0 END AS engagement_ratio
+      FROM base GROUP BY day
+    ), mode_t AS (
+      SELECT day, event_type AS top_event_type FROM (
+        SELECT day, event_type,
+               ROW_NUMBER() OVER (PARTITION BY day
+                                  ORDER BY COUNT(*) DESC, event_type ASC) AS rn
+        FROM base GROUP BY day, event_type
+      ) WHERE rn = 1
+    )
+    SELECT a.*, m.top_event_type FROM agg a JOIN mode_t m USING (day)
+    """,
+    "Domain flagship shape on driver tables: the reference's gold "
+    "daily_insights aggregation (A2-A6 + W1 + A5 guard, "
+    "dags/trending_daily_aggregates.py:52-111) re-expressed over events — "
+    "per-day sums/avg/max, conditional counts, guarded engagement ratio, "
+    "modal type with deterministic tie-break. Same operators drive "
+    "operators/insights.py::daily_insights.",
+)
+def domain_daily_insights(spark, sf_dir):
+    from youtube_trending_data_pipeline_spark.operators.mode import mode_per_group
+
+    ev = t(spark, sf_dir, "events").select(
+        event_day("ts").alias("day"),
+        "event_type",
+        cents("value").alias("v100"),
+    )
+    n = F.count(F.lit(1))
+    clicks = F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+    purchases = F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+    views = F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+    agg = ev.groupBy("day").agg(
+        (F.sum("v100") / 100.0).alias("total_value"),
+        (F.round(F.sum("v100") / n).cast("long") / 100.0).alias("average_value"),
+        (F.max("v100") / 100.0).alias("highest_value"),
+        n.alias("n_events"),
+        clicks.cast("long").alias("clicks"),
+        purchases.cast("long").alias("purchases"),
+        views.cast("long").alias("views"),
+        F.when(
+            views > 0,
+            F.round((clicks + 2.0 * purchases) * 100000.0 / views).cast("long")
+            / 100.0,
+        )
+        .otherwise(F.lit(0.0))
+        .alias("engagement_ratio"),
+    )
+    top = mode_per_group(ev, ["day"], "event_type", out_col="top_event_type")
+    return agg.join(top, "day")
+
+
 # ---------------------------------------------------------------------------
 # Windows / sorts / top-k (SURVEY §2.5, §2.6)
 # ---------------------------------------------------------------------------
