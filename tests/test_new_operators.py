@@ -1,0 +1,95 @@
+"""Edge-case tests for as-of join, sessionization, salted aggregation,
+and the weekly-report HTML renderer."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from youtube_trending_data_pipeline_spark.operators.asof import as_of_join
+from youtube_trending_data_pipeline_spark.operators.sessions import (
+    session_stats,
+    sessionize,
+)
+from youtube_trending_data_pipeline_spark.operators.skew import salted_sum
+
+
+def test_asof_join_semantics(spark):
+    left = spark.createDataFrame(
+        [("u1", 10, "p1"), ("u1", 20, "p2"), ("u2", 5, "p3"), ("u3", 9, "p4")],
+        "user string, ts long, pid string",
+    )
+    right = spark.createDataFrame(
+        [("u1", 10, "c1"), ("u1", 15, "c2"), ("u2", 6, "c3")],
+        "user string, ts long, cid string",
+    )
+    out = as_of_join(left, right, ["user"], "ts", "ts", ["cid"])
+    rows = {r["pid"]: r["asof_cid"] for r in out.collect()}
+    assert rows == {
+        "p1": "c1",  # equal ts matches (<=)
+        "p2": "c2",  # latest prior
+        "p3": None,  # right is after left -> no match
+        "p4": None,  # no right rows for u3
+    }
+    assert out.count() == 4  # every left row survives
+
+
+def test_sessionize_gaps(spark):
+    ev = spark.createDataFrame(
+        [("u", 0, 1), ("u", 100, 2), ("u", 5000, 3), ("u", 5100, 4), ("v", 0, 5)],
+        "user string, ts long, eid long",
+    )
+    out = sessionize(ev, "user", "ts", gap=1000, order_tiebreak="eid")
+    got = {r["eid"]: r["session_id"] for r in out.collect()}
+    assert got == {1: 1, 2: 1, 3: 2, 4: 2, 5: 1}
+    stats = session_stats(ev, "user", "ts", gap=1000)
+    s = {(r["user"], r["session_id"]): (r["n_events"], r["duration"]) for r in stats.collect()}
+    assert s[("u", 1)] == (2, 100)
+    assert s[("u", 2)] == (2, 100)
+    assert s[("v", 1)] == (1, 0)
+
+
+def test_salted_sum_equals_plain_groupby(spark):
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    from youtube_trending_data_pipeline_spark.catalog import cents
+
+    pre = ev.select("event_id", "event_type", cents("value").alias("v100"))
+    salted = salted_sum(pre, ["event_type"], "v100", "event_id", out_col="total")
+    plain = pre.groupBy("event_type").agg(F.sum("v100").alias("total"))
+    a = {(r["event_type"], r["total"]) for r in salted.collect()}
+    b = {(r["event_type"], r["total"]) for r in plain.collect()}
+    assert a == b
+
+
+def test_approx_distinct_close_to_exact(spark):
+    li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    approx = {
+        r["l_returnflag"]: r["a"]
+        for r in li.groupBy("l_returnflag")
+        .agg(F.approx_count_distinct("l_partkey").alias("a"))
+        .collect()
+    }
+    exact = {
+        r["l_returnflag"]: r["e"]
+        for r in li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("e"))
+        .collect()
+    }
+    for k in exact:
+        assert abs(approx[k] - exact[k]) / exact[k] < 0.1
+
+
+def test_weekly_html_renderer(spark):
+    from youtube_trending_data_pipeline_spark.report.html import render_weekly_html
+
+    report = spark.createDataFrame(
+        [("QA", 10, "1,234", "567", 8.9)],
+        "region string, top_category long, total_views_for_top_category string, "
+        "total_likes_for_top_category string, average_engagement_ratio double",
+    )
+    html_out = render_weekly_html(report)
+    assert "<table" in html_out and "QA" in html_out and "1,234" in html_out
+    # escaping: no raw script injection from values
+    evil = spark.createDataFrame([("<script>", 1, "2", "3", 4.0)], report.schema)
+    assert "<script>" not in render_weekly_html(evil).replace("&lt;script&gt;", "")

@@ -683,6 +683,168 @@ def u2_except_intersect(spark, sf_dir):
     return ex.unionByName(inter).groupBy("op").agg(F.count(F.lit(1)).alias("cnt"))
 
 
+@register(
+    "j5_outer_join",
+    """
+    SELECT c.c_custkey,
+           CAST(COALESCE(o.order_cnt, 0) AS BIGINT) AS order_cnt,
+           COALESCE(o.spend, 0.0) AS spend
+    FROM customer c
+    LEFT JOIN (SELECT o_custkey,
+                      CAST(COUNT(*) AS BIGINT) AS order_cnt,
+                      CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0
+                        AS spend
+               FROM orders GROUP BY o_custkey) o
+      ON c.c_custkey = o.o_custkey
+    """,
+    "J-extension: left outer join with null-default fill (customers with and "
+    "without orders; aggregate-then-join keeps the build side small)",
+)
+def j5_outer_join(spark, sf_dir):
+    customer = t(spark, sf_dir, "customer")
+    totals = (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.count(F.lit(1)).alias("order_cnt_raw"),
+            (F.sum(cents("o_totalprice")) / 100.0).alias("spend_raw"),
+        )
+    )
+    return customer.join(totals, "c_custkey", "left").select(
+        "c_custkey",
+        F.coalesce("order_cnt_raw", F.lit(0)).alias("order_cnt"),
+        F.coalesce("spend_raw", F.lit(0.0)).alias("spend"),
+    )
+
+
+@register(
+    "j6_asof_join",
+    """
+    WITH purchases AS (
+      SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+    ), clicks AS (
+      SELECT user_id, ts, MAX(event_id) AS click_event_id
+      FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+    )
+    SELECT p.event_id, p.user_id,
+           c.click_event_id AS asof_click_event_id
+    FROM purchases p
+    ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    "As-of join (operator Spark lacks): latest prior click per purchase. "
+    "Union-merge formulation in operators/asof.py — one shuffle + local "
+    "sort, no range explosion; oracle is DuckDB's native ASOF JOIN.",
+)
+def j6_asof_join(spark, sf_dir):
+    from youtube_trending_data_pipeline_spark.operators.asof import as_of_join
+
+    ev = t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_event_id"))
+    )
+    out = as_of_join(
+        purchases,
+        clicks,
+        keys=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        payload_cols=["click_event_id"],
+    )
+    return out.select("event_id", "user_id", "asof_click_event_id")
+
+
+@register(
+    "sessionize",
+    """
+    WITH s AS (
+      SELECT event_id, user_id, epoch_ns(ts) AS ts_ns,
+             CAST(CASE WHEN LAG(epoch_ns(ts)) OVER w IS NULL
+                       OR epoch_ns(ts) - LAG(epoch_ns(ts)) OVER w > 1800000000000
+                       THEN 1 ELSE 0 END AS BIGINT) AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+    )
+    SELECT user_id, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_ns, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id,
+           event_id
+    FROM s
+    """,
+    "Gap-based sessionization (30-min gap): lag + running-sum construction "
+    "(operators/sessions.py); batch form of session_window",
+)
+def sessionize_q(spark, sf_dir):
+    from youtube_trending_data_pipeline_spark.operators.sessions import sessionize
+
+    ev = t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    out = sessionize(
+        ev, "user_id", "ts", gap=1_800_000_000_000, order_tiebreak="event_id"
+    )
+    return out.select("user_id", "session_id", "event_id")
+
+
+@register(
+    "skew_salted_agg",
+    """
+    SELECT event_type, CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS total
+    FROM events GROUP BY event_type
+    """,
+    "Skew-resistant two-phase salted aggregation (operators/skew.py); the "
+    "oracle is the plain GROUP BY — salting must not change results",
+)
+def skew_salted_agg(spark, sf_dir):
+    from youtube_trending_data_pipeline_spark.operators.skew import salted_sum
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_id", "event_type", cents("value").alias("v100")
+    )
+    return salted_sum(
+        ev, ["event_type"], "v100", salt_from="event_id", out_col="total"
+    )
+
+
+@register(
+    "a13_cube",
+    """
+    SELECT COALESCE(o_orderstatus, 'ALL') AS orderstatus,
+           COALESCE(o_orderpriority, 'ALL') AS orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    "A-extension: CUBE grouping sets (free in Spark, absent in reference)",
+)
+def a13_cube(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("orderpriority"),
+            "n_orders",
+        )
+    )
+
+
+@register(
+    "a14_approx_distinct",
+    None,  # HLL sketches differ across engines by construction
+    "A-extension: approx_count_distinct (HLL++); rows-only check, exactness "
+    "cross-checked against COUNT DISTINCT in tests",
+)
+def a14_approx_distinct(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.approx_count_distinct("l_partkey").alias("approx_parts"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Scalar functions (SURVEY §2.8)
 # ---------------------------------------------------------------------------

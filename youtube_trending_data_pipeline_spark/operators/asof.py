@@ -1,0 +1,68 @@
+"""As-of (point-in-time) join — an operator Spark lacks natively.
+
+Implemented as the union-merge formulation (SURVEY brief: compose from
+existing DataFrame ops when semantics allow): tag right rows, union with
+left rows, sort within each key partition by (ts, side), and carry the
+latest right payload forward with ``last(ignorenulls=True)`` over an
+unbounded-preceding window. That is exactly one shuffle on the join key +
+a partition-local sort — the same cost shape as a sort-merge join, with
+no range-explosion and no skew beyond the key distribution itself.
+
+Backward direction (match the most recent right row with
+``right_ts <= left_ts``) — the semantics of DuckDB/pandas ``ASOF JOIN``,
+which the catalog uses as the oracle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    payload_cols: Sequence[str],
+) -> DataFrame:
+    """For every left row, attach the payload of the latest right row with
+    ``right_ts <= left_ts`` within the same key group (NULLs if none).
+
+    ``right`` must be unique per (keys, right_ts) — pre-aggregate if not,
+    or the carried payload among equal timestamps is unspecified.
+    """
+    keys = list(keys)
+    payload_cols = list(payload_cols)
+
+    r_tagged = right.select(
+        *keys,
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),  # right sorts before left at equal ts (<=)
+        F.struct(*[F.col(c) for c in payload_cols]).alias("_payload"),
+    )
+    l_tagged = left.select(
+        *keys,
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_left_row"),
+    )
+    unioned = r_tagged.withColumn("_left_row", F.lit(None).cast(l_tagged.schema["_left_row"].dataType)).unionByName(
+        l_tagged.withColumn("_payload", F.lit(None).cast(r_tagged.schema["_payload"].dataType))
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("_ts", "_side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = unioned.withColumn(
+        "_matched", F.last("_payload", ignorenulls=True).over(w)
+    )
+    out = carried.where(F.col("_side") == 1).select(
+        F.col("_left_row.*"),
+        *[F.col("_matched")[c].alias(f"asof_{c}") for c in payload_cols],
+    )
+    return out
