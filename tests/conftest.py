@@ -15,7 +15,19 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark(app_name="engine-tests", master="local[4]", shuffle_partitions=4)
+    import tempfile
+
+    s = get_spark(
+        app_name="engine-tests",
+        master="local[4]",
+        shuffle_partitions=4,
+        extra_conf={
+            # static conf: must be set at session creation (bucketed-table
+            # tests write managed tables; keep them out of the repo)
+            "spark.sql.warehouse.dir": tempfile.mkdtemp(prefix="spark-wh-"),
+            "spark.sql.shuffle.partitions": "4",
+        },
+    )
     yield s
 
 

@@ -1,0 +1,62 @@
+"""Bucketed-table co-located join: writing both sides bucketed on the
+join key lets Spark plan a SortMergeJoin with ZERO exchanges — the
+pre-shuffle layout that makes repeated big-big joins affordable at 100 TB."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from youtube_trending_data_pipeline_spark.plans.explain import physical_plan
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark):
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    customer = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS customer_b")
+    (
+        orders.write.bucketBy(8, "o_custkey")
+        .sortBy("o_custkey")
+        .mode("overwrite")
+        .saveAsTable("orders_b")
+    )
+    (
+        customer.write.bucketBy(8, "c_custkey")
+        .sortBy("c_custkey")
+        .mode("overwrite")
+        .saveAsTable("customer_b")
+    )
+    return spark.table("orders_b"), spark.table("customer_b")
+
+
+def test_bucketed_join_has_no_exchange(spark, bucketed_tables):
+    orders_b, customer_b = bucketed_tables
+    # force SMJ so broadcast doesn't mask the bucketing effect
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = orders_b.join(
+            customer_b, orders_b.o_custkey == customer_b.c_custkey
+        ).groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n"))
+        joined.collect()
+        plan = physical_plan(joined)
+        # the join itself must consume bucketed scans directly: no shuffle
+        # below the SortMergeJoin (the single exchange is the groupBy's)
+        join_part = plan.split("SortMergeJoin")[-1]
+        assert "Exchange" not in join_part, plan
+        assert "SortMergeJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+
+
+def test_bucketed_join_correct(spark, bucketed_tables):
+    orders_b, customer_b = bucketed_tables
+    got = (
+        orders_b.join(customer_b, orders_b.o_custkey == customer_b.c_custkey)
+        .count()
+    )
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    customer = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    expected = orders.join(customer, orders.o_custkey == customer.c_custkey).count()
+    assert got == expected

@@ -760,6 +760,41 @@ def j6_asof_join(spark, sf_dir):
 
 
 @register(
+    "j7_range_join",
+    """
+    WITH buckets AS (
+      SELECT CAST(b AS BIGINT) * 500 AS price_lo,
+             CAST(b AS BIGINT) * 500 + 499 AS price_hi,
+             CAST(b AS BIGINT) AS bucket_id
+      FROM range(0, 20) t(b)
+    )
+    SELECT b.bucket_id, CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders
+    FROM orders o JOIN buckets b
+      ON o.o_totalprice BETWEEN b.price_lo AND b.price_hi
+    GROUP BY b.bucket_id
+    """,
+    "Range/interval join (operator Spark plans as nested-loop by default): "
+    "bucketed-prefilter formulation in operators/rangejoin.py turns it into "
+    "an equi-join; oracle is the plain BETWEEN join",
+)
+def j7_range_join(spark, sf_dir):
+    from youtube_trending_data_pipeline_spark.operators.rangejoin import range_join
+
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    buckets = spark.range(0, 20).select(
+        (F.col("id") * 500).cast("double").alias("price_lo"),
+        (F.col("id") * 500 + 499).cast("double").alias("price_hi"),
+        F.col("id").alias("bucket_id"),
+    )
+    joined = range_join(
+        orders, buckets, "o_totalprice", "price_lo", "price_hi", bucket_width=500
+    )
+    return joined.groupBy("bucket_id").agg(
+        F.count("o_orderkey").alias("n_orders")
+    )
+
+
+@register(
     "sessionize",
     """
     WITH s AS (
