@@ -39,6 +39,20 @@ from youtube_trending_data_pipeline_spark.functions.vectors import cosine_simila
 _MERSENNE_P = (1 << 61) - 1
 
 
+def _ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Spread the input across the cluster before expression-heavy stages.
+
+    A single small parquet file scans as ONE partition, serializing the
+    shingle/hash work on one core. On a real lake the input splits provide
+    parallelism and this is a no-op; locally it repartitions the (small)
+    input so the compute scales with cores.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 # ---------------------------------------------------------------------------
 # Exact dedup
 # ---------------------------------------------------------------------------
@@ -97,31 +111,42 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, sig: array<bigint>[num_perm]) minhash over word shingles.
 
-    One base xxhash64 per shingle, then ``num_perm`` affine permutations
-    folded with array_min — O(shingles + num_perm) per doc, all JVM-side.
+    Shape: explode shingles to rows, hash once, then ONE hash-aggregate
+    computing all ``num_perm`` affine-permutation minima as parallel MIN
+    aggregates. This stays inside whole-stage codegen and gets map-side
+    partial aggregation — unlike per-row nested higher-order-function
+    folds, which Spark evaluates interpreted (~50x slower measured at
+    sf0.1) and which serialize on a single input split.
+
     Docs with no shingle (shorter than the window) get an empty-doc
     sentinel signature so they never collide with real content.
     """
     params = _affine_params(num_perm, seed)
-    shingles = F.array_distinct(word_ngrams(text_col, shingle_words))
-    # reduce to 32 bits so the affine form a*h + b stays within long range
-    base = F.transform(
-        shingles, lambda s: F.xxhash64(s).bitwiseAND(F.lit(0xFFFFFFFF))
+    df = _ensure_parallelism(df)
+    ids = df.select(F.col(id_col).alias("id"))
+    exploded = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(word_ngrams(text_col, shingle_words))).alias(
+            "_shingle"
+        ),
+    ).select(
+        "id",
+        # 32-bit base hash keeps a*h + b within long range (no ANSI overflow)
+        F.xxhash64("_shingle").bitwiseAND(F.lit(0xFFFFFFFF)).alias("_h"),
     )
-
-    def perm_min(a: int, b: int) -> Column:
-        return F.array_min(
-            F.transform(base, lambda h: (h * a + b) % F.lit(_MERSENNE_P))
-        )
-
-    sig = F.array(
+    mins = exploded.groupBy("id").agg(
         *[
-            # empty-doc sentinel, unique per perm slot
-            F.coalesce(perm_min(a, b), F.lit(-(i + 1)))
+            F.min((F.col("_h") * a + b) % F.lit(_MERSENNE_P)).alias(f"_m{i}")
             for i, (a, b) in enumerate(params)
         ]
     )
-    return df.select(F.col(id_col).alias("id"), sig.alias("sig"))
+    sig = F.array(
+        *[
+            F.coalesce(F.col(f"_m{i}"), F.lit(-(i + 1)))
+            for i in range(num_perm)
+        ]
+    )
+    return ids.join(mins, "id", "left").select("id", sig.alias("sig"))
 
 
 def lsh_candidate_pairs(
@@ -219,6 +244,11 @@ def minhash_near_duplicates(
     """End-to-end near-dup pipeline: signatures -> LSH candidates ->
     estimate filter. Returns (id_a, id_b, est_jaccard >= threshold)."""
     sigs = minhash_signatures(df, id_col, text_col, num_perm, shingle_words, seed)
+    # the signature relation feeds three consumers (banding + both sides of
+    # the estimate join); materialize it once instead of recomputing the
+    # aggregation per consumer. At cluster scale this would be a staged
+    # parquet table; localCheckpoint is the in-session equivalent.
+    sigs = sigs.localCheckpoint(eager=False)
     cands = lsh_candidate_pairs(sigs, bands, rows_per_band=num_perm // bands)
     est = minhash_jaccard_estimate(cands, sigs)
     return est.where(F.col("est_jaccard") >= threshold)
@@ -229,42 +259,50 @@ def minhash_near_duplicates(
 # ---------------------------------------------------------------------------
 
 
-def simhash_signature(text_col: str | Column, bits: int = 64) -> Column:
-    """Classic SimHash: per-token 64-bit hash; each bit position
-    accumulates +1/-1 by token bit; final bit = sign. Pure higher-order
-    functions; one pass over tokens per document."""
-    toks = tokens(text_col)
-    hashes = F.transform(toks, lambda tok: F.xxhash64(tok))
-    # bit positions are compile-time constants: unroll in Python so the
-    # shift amounts are literals (the pyspark wrappers require ints)
-    counts = F.aggregate(
-        hashes,
-        F.array_repeat(F.lit(0).cast("long"), bits),
-        lambda acc, h: F.zip_with(
-            acc,
-            F.array(
-                *[
-                    F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1)
-                    .otherwise(-1)
-                    .cast("long")
-                    for j in range(bits)
-                ]
-            ),
-            lambda a, d: a + d,
-        ),
+def simhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 64
+) -> DataFrame:
+    """(id, sim: bigint) classic SimHash: per-token 64-bit hash; each bit
+    position accumulates +1/-1 by token bit; final bit = sign.
+
+    Same explode -> hash-aggregate shape as minhash_signatures (codegen +
+    partial aggregation; see that docstring for why not per-row folds):
+    one conditional SUM per bit position, then the signature is assembled
+    from the 64 counters. Empty docs get signature 0.
+    """
+    df = _ensure_parallelism(df)
+    ids = df.select(F.col(id_col).alias("id"))
+    exploded = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("_tok")
+    ).select("id", F.xxhash64("_tok").alias("_h"))
+    counts = exploded.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("_h"), j).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+            ).alias(f"_c{j}")
+            for j in range(bits)
+        ]
     )
-    bit_values = F.zip_with(
-        counts,
-        # bit 63 must be the two's-complement negative value to fit a long
-        F.array(
-            *[
-                F.lit((1 << j) if j < 63 else -(1 << 63)).cast("long")
-                for j in range(bits)
-            ]
-        ),
-        lambda cnt, bitval: F.when(cnt > 0, bitval).otherwise(F.lit(0).cast("long")),
+    # bit 63 must be the two's-complement negative value to fit a long
+    sig = reduce_add(
+        [
+            F.when(F.col(f"_c{j}") > 0, F.lit((1 << j) if j < 63 else -(1 << 63)))
+            .otherwise(F.lit(0))
+            .cast("long")
+            for j in range(bits)
+        ]
     )
-    return F.aggregate(bit_values, F.lit(0).cast("long"), lambda acc, v: acc + v)
+    return ids.join(counts, "id", "left").select(
+        "id", F.coalesce(sig, F.lit(0)).cast("long").alias("sim")
+    )
+
+
+def reduce_add(cols: list[Column]) -> Column:
+    total = cols[0]
+    for c in cols[1:]:
+        total = total + c
+    return total
 
 
 def simhash_near_duplicates(
@@ -280,9 +318,7 @@ def simhash_near_duplicates(
     generation is an equi-join per band — never all-pairs."""
     width = 64 // chunks
     mask = (1 << width) - 1
-    sigs = df.select(
-        F.col(id_col).alias("id"), simhash_signature(text_col).alias("sim")
-    )
+    sigs = simhash_signatures(df, id_col, text_col)
     banded = sigs.select(
         "id",
         "sim",
@@ -337,6 +373,7 @@ def ngram_jaccard_pairs(
     (e.g. same source / length bucket). Blocking keeps the self-join from
     going quadratic globally; pick block_cols so blocks are O(thousands)."""
     grams = char_ngrams(text_col, n) if use_chars else word_ngrams(text_col, n)
+    df = _ensure_parallelism(df)
     base = df.select(
         *[F.col(c) for c in block_cols],
         F.col(id_col).alias("id"),
