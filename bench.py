@@ -18,8 +18,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from youtube_trending_data_pipeline_spark.catalog import QUERIES
+from youtube_trending_data_pipeline_spark.catalog import QUERIES, _load_extensions
 from youtube_trending_data_pipeline_spark.session import get_spark
+
+_load_extensions()
 
 # Headline set: one per operator family — scans, joins, aggregation, window,
 # top-k, set-op, scalar-heavy, explode — plus the flagship.
@@ -36,6 +38,11 @@ BENCH_QUERIES = [
     "u1_union_all",
     "f1_duration_parse",
     "j4_explode_tokens",
+    "domain_daily_insights",
+    "sessionize",
+    "dedup_exact",
+    "text_stats",
+    "sim_bruteforce_topk",
 ]
 
 

@@ -991,6 +991,185 @@ def f_string_funcs(spark, sf_dir):
     )
 
 
+@register(
+    "a15_percentiles",
+    """
+    SELECT event_type,
+           quantile_cont(v100, 0.5) / 100.0 AS median_value,
+           quantile_cont(v100, 0.9) / 100.0 AS p90_value
+    FROM (SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS v100 FROM events)
+    GROUP BY event_type
+    """,
+    "A-extension: exact percentiles (linear interpolation) per group; cents "
+    "domain keeps interpolation arithmetic bit-identical across engines",
+)
+def a15_percentiles(spark, sf_dir):
+    pre = t(spark, sf_dir, "events").select("event_type", cents("value").alias("v100"))
+    return pre.groupBy("event_type").agg(
+        (F.percentile("v100", F.lit(0.5)) / 100.0).alias("median_value"),
+        (F.percentile("v100", F.lit(0.9)) / 100.0).alias("p90_value"),
+    )
+
+
+@register(
+    "a16_string_agg",
+    """
+    SELECT n_regionkey,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations
+    FROM nation GROUP BY n_regionkey
+    """,
+    "A-extension: ordered string aggregation (collect_list -> sort -> join)",
+)
+def a16_string_agg(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "nation")
+        .groupBy("n_regionkey")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations")
+        )
+    )
+
+
+@register(
+    "a17_pivot",
+    """
+    SELECT user_id,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+           CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
+    FROM events GROUP BY user_id
+    """,
+    "A-extension: pivot (long -> wide) on event_type; oracle is the "
+    "equivalent conditional aggregation",
+)
+def a17_pivot(spark, sf_dir):
+    types = ["click", "view", "purchase", "signup", "error"]
+    out = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "user_id",
+        *[F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c) for c in types],
+    )
+
+
+@register(
+    "f_math_funcs",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CAST(ABS(l_quantity - 25) AS DOUBLE) AS dist_from_25,
+           SQRT(l_quantity) AS root_qty,
+           CAST(ROUND(LN(l_quantity + 1) * 1000000) AS BIGINT) / 1000000.0 AS log_qty,
+           CAST(POWER(l_linenumber, 2) AS DOUBLE) AS line_sq,
+           CAST(l_suppkey % 7 AS BIGINT) AS supp_mod,
+           GREATEST(l_quantity, 10.0) AS qty_floor10,
+           LEAST(l_quantity, 40.0) AS qty_cap40
+    FROM lineitem
+    """,
+    "F-extension: math functions (abs/sqrt/ln/power/mod/greatest/least); "
+    "ln rounded in scaled-integer space for cross-engine bit-equality",
+)
+def f_math_funcs(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_quantity") - 25).alias("dist_from_25"),
+        F.sqrt("l_quantity").alias("root_qty"),
+        (F.round(F.log(F.col("l_quantity") + 1) * 1000000).cast("long") / 1000000.0).alias(
+            "log_qty"
+        ),
+        F.pow("l_linenumber", 2).alias("line_sq"),
+        (F.col("l_suppkey") % 7).alias("supp_mod"),
+        F.greatest("l_quantity", F.lit(10.0)).alias("qty_floor10"),
+        F.least("l_quantity", F.lit(40.0)).alias("qty_cap40"),
+    )
+
+
+@register(
+    "f_array_funcs",
+    """
+    SELECT doc_id,
+           len(toks) AS n_toks,
+           toks[1] AS first_tok,
+           toks[len(toks)] AS last_tok,
+           array_to_string(list_slice(toks, 1, 3), '-') AS head3,
+           len(list_distinct(toks)) AS n_unique,
+           CASE WHEN list_contains(toks, 'spark') THEN TRUE ELSE FALSE END AS has_spark
+    FROM (SELECT doc_id, list_filter(str_split_regex(text, '\\s+'), x -> x <> '') AS toks
+          FROM documents)
+    """,
+    "F-extension: array functions (size/element_at/slice/distinct/contains)",
+)
+def f_array_funcs(spark, sf_dir):
+    from youtube_trending_data_pipeline_spark.functions.text import tokens
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", tokens("text").alias("toks"))
+    return docs.select(
+        "doc_id",
+        F.size("toks").alias("n_toks"),
+        F.element_at("toks", 1).alias("first_tok"),
+        F.element_at("toks", -1).alias("last_tok"),
+        F.array_join(F.slice("toks", 1, 3), "-").alias("head3"),
+        F.size(F.array_distinct("toks")).alias("n_unique"),
+        F.array_contains("toks", "spark").alias("has_spark"),
+    )
+
+
+@register(
+    "f_conditional_null",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 200000 THEN 'high'
+                WHEN o_totalprice > 100000 THEN 'mid'
+                ELSE 'low' END AS price_band,
+           COALESCE(NULLIF(o_orderstatus, 'O'), 'open-or-null') AS status_norm,
+           CASE WHEN o_orderpriority LIKE '1%' OR o_orderpriority LIKE '2%'
+                THEN TRUE ELSE FALSE END AS urgent
+    FROM orders
+    """,
+    "F-extension: CASE chains, NULLIF/COALESCE, boolean expressions",
+)
+def f_conditional_null(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 200000, "high")
+        .when(F.col("o_totalprice") > 100000, "mid")
+        .otherwise("low")
+        .alias("price_band"),
+        F.coalesce(
+            F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("open-or-null")
+        ).alias("status_norm"),
+        (
+            F.col("o_orderpriority").startswith("1")
+            | F.col("o_orderpriority").startswith("2")
+        ).alias("urgent"),
+    )
+
+
+@register(
+    "a18_having",
+    """
+    SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 15
+    """,
+    "A-extension: HAVING (post-aggregation filter)",
+)
+def a18_having(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .where(F.col("n_orders") >= 15)
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _load_extensions()
     return {name: spec.fn for name, spec in QUERIES.items()}
