@@ -96,6 +96,21 @@ def test_no_python_udf_in_core_queries(spark):
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
 
 
+def test_no_accidental_cartesian_anywhere(spark):
+    """Every catalog query must avoid cartesian/nested-loop joins, except
+    the brute-force ANN scans where the cross product IS the algorithm
+    (bounded by the broadcast query side)."""
+    allowed_cross = {"sim_bruteforce_topk"}
+    for name, spec in QUERIES.items():
+        if name in allowed_cross:
+            continue
+        plan = QUERIES[name].fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, name
+        # BroadcastNestedLoopJoin is acceptable only for tiny broadcast
+        # literal sides (none of our queries need it)
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
 def test_whole_stage_codegen_active(spark):
     from youtube_trending_data_pipeline_spark.plans.explain import codegen_stage_count
 

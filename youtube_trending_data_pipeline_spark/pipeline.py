@@ -1,0 +1,91 @@
+"""End-to-end pipeline jobs — the engine's equivalent of the reference's
+three Airflow DAGs (SURVEY §3). Each job is a plain function over Parquet
+tables: Airflow's branch/XCom machinery is replaced by idempotent dynamic
+partition overwrite and table-to-table handoff.
+
+| reference DAG | here |
+|---|---|
+| trending_daily_ingestion (ing:218-259) | run_daily_ingestion |
+| trending_daily_aggregates (agg:116-143) | run_daily_aggregates |
+| weekly_report (wk:114-142)              | run_weekly_report |
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from youtube_trending_data_pipeline_spark.operators.channels import new_channels
+from youtube_trending_data_pipeline_spark.operators.flatten import flatten_videos
+from youtube_trending_data_pipeline_spark.operators.insights import daily_insights
+from youtube_trending_data_pipeline_spark.operators.weekly import weekly_insights
+from youtube_trending_data_pipeline_spark.report.html import render_weekly_html
+from youtube_trending_data_pipeline_spark.sources.bronze import (
+    read_bronze_day,
+    region_items,
+)
+from youtube_trending_data_pipeline_spark.sources.tables import (
+    append_partitioned,
+    overwrite_date_partition,
+    read_table,
+)
+
+
+@dataclass
+class PipelineConfig:
+    """Run parameters — the reference's Airflow Params/Variables (C3),
+    with run_date explicit instead of evaluated at import time (F6)."""
+
+    bronze_dir: str
+    videos_dir: str
+    channels_dir: str
+    insights_dir: str
+    regions: list[str] = field(default_factory=lambda: ["QA", "US", "DE"])
+
+
+def run_daily_ingestion(
+    spark: SparkSession,
+    cfg: PipelineConfig,
+    run_date: dt.date,
+    fetched_channels: DataFrame | None = None,
+) -> DataFrame:
+    """bronze day-file -> silver ``daily_trending_videos`` (+ new channels).
+
+    Idempotent: re-running a date replaces exactly that date's partition
+    (C1 via dynamic partition overwrite) instead of the reference's
+    branch-skip. Returns the silver frame for the day.
+    """
+    bronze = read_bronze_day(
+        spark, f"{cfg.bronze_dir}/{run_date.isoformat()}.json", cfg.regions
+    )
+    silver = flatten_videos(region_items(bronze), run_date)
+    overwrite_date_partition(silver, cfg.videos_dir)
+    if fetched_channels is not None:
+        try:
+            known = read_table(spark, cfg.channels_dir)
+        except Exception:
+            known = fetched_channels.limit(0)
+        fresh = new_channels(silver, known, fetched_channels)
+        fresh.write.mode("append").parquet(cfg.channels_dir)
+    return spark.read.parquet(cfg.videos_dir).where(f"date = '{run_date}'")
+
+
+def run_daily_aggregates(
+    spark: SparkSession, cfg: PipelineConfig, run_date: dt.date
+) -> DataFrame:
+    """silver videos (one date partition) -> gold ``daily_insights``."""
+    videos = read_table(spark, cfg.videos_dir).where(f"date = '{run_date}'")
+    gold = daily_insights(videos)
+    overwrite_date_partition(gold, cfg.insights_dir)
+    return spark.read.parquet(cfg.insights_dir).where(f"date = '{run_date}'")
+
+
+def run_weekly_report(
+    spark: SparkSession, cfg: PipelineConfig, end_date: dt.date
+) -> tuple[DataFrame, str]:
+    """gold insights (trailing 7 days) -> report frame + rendered HTML."""
+    insights = read_table(spark, cfg.insights_dir)
+    report = weekly_insights(insights, end_date, formatted=True)
+    return report, render_weekly_html(report)
