@@ -98,6 +98,20 @@ def test_lsh_topk_recall_vs_bruteforce(spark):
     assert recall >= 0.5, f"LSH recall too low: {recall}"
 
 
+def test_ivf_topk_recall_vs_bruteforce(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.where(F.col("vec_id") >= 10)
+    exact = sim.brute_force_topk(corpus, queries, k=5)
+    approx = sim.ivf_topk(corpus, queries, k=5, n_clusters=8, n_probe=3)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+
+
 def test_embedding_near_dup_with_planted_vector(spark):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     # plant a copy of vec 0 with id 9000 — cosine 1.0, same LSH bucket

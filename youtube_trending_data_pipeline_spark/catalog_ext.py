@@ -195,6 +195,69 @@ def sim_lsh_topk(spark, sf_dir):
 
 
 @register(
+    "sim_ivf_topk",
+    None,  # KMeans cells not reproducible in SQL; recall asserted in tests
+    "IVF ANN (KMeans cells + n_probe search + exact re-rank) — the "
+    "bucketed-index scale path (extension; rows-only check)",
+)
+def sim_ivf_topk(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.where(F.col("vec_id") >= 5)
+    return sim.ivf_topk(corpus, queries, k=3, n_clusters=8, n_probe=3).orderBy(
+        "query_id", "rank"
+    )
+
+
+@register(
+    "clean_corpus_pipeline",
+    f"""
+    WITH scored AS (
+      SELECT doc_id, text, lang,
+             len(list_filter(str_split_regex(text, '\\s+'), x -> x <> '')) AS n_tokens,
+             md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+      FROM documents
+    ), kept AS (
+      SELECT * FROM scored
+      WHERE n_tokens BETWEEN 10 AND 500 AND lang IN ('en', 'es', 'de')
+    ), dedup AS (
+      SELECT fp, MIN(doc_id) AS doc_id FROM kept GROUP BY fp
+    )
+    SELECT k.lang, CAST(COUNT(*) AS BIGINT) AS docs_kept,
+           CAST(SUM(CAST(k.n_tokens AS BIGINT)) AS BIGINT) AS total_tokens
+    FROM kept k JOIN dedup d ON k.doc_id = d.doc_id
+    GROUP BY k.lang
+    """,
+    "Composite training-data cleaning pipeline: quality filter -> language "
+    "filter -> exact dedup (keep min id) -> per-language token accounting. "
+    "The end-to-end corpus-prep shape every stage above feeds.",
+)
+def clean_corpus_pipeline(spark, sf_dir):
+    from youtube_trending_data_pipeline_spark.functions.text import token_count
+
+    scored = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        token_count("text").alias("n_tokens"),
+        fingerprint("text").alias("fp"),
+    )
+    kept = scored.where(
+        F.col("n_tokens").between(10, 500) & F.col("lang").isin("en", "es", "de")
+    )
+    dedup = kept.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    return (
+        kept.join(dedup, ["fp", "doc_id"], "left_semi")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("docs_kept"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+    )
+
+
+@register(
     "sim_label_centroids",
     """
     SELECT label, dim, sum_comp / n AS avg_component FROM (

@@ -150,6 +150,88 @@ def lsh_topk(
     )
 
 
+def ivf_index(
+    corpus: DataFrame,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 11,
+):
+    """IVF (inverted-file) index: KMeans-partition the corpus; search then
+    probes only the closest cells. Returns (assigned corpus, model).
+
+    The production ANN scale path: the corpus is written bucketed by
+    ``cell`` so each probe reads only its cells' files; locally the cell
+    column drives a partition-pruned filter. Training samples the corpus
+    (KMeans on 100 TB trains on a sample; assignment is a single pass).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        array_to_vector(F.col(vec_col)).alias("features"),
+    )
+    model = KMeans(k=n_clusters, seed=seed, featuresCol="features").fit(feat)
+    assigned = model.transform(feat).select(
+        "id", "vec", F.col("prediction").alias("cell")
+    )
+    return assigned, model
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: int = 11,
+) -> DataFrame:
+    """Approximate top-k via IVF: assign corpus to KMeans cells, probe the
+    ``n_probe`` nearest cells per query, exact cosine re-rank within them."""
+    assigned, model = ivf_index(corpus, n_clusters, id_col, vec_col, seed)
+    centers = model.clusterCenters()
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+    )
+    # distance of each query to every center (centers are driver-side
+    # constants — tiny), keep n_probe closest cells per query
+    center_cols = []
+    for ci, center in enumerate(centers):
+        dist = F.aggregate(
+            F.zip_with(
+                F.col("query_vec"),
+                F.array(*[F.lit(float(x)) for x in center]),
+                lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        center_cols.append(F.struct(dist.alias("d"), F.lit(ci).alias("cell")))
+    probed = q.select(
+        "query_id",
+        "query_vec",
+        F.explode(
+            F.slice(F.array_sort(F.array(*center_cols)), 1, n_probe)
+        ).alias("probe"),
+    ).select("query_id", "query_vec", F.col("probe.cell").alias("cell"))
+    cands = assigned.join(F.broadcast(probed), "cell").select(
+        "query_id",
+        F.col("id").alias("neighbor_id"),
+        cosine_similarity("query_vec", "vec").alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
 def label_centroids(
     embeddings: DataFrame,
     label_col: str = "label",
