@@ -33,6 +33,19 @@ def test_bronze_read_demultiplex(spark, bronze_day_path):
     assert [r["region"] for r in bronze2.select("region").collect()] == ["QA"]
 
 
+def test_corrupt_day_file_handling(spark, tmp_path):
+    import pytest
+
+    bad = tmp_path / "bad.json"
+    bad.write_text('{"QA": {"items": [')  # truncated JSON
+    # permissive: corrupt file -> zero rows, job survives (ingest at scale)
+    out = read_bronze_day(spark, str(bad))
+    assert out.count() == 0
+    # strict: backfills fail loudly instead of silently dropping data
+    with pytest.raises(Exception):
+        read_bronze_day(spark, str(bad), strict=True).collect()
+
+
 def test_flatten_schema_and_defaults(spark, bronze_day_path):
     silver = _silver(spark, bronze_day_path)
     rows = silver.collect()

@@ -19,7 +19,10 @@ from youtube_trending_data_pipeline_spark.schemas import VIDEO_LIST_RESPONSE
 
 
 def read_bronze_day(
-    spark: SparkSession, path: str, regions: list[str] | None = None
+    spark: SparkSession,
+    path: str,
+    regions: list[str] | None = None,
+    strict: bool = False,
 ) -> DataFrame:
     """Read day-file(s) at ``path`` -> columns (region, response).
 
@@ -30,10 +33,20 @@ def read_bronze_day(
 
     ``regions`` defaults to the reference's DEFAULT_REGIONS (ing:29); at
     scale pass the full region list — the scan stays one pass regardless.
+
+    ``strict=False`` (default) reads PERMISSIVE: a malformed day-file
+    yields null region structs, which the demultiplex drops — ingestion
+    survives one bad file out of thousands. ``strict=True`` uses FAILFAST
+    for backfills where silent data loss is worse than an abort.
     """
     regions = regions or ["QA", "US", "DE"]
     schema = StructType([StructField(r, VIDEO_LIST_RESPONSE) for r in regions])
-    raw = spark.read.schema(schema).option("multiLine", True).json(path)
+    raw = (
+        spark.read.schema(schema)
+        .option("multiLine", True)
+        .option("mode", "FAILFAST" if strict else "PERMISSIVE")
+        .json(path)
+    )
     # region demultiplex (SURVEY §2 J4): map-of-structs -> rows, dropping
     # regions that are absent from the file.
     stacked = raw.select(
