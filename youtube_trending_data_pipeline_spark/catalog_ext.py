@@ -417,6 +417,53 @@ def multimodal_image_features(spark, sf_dir):
     return extract_image_features(media).orderBy("asset_id")
 
 
+@register(
+    "stream_windowed_counts",
+    None,  # executed via Structured Streaming; deterministic but not SQL
+    "Structured Streaming in the correctness gate: availableNow file stream "
+    "-> watermarked 1h tumbling windows -> memory sink; equals the batch "
+    "groupBy (asserted in tests/test_streaming.py). Rows-only check.",
+)
+def stream_windowed_counts(spark, sf_dir):
+    import tempfile
+    import uuid
+
+    from youtube_trending_data_pipeline_spark.streaming.jobs import (
+        windowed_event_counts,
+    )
+
+    import os
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # the file stream source requires a directory; expose the single test
+    # file through a symlinked temp dir (a real deployment streams a
+    # landing directory)
+    src_dir = tempfile.mkdtemp(prefix="stream-src-")
+    os.symlink(f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet")
+    stream = (
+        spark.readStream.schema(batch_schema)
+        .parquet(src_dir)
+        .select(
+            F.timestamp_micros((F.col("ts") / 1000).cast("long")).alias("ts_t"),
+            "event_type",
+            "value",
+        )
+    )
+    agg = windowed_event_counts(stream, window="1 hour", watermark="2 hours", ts_col="ts_t")
+    name = f"wc_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt-"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
 # Late-bind the generated LSH oracle (needs _COS_SQL, defined mid-module).
 from youtube_trending_data_pipeline_spark.catalog import QUERIES as _Q
 from youtube_trending_data_pipeline_spark.catalog import QuerySpec as _QS
