@@ -124,24 +124,18 @@ def lsh_topk(
 
     c = with_buckets(corpus, id_col).alias("c")
     q = with_buckets(queries, query_id_col).alias("q")
-    cands = (
-        c.join(
-            F.broadcast(q),
-            (F.col("c.tbl") == F.col("q.tbl")) & (F.col("c.bkt") == F.col("q.bkt")),
-        )
-        .select(
-            F.col("q.id").alias("query_id"),
-            F.col("c.id").alias("neighbor_id"),
-            F.col("q.vec").alias("query_vec"),
-            F.col("c.vec").alias("vec"),
-        )
-        .dropDuplicates(["query_id", "neighbor_id"])
+    cands = c.join(
+        F.broadcast(q),
+        (F.col("c.tbl") == F.col("q.tbl")) & (F.col("c.bkt") == F.col("q.bkt")),
+    ).select(
+        F.col("q.id").alias("query_id"),
+        F.col("c.id").alias("neighbor_id"),
+        cosine_similarity(F.col("q.vec"), F.col("c.vec")).alias("cos"),
     )
-    scored = cands.select(
-        "query_id",
-        "neighbor_id",
-        cosine_similarity("query_vec", "vec").alias("cos"),
-    )
+    # score BEFORE dedup: the distinct then runs on scalar columns only, so
+    # Spark picks hash aggregation (arrays in the dedup key force the
+    # slower sort-based aggregate); cos is identical across tables per pair
+    scored = cands.groupBy("query_id", "neighbor_id").agg(F.max("cos").alias("cos"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
