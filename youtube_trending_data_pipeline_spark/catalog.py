@@ -590,6 +590,69 @@ def w2_trailing_window(spark, sf_dir):
 
 
 @register(
+    "w_rank_suite",
+    """
+    SELECT c_custkey, c_mktsegment,
+           RANK() OVER w AS rnk,
+           DENSE_RANK() OVER w AS drnk,
+           CAST(NTILE(4) OVER w AS INT) AS quartile,
+           CAST(ROUND(PERCENT_RANK() OVER w * 1000000) AS BIGINT) / 1000000.0 AS pct_rank,
+           CAST(ROUND(CUME_DIST() OVER w * 1000000) AS BIGINT) / 1000000.0 AS cume,
+           FIRST_VALUE(c_custkey) OVER w AS richest,
+           LEAD(c_custkey) OVER w AS next_cust
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC)
+    """,
+    "W-extension: full ranking-function suite (rank/dense_rank/ntile/"
+    "percent_rank/cume_dist/first_value/lead)",
+)
+def w_rank_suite(spark, sf_dir):
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        (F.round(F.percent_rank().over(w) * 1000000).cast("long") / 1000000.0).alias(
+            "pct_rank"
+        ),
+        (F.round(F.cume_dist().over(w) * 1000000).cast("long") / 1000000.0).alias(
+            "cume"
+        ),
+        F.first("c_custkey").over(w).alias("richest"),
+        F.lead("c_custkey").over(w).alias("next_cust"),
+    )
+
+
+@register(
+    "w3_weekly_rollup",
+    """
+    SELECT CAST(date_trunc('week', o_orderdate) AS DATE) AS week_start,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0
+             AS weekly_revenue
+    FROM orders GROUP BY 1
+    """,
+    "W2 generalized: calendar-week rollup (the reference's weekly report "
+    "cadence, wk:24-27, as a date_trunc groupBy)",
+)
+def w3_weekly_rollup(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.date_trunc("week", F.col("o_orderdate")).cast("date").alias("week_start")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.sum(cents("o_totalprice")) / 100.0).alias("weekly_revenue"),
+        )
+    )
+
+
+@register(
     "l_topk_per_group",
     """
     SELECT c_mktsegment, c_custkey, c_acctbal, rank FROM (

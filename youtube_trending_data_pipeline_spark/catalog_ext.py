@@ -97,6 +97,36 @@ def dedup_ngram_jaccard(spark, sf_dir):
     )
 
 
+@register(
+    "dedup_levenshtein",
+    """
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) AS INT)
+             AS prefix_edit_distance
+    FROM documents a JOIN documents b
+      ON a.source = b.source AND a.n_chars = b.n_chars AND a.doc_id < b.doc_id
+    """,
+    "Fuzzy near-dup: Levenshtein distance on 40-char prefixes over "
+    "(source, length)-blocked pairs — edit-distance verification stage "
+    "for dedup candidates (extension)",
+)
+def dedup_levenshtein(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    a, b = docs.alias("a"), docs.alias("b")
+    return a.join(
+        b,
+        (F.col("a.source") == F.col("b.source"))
+        & (F.col("a.n_chars") == F.col("b.n_chars"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("id_a"),
+        F.col("b.doc_id").alias("id_b"),
+        F.levenshtein(
+            F.substring(F.col("a.text"), 1, 40), F.substring(F.col("b.text"), 1, 40)
+        ).alias("prefix_edit_distance"),
+    )
+
+
 def _embedding_lsh_oracle(planes: int = 8, seed: int = 7, threshold: float = 0.2) -> str:
     """Generate the DuckDB mirror of hyperplane_signature + cosine filter.
 
