@@ -696,6 +696,24 @@ def l_global_topk(spark, sf_dir):
 
 
 @register(
+    "l_global_sort",
+    """
+    SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
+    ORDER BY o_orderdate ASC, o_orderkey ASC
+    """,
+    "L-extension: global total-order sort (range-partitioned exchange + "
+    "per-partition sort — no single-node sort). Driver compares order-"
+    "insensitively; the plan shape is the point.",
+)
+def l_global_sort(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+        .orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+    )
+
+
+@register(
     "u1_union_all",
     """
     SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS cnt FROM (

@@ -44,39 +44,57 @@ OUTPUT_SCHEMA = StructType(
 )
 
 
-def _update(
-    key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    (user_id,) = key
-    if state.hasTimedOut:
-        state.remove()
-        return
-    n, total, last = state.get if state.exists else (0, 0, 0)
-    for pdf in batches:
-        n += len(pdf)
-        # exact integer cents per element — same bit-determinism policy as
-        # the batch side (catalog.cents): round each value, sum as int64
-        total += int((pdf["value"] * 100).round().astype("int64").sum())
-        last = max(last, int(pdf["ts"].max()))
-    state.update((n, total, last))
-    state.setTimeoutDuration(3_600_000)  # evict after 1 h idle
-    yield pd.DataFrame(
-        {
-            "user_id": [user_id],
-            "n_events": [n],
-            "total_value": [total / 100.0],
-            "last_ts": [last],
-        }
-    )
+def _make_update(ttl_ms: int | None):
+    def _update(
+        key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            state.remove()
+            return
+        n, total, last = state.get if state.exists else (0, 0, 0)
+        for pdf in batches:
+            n += len(pdf)
+            # exact integer cents per element — same bit-determinism policy
+            # as the batch side (catalog.cents): round each value, sum int64
+            total += int((pdf["value"] * 100).round().astype("int64").sum())
+            last = max(last, int(pdf["ts"].max()))
+        state.update((n, total, last))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_events": [n],
+                "total_value": [total / 100.0],
+                "last_ts": [last],
+            }
+        )
+
+    return _update
 
 
-def running_user_engagement(events_stream: DataFrame) -> DataFrame:
+def running_user_engagement(
+    events_stream: DataFrame, ttl_ms: int | None = None
+) -> DataFrame:
     """events stream (user_id, ts: long, value: double) -> per-user running
-    summary, one row per user per micro-batch (Update output mode)."""
+    summary, one row per user per micro-batch (Update output mode).
+
+    ``ttl_ms``: idle-state eviction for continuous deployments (bounded
+    state at 100 TB event volumes). Leave None for availableNow /
+    drain-style runs — a ProcessingTimeTimeout keeps scheduling no-data
+    micro-batches to fire timers, so an availableNow query would never
+    terminate with a TTL set.
+    """
+    timeout = (
+        GroupStateTimeout.NoTimeout
+        if ttl_ms is None
+        else GroupStateTimeout.ProcessingTimeTimeout
+    )
     return events_stream.groupBy("user_id").applyInPandasWithState(
-        _update,
+        _make_update(ttl_ms),
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        timeoutConf=timeout,
     )
