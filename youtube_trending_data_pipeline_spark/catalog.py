@@ -1251,6 +1251,69 @@ def a18_having(spark, sf_dir):
     )
 
 
+@register(
+    "f_string_suite",
+    """
+    SELECT p_partkey,
+           trim(p_name) AS name_trim,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+           replace(p_brand, '#', '-') AS brand_dashed,
+           split_part(p_type, ' ', 1) AS type_first_word,
+           CAST(strpos(p_name, 'a') AS INT) AS first_a,
+           reverse(p_brand) AS brand_rev,
+           repeat('*', CAST(p_size % 5 AS INT)) AS stars,
+           left(p_name, 5) AS name_left5,
+           right(p_name, 3) AS name_right3
+    FROM part
+    """,
+    "F-extension: string suite (trim/lpad/replace/split_part/instr/reverse/"
+    "repeat/left/right)",
+)
+def f_string_suite(spark, sf_dir):
+    p = t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.trim("p_name").alias("name_trim"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.replace(F.col("p_brand"), F.lit("#"), F.lit("-")).alias("brand_dashed"),
+        F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias("type_first_word"),
+        F.instr(F.col("p_name"), "a").alias("first_a"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.repeat(F.lit("*"), (F.col("p_size") % 5).cast("int")).alias("stars"),
+        F.left(F.col("p_name"), F.lit(5)).alias("name_left5"),
+        F.right(F.col("p_name"), F.lit(3)).alias("name_right3"),
+    )
+
+
+@register(
+    "f_date_suite",
+    """
+    SELECT o_orderkey,
+           CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT)
+             AS days_since_95,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS month_end,
+           CAST(EXTRACT(quarter FROM o_orderdate) AS INT) AS qtr,
+           CAST(EXTRACT(dow FROM o_orderdate) AS INT) AS dow_sun0,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start
+    FROM orders
+    """,
+    "F-extension: date suite (datediff/last_day/quarter/dayofweek/"
+    "date_trunc); DuckDB dow is 0=Sunday, Spark dayofweek is 1=Sunday",
+)
+def f_date_suite(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
+        ).alias("days_since_95"),
+        F.last_day(F.col("o_orderdate").cast("date")).alias("month_end"),
+        F.quarter("o_orderdate").alias("qtr"),
+        (F.dayofweek("o_orderdate") - 1).alias("dow_sun0"),
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month_start"),
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _load_extensions()
     return {name: spec.fn for name, spec in QUERIES.items()}

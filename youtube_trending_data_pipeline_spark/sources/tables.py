@@ -28,10 +28,22 @@ def append_partitioned(df: DataFrame, path: str, partition_col: str = "date") ->
     df.write.mode("append").partitionBy(partition_col).parquet(path)
 
 
-def overwrite_date_partition(df: DataFrame, path: str, partition_col: str = "date") -> None:
+def overwrite_date_partition(
+    df: DataFrame,
+    path: str,
+    partition_col: str = "date",
+    sort_cols: list[str] | None = None,
+) -> None:
     """Idempotent daily load: replaces only the partitions present in ``df``
     (spark.sql.sources.partitionOverwriteMode=dynamic, set in session.py).
-    This subsumes the reference's existence-probe branch (C1)."""
+    This subsumes the reference's existence-probe branch (C1).
+
+    ``sort_cols``: cluster rows inside each file (sortWithinPartitions) so
+    parquet row-group min/max statistics prune point/range scans on those
+    columns — data-skipping beyond partition pruning, free at write time.
+    """
+    if sort_cols:
+        df = df.sortWithinPartitions(*sort_cols)
     df.write.mode("overwrite").partitionBy(partition_col).parquet(path)
 
 
