@@ -43,7 +43,10 @@ def overwrite_date_partition(
     columns — data-skipping beyond partition pruning, free at write time.
     """
     if sort_cols:
-        df = df.sortWithinPartitions(*sort_cols)
+        # lead with the partition column: the file writer requires rows
+        # ordered by partition expression and would re-sort (unstably),
+        # destroying the clustering, unless that ordering already holds
+        df = df.sortWithinPartitions(partition_col, *sort_cols)
     df.write.mode("overwrite").partitionBy(partition_col).parquet(path)
 
 
