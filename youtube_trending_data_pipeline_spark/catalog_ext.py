@@ -98,6 +98,72 @@ def dedup_ngram_jaccard(spark, sf_dir):
 
 
 @register(
+    "funnel_view_click_purchase",
+    """
+    WITH s1 AS (
+      SELECT user_id AS u, MIN(epoch_ns(ts)) AS view_ts
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id AS u, MIN(epoch_ns(e.ts)) AS click_ts
+      FROM events e JOIN s1 ON e.user_id = s1.u
+      WHERE e.event_type = 'click' AND epoch_ns(e.ts) > s1.view_ts
+      GROUP BY e.user_id
+    ), s3 AS (
+      SELECT e.user_id AS u, MIN(epoch_ns(e.ts)) AS purchase_ts
+      FROM events e JOIN s2 ON e.user_id = s2.u
+      WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) > s2.click_ts
+      GROUP BY e.user_id
+    )
+    SELECT 'view' AS step, 1 AS step_idx, CAST(COUNT(*) AS BIGINT) AS n_users FROM s1
+    UNION ALL
+    SELECT 'click', 2, CAST(COUNT(*) AS BIGINT) FROM s2
+    UNION ALL
+    SELECT 'purchase', 3, CAST(COUNT(*) AS BIGINT) FROM s3
+    """,
+    "Funnel analysis: ordered view->click->purchase progression per user "
+    "(operators/funnel.py); each step strictly after the previous step's "
+    "first occurrence",
+)
+def funnel_view_click_purchase(spark, sf_dir):
+    from youtube_trending_data_pipeline_spark.operators.funnel import funnel_summary
+
+    ev = t(spark, sf_dir, "events")
+    steps = [
+        ("view", F.col("event_type") == "view"),
+        ("click", F.col("event_type") == "click"),
+        ("purchase", F.col("event_type") == "purchase"),
+    ]
+    return funnel_summary(ev, "user_id", "ts", steps)
+
+
+@register(
+    "retention_cohorts",
+    """
+    WITH days AS (
+      SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS day FROM events
+    ), first AS (
+      SELECT u, MIN(day) AS cohort_day FROM days GROUP BY u
+    )
+    SELECT f.cohort_day, CAST(date_diff('day', f.cohort_day, d.day) AS INT) AS day_offset,
+           CAST(COUNT(DISTINCT d.u) AS BIGINT) AS n_users
+    FROM days d JOIN first f ON d.u = f.u
+    WHERE date_diff('day', f.cohort_day, d.day) BETWEEN 0 AND 14
+    GROUP BY 1, 2
+    """,
+    "Cohort retention: day-0 cohort by first activity, distinct active "
+    "users at each day offset (operators/funnel.py)",
+)
+def retention_cohorts_q(spark, sf_dir):
+    from youtube_trending_data_pipeline_spark.catalog import event_day
+    from youtube_trending_data_pipeline_spark.operators.funnel import (
+        retention_cohorts,
+    )
+
+    ev = t(spark, sf_dir, "events")
+    return retention_cohorts(ev, "user_id", event_day("ts"), max_days=14)
+
+
+@register(
     "dedup_levenshtein",
     """
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
