@@ -80,6 +80,58 @@ def test_approx_distinct_close_to_exact(spark):
         assert abs(approx[k] - exact[k]) / exact[k] < 0.1
 
 
+def test_zscore_jvm_equals_pandas(spark):
+    from youtube_trending_data_pipeline_spark.operators.grouped import (
+        zscore_jvm,
+        zscore_pandas,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "label", F.element_at("embedding", 1).cast("double").alias("v")
+    )
+    jvm = {
+        (r["label"], r["v"]): r["zscore"]
+        for r in zscore_jvm(emb, "label", "v").collect()
+    }
+    pnd = {
+        (r["label"], r["v"]): r["zscore"]
+        for r in zscore_pandas(emb, "label", "v").collect()
+    }
+    assert set(jvm) == set(pnd)
+    for k in jvm:
+        assert abs(jvm[k] - pnd[k]) < 1e-9
+
+
+def test_stratified_sample_deterministic(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    fr = {"en": 0.5, "es": 1.0, "de": 1.0, "fr": 1.0, "zh": 0.25}
+    a = docs.sampleBy("lang", fr, seed=42).count()
+    b = docs.sampleBy("lang", fr, seed=42).count()
+    assert a == b > 0
+
+
+def test_funnel_ordering_semantics(spark):
+    from youtube_trending_data_pipeline_spark.operators.funnel import funnel_summary
+
+    # u1 completes the funnel in order; u2 has click BEFORE view (must not
+    # count past step 1); u3 only views
+    ev = spark.createDataFrame(
+        [
+            (1, "u1", 10, "view"), (2, "u1", 20, "click"), (3, "u1", 30, "purchase"),
+            (4, "u2", 15, "click"), (5, "u2", 25, "view"),
+            (6, "u3", 5, "view"),
+        ],
+        "event_id long, user string, ts long, event_type string",
+    )
+    steps = [
+        ("view", F.col("event_type") == "view"),
+        ("click", F.col("event_type") == "click"),
+        ("purchase", F.col("event_type") == "purchase"),
+    ]
+    got = {r["step"]: r["n_users"] for r in funnel_summary(ev, "user", "ts", steps).collect()}
+    assert got == {"view": 3, "click": 1, "purchase": 1}
+
+
 def test_weekly_html_renderer(spark):
     from youtube_trending_data_pipeline_spark.report.html import render_weekly_html
 

@@ -470,6 +470,97 @@ def text_langid(spark, sf_dir):
 
 
 @register(
+    "text_token_bpe",
+    """
+    SELECT doc_id,
+           CAST(len(list_filter(str_split_regex(text, '\\s+'), x -> x <> '')) AS BIGINT)
+             AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT)
+             AS bpe_ish_tokens
+    FROM documents
+    """,
+    "Token counting two ways: whitespace and a BPE-ish regex (letter runs, "
+    "digit runs, single punctuation) — the pretokenizer shape of GPT-style "
+    "BPE vocabularies (extension)",
+)
+def text_token_bpe(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("ws_tokens"),
+        F.size(
+            F.regexp_extract_all(
+                "text", F.lit(r"([a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s])"), 1
+            )
+        ).cast("long").alias("bpe_ish_tokens"),
+    )
+
+
+@register(
+    "sample_stratified",
+    None,  # sampling RNG differs across engines; determinism tested in pytest
+    "Stratified sampling (sampleBy with fixed seed): per-language fractions "
+    "for corpus rebalancing — deterministic given the seed (extension)",
+)
+def sample_stratified(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    fractions = {"en": 0.5, "es": 1.0, "de": 1.0, "fr": 1.0, "zh": 0.25}
+    sampled = docs.sampleBy("lang", fractions, seed=42)
+    return sampled.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+@register(
+    "grouped_zscore",
+    """
+    WITH vals AS (
+      SELECT vec_id, label, CAST(embedding[1] AS DOUBLE) AS lbl_val FROM embeddings
+    ), stats AS (
+      SELECT label,
+             list_sum(list(lbl_val ORDER BY vec_id)) AS s,
+             list_sum(list(lbl_val * lbl_val ORDER BY vec_id)) AS sq,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM vals GROUP BY label
+    )
+    SELECT v.vec_id, v.label,
+           CASE WHEN sqrt(sq / n - (s / n) * (s / n)) > 0
+                THEN (lbl_val - s / n) / sqrt(sq / n - (s / n) * (s / n))
+                ELSE 0.0 END AS zscore
+    FROM vals v JOIN stats USING (label)
+    """,
+    "Per-group z-score normalization, JVM path (operators/grouped.py; the "
+    "applyInPandas variant is the documented escape hatch, equality-tested "
+    "in pytest). Moments folded in vec_id order for cross-engine "
+    "bit-equality — order-dependent window sums would not hash-match.",
+)
+def grouped_zscore(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.element_at("embedding", 1).cast("double").alias("lbl_val"),
+    )
+    ordered = F.array_sort(F.collect_list(F.struct("vec_id", "lbl_val")))
+    stats = emb.groupBy("label").agg(
+        F.aggregate(ordered, F.lit(0.0), lambda a, s: a + s["lbl_val"]).alias("s"),
+        F.aggregate(
+            ordered, F.lit(0.0), lambda a, s: a + s["lbl_val"] * s["lbl_val"]
+        ).alias("sq"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    mean = F.col("s") / F.col("n")
+    std = F.sqrt(F.col("sq") / F.col("n") - mean * mean)
+    return (
+        emb.join(stats, "label")
+        .select(
+            "vec_id",
+            "label",
+            F.when(std > 0, (F.col("lbl_val") - mean) / std)
+            .otherwise(F.lit(0.0))
+            .alias("zscore"),
+        )
+    )
+
+
+@register(
     "text_fingerprint",
     """
     SELECT doc_id,
