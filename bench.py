@@ -27,6 +27,10 @@ _load_extensions()
 # top-k, set-op, scalar-heavy, explode — plus the flagship.
 BENCH_QUERIES = [
     "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q18_large_volume_customer",
     "j1_anti_join",
     "j3_multiway_join",
     "a6_mode_per_group",

@@ -1,0 +1,337 @@
+"""Catalog extensions: TPC-H-shaped composite queries and subquery forms.
+
+The reference pipeline never joins more than two tables and has no
+subqueries (SURVEY §2.3 J3 notes the latent join its schema supports), but
+an engine replacing its BigQuery backend must handle the classic
+warehouse-query shapes a user would send at it.  These entries exercise
+multi-way join planning (join reordering, broadcast selection, AQE),
+IN/EXISTS/scalar/correlated subqueries (Catalyst decorrelation), explicit
+GROUPING SETS, and RANGE window frames — each against a bit-exact DuckDB
+oracle.
+
+Float determinism policy per catalog.py: every money aggregate is computed
+in integer units (1e-4 dollars for extendedprice×discount terms — cents ×
+discount-percent stays integral) and divided back to double at the end, so
+the driver's exact value-hash matches regardless of partitioning or merge
+order.  See ``catalog.cents``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from youtube_trending_data_pipeline_spark.catalog import cents, register, t
+
+# Integer revenue term: cents(extendedprice) * (100 - discount%) is in
+# 1e-4-dollar units and exactly representable as BIGINT (max ~1e7/row;
+# summing 6e8 rows stays < 2^63).  Mirrored verbatim in every oracle.
+_REV4_SQL = (
+    "CAST(ROUND(l_extendedprice*100) AS BIGINT)"
+    " * (100 - CAST(ROUND(l_discount*100) AS BIGINT))"
+)
+
+
+def _rev4() -> "F.Column":
+    return cents("l_extendedprice") * (
+        F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
+    )
+
+
+def _views(spark, sf_dir, *names):
+    for n in names:
+        t(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+@register(
+    "q3_shipping_priority",
+    f"""
+    SELECT l_orderkey,
+           SUM({_REV4_SQL}) / 10000.0 AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1997-03-15'
+      AND l_shipdate  > TIMESTAMP '1997-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+    "TPC-H Q3 shape: 3-way join + agg + deterministic top-10 (latent join of "
+    "SURVEY §2.3 J3 at warehouse complexity). Filters push to all three "
+    "scans; AQE picks broadcast for the filtered customer side; TakeOrdered "
+    "avoids a global sort.",
+)
+def q3_shipping_priority(spark, sf_dir):
+    cut = F.lit("1997-03-15").cast("timestamp")
+    cust = t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = t(spark, sf_dir, "orders").where(F.col("o_orderdate") < cut)
+    li = t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > cut)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg((F.sum(_rev4()) / 10000.0).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    f"""
+    SELECT n_name, SUM({_REV4_SQL}) / 10000.0 AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    """,
+    "TPC-H Q5 shape: 6-way join (fact-fact + 4 dims) with a non-equi "
+    "residual (customer and supplier in the same nation). nation/region "
+    "broadcast at any scale; the customer⋈orders⋈lineitem chain shuffles on "
+    "its keys and AQE reorders/coalesces.",
+)
+def q5_local_supplier_volume(spark, sf_dir):
+    orders = t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    # nation⋈region is a few rows: broadcast-prune suppliers before the
+    # big join instead of filtering after.
+    asia_nations = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey", "n_name")
+    supp = t(spark, sf_dir, "supplier").join(
+        F.broadcast(asia_nations),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    )
+    cust = t(spark, sf_dir, "customer")
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            supp,
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .groupBy("n_name")
+        .agg((F.sum(_rev4()) / 10000.0).alias("revenue"))
+    )
+
+
+@register(
+    "q6_forecast_revenue",
+    """
+    SELECT CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                    * CAST(ROUND(l_discount*100) AS BIGINT)) AS BIGINT) / 10000.0
+             AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    "TPC-H Q6 shape: pure scan-filter-aggregate, zero joins, ONE shuffle "
+    "(partial->final). All three predicates push to the parquet scan.",
+)
+def q6_forecast_revenue(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            (
+                F.sum(
+                    cents("l_extendedprice")
+                    * F.round(F.col("l_discount") * 100).cast("long")
+                )
+                / 10000.0
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q18_large_volume_customer",
+    """
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty100
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey HAVING SUM(l_quantity) > 150
+    )
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    """,
+    "TPC-H Q18 shape: IN-subquery with HAVING over the fact table, "
+    "decorrelated by Catalyst into an aggregate + left-semi join; quantity "
+    "summed in integer units for hash stability.",
+)
+def q18_large_volume_customer(spark, sf_dir):
+    _views(spark, sf_dir, "customer", "orders", "lineitem")
+    return spark.sql(
+        """
+        SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+               SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS sum_qty100
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE o_orderkey IN (
+            SELECT l_orderkey FROM lineitem
+            GROUP BY l_orderkey HAVING SUM(l_quantity) > 150
+        )
+        GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        """
+    )
+
+
+@register(
+    "sub_scalar_above_avg",
+    """
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer
+    WHERE CAST(ROUND(c_acctbal*100) AS BIGINT) * (SELECT COUNT(*) FROM customer)
+        > (SELECT CAST(SUM(CAST(ROUND(c_acctbal*100) AS BIGINT)) AS BIGINT)
+           FROM customer)
+    """,
+    "Scalar subquery: customers with above-average balance. The avg "
+    "comparison is cross-multiplied into pure-integer form (bal*N > total) "
+    "so no float average exists to diverge; Spark plans the two scalars as "
+    "broadcast subquery results.",
+)
+def sub_scalar_above_avg(spark, sf_dir):
+    _views(spark, sf_dir, "customer")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name, c_acctbal
+        FROM customer
+        WHERE CAST(ROUND(c_acctbal*100) AS BIGINT) * (SELECT COUNT(*) FROM customer)
+            > (SELECT SUM(CAST(ROUND(c_acctbal*100) AS BIGINT)) FROM customer)
+        """
+    )
+
+
+@register(
+    "sub_correlated_min_per_group",
+    """
+    SELECT p_brand, p_partkey, p_retailprice
+    FROM part p
+    WHERE CAST(ROUND(p_retailprice*100) AS BIGINT) = (
+        SELECT MIN(CAST(ROUND(p2.p_retailprice*100) AS BIGINT))
+        FROM part p2 WHERE p2.p_brand = p.p_brand
+    )
+    """,
+    "Correlated scalar subquery (TPC-H Q2's min-cost-supplier shape): "
+    "cheapest part per brand. Catalyst decorrelates into a per-brand "
+    "aggregate + equi-join — no per-row re-execution.",
+)
+def sub_correlated_min_per_group(spark, sf_dir):
+    _views(spark, sf_dir, "part")
+    return spark.sql(
+        """
+        SELECT p_brand, p_partkey, p_retailprice
+        FROM part p
+        WHERE CAST(ROUND(p_retailprice*100) AS BIGINT) = (
+            SELECT MIN(CAST(ROUND(p2.p_retailprice*100) AS BIGINT))
+            FROM part p2 WHERE p2.p_brand = p.p_brand
+        )
+        """
+    )
+
+
+@register(
+    "a19_grouping_sets",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS INTEGER) AS g_rf,
+           CAST(GROUPING(l_linestatus) AS INTEGER) AS g_ls,
+           CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty100,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+    "Explicit GROUPING SETS with GROUPING() disambiguation of the NULL "
+    "fill rows (complements a12_rollup/a13_cube). One expand + one "
+    "hash-aggregate; partial aggregation still applies.",
+)
+def a19_grouping_sets(spark, sf_dir):
+    _views(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+               CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+               SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS sum_qty100,
+               COUNT(*) AS cnt
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
+
+
+@register(
+    "w_range_frame_sliding",
+    """
+    WITH daily AS (
+        SELECT l_returnflag,
+               CAST(datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+                    AS INTEGER) AS day_num,
+               CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                        * (100 - CAST(ROUND(l_discount*100) AS BIGINT)))
+                    AS BIGINT) AS rev4
+        FROM lineitem GROUP BY 1, 2
+    )
+    SELECT l_returnflag, day_num,
+           rev4 / 10000.0 AS day_revenue,
+           CAST(SUM(rev4) OVER (
+               PARTITION BY l_returnflag ORDER BY day_num
+               RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) / 10000.0 AS trailing7_revenue
+    FROM daily
+    """,
+    "RANGE window frame (value-based, not row-count-based): trailing-7-DAY "
+    "revenue per day — gaps in the date axis shrink the frame, unlike the "
+    "ROWS frame in w_rank_lag_running. W2's trailing week as a window "
+    "(wk:24-27). Integer day ordinal keys the frame; sums stay integral.",
+)
+def w_range_frame_sliding(spark, sf_dir):
+    daily = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy(
+            "l_returnflag",
+            F.datediff(
+                F.col("l_shipdate").cast("date"), F.lit("1970-01-01").cast("date")
+            ).alias("day_num"),
+        )
+        .agg(F.sum(_rev4()).alias("rev4"))
+    )
+    w = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("day_num")
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return daily.select(
+        "l_returnflag",
+        "day_num",
+        (F.col("rev4") / 10000.0).alias("day_revenue"),
+        (F.sum("rev4").over(w) / 10000.0).alias("trailing7_revenue"),
+    )
