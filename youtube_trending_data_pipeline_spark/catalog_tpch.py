@@ -182,25 +182,29 @@ def q6_forecast_revenue(spark, sf_dir):
     )
     GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
     """,
-    "TPC-H Q18 shape: IN-subquery with HAVING over the fact table, "
-    "decorrelated by Catalyst into an aggregate + left-semi join; quantity "
-    "summed in integer units for hash stability.",
+    "TPC-H Q18 shape: IN-subquery with HAVING over the fact table. The "
+    "oracle states it as the textbook IN form (two lineitem scans after "
+    "Catalyst's semi-join decorrelation); the Spark plan pre-aggregates "
+    "lineitem ONCE and filters the aggregate — the sum the HAVING needs IS "
+    "the sum the output needs, so the 100 TB plan does one scan + one "
+    "shuffle of (orderkey, sum) instead of scanning the fact table twice.",
 )
 def q18_large_volume_customer(spark, sf_dir):
-    _views(spark, sf_dir, "customer", "orders", "lineitem")
-    return spark.sql(
-        """
-        SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
-               SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS sum_qty100
-        FROM customer
-        JOIN orders   ON c_custkey = o_custkey
-        JOIN lineitem ON o_orderkey = l_orderkey
-        WHERE o_orderkey IN (
-            SELECT l_orderkey FROM lineitem
-            GROUP BY l_orderkey HAVING SUM(l_quantity) > 150
+    qty = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sum(F.round(F.col("l_quantity") * 100).cast("long")).alias("sum_qty100"))
+        .where(F.col("sum_qty100") > 150 * 100)
+    )
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    return (
+        qty.join(orders, qty.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice",
+            "sum_qty100",
         )
-        GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
-        """
     )
 
 
