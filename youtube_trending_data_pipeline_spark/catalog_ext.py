@@ -720,3 +720,37 @@ def f_variant_funcs(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.min(F.to_json("v")).alias("min_canonical"),
     )
+
+
+@register(
+    "cdc_latest_per_key",
+    """
+    SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+           event_type, value
+    FROM (
+        SELECT user_id, event_id, ts, event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+    "CDC compaction / SCD-1 upsert shape: latest record per key by "
+    "(ts, id) — the argmax-dedup every change-capture pipeline runs before "
+    "serving a snapshot. One shuffle on the key; at scale this is the "
+    "MERGE-free upsert: union(old snapshot, new batch) -> this -> rewrite.",
+)
+def cdc_latest_per_key(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    # ts is epoch-nanos long (see catalog.t); order and emit at micro
+    # precision to match engines that store TIMESTAMP as micros — the
+    # event_id tiebreak keeps the winner deterministic either way.
+    # integer `div`, NOT `/`: long/1000 routes through double and rounds
+    # the 16th digit at epoch-micros magnitude.
+    ev = t(spark, sf_dir, "events").withColumn("ts_us", F.expr("ts div 1000"))
+    w = W.partitionBy("user_id").orderBy(F.desc("ts_us"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts_us", "event_type", "value")
+    )
