@@ -339,3 +339,158 @@ def w_range_frame_sliding(spark, sf_dir):
         (F.col("rev4") / 10000.0).alias("day_revenue"),
         (F.sum("rev4").over(w) / 10000.0).alias("trailing7_revenue"),
     )
+
+
+@register(
+    "q4_order_priority",
+    """
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+      AND o_orderdate <  TIMESTAMP '1996-10-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+    "TPC-H Q4 shape: correlated EXISTS (did any line ship after the order "
+    "date?) — planned as a left-semi join, so lineitem contributes at most "
+    "one match per order and is never materialized per-row.",
+)
+def q4_order_priority(spark, sf_dir):
+    _views(spark, sf_dir, "orders", "lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+          AND o_orderdate <  TIMESTAMP '1996-10-01'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+@register(
+    "q12_priority_class_counts",
+    """
+    SELECT l_linestatus,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+    GROUP BY l_linestatus
+    """,
+    "TPC-H Q12 shape: fact-fact join feeding conditional COUNTs (CASE "
+    "inside SUM — A8's conditional aggregation at join scale).",
+)
+def q12_priority_class_counts(spark, sf_dir):
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    li = t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    return (
+        t(spark, sf_dir, "orders")
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_count"),
+        )
+    )
+
+
+@register(
+    "q14_promo_revenue_share",
+    f"""
+    SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {_REV4_SQL}
+                              ELSE 0 END) AS BIGINT)
+                 / CAST(SUM({_REV4_SQL}) AS BIGINT) AS promo_pct
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+      AND l_shipdate <  TIMESTAMP '1996-10-01'
+    """,
+    "TPC-H Q14 shape: ratio of conditional to total revenue. Both sides "
+    "are exact integer sums; the single final double division is the only "
+    "float op, so the percentage is bit-identical across engines.",
+)
+def q14_promo_revenue_share(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    joined = li.join(
+        t(spark, sf_dir, "part"), F.col("p_partkey") == F.col("l_partkey")
+    )
+    return joined.agg(
+        (
+            F.lit(100.0)
+            * F.sum(F.when(F.col("p_type") == "PROMO", _rev4()).otherwise(0))
+            / F.sum(_rev4())
+        ).alias("promo_pct")
+    )
+
+
+@register(
+    "q19_disjunctive_predicates",
+    f"""
+    SELECT CAST(SUM({_REV4_SQL}) AS BIGINT) / 10000.0 AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 21)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+           AND l_quantity BETWEEN 10 AND 30)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+           AND l_quantity BETWEEN 20 AND 40)
+    """,
+    "TPC-H Q19 shape: disjunction of conjunctive ranges spanning both join "
+    "sides. Catalyst extracts the common per-table implications (brand IN "
+    "set, quantity/size envelopes) and pushes them below the join, so each "
+    "scan prunes before the OR is evaluated post-join.",
+)
+def q19_disjunctive_predicates(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    pt = t(spark, sf_dir, "part")
+    j = li.join(pt, F.col("p_partkey") == F.col("l_partkey"))
+    arm = lambda b, smax, qlo, qhi: (
+        (F.col("p_brand") == b)
+        & F.col("p_size").between(1, smax)
+        & F.col("l_quantity").between(qlo, qhi)
+    )
+    return j.where(
+        arm("Brand#12", 15, 1, 21) | arm("Brand#23", 25, 10, 30) | arm("Brand#34", 35, 20, 40)
+    ).agg(
+        (F.sum(_rev4()) / 10000.0).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@register(
+    "sub_not_exists",
+    """
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+    """,
+    "Correlated NOT EXISTS: customers with no orders since 2000 — the subquery "
+    "spelling of J1's anti-join (Catalyst plans a left-anti join; compare "
+    "j1_anti_join's explicit DataFrame form).",
+)
+def sub_not_exists(spark, sf_dir):
+    _views(spark, sf_dir, "customer", "orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+        """
+    )
