@@ -1,0 +1,70 @@
+"""UDF-surface extension points (SURVEY §2.11): the reference has no
+user-extensible functions; the engine inherits PySpark's full surface.
+These tests pin the three Arrow-era shapes working end-to-end:
+- scalar pandas_udf (vectorized, Arrow-batched)
+- grouped-aggregate pandas_udf (a UDAF)
+- Python UDTF (table function, Spark 3.5+)
+Hot paths stay JVM-side (tests/test_plan_quality.py forbids Python UDFs
+in catalog queries); these exist for semantics Spark genuinely lacks."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType
+
+
+def test_scalar_pandas_udf_matches_jvm(spark):
+    @F.pandas_udf(DoubleType())
+    def py_engagement(likes: pd.Series, comments: pd.Series, views: pd.Series) -> pd.Series:
+        return ((likes + 2 * comments) / views.where(views > 0) * 1000).fillna(0.0)
+
+    df = spark.createDataFrame(
+        [(10, 5, 1000), (0, 0, 0), (3, 1, 50)], "likes long, comments long, views long"
+    )
+    jvm = df.select(
+        F.when(
+            F.col("views") > 0,
+            (F.col("likes") + 2 * F.col("comments")) / F.col("views") * 1000,
+        )
+        .otherwise(0.0)
+        .alias("e")
+    )
+    py = df.select(py_engagement("likes", "comments", "views").alias("e"))
+    assert [r.e for r in py.collect()] == [r.e for r in jvm.collect()]
+
+
+def test_grouped_agg_pandas_udaf(spark):
+    @F.pandas_udf(DoubleType())
+    def trimmed_mean(v: pd.Series) -> float:
+        lo, hi = v.quantile(0.1), v.quantile(0.9)
+        inner = v[(v >= lo) & (v <= hi)]
+        return float(inner.mean()) if len(inner) else float(v.mean())
+
+    df = spark.createDataFrame(
+        [("a", float(x)) for x in range(1, 11)] + [("a", 1000.0), ("b", 5.0)],
+        "k string, v double",
+    )
+    out = {r.k: r.tm for r in df.groupBy("k").agg(trimmed_mean("v").alias("tm")).collect()}
+    # the 1000.0 outlier is trimmed from group a
+    assert out["a"] < 12.0
+    assert out["b"] == 5.0
+
+
+def test_python_udtf_explodes_rows(spark):
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="word: string, pos: int")
+    class Tokenize:
+        def eval(self, text: str):
+            for i, w in enumerate((text or "").split()):
+                yield w, i
+
+    spark.udtf.register("tokenize_udtf", Tokenize)
+    spark.createDataFrame(
+        [("the quick fox",), ("",)], "text string"
+    ).createOrReplaceTempView("docs_udtf")
+    rows = spark.sql(
+        "SELECT word, pos FROM docs_udtf, LATERAL tokenize_udtf(text)"
+    ).collect()
+    assert {(r.word, r.pos) for r in rows} == {("the", 0), ("quick", 1), ("fox", 2)}
