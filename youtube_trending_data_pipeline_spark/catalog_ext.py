@@ -754,3 +754,116 @@ def cdc_latest_per_key(spark, sf_dir):
         .where(F.col("rn") == 1)
         .select("user_id", "event_id", "ts_us", "event_type", "value")
     )
+
+
+@register(
+    "a20_argmax",
+    """
+    SELECT o_custkey,
+           arg_max(o_orderkey, CAST(ROUND(o_totalprice*100) AS BIGINT) * 10000000
+                               + o_orderkey) AS best_order,
+           arg_min(o_orderkey, CAST(ROUND(o_totalprice*100) AS BIGINT) * 10000000
+                               + o_orderkey) AS worst_order
+    FROM orders GROUP BY o_custkey
+    """,
+    "max_by/min_by argmax aggregates (the one-pass form of L3/W1 top-1): "
+    "which order was each customer's priciest/cheapest. The ordering value "
+    "is cents*1e7+orderkey — unique, so the argmax is deterministic (bare "
+    "max_by on a tied value is engine-arbitrary).",
+)
+def a20_argmax(spark, sf_dir):
+    from youtube_trending_data_pipeline_spark.catalog import cents
+
+    ordv = cents("o_totalprice") * F.lit(10_000_000) + F.col("o_orderkey")
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.max_by("o_orderkey", ordv).alias("best_order"),
+            F.min_by("o_orderkey", ordv).alias("worst_order"),
+        )
+    )
+
+
+@register(
+    "a21_stats_moments",
+    """
+    WITH m AS (
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS BIGINT) AS sx,
+               CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)
+                        * CAST(ROUND(l_quantity*100) AS BIGINT)) AS BIGINT) AS sxx,
+               CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sy,
+               CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)
+                        * CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sxy
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           CAST(sx AS DOUBLE) / n / 100.0 AS mean_qty,
+           (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+               / (n - 1) / 10000.0 AS var_qty,
+           (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+               / (n - 1) / 10000.0 AS cov_qty_price
+    FROM m
+    """,
+    "Moment-based statistics (mean/variance/covariance) from EXACT integer "
+    "sums: the double math happens once per group on identical integers in "
+    "an identical expression tree, so results are bit-identical across "
+    "engines and partitionings — unlike built-in stddev/covar whose "
+    "streaming accumulation is merge-order-dependent. Sums stay < 2^63 "
+    "here; the 100 TB variant swaps BIGINT moments for DECIMAL(38,0).",
+)
+def a21_stats_moments(spark, sf_dir):
+    q100 = F.round(F.col("l_quantity") * 100).cast("long")
+    p100 = F.round(F.col("l_extendedprice") * 100).cast("long")
+    m = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(q100).alias("sx"),
+            F.sum(q100 * q100).alias("sxx"),
+            F.sum(p100).alias("sy"),
+            F.sum(q100 * p100).alias("sxy"),
+        )
+    )
+    n = F.col("n")
+    dx, dxx, dy, dxy = (F.col(c).cast("double") for c in ("sx", "sxx", "sy", "sxy"))
+    return m.select(
+        "l_returnflag",
+        "n",
+        (dx / n / 100.0).alias("mean_qty"),
+        ((dxx - dx * dx / n) / (n - 1) / 10000.0).alias("var_qty"),
+        ((dxy - dx * dy / n) / (n - 1) / 10000.0).alias("cov_qty_price"),
+    )
+
+
+@register(
+    "f_bitwise_funcs",
+    """
+    SELECT l_returnflag,
+           CAST(bit_and(l_orderkey) AS BIGINT) AS and_keys,
+           CAST(bit_or(l_orderkey) AS BIGINT) AS or_keys,
+           CAST(bit_xor(l_orderkey) AS BIGINT) AS xor_keys,
+           CAST(SUM(l_orderkey & 255) AS BIGINT) AS sum_low_byte,
+           CAST(SUM(l_linenumber << 2) AS BIGINT) AS sum_shifted
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    "Bitwise aggregate (bit_and/bit_or/bit_xor) and scalar (&, <<) "
+    "functions — all associative/commutative, hence partitioning-proof.",
+)
+def f_bitwise_funcs(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.bit_and("l_orderkey").alias("and_keys"),
+            F.bit_or("l_orderkey").alias("or_keys"),
+            F.bit_xor("l_orderkey").alias("xor_keys"),
+            F.sum(F.col("l_orderkey").bitwiseAND(F.lit(255))).alias("sum_low_byte"),
+            F.sum(F.shiftleft(F.col("l_linenumber"), 2).cast("long")).alias(
+                "sum_shifted"
+            ),
+        )
+    )
