@@ -867,3 +867,126 @@ def f_bitwise_funcs(spark, sf_dir):
             ),
         )
     )
+
+
+@register(
+    "w_forward_fill",
+    """
+    SELECT event_id, user_id,
+           last_value(purchase_value IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS last_purchase_value
+    FROM (
+        SELECT event_id, user_id, ts,
+               CASE WHEN event_type = 'purchase' THEN value END AS purchase_value
+        FROM events
+    )
+    """,
+    "Forward fill (gap filling): carry the last non-null observation "
+    "forward per key — last_value(IGNORE NULLS) over an ordered frame. The "
+    "time-series imputation primitive; one shuffle on the key, no loops.",
+)
+def w_forward_fill(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    ev = t(spark, sf_dir, "events").withColumn(
+        "purchase_value",
+        F.when(F.col("event_type") == "purchase", F.col("value")),
+    )
+    # order at micro precision (ts div 1000) to match TIMESTAMP-micros
+    # engines exactly; event_id breaks micro-collisions deterministically
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.expr("ts div 1000"), "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.last("purchase_value", ignorenulls=True).over(w).alias(
+            "last_purchase_value"
+        ),
+    )
+
+
+@register(
+    "resample_daily",
+    """
+    WITH days AS (
+        SELECT UNNEST(generate_series(DATE '2024-01-25', DATE '2024-02-07',
+                                      INTERVAL 1 DAY))::DATE AS day
+    ), users AS (SELECT DISTINCT user_id FROM events),
+    actual AS (
+        SELECT user_id, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    )
+    SELECT u.user_id, d.day,
+           CAST(COALESCE(a.n, 0) AS BIGINT) AS n_events
+    FROM users u CROSS JOIN days d
+    LEFT JOIN actual a ON a.user_id = u.user_id AND a.day = d.day
+    """,
+    "Resampling to a regular grid: date spine (sequence+explode) x keys, "
+    "left join actuals, zero-fill gaps — the densification step before any "
+    "rolling-window computation on sparse activity. Spine is generated, "
+    "never materialized beyond keys x days.",
+)
+def resample_daily(spark, sf_dir):
+    from youtube_trending_data_pipeline_spark.catalog import event_day
+
+    ev = t(spark, sf_dir, "events")
+    days = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("2024-01-25").cast("date"),
+                F.lit("2024-02-07").cast("date"),
+                F.expr("interval 1 day"),
+            )
+        ).alias("day")
+    )
+    users = ev.select("user_id").distinct()
+    actual = (
+        ev.groupBy("user_id", event_day("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        users.crossJoin(F.broadcast(days))
+        .join(actual, ["user_id", "day"], "left")
+        .select(
+            "user_id", "day", F.coalesce(F.col("n"), F.lit(0)).alias("n_events")
+        )
+    )
+
+
+@register(
+    "a22_histogram",
+    """
+    SELECT CAST(LEAST((CAST(ROUND(value*100) AS BIGINT) // 1000) + 1, 11) AS INT)
+             AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS lo_cents,
+           CAST(MAX(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS hi_cents
+    FROM events GROUP BY 1
+    """,
+    "Equi-width histogram via width_bucket over exact cents (DuckDB lacks "
+    "width_bucket; the oracle mirrors the bucket arithmetic integerly — "
+    "boundaries land between representable values so both agree). One "
+    "hash aggregate; the fixed bucketing needs no data-dependent pass.",
+)
+def a22_histogram(spark, sf_dir):
+    from youtube_trending_data_pipeline_spark.catalog import cents
+
+    v100 = cents("value")
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            F.width_bucket(v100, F.lit(0), F.lit(10000), F.lit(10))
+            .cast("int")
+            .alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(v100).alias("lo_cents"),
+            F.max(v100).alias("hi_cents"),
+        )
+    )

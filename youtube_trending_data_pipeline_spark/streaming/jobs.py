@@ -124,3 +124,54 @@ def interval_join_streams(
         & (rw[right_ts] <= F.expr(f"{left_ts} + interval {within}"))
     )
     return lw.join(rw, cond, "inner")
+
+
+def stream_upsert_snapshot(
+    spark,
+    src_dir: str,
+    snapshot_dir: str,
+    checkpoint_dir: str,
+    key: str,
+    ver_col: str,
+):
+    """Streaming CDC upsert: maintain a latest-row-per-key snapshot table
+    from an append-only change stream, without a MERGE-capable format.
+
+    Each micro-batch unions the existing snapshot with the new changes and
+    keeps the max-``ver_col`` row per key (ties: the incoming row wins via
+    the is_new flag) — the same argmax-dedup as the cdc_latest_per_key
+    catalog query. foreachBatch gives exactly-once: the checkpoint tracks
+    which source files each batch consumed, so re-runs are no-ops. The
+    union is materialized (localCheckpoint) before overwriting the path it
+    was read from. At scale the overwrite unit would be the key-hash
+    partition directory, not the whole snapshot.
+    """
+    from pyspark.sql import Window as W
+
+    def upsert(batch_df, batch_id):
+        b = batch_df.withColumn("__new", F.lit(1))
+        try:
+            old = batch_df.sparkSession.read.parquet(snapshot_dir).withColumn(
+                "__new", F.lit(0)
+            )
+            all_rows = old.unionByName(b)
+        except Exception:
+            all_rows = b
+        w = W.partitionBy(key).orderBy(F.desc(ver_col), F.desc("__new"))
+        latest = (
+            all_rows.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn", "__new")
+            .localCheckpoint(eager=True)  # materialize before overwriting source
+        )
+        latest.write.mode("overwrite").parquet(snapshot_dir)
+
+    return (
+        spark.readStream.schema(
+            spark.read.parquet(src_dir).schema
+        ).parquet(src_dir)
+        .writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
