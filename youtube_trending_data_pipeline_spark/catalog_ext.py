@@ -990,3 +990,83 @@ def a22_histogram(spark, sf_dir):
             F.max(v100).alias("hi_cents"),
         )
     )
+
+
+@register(
+    "j6b_asof_forward",
+    """
+    WITH clicks AS (
+      SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+    ), purchases AS (
+      SELECT user_id, ts, MAX(event_id) AS purchase_event_id
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+    )
+    SELECT c.event_id, c.user_id,
+           p.purchase_event_id AS asof_purchase_event_id
+    FROM clicks c
+    ASOF LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND c.ts <= p.ts
+    """,
+    "Forward as-of join: NEXT purchase at-or-after each click (conversion "
+    "attribution looking ahead). Same union-merge single-shuffle plan as "
+    "the backward form (operators/asof.py, direction='forward'); oracle is "
+    "DuckDB ASOF with the inequality flipped.",
+)
+def j6b_asof_forward(spark, sf_dir):
+    from youtube_trending_data_pipeline_spark.operators.asof import as_of_join
+
+    ev = t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("purchase_event_id"))
+    )
+    out = as_of_join(
+        clicks,
+        purchases,
+        keys=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        payload_cols=["purchase_event_id"],
+        direction="forward",
+    )
+    return out.select("event_id", "user_id", "asof_purchase_event_id")
+
+
+@register(
+    "j4b_posexplode",
+    """
+    SELECT l_orderkey,
+           CAST(s.ord - 1 AS INT) AS pos,
+           s.tok AS token
+    FROM (
+        SELECT l_orderkey,
+               string_split(l_returnflag || '-' || l_linestatus || '-'
+                            || CAST(l_linenumber AS VARCHAR), '-') AS toks
+        FROM lineitem
+    ), UNNEST(list_transform(toks, (x, i) -> struct_pack(tok := x, ord := i)))
+         AS u(s)
+    """,
+    "posexplode (ordinal-preserving explode, J4 variant): token position "
+    "survives the flatten — required whenever downstream order matters "
+    "(n-gram windows, BPE merges). Oracle: UNNEST of an index-tagged list.",
+)
+def j4b_posexplode(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.split(
+            F.concat_ws(
+                "-",
+                F.col("l_returnflag"),
+                F.col("l_linestatus"),
+                F.col("l_linenumber").cast("string"),
+            ),
+            "-",
+        ).alias("toks"),
+    )
+    return li.select(
+        "l_orderkey", F.posexplode("toks").alias("pos", "token")
+    )

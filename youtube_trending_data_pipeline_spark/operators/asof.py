@@ -28,20 +28,31 @@ def as_of_join(
     left_ts: str,
     right_ts: str,
     payload_cols: Sequence[str],
+    direction: str = "backward",
 ) -> DataFrame:
-    """For every left row, attach the payload of the latest right row with
-    ``right_ts <= left_ts`` within the same key group (NULLs if none).
+    """For every left row, attach the payload of the matching right row
+    within the same key group (NULLs if none):
+
+    - ``direction="backward"`` (default): latest right row with
+      ``right_ts <= left_ts`` — DuckDB/pandas ASOF semantics.
+    - ``direction="forward"``: earliest right row with
+      ``right_ts >= left_ts`` (next-event attribution).
 
     ``right`` must be unique per (keys, right_ts) — pre-aggregate if not,
     or the carried payload among equal timestamps is unspecified.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     keys = list(keys)
     payload_cols = list(payload_cols)
 
+    # Sort position of right rows at equal ts decides inclusivity: before
+    # left for backward (<=), after left for forward (>=).
+    r_side = 0 if direction == "backward" else 2
     r_tagged = right.select(
         *keys,
         F.col(right_ts).alias("_ts"),
-        F.lit(0).alias("_side"),  # right sorts before left at equal ts (<=)
+        F.lit(r_side).alias("_side"),
         F.struct(*[F.col(c) for c in payload_cols]).alias("_payload"),
     )
     l_tagged = left.select(
@@ -53,14 +64,17 @@ def as_of_join(
     unioned = r_tagged.withColumn("_left_row", F.lit(None).cast(l_tagged.schema["_left_row"].dataType)).unionByName(
         l_tagged.withColumn("_payload", F.lit(None).cast(r_tagged.schema["_payload"].dataType))
     )
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy("_ts", "_side")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    carried = unioned.withColumn(
-        "_matched", F.last("_payload", ignorenulls=True).over(w)
-    )
+    order = Window.partitionBy(*keys).orderBy("_ts", "_side")
+    if direction == "backward":
+        w = order.rowsBetween(Window.unboundedPreceding, 0)
+        carried = unioned.withColumn(
+            "_matched", F.last("_payload", ignorenulls=True).over(w)
+        )
+    else:
+        w = order.rowsBetween(0, Window.unboundedFollowing)
+        carried = unioned.withColumn(
+            "_matched", F.first("_payload", ignorenulls=True).over(w)
+        )
     out = carried.where(F.col("_side") == 1).select(
         F.col("_left_row.*"),
         *[F.col("_matched")[c].alias(f"asof_{c}") for c in payload_cols],
