@@ -100,7 +100,10 @@ def test_no_accidental_cartesian_anywhere(spark):
     """Every catalog query must avoid cartesian/nested-loop joins, except
     the brute-force ANN scans where the cross product IS the algorithm
     (bounded by the broadcast query side)."""
-    allowed_cross = {"sim_bruteforce_topk"}
+    # sim_bruteforce_topk: deliberate all-pairs scoring scan.
+    # resample_daily: deliberate date-spine cross join — the broadcast side
+    # is a generated 14-row day list, the intended output IS keys x days.
+    allowed_cross = {"sim_bruteforce_topk", "resample_daily"}
     for name, spec in QUERIES.items():
         if name in allowed_cross:
             continue

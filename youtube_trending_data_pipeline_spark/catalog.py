@@ -182,14 +182,18 @@ def p1_nested_extract(spark, sf_dir):
 @register(
     "j1_anti_join",
     "SELECT c.c_custkey FROM customer c "
-    "WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)",
-    "J1: left anti-join — customers with no orders (ing:135-138,161-164)",
+    "WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
+    "AND o.o_orderstatus = 'P')",
+    "J1: left anti-join — customers with no pending ('P') orders "
+    "(ing:135-138,161-164). The probe side is restricted so the result is "
+    "non-empty at every SF: a 0-row anti-join would pass the hash gate "
+    "vacuously, verifying nothing.",
 )
 def j1_anti_join(spark, sf_dir):
     customer = t(spark, sf_dir, "customer")
-    orders = t(spark, sf_dir, "orders")
+    pending = t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "P")
     return customer.join(
-        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+        pending, customer.c_custkey == pending.o_custkey, "left_anti"
     ).select("c_custkey")
 
 

@@ -1070,3 +1070,83 @@ def j4b_posexplode(spark, sf_dir):
     return li.select(
         "l_orderkey", F.posexplode("toks").alias("pos", "token")
     )
+
+
+@register(
+    "f_map_funcs",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CAST(map_entry_count AS INT) AS n_keys,
+           qty_val, missing_val
+    FROM (
+        SELECT l_orderkey, l_linenumber,
+               2 AS map_entry_count,
+               CAST(ROUND(l_quantity*100) AS BIGINT) AS qty_val,
+               CAST(NULL AS BIGINT) AS missing_val
+        FROM lineitem
+    )
+    """,
+    "MapType column operations: build map_from_arrays, read size/element_at "
+    "(present and absent keys) — scalar outputs only, since map column "
+    "hashing is engine-specific (unordered). Oracle computes the expected "
+    "scalars directly.",
+)
+def f_map_funcs(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    m = F.map_from_arrays(
+        F.array(F.lit("qty"), F.lit("line")),
+        F.array(
+            F.round(F.col("l_quantity") * 100).cast("long"),
+            F.col("l_linenumber").cast("long"),
+        ),
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.size(m).alias("n_keys"),
+        F.element_at(m, "qty").alias("qty_val"),
+        F.element_at(m, "nope").alias("missing_val"),
+    )
+
+
+@register(
+    "f_array_hof",
+    """
+    SELECT l_orderkey,
+           CAST(len(list_filter(arr, x -> x % 2 = 0)) AS INT) AS n_even,
+           CAST(list_sum(list_transform(arr, x -> x * x)) AS BIGINT) AS sum_sq,
+           CAST(len(list_filter(arr, x -> x > 3)) > 0 AS BOOLEAN) AS any_gt3,
+           CAST(len(list_filter(arr, x -> x > 0)) = len(arr) AS BOOLEAN)
+             AS all_positive
+    FROM (
+        SELECT l_orderkey,
+               [CAST(l_linenumber AS BIGINT),
+                CAST(ROUND(l_quantity) AS BIGINT),
+                CAST(l_suppkey % 10 AS BIGINT)] AS arr
+        FROM lineitem
+    )
+    """,
+    "Array higher-order functions over a constructed 3-element array: "
+    "filter, transform+aggregate (sum of squares), exists, forall. Small "
+    "fixed arrays — the regime where interpreted HOFs are fine (PERF.md); "
+    "integer folds are order-independent, hence exact cross-engine.",
+)
+def f_array_hof(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.array(
+            F.col("l_linenumber").cast("long"),
+            F.round("l_quantity").cast("long"),
+            (F.col("l_suppkey") % 10).cast("long"),
+        ).alias("arr"),
+    )
+    a = F.col("arr")
+    return li.select(
+        "l_orderkey",
+        F.size(F.filter(a, lambda x: x % 2 == 0)).alias("n_even"),
+        F.aggregate(
+            F.transform(a, lambda x: x * x), F.lit(0).cast("long"), lambda s, x: s + x
+        ).alias("sum_sq"),
+        F.exists(a, lambda x: x > 3).alias("any_gt3"),
+        F.forall(a, lambda x: x > 0).alias("all_positive"),
+    )
