@@ -1150,3 +1150,26 @@ def f_array_hof(spark, sf_dir):
         F.exists(a, lambda x: x > 3).alias("any_gt3"),
         F.forall(a, lambda x: x > 0).alias("all_positive"),
     )
+
+
+@register(
+    "a23_collect_set",
+    """
+    SELECT l_returnflag,
+           list_sort(list_distinct(list(l_linestatus))) AS statuses,
+           list_sort(list(DISTINCT l_linenumber)) AS line_numbers
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    "Array-valued aggregation: collect_set with sort_array for a "
+    "deterministic element order (bare collect_list/set order is "
+    "partitioning-dependent — never hash an unsorted collected array).",
+)
+def a23_collect_set(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.sort_array(F.collect_set("l_linestatus")).alias("statuses"),
+            F.sort_array(F.collect_set("l_linenumber")).alias("line_numbers"),
+        )
+    )
