@@ -494,3 +494,316 @@ def sub_not_exists(spark, sf_dir):
                             AND o.o_orderdate >= TIMESTAMP '2000-01-01')
         """
     )
+
+
+@register(
+    "q7_volume_shipping",
+    f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           EXTRACT(year FROM l_shipdate) AS l_year,
+           SUM({_REV4_SQL}) / 10000.0 AS revenue
+    FROM supplier
+    JOIN lineitem ON s_suppkey = l_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_5' AND n2.n_name = 'NATION_7')
+        OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_5'))
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+    "TPC-H Q7 shape (adapted: no n_comment; generic nation names): the same "
+    "dimension table joined TWICE under different roles (supplier nation vs "
+    "customer nation) with a disjunctive cross-alias predicate. Both nation "
+    "sides broadcast; the symmetric OR can't be pushed to either scan alone, "
+    "so it runs as a post-join filter over two tiny broadcast hashes.",
+)
+def q7_volume_shipping(spark, sf_dir):
+    nation = t(spark, sf_dir, "nation").where(
+        F.col("n_name").isin("NATION_5", "NATION_7")
+    )
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    li = t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    supp = t(spark, sf_dir, "supplier").join(
+        F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk")
+    )
+    cust = t(spark, sf_dir, "customer").join(
+        F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk")
+    )
+    orders = t(spark, sf_dir, "orders")
+    return (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .where(
+            ((F.col("supp_nation") == "NATION_5") & (F.col("cust_nation") == "NATION_7"))
+            | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_5"))
+        )
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg((F.sum(_rev4()) / 10000.0).alias("revenue"))
+    )
+
+
+@register(
+    "q8_market_share",
+    f"""
+    SELECT o_year,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_5' THEN rev4 ELSE 0 END)
+                AS DOUBLE) / CAST(SUM(rev4) AS DOUBLE) AS mkt_share
+    FROM (
+      SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+             {_REV4_SQL} AS rev4,
+             n2.n_name AS supp_nation
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region    ON n1.n_regionkey = r_regionkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'EUROPE' AND p_type = 'ECONOMY'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate <  TIMESTAMP '1998-01-01'
+    ) v
+    GROUP BY o_year
+    """,
+    "TPC-H Q8 shape: 8-way join (two nation roles + region + part) feeding a "
+    "conditional-share ratio. The ratio divides two exact BIGINT sums so the "
+    "double is bit-deterministic across partitionings. part/nation/region "
+    "broadcast; the order-customer-lineitem chain is the only shuffle.",
+)
+def q8_market_share(spark, sf_dir):
+    part = t(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY")
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    eur_nations = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select(F.col("n_nationkey").alias("c_nk"))
+    cust = t(spark, sf_dir, "customer").join(
+        F.broadcast(eur_nations), F.col("c_nationkey") == F.col("c_nk")
+    )
+    supp_nation = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    supp = t(spark, sf_dir, "supplier").join(
+        F.broadcast(supp_nation), F.col("s_nationkey") == F.col("s_nk")
+    )
+    orders = t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = t(spark, sf_dir, "lineitem")
+    rev = _rev4()
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (
+                F.sum(F.when(F.col("supp_nation") == "NATION_5", rev).otherwise(F.lit(0)))
+                .cast("double")
+                / F.sum(rev).cast("double")
+            ).alias("mkt_share")
+        )
+    )
+
+
+@register(
+    "q10_returned_items",
+    f"""
+    SELECT c_custkey, c_name, SUM({_REV4_SQL}) / 10000.0 AS revenue,
+           c_acctbal, n_name
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-10-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    "TPC-H Q10 shape (adapted: no c_address/c_phone/c_comment columns): "
+    "lost-revenue-per-customer top-20. Wide GROUP BY keyed by c_custkey "
+    "with functionally-dependent attributes carried through; "
+    "TakeOrderedAndProject caps the result without a global sort.",
+)
+def q10_returned_items(spark, sf_dir):
+    orders = t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    cust = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg((F.sum(_rev4()) / 10000.0).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q15_top_supplier",
+    f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no, SUM({_REV4_SQL}) AS total_rev4
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_rev4 / 10000.0 AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_rev4 = (SELECT MAX(total_rev4) FROM revenue)
+    """,
+    "TPC-H Q15 shape: CTE reused twice — once as join input, once inside a "
+    "scalar subquery (the classic 'rows equal to the max' idiom). The max is "
+    "over exact BIGINT revenue so ties and equality are bit-deterministic. "
+    "Catalyst plans the scalar as a one-row broadcast.",
+)
+def q15_top_supplier(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    revenue = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(_rev4()).alias("total_rev4"))
+    )
+    best = revenue.agg(F.max("total_rev4").alias("best_rev4"))
+    supp = t(spark, sf_dir, "supplier")
+    return (
+        revenue.join(F.broadcast(best), F.col("total_rev4") == F.col("best_rev4"))
+        .join(supp, F.col("supplier_no") == supp.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("total_rev4") / 10000.0).alias("total_revenue"),
+        )
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    """
+    SELECT CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS DOUBLE)
+           / 700.0 AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN (SELECT l_partkey AS agg_pk, COUNT(*) AS li_cnt,
+                 SUM(CAST(l_quantity AS BIGINT)) AS qty_sum
+          FROM lineitem GROUP BY l_partkey) pa
+      ON agg_pk = p_partkey
+    WHERE p_brand = 'Brand#1' AND p_type = 'SMALL'
+      AND 5 * CAST(l_quantity AS BIGINT) * li_cnt < qty_sum
+    """,
+    "TPC-H Q17 shape: correlated per-part average decorrelated into an "
+    "aggregate self-join. The 'qty < 0.2*avg(qty)' predicate is rewritten to "
+    "the integer-exact cross-multiplied form 5*qty*cnt < sum so the boundary "
+    "never depends on float division. Quantities are integral by "
+    "construction (verified). The per-part aggregate is computed only over "
+    "the broadcast-filtered parts, not the full lineitem.",
+)
+def q17_small_quantity_revenue(spark, sf_dir):
+    part = t(spark, sf_dir, "part").where(
+        (F.col("p_brand") == "Brand#1") & (F.col("p_type") == "SMALL")
+    )
+    li = t(spark, sf_dir, "lineitem")
+    # Broadcast the filtered parts once; both the probe rows and the per-part
+    # aggregate derive from this pruned join (semantically identical to
+    # aggregating all of lineitem, but never shuffles the unmatched 99%).
+    li_p = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    per_part = li_p.groupBy(F.col("l_partkey").alias("agg_pk")).agg(
+        F.count(F.lit(1)).alias("li_cnt"),
+        F.sum(F.col("l_quantity").cast("long")).alias("qty_sum"),
+    )
+    return (
+        li_p.join(F.broadcast(per_part), F.col("l_partkey") == F.col("agg_pk"))
+        .where(
+            F.lit(5) * F.col("l_quantity").cast("long") * F.col("li_cnt")
+            < F.col("qty_sum")
+        )
+        .agg(
+            (F.sum(cents("l_extendedprice")).cast("double") / 700.0).alias(
+                "avg_yearly"
+            )
+        )
+    )
+
+
+@register(
+    "q22_dormant_customers",
+    """
+    WITH pos AS (
+      SELECT COUNT(*) AS cnt,
+             SUM(CAST(ROUND(c_acctbal*100) AS BIGINT)) AS bal_sum
+      FROM customer
+      WHERE c_acctbal > 0.0
+        AND substr(c_name, length(c_name), 1) IN ('1','2','3','4','5')
+    )
+    SELECT cntrycode, COUNT(*) AS numcust,
+           SUM(CAST(ROUND(c_acctbal*100) AS BIGINT)) / 100.0 AS totacctbal
+    FROM (
+      SELECT substr(c_name, length(c_name), 1) AS cntrycode,
+             c_acctbal, c_custkey
+      FROM customer
+      WHERE substr(c_name, length(c_name), 1) IN ('1','2','3','4','5')
+    ) c, pos
+    WHERE CAST(ROUND(c_acctbal*100) AS BIGINT) * cnt > bal_sum
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY cntrycode
+    """,
+    "TPC-H Q22 shape (adapted: no c_phone — 'country code' is the last digit "
+    "of c_name; 'dormant' means no orders since 2000, since every customer "
+    "in this data has at least one order): above-average account balance via "
+    "a scalar aggregate subquery PLUS a NOT EXISTS anti-join, grouped into "
+    "segments. The 'balance > avg(balance)' comparison is cross-multiplied "
+    "into exact integer cents (bal*cnt > sum) so the cut is "
+    "bit-deterministic.",
+)
+def q22_dormant_customers(spark, sf_dir):
+    cust = t(spark, sf_dir, "customer").withColumn(
+        "cntrycode", F.expr("substr(c_name, length(c_name), 1)")
+    ).where(F.col("cntrycode").isin("1", "2", "3", "4", "5"))
+    pos = cust.where(F.col("c_acctbal") > 0.0).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(cents("c_acctbal")).alias("bal_sum"),
+    )
+    orders = (
+        t(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    return (
+        cust.crossJoin(F.broadcast(pos))
+        .where(cents("c_acctbal") * F.col("cnt") > F.col("bal_sum"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("cntrycode")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            (F.sum(cents("c_acctbal")) / 100.0).alias("totacctbal"),
+        )
+    )
