@@ -1173,3 +1173,229 @@ def a23_collect_set(spark, sf_dir):
             F.sort_array(F.collect_set("l_linenumber")).alias("line_numbers"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Relational completeness batch: unpivot, null-safe join, outer explode,
+# try_* arithmetic, exact-sum linear regression
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "u3_unpivot",
+    """
+    WITH agg AS (
+      SELECT l_returnflag,
+             SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+             SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS sum_base_cents,
+             COUNT(*) AS cnt
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM agg
+    UNION ALL
+    SELECT l_returnflag, 'sum_base_cents', sum_base_cents FROM agg
+    UNION ALL
+    SELECT l_returnflag, 'cnt', cnt FROM agg
+    """,
+    "Wide-to-long unpivot (melt): aggregate per returnflag, then rotate the "
+    "three measure columns into (measure, value) rows with df.unpivot — the "
+    "inverse of a17_pivot. Spark plans it as a single Expand node (one pass, "
+    "no self-union rescan); the oracle spells the equivalent UNION ALL.",
+)
+def u3_unpivot(spark, sf_dir):
+    from youtube_trending_data_pipeline_spark.catalog import cents
+
+    agg = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            F.sum(cents("l_extendedprice")).alias("sum_base_cents"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+    return agg.unpivot(
+        ["l_returnflag"], ["sum_qty", "sum_base_cents", "cnt"], "measure", "value"
+    )
+
+
+@register(
+    "j8_null_safe_join",
+    """
+    WITH lhs AS (
+      SELECT nullif(l_returnflag, 'N') AS flag_key, COUNT(*) AS cnt
+      FROM lineitem GROUP BY 1
+    ),
+    rhs AS (
+      SELECT nullif(l_returnflag, 'N') AS flag_key,
+             SUM(CAST(l_quantity AS BIGINT)) AS qty_sum
+      FROM lineitem GROUP BY 1
+    )
+    SELECT lhs.flag_key, cnt, qty_sum
+    FROM lhs JOIN rhs ON lhs.flag_key IS NOT DISTINCT FROM rhs.flag_key
+    """,
+    "Null-safe equi-join (<=> / eqNullSafe): both sides key on "
+    "nullif(returnflag,'N') so one key is genuinely NULL; a plain = join "
+    "would silently drop that row, IS NOT DISTINCT FROM matches it. "
+    "Catalyst still plans a hash join (null-safe keys hash like values).",
+)
+def j8_null_safe_join(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    key = F.nullif(F.col("l_returnflag"), F.lit("N")).alias("flag_key")
+    lhs = li.groupBy(key).agg(F.count(F.lit(1)).alias("cnt"))
+    rhs = li.groupBy(key).agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("qty_sum")
+    )
+    return lhs.join(
+        rhs, lhs["flag_key"].eqNullSafe(rhs["flag_key"])
+    ).select(lhs["flag_key"], "cnt", "qty_sum")
+
+
+@register(
+    "j4c_explode_outer",
+    """
+    WITH base AS (
+      SELECT DISTINCT l_returnflag AS rf, l_linestatus AS ls FROM lineitem
+    ),
+    w AS (
+      SELECT rf, ls, list_filter([rf], x -> x <> 'A') AS arr FROM base
+    )
+    SELECT w.rf, w.ls, u.tok
+    FROM w LEFT JOIN (SELECT rf, ls, unnest(arr) AS tok FROM w) u
+      ON w.rf = u.rf AND w.ls = u.ls
+    """,
+    "explode_outer: rows whose array is EMPTY survive with a NULL element "
+    "(plain explode would drop them — the array analogue of inner vs outer "
+    "join). Built over the distinct (returnflag, linestatus) pairs where "
+    "filtering 'A' out of [rf] leaves some arrays empty. Oracle emulates "
+    "outer-unnest with a LEFT JOIN back onto the unnested rows.",
+)
+def j4c_explode_outer(spark, sf_dir):
+    base = (
+        t(spark, sf_dir, "lineitem")
+        .select(F.col("l_returnflag").alias("rf"), F.col("l_linestatus").alias("ls"))
+        .distinct()
+    )
+    w = base.withColumn("arr", F.filter(F.array("rf"), lambda x: x != "A"))
+    return w.select("rf", "ls", F.explode_outer("arr").alias("tok"))
+
+
+@register(
+    "f_try_arith",
+    """
+    WITH base AS (
+      SELECT DISTINCT l_returnflag AS rf,
+             CAST(l_linenumber AS BIGINT) AS ln
+      FROM lineitem
+    )
+    SELECT rf, ln,
+           CAST(ln AS DOUBLE) / nullif(ln - ln, 0) AS div_zero,
+           CAST(ln AS DOUBLE) / nullif(2, 0)       AS div_ok,
+           CAST(NULL AS BIGINT)                    AS add_overflow,
+           try_cast(rf AS BIGINT)                  AS to_num_bad,
+           try_cast(CAST(ln AS VARCHAR) AS BIGINT) AS to_num_ok,
+           ([rf])[5]                               AS elem_missing
+    FROM base
+    """,
+    "ANSI-safe try_* arithmetic: Spark 4 runs ANSI mode, so bare /0 or "
+    "BIGINT overflow raise — try_divide/try_add/try_to_number/try_element_at "
+    "return NULL instead. add_overflow adds qty>=1 to BIGINT max, always "
+    "NULL under try semantics; the oracle spells each as its nullif/"
+    "try_cast/out-of-range-subscript equivalent.",
+)
+def f_try_arith(spark, sf_dir):
+    base = (
+        t(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_returnflag").alias("rf"),
+            F.col("l_linenumber").cast("long").alias("ln"),
+        )
+        .distinct()
+    )
+    return base.select(
+        "rf",
+        "ln",
+        F.try_divide(F.col("ln").cast("double"), F.col("ln") - F.col("ln")).alias(
+            "div_zero"
+        ),
+        F.try_divide(F.col("ln").cast("double"), F.lit(2)).alias("div_ok"),
+        F.try_add(F.lit(9223372036854775807), F.col("ln")).alias("add_overflow"),
+        F.try_to_number(F.col("rf"), F.lit("999")).cast("long").alias("to_num_bad"),
+        F.try_to_number(F.col("ln").cast("string"), F.lit("999"))
+        .cast("long")
+        .alias("to_num_ok"),
+        F.try_element_at(F.array("rf"), F.lit(5)).alias("elem_missing"),
+    )
+
+
+@register(
+    "a24_regr_fit",
+    """
+    WITH s AS (
+      SELECT o_orderstatus,
+             COUNT(*) AS n,
+             SUM(x)     AS sx,  SUM(y)     AS sy,
+             SUM(x*y)   AS sxy, SUM(x*x)   AS sxx, SUM(y*y) AS syy
+      FROM (
+        SELECT o_orderstatus,
+               CAST(CAST(o_orderdate AS DATE) - DATE '1995-01-01' AS BIGINT) AS x,
+               CAST(ROUND(o_totalprice*100) AS BIGINT) AS y
+        FROM orders
+      )
+      GROUP BY o_orderstatus
+    )
+    SELECT o_orderstatus, n,
+           num / den AS slope,
+           (CAST(sy AS DOUBLE) - (num / den) * CAST(sx AS DOUBLE))
+             / CAST(n AS DOUBLE) AS intercept,
+           (num * num) / (den * den_y) AS r2
+    FROM (
+      SELECT *,
+             -- HUGEINT->DOUBLE casts truncate above 2^63 in DuckDB (not
+             -- correctly rounded); VARCHAR->DOUBLE parses exactly and
+             -- matches Spark's decimal(38)->double rounding bit-for-bit.
+             CAST(CAST(n*sxy - sx*sy AS VARCHAR) AS DOUBLE) AS num,
+             CAST(CAST(n*sxx - sx*sx AS VARCHAR) AS DOUBLE) AS den,
+             CAST(CAST(n*syy - sy*sy AS VARCHAR) AS DOUBLE) AS den_y
+      FROM s
+    )
+    """,
+    "Per-group OLS fit (regr_slope/intercept/r2 semantics) computed from "
+    "EXACT integer moment sums — decimal(38,0) in Spark, HUGEINT in DuckDB "
+    "— converted to double only for the final closed-form arithmetic, which "
+    "both engines evaluate in the same expression order, so the fit is "
+    "bit-deterministic. The built-in streaming regr_* aggregates are "
+    "merge-order-dependent in their low bits and would fail an exact gate; "
+    "x = days since 1995-01-01, y = order total in cents.",
+)
+def a24_regr_fit(spark, sf_dir):
+    d38 = "decimal(38,0)"
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date"))
+        .cast("long")
+        .alias("x"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("y"),
+    )
+    s = o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast(d38)).alias("sx"),
+        F.sum(F.col("y").cast(d38)).alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(d38)).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(d38)).alias("sxx"),
+        F.sum((F.col("y").cast(d38) * F.col("y").cast(d38))).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    den_y = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    slope = num / den
+    return s.select(
+        "o_orderstatus",
+        "n",
+        slope.alias("slope"),
+        (
+            (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+            / F.col("n").cast("double")
+        ).alias("intercept"),
+        ((num * num) / (den * den_y)).alias("r2"),
+    )
