@@ -145,3 +145,34 @@ def test_weekly_html_renderer(spark):
     # escaping: no raw script injection from values
     evil = spark.createDataFrame([("<script>", 1, "2", "3", 4.0)], report.schema)
     assert "<script>" not in render_weekly_html(evil).replace("&lt;script&gt;", "")
+
+
+def test_connected_components_chain_and_islands(spark):
+    from youtube_trending_data_pipeline_spark.operators.components import (
+        connected_components,
+        duplicate_clusters,
+    )
+
+    # A 6-node chain (diameter 5 — forces multiple propagation rounds),
+    # plus a separate triangle and an edge pair: 3 components total.
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6),
+         (10, 11), (11, 12), (12, 10),
+         (20, 21)],
+        "src long, dst long",
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(edges).collect()
+    }
+    assert {got[n] for n in (1, 2, 3, 4, 5, 6)} == {1}
+    assert {got[n] for n in (10, 11, 12)} == {10}
+    assert {got[n] for n in (20, 21)} == {20}
+
+    clusters = {
+        r["component"]: (r["n_members"], r["members"])
+        for r in duplicate_clusters(edges, "src", "dst").collect()
+    }
+    assert clusters[1] == (6, [1, 2, 3, 4, 5, 6])
+    assert clusters[10] == (3, [10, 11, 12])
+    assert clusters[20] == (2, [20, 21])

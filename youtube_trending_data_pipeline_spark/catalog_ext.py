@@ -1399,3 +1399,102 @@ def a24_regr_fit(spark, sf_dir):
         ).alias("intercept"),
         ((num * num) / (den * den_y)).alias("r2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Graph / recursion batch: connected-components dedup clustering, recursive
+# CTE date spine
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_components",
+    """
+    WITH RECURSIVE grams AS (
+      SELECT doc_id, source,
+             list_distinct(list_transform(range(1, GREATEST(length(text) - 2, 0) + 1),
+                           i -> substr(text, CAST(i AS INT), 3))) AS g
+      FROM documents
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM grams a JOIN grams b
+        ON a.source = b.source AND a.doc_id < b.doc_id
+      WHERE CASE WHEN len(list_distinct(list_concat(a.g, b.g))) > 0
+                 THEN CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                      / len(list_distinct(list_concat(a.g, b.g)))
+                 ELSE 0.0 END >= 0.6
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, root) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node
+    )
+    SELECT node, MIN(root) AS component FROM reach GROUP BY node
+    """,
+    "Dedup clustering: near-dup candidate pairs (char-3-gram Jaccard >= 0.6 "
+    "within source blocks) closed into components — if A~B and B~C then "
+    "{A,B,C} is ONE cluster though (A,C) was never scored. Spark side is "
+    "iterative min-label propagation (operators/components.py, one shuffle "
+    "per round, converges in diameter rounds); the oracle is DuckDB's "
+    "recursive-CTE transitive closure — an iterative DataFrame algorithm "
+    "checked exactly against declarative recursion.",
+)
+def dedup_components(spark, sf_dir):
+    from youtube_trending_data_pipeline_spark.operators.components import (
+        connected_components,
+    )
+
+    pairs = dd.ngram_jaccard_pairs(
+        t(spark, sf_dir, "documents"), "doc_id", "text", ["source"], n=3
+    ).where(F.col("jaccard") >= 0.6)
+    return connected_components(pairs, src="id_a", dst="id_b")
+
+
+@register(
+    "r1_recursive_spine",
+    """
+    WITH RECURSIVE months(m) AS (
+      SELECT DATE '1995-01-01'
+      UNION ALL
+      SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM months
+      WHERE m < DATE '2001-08-01'
+    )
+    SELECT m AS month_start, COALESCE(cnt, 0) AS order_cnt
+    FROM months
+    LEFT JOIN (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mo,
+             COUNT(*) AS cnt
+      FROM orders GROUP BY 1
+    ) o ON o.mo = months.m
+    """,
+    "Recursive CTE (Spark 4.1 WITH RECURSIVE): generate an 80-month "
+    "calendar spine by recursion, then left-join monthly order counts so "
+    "empty months surface as explicit zeros — same recursive SQL shape on "
+    "both engines (dialect-adjusted date arithmetic). Complements the "
+    "sequence()-based resample_daily with the self-referential form.",
+)
+def r1_recursive_spine(spark, sf_dir):
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        WITH RECURSIVE months(m) AS (
+          SELECT DATE '1995-01-01'
+          UNION ALL
+          SELECT add_months(m, 1) FROM months
+          WHERE m < DATE '2001-08-01'
+        )
+        SELECT m AS month_start, COALESCE(cnt, CAST(0 AS BIGINT)) AS order_cnt
+        FROM months
+        LEFT JOIN (
+          SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mo,
+                 COUNT(*) AS cnt
+          FROM orders GROUP BY 1
+        ) o ON o.mo = months.m
+        """
+    )
