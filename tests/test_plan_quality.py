@@ -104,14 +104,20 @@ def test_no_accidental_cartesian_anywhere(spark):
     # resample_daily: deliberate date-spine cross join — the broadcast side
     # is a generated 14-row day list, the intended output IS keys x days.
     allowed_cross = {"sim_bruteforce_topk", "resample_daily"}
+    # Scalar-subquery shapes: crossJoin against a broadcast single-row
+    # aggregate ("compare every row to the global total/average"). Spark
+    # plans the conditionless join as BroadcastNestedLoopJoin, which with a
+    # 1-row build side is a constant-append — O(n), no quadratic blowup.
+    allowed_scalar_bnlj = {"q22_dormant_customers", "q11_important_parts"}
     for name, spec in QUERIES.items():
         if name in allowed_cross:
             continue
         plan = QUERIES[name].fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan, name
-        # BroadcastNestedLoopJoin is acceptable only for tiny broadcast
-        # literal sides (none of our queries need it)
-        assert "BroadcastNestedLoopJoin" not in plan, name
+        # BroadcastNestedLoopJoin is acceptable only for single-row scalar
+        # broadcast sides (documented above)
+        if name not in allowed_scalar_bnlj:
+            assert "BroadcastNestedLoopJoin" not in plan, name
 
 
 def test_whole_stage_codegen_active(spark):

@@ -807,3 +807,256 @@ def q22_dormant_customers(spark, sf_dir):
             (F.sum(cents("c_acctbal")) / 100.0).alias("totacctbal"),
         )
     )
+
+
+@register(
+    "q13_customer_distribution",
+    """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    ) per_cust
+    GROUP BY c_count
+    """,
+    "TPC-H Q13 shape: outer join with an ON-clause filter on the *right* "
+    "side (which must not drop order-less customers), then a two-level "
+    "aggregation — count orders per customer, then the distribution of "
+    "those counts. The second groupBy keys on an aggregate output, so AQE "
+    "re-plans the tiny second exchange at runtime. All-integer output.",
+)
+def q13_customer_distribution(spark, sf_dir):
+    cust = t(spark, sf_dir, "customer").select("c_custkey")
+    orders = (
+        t(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") != "1-URGENT")
+        .select("o_custkey", "o_orderkey")
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "q21_waiting_suppliers",
+    """
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders    ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 150 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o_orderdate + INTERVAL 150 DAY)
+    GROUP BY s_name
+    """,
+    "TPC-H Q21 shape (adapted: 'late' = shipped >150 days after order date, "
+    "since this lineitem has no commit/receipt dates): the double "
+    "correlated EXISTS/NOT-EXISTS ('another supplier in the order exists, "
+    "but no OTHER supplier was late') is decorrelated Spark-side into ONE "
+    "per-order aggregate — countDistinct(supplier) and "
+    "countDistinct(late supplier) — then a filter n_supp>1 AND n_late=1. "
+    "One shuffle over lineitem replaces two correlated semi/anti joins; at "
+    "100 TB that is the difference between one pass and three.",
+)
+def q21_waiting_suppliers(spark, sf_dir):
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 150 DAYS")
+    orders_f = (
+        t(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    lo = li.join(orders_f, li.l_orderkey == orders_f.o_orderkey).withColumn(
+        "is_late", late
+    )
+    per_order = lo.groupBy(F.col("l_orderkey").alias("agg_ok")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias("n_late"),
+    )
+    supp = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        lo.where(F.col("is_late"))
+        .join(per_order, F.col("l_orderkey") == F.col("agg_ok"))
+        .where((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+@register(
+    "q9_product_type_profit",
+    f"""
+    SELECT n_name AS nation,
+           CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+           SUM({_REV4_SQL}
+               - CAST(ROUND(p_retailprice*100) AS BIGINT)
+                 * CAST(l_quantity AS BIGINT) * 90) / 10000.0 AS sum_profit
+    FROM lineitem
+    JOIN part     ON p_partkey  = l_partkey
+    JOIN supplier ON s_suppkey  = l_suppkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    WHERE p_name LIKE '%widget%'
+    GROUP BY 1, 2
+    """,
+    "TPC-H Q9 shape (adapted: no partsupp table in this schema, so unit "
+    "cost is 90% of p_retailprice): profit per nation per year through a "
+    "5-way join with a LIKE filter on part. Profit stays in exact 1e-4-"
+    "dollar BIGINT units until the final divide. The filtered part side "
+    "broadcasts; supplier->nation broadcasts; only lineitem<->orders "
+    "shuffles.",
+)
+def q9_product_type_profit(spark, sf_dir):
+    part = (
+        t(spark, sf_dir, "part")
+        .where(F.col("p_name").like("%widget%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    supp_nation = (
+        t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(t(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "n_name")
+    )
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = t(spark, sf_dir, "lineitem")
+    profit4 = _rev4() - (
+        cents("p_retailprice") * F.col("l_quantity").cast("long") * F.lit(90)
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg((F.sum(profit4) / 10000.0).alias("sum_profit"))
+    )
+
+
+@register(
+    "q11_important_parts",
+    f"""
+    WITH val AS (
+      SELECT l_partkey, SUM({_REV4_SQL}) AS value4
+      FROM lineitem GROUP BY l_partkey
+    ), tot AS (SELECT SUM(value4) // COUNT(*) AS avg4 FROM val)
+    SELECT l_partkey, value4 / 10000.0 AS part_value
+    FROM val, tot
+    WHERE value4 * 2 > avg4 * 3
+    """,
+    "TPC-H Q11 shape (adapted: part value from lineitem revenue, no "
+    "partsupp): groups whose aggregate exceeds a threshold derived from "
+    "the global total — a scalar aggregate-of-aggregate subquery in the "
+    "HAVING position. The per-part aggregate is computed ONCE and reused "
+    "for both the scalar and the filter (self-referencing CTE). The "
+    "threshold is 1.5x the MEAN per-part value (scale-invariant, unlike "
+    "Q11's fixed fraction, so it stays non-vacuous at every SF) and is "
+    "cross-multiplied (value4*2 > avg4*3) over an integer-div mean so the "
+    "cut is integer-exact on both engines.",
+)
+def q11_important_parts(spark, sf_dir):
+    val = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(F.sum(_rev4()).alias("value4"))
+    )
+    tot = val.agg(F.expr("sum(value4) div count(*)").alias("avg4"))
+    return (
+        val.crossJoin(F.broadcast(tot))
+        .where(F.col("value4") * 2 > F.col("avg4") * 3)
+        .select("l_partkey", (F.col("value4") / 10000.0).alias("part_value"))
+    )
+
+
+@register(
+    "q16_supplier_part_counts",
+    """
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_type  <> 'PROMO'
+      AND p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                            WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+    "TPC-H Q16 shape (adapted: supplier-part relationships come from "
+    "lineitem, 'complaint' suppliers are those with negative balance): "
+    "COUNT(DISTINCT) per 3-column group, negated predicates, an IN-list, "
+    "and a NOT IN subquery. s_suppkey is non-nullable so the null-aware "
+    "NOT IN lowers to a broadcast anti-join; the distinct-aggregate "
+    "expands via partial distinct (Spark's two-phase distinct agg) before "
+    "the final group exchange.",
+)
+def q16_supplier_part_counts(spark, sf_dir):
+    part = (
+        t(spark, sf_dir, "part")
+        .where(
+            (F.col("p_brand") != "Brand#1")
+            & (F.col("p_type") != "PROMO")
+            & F.col("p_size").isin(1, 5, 9, 14, 19, 23, 36, 45)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    bad_supp = (
+        t(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    li = t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(bad_supp), li.l_suppkey == bad_supp.s_suppkey, "left_anti")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "j9_lateral_topk",
+    """
+    SELECT c_custkey, o_orderkey, o_totalprice
+    FROM customer, LATERAL (
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_custkey = c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+    ) best
+    WHERE c_mktsegment = 'MACHINERY'
+    """,
+    "LATERAL correlated subquery (top-2 orders per customer), run through "
+    "Spark SQL's native LATERAL join support — Catalyst decorrelates the "
+    "ORDER BY ... LIMIT into a ranked window under the hood, which is "
+    "exactly the scale-safe plan (no per-row re-execution). Tie-break on "
+    "o_orderkey keeps top-2 deterministic; o_totalprice passes through "
+    "unaggregated so doubles are bit-identical.",
+)
+def j9_lateral_topk(spark, sf_dir):
+    _views(spark, sf_dir, "customer", "orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, o_orderkey, o_totalprice
+        FROM customer JOIN LATERAL (
+          SELECT o_orderkey, o_totalprice FROM orders
+          WHERE o_custkey = customer.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+        ) best
+        WHERE c_mktsegment = 'MACHINERY'
+        """
+    )
