@@ -1498,3 +1498,189 @@ def r1_recursive_spine(spark, sf_dir):
         ) o ON o.mo = months.m
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline: splits, chunking, packing, outlier clipping
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sample_hash_split",
+    """
+    SELECT doc_id,
+           substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS bucket,
+           CASE
+             WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                  IN ('0','1','2','3','4','5','6','7','8','9','a','b')
+               THEN 'train'
+             WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c','d')
+               THEN 'valid'
+             ELSE 'test'
+           END AS split
+    FROM documents
+    """,
+    "Deterministic train/valid/test split by content-independent key hash "
+    "(md5 of the id -> first hex nibble: 12/2/2 buckets = 75/12.5/12.5%). "
+    "Unlike randomSplit, the assignment is a pure projection — stable "
+    "across reruns, partitionings, and engines, embarrassingly parallel, "
+    "and joinable (any derived table splits identically). This is the "
+    "standard leakage-proof split for 100 TB corpora: no shuffle, no "
+    "global state, no seed coordination across executors.",
+)
+def sample_hash_split(spark, sf_dir):
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    return (
+        t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            bucket.alias("bucket"),
+            F.when(
+                bucket.isin(*"0123456789ab"), F.lit("train")
+            )
+            .when(bucket.isin("c", "d"), F.lit("valid"))
+            .otherwise(F.lit("test"))
+            .alias("split"),
+        )
+    )
+
+
+@register(
+    "doc_chunk_overlap",
+    """
+    SELECT doc_id,
+           CAST(start AS INT) AS chunk_start,
+           substr(text, CAST(start AS INT) + 1, 200) AS chunk
+    FROM (SELECT doc_id, text, unnest(range(0, n_chars, 150)) AS start
+          FROM documents WHERE n_chars > 0) exploded
+    """,
+    "Document chunking with overlap (context-window prep): each doc emits "
+    "ceil(n_chars/150) chunks of <=200 chars starting every 150 chars "
+    "(50-char overlap). Spark side is explode(sequence(0, n-1, 150)) + "
+    "substring — a generator expression, no shuffle, output partitioned "
+    "like the input; DuckDB mirrors it with a correlated generate_series. "
+    "At corpus scale this is the map-only fan-out stage before tokenize/"
+    "pack; chunk boundaries depend only on (doc, offset) so re-runs are "
+    "idempotent.",
+)
+def doc_chunk_overlap(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "documents")
+        .where(F.col("n_chars") > 0)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(0), (F.col("n_chars") - 1).cast("int"), F.lit(150))
+            ).alias("chunk_start"),
+            "text",
+        )
+        .select(
+            "doc_id",
+            "chunk_start",
+            F.substring(F.col("text"), F.col("chunk_start") + 1, 200).alias("chunk"),
+        )
+    )
+
+
+@register(
+    "pack_sequences_linear",
+    """
+    WITH toks AS (
+      SELECT doc_id, source, n_chars // 4 AS n_tokens FROM documents
+    )
+    SELECT doc_id, source, n_tokens,
+           COALESCE(SUM(n_tokens) OVER (
+             PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512
+             AS pack_id
+    FROM toks
+    """,
+    "Sequence packing (linear variant): assign docs to fixed 512-token "
+    "training packs by prefix-sum of token counts within each source "
+    "shard, ordered by doc_id (pack = prior_tokens div 512; a doc may "
+    "straddle its pack boundary, which the downstream concat-and-split "
+    "tokenizer handles — this is the deterministic one-pass assignment "
+    "used instead of greedy bin-packing, whose reset-on-overflow needs "
+    "sequential state). One window shuffle per shard key; token counts "
+    "are the n_chars/4 proxy (integer-exact on both engines).",
+)
+def pack_sequences_linear(spark, sf_dir):
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    toks = t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.expr("n_chars div 4").alias("n_tokens")
+    )
+    return (
+        toks.withColumn("prior_toks", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            F.expr("prior_toks div 512").alias("pack_id"),
+        )
+    )
+
+
+@register(
+    "winsorize_doc_lengths",
+    """
+    WITH ranked AS (
+      SELECT doc_id, source, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY source) AS n
+      FROM documents
+    ), cuts AS (
+      SELECT source,
+             MAX(CASE WHEN rn = (5*n + 99) // 100 THEN n_chars END) AS lo,
+             MAX(CASE WHEN rn = (95*n + 99) // 100 THEN n_chars END) AS hi
+      FROM ranked GROUP BY source
+    )
+    SELECT r.doc_id, r.source, r.n_chars,
+           LEAST(GREATEST(r.n_chars, c.lo), c.hi) AS clipped
+    FROM ranked r JOIN cuts c ON r.source = c.source
+    """,
+    "Per-group winsorization at exact p05/p95: the percentile is the "
+    "ceil(q*n)-th order statistic computed by row_number (integer "
+    "arithmetic (q*100*n+99) div 100 — no float interpolation, so the cut "
+    "value is a real data point and bit-equal on both engines; ties broken "
+    "by doc_id). Outlier clipping before length-bucketed batching is a "
+    "standard corpus-prep step; the rank window shuffles once per group "
+    "key and the tiny cuts table broadcasts back.",
+)
+def winsorize_doc_lengths(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    ranked = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.row_number()
+        .over(Window.partitionBy("source").orderBy("n_chars", "doc_id"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("source")).alias("n"),
+    )
+    cuts = ranked.groupBy("source").agg(
+        F.max(
+            F.when(F.col("rn") == F.expr("(5*n + 99) div 100"), F.col("n_chars"))
+        ).alias("lo"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(95*n + 99) div 100"), F.col("n_chars"))
+        ).alias("hi"),
+    )
+    return (
+        ranked.join(F.broadcast(cuts), "source")
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.least(F.greatest(F.col("n_chars"), F.col("lo")), F.col("hi")).alias(
+                "clipped"
+            ),
+        )
+    )
