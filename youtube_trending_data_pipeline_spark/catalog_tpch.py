@@ -1060,3 +1060,149 @@ def j9_lateral_topk(spark, sf_dir):
         WHERE c_mktsegment = 'MACHINERY'
         """
     )
+
+
+@register(
+    "q2_min_cost_supplier",
+    """
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+             MIN(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS cost_c
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ), eu AS (
+      SELECT s_suppkey, s_name, s_acctbal, n_name
+      FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+    )
+    SELECT p_partkey, p_brand, s_name, n_name, s_acctbal,
+           cost_c / 100.0 AS supply_cost
+    FROM part, ps, eu
+    WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+      AND p_size BETWEEN 10 AND 20 AND p_type = 'LARGE'
+      AND cost_c = (SELECT MIN(ps2.cost_c)
+                    FROM ps ps2 JOIN eu eu2 ON eu2.s_suppkey = ps2.l_suppkey
+                    WHERE ps2.l_partkey = p_partkey)
+    """,
+    "TPC-H Q2 shape (adapted: the part-supplier association and its "
+    "supply cost come from lineitem — min observed sale price in cents — "
+    "since the testdata has no partsupp): for each qualifying part, the "
+    "EUROPE supplier(s) offering the minimum cost, i.e. a correlated "
+    "scalar MIN subquery over the same join tree as the outer query. "
+    "Implemented decorrelated by construction (cite SURVEY §2.3 J3, "
+    "reference dags/trending_daily_ingestion.py:135-138 for the latent "
+    "small-dim join): one groupBy(l_partkey) over the region-pruned "
+    "association computes every group's min at once, then an equality "
+    "join applies it — the plan Catalyst would rewrite the correlated "
+    "form into, with nation/region/supplier broadcast at every scale. "
+    "Ties on min cost keep all suppliers (order-insensitive hash). Cost "
+    "stays integer cents until the final /100.0 so the value hash is "
+    "bit-exact.",
+)
+def q2_min_cost_supplier(spark, sf_dir):
+    ps = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(cents("l_extendedprice")).alias("cost_c"))
+    )
+    region = t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    nation = t(spark, sf_dir, "nation").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    eu = (
+        t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    eu_ps = ps.join(F.broadcast(eu), ps.l_suppkey == eu.s_suppkey)
+    min_cost = eu_ps.groupBy(F.col("l_partkey").alias("mk")).agg(
+        F.min("cost_c").alias("min_cost_c")
+    )
+    part = (
+        t(spark, sf_dir, "part")
+        .where(F.col("p_size").between(10, 20) & (F.col("p_type") == "LARGE"))
+        .select("p_partkey", "p_brand")
+    )
+    return (
+        eu_ps.join(
+            min_cost,
+            (F.col("l_partkey") == F.col("mk"))
+            & (F.col("cost_c") == F.col("min_cost_c")),
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            "p_partkey",
+            "p_brand",
+            "s_name",
+            "n_name",
+            "s_acctbal",
+            (F.col("cost_c") / 100.0).alias("supply_cost"),
+        )
+    )
+
+
+@register(
+    "q20_excess_shipment_suppliers",
+    """
+    SELECT s_name, s_acctbal, n_name
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'EUROPE'
+      AND s_suppkey IN (
+        SELECT l_suppkey
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_name LIKE 'red%'
+        GROUP BY l_suppkey, l_partkey
+        HAVING SUM(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01'
+                         AND l_shipdate <  TIMESTAMP '1998-01-01'
+                   THEN CAST(l_quantity AS BIGINT) ELSE 0 END) * 2
+               > SUM(CAST(l_quantity AS BIGINT))
+      )
+    """,
+    "TPC-H Q20 shape (adapted: 'excess stock' becomes part-supplier pairs "
+    "whose 1997 shipments exceed half their all-time quantity, since the "
+    "testdata has no partsupp.availqty): an IN subquery whose body is "
+    "itself a grouped aggregate with a conditional-sum HAVING — the "
+    "nested-decorrelation pattern of Q20 (reference has no subqueries at "
+    "all; SURVEY §2.3). The inner aggregate computes both the windowed "
+    "and total quantity in ONE pass (no self-join), the IN lowers to a "
+    "semi-join against the distinct supplier keys, and the region dims "
+    "broadcast. Quantities are integral doubles cast to BIGINT so the "
+    "*2 cross-multiplied threshold is integer-exact on both engines.",
+)
+def q20_excess_shipment_suppliers(spark, sf_dir):
+    red_parts = (
+        t(spark, sf_dir, "part")
+        .where(F.col("p_name").like("red%"))
+        .select("p_partkey")
+    )
+    y0 = F.lit("1997-01-01").cast("timestamp")
+    y1 = F.lit("1998-01-01").cast("timestamp")
+    qty = F.col("l_quantity").cast("long")
+    excess = (
+        t(spark, sf_dir, "lineitem")
+        .join(F.broadcast(red_parts), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.sum(
+                F.when((F.col("l_shipdate") >= y0) & (F.col("l_shipdate") < y1), qty)
+                .otherwise(F.lit(0))
+            ).alias("qty_1997"),
+            F.sum(qty).alias("qty_all"),
+        )
+        .where(F.col("qty_1997") * 2 > F.col("qty_all"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    region = t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    nation = t(spark, sf_dir, "nation").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    return (
+        t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(excess, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal", "n_name")
+    )
