@@ -1684,3 +1684,146 @@ def winsorize_doc_lengths(spark, sf_dir):
             ),
         )
     )
+
+
+@register(
+    "scd2_build",
+    """
+    SELECT user_id, event_id, event_type, value,
+           CAST(epoch_us(ts) AS BIGINT) AS valid_from_us,
+           LEAD(CAST(epoch_us(ts) AS BIGINT)) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+           ) AS valid_to_us,
+           CASE WHEN LEAD(ts) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+           ) IS NULL THEN 1 ELSE 0 END AS is_current
+    FROM events
+    """,
+    "SCD Type 2 dimension build: turn a change stream into versioned "
+    "rows with [valid_from, valid_to) intervals and a current flag — the "
+    "complement of cdc_latest_per_key's SCD-1 compaction. One LEAD window "
+    "per key (single shuffle on user_id); the interval column pair is "
+    "what every as-of join against history consumes. Timestamps compared "
+    "at micro precision (events.ts is nanos parquet; see catalog.t), "
+    "event_id tiebreak makes version order total.",
+)
+def scd2_build(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    ev = t(spark, sf_dir, "events").withColumn("ts_us", F.expr("ts div 1000"))
+    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    nxt = F.lead("ts_us").over(w)
+    return ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "value",
+        F.col("ts_us").alias("valid_from_us"),
+        nxt.alias("valid_to_us"),
+        F.when(nxt.isNull(), F.lit(1)).otherwise(F.lit(0)).alias("is_current"),
+    )
+
+
+@register(
+    "inverted_index",
+    """
+    SELECT token,
+           CAST(COUNT(*) AS BIGINT) AS tf_total,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+           list_sort(list(DISTINCT doc_id)) AS postings
+    FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+          FROM documents)
+    WHERE token <> ''
+    GROUP BY token
+    """,
+    "Inverted-index construction: token -> sorted posting list of doc ids "
+    "plus term/document frequencies — the search-index build step over a "
+    "corpus. Explode + one hash aggregate; postings are collect_set + "
+    "sort_array so the array value is deterministic regardless of "
+    "partition merge order. At 100 TB the same plan holds with the group "
+    "exchange hash-partitioned on token (skewed stopword tokens are the "
+    "known hot keys — cap or salt them in production; the aggregate "
+    "itself is associative so partial aggregation already absorbs most "
+    "of the skew map-side).",
+)
+def inverted_index(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("tf_total"),
+            F.countDistinct("doc_id").alias("df"),
+            F.sort_array(F.collect_set("doc_id")).alias("postings"),
+        )
+    )
+
+
+@register(
+    "contamination_check",
+    """
+    WITH docs AS (
+      SELECT doc_id, lower(text) AS lt,
+             CASE
+               WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                    IN ('0','1','2','3','4','5','6','7','8','9','a','b')
+                 THEN 'train'
+               WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c','d')
+                 THEN 'valid'
+               ELSE 'test'
+             END AS split
+      FROM documents
+    ), s AS (
+      SELECT doc_id, split,
+             md5(array_to_string(toks[k+1:k+8], ' ')) AS h
+      FROM (SELECT doc_id, split, string_split(lt, ' ') AS toks FROM docs),
+           LATERAL (SELECT unnest(range(0, greatest(len(toks)-7, 0))) AS k)
+    ), train_h AS (SELECT DISTINCT h FROM s WHERE split = 'train')
+    SELECT te.doc_id,
+           CAST(COUNT(DISTINCT te.h) AS BIGINT) AS contaminated_shingles
+    FROM s te JOIN train_h USING (h)
+    WHERE te.split = 'test'
+    GROUP BY te.doc_id
+    """,
+    "Train/test contamination check: word-8-gram shingle hashes of every "
+    "test doc joined against the distinct shingle set of the train split "
+    "(split = the same leakage-proof md5 hash split as sample_hash_split) "
+    "— the standard eval-integrity scan run before training. Shingling "
+    "is a map-only explode; the train fingerprint set is built by one "
+    "distinct aggregate and the probe is a hash join on the 128-bit "
+    "hash. At corpus scale the train side is far too big to broadcast — "
+    "the shuffle hash join on h partitions both sides evenly because "
+    "md5 output is uniform (no skew by construction).",
+)
+def contamination_check(spark, sf_dir):
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.split(F.lower("text"), " ").alias("toks"),
+        F.when(bucket.isin(*"0123456789ab"), F.lit("train"))
+        .when(bucket.isin("c", "d"), F.lit("valid"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+    shingles = (
+        docs.where(F.size("toks") >= 8)
+        .select(
+            "doc_id",
+            "split",
+            F.explode(F.sequence(F.lit(0), F.size("toks") - 8)).alias("k"),
+            "toks",
+        )
+        .select(
+            "doc_id",
+            "split",
+            F.md5(F.concat_ws(" ", F.slice("toks", F.col("k") + 1, 8))).alias("h"),
+        )
+    )
+    train_h = shingles.where(F.col("split") == "train").select("h").distinct()
+    return (
+        shingles.where(F.col("split") == "test")
+        .join(train_h, "h")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("h").alias("contaminated_shingles"))
+    )
