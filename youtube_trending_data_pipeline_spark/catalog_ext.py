@@ -1827,3 +1827,170 @@ def contamination_check(spark, sf_dir):
         .groupBy("doc_id")
         .agg(F.countDistinct("h").alias("contaminated_shingles"))
     )
+
+
+@register(
+    "activity_islands",
+    """
+    WITH hrs AS (
+      SELECT DISTINCT user_id,
+             CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS h
+      FROM events
+    ), r AS (
+      SELECT user_id, h,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY h) AS rn
+      FROM hrs
+    )
+    SELECT user_id,
+           MIN(h) AS island_start_h,
+           MAX(h) AS island_end_h,
+           CAST(COUNT(*) AS BIGINT) AS n_active_hours
+    FROM r GROUP BY user_id, h - rn
+    """,
+    "Gaps-and-islands: collapse each user's active hours into maximal "
+    "runs of consecutive activity (island = group of hours where "
+    "hour_index - row_number is constant — the classic islands trick, "
+    "no self-join, no iteration). Distinct + one ranking window + one "
+    "aggregate, all partitioned by user_id, so the whole thing is a "
+    "single shuffle on the user key at any scale. Hour index is integer "
+    "nanos div, bit-equal to the oracle's epoch_us div.",
+)
+def activity_islands(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    hrs = (
+        t(spark, sf_dir, "events")
+        .select("user_id", F.expr("ts div 3600000000000").alias("h"))
+        .distinct()
+    )
+    r = hrs.withColumn(
+        "rn", F.row_number().over(W.partitionBy("user_id").orderBy("h"))
+    )
+    return (
+        r.groupBy("user_id", (F.col("h") - F.col("rn")).alias("grp"))
+        .agg(
+            F.min("h").alias("island_start_h"),
+            F.max("h").alias("island_end_h"),
+            F.count(F.lit(1)).alias("n_active_hours"),
+        )
+        .select("user_id", "island_start_h", "island_end_h", "n_active_hours")
+    )
+
+
+@register(
+    "profile_table",
+    """
+    SELECT col,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(v) AS BIGINT) AS n_non_null,
+           CAST(COUNT(DISTINCT v) AS BIGINT) AS ndv,
+           MIN(v) AS min_v, MAX(v) AS max_v
+    FROM (
+      SELECT 'l_orderkey' AS col, l_orderkey AS v FROM lineitem
+      UNION ALL SELECT 'l_partkey', l_partkey FROM lineitem
+      UNION ALL SELECT 'l_suppkey', l_suppkey FROM lineitem
+      UNION ALL SELECT 'l_linenumber', l_linenumber FROM lineitem
+      UNION ALL SELECT 'l_quantity', CAST(l_quantity AS BIGINT) FROM lineitem
+    ) GROUP BY col
+    """,
+    "ANALYZE-style column profiling (null counts, exact NDV, min/max per "
+    "column) in ONE pass: unpivot the 5 key columns to (col, value) rows "
+    "via stack, then a single hash aggregate grouped by column name — "
+    "one distinct-agg per group instead of 5 separate scans or a 5-way "
+    "count-distinct expand of the whole table. Spark plans the stack as "
+    "a generator (no shuffle) and the aggregate as partial+final on the "
+    "5-key exchange. At 100 TB swap countDistinct for "
+    "approx_count_distinct and keep the identical plan shape; exact NDV "
+    "here because the oracle gate demands bit-equality.",
+)
+def profile_table(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    stacked = li.select(
+        F.expr(
+            "stack(5, "
+            "'l_orderkey', l_orderkey, "
+            "'l_partkey', l_partkey, "
+            "'l_suppkey', l_suppkey, "
+            "'l_linenumber', CAST(l_linenumber AS BIGINT), "
+            "'l_quantity', CAST(l_quantity AS BIGINT)"
+            ") AS (col, v)"
+        )
+    )
+    return stacked.groupBy("col").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("v").alias("n_non_null"),
+        F.countDistinct("v").alias("ndv"),
+        F.min("v").alias("min_v"),
+        F.max("v").alias("max_v"),
+    )
+
+
+@register(
+    "snapshot_diff",
+    """
+    WITH old AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 3 = 0
+                  THEN CAST(ROUND(o_totalprice*100) AS BIGINT) + 1000
+                  ELSE CAST(ROUND(o_totalprice*100) AS BIGINT) END AS price_c
+      FROM orders WHERE o_orderkey % 7 <> 0
+    ), new AS (
+      SELECT o_orderkey,
+             CAST(ROUND(o_totalprice*100) AS BIGINT) AS price_c
+      FROM orders WHERE o_orderkey % 5 <> 0
+    )
+    SELECT COALESCE(old.o_orderkey, new.o_orderkey) AS o_orderkey,
+           CASE WHEN old.o_orderkey IS NULL THEN 'added'
+                WHEN new.o_orderkey IS NULL THEN 'removed'
+                ELSE 'changed' END AS status,
+           old.price_c AS old_price_c,
+           new.price_c AS new_price_c
+    FROM old FULL JOIN new ON old.o_orderkey = new.o_orderkey
+    WHERE old.o_orderkey IS NULL OR new.o_orderkey IS NULL
+       OR old.price_c <> new.price_c
+    """,
+    "Snapshot reconciliation / table diff: full-outer join two versions "
+    "of a table on the key and classify every row as added / removed / "
+    "changed — the regression check run between pipeline versions and "
+    "the core of anti-entropy repair. (Versions are derived "
+    "deterministically from orders by modular filters + a planted price "
+    "drift so the query is self-contained.) The join is key-partitioned "
+    "sort-merge at scale — both sides shuffle once on the key; prices "
+    "compared in integer cents so 'changed' is bit-defined.",
+)
+def snapshot_diff(spark, sf_dir):
+    orders = t(spark, sf_dir, "orders")
+    price_c = F.round(F.col("o_totalprice") * 100).cast("long")
+    old = (
+        orders.where(F.col("o_orderkey") % 7 != 0)
+        .select(
+            F.col("o_orderkey").alias("old_key"),
+            F.when(F.col("o_orderkey") % 3 == 0, price_c + 1000)
+            .otherwise(price_c)
+            .alias("old_price_c"),
+        )
+    )
+    new = (
+        orders.where(F.col("o_orderkey") % 5 != 0)
+        .select(
+            F.col("o_orderkey").alias("new_key"),
+            price_c.alias("new_price_c"),
+        )
+    )
+    j = old.join(new, old.old_key == new.new_key, "full")
+    return (
+        j.where(
+            F.col("old_key").isNull()
+            | F.col("new_key").isNull()
+            | (F.col("old_price_c") != F.col("new_price_c"))
+        )
+        .select(
+            F.coalesce("old_key", "new_key").alias("o_orderkey"),
+            F.when(F.col("old_key").isNull(), F.lit("added"))
+            .when(F.col("new_key").isNull(), F.lit("removed"))
+            .otherwise(F.lit("changed"))
+            .alias("status"),
+            "old_price_c",
+            "new_price_c",
+        )
+    )
