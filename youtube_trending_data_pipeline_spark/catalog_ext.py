@@ -1994,3 +1994,92 @@ def snapshot_diff(spark, sf_dir):
             "new_price_c",
         )
     )
+
+
+@register(
+    "hopping_window_counts",
+    """
+    SELECT w_start_us,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS sum_value_c
+    FROM (
+      SELECT event_type, value,
+             (epoch_us(ts) // 300000000 - k) * 300000000 AS w_start_us
+      FROM events,
+           LATERAL (SELECT unnest(range(0, 3)) AS k)
+      WHERE (epoch_us(ts) // 300000000 - k) * 300000000
+            + 900000000 > epoch_us(ts)
+    ) GROUP BY w_start_us, event_type
+    """,
+    "Hopping (sliding) event-time windows in batch: 15-minute windows "
+    "every 5 minutes — each event lands in exactly 3 overlapping windows. "
+    "Spark expresses this natively with F.window(ts, '15 minutes', "
+    "'5 minutes'), which the planner expands to the same 3-way generator "
+    "before one hash aggregate (identical to the streaming operator's "
+    "state layout, so the batch and readStream plans agree). The oracle "
+    "mirrors the expansion arithmetic explicitly. Window starts emitted "
+    "as epoch micros (integer) and value summed in cents, so the hash is "
+    "exact; at scale this is explode(x3) then partial+final agg on the "
+    "(window, type) key — no shuffle amplification beyond the 3x row fan-out.",
+)
+def hopping_window_counts(spark, sf_dir):
+    ev = t(spark, sf_dir, "events").select(
+        F.timestamp_micros(F.expr("ts div 1000")).alias("ts_ts"),
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("value_c"),
+    )
+    return (
+        ev.groupBy(
+            F.window("ts_ts", "15 minutes", "5 minutes").alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value_c").alias("sum_value_c"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("w_start_us"),
+            "event_type",
+            "n",
+            "sum_value_c",
+        )
+    )
+
+
+@register(
+    "dedup_incremental",
+    """
+    WITH history AS (
+      SELECT DISTINCT md5(substr(lower(text), 1, 64)) AS fp
+      FROM documents WHERE doc_id % 4 <> 0
+    ), batch AS (
+      SELECT doc_id, md5(substr(lower(text), 1, 64)) AS fp
+      FROM documents WHERE doc_id % 4 = 0
+    )
+    SELECT b.doc_id, b.fp
+    FROM batch b LEFT JOIN history h ON b.fp = h.fp
+    WHERE h.fp IS NULL
+    """,
+    "Incremental dedup against a historical fingerprint store: the "
+    "new-batch documents (doc_id % 4 = 0 stands in for today's arrivals) "
+    "are anti-joined on content fingerprint against the fingerprints of "
+    "everything already ingested — the cross-batch half of dedup that "
+    "dedup_exact's within-batch groupBy cannot see, and the step every "
+    "daily corpus pipeline runs before appending. Anti-join on the "
+    "uniform 128-bit hash shuffles both sides evenly; at 100 TB the "
+    "history side stays a compact fingerprint-only table (one narrow "
+    "column), never the full corpus.",
+)
+def dedup_incremental(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    # 64-char-prefix head fingerprint (coarser than the full-content
+    # fingerprint) so cross-batch collisions exist in the synthetic
+    # corpus and the anti-join's elimination path is actually exercised
+    # (full-content md5 finds zero cross-batch dupes here = vacuous).
+    fp = F.md5(F.substring(F.lower("text"), 1, 64))
+    history = (
+        docs.where(F.col("doc_id") % 4 != 0).select(fp.alias("fp")).distinct()
+    )
+    batch = docs.where(F.col("doc_id") % 4 == 0).select("doc_id", fp.alias("fp"))
+    return batch.join(history, "fp", "left_anti").select("doc_id", "fp")
