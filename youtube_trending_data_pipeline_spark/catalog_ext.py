@@ -2083,3 +2083,108 @@ def dedup_incremental(spark, sf_dir):
     )
     batch = docs.where(F.col("doc_id") % 4 == 0).select("doc_id", fp.alias("fp"))
     return batch.join(history, "fp", "left_anti").select("doc_id", "fp")
+
+
+@register(
+    "text_redact_pii",
+    """
+    WITH enriched AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or +1-555-010' || CAST(doc_id % 10 AS VARCHAR)
+                  || ' now' AS raw
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(raw,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\\+?[0-9][0-9()\\-\\s]{6,}[0-9]', '<PHONE>', 'g') AS redacted,
+           CAST(length(raw) - length(
+             regexp_replace(raw,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '', 'g'))
+             AS BIGINT) AS email_chars_removed
+    FROM enriched
+    """,
+    "PII redaction (corpus safety scrub): regexp-replace e-mail addresses "
+    "and phone numbers with placeholder tokens, plus a removed-chars "
+    "audit count. The PII is injected deterministically per row first "
+    "(the synthetic corpus contains none) so every row exercises both "
+    "patterns and the engines' regexp dialects are proven equivalent on "
+    "the character classes/quantifiers involved. Pure map-side projection "
+    "— no shuffle, codegen-friendly, linear at any corpus size.",
+)
+def text_redact_pii(spark, sf_dir):
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-010"),
+        (F.col("doc_id") % 10).cast("string"),
+        F.lit(" now"),
+    )
+    email_re = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    phone_re = "\\+?[0-9][0-9()\\-\\s]{6,}[0-9]"
+    return (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", raw.alias("raw"))
+        .select(
+            "doc_id",
+            F.regexp_replace(
+                F.regexp_replace("raw", email_re, "<EMAIL>"),
+                phone_re,
+                "<PHONE>",
+            ).alias("redacted"),
+            (
+                F.length("raw")
+                - F.length(F.regexp_replace("raw", email_re, ""))
+            ).cast("long").alias("email_chars_removed"),
+        )
+    )
+
+
+@register(
+    "text_repetition_score",
+    """
+    WITH tri AS (
+      SELECT doc_id, md5(array_to_string(toks[k+1:k+3], ' ')) AS h
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks
+            FROM documents),
+           LATERAL (SELECT unnest(range(0, greatest(len(toks)-2, 0))) AS k)
+    ), cnt AS (
+      SELECT doc_id, h, COUNT(*) AS c FROM tri GROUP BY doc_id, h
+    )
+    SELECT doc_id,
+           CAST(MAX(c) AS BIGINT) AS max_trigram_count,
+           CAST(SUM(c) AS BIGINT) AS n_trigrams
+    FROM cnt GROUP BY doc_id
+    """,
+    "Repetition score (quality signal): the most-frequent word trigram's "
+    "count vs the doc's total trigrams — high ratios flag boilerplate / "
+    "degenerate repetition, one of the standard corpus-quality filters "
+    "for LLM training data. Trigram explode is a generator (3x fan-out), "
+    "then two hash aggregates both keyed by doc_id, so after the first "
+    "shuffle the second is exchange-free (same partitioning). Counts "
+    "stay integers; the caller divides for the ratio.",
+)
+def text_repetition_score(spark, sf_dir):
+    toks = F.split(F.lower("text"), " ")
+    tri = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", toks.alias("toks"))
+        .where(F.size("toks") >= 3)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.size("toks") - 3)).alias("k"),
+            "toks",
+        )
+        .select(
+            "doc_id",
+            F.md5(F.concat_ws(" ", F.slice("toks", F.col("k") + 1, 3))).alias("h"),
+        )
+    )
+    cnt = tri.groupBy("doc_id", "h").agg(F.count(F.lit(1)).alias("c"))
+    return cnt.groupBy("doc_id").agg(
+        F.max("c").alias("max_trigram_count"),
+        F.sum("c").alias("n_trigrams"),
+    )
