@@ -2188,3 +2188,89 @@ def text_repetition_score(spark, sf_dir):
         F.max("c").alias("max_trigram_count"),
         F.sum("c").alias("n_trigrams"),
     )
+
+
+@register(
+    "corpus_mix_resample",
+    """
+    WITH w AS (
+      SELECT source, COUNT(*) AS n_s,
+             CAST(substr(source, 4) AS BIGINT) + 1 AS w_s
+      FROM documents GROUP BY source
+    ), tot AS (
+      SELECT SUM(n_s) AS n_total, SUM(w_s) AS sum_w FROM w
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN w USING (source), tot
+    WHERE (d.doc_id * 2654435761) % 4294967296 * n_s * sum_w
+          < w_s * n_total * 4294967296
+    """,
+    "Corpus mixing / resampling to a target source distribution (the "
+    "pretraining data-mix step): each source s gets target weight w_s "
+    "(derived from its name here; a config table in production), and "
+    "every doc is kept iff a uniform 32-bit key hash falls below that "
+    "source's acceptance rate p_s * N / n_s — cross-multiplied into one "
+    "integer inequality so the decision is exact and engine-independent. "
+    "The key hash is Knuth multiplicative (doc_id * 2654435761 mod 2^32): "
+    "deterministic, seedless, joinable — the same doc is kept in every "
+    "rerun. Plan: tiny per-source stats aggregate broadcasts back onto a "
+    "map-side filter; no shuffle of the corpus itself. (Cross-factors "
+    "stay < 2^63 while n_s * sum_w * 2^32 does — swap to the fraction "
+    "compare at double precision if weights grow unbounded.)",
+)
+def corpus_mix_resample(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source")
+    w = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_s")).withColumn(
+        "w_s", F.substring("source", 4, 10).cast("long") + 1
+    )
+    tot = w.agg(
+        F.sum("n_s").alias("n_total"), F.sum("w_s").alias("sum_w")
+    )
+    h = F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(4294967296))
+    return (
+        docs.join(F.broadcast(w), "source")
+        .crossJoin(F.broadcast(tot))
+        .where(
+            h * F.col("n_s") * F.col("sum_w")
+            < F.col("w_s") * F.col("n_total") * F.lit(4294967296)
+        )
+        .select("doc_id", "source")
+    )
+
+
+@register(
+    "a25_equidepth_histogram",
+    """
+    WITH b AS (
+      SELECT n_chars,
+             NTILE(10) OVER (ORDER BY n_chars, doc_id) AS bucket
+      FROM documents
+    )
+    SELECT bucket,
+           CAST(MIN(n_chars) AS BIGINT) AS lo,
+           CAST(MAX(n_chars) AS BIGINT) AS hi,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM b GROUP BY bucket
+    """,
+    "Equi-depth histogram (complement of a22_histogram's equi-width "
+    "buckets): NTILE(10) splits the ordered value set into equal-count "
+    "buckets whose [lo, hi] boundaries are the decile cut points — the "
+    "statistic an optimizer's histogram or a length-bucketed batching "
+    "stage consumes. Deterministic via the doc_id tiebreak. The global "
+    "ORDER BY window is a single-partition sort, correct here and at "
+    "oracle scale; at 100 TB you compute the same boundaries with "
+    "approx_percentile (or repartitionByRange sampling) and keep the "
+    "identical downstream shape.",
+)
+def a25_equidepth_histogram(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    b = t(spark, sf_dir, "documents").select(
+        "n_chars",
+        F.ntile(10).over(W.orderBy("n_chars", "doc_id")).alias("bucket"),
+    )
+    return b.groupBy("bucket").agg(
+        F.min("n_chars").alias("lo"),
+        F.max("n_chars").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    )
