@@ -2274,3 +2274,39 @@ def a25_equidepth_histogram(spark, sf_dir):
         F.max("n_chars").alias("hi"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "sample_per_group_topk",
+    """
+    SELECT doc_id, source
+    FROM (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY (doc_id * 2654435761) % 4294967296, doc_id
+             ) AS rn
+      FROM documents
+    ) WHERE rn <= 5
+    """,
+    "Exact-k per-stratum sampling: keep exactly 5 docs per source, "
+    "chosen by rank over a deterministic Knuth multiplicative hash of "
+    "the key — the reproducible counterpart of reservoir sampling "
+    "(sample_stratified's sampleBy draws a *fraction* with a seed; this "
+    "draws a fixed count with no RNG at all, so reruns and engines "
+    "agree bit-for-bit). One ranking window per group key = single "
+    "shuffle; at 100 TB the same plan holds, and because the hash is "
+    "uniform the per-group rank-5 cut is an unbiased sample regardless "
+    "of how doc_ids were assigned.",
+)
+def sample_per_group_topk(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    h = F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(4294967296))
+    w = W.partitionBy("source").orderBy(h, "doc_id")
+    return (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", "source", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= 5)
+        .select("doc_id", "source")
+    )
