@@ -2310,3 +2310,59 @@ def sample_per_group_topk(spark, sf_dir):
         .where(F.col("rn") <= 5)
         .select("doc_id", "source")
     )
+
+
+@register(
+    "twap_per_user",
+    """
+    WITH iv AS (
+      SELECT user_id,
+             CAST(ROUND(value*100) AS BIGINT) AS value_c,
+             LEAD(CAST(epoch_us(ts) AS BIGINT)) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ) - CAST(epoch_us(ts) AS BIGINT) AS dur_us
+      FROM events
+    )
+    SELECT user_id,
+           SUM(value_c * dur_us) AS vt_sum,
+           SUM(dur_us) AS t_sum,
+           CAST(SUM(value_c * dur_us) AS DOUBLE) / SUM(dur_us) / 100.0
+             AS twap
+    FROM iv WHERE dur_us IS NOT NULL
+    GROUP BY user_id
+    """,
+    "Time-weighted average (TWAP): each observation is weighted by how "
+    "long it was the current value (interval to the next event, via one "
+    "LEAD window per user), then one aggregate divides the exact integer "
+    "sums — the standard financial/telemetry downsampling statistic that "
+    "a plain AVG gets wrong under irregular sampling. Both sums stay "
+    "BIGINT (cents x micros < 2^63 by a wide margin), so the final "
+    "single division is the only float op and is bit-identical across "
+    "engines and partitionings. Window + agg share the user_id "
+    "partitioning: one shuffle total.",
+)
+def twap_per_user(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.expr("ts div 1000").alias("ts_us"),
+        F.round(F.col("value") * 100).cast("long").alias("value_c"),
+    )
+    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    iv = ev.withColumn("dur_us", F.lead("ts_us").over(w) - F.col("ts_us"))
+    return (
+        iv.where(F.col("dur_us").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.col("value_c") * F.col("dur_us")).alias("vt_sum"),
+            F.sum("dur_us").alias("t_sum"),
+        )
+        .select(
+            "user_id",
+            "vt_sum",
+            "t_sum",
+            (F.col("vt_sum").cast("double") / F.col("t_sum") / 100.0).alias("twap"),
+        )
+    )
