@@ -2366,3 +2366,106 @@ def twap_per_user(spark, sf_dir):
             (F.col("vt_sum").cast("double") / F.col("t_sum") / 100.0).alias("twap"),
         )
     )
+
+
+@register(
+    "event_transition_matrix",
+    """
+    WITH seq AS (
+      SELECT event_type AS from_type,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ) AS to_type
+      FROM events
+    )
+    SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM seq WHERE to_type IS NOT NULL
+    GROUP BY from_type, to_type
+    """,
+    "First-order transition matrix (Markov counts): for each user's "
+    "time-ordered event stream, count every consecutive (from -> to) "
+    "event-type pair — the building block of next-action models, "
+    "anomaly scoring, and the funnel operator's unordered cousin. One "
+    "LEAD window keyed by user then a tiny (|types|^2-row) aggregate; "
+    "the window shuffle dominates and the count table broadcasts "
+    "onward at any scale.",
+)
+def event_transition_matrix(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.expr("ts div 1000").alias("ts_us")
+    )
+    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    return (
+        ev.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .where(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "a26_median_abs_deviation",
+    """
+    WITH med AS (
+      SELECT source, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY n_chars, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY source) AS n
+      FROM documents
+    ), m AS (
+      SELECT source,
+             MAX(CASE WHEN rn = (n + 1) // 2 THEN n_chars END) AS median_lo
+      FROM med GROUP BY source
+    ), dev AS (
+      SELECT d.source, ABS(d.n_chars - m.median_lo) AS adev,
+             ROW_NUMBER() OVER (PARTITION BY d.source
+                                ORDER BY ABS(d.n_chars - m.median_lo),
+                                         d.doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY d.source) AS n
+      FROM documents d JOIN m ON d.source = m.source
+    )
+    SELECT source,
+           MAX(CASE WHEN rn = (n + 1) // 2 THEN adev END) AS mad
+    FROM dev GROUP BY source
+    """,
+    "Median absolute deviation per group — the robust spread statistic "
+    "outlier filters use when stddev is itself corrupted by the "
+    "outliers. Two exact order-statistic passes (median = the "
+    "ceil(n/2)-th value by row_number, lower median for even n with "
+    "doc_id tiebreak — no float interpolation, bit-equal on both "
+    "engines), with the per-group medians broadcast back between them. "
+    "Each pass is one window shuffle on the group key; at 100 TB the "
+    "same two-pass shape runs with approx_percentile medians and keeps "
+    "the join/aggregate layout.",
+)
+def a26_median_abs_deviation(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+
+    def lower_median(df, val_col, out_name):
+        r = df.select(
+            "*",
+            F.row_number()
+            .over(W.partitionBy("source").orderBy(val_col, "doc_id"))
+            .alias("rn"),
+            F.count(F.lit(1)).over(W.partitionBy("source")).alias("n"),
+        )
+        return r.groupBy("source").agg(
+            F.max(
+                F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col(val_col))
+            ).alias(out_name)
+        )
+
+    med = lower_median(docs, "n_chars", "median_lo")
+    dev = docs.join(F.broadcast(med), "source").select(
+        "doc_id",
+        "source",
+        F.abs(F.col("n_chars") - F.col("median_lo")).alias("adev"),
+    )
+    return lower_median(dev, "adev", "mad")
