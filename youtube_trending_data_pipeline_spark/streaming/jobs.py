@@ -103,9 +103,16 @@ def interval_join_streams(
     right_ts: str,
     within: str = "1 hour",
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join: right rows within ``(left_ts, left_ts +
+    """Stream-stream join: right rows within ``(left_ts, left_ts +
     within]`` of a matching-key left row (view→click attribution shape).
+
+    ``how='leftOuter'`` keeps unmatched left rows: the state store emits
+    them with null right columns once the watermark passes their join
+    bound, so "views that never converted" is computable continuously —
+    the same bounded-state guarantee as the inner join, plus a
+    watermark-delayed null emission.
 
     Both sides are watermarked so the join state store evicts rows once
     they can no longer match — bounded state on unbounded streams, which
@@ -123,7 +130,7 @@ def interval_join_streams(
         & (rw[right_ts] > lw[left_ts])
         & (rw[right_ts] <= F.expr(f"{left_ts} + interval {within}"))
     )
-    return lw.join(rw, cond, "inner")
+    return lw.join(rw, cond, how)
 
 
 def stream_upsert_snapshot(
