@@ -108,7 +108,13 @@ def test_no_accidental_cartesian_anywhere(spark):
     # aggregate ("compare every row to the global total/average"). Spark
     # plans the conditionless join as BroadcastNestedLoopJoin, which with a
     # 1-row build side is a constant-append — O(n), no quadratic blowup.
-    allowed_scalar_bnlj = {"q22_dormant_customers", "q11_important_parts"}
+    allowed_scalar_bnlj = {
+        "q22_dormant_customers",
+        "q11_important_parts",
+        # corpus_mix_resample: 1-row (n_total, sum_w) stats broadcast onto
+        # the per-doc acceptance filter — constant-append, O(n).
+        "corpus_mix_resample",
+    }
     for name, spec in QUERIES.items():
         if name in allowed_cross:
             continue
