@@ -2469,3 +2469,71 @@ def a26_median_abs_deviation(spark, sf_dir):
         F.abs(F.col("n_chars") - F.col("median_lo")).alias("adev"),
     )
     return lower_median(dev, "adev", "mad")
+
+
+@register(
+    "w_distinct_over_window",
+    """
+    SELECT user_id, event_id,
+           CAST(COUNT(DISTINCT event_type) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS distinct_types_so_far
+    FROM events
+    """,
+    "Running DISTINCT count over a window (how many different event "
+    "types has this user produced so far) — a shape Spark's window "
+    "functions reject directly (DISTINCT isn't supported in window "
+    "aggregates), so the engine expresses it as size(collect_set() "
+    "OVER w): the set dedups incrementally per frame and size() reads "
+    "its cardinality. Same single shuffle on the partition key as any "
+    "running aggregate; the set's size is bounded by |event types| (5), "
+    "so state per row is O(types), not O(rows). DuckDB runs the "
+    "DISTINCT window natively — the oracle proves the rewrite exact.",
+)
+def w_distinct_over_window(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    ev = t(spark, sf_dir, "events").withColumn("ts_us", F.expr("ts div 1000"))
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.size(F.collect_set("event_type").over(w)).alias("distinct_types_so_far"),
+    )
+
+
+@register(
+    "sub_not_in_nullable",
+    """
+    SELECT l_orderkey, l_linenumber, l_suppkey
+    FROM lineitem
+    WHERE nullif(l_suppkey, 3) NOT IN (
+      SELECT s_suppkey FROM supplier WHERE s_acctbal > 5000
+    )
+    """,
+    "Null-aware NOT IN: the probe expression nullif(l_suppkey, 3) is "
+    "genuinely nullable, so three-valued logic applies — rows whose "
+    "probe is NULL evaluate NOT IN as NULL (not TRUE) and are filtered "
+    "out, alongside rows matching the subquery list. Spark must plan "
+    "the null-aware anti-join variant (plain anti-join would wrongly "
+    "keep the NULL-probe rows); DuckDB implements the same standard "
+    "semantics natively, so the oracle pins the tri-state behavior "
+    "exactly. The build side (filtered supplier keys) broadcasts.",
+)
+def sub_not_in_nullable(spark, sf_dir):
+    _vw = t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    t(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
+    return t(spark, sf_dir, "lineitem").sparkSession.sql(
+        """
+        SELECT l_orderkey, l_linenumber, l_suppkey
+        FROM lineitem
+        WHERE nullif(l_suppkey, 3) NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal > 5000
+        )
+        """
+    )
