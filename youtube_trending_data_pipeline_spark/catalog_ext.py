@@ -2537,3 +2537,40 @@ def sub_not_in_nullable(spark, sf_dir):
         )
         """
     )
+
+
+@register(
+    "pseudonymize_keys",
+    """
+    SELECT sha256('pepper-2024:' || CAST(user_id AS VARCHAR)) AS user_pseudo,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+    FROM events
+    GROUP BY user_id
+    """,
+    "Key pseudonymization: replace the natural user key with a salted "
+    "SHA-256 digest before the table leaves the trust boundary — "
+    "analytics (counts, distincts, joins between pseudonymized tables) "
+    "still work because the mapping is deterministic, but the raw id "
+    "never appears downstream. Pure projection folded into the "
+    "aggregate's first pass (the digest IS the group key after the "
+    "map side); the pepper string would come from a secret store in "
+    "production. Complements text_redact_pii: that scrubs content, "
+    "this scrubs identity columns.",
+)
+def pseudonymize_keys(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("event_type").alias("n_types"),
+        )
+        .select(
+            F.sha2(
+                F.concat(F.lit("pepper-2024:"), F.col("user_id").cast("string")), 256
+            ).alias("user_pseudo"),
+            "n_events",
+            "n_types",
+        )
+    )
