@@ -2574,3 +2574,63 @@ def pseudonymize_keys(spark, sf_dir):
             "n_types",
         )
     )
+
+
+@register(
+    "stream_stateful_engagement",
+    """
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           SUM(CAST(ROUND(value*100) AS BIGINT)) / 100.0 AS total_value,
+           MAX(CAST(epoch_us(ts) AS BIGINT)) AS last_ts_us
+    FROM events GROUP BY user_id
+    """,
+    "Custom stateful streaming operator IN the oracle gate: the "
+    "applyInPandasWithState per-user engagement state machine "
+    "(streaming/stateful.py) drains the events table through a real "
+    "availableNow streaming query into a memory sink, takes each "
+    "user's final state row, and must equal the batch aggregate the "
+    "oracle computes — proving the incremental state fold is exactly "
+    "the associative aggregate it claims to be. Value totals "
+    "accumulate in integer cents inside the state (bit-exact under "
+    "any batch split); timestamps compared at micro precision "
+    "(events.ts is nanos parquet).",
+)
+def stream_stateful_engagement(spark, sf_dir):
+    import os
+    import tempfile
+    import uuid
+
+    from youtube_trending_data_pipeline_spark.streaming.stateful import (
+        running_user_engagement,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src_dir = tempfile.mkdtemp(prefix="stateful-src-")
+    os.symlink(f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet")
+    stream = (
+        spark.readStream.schema(batch_schema)
+        .parquet(src_dir)
+        .select("user_id", "ts", "value")
+    )
+    out = running_user_engagement(stream)
+    name = f"eng_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt-"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.sql(
+        f"""
+        SELECT user_id,
+               max_by(n_events, last_ts) AS n_events,
+               max_by(total_value, last_ts) AS total_value,
+               max(last_ts) div 1000 AS last_ts_us
+        FROM {name} GROUP BY user_id
+        """
+    )
