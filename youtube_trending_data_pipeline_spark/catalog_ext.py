@@ -2634,3 +2634,74 @@ def stream_stateful_engagement(spark, sf_dir):
         FROM {name} GROUP BY user_id
         """
     )
+
+
+@register(
+    "l_topk_with_ties",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             RANK() OVER (
+               PARTITION BY o_custkey
+               ORDER BY CAST(ROUND(o_totalprice*100) AS BIGINT) DESC
+             ) AS rk
+      FROM orders
+    ) WHERE rk <= 2
+    """,
+    "Top-k WITH TIES per group: RANK instead of ROW_NUMBER, so every "
+    "order tying the 2nd-highest price is kept — the SQL-standard "
+    "FETCH FIRST k WITH TIES semantics, and the correct choice when "
+    "truncating ties would bias a report (l_topk_per_group's "
+    "row_number variant is the deterministic-cardinality choice). "
+    "Ordering on exact cents makes tie groups bit-identical across "
+    "engines; same single window shuffle as any per-group rank.",
+)
+def l_topk_with_ties(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("o_custkey").orderBy(
+        F.desc(F.round(F.col("o_totalprice") * 100).cast("long"))
+    )
+    return (
+        t(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.rank().over(w).alias("rk"),
+        )
+        .where(F.col("rk") <= 2)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+@register(
+    "w_ratio_to_report",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CAST(CAST(ROUND(l_extendedprice*100) AS BIGINT) AS DOUBLE)
+             / SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT))
+               OVER (PARTITION BY l_orderkey) AS line_share
+    FROM lineitem
+    """,
+    "Ratio-to-report: each line's share of its order's total — the "
+    "percent-of-group-total window every revenue report needs, with "
+    "no self-join (the naive formulation joins the table to its own "
+    "groupBy). Numerator and denominator are both exact integer cents; "
+    "the single division per row is the only float op, so shares are "
+    "bit-identical regardless of partition merge order. One window "
+    "shuffle on the group key.",
+)
+def w_ratio_to_report(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    cents_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    return t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        (
+            cents_c.cast("double")
+            / F.sum(cents_c).over(W.partitionBy("l_orderkey"))
+        ).alias("line_share"),
+    )
