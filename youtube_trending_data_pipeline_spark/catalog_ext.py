@@ -2705,3 +2705,84 @@ def w_ratio_to_report(spark, sf_dir):
             / F.sum(cents_c).over(W.partitionBy("l_orderkey"))
         ).alias("line_share"),
     )
+
+
+@register(
+    "a27_pivot_multi_measure",
+    """
+    SELECT user_id,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+             AS click_n,
+           SUM(CASE WHEN event_type = 'click'
+               THEN CAST(ROUND(value*100) AS BIGINT) ELSE 0 END) / 100.0
+             AS click_value,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+             AS purchase_n,
+           SUM(CASE WHEN event_type = 'purchase'
+               THEN CAST(ROUND(value*100) AS BIGINT) ELSE 0 END) / 100.0
+             AS purchase_value
+    FROM events GROUP BY user_id
+    """,
+    "Pivot with MULTIPLE measures per spread column (count AND value "
+    "total per event type) — Spark's pivot(...).agg(m1, m2) names "
+    "output columns type_measure, mirrored here with explicit aliases "
+    "so both engines agree; a17_pivot is the single-measure form. The "
+    "pivot lowers to the same one-pass conditional aggregation (no "
+    "per-type scans), with value sums in exact cents.",
+)
+def a27_pivot_multi_measure(spark, sf_dir):
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("value_c"),
+    )
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "purchase"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum("value_c") / 100.0).alias("value"),
+        )
+        .select(
+            "user_id",
+            F.coalesce("click_n", F.lit(0)).alias("click_n"),
+            F.coalesce("click_value", F.lit(0.0)).alias("click_value"),
+            F.coalesce("purchase_n", F.lit(0)).alias("purchase_n"),
+            F.coalesce("purchase_value", F.lit(0.0)).alias("purchase_value"),
+        )
+    )
+
+
+@register(
+    "sub_scalar_in_select",
+    """
+    SELECT n_name,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM supplier
+            WHERE s_nationkey = n_nationkey) AS n_suppliers,
+           (SELECT COALESCE(SUM(CAST(ROUND(s_acctbal*100) AS BIGINT)), 0)
+            FROM supplier WHERE s_nationkey = n_nationkey) / 100.0
+             AS total_acctbal
+    FROM nation
+    """,
+    "Correlated scalar subqueries in the SELECT list (not the WHERE "
+    "clause): per-nation supplier count and balance total as inline "
+    "subqueries — the report-writing idiom Catalyst decorrelates into "
+    "a left outer join against one grouped aggregate, preserving "
+    "nations with zero suppliers (COUNT gives 0, SUM gives NULL -> "
+    "COALESCE 0). Both subqueries fold into a single aggregate pass; "
+    "balances in exact cents.",
+)
+def sub_scalar_in_select(spark, sf_dir):
+    t(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    t(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
+    return t(spark, sf_dir, "nation").sparkSession.sql(
+        """
+        SELECT n_name,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM supplier
+                WHERE s_nationkey = n_nationkey) AS n_suppliers,
+               (SELECT COALESCE(SUM(CAST(ROUND(s_acctbal*100) AS BIGINT)), 0)
+                FROM supplier WHERE s_nationkey = n_nationkey)
+                 / CAST(100 AS DOUBLE) AS total_acctbal
+        FROM nation
+        """
+    )
