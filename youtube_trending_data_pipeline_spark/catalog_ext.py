@@ -2786,3 +2786,35 @@ def sub_scalar_in_select(spark, sf_dir):
         FROM nation
         """
     )
+
+
+@register(
+    "token_freq_of_freq",
+    """
+    WITH tf AS (
+      SELECT token, COUNT(*) AS cnt
+      FROM (SELECT unnest(string_split(lower(text), ' ')) AS token
+            FROM documents)
+      WHERE token <> ''
+      GROUP BY token
+    )
+    SELECT cnt, CAST(COUNT(*) AS BIGINT) AS n_tokens_with_cnt
+    FROM tf GROUP BY cnt
+    """,
+    "Frequency-of-frequencies (the Zipf/Good-Turing table): how many "
+    "distinct tokens occur exactly k times — a second-order aggregate "
+    "(aggregate of an aggregate, no join) used for smoothing estimates "
+    "and corpus-health checks (a missing long tail signals boilerplate). "
+    "Two hash aggregates; the second one's input is already tiny "
+    "(|vocab| rows) so only the first shuffle touches corpus-scale "
+    "data, and it partial-aggregates map-side.",
+)
+def token_freq_of_freq(spark, sf_dir):
+    tf = (
+        t(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.lower("text"), " ")).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return tf.groupBy("cnt").agg(F.count(F.lit(1)).alias("n_tokens_with_cnt"))
