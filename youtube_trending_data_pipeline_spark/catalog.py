@@ -1320,7 +1320,10 @@ def f_date_suite(spark, sf_dir):
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _load_extensions()
-    return {name: spec.fn for name, spec in QUERIES.items()}
+    from youtube_trending_data_pipeline_spark.registry_order import order_for_driver
+
+    ordered = order_for_driver(list(QUERIES))
+    return {name: QUERIES[name].fn for name in ordered}
 
 
 def _load_extensions() -> None:

@@ -1,0 +1,80 @@
+"""Deterministic ordering of the query registry for driver verification.
+
+The external correctness gate checks the first 50 entries of
+``all_queries()`` per round (registration order).  To get every catalog
+entry at least one driver-verified CORRECTNESS row, we rotate: queries
+that already have a driver row from a previous round sort *after*
+queries that don't, and within the unchecked set a priority list (the
+judge-named TPC-H adaptations and corpus-prep operators) leads.
+
+``DRIVER_VERIFIED`` accumulates per round; append the keys of each new
+CORRECTNESS_r{N}.json after the driver runs so the next round's window
+covers fresh entries.  Ordering is pure bookkeeping — it never changes
+which queries exist or what they compute.
+"""
+
+from __future__ import annotations
+
+# Keys present in CORRECTNESS_r01.json (driver gate, round 1).
+DRIVER_VERIFIED_R01 = [
+    "s5_scan_project", "s6_scan_filter_eq", "s7_scan_range",
+    "s8_existence_probe", "p6_in_set", "p1_nested_extract",
+    "j1_anti_join", "j2_semi_join", "j3_multiway_join",
+    "j4_explode_tokens", "a1_distinct", "q1_pricing_summary",
+    "a5_derived_guard", "a6_mode_per_group", "a8_a9_conditional_agg",
+    "a10_count_distinct", "a12_rollup", "domain_daily_insights",
+    "w_rank_lag_running", "w2_trailing_window", "w_rank_suite",
+    "w3_weekly_rollup", "l_topk_per_group", "l_global_topk",
+    "l_global_sort", "u1_union_all", "u2_except_intersect",
+    "j5_outer_join", "j6_asof_join", "j7_range_join", "sessionize",
+    "skew_salted_agg", "a13_cube", "a14_approx_distinct",
+    "f1_duration_parse", "f_datetime", "f9_format_number",
+    "f_string_funcs", "a15_percentiles", "a16_string_agg", "a17_pivot",
+    "f_math_funcs", "f_array_funcs", "f_conditional_null", "a18_having",
+    "f_string_suite", "f_date_suite", "dedup_exact",
+    "dedup_minhash_lsh", "dedup_simhash",
+]
+
+DRIVER_VERIFIED: set[str] = set(DRIVER_VERIFIED_R01)
+
+# Unchecked queries the judge explicitly asked to land in the round-2
+# window (VERDICT.md "Next round" #1): all 22 TPC-H adaptations (q1 is
+# already verified) and the corpus-prep set.
+PRIORITY_UNCHECKED = [
+    # TPC-H adaptations (catalog_tpch.py)
+    "q2_min_cost_supplier", "q3_shipping_priority", "q4_order_priority",
+    "q5_local_supplier_volume", "q6_forecast_revenue",
+    "q7_volume_shipping", "q8_market_share", "q9_product_type_profit",
+    "q10_returned_items", "q11_important_parts",
+    "q12_priority_class_counts", "q13_customer_distribution",
+    "q14_promo_revenue_share", "q15_top_supplier",
+    "q16_supplier_part_counts", "q17_small_quantity_revenue",
+    "q18_large_volume_customer", "q19_disjunctive_predicates",
+    "q20_excess_shipment_suppliers", "q21_waiting_suppliers",
+    "q22_dormant_customers",
+    # Corpus-prep set (catalog_ext.py)
+    "sample_hash_split", "doc_chunk_overlap", "pack_sequences_linear",
+    "dedup_components", "contamination_check",
+]
+
+
+def order_for_driver(names: list[str]) -> list[str]:
+    """Order query names so the driver's first-50 window covers fresh work.
+
+    Three tiers, each preserving input (registration) order for names not
+    pinned by the priority list:
+      1. priority unchecked (judge-requested for this round's window)
+      2. remaining driver-unchecked
+      3. already driver-verified (regression safety via local parity suite)
+    """
+    pri_rank = {n: i for i, n in enumerate(PRIORITY_UNCHECKED)}
+    reg_rank = {n: i for i, n in enumerate(names)}
+
+    def key(n: str) -> tuple[int, int]:
+        if n in pri_rank and n not in DRIVER_VERIFIED:
+            return (0, pri_rank[n])
+        if n not in DRIVER_VERIFIED:
+            return (1, reg_rank[n])
+        return (2, reg_rank[n])
+
+    return sorted(names, key=key)
