@@ -72,7 +72,11 @@ def test_query_matches_oracle(name, spark, duck, sf_dir):
     srows = sdf.collect()
     scols = sdf.columns
     if spec.oracle is None:
-        assert len(srows) >= 0  # rows-only check, mirrors driver behavior
+        # rows-only check: the driver records only the row count for
+        # oracle-less queries, so locally require the query to actually
+        # produce rows — a silent empty result (the sub_not_exists
+        # incident) must fail here, not pass vacuously (ADVICE r1)
+        assert len(srows) > 0, f"{name}: rows-only query returned 0 rows"
         return
     ddf = duck.execute(spec.oracle).fetchall()
     dcols = [d[0] for d in duck.description]

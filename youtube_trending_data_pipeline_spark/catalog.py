@@ -953,15 +953,34 @@ def a13_cube(spark, sf_dir):
 
 @register(
     "a14_approx_distinct",
-    None,  # HLL sketches differ across engines by construction
-    "A-extension: approx_count_distinct (HLL++); rows-only check, exactness "
-    "cross-checked against COUNT DISTINCT in tests",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           TRUE AS within_bound
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    "A-extension: approx_count_distinct (HLL++, rsd=0.05) validated against "
+    "exact COUNT DISTINCT inside the query — the sketch estimate must land "
+    "within 3*rsd of exact, so the oracle hash-checks the bound (the sketch "
+    "value itself differs across engines by construction). Spark's HLL++ is "
+    "deterministic for fixed input, so within_bound is stable run-to-run.",
 )
 def a14_approx_distinct(spark, sf_dir):
     return (
         t(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
-        .agg(F.approx_count_distinct("l_partkey").alias("approx_parts"))
+        .agg(
+            F.count_distinct("l_partkey").alias("exact_parts"),
+            F.approx_count_distinct("l_partkey", rsd=0.05).alias("_approx"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_parts",
+            (
+                F.abs(F.col("_approx") - F.col("exact_parts"))
+                <= 3 * 0.05 * F.col("exact_parts")
+            ).alias("within_bound"),
+        )
     )
 
 

@@ -47,11 +47,128 @@ def dedup_exact(spark, sf_dir):
     return dd.exact_duplicates(t(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+# DuckDB mirror of the portable 32-bit base hash (operators/dedup.py
+# portable_hash32): first/second 8 hex digits of md5 parsed as an integer.
+_H32 = "(('0x' || substr(md5({s}), 1, 8))::BIGINT)"
+_H32_LO = "(('0x' || substr(md5({s}), 9, 8))::BIGINT)"
+_TOKS = "list_filter(str_split_regex({t}, '\\s+'), x -> x <> '')"
+
+
+def _minhash_oracle(
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_words: int = 3,
+    seed: int = 42,
+    threshold: float = 0.5,
+) -> str:
+    """DuckDB replay of minhash_near_duplicates, bit-exact: same word
+    shingles, same portable md5-derived base hash, same seeded affine
+    permutations mod the Mersenne prime, same empty-doc sentinels, band
+    equality on the raw signature slices (the Spark side hashes each band
+    slice, which only matters for shuffle-key width, not semantics)."""
+    params = dd._affine_params(num_perm, seed)
+    rpb = num_perm // bands
+    p = dd._MERSENNE_P
+    n = shingle_words
+    mins = ",\n             ".join(
+        f"MIN((h * {a} + {b}) % {p}) AS m{i}" for i, (a, b) in enumerate(params)
+    )
+    sent = ",\n             ".join(
+        f"COALESCE(m{i}, {-(i + 1)}) AS m{i}" for i in range(num_perm)
+    )
+    band_eq = " OR ".join(
+        "("
+        + " AND ".join(
+            f"a.m{j} = b.m{j}" for j in range(bi * rpb, (bi + 1) * rpb)
+        )
+        + ")"
+        for bi in range(bands)
+    )
+    matches = " + ".join(
+        f"(CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END)" for i in range(num_perm)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS.format(t="text")} AS tk FROM documents
+    ), sh AS (
+      SELECT doc_id, unnest(list_distinct(
+        list_transform(range(1, len(tk) - {n} + 2),
+                       i -> array_to_string(list_slice(tk, i, i + {n - 1}), ' '))
+      )) AS s
+      FROM toks
+    ), hashed AS (
+      SELECT doc_id, {_H32.format(s="s")} AS h FROM sh
+    ), mins AS (
+      SELECT doc_id,
+             {mins}
+      FROM hashed GROUP BY doc_id
+    ), sigs AS (
+      SELECT d.doc_id,
+             {sent}
+      FROM (SELECT doc_id FROM documents) d LEFT JOIN mins USING (doc_id)
+    )
+    SELECT id_a, id_b, est_jaccard FROM (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             ({matches}) / {float(num_perm)} AS est_jaccard
+      FROM sigs a JOIN sigs b
+        ON a.doc_id < b.doc_id AND ({band_eq})
+    ) WHERE est_jaccard >= {threshold}
+    """
+
+
+def _simhash_oracle(max_hamming: int = 3, chunks: int = 4, bits: int = 64) -> str:
+    """DuckDB replay of simhash_near_duplicates: same whitespace tokens,
+    same md5-derived 64 hash bits (low 32 from hex digits 9-16, high 32
+    from 1-8), per-bit +/-1 conditional sums, sign bits packed per 16-bit
+    band, pigeonhole band equality, hamming via xor + bit_count."""
+    width = bits // chunks
+    cnts = ",\n             ".join(
+        f"SUM(CASE WHEN (({'hlo' if j < 32 else 'hhi'} >> {j % 32}) & 1) = 1 "
+        f"THEN 1 ELSE -1 END) AS c{j}"
+        for j in range(bits)
+    )
+    bvs = ",\n             ".join(
+        "("
+        + " + ".join(
+            f"(CASE WHEN c{j} > 0 THEN {1 << (j - bi * width)} ELSE 0 END)"
+            for j in range(bi * width, (bi + 1) * width)
+        )
+        + f") AS bv{bi}"
+        for bi in range(chunks)
+    )
+    band_eq = " OR ".join(f"a.bv{bi} = b.bv{bi}" for bi in range(chunks))
+    hamming = " + ".join(
+        f"bit_count(xor(a.bv{bi}, b.bv{bi}))" for bi in range(chunks)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS.format(t="text")}) AS tok FROM documents
+    ), hashed AS (
+      SELECT doc_id, {_H32.format(s="tok")} AS hhi, {_H32_LO.format(s="tok")} AS hlo
+      FROM toks
+    ), counts AS (
+      SELECT doc_id,
+             {cnts}
+      FROM hashed GROUP BY doc_id
+    ), sigs AS (
+      SELECT d.doc_id,
+             {bvs}
+      FROM (SELECT doc_id FROM documents) d LEFT JOIN counts USING (doc_id)
+    )
+    SELECT id_a, id_b, hamming FROM (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST({hamming} AS INTEGER) AS hamming
+      FROM sigs a JOIN sigs b
+        ON a.doc_id < b.doc_id AND ({band_eq})
+    ) WHERE hamming <= {max_hamming}
+    """
+
+
 @register(
     "dedup_minhash_lsh",
-    None,  # xxhash64-based signatures are not reproducible in DuckDB
+    _minhash_oracle(),
     "MinHash+LSH near-dup: shingle -> 64-perm minhash -> 16-band bucket join "
-    "(extension; rows-only check)",
+    "(extension; exact oracle replays the portable md5-based signatures)",
 )
 def dedup_minhash_lsh(spark, sf_dir):
     return dd.minhash_near_duplicates(
@@ -61,9 +178,9 @@ def dedup_minhash_lsh(spark, sf_dir):
 
 @register(
     "dedup_simhash",
-    None,  # xxhash64-based signature
+    _simhash_oracle(),
     "SimHash near-dup: 64-bit sign aggregate + 4x16-bit pigeonhole banding "
-    "(extension; rows-only check)",
+    "(extension; exact oracle replays the portable md5-based signatures)",
 )
 def dedup_simhash(spark, sf_dir):
     return dd.simhash_near_duplicates(
@@ -194,23 +311,27 @@ def dedup_levenshtein(spark, sf_dir):
 
 
 def _embedding_lsh_oracle(planes: int = 8, seed: int = 7, threshold: float = 0.2) -> str:
-    """Generate the DuckDB mirror of hyperplane_signature + cosine filter.
+    """Generate the DuckDB mirror of hyperplane_signatures + cosine filter.
 
-    The random planes are seeded constants, so the oracle inlines them as
-    literal arrays; both engines then execute the identical double-
-    precision fold (verified bit-exact)."""
+    The random planes are seeded constants inlined as literal arrays, and
+    each elementwise product is quantized to an integer number of 1e-9
+    units before summing (similarity._QUANT) — the per-plane dot is an
+    exact BIGINT total, so the bucket assignment is bit-identical to
+    Spark's order-independent partial aggregation by construction, not
+    merely by matching float fold order."""
     hp = sim._hyperplanes(64, planes, seed)
 
-    def dot_sql(vec: str, plane: list[float]) -> str:
+    def qdot_sql(vec: str, plane: list[float]) -> str:
         arr = "[" + ", ".join(repr(w) for w in plane) + "]"
         return (
             f"list_sum(list_transform(list_zip({vec}, {arr}), "
-            f"p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+            f"p -> CAST(floor(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) "
+            f"* 1000000000.0 + 0.5) AS BIGINT)))"
         )
 
     def sig_sql(vec: str) -> str:
         bits = [
-            f"(CASE WHEN {dot_sql(vec, plane)} > 0 THEN {1 << j} ELSE 0 END)"
+            f"(CASE WHEN {qdot_sql(vec, plane)} > 0 THEN {1 << j} ELSE 0 END)"
             for j, plane in enumerate(hp)
         ]
         return "(" + " + ".join(bits) + ")"

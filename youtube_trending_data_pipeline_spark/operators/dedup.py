@@ -39,6 +39,25 @@ from youtube_trending_data_pipeline_spark.functions.vectors import cosine_simila
 _MERSENNE_P = (1 << 61) - 1
 
 
+def portable_hash32(col: Column | str) -> Column:
+    """32-bit string hash computable identically in any ANSI engine:
+    the first 8 hex digits of md5, parsed as an integer. Slightly more
+    expensive than xxhash64 but portable — DuckDB mirrors it as
+    ``('0x' || substr(md5(s), 1, 8))::BIGINT`` — which lets the driver's
+    oracle replay minhash/simhash signatures bit-exactly instead of
+    falling back to a rows-only check. Pure codegen expressions.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
+
+
+def portable_hash32_lo(col: Column | str) -> Column:
+    """Second independent 32-bit hash: md5 hex digits 9-16 (same cost —
+    one md5 feeds both halves after subexpression elimination)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 9, 8), 16, 10).cast("long")
+
+
 def _ensure_parallelism(df: DataFrame) -> DataFrame:
     """Spread the input across the cluster before expression-heavy stages.
 
@@ -131,8 +150,9 @@ def minhash_signatures(
         ),
     ).select(
         "id",
-        # 32-bit base hash keeps a*h + b within long range (no ANSI overflow)
-        F.xxhash64("_shingle").bitwiseAND(F.lit(0xFFFFFFFF)).alias("_h"),
+        # 32-bit base hash keeps a*h + b within long range (no ANSI
+        # overflow) and is portable to the DuckDB oracle (exact replay)
+        portable_hash32("_shingle").alias("_h"),
     )
     mins = exploded.groupBy("id").agg(
         *[
@@ -150,22 +170,31 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, bands: int = 16, rows_per_band: int | None = None
+    signatures: DataFrame,
+    num_perm: int,
+    bands: int = 16,
+    max_bucket: int | None = None,
+    observation=None,
 ) -> DataFrame:
     """Candidate pairs (id_a < id_b) whose signatures collide in >= 1 band.
 
     Explode to (band_idx, band_hash, id), self-group per bucket. The join
     key (band_idx, band_hash) distributes buckets across the cluster; no
-    all-pairs comparison ever materializes. At 100 TB the only hot spot is
-    a degenerate bucket (identical boilerplate docs) — cap with a bucket-
-    size limit upstream if needed.
+    all-pairs comparison ever materializes. ``num_perm`` (the signature
+    length) is an explicit parameter — plan construction runs no Spark
+    job (a driver-side ``.first()`` here would materialize the upstream
+    signature aggregation early; asserted in tests/test_plan_quality.py).
+
+    ``max_bucket`` caps the degenerate-bucket blowup (identical
+    boilerplate docs hash every band into one bucket, going quadratic at
+    corpus scale): rows in buckets larger than the cap are dropped from
+    candidate generation — exact dedup upstream already collapses
+    identical content, so only near-identical mega-clusters lose recall —
+    and the drop is reported via ``observe`` metrics
+    (``lsh_bucket_cap.dropped_rows``) so operators can see it happening.
     """
-    num_perm = None  # inferred per-row via slice; bands*rows must cover sig
+    rows_per_band = max(1, num_perm // bands)
     sigs = signatures
-    if rows_per_band is None:
-        # infer from the first row's signature length
-        num_perm = len(sigs.select("sig").first()["sig"])
-        rows_per_band = max(1, num_perm // bands)
     banded = sigs.select(
         "id",
         F.explode(
@@ -190,8 +219,26 @@ def lsh_candidate_pairs(
             )
         ).alias("band"),
     ).select("id", "band.band_idx", "band.band_hash")
-    a = banded.alias("a")
-    b = banded.alias("b")
+    if max_bucket is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band_idx", "band_hash")
+        counted = banded.withColumn("_bucket_n", F.count(F.lit(1)).over(w))
+        # observe only the left branch of the self-join: the right branch
+        # is the identical subtree, and two Observe nodes with one name in
+        # a single plan would collide
+        observed = counted.observe(
+            observation if observation is not None else "lsh_bucket_cap",
+            F.sum((F.col("_bucket_n") > max_bucket).cast("long")).alias(
+                "dropped_rows"
+            ),
+        )
+        left = observed.where(F.col("_bucket_n") <= max_bucket).drop("_bucket_n")
+        right = counted.where(F.col("_bucket_n") <= max_bucket).drop("_bucket_n")
+    else:
+        left = right = banded
+    a = left.alias("a")
+    b = right.alias("b")
     return (
         a.join(
             b,
@@ -240,6 +287,7 @@ def minhash_near_duplicates(
     bands: int = 16,
     shingle_words: int = 3,
     seed: int = 42,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """End-to-end near-dup pipeline: signatures -> LSH candidates ->
     estimate filter. Returns (id_a, id_b, est_jaccard >= threshold)."""
@@ -249,7 +297,7 @@ def minhash_near_duplicates(
     # aggregation per consumer. At cluster scale this would be a staged
     # parquet table; localCheckpoint is the in-session equivalent.
     sigs = sigs.localCheckpoint(eager=False)
-    cands = lsh_candidate_pairs(sigs, bands, rows_per_band=num_perm // bands)
+    cands = lsh_candidate_pairs(sigs, num_perm, bands, max_bucket=max_bucket)
     est = minhash_jaccard_estimate(cands, sigs)
     return est.where(F.col("est_jaccard") >= threshold)
 
@@ -269,17 +317,30 @@ def simhash_signatures(
     partial aggregation; see that docstring for why not per-row folds):
     one conditional SUM per bit position, then the signature is assembled
     from the 64 counters. Empty docs get signature 0.
+
+    The 64 token-hash bits come from two portable 32-bit md5-derived
+    halves (bits 0-31 from hex digits 9-16, bits 32-63 from digits 1-8),
+    so the DuckDB oracle replays the signature exactly.
     """
     df = _ensure_parallelism(df)
     ids = df.select(F.col(id_col).alias("id"))
     exploded = df.select(
         F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("_tok")
-    ).select("id", F.xxhash64("_tok").alias("_h"))
+    ).select(
+        "id",
+        portable_hash32("_tok").alias("_hhi"),
+        portable_hash32_lo("_tok").alias("_hlo"),
+    )
     counts = exploded.groupBy("id").agg(
         *[
             F.sum(
-                F.when(F.shiftright(F.col("_h"), j).bitwiseAND(F.lit(1)) == 1, 1)
-                .otherwise(-1)
+                F.when(
+                    F.shiftright(
+                        F.col("_hlo" if j < 32 else "_hhi"), j % 32
+                    ).bitwiseAND(F.lit(1))
+                    == 1,
+                    1,
+                ).otherwise(-1)
             ).alias(f"_c{j}")
             for j in range(bits)
         ]
@@ -408,26 +469,35 @@ def embedding_near_duplicates(
     """Cosine-similar pairs above threshold, blocked by random-hyperplane
     LSH: vectors agreeing on all ``planes`` sign bits land in one bucket;
     near-identical vectors almost surely share a bucket. Exact cosine is
-    then computed only within buckets."""
+    then computed only within buckets.
+
+    Signatures come from the exploded quantized-SUM aggregate
+    (similarity.hyperplane_signatures — codegen hash aggregate, not
+    per-row HOF folds), and the bucket self-join moves only (id, bucket)
+    rows; vectors are re-joined per candidate pair for the exact cosine,
+    keeping the wide embedding column out of the candidate shuffle."""
     from youtube_trending_data_pipeline_spark.operators.similarity import (
-        hyperplane_signature,
+        hyperplane_signatures,
     )
 
-    base = df.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("vec"),
-        hyperplane_signature(F.col(vec_col), planes=planes, seed=seed).alias("bucket"),
-    )
-    a, b = base.alias("a"), base.alias("b")
+    sigs = hyperplane_signatures(
+        df, id_col, vec_col, planes=planes, seed=seed, tables=1
+    ).withColumnRenamed("b0", "bucket")
+    sigs = sigs.localCheckpoint(eager=False)
+    a, b = sigs.alias("a"), sigs.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")),
+    ).select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_vec_a"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vec_b"))
     return (
-        a.join(
-            b,
-            (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")),
-        )
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
         .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            cosine_similarity(F.col("a.vec"), F.col("b.vec")).alias("cos"),
+            "id_a",
+            "id_b",
+            cosine_similarity(F.col("_vec_a"), F.col("_vec_b")).alias("cos"),
         )
         .where(F.col("cos") >= threshold)
     )

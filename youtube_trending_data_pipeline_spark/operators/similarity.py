@@ -16,10 +16,17 @@ from __future__ import annotations
 
 import random
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from youtube_trending_data_pipeline_spark.functions.vectors import cosine_similarity
+
+# Quantization scale for hyperplane dot products: each elementwise product
+# is rounded to an integer number of 1e-9 units, so the per-plane dot is an
+# exact BIGINT sum — order-independent under Spark's partial aggregation
+# and bit-identical to the DuckDB oracle's fold. (Unit vectors x gaussian
+# weights keep |product| * 1e9 far below 2^63 / dim.)
+_QUANT = 1_000_000_000.0
 
 
 def _hyperplanes(dim: int, planes: int, seed: int) -> list[list[float]]:
@@ -27,32 +34,58 @@ def _hyperplanes(dim: int, planes: int, seed: int) -> list[list[float]]:
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(planes)]
 
 
-def hyperplane_signature(
-    vec: Column, planes: int = 8, seed: int = 7, dim: int = 64
-) -> Column:
-    """Pack ``planes`` sign bits of random projections into one BIGINT.
+def hyperplane_signatures(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    planes: int = 8,
+    seed: int = 7,
+    tables: int = 1,
+    dim: int = 64,
+) -> DataFrame:
+    """(id, b0..b{tables-1}): one BIGINT sign-bit signature per table.
 
-    The random planes are fixed constants baked into the plan (seeded),
-    so the signature is deterministic and needs no broadcast state.
+    Shape: posexplode the vector to (id, pos, x) rows, look the plane
+    weight up from a literal array, quantize the product to an integer,
+    then ONE hash aggregate computes every (table, plane) dot as a
+    parallel SUM — whole-stage codegen with map-side partial aggregation,
+    never an interpreted per-row higher-order fold (the same restructure
+    that took minhash signatures 408 s -> 7 s; see
+    operators/dedup.py:minhash_signatures).
+
+    The random planes are fixed seeded constants baked into the plan, so
+    signatures are deterministic and need no broadcast state. Rows whose
+    vector is empty/NULL get signature 0 (left join + coalesce), matching
+    the previous per-row semantics.
     """
-    hp = _hyperplanes(dim, planes, seed)
-    sig = F.lit(0).cast("long")
-    for j, plane in enumerate(hp):
-        dot = F.aggregate(
-            F.zip_with(
-                vec,
-                F.array(*[F.lit(w) for w in plane]),
-                lambda x, w: x.cast("double") * w,
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        sig = sig.bitwiseOR(
-            F.when(dot > 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(
-                F.lit(0).cast("long")
+    plane_sets = [_hyperplanes(dim, planes, seed + ti) for ti in range(tables)]
+    ids = df.select(F.col(id_col).alias("id"))
+    exploded = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.col(vec_col)).alias("pos", "x"),
+    )
+    aggs = []
+    for ti, hp in enumerate(plane_sets):
+        for pj, plane in enumerate(hp):
+            w = F.element_at(
+                F.array(*[F.lit(float(wv)) for wv in plane]), F.col("pos") + 1
             )
-        )
-    return sig
+            quant = F.floor(
+                F.col("x").cast("double") * w * F.lit(_QUANT) + F.lit(0.5)
+            ).cast("long")
+            aggs.append(F.sum(quant).alias(f"_d{ti}_{pj}"))
+    dots = exploded.groupBy("id").agg(*aggs)
+    # NULL dots (empty/missing vectors, absent after the left join) fail
+    # the > 0 test, so every bit falls through to 0 — signature 0.
+    sig_cols = []
+    for ti in range(tables):
+        sig = F.lit(0).cast("long")
+        for pj in range(planes):
+            sig = sig + F.when(
+                F.col(f"_d{ti}_{pj}") > 0, F.lit(1 << pj)
+            ).otherwise(F.lit(0)).cast("long")
+        sig_cols.append(sig.alias(f"b{ti}"))
+    return ids.join(dots, "id", "left").select("id", *sig_cols)
 
 
 def brute_force_topk(
@@ -101,17 +134,15 @@ def lsh_topk(
     """Approximate top-k: multi-table hyperplane LSH candidate generation
     followed by exact cosine re-ranking of the (much smaller) candidate
     set. ``tables`` independent plane sets raise recall; a candidate is
-    any corpus vector sharing a bucket with the query in any table."""
-    def with_buckets(df, idc):
-        out = df
-        for t in range(tables):
-            out = out.withColumn(
-                f"b{t}",
-                hyperplane_signature(F.col(vec_col), planes=planes, seed=seed + t),
-            )
-        return out.select(
-            F.col(idc).alias("id"),
-            F.col(vec_col).alias("vec"),
+    any corpus vector sharing a bucket with the query in any table.
+
+    The bucket join moves only (id, tbl, bkt) rows — vectors stay out of
+    the shuffle and are fetched per candidate for the re-rank, so at
+    corpus scale the wide embedding column never travels with the
+    candidate-generation exchange."""
+    def banded(sigs):
+        return sigs.select(
+            "id",
             F.explode(
                 F.array(
                     *[
@@ -120,22 +151,39 @@ def lsh_topk(
                     ]
                 )
             ).alias("tb"),
-        ).select("id", "vec", "tb.tbl", "tb.bkt")
+        ).select("id", "tb.tbl", "tb.bkt")
 
-    c = with_buckets(corpus, id_col).alias("c")
-    q = with_buckets(queries, query_id_col).alias("q")
-    cands = c.join(
-        F.broadcast(q),
-        (F.col("c.tbl") == F.col("q.tbl")) & (F.col("c.bkt") == F.col("q.bkt")),
-    ).select(
-        F.col("q.id").alias("query_id"),
-        F.col("c.id").alias("neighbor_id"),
-        cosine_similarity(F.col("q.vec"), F.col("c.vec")).alias("cos"),
+    csig = hyperplane_signatures(
+        corpus, id_col, vec_col, planes=planes, seed=seed, tables=tables
     )
-    # score BEFORE dedup: the distinct then runs on scalar columns only, so
-    # Spark picks hash aggregation (arrays in the dedup key force the
-    # slower sort-based aggregate); cos is identical across tables per pair
-    scored = cands.groupBy("query_id", "neighbor_id").agg(F.max("cos").alias("cos"))
+    qsig = hyperplane_signatures(
+        queries, query_id_col, vec_col, planes=planes, seed=seed, tables=tables
+    )
+    c = banded(csig).alias("c")
+    q = banded(qsig).alias("q")
+    cands = (
+        c.join(
+            F.broadcast(q),
+            (F.col("c.tbl") == F.col("q.tbl")) & (F.col("c.bkt") == F.col("q.bkt")),
+        )
+        .select(F.col("q.id").alias("query_id"), F.col("c.id").alias("neighbor_id"))
+        .distinct()
+    )
+    qv = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vec")
+    )
+    scored = (
+        cands.join(cv, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_similarity("query_vec", "vec").alias("cos"),
+        )
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -150,14 +198,18 @@ def ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 11,
+    train_fraction: float = 0.25,
 ):
     """IVF (inverted-file) index: KMeans-partition the corpus; search then
     probes only the closest cells. Returns (assigned corpus, model).
 
     The production ANN scale path: the corpus is written bucketed by
     ``cell`` so each probe reads only its cells' files; locally the cell
-    column drives a partition-pruned filter. Training samples the corpus
-    (KMeans on 100 TB trains on a sample; assignment is a single pass).
+    column drives a partition-pruned filter. Training fits KMeans on a
+    deterministic ``train_fraction`` sample (KMeans iterates — on 100 TB
+    every iteration over the full corpus is a full pass, so only the
+    single assignment transform touches every row); a tiny corpus whose
+    sample can't seed ``n_clusters`` centers falls back to a full fit.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -167,7 +219,14 @@ def ivf_index(
         F.col(vec_col).alias("vec"),
         array_to_vector(F.col(vec_col)).alias("features"),
     )
-    model = KMeans(k=n_clusters, seed=seed, featuresCol="features").fit(feat)
+    train = feat
+    if train_fraction < 1.0:
+        sampled = feat.sample(fraction=train_fraction, seed=seed)
+        # limit(k).count() early-exits after k rows — a bounded probe, not
+        # a full pass — to guard the degenerate tiny-corpus case.
+        if sampled.limit(n_clusters).count() >= n_clusters:
+            train = sampled
+    model = KMeans(k=n_clusters, seed=seed, featuresCol="features").fit(train)
     assigned = model.transform(feat).select(
         "id", "vec", F.col("prediction").alias("cell")
     )
