@@ -44,10 +44,19 @@ def event_day(ts_nanos: Column | str) -> Column:
     """UTC day of an epoch-nanos column, as DATE, via pure arithmetic
     (matches DuckDB ``CAST(ts AS DATE)`` on the naive timestamp)."""
     c = F.col(ts_nanos) if isinstance(ts_nanos, str) else ts_nanos
-    return F.date_add(
-        F.lit("1970-01-01").cast("date"),
-        F.floor(c / F.lit(86_400_000_000_000)).cast("int"),
+    # exact integral division (ADVICE r1): epoch-nanos (~1.7e18) exceeds
+    # 2^53, so plain floor(double /) can mis-bucket a timestamp within
+    # ~128 ns of midnight. floor gives a ±1 estimate; the two integer
+    # comparisons (no precision loss) correct it.
+    d = 86_400_000_000_000
+    cl = c.cast("long")
+    q0 = F.floor(cl / F.lit(d)).cast("long")
+    q = (
+        q0
+        - F.when(q0 * F.lit(d) > cl, F.lit(1)).otherwise(F.lit(0))
+        + F.when((q0 + F.lit(1)) * F.lit(d) <= cl, F.lit(1)).otherwise(F.lit(0))
     )
+    return F.date_add(F.lit("1970-01-01").cast("date"), q.cast("int"))
 
 
 def cents(col: Column | str) -> Column:

@@ -701,21 +701,63 @@ def text_fingerprint(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+def _ppm_pixel(i: int) -> str:
+    """SQL expr for synthetic pixel byte i of a doc's 2x2 P6 test image."""
+    return f"((doc_id * 7 + {i} * 13) % 256)"
+
+
+def _multimodal_oracle() -> str:
+    """Exact replay of the REAL PPM decode path: the Spark query builds a
+    2x2 binary PPM per document (header 'P6\\n2 2\\n255\\n' + 12 pixel
+    bytes derived from doc_id), the mapInPandas kernel decodes actual
+    pixels, and this oracle recomputes the expected pixel features from
+    the same arithmetic — if the decoder mis-parses the header, drops a
+    channel, or mis-orders pixels, the hash check fails."""
+    sum_r = " + ".join(_ppm_pixel(k * 3) for k in range(4))
+    sum_g = " + ".join(_ppm_pixel(k * 3 + 1) for k in range(4))
+    sum_b = " + ".join(_ppm_pixel(k * 3 + 2) for k in range(4))
+    all_px = ", ".join(_ppm_pixel(i) for i in range(12))
+    return f"""
+    SELECT CAST(doc_id AS VARCHAR) AS asset_id,
+           CAST(23 AS BIGINT) AS n_bytes,
+           [2.0, 2.0,
+            ({sum_r}) / (255.0 * 4),
+            ({sum_g}) / (255.0 * 4),
+            ({sum_b}) / (255.0 * 4),
+            ({sum_r} + {sum_g} + {sum_b}) / (255.0 * 3 * 4),
+            LEAST({all_px}) / 255.0,
+            GREATEST({all_px}) / 255.0] AS feature
+    FROM documents
+    """
+
+
 @register(
     "multimodal_image_features",
-    None,  # binary + Python-kernel stub: no SQL equivalent
-    "Multimodal: binary media column -> Arrow-batched mapInPandas feature "
-    "extraction (decode kernel STUBBED — codecs not in container); rows-only",
+    _multimodal_oracle(),
+    "Multimodal: per-doc synthetic 2x2 binary PPM (real bytes, built "
+    "JVM-side) -> Arrow-batched mapInPandas with a REAL pure-Python P6 "
+    "decoder -> pixel-derived features; oracle recomputes the expected "
+    "pixel arithmetic exactly",
 )
 def multimodal_image_features(spark, sf_dir):
     from youtube_trending_data_pipeline_spark.operators.multimodal import (
         extract_image_features,
     )
 
+    # 12 pixel bytes: value_i = (doc_id*7 + i*13) % 256, hex-encoded then
+    # unhex'd to binary; header + raster = a well-formed 23-byte P6 image
+    pixel_hex = F.concat(
+        *[
+            F.lpad(F.hex((F.col("doc_id") * 7 + i * 13) % 256), 2, "0")
+            for i in range(12)
+        ]
+    )
     media = t(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("string").alias("asset_id"),
         F.lit("image").alias("media_type"),
-        F.encode("text", "utf-8").alias("content"),
+        F.concat(
+            F.encode(F.lit("P6\n2 2\n255\n"), "utf-8"), F.unhex(pixel_hex)
+        ).alias("content"),
         F.lit(None).cast("string").alias("uri"),
         F.lit(None).cast("int").alias("width"),
         F.lit(None).cast("int").alias("height"),

@@ -17,7 +17,12 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 
-from youtube_trending_data_pipeline_spark.operators.channels import new_channels
+from pyspark.errors import AnalysisException
+
+from youtube_trending_data_pipeline_spark.operators.channels import (
+    new_channel_ids,
+    new_channels,
+)
 from youtube_trending_data_pipeline_spark.operators.flatten import flatten_videos
 from youtube_trending_data_pipeline_spark.operators.insights import daily_insights
 from youtube_trending_data_pipeline_spark.operators.weekly import weekly_insights
@@ -50,22 +55,56 @@ def run_daily_ingestion(
     cfg: PipelineConfig,
     run_date: dt.date,
     fetched_channels: DataFrame | None = None,
+    fetcher=None,
 ) -> DataFrame:
     """bronze day-file -> silver ``daily_trending_videos`` (+ new channels).
 
     Idempotent: re-running a date replaces exactly that date's partition
     (C1 via dynamic partition overwrite) instead of the reference's
     branch-skip. Returns the silver frame for the day.
+
+    ``fetcher`` (sources.fetchers.TrendingFetcher) is the S1/S2 seam: when
+    given, region payloads come from ``fetcher.fetch_trending`` — the
+    reference's REST pull (ing:76-82) — and are persisted as the raw
+    bronze day (ing:83-91) before flattening; new-channel metadata comes
+    from ``fetcher.fetch_channels`` over the anti-joined id set (ing:94-97)
+    unless an explicit ``fetched_channels`` frame overrides it. Without a
+    fetcher, the bronze day-file is read from ``cfg.bronze_dir`` directly.
     """
-    bronze = read_bronze_day(
-        spark, f"{cfg.bronze_dir}/{run_date.isoformat()}.json", cfg.regions
-    )
+    from youtube_trending_data_pipeline_spark.schemas import CHANNELS
+
+    day_path = f"{cfg.bronze_dir}/{run_date.isoformat()}.json"
+    if fetcher is not None:
+        from youtube_trending_data_pipeline_spark.sources.bronze import (
+            write_bronze_day,
+        )
+        from youtube_trending_data_pipeline_spark.sources.fetchers import (
+            bronze_from_fetcher,
+        )
+
+        bronze = bronze_from_fetcher(spark, fetcher, cfg.regions)
+        write_bronze_day(bronze, day_path)  # raw S3-parity sink (ing:83-91)
+    else:
+        bronze = read_bronze_day(spark, day_path, cfg.regions)
     silver = flatten_videos(region_items(bronze), run_date)
     overwrite_date_partition(silver, cfg.videos_dir)
+    if fetched_channels is None and fetcher is not None:
+        try:
+            known = read_table(spark, cfg.channels_dir)
+        except AnalysisException:  # first run: channels table doesn't exist yet
+            known = spark.createDataFrame([], CHANNELS)
+        # the new-id set is the small dimension side (distinct channel ids
+        # of one day); collecting it to drive the metadata fetch mirrors
+        # the reference's per-new-channel API loop (ing:135-138)
+        ids = [r["channel_id"] for r in new_channel_ids(silver, known).collect()]
+        if ids:
+            fetched_channels = spark.createDataFrame(
+                fetcher.fetch_channels(sorted(ids)), CHANNELS
+            )
     if fetched_channels is not None:
         try:
             known = read_table(spark, cfg.channels_dir)
-        except Exception:
+        except AnalysisException:  # path-not-found only; real failures raise
             known = fetched_channels.limit(0)
         fresh = new_channels(silver, known, fetched_channels)
         fresh.write.mode("append").parquet(cfg.channels_dir)

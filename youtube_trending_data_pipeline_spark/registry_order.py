@@ -35,6 +35,33 @@ DRIVER_VERIFIED_R01 = [
     "dedup_minhash_lsh", "dedup_simhash",
 ]
 
+# The round-2 window as ordered at round-2 end (the first 50 of
+# ``all_queries()`` under DRIVER_VERIFIED = R01). DO NOT merge into
+# DRIVER_VERIFIED until CORRECTNESS_r02 exists — rotating early would pull
+# these out of the window before the driver ever checks them. At the start
+# of round 3: confirm against CORRECTNESS_r02's keys, then append below.
+DRIVER_VERIFIED_R02_EXPECTED = [
+    "q2_min_cost_supplier", "q3_shipping_priority", "q4_order_priority",
+    "q5_local_supplier_volume", "q6_forecast_revenue", "q7_volume_shipping",
+    "q8_market_share", "q9_product_type_profit", "q10_returned_items",
+    "q11_important_parts", "q12_priority_class_counts",
+    "q13_customer_distribution", "q14_promo_revenue_share",
+    "q15_top_supplier", "q16_supplier_part_counts",
+    "q17_small_quantity_revenue", "q18_large_volume_customer",
+    "q19_disjunctive_predicates", "q20_excess_shipment_suppliers",
+    "q21_waiting_suppliers", "q22_dormant_customers", "sample_hash_split",
+    "doc_chunk_overlap", "pack_sequences_linear", "dedup_components",
+    "contamination_check", "dedup_ngram_jaccard",
+    "funnel_view_click_purchase", "retention_cohorts", "dedup_levenshtein",
+    "dedup_embedding_cosine", "sim_bruteforce_topk", "sim_lsh_topk",
+    "sim_ivf_topk", "clean_corpus_pipeline", "sim_label_centroids",
+    "text_stats", "text_langid", "text_token_bpe", "sample_stratified",
+    "grouped_zscore", "text_fingerprint", "multimodal_image_features",
+    "stream_windowed_counts", "f_json_funcs", "f_variant_funcs",
+    "cdc_latest_per_key", "a20_argmax", "a21_stats_moments",
+    "f_bitwise_funcs",
+]
+
 DRIVER_VERIFIED: set[str] = set(DRIVER_VERIFIED_R01)
 
 # Unchecked queries the judge explicitly asked to land in the round-2

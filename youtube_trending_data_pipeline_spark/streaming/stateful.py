@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -56,8 +57,12 @@ def _make_update(ttl_ms: int | None):
         for pdf in batches:
             n += len(pdf)
             # exact integer cents per element — same bit-determinism policy
-            # as the batch side (catalog.cents): round each value, sum int64
-            total += int((pdf["value"] * 100).round().astype("int64").sum())
+            # as the batch side (catalog.cents). np.floor(x*100 + 0.5) is
+            # round-half-UP, matching Spark's F.round; pandas .round() is
+            # half-to-even and would diverge on exact .5 products (ADVICE r1)
+            total += int(
+                np.floor(pdf["value"].to_numpy() * 100 + 0.5).astype("int64").sum()
+            )
             last = max(last, int(pdf["ts"].max()))
         state.update((n, total, last))
         if ttl_ms is not None:
