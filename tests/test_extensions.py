@@ -251,3 +251,30 @@ def test_bmp_decode_hand_computed_fixture():
     feats = pixel_features(w, h, rgb)
     assert feats[2] == (10 + 40 + 70 + 100) / (255.0 * 4)  # mean_r
     assert feats[6] == 10 / 255.0 and feats[7] == 120 / 255.0
+
+
+def test_star_components_chain_converges_logarithmically(spark):
+    """Large-star/small-star must collapse a 64-node chain (diameter 63)
+    within ~log2 rounds — max_iter=8 would fail for a diameter-bound
+    algorithm — and must agree with min-label propagation."""
+    from youtube_trending_data_pipeline_spark.operators.components import (
+        connected_components,
+        connected_components_star,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "src long, dst long"
+    )
+    comp = connected_components_star(chain, max_iter=8).collect()
+    assert len(comp) == 64
+    assert all(r["component"] == 0 for r in comp)
+
+    # two clusters + agreement with the min-label implementation
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (11, 12), (12, 10)], "src long, dst long"
+    )
+    star = {(r["node"], r["component"])
+            for r in connected_components_star(edges).collect()}
+    label = {(r["node"], r["component"])
+             for r in connected_components(edges).collect()}
+    assert star == label == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (12, 10)}

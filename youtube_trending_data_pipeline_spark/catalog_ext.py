@@ -1572,7 +1572,7 @@ def a24_regr_fit(spark, sf_dir):
 
 @register(
     "dedup_components",
-    """
+    _CC_ORACLE := """
     WITH RECURSIVE grams AS (
       SELECT doc_id, source,
              list_distinct(list_transform(range(1, GREATEST(length(text) - 2, 0) + 1),
@@ -1617,6 +1617,150 @@ def dedup_components(spark, sf_dir):
         t(spark, sf_dir, "documents"), "doc_id", "text", ["source"], n=3
     ).where(F.col("jaccard") >= 0.6)
     return connected_components(pairs, src="id_a", dst="id_b")
+
+
+@register(
+    "dedup_components_star",
+    _CC_ORACLE,
+    "Dedup clustering via alternating large-star/small-star (Kiveris et "
+    "al.) — the O(log n)-round MapReduce-and-beyond algorithm for "
+    "long-chain graphs where min-label propagation needs diameter rounds "
+    "(operators/components.py:connected_components_star; log-round "
+    "convergence asserted on a 64-chain in tests). Same recursive-CTE "
+    "oracle as dedup_components: two independent iterative algorithms "
+    "checked against declarative recursion and each other.",
+)
+def dedup_components_star(spark, sf_dir):
+    from youtube_trending_data_pipeline_spark.operators.components import (
+        connected_components_star,
+    )
+
+    pairs = dd.ngram_jaccard_pairs(
+        t(spark, sf_dir, "documents"), "doc_id", "text", ["source"], n=3
+    ).where(F.col("jaccard") >= 0.6)
+    return connected_components_star(pairs, src="id_a", dst="id_b")
+
+
+@register(
+    "dedup_keep_best",
+    """
+    WITH RECURSIVE grams AS (
+      SELECT doc_id, source,
+             list_distinct(list_transform(range(1, GREATEST(length(text) - 2, 0) + 1),
+                           i -> substr(text, CAST(i AS INT), 3))) AS g
+      FROM documents
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM grams a JOIN grams b
+        ON a.source = b.source AND a.doc_id < b.doc_id
+      WHERE CASE WHEN len(list_distinct(list_concat(a.g, b.g))) > 0
+                 THEN CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                      / len(list_distinct(list_concat(a.g, b.g)))
+                 ELSE 0.0 END >= 0.6
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, root) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    comp AS (SELECT node, MIN(root) AS component FROM reach GROUP BY node)
+    SELECT CAST(component AS BIGINT) AS component,
+           CAST(keeper_id AS BIGINT) AS keeper_id,
+           CAST(n_members AS BIGINT) AS n_members
+    FROM (
+      SELECT component,
+             FIRST(doc_id ORDER BY n_chars DESC, doc_id ASC) AS keeper_id,
+             COUNT(*) AS n_members
+      FROM (
+        SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component, d.n_chars
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+      ) GROUP BY component
+    )
+    """,
+    "Quality-aware dedup: near-dup clusters (transitive closure of "
+    "char-3-gram Jaccard >= 0.6 pairs) keep the HIGHEST-QUALITY member "
+    "(max n_chars, doc_id tiebreak) rather than min-id — the realistic "
+    "training-corpus policy. Singleton docs are their own keepers. One "
+    "window over the component key after the CC rounds.",
+)
+def dedup_keep_best(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from youtube_trending_data_pipeline_spark.operators.components import (
+        connected_components,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(docs, "doc_id", "text", ["source"], n=3).where(
+        F.col("jaccard") >= 0.6
+    )
+    comp = connected_components(pairs, src="id_a", dst="id_b")
+    full = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "n_chars"
+    ).join(comp, F.col("doc_id") == F.col("node"), "left").select(
+        "doc_id",
+        F.coalesce("component", "doc_id").alias("component"),
+        "n_chars",
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    return (
+        full.withColumn("_rn", F.row_number().over(w))
+        .groupBy("component")
+        .agg(
+            F.min(F.when(F.col("_rn") == 1, F.col("doc_id"))).alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+        .select(
+            F.col("component").cast("long").alias("component"),
+            F.col("keeper_id").cast("long").alias("keeper_id"),
+            "n_members",
+        )
+    )
+
+
+@register(
+    "sim_range_search",
+    f"""
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           {_COS_SQL.format(a="q.embedding", b="c.embedding")} AS cos
+    FROM embeddings q, embeddings c
+    WHERE q.vec_id < 5 AND c.vec_id >= 5
+      AND {_COS_SQL.format(a="q.embedding", b="c.embedding")} >= 0.15
+    """,
+    "Cosine range search (radius query): every corpus neighbor above a "
+    "similarity threshold per query — the dedup/retrieval complement of "
+    "top-k. Broadcast query side, partition-parallel corpus scan, "
+    "no global sort at all (threshold filter instead of rank).",
+)
+def sim_range_search(spark, sf_dir):
+    from youtube_trending_data_pipeline_spark.functions.vectors import (
+        cosine_similarity,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    c = emb.where(F.col("vec_id") >= 5).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("vec")
+    )
+    return (
+        c.crossJoin(F.broadcast(q))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_similarity("query_vec", "vec").alias("cos"),
+        )
+        .where(F.col("cos") >= 0.15)
+    )
 
 
 @register(

@@ -91,6 +91,103 @@ def connected_components(
     return labels.select("node", F.col("label").alias("component"))
 
 
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(node, component) via alternating large-star / small-star rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    the O(log n)-round scale path for long-chain graphs, where plain
+    min-label propagation needs diameter rounds.
+
+    Each round is two star operations; each star is one hash aggregate
+    (per-node neighborhood min) plus one join, all on (long, long) rows.
+    Convergence = the normalized edge set reaches a fixpoint (star
+    forest), checked by count + order-independent hash signature — a pair
+    of scalar aggregates, never a collect of the edge list. Raises if not
+    converged within ``max_iter`` rounds (for chains that means
+    ~log2(length) rounds, asserted in tests).
+
+    Same output contract as connected_components: component = minimum
+    reachable vertex id, deterministic under any partitioning.
+    """
+    e = (
+        edges.select(
+            F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _sym(pairs: DataFrame) -> DataFrame:
+        return pairs.union(
+            pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+
+    def _neighborhood_min(sym: DataFrame) -> DataFrame:
+        return sym.groupBy(F.col("a").alias("u")).agg(
+            F.least(F.min("b"), F.first("a")).alias("m")
+        )
+
+    def _large_star(pairs: DataFrame) -> DataFrame:
+        sym = _sym(pairs)
+        m = _neighborhood_min(sym)
+        return (
+            sym.join(m, sym["a"] == m["u"])
+            .where(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("x"), F.col("m").alias("y"))
+        )
+
+    def _small_star(pairs: DataFrame) -> DataFrame:
+        directed = _sym(pairs).where(F.col("b") < F.col("a"))
+        m = directed.groupBy(F.col("a").alias("u")).agg(
+            F.least(F.min("b"), F.first("a")).alias("m")
+        )
+        out = directed.join(m, directed["a"] == m["u"]).select(
+            F.col("b").alias("x"), F.col("m").alias("y")
+        )
+        return out.union(m.select(F.col("u").alias("x"), F.col("m").alias("y")))
+
+    def _normalize(pairs: DataFrame) -> DataFrame:
+        return (
+            pairs.where(F.col("x") != F.col("y"))
+            .select(F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b"))
+            .distinct()
+        )
+
+    def _signature(pairs: DataFrame):
+        # bit_xor: order-independent and overflow-free under ANSI mode
+        # (SUM of 64-bit hashes overflows); edges are distinct so xor
+        # cancellation of repeated rows cannot occur
+        row = pairs.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64("a", "b")).alias("h"),
+        ).collect()[0]
+        return row["n"], row["h"]
+
+    sig = _signature(e)
+    for _ in range(max_iter):
+        e = _normalize(_small_star(_large_star(e).transform(_normalize))) \
+            .localCheckpoint(eager=True)
+        new_sig = _signature(e)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    else:
+        raise RuntimeError(f"star components did not converge in {max_iter} rounds")
+    # at fixpoint the edge set is a star forest: every node's neighborhood
+    # min (incl. self) is its component root
+    return _neighborhood_min(_sym(e)).select(
+        F.col("u").alias("node"), F.col("m").alias("component")
+    )
+
+
 def duplicate_clusters(
     pairs: DataFrame,
     id_a: str = "id_a",
