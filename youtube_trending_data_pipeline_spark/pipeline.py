@@ -122,9 +122,26 @@ def run_daily_aggregates(
 
 
 def run_weekly_report(
-    spark: SparkSession, cfg: PipelineConfig, end_date: dt.date
+    spark: SparkSession,
+    cfg: PipelineConfig,
+    end_date: dt.date,
+    sender=None,
+    recipients: list[str] | None = None,
 ) -> tuple[DataFrame, str]:
-    """gold insights (trailing 7 days) -> report frame + rendered HTML."""
+    """gold insights (trailing 7 days) -> report frame + rendered HTML.
+
+    ``sender`` (report.delivery.ReportSender) is the S11 seam: when given,
+    the rendered HTML is delivered with the reference's subject shape
+    (weekly_report.py:90-109) — e-mail, file audit trail, or anything else
+    implementing ``send``. Rendering is unchanged either way.
+    """
     insights = read_table(spark, cfg.insights_dir)
     report = weekly_insights(insights, end_date, formatted=True)
-    return report, render_weekly_html(report)
+    html = render_weekly_html(report)
+    if sender is not None:
+        sender.send(
+            f"Weekly Trending Report {end_date.isoformat()}",
+            html,
+            recipients or [],
+        )
+    return report, html
