@@ -101,9 +101,12 @@ def test_no_accidental_cartesian_anywhere(spark):
     the brute-force ANN scans where the cross product IS the algorithm
     (bounded by the broadcast query side)."""
     # sim_bruteforce_topk: deliberate all-pairs scoring scan.
+    # sim_range_search: same deliberate pattern — the labeled exact radius
+    # query; 5-row broadcast query side against a partition-parallel
+    # corpus scan (O(n x |queries|), never corpus x corpus).
     # resample_daily: deliberate date-spine cross join — the broadcast side
     # is a generated 14-row day list, the intended output IS keys x days.
-    allowed_cross = {"sim_bruteforce_topk", "resample_daily"}
+    allowed_cross = {"sim_bruteforce_topk", "sim_range_search", "resample_daily"}
     # Scalar-subquery shapes: crossJoin against a broadcast single-row
     # aggregate ("compare every row to the global total/average"). Spark
     # plans the conditionless join as BroadcastNestedLoopJoin, which with a

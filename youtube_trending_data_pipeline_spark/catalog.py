@@ -31,13 +31,44 @@ from youtube_trending_data_pipeline_spark.operators.topk import top_k_per_group
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS); Spark has no nanos type, so
-        # read it as long nanoseconds-since-epoch (session-settable legacy
-        # conf — set here too so driver-created sessions work). Ordering and
-        # day-bucketing on the long are identical to the timestamp's; day
-        # extraction is pure epoch arithmetic (timezone-proof).
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # events.ts has shipped as parquet TIMESTAMP(NANOS) in some testdata
+        # generations and plain TIMESTAMP(MICROS) in others. The whole
+        # catalog (and every DuckDB oracle, via epoch_ns(ts)) computes on
+        # epoch-NANOS longs, so normalize at the scan regardless of the
+        # physical type:
+        #  * NANOS parquet -> long nanos directly (legacy conf);
+        #  * MICROS parquet -> read as TIMESTAMP_NTZ, then wall-clock
+        #    difference from the NTZ epoch — timestampdiff between two NTZ
+        #    values never consults the session timezone, so driver-created
+        #    sessions with any tz produce identical longs.
+        for k, v in (
+            ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+            ("spark.sql.parquet.inferTimestampNTZ.enabled", "true"),
+        ):
+            try:
+                spark.conf.set(k, v)
+            except Exception:
+                pass  # static-conf sessions: defaults already match
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn("ts", ts_nanos(dict(df.dtypes).get("ts", "")))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def ts_nanos(ts_dtype: str, col: str = "ts") -> Column:
+    """Expression normalizing an events ``ts`` column to epoch-NANOS long.
+
+    No-op for long columns (TIMESTAMP(NANOS) parquet read under
+    nanosAsLong); for timestamp columns, a wall-clock NTZ difference from
+    the NTZ epoch — session-timezone-independent, matching the DuckDB
+    oracles' ``epoch_ns(ts)`` on the same naive values. Pure projection,
+    so it also composes with Structured Streaming sources."""
+    if ts_dtype.startswith("timestamp"):
+        return F.expr(
+            "timestampdiff(MICROSECOND, "
+            "TIMESTAMP_NTZ '1970-01-01 00:00:00', "
+            f"cast({col} as timestamp_ntz)) * 1000L"
+        )
+    return F.col(col)
 
 
 def event_day(ts_nanos: Column | str) -> Column:

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from youtube_trending_data_pipeline_spark.catalog import register, t
+from youtube_trending_data_pipeline_spark.catalog import register, t, ts_nanos
 from youtube_trending_data_pipeline_spark.functions.text import (
     LANG_MARKERS,
     STOPWORDS,
@@ -717,16 +717,19 @@ def _multimodal_oracle() -> str:
     sum_g = " + ".join(_ppm_pixel(k * 3 + 1) for k in range(4))
     sum_b = " + ".join(_ppm_pixel(k * 3 + 2) for k in range(4))
     all_px = ", ".join(_ppm_pixel(i) for i in range(12))
+    # Scalar double columns (not a list) so the external gate's pandas
+    # canonicalizer can sort/hash the frame — lists are unhashable there.
     return f"""
     SELECT CAST(doc_id AS VARCHAR) AS asset_id,
            CAST(23 AS BIGINT) AS n_bytes,
-           [2.0, 2.0,
-            ({sum_r}) / (255.0 * 4),
-            ({sum_g}) / (255.0 * 4),
-            ({sum_b}) / (255.0 * 4),
-            ({sum_r} + {sum_g} + {sum_b}) / (255.0 * 3 * 4),
-            LEAST({all_px}) / 255.0,
-            GREATEST({all_px}) / 255.0] AS feature
+           CAST(2.0 AS DOUBLE) AS img_w,
+           CAST(2.0 AS DOUBLE) AS img_h,
+           ({sum_r}) / (255.0 * 4) AS mean_r,
+           ({sum_g}) / (255.0 * 4) AS mean_g,
+           ({sum_b}) / (255.0 * 4) AS mean_b,
+           ({sum_r} + {sum_g} + {sum_b}) / (255.0 * 3 * 4) AS mean_all,
+           LEAST({all_px}) / 255.0 AS px_min,
+           GREATEST({all_px}) / 255.0 AS px_max
     FROM documents
     """
 
@@ -764,7 +767,21 @@ def multimodal_image_features(spark, sf_dir):
         F.lit(None).cast("long").alias("duration_ms"),
         F.lit(None).cast("string").alias("codec"),
     )
-    return extract_image_features(media).orderBy("asset_id")
+    feat_names = [
+        "img_w", "img_h", "mean_r", "mean_g", "mean_b",
+        "mean_all", "px_min", "px_max",
+    ]
+    # Flatten the 8-dim feature array to named scalar columns so the
+    # external gate can canonicalize the result (lists are unhashable in
+    # its pandas sort/hash step). The operator API keeps the array form.
+    return extract_image_features(media).select(
+        "asset_id",
+        "n_bytes",
+        *[
+            F.element_at("feature", i + 1).alias(name)
+            for i, name in enumerate(feat_names)
+        ],
+    ).orderBy("asset_id")
 
 
 @register(
@@ -784,18 +801,24 @@ def stream_windowed_counts(spark, sf_dir):
 
     import os
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ts_dtype = dict(batch.dtypes).get("ts", "")
     # the file stream source requires a directory; expose the single test
     # file through a symlinked temp dir (a real deployment streams a
     # landing directory)
     src_dir = tempfile.mkdtemp(prefix="stream-src-")
     os.symlink(f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet")
     stream = (
-        spark.readStream.schema(batch_schema)
+        spark.readStream.schema(batch.schema)
         .parquet(src_dir)
         .select(
-            F.timestamp_micros((F.col("ts") / 1000).cast("long")).alias("ts_t"),
+            F.timestamp_micros(
+                (ts_nanos(ts_dtype) / 1000).cast("long")
+            ).alias("ts_t"),
             "event_type",
             "value",
         )
@@ -1896,10 +1919,10 @@ def doc_chunk_overlap(spark, sf_dir):
       SELECT doc_id, source, n_chars // 4 AS n_tokens FROM documents
     )
     SELECT doc_id, source, n_tokens,
-           COALESCE(SUM(n_tokens) OVER (
+           CAST(COALESCE(SUM(n_tokens) OVER (
              PARTITION BY source ORDER BY doc_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512
-             AS pack_id
+             AS BIGINT) AS pack_id
     FROM toks
     """,
     "Sequence packing (linear variant): assign docs to fixed 512-token "
@@ -2631,8 +2654,8 @@ def sample_per_group_topk(spark, sf_dir):
       FROM events
     )
     SELECT user_id,
-           SUM(value_c * dur_us) AS vt_sum,
-           SUM(dur_us) AS t_sum,
+           CAST(SUM(value_c * dur_us) AS BIGINT) AS vt_sum,
+           CAST(SUM(dur_us) AS BIGINT) AS t_sum,
            CAST(SUM(value_c * dur_us) AS DOUBLE) / SUM(dur_us) / 100.0
              AS twap
     FROM iv WHERE dur_us IS NOT NULL
@@ -2912,14 +2935,18 @@ def stream_stateful_engagement(spark, sf_dir):
         running_user_engagement,
     )
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ts_dtype = dict(batch.dtypes).get("ts", "")
     src_dir = tempfile.mkdtemp(prefix="stateful-src-")
     os.symlink(f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet")
     stream = (
-        spark.readStream.schema(batch_schema)
+        spark.readStream.schema(batch.schema)
         .parquet(src_dir)
-        .select("user_id", "ts", "value")
+        .select("user_id", ts_nanos(ts_dtype).alias("ts"), "value")
     )
     out = running_user_engagement(stream)
     name = f"eng_{uuid.uuid4().hex[:8]}"
