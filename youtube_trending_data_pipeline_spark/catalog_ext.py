@@ -619,15 +619,41 @@ def text_token_bpe(spark, sf_dir):
 
 @register(
     "sample_stratified",
-    None,  # sampling RNG differs across engines; determinism tested in pytest
-    "Stratified sampling (sampleBy with fixed seed): per-language fractions "
-    "for corpus rebalancing — deterministic given the seed (extension)",
+    """
+    WITH frac AS (
+      SELECT * FROM (VALUES ('en', 0.5), ('es', 1.0), ('de', 1.0),
+                            ('fr', 1.0), ('zh', 0.25)) AS f(lang, p)
+    )
+    SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM documents d JOIN frac USING (lang)
+    WHERE (d.doc_id * 2654435761) % 4294967296 < CAST(p * 4294967296 AS BIGINT)
+    GROUP BY d.lang
+    """,
+    "Stratified sampling with per-language fractions, as a DETERMINISTIC "
+    "Knuth-multiplicative-hash threshold (keep iff hash(doc_id) < p*2^32) "
+    "instead of an RNG — reruns, engines, and partitionings agree "
+    "bit-for-bit, which also makes the sample stable across incremental "
+    "reprocessing at 100 TB (an RNG re-draw would churn the kept set). "
+    "Spark's sampleBy remains the per-row-RNG alternative, exercised in "
+    "tests/test_new_operators.py. Broadcast 5-row fraction dim, one "
+    "hash-aggregate: single shuffle.",
 )
 def sample_stratified(spark, sf_dir):
-    docs = t(spark, sf_dir, "documents")
     fractions = {"en": 0.5, "es": 1.0, "de": 1.0, "fr": 1.0, "zh": 0.25}
-    sampled = docs.sampleBy("lang", fractions, seed=42)
-    return sampled.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    frac = F.broadcast(
+        t(spark, sf_dir, "documents")
+        .sparkSession.createDataFrame(
+            list(fractions.items()), "lang string, p double"
+        )
+    )
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang")
+    h = F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(4294967296))
+    return (
+        docs.join(frac, "lang")
+        .where(h < (F.col("p") * F.lit(4294967296)).cast("long"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
 
 
 @register(
@@ -786,10 +812,23 @@ def multimodal_image_features(spark, sf_dir):
 
 @register(
     "stream_windowed_counts",
-    None,  # executed via Structured Streaming; deterministic but not SQL
-    "Structured Streaming in the correctness gate: availableNow file stream "
-    "-> watermarked 1h tumbling windows -> memory sink; equals the batch "
-    "groupBy (asserted in tests/test_streaming.py). Rows-only check.",
+    """
+    SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour_bucket,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) / 100.0
+             AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    "Structured Streaming in the EXACT correctness gate: availableNow "
+    "file stream -> watermarked 1h tumbling windows -> memory sink, then "
+    "window starts projected to epoch-hour buckets (unix_micros: "
+    "timezone-free) and value totals accumulated in integer cents inside "
+    "the stream — so the streaming aggregate is bit-identical to the "
+    "batch SQL the oracle runs, under any batch split or partitioning. "
+    "Tumbling 1h windows are epoch-aligned, hence bucket = "
+    "epoch_us // 3.6e9 on both engines.",
 )
 def stream_windowed_counts(spark, sf_dir):
     import tempfile
@@ -820,7 +859,10 @@ def stream_windowed_counts(spark, sf_dir):
                 (ts_nanos(ts_dtype) / 1000).cast("long")
             ).alias("ts_t"),
             "event_type",
-            "value",
+            # integer cents INSIDE the stream: the windowed sum is then a
+            # long sum — exact under any micro-batch split (double
+            # summation order would not be)
+            F.round(F.col("value") * 100).cast("long").alias("value"),
         )
     )
     agg = windowed_event_counts(stream, window="1 hour", watermark="2 hours", ts_col="ts_t")
@@ -834,7 +876,12 @@ def stream_windowed_counts(spark, sf_dir):
         .start()
     )
     q.awaitTermination(300)
-    return spark.table(name)
+    return spark.table(name).select(
+        F.expr("unix_micros(window_start) div 3600000000").alias("hour_bucket"),
+        "event_type",
+        "n_events",
+        (F.col("total_value") / 100.0).alias("total_value"),
+    )
 
 
 # Late-bind the generated LSH oracle (needs _COS_SQL, defined mid-module).

@@ -76,6 +76,13 @@ PRIORITY_UNCHECKED = [
     "multimodal_image_features",
 ]
 
+# ROUND 5: after CORRECTNESS_r04 lands, merge its keys into DRIVER_VERIFIED
+# and put these in PRIORITY_UNCHECKED — they gained EXACT oracles in round 4
+# (deterministic hash-based stratified sampling; epoch-hour-bucket streaming
+# aggregate in integer cents) but their driver rows are still the old
+# rows-only checks from r02/r03:
+#   "sample_stratified", "stream_windowed_counts"
+
 
 def order_for_driver(names: list[str]) -> list[str]:
     """Order query names so the driver's first-50 window covers fresh work.
