@@ -253,6 +253,108 @@ def test_bmp_decode_hand_computed_fixture():
     assert feats[6] == 10 / 255.0 and feats[7] == 120 / 255.0
 
 
+def test_wav_decode_hand_computed_fixture(spark):
+    """Hand-assembled RIFF/WAVE (16-bit mono PCM, LIST chunk before data
+    to exercise the chunk walker) decodes to the exact samples, and the
+    Arrow kernel reproduces the hand-computed features."""
+    import struct
+
+    from youtube_trending_data_pipeline_spark.operators.multimodal import (
+        audio_features,
+        decode_wav,
+        extract_audio_features,
+    )
+
+    samples = [1000, -2000, 3000, -4000]
+    data = struct.pack("<4h", *samples)
+    list_chunk = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    wav = (
+        b"RIFF" + struct.pack("<I", 4 + 24 + 12 + 8 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16)
+        + struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+        + list_chunk
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    sr, got = decode_wav(wav)
+    assert sr == 8000 and got == samples
+    feats = audio_features(sr, got, len(wav))
+    # hand-computed: sum|s| = 10000, peak 4000, 3 sign flips, 4 samples
+    # at 8 kHz -> 0 ms (truncated)
+    assert feats == [8000, 4, 0, 10000 / (32768.0 * 4), 4000 / 32768.0, 3]
+
+    media = spark.createDataFrame(
+        [("a1", "audio", wav)],
+        "asset_id string, media_type string, content binary",
+    )
+    row = extract_audio_features(media).collect()[0]
+    assert row["n_bytes"] == len(wav)
+    assert row["sample_rate"] == 8000 and row["n_samples"] == 4
+    assert row["mean_abs"] == feats[3] and row["peak"] == feats[4]
+    assert row["zero_crossings"] == 3
+
+
+def test_y4m_decode_hand_computed_fixture(spark):
+    """Hand-assembled 2-frame 2x2 YUV4MPEG2 clip at 10 fps: the parser
+    must return the exact luma planes, and sampling every 100 ms must
+    pick frame 0 at t=0 and frame 1 at t=100 with hand-computed stats."""
+    from youtube_trending_data_pipeline_spark.operators.multimodal import (
+        decode_y4m,
+        extract_video_frame_features,
+    )
+
+    f0_y, f0_uv = bytes([10, 20, 30, 40]), bytes([128, 128])
+    f1_y, f1_uv = bytes([50, 60, 70, 80]), bytes([0, 255])
+    y4m = (
+        b"YUV4MPEG2 W2 H2 F10:1 Ip A1:1 C420\n"
+        + b"FRAME\n" + f0_y + f0_uv
+        + b"FRAME\n" + f1_y + f1_uv
+    )
+    w, h, num, den, frames = decode_y4m(y4m)
+    assert (w, h, num, den) == (2, 2, 10, 1)
+    assert frames == [f0_y, f1_y]
+
+    media = spark.createDataFrame(
+        [("v1", "video", y4m)],
+        "asset_id string, media_type string, content binary",
+    )
+    rows = sorted(
+        extract_video_frame_features(media, every_ms=100).collect(),
+        key=lambda r: r["frame_idx"],
+    )
+    assert [(r["frame_idx"], r["frame_ts_ms"]) for r in rows] == [(0, 0), (1, 100)]
+    assert rows[0]["mean_y"] == (10 + 20 + 30 + 40) / (255.0 * 4)
+    assert rows[0]["min_y"] == 10 / 255.0 and rows[0]["max_y"] == 40 / 255.0
+    assert rows[1]["mean_y"] == (50 + 60 + 70 + 80) / (255.0 * 4)
+
+
+def test_bm25_log_and_odds_idf_rank_identically(spark, sf_dir):
+    """The oracle-checked catalog entry uses the log-free RSJ odds idf
+    (ln() is not bit-identical across engines); the standard ln-idf BM25
+    must produce the same top-20 ranking on the documents corpus."""
+    from youtube_trending_data_pipeline_spark.operators.retrieval import (
+        bm25_scores,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    top = lambda df, k: [
+        r["doc_id"]
+        for r in df.orderBy(F.desc("bm25"), "doc_id").limit(k).collect()
+    ]
+    # single-term: odds is a monotone transform of ln-idf, so the ranking
+    # is EXACTLY the same — this is the property that justifies shipping
+    # the log-free variant in the oracle gate
+    for term in ["join", "vector"]:
+        exact = top(bm25_scores(docs, [term], log_idf=True), 20)
+        odds = top(bm25_scores(docs, [term], log_idf=False), 20)
+        assert exact == odds, term
+    # multi-term: per-term idf scalars differ, so orderings may diverge in
+    # the tail — require strong head agreement, not identity
+    terms = ["join", "vector", "stream"]
+    with_log = top(bm25_scores(docs, terms, log_idf=True), 20)
+    with_odds = top(bm25_scores(docs, terms, log_idf=False), 20)
+    assert len(set(with_log) & set(with_odds)) >= 12
+
+
 def test_star_components_chain_converges_logarithmically(spark):
     """Large-star/small-star must collapse a 64-node chain (diameter 63)
     within ~log2 rounds — max_iter=8 would fail for a diameter-bound

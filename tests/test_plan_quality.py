@@ -117,6 +117,9 @@ def test_no_accidental_cartesian_anywhere(spark):
         # corpus_mix_resample: 1-row (n_total, sum_w) stats broadcast onto
         # the per-doc acceptance filter — constant-append, O(n).
         "corpus_mix_resample",
+        # text_bm25_score: 1-row corpus stats (N, avgdl, per-term df)
+        # broadcast onto the per-doc scoring projection — constant-append.
+        "text_bm25_score",
     }
     for name, spec in QUERIES.items():
         if name in allowed_cross:

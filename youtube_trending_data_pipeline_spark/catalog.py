@@ -71,6 +71,21 @@ def ts_nanos(ts_dtype: str, col: str = "ts") -> Column:
     return F.col(col)
 
 
+def ts_micros(ts_dtype: str, col: str = "ts") -> Column:
+    """Epoch-MICROS long from an events ``ts`` column — exact integer
+    derivation on both physical types. NEVER divide epoch nanos by 1000
+    with ``/``: the double division loses precision above 2^53 and lands
+    a micro off, which shifts session/window boundaries (observed as
+    off-by-one session_start_us vs the oracle)."""
+    if ts_dtype.startswith("timestamp"):
+        return F.expr(
+            "timestampdiff(MICROSECOND, "
+            "TIMESTAMP_NTZ '1970-01-01 00:00:00', "
+            f"cast({col} as timestamp_ntz))"
+        )
+    return F.expr(f"{col} div 1000")
+
+
 def event_day(ts_nanos: Column | str) -> Column:
     """UTC day of an epoch-nanos column, as DATE, via pure arithmetic
     (matches DuckDB ``CAST(ts AS DATE)`` on the naive timestamp)."""

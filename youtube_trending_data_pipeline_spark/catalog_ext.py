@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from youtube_trending_data_pipeline_spark.catalog import register, t, ts_nanos
+from youtube_trending_data_pipeline_spark.catalog import register, t, ts_micros, ts_nanos
 from youtube_trending_data_pipeline_spark.functions.text import (
     LANG_MARKERS,
     STOPWORDS,
@@ -811,6 +811,333 @@ def multimodal_image_features(spark, sf_dir):
 
 
 @register(
+    "stream_session_windows",
+    """
+    WITH e AS (
+      SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS us,
+             CAST(ROUND(value*100) AS BIGINT) AS vc
+      FROM events
+    ), m AS (
+      SELECT user_id, us, vc,
+             CASE WHEN LAG(us) OVER w IS NULL
+                       OR us - LAG(us) OVER w >= 1800000000
+                  THEN 1 ELSE 0 END AS brk
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)
+    ), s AS (
+      SELECT user_id, us, vc,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY us
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM m
+    )
+    SELECT user_id,
+           CAST(MIN(us) AS BIGINT) AS session_start_us,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(vc) AS BIGINT) / 100.0 AS total_value
+    FROM s GROUP BY user_id, sid
+    """,
+    "Streaming sessionization IN the exact gate: F.session_window (30 min "
+    "gap) over an availableNow file stream in APPEND mode — append only "
+    "emits sessions the watermark has passed, and the watermark never "
+    "passes the corpus's own last session, so a far-future SENTINEL "
+    "event file (user_id -1, year 2100) is injected to flush every real "
+    "session; the sentinel's own open session is filtered out. The "
+    "result equals the batch gap-based sessionization the oracle "
+    "computes (break at gap >= 30 min, matching session_window's "
+    "[ts, ts+gap) merge rule). Session starts projected to "
+    "timezone-free epoch micros; value totals in integer cents inside "
+    "the stream.",
+)
+def stream_session_windows(spark, sf_dir):
+    import glob as globmod
+    import os
+    import tempfile
+    import uuid
+
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ts_dtype = dict(batch.dtypes).get("ts", "")
+    src_dir = tempfile.mkdtemp(prefix="sessw-src-")
+    os.symlink(f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet")
+    # sentinel row in the exact source schema: watermark advances past
+    # every real session end once this file is processed
+    far = (
+        F.lit("2100-01-01 00:00:00").cast(ts_dtype)
+        if ts_dtype.startswith("timestamp")
+        else F.lit(4102444800 * 1_000_000_000)
+    )
+    sentinel = batch.limit(1).select(
+        *[
+            far.alias("ts")
+            if c == "ts"
+            else (F.lit(-1).cast("long").alias("user_id") if c == "user_id" else F.col(c))
+            for c in batch.columns
+        ]
+    )
+    sent_dir = tempfile.mkdtemp(prefix="sessw-sent-")
+    sentinel.coalesce(1).write.mode("overwrite").parquet(sent_dir)
+    part = globmod.glob(f"{sent_dir}/part-*.parquet")[0]
+    os.symlink(part, f"{src_dir}/zz-sentinel.parquet")
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .parquet(src_dir)
+        .select(
+            "user_id",
+            F.timestamp_micros(ts_micros(ts_dtype)).alias("ts_t"),
+            F.round(F.col("value") * 100).cast("long").alias("vc"),
+        )
+    )
+    agg = (
+        stream.withWatermark("ts_t", "1 second")
+        .groupBy(F.session_window("ts_t", "30 minutes"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("vc").alias("vc_sum"),
+        )
+    )
+    name = f"sess_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt-"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.table(name)
+        .where(F.col("user_id") != -1)
+        .select(
+            "user_id",
+            F.expr("unix_micros(session_window.start)").alias("session_start_us"),
+            "n_events",
+            (F.col("vc_sum") / 100.0).alias("total_value"),
+        )
+    )
+
+
+def _bm25_oracle(terms: list[str]) -> str:
+    tf_cols = ",\n         ".join(
+        f"CAST(SUM(CASE WHEN tok = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS tf_{t}"
+        for t in terms
+    )
+    df_cols = ",\n         ".join(
+        f"CAST(SUM(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_{t}"
+        for t in terms
+    )
+    score = "\n           + ".join(
+        f"(((n_docs - df_{t} + 0.5) / (df_{t} + 0.5)) * "
+        f"(tf_{t} * CAST(2.2 AS DOUBLE))) / "
+        f"(tf_{t} + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) "
+        f"+ CAST(0.75 AS DOUBLE) * p.dl / (CAST(sum_dl AS DOUBLE) / n_docs)))"
+        for t in terms
+    )
+    tf_sel = ", ".join(f"p.tf_{t}" for t in terms)
+    return f"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(str_split_regex(lower(text), '[^a-z0-9]+'),
+                                x -> x <> '')) AS tok
+      FROM documents
+    ), perdoc AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl,
+         {tf_cols}
+      FROM tok GROUP BY doc_id
+    ), stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(dl) AS BIGINT) AS sum_dl,
+         {df_cols}
+      FROM perdoc
+    )
+    SELECT p.doc_id, p.dl, {tf_sel},
+           {score} AS bm25
+    FROM perdoc p, stats
+    """
+
+
+_BM25_TERMS = ["join", "vector", "stream"]
+
+
+@register(
+    "text_bm25_score",
+    _bm25_oracle(_BM25_TERMS),
+    "BM25 lexical relevance of every document against a fixed term set — "
+    "the retrieval-based decontamination / quality-audit primitive. One "
+    "explode + ONE per-doc hash aggregate (doc length and all per-term "
+    "tfs in the same groupBy: single shuffle), then a 1-row corpus-stats "
+    "aggregate broadcast back (constant-append BNLJ). Uses the log-free "
+    "RSJ odds idf so every arithmetic step is IEEE +,*,/ and the oracle "
+    "hashes bit-identically (measured: ln() differs between engines in "
+    "the last ulp for ~8% of idf operands); the standard ln-idf variant "
+    "is rank-equivalence-tested in pytest.",
+)
+def text_bm25_score(spark, sf_dir):
+    from youtube_trending_data_pipeline_spark.operators.retrieval import (
+        bm25_scores,
+    )
+
+    return bm25_scores(
+        t(spark, sf_dir, "documents"), _BM25_TERMS, log_idf=False
+    )
+
+
+def _wav_sample(i: int) -> str:
+    """SQL expr for signed 16-bit sample i of a doc's synthetic WAV:
+    range [-1024, 1023], deterministic from doc_id."""
+    return f"(((doc_id * 13 + {i} * 37) % 2048) - 1024)"
+
+
+def _wav_header_hex() -> str:
+    """44-byte RIFF/WAVE header for 4 samples of 16-bit mono PCM at
+    1 kHz, as a hex literal (built once in Python, decoded per row by
+    the real decode_wav chunk walker)."""
+    import struct
+
+    hdr = (
+        b"RIFF" + struct.pack("<I", 44) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16)
+        + struct.pack("<HHIIHH", 1, 1, 1000, 2000, 2, 16)
+        + b"data" + struct.pack("<I", 8)
+    )
+    return hdr.hex()
+
+
+def _audio_oracle() -> str:
+    """Exact replay of the WAV decode path: 4 signed samples derived from
+    doc_id; mean_abs/peak normalized by 32768, zero-crossings counted on
+    sign flips — if decode_wav mis-walks a chunk or mis-orders bytes, the
+    hash check fails."""
+    s = [_wav_sample(i) for i in range(4)]
+    abs_sum = " + ".join(f"ABS({x})" for x in s)
+    peak = ", ".join(f"ABS({x})" for x in s)
+    zc = " + ".join(
+        f"CASE WHEN ({s[i-1]} < 0) <> ({s[i]} < 0) THEN 1 ELSE 0 END"
+        for i in range(1, 4)
+    )
+    return f"""
+    SELECT CAST(doc_id AS VARCHAR) AS asset_id,
+           CAST(52 AS BIGINT) AS n_bytes,
+           CAST(1000 AS INT) AS sample_rate,
+           CAST(4 AS BIGINT) AS n_samples,
+           CAST(4 AS BIGINT) AS duration_ms,
+           ({abs_sum}) / (32768.0 * 4) AS mean_abs,
+           GREATEST({peak}) / 32768.0 AS peak,
+           CAST({zc} AS BIGINT) AS zero_crossings
+    FROM documents
+    """
+
+
+@register(
+    "multimodal_audio_features",
+    _audio_oracle(),
+    "Multimodal audio: per-doc synthetic 16-bit mono PCM WAV (real RIFF "
+    "bytes, built JVM-side) -> Arrow-batched mapInPandas with a REAL "
+    "pure-Python chunk-walking WAV decoder -> sample-derived features "
+    "(mean |amplitude|, peak, zero-crossings); oracle recomputes the "
+    "expected sample arithmetic exactly",
+)
+def multimodal_audio_features(spark, sf_dir):
+    from youtube_trending_data_pipeline_spark.operators.multimodal import (
+        extract_audio_features,
+    )
+
+    # 4 signed int16 samples, little-endian two's complement built from
+    # pure column arithmetic: u = (v + 65536) % 65536, lo/hi bytes hexed
+    def sample_hex(i: int):
+        v = (F.col("doc_id") * 13 + i * 37) % 2048 - 1024
+        u = F.pmod(v, F.lit(65536))
+        return F.concat(
+            F.lpad(F.hex(u % 256), 2, "0"),
+            F.lpad(F.hex(F.floor(u / 256).cast("long")), 2, "0"),
+        )
+
+    data_hex = F.concat(*[sample_hex(i) for i in range(4)])
+    media = t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("asset_id"),
+        F.lit("audio").alias("media_type"),
+        F.concat(
+            F.unhex(F.lit(_wav_header_hex())), F.unhex(data_hex)
+        ).alias("content"),
+    )
+    return extract_audio_features(media).orderBy("asset_id")
+
+
+def _y4m_luma(f: int, i: int) -> str:
+    """SQL expr for luma byte i of frame f of a doc's synthetic Y4M."""
+    return f"((doc_id * 11 + {f} * 29 + {i} * 17) % 256)"
+
+
+def _video_oracle() -> str:
+    """Exact replay of the Y4M frame-sampling path: 2 frames at 10 fps
+    sampled every 100 ms -> frame f on display at ts = f*100; luma stats
+    from the 4 Y-plane bytes of that frame."""
+    per_frame = []
+    for f in (0, 1):
+        y = [_y4m_luma(f, i) for i in range(4)]
+        per_frame.append(
+            f"""
+    SELECT CAST(doc_id AS VARCHAR) AS asset_id,
+           CAST({f} AS INT) AS frame_idx,
+           CAST({f} * 100 AS BIGINT) AS frame_ts_ms,
+           ({' + '.join(y)}) / (255.0 * 4) AS mean_y,
+           LEAST({', '.join(y)}) / 255.0 AS min_y,
+           GREATEST({', '.join(y)}) / 255.0 AS max_y
+    FROM documents"""
+        )
+    return " UNION ALL ".join(per_frame)
+
+
+@register(
+    "multimodal_video_frames",
+    _video_oracle(),
+    "Multimodal video: per-doc synthetic 2-frame 2x2 YUV4MPEG2 clip "
+    "(real Y4M bytes with FRAME markers and 4:2:0 chroma planes, built "
+    "JVM-side) -> mapInPandas with a REAL pure-Python Y4M parser -> one "
+    "row per sampled timestamp with luma statistics from the actual "
+    "frame on display; oracle recomputes the frame arithmetic exactly. "
+    "Frame fan-out happens inside the Python worker from one binary "
+    "cell — the video bytes are never duplicated per output row.",
+)
+def multimodal_video_frames(spark, sf_dir):
+    from youtube_trending_data_pipeline_spark.operators.multimodal import (
+        extract_video_frame_features,
+    )
+
+    frame_parts = []
+    for f in (0, 1):
+        luma_hex = F.concat(
+            *[
+                F.lpad(
+                    F.hex((F.col("doc_id") * 11 + f * 29 + i * 17) % 256),
+                    2,
+                    "0",
+                )
+                for i in range(4)
+            ]
+        )
+        chroma_hex = F.concat(
+            F.lpad(F.hex((F.col("doc_id") * 5 + f * 3) % 256), 2, "0"),
+            F.lpad(F.hex((F.col("doc_id") * 3 + f * 7) % 256), 2, "0"),
+        )
+        frame_parts.append(F.encode(F.lit("FRAME\n"), "utf-8"))
+        frame_parts.append(F.unhex(F.concat(luma_hex, chroma_hex)))
+    media = t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("asset_id"),
+        F.lit("video").alias("media_type"),
+        F.concat(
+            F.encode(F.lit("YUV4MPEG2 W2 H2 F10:1 Ip A1:1 C420\n"), "utf-8"),
+            *frame_parts,
+        ).alias("content"),
+    )
+    return extract_video_frame_features(media, every_ms=100).orderBy(
+        "asset_id", "frame_idx"
+    )
+
+
+@register(
     "stream_windowed_counts",
     """
     SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour_bucket,
@@ -855,9 +1182,7 @@ def stream_windowed_counts(spark, sf_dir):
         spark.readStream.schema(batch.schema)
         .parquet(src_dir)
         .select(
-            F.timestamp_micros(
-                (ts_nanos(ts_dtype) / 1000).cast("long")
-            ).alias("ts_t"),
+            F.timestamp_micros(ts_micros(ts_dtype)).alias("ts_t"),
             "event_type",
             # integer cents INSIDE the stream: the windowed sum is then a
             # long sum — exact under any micro-batch split (double

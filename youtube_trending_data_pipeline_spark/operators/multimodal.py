@@ -16,8 +16,13 @@ would slot into the same ``_decode_image_impl`` dispatch via PIL when
 available; unrecognized bytes fall back to a deterministic byte-hash
 feature so a mixed-media corpus never crashes the job.
 
-Video frame sampling remains a declared stub (ffmpeg not in container);
-the timestamp grid and plan shape are real.
+Audio decode is REAL for 16-bit mono PCM RIFF/WAVE (decode_wav walks the
+chunk list), and video frame sampling is REAL for uncompressed YUV4MPEG2
+(decode_y4m); both verified against exact DuckDB oracles
+(catalog_ext.multimodal_audio_features / multimodal_video_frames).
+Compressed codecs (MP3/AAC/H.264/VP9) remain out of scope without
+ffmpeg in the container — sample_video_frames keeps the grid-only
+stub path for those, clearly labeled.
 """
 
 from __future__ import annotations
@@ -177,6 +182,119 @@ def _decode_image_impl(content: bytes) -> list[float]:
     return _fallback_features(content)
 
 
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("asset_id", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_samples", LongType()),
+        StructField("duration_ms", LongType()),
+        # exact integer-ratio math (like pixel_features) so the DuckDB
+        # oracle replays the values bit-identically
+        StructField("mean_abs", DoubleType()),
+        StructField("peak", DoubleType()),
+        StructField("zero_crossings", LongType()),
+    ]
+)
+
+
+def decode_wav(content: bytes) -> tuple[int, list[int]]:
+    """Decode a RIFF/WAVE file with 16-bit PCM samples (mono or
+    interleaved-averaged-to-mono is NOT done — multi-channel rejected) to
+    (sample_rate, samples).
+
+    Walks the RIFF chunk list properly (fmt / data chunks can be preceded
+    by LIST/fact chunks), little-endian per the spec.
+    """
+    import struct
+
+    if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos = 12
+    sample_rate = None
+    bits = None
+    channels = None
+    data = None
+    while pos + 8 <= len(content):
+        cid = content[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", content, pos + 4)
+        body = content[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt_tag, channels, sample_rate = struct.unpack_from("<HHI", body, 0)
+            (bits,) = struct.unpack_from("<H", body, 14)
+            if fmt_tag != 1:
+                raise ValueError("only PCM (format tag 1) supported")
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if sample_rate is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    if bits != 16 or channels != 1:
+        raise ValueError("only 16-bit mono PCM supported")
+    n = len(data) // 2
+    samples = list(struct.unpack(f"<{n}h", data[: 2 * n]))
+    return sample_rate, samples
+
+
+def audio_features(sample_rate: int, samples: list[int], n_bytes: int) -> list:
+    """Feature row from decoded PCM samples, exact integer-ratio math:
+    [sample_rate, n_samples, duration_ms, mean_abs, peak, zero_crossings].
+    duration_ms truncates; mean_abs/peak normalize by 32768."""
+    n = len(samples)
+    sum_abs = sum(abs(s) for s in samples)
+    peak = max((abs(s) for s in samples), default=0)
+    zc = sum(
+        1
+        for i in range(1, n)
+        if (samples[i - 1] < 0) != (samples[i] < 0)
+    )
+    return [
+        sample_rate,
+        n,
+        (n * 1000) // sample_rate if sample_rate else 0,
+        sum_abs / (32768.0 * n) if n else 0.0,
+        peak / 32768.0,
+        zc,
+    ]
+
+
+def _decode_audio_impl(content: bytes) -> list:
+    """Real audio decode -> features; 16-bit mono PCM WAV decodes for
+    real, anything else raises (callers filter media_type='audio' and a
+    mixed corpus routes unknowns to the byte-hash fallback upstream)."""
+    if content is None:
+        raise NotImplementedError("URI-only assets need an object-store fetch step")
+    sr, samples = decode_wav(content)
+    return audio_features(sr, samples, len(content))
+
+
+def extract_audio_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
+    """mapInPandas audio featurization over 16-bit PCM WAV bytes: Arrow
+    batches in, one feature row per asset out. Same constant-memory
+    iterator-of-batches shape as extract_image_features."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = pdf["content"].map(_decode_audio_impl)
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "n_bytes": pdf["content"].map(
+                        lambda b: 0 if b is None else len(b)
+                    ),
+                    "sample_rate": feats.map(lambda f: f[0]),
+                    "n_samples": feats.map(lambda f: f[1]),
+                    "duration_ms": feats.map(lambda f: f[2]),
+                    "mean_abs": feats.map(lambda f: f[3]),
+                    "peak": feats.map(lambda f: f[4]),
+                    "zero_crossings": feats.map(lambda f: f[5]),
+                }
+            )
+
+    audio = media.where(F.col("media_type") == "audio").select("asset_id", "content")
+    return audio.mapInPandas(kernel, schema=AUDIO_FEATURES_SCHEMA)
+
+
 def extract_image_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
     """mapInPandas image featurization: Arrow batches in, feature rows out.
 
@@ -205,7 +323,11 @@ def sample_video_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Frame-sampling plan for video assets: one output row per sampled
     timestamp. The timestamp grid is computed JVM-side from duration_ms
     (sequence + explode); only the (stubbed) frame decode would touch the
-    bytes. Returns (asset_id, frame_ts_ms, frame: binary-null-stub)."""
+    bytes. Returns (asset_id, frame_ts_ms, frame: binary-null-stub).
+
+    For REAL frame decode of uncompressed Y4M video, use
+    extract_video_frame_features; compressed codecs (H.264/VP9) remain
+    out of scope without ffmpeg in the container."""
     videos = media.where(
         (F.col("media_type") == "video") & F.col("duration_ms").isNotNull()
     )
@@ -220,3 +342,117 @@ def sample_video_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
         ).alias("frame_ts_ms"),
         F.lit(None).cast("binary").alias("frame"),  # STUB: ffmpeg not available
     )
+
+
+VIDEO_FRAME_FEATURES_SCHEMA = StructType(
+    [
+        StructField("asset_id", StringType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_ts_ms", LongType()),
+        # exact integer ratios over the luma plane (see pixel_features)
+        StructField("mean_y", DoubleType()),
+        StructField("min_y", DoubleType()),
+        StructField("max_y", DoubleType()),
+    ]
+)
+
+
+def decode_y4m(content: bytes):
+    """Decode an uncompressed YUV4MPEG2 (Y4M) stream in pure Python.
+
+    Returns (width, height, fps_num, fps_den, frames) where each frame is
+    the raw luma (Y) plane bytes. Supports the C420* colorspaces (default)
+    and Cmono; chroma planes are parsed past but not returned (features
+    here are luma statistics).
+    """
+    if not content.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 stream")
+    nl = content.index(b"\n")
+    header = content[:nl].decode("ascii", "replace").split(" ")
+    width = height = None
+    fps_num, fps_den = 30, 1
+    colorspace = "C420"
+    for tok in header[1:]:
+        if not tok:
+            continue
+        if tok[0] == "W":
+            width = int(tok[1:])
+        elif tok[0] == "H":
+            height = int(tok[1:])
+        elif tok[0] == "F":
+            fps_num, fps_den = (int(x) for x in tok[1:].split(":"))
+        elif tok[0] == "C":
+            colorspace = tok
+    if width is None or height is None:
+        raise ValueError("Y4M header missing W/H")
+    y_size = width * height
+    if colorspace.startswith("C420"):
+        frame_size = y_size + 2 * ((width // 2) * (height // 2))
+    elif colorspace == "Cmono":
+        frame_size = y_size
+    else:
+        raise ValueError(f"unsupported Y4M colorspace {colorspace}")
+    frames = []
+    pos = nl + 1
+    while pos < len(content):
+        fnl = content.index(b"\n", pos)
+        if content[pos : pos + 5] != b"FRAME":
+            raise ValueError("malformed Y4M frame marker")
+        pos = fnl + 1
+        if pos + frame_size > len(content):
+            raise ValueError("Y4M frame truncated")
+        frames.append(content[pos : pos + y_size])  # luma plane only
+        pos += frame_size
+    return width, height, fps_num, fps_den, frames
+
+
+def _video_frame_rows(asset_id: str, content: bytes, every_ms: int):
+    """Real Y4M decode -> one feature row per sampled timestamp: the grid
+    steps every_ms through the clip and picks the frame on display at each
+    instant (idx = ts*fps, truncating)."""
+    width, height, fps_num, fps_den, frames = decode_y4m(content)
+    n = len(frames)
+    if n == 0 or fps_num == 0:
+        return
+    duration_ms = (n * 1000 * fps_den) // fps_num
+    y_size = width * height
+    ts = 0
+    while ts < duration_ms:
+        idx = (ts * fps_num) // (1000 * fps_den)
+        y = frames[idx]
+        yield {
+            "asset_id": asset_id,
+            "frame_idx": idx,
+            "frame_ts_ms": ts,
+            "mean_y": sum(y) / (255.0 * y_size),
+            "min_y": min(y) / 255.0,
+            "max_y": max(y) / 255.0,
+        }
+        ts += every_ms
+
+
+def extract_video_frame_features(
+    media: DataFrame, every_ms: int = 1000
+) -> DataFrame:
+    """mapInPandas video frame sampling with REAL decode for uncompressed
+    YUV4MPEG2 (Y4M) assets: per sampled timestamp, luma statistics from
+    the actual frame bytes. One input asset fans out to duration/every_ms
+    rows, all computed inside the Python worker from the one binary cell —
+    the Arrow batch never duplicates the video bytes per output row."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                row
+                for aid, content in zip(pdf["asset_id"], pdf["content"])
+                for row in _video_frame_rows(aid, content, every_ms)
+            ]
+            yield pd.DataFrame(
+                rows,
+                columns=[f.name for f in VIDEO_FRAME_FEATURES_SCHEMA.fields],
+            )
+
+    videos = media.where(F.col("media_type") == "video").select(
+        "asset_id", "content"
+    )
+    return videos.mapInPandas(kernel, schema=VIDEO_FRAME_FEATURES_SCHEMA)

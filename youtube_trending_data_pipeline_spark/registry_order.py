@@ -74,14 +74,37 @@ DRIVER_VERIFIED: set[str] = set(DRIVER_VERIFIED_R01) | set(
 PRIORITY_UNCHECKED = [
     "pack_sequences_linear",
     "multimodal_image_features",
+    # the 48 entries that have waited since round 2 with no driver row —
+    # pinned explicitly so operators ADDED this round (multimodal audio /
+    # video, BM25, streaming session windows; all with fresh local parity
+    # evidence) queue behind them for the round-5 window instead of
+    # displacing them
+    "w_forward_fill", "resample_daily", "a22_histogram", "j6b_asof_forward",
+    "j4b_posexplode", "f_map_funcs", "f_array_hof", "a23_collect_set",
+    "u3_unpivot", "j8_null_safe_join", "j4c_explode_outer", "f_try_arith",
+    "a24_regr_fit", "dedup_components_star", "dedup_keep_best",
+    "sim_range_search", "r1_recursive_spine", "winsorize_doc_lengths",
+    "scd2_build", "inverted_index", "activity_islands", "profile_table",
+    "snapshot_diff", "hopping_window_counts", "dedup_incremental",
+    "text_redact_pii", "text_repetition_score", "corpus_mix_resample",
+    "a25_equidepth_histogram", "sample_per_group_topk", "twap_per_user",
+    "event_transition_matrix", "a26_median_abs_deviation",
+    "w_distinct_over_window", "sub_not_in_nullable", "pseudonymize_keys",
+    "stream_stateful_engagement", "l_topk_with_ties", "w_ratio_to_report",
+    "a27_pivot_multi_measure", "sub_scalar_in_select", "token_freq_of_freq",
+    "sub_scalar_above_avg", "sub_correlated_min_per_group",
+    "a19_grouping_sets", "w_range_frame_sliding", "sub_not_exists",
+    "j9_lateral_topk",
 ]
 
 # ROUND 5: after CORRECTNESS_r04 lands, merge its keys into DRIVER_VERIFIED
-# and put these in PRIORITY_UNCHECKED — they gained EXACT oracles in round 4
-# (deterministic hash-based stratified sampling; epoch-hour-bucket streaming
-# aggregate in integer cents) but their driver rows are still the old
-# rows-only checks from r02/r03:
-#   "sample_stratified", "stream_windowed_counts"
+# and put these in PRIORITY_UNCHECKED:
+#   * gained EXACT oracles in round 4 but driver rows are still the old
+#     rows-only checks from r02/r03: "sample_stratified",
+#     "stream_windowed_counts"
+#   * ADDED in round 4 (local parity evidence only): "text_bm25_score",
+#     "stream_session_windows", "multimodal_audio_features",
+#     "multimodal_video_frames"
 
 
 def order_for_driver(names: list[str]) -> list[str]:
