@@ -355,6 +355,31 @@ def test_bm25_log_and_odds_idf_rank_identically(spark, sf_dir):
     assert len(set(with_log) & set(with_odds)) >= 12
 
 
+def test_pagerank_integer_hand_computed(spark):
+    """One round of integer PageRank on a 3-node graph must produce the
+    exact hand-computed integer ranks (and the dangling node must leak
+    rank, per the documented simplification)."""
+    from youtube_trending_data_pipeline_spark.operators.graph import (
+        SCALE,
+        pagerank_integer,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 3)], "src long, dst long"
+    )
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank_integer(edges, iterations=1, checkpoint=False).collect()
+    }
+    base = 15 * SCALE // 100
+    # node 1 receives all of node 2's rank; nodes 2 and 3 half of node 1's
+    assert got[1] == base + (85 * SCALE) // 100
+    assert got[2] == base + (85 * (SCALE // 2)) // 100
+    assert got[3] == got[2]
+    # node 3 is dangling: total rank leaks below 3*SCALE
+    assert sum(got.values()) < 3 * SCALE
+
+
 def test_star_components_chain_converges_logarithmically(spark):
     """Large-star/small-star must collapse a 64-node chain (diameter 63)
     within ~log2 rounds — max_iter=8 would fail for a diameter-bound

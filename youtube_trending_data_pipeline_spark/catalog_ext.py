@@ -919,6 +919,83 @@ def stream_session_windows(spark, sf_dir):
     )
 
 
+def _pagerank_oracle(iterations: int = 5) -> str:
+    """Declarative replay of integer PageRank: the fixed iteration count
+    is unrolled into chained CTEs (DuckDB's recursive terms cannot
+    aggregate), each computing exactly the Spark round's integer
+    arithmetic — BIGINT sums and floor divisions are order-independent,
+    so an iterative distributed algorithm hash-matches a sequential SQL
+    evaluation."""
+    scale = 1_000_000_000_000
+    base = 15 * scale // 100
+    steps = []
+    for i in range(1, iterations + 1):
+        steps.append(f"""
+    r{i} AS (
+      SELECT n.node,
+             CAST({base} + (85 * COALESCE(s.s, 0)) // 100 AS BIGINT) AS rank
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS node, CAST(SUM(r.rank // o.outdeg) AS BIGINT) AS s
+        FROM edges e
+        JOIN r{i-1} r ON r.node = e.src
+        JOIN outdeg o ON o.src = e.src
+        GROUP BY e.dst
+      ) s ON s.node = n.node
+    )""")
+    return f"""
+    WITH pairs AS (
+      SELECT DISTINCT l_suppkey AS s, o_custkey + 1000000 AS c
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    edges AS (
+      SELECT s AS src, c AS dst FROM pairs
+      UNION
+      SELECT c AS src, s AS dst FROM pairs
+    ),
+    outdeg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM edges GROUP BY src),
+    nodes AS (SELECT DISTINCT src AS node FROM edges
+              UNION SELECT DISTINCT dst FROM edges),
+    r0 AS (SELECT node, CAST({scale} AS BIGINT) AS rank FROM nodes),
+    {','.join(steps)}
+    SELECT node, rank FROM r{iterations}
+    """
+
+
+@register(
+    "graph_pagerank",
+    _pagerank_oracle(5),
+    "PageRank IN the exact gate: 5 synchronous rounds of integer-unit "
+    "PageRank (operators/graph.py) over the supplier<->customer "
+    "transaction graph (distinct lineitem x orders pairs, both "
+    "directions, customers offset by 1e6 into a shared node id space). "
+    "All arithmetic is BIGINT (rank units of 1e12, floor divisions), so "
+    "the shuffled iterative computation is bit-identical to the oracle's "
+    "unrolled sequential CTE chain — the same exactness doctrine as "
+    "integer-cents aggregation, applied to an iterative algorithm. Each "
+    "round: one join of the rank vector onto the edge list + one hash "
+    "aggregate; lineage cut per round via localCheckpoint.",
+)
+def graph_pagerank(spark, sf_dir):
+    from youtube_trending_data_pipeline_spark.operators.graph import (
+        pagerank_integer,
+    )
+
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.col("l_suppkey").alias("s"),
+            (F.col("o_custkey") + 1000000).alias("c"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")).union(
+        pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+    ).distinct()
+    return pagerank_integer(edges, iterations=5)
+
+
 def _bm25_oracle(terms: list[str]) -> str:
     tf_cols = ",\n         ".join(
         f"CAST(SUM(CASE WHEN tok = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS tf_{t}"
