@@ -47,6 +47,10 @@ BENCH_QUERIES = [
     "dedup_exact",
     "text_stats",
     "sim_bruteforce_topk",
+    # round-4 additions: retrieval scoring, iterative graph, quantization
+    "text_bm25_score",
+    "graph_pagerank",
+    "embedding_quantize_int8",
 ]
 
 

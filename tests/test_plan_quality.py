@@ -42,6 +42,15 @@ def test_q1_single_shuffle(spark):
     assert count_exchanges(df) == 1, formatted_plan(df)
 
 
+def test_quantize_int8_zero_shuffle(spark):
+    """Int8 quantization must be a pure narrow pipeline: array_min/max +
+    posexplode with NO exchange, so the quantized table inherits the
+    input partitioning (the property the bucketed index build relies
+    on at scale)."""
+    df = QUERIES["embedding_quantize_int8"].fn(spark, SF)
+    assert count_exchanges(df) == 0, formatted_plan(df)
+
+
 def test_j3_broadcasts_dims(spark):
     df = QUERIES["j3_multiway_join"].fn(spark, SF)
     assert has_broadcast_join(df), "dim joins should be broadcast, not shuffle"

@@ -919,6 +919,48 @@ def stream_session_windows(spark, sf_dir):
     )
 
 
+@register(
+    "embedding_quantize_int8",
+    """
+    WITH ex AS (
+      SELECT vec_id,
+             CAST(list_aggregate(embedding, 'min') AS DOUBLE) AS mn,
+             CAST(list_aggregate(embedding, 'max') AS DOUBLE) AS mx,
+             unnest(range(len(embedding))) AS dim,
+             unnest(embedding) AS x
+      FROM embeddings
+    ), qd AS (
+      SELECT vec_id, CAST(dim AS INT) AS dim, mn, mx,
+             CAST(CASE WHEN mx > mn
+                  THEN FLOOR((CAST(x AS DOUBLE) - mn) * CAST(255.0 AS DOUBLE)
+                             / (mx - mn) + CAST(0.5 AS DOUBLE))
+                  ELSE 0 END AS INT) AS q
+      FROM ex
+    )
+    SELECT vec_id, dim, q,
+           mn + (CAST(q AS DOUBLE) * (mx - mn)) / CAST(255.0 AS DOUBLE) AS dq,
+           mn, mx
+    FROM qd
+    """,
+    "Int8 scalar quantization of the embedding column — the write-path "
+    "of a quantized ANN index (4x smaller than float32). Min/max "
+    "normalize per vector, floor(x*255/range + 0.5), emit (vec_id, dim, "
+    "q, dequantized) rows. Zero shuffles: array_min/max are JVM "
+    "builtins and posexplode is a codegen generator, so the quantized "
+    "table inherits the input partitioning — exactly what a downstream "
+    "bucketed index build wants at 100 TB. All arithmetic is "
+    "float->double widening + IEEE *,/,floor in fixed order: "
+    "bit-identical across engines without relying on ROUND half-case "
+    "behavior.",
+)
+def embedding_quantize_int8(spark, sf_dir):
+    from youtube_trending_data_pipeline_spark.operators.similarity import (
+        quantize_int8,
+    )
+
+    return quantize_int8(t(spark, sf_dir, "embeddings"))
+
+
 def _pagerank_oracle(iterations: int = 5) -> str:
     """Declarative replay of integer PageRank: the fixed iteration count
     is unrolled into chained CTEs (DuckDB's recursive terms cannot

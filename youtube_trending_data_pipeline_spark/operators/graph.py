@@ -43,12 +43,20 @@ def pagerank_integer(
     formulation; the oracle mirrors it.
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if checkpoint:
+        # the edge list is reused every round — without cutting its
+        # lineage here, each iteration would recompute the upstream
+        # join/distinct that produced it (measured 13.5 s -> see PERF.md)
+        e = e.localCheckpoint(eager=False)
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
     )
+    if checkpoint:
+        outdeg = outdeg.localCheckpoint(eager=False)
+        nodes = nodes.localCheckpoint(eager=False)
     base = (100 - damping_pct) * SCALE // 100
     ranks = nodes.select("node", F.lit(SCALE).cast("long").alias("rank"))
     for _ in range(iterations):
