@@ -129,6 +129,9 @@ def test_no_accidental_cartesian_anywhere(spark):
         # text_bm25_score: 1-row corpus stats (N, avgdl, per-term df)
         # broadcast onto the per-doc scoring projection — constant-append.
         "text_bm25_score",
+        # heavy_hitters_tokens: 1-row total-count broadcast onto the
+        # |vocabulary|-sized aggregate for the phi-threshold filter.
+        "heavy_hitters_tokens",
     }
     for name, spec in QUERIES.items():
         if name in allowed_cross:

@@ -920,6 +920,121 @@ def stream_session_windows(spark, sf_dir):
 
 
 @register(
+    "heavy_hitters_tokens",
+    """
+    WITH tok AS (
+      SELECT unnest(list_filter(str_split_regex(lower(text), '[^a-z0-9]+'),
+                                x -> x <> '')) AS tok
+      FROM documents
+    ), counts AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY tok
+    ), total AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM counts
+    )
+    SELECT c.tok, c.cnt
+    FROM counts c, total t
+    WHERE c.cnt * 64 > t.n
+    """,
+    "Exact heavy hitters (phi = 1/64 frequent tokens): the deterministic "
+    "baseline for the approximate frequent-items sketches — token "
+    "explode, one hash-aggregate, and a 1-row total broadcast onto the "
+    "threshold filter (constant-append BNLJ). The aggregate output is "
+    "|vocabulary|-sized, so the scalar-threshold filter runs on the "
+    "already-reduced relation, not the raw corpus — the shape that "
+    "survives 100 TB.",
+)
+def heavy_hitters_tokens(spark, sf_dir):
+    tok = t(spark, sf_dir, "documents").select(
+        F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("tok")
+    ).where(F.col("tok") != "")
+    counts = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("n"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .where(F.col("cnt") * 64 > F.col("n"))
+        .select("tok", "cnt")
+    )
+
+
+@register(
+    "dq_expectations",
+    """
+    SELECT 'orders_negative_total' AS rule,
+           CAST(COUNT(*) FILTER (WHERE o_totalprice < 0) AS BIGINT)
+             AS n_violations
+    FROM orders
+    UNION ALL
+    SELECT 'orders_null_custkey',
+           CAST(COUNT(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'orders_orphan_custkey',
+           CAST(COUNT(*) AS BIGINT)
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_custkey IS NULL
+    UNION ALL
+    SELECT 'orders_duplicate_orderkey',
+           CAST(COALESCE(SUM(n - 1), 0) AS BIGINT)
+    FROM (SELECT o_orderkey, COUNT(*) AS n FROM orders GROUP BY o_orderkey)
+    WHERE n > 1
+    UNION ALL
+    SELECT 'lineitem_discount_out_of_range',
+           CAST(COUNT(*) FILTER (WHERE l_discount < 0 OR l_discount > 1)
+                AS BIGINT)
+    FROM lineitem
+    """,
+    "Data-quality expectations suite: one row per rule with its exact "
+    "violation count — range check, null check, referential integrity "
+    "(broadcast anti-join against the dimension), primary-key "
+    "uniqueness (surplus-row count), and a value-domain invariant. The warehouse-gate pattern: run before publishing a "
+    "partition, fail the job if any n_violations > 0. Each rule is a "
+    "single aggregate or broadcast join; the union is of 1-row frames.",
+)
+def dq_expectations(spark, sf_dir):
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    cust = t(spark, sf_dir, "customer")
+
+    def one(rule, df):
+        return df.select(
+            F.lit(rule).alias("rule"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_violations"),
+        )
+
+    neg = orders.agg(
+        F.count(F.when(F.col("o_totalprice") < 0, 1)).alias("n")
+    )
+    nulls = orders.agg(
+        F.count(F.when(F.col("o_custkey").isNull(), 1)).alias("n")
+    )
+    orphans = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey")),
+            orders["o_custkey"] == cust["c_custkey"],
+            "left_anti",
+        ).agg(F.count(F.lit(1)).alias("n"))
+    )
+    dupes = (
+        orders.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .where(F.col("k") > 1)
+        .agg(F.sum(F.col("k") - 1).alias("n"))
+    )
+    disc = li.agg(
+        F.count(
+            F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1)
+        ).alias("n")
+    )
+    return (
+        one("orders_negative_total", neg)
+        .unionAll(one("orders_null_custkey", nulls))
+        .unionAll(one("orders_orphan_custkey", orphans))
+        .unionAll(one("orders_duplicate_orderkey", dupes))
+        .unionAll(one("lineitem_discount_out_of_range", disc))
+    )
+
+
+@register(
     "embedding_quantize_int8",
     """
     WITH ex AS (

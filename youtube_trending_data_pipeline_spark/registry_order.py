@@ -104,7 +104,9 @@ PRIORITY_UNCHECKED = [
 #     "stream_windowed_counts"
 #   * ADDED in round 4 (local parity evidence only): "text_bm25_score",
 #     "stream_session_windows", "multimodal_audio_features",
-#     "multimodal_video_frames"
+#     "multimodal_video_frames", "graph_pagerank",
+#     "embedding_quantize_int8", "heavy_hitters_tokens",
+#     "dq_expectations"
 
 
 def order_for_driver(names: list[str]) -> list[str]:
