@@ -327,6 +327,30 @@ def test_y4m_decode_hand_computed_fixture(spark):
     assert rows[1]["mean_y"] == (50 + 60 + 70 + 80) / (255.0 * 4)
 
 
+def test_multimodal_uri_fetch_seam(spark):
+    """URI-only assets (content NULL) must resolve through the injected
+    object-store fetcher inside the Arrow kernel — and without a fetcher
+    the kernel must fail loudly, not silently skip the asset."""
+    import pytest as _pytest
+
+    from youtube_trending_data_pipeline_spark.operators.multimodal import (
+        extract_image_features,
+    )
+
+    ppm = b"P6\n2 1\n255\n" + bytes([255, 0, 0, 0, 255, 0])
+    store = {"mem://assets/p1.ppm": ppm}
+    media = spark.createDataFrame(
+        [("p1", "image", None, "mem://assets/p1.ppm")],
+        "asset_id string, media_type string, content binary, uri string",
+    )
+    row = extract_image_features(media, fetch=store.__getitem__).collect()[0]
+    assert row["n_bytes"] == len(ppm)
+    assert list(row["feature"])[:4] == [2.0, 1.0, 0.5, 0.5]
+
+    with _pytest.raises(Exception, match="fetcher|NotImplemented"):
+        extract_image_features(media).collect()
+
+
 def test_bm25_log_and_odds_idf_rank_identically(spark, sf_dir):
     """The oracle-checked catalog entry uses the log-free RSJ odds idf
     (ln() is not bit-identical across engines); the standard ln-idf BM25

@@ -258,6 +258,33 @@ def audio_features(sample_rate: int, samples: list[int], n_bytes: int) -> list:
     ]
 
 
+def _default_fetch(uri: str) -> bytes:
+    """Object-store fetch seam for URI-only assets. The container has no
+    network/object store, so the default raises; deployments inject a
+    real fetcher (s3/gcs/http client) and tests inject a dict-backed
+    fake — same seam pattern as sources.fetchers for REST ingestion."""
+    raise NotImplementedError(
+        "URI-only assets need an object-store fetcher; pass fetch= to the "
+        "extract_* operator"
+    )
+
+
+def _resolve_content(pdf: pd.DataFrame, fetch) -> "pd.Series":
+    """Per-batch content resolution: inline bytes pass through, NULL
+    content falls back to fetching the row's uri. Fetches happen inside
+    the Arrow kernel, so they parallelize per partition and never hold
+    more than one batch of assets in memory."""
+    if "uri" not in pdf.columns:
+        return pdf["content"]
+    return pd.Series(
+        [
+            c if c is not None else (fetch or _default_fetch)(u)
+            for c, u in zip(pdf["content"], pdf["uri"])
+        ],
+        index=pdf.index,
+    )
+
+
 def _decode_audio_impl(content: bytes) -> list:
     """Real audio decode -> features; 16-bit mono PCM WAV decodes for
     real, anything else raises (callers filter media_type='audio' and a
@@ -268,18 +295,22 @@ def _decode_audio_impl(content: bytes) -> list:
     return audio_features(sr, samples, len(content))
 
 
-def extract_audio_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
+def extract_audio_features(
+    media: DataFrame, batch_hint: int = 1024, fetch=None
+) -> DataFrame:
     """mapInPandas audio featurization over 16-bit PCM WAV bytes: Arrow
     batches in, one feature row per asset out. Same constant-memory
-    iterator-of-batches shape as extract_image_features."""
+    iterator-of-batches shape as extract_image_features. ``fetch``
+    resolves URI-only assets (content NULL) to bytes inside the kernel."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = pdf["content"].map(_decode_audio_impl)
+            content = _resolve_content(pdf, fetch)
+            feats = content.map(_decode_audio_impl)
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
-                    "n_bytes": pdf["content"].map(
+                    "n_bytes": content.map(
                         lambda b: 0 if b is None else len(b)
                     ),
                     "sample_rate": feats.map(lambda f: f[0]),
@@ -291,31 +322,37 @@ def extract_audio_features(media: DataFrame, batch_hint: int = 1024) -> DataFram
                 }
             )
 
-    audio = media.where(F.col("media_type") == "audio").select("asset_id", "content")
+    cols = ["asset_id", "content"] + (["uri"] if "uri" in media.columns else [])
+    audio = media.where(F.col("media_type") == "audio").select(*cols)
     return audio.mapInPandas(kernel, schema=AUDIO_FEATURES_SCHEMA)
 
 
-def extract_image_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
+def extract_image_features(
+    media: DataFrame, batch_hint: int = 1024, fetch=None
+) -> DataFrame:
     """mapInPandas image featurization: Arrow batches in, feature rows out.
 
     The iterator-of-batches shape means constant memory per worker
     regardless of partition size — the 100 TB-safe way to run Python
     kernels. Filter pushdown on media_type happens before the Python
-    boundary (JVM-side where())."""
+    boundary (JVM-side where()). ``fetch`` resolves URI-only assets
+    (content NULL) to bytes inside the kernel."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            content = _resolve_content(pdf, fetch)
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
-                    "n_bytes": pdf["content"].map(
+                    "n_bytes": content.map(
                         lambda b: 0 if b is None else len(b)
                     ),
-                    "feature": pdf["content"].map(_decode_image_impl),
+                    "feature": content.map(_decode_image_impl),
                 }
             )
 
-    images = media.where(F.col("media_type") == "image").select("asset_id", "content")
+    cols = ["asset_id", "content"] + (["uri"] if "uri" in media.columns else [])
+    images = media.where(F.col("media_type") == "image").select(*cols)
     return images.mapInPandas(kernel, schema=IMAGE_FEATURES_SCHEMA)
 
 
