@@ -920,6 +920,132 @@ def stream_session_windows(spark, sf_dir):
 
 
 @register(
+    "stream_interval_join",
+    """
+    WITH v AS (
+      SELECT user_id, event_id AS view_id, CAST(epoch_us(ts) AS BIGINT) AS view_us
+      FROM events WHERE event_type = 'view'
+    ), c AS (
+      SELECT user_id, event_id AS click_id, CAST(epoch_us(ts) AS BIGINT) AS click_us
+      FROM events WHERE event_type = 'click'
+    )
+    SELECT v.user_id, v.view_id, c.click_id, v.view_us, c.click_us
+    FROM v JOIN c
+      ON v.user_id = c.user_id
+     AND c.click_us > v.view_us
+     AND c.click_us <= v.view_us + 3600000000
+    """,
+    "Stream-STREAM interval join IN the exact gate: views and clicks "
+    "stream from two availableNow file sources, watermarked on both "
+    "sides, inner-joined on user with the click inside (view, view+1h] "
+    "— the attribution shape whose time bound is what makes streaming "
+    "join state finite. Both sides arrive in one micro-batch here, so "
+    "no match is ever evicted before its partner arrives and the "
+    "result equals the batch interval join the oracle computes. Join "
+    "timestamps exposed as timezone-free epoch micros.",
+)
+def stream_interval_join(spark, sf_dir):
+    import os
+    import tempfile
+    import uuid
+
+    from youtube_trending_data_pipeline_spark.streaming.jobs import (
+        interval_join_streams,
+    )
+
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ts_dtype = dict(batch.dtypes).get("ts", "")
+    src_dir = tempfile.mkdtemp(prefix="sij-src-")
+    os.symlink(f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet")
+
+    def side(event_type, id_alias, ts_alias):
+        return (
+            spark.readStream.schema(batch.schema)
+            .parquet(src_dir)
+            .where(F.col("event_type") == event_type)
+            .select(
+                "user_id",
+                F.col("event_id").alias(id_alias),
+                F.timestamp_micros(ts_micros(ts_dtype)).alias(ts_alias),
+            )
+        )
+
+    views = side("view", "view_id", "view_ts")
+    clicks = side("click", "click_id", "click_ts")
+    joined = interval_join_streams(
+        views, clicks, key="user_id", left_ts="view_ts",
+        right_ts="click_ts", within="1 hour", watermark="2 hours",
+    ).select(
+        views["user_id"],
+        "view_id",
+        "click_id",
+        F.expr("unix_micros(view_ts)").alias("view_us"),
+        F.expr("unix_micros(click_ts)").alias("click_us"),
+    )
+    name = f"sij_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt-"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+@register(
+    "corpus_shuffle_shards",
+    """
+    WITH h AS (
+      SELECT doc_id, source,
+             (doc_id * 2654435761 + 42) % 4294967296 AS hv
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(hv % 8 AS BIGINT) AS shard,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY hv % 8 ORDER BY hv // 8, doc_id
+           ) AS BIGINT) AS pos_in_shard
+    FROM h
+    """,
+    "Deterministic global training-order shuffle: every document gets a "
+    "shard (hash mod n_shards) and a position inside its shard (rank by "
+    "the remaining hash bits) — a reproducible pseudo-random permutation "
+    "with NO RNG, so re-running the pipeline (or re-materializing one "
+    "lost shard) yields the identical training order; seed changes give "
+    "a fresh permutation. One window per shard = single shuffle, and "
+    "shards are written independently — the 100 TB layout is one file "
+    "per shard per partition. Knuth multiplicative hash, portable to "
+    "the oracle.",
+)
+def corpus_shuffle_shards(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    n_shards, seed = 8, 42
+    hv = F.pmod(
+        F.col("doc_id") * F.lit(2654435761) + F.lit(seed), F.lit(4294967296)
+    )
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", hv.alias("hv")
+    )
+    shard = F.pmod(F.col("hv"), F.lit(n_shards))
+    w = W.partitionBy(shard).orderBy(
+        F.expr(f"hv div {n_shards}"), "doc_id"
+    )
+    return docs.select(
+        "doc_id",
+        shard.alias("shard"),
+        F.row_number().over(w).cast("long").alias("pos_in_shard"),
+    )
+
+
+@register(
     "heavy_hitters_tokens",
     """
     WITH tok AS (
