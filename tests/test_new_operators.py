@@ -62,6 +62,30 @@ def test_salted_sum_equals_plain_groupby(spark):
     assert a == b
 
 
+def test_approx_percentile_within_rank_error(spark):
+    """percentile_approx must land within the documented rank-error bound
+    of the exact percentile: with accuracy A, the returned value's rank
+    differs from the target rank by at most n/A."""
+    li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    accuracy = 1000
+    n = li.count()
+    vals = sorted(r["l_extendedprice"] for r in li.select("l_extendedprice").collect())
+    for p in (0.5, 0.95):
+        approx = li.agg(
+            F.percentile_approx("l_extendedprice", p, accuracy).alias("a")
+        ).collect()[0]["a"]
+        import bisect
+
+        rank = bisect.bisect_left(vals, approx)
+        target = p * n
+        assert abs(rank - target) <= n / accuracy + 1, (
+            p,
+            approx,
+            rank,
+            target,
+        )
+
+
 def test_approx_distinct_close_to_exact(spark):
     li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
     approx = {
