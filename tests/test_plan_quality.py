@@ -115,7 +115,14 @@ def test_no_accidental_cartesian_anywhere(spark):
     # corpus scan (O(n x |queries|), never corpus x corpus).
     # resample_daily: deliberate date-spine cross join — the broadcast side
     # is a generated 14-row day list, the intended output IS keys x days.
-    allowed_cross = {"sim_bruteforce_topk", "sim_range_search", "resample_daily"}
+    # sim_ivf_pivot_topk: pivot assignment broadcasts the 8-row seed set
+    # onto corpus and queries — constant-append, O(n x n_cells).
+    allowed_cross = {
+        "sim_bruteforce_topk",
+        "sim_range_search",
+        "sim_ivf_pivot_topk",
+        "resample_daily",
+    }
     # Scalar-subquery shapes: crossJoin against a broadcast single-row
     # aggregate ("compare every row to the global total/average"). Spark
     # plans the conditionless join as BroadcastNestedLoopJoin, which with a

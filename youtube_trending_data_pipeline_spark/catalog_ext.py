@@ -450,6 +450,71 @@ def sim_ivf_topk(spark, sf_dir):
     )
 
 
+def _ivf_pivot_oracle(n_cells: int = 8, n_probe: int = 3, k: int = 3) -> str:
+    cs = _COS_SQL.format(a="c.embedding", b="s.seed_vec")
+    qs_ = _COS_SQL.format(a="q.embedding", b="s.seed_vec")
+    rr = _COS_SQL.format(a="q.embedding", b="co.embedding")
+    return f"""
+    WITH seeds AS (
+      SELECT vec_id AS seed_id, embedding AS seed_vec
+      FROM embeddings WHERE vec_id >= 5 ORDER BY vec_id LIMIT {n_cells}
+    ), corpus AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 5
+    ), q AS (
+      SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 5
+    ), cells AS (
+      SELECT vec_id, cell FROM (
+        SELECT c.vec_id, s.seed_id AS cell,
+               ROW_NUMBER() OVER (PARTITION BY c.vec_id
+                                  ORDER BY {cs} DESC, s.seed_id ASC) AS rn
+        FROM corpus c, seeds s
+      ) WHERE rn = 1
+    ), probes AS (
+      SELECT query_id, cell FROM (
+        SELECT q.query_id, s.seed_id AS cell,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                  ORDER BY {qs_} DESC, s.seed_id ASC) AS rn
+        FROM q, seeds s
+      ) WHERE rn <= {n_probe}
+    ), cand AS (
+      SELECT DISTINCT p.query_id, c.vec_id AS neighbor_id
+      FROM probes p JOIN cells c ON c.cell = p.cell
+    )
+    SELECT query_id, neighbor_id, cos, rank FROM (
+      SELECT cand.query_id, cand.neighbor_id, {rr} AS cos,
+             ROW_NUMBER() OVER (PARTITION BY cand.query_id
+                                ORDER BY {rr} DESC,
+                                         cand.neighbor_id ASC) AS rank
+      FROM cand
+      JOIN q ON q.query_id = cand.query_id
+      JOIN corpus co ON co.vec_id = cand.neighbor_id
+    ) WHERE rank <= {k}
+    """
+
+
+@register(
+    "sim_ivf_pivot_topk",
+    _ivf_pivot_oracle(),
+    "IVF ANN with deterministic pivot cells, end-to-end in the EXACT "
+    "gate: cell build (argmax-cosine assignment to 8 pivot vectors), "
+    "3-cell probing, and exact re-rank are all pure functions of the "
+    "data, so the oracle replays the ENTIRE index pipeline — including "
+    "which candidates were pruned — not just the final ranking. "
+    "Complements sim_ivf_topk (learned KMeans cells, better recall per "
+    "probe, but KMeans|| init depends on physical partitioning, hence "
+    "rows-only + recall tests there).",
+)
+def sim_ivf_pivot_topk(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.where(F.col("vec_id") >= 5)
+    return sim.ivf_pivot_topk(
+        corpus, queries, k=3, n_cells=8, n_probe=3
+    ).orderBy("query_id", "rank")
+
+
 @register(
     "clean_corpus_pipeline",
     f"""

@@ -29,6 +29,96 @@ from youtube_trending_data_pipeline_spark.functions.vectors import cosine_simila
 _QUANT = 1_000_000_000.0
 
 
+def ivf_pivot_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    n_cells: int = 8,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF ANN with DETERMINISTIC pivot cells: the same build-cells /
+    probe / exact-re-rank architecture as ivf_topk, but the cell
+    centers are the first ``n_cells`` corpus vectors by id instead of
+    learned KMeans centroids — so cell assignment, probing, and the
+    final ranking are pure functions of the data, reproducible across
+    engines, partitionings, and reruns (KMeans|| initialization samples
+    per partition, so its cells shift with the physical layout; that
+    variant stays the quality path, this one is the auditable path and
+    the one the exact correctness gate checks end-to-end).
+
+    Shapes: pivot assignment is a broadcast of ``n_cells`` rows onto
+    the corpus (constant-append nested-loop, O(n x n_cells)); the probe
+    side is the same against the tiny query set; candidate search is an
+    equi-join on cell id followed by one per-query top-k window.
+    """
+    seeds = F.broadcast(
+        corpus.orderBy(id_col)
+        .limit(n_cells)
+        .select(
+            F.col(id_col).alias("seed_id"), F.col(vec_col).alias("seed_vec")
+        )
+    )
+
+    def argmax_cells(df, ident, n_keep):
+        w = Window.partitionBy(ident).orderBy(
+            F.desc("seed_cos"), F.asc("seed_id")
+        )
+        return (
+            df.crossJoin(seeds)
+            .withColumn(
+                "seed_cos", cosine_similarity(vec_col, "seed_vec")
+            )
+            .withColumn("cell_rank", F.row_number().over(w))
+            .where(F.col("cell_rank") <= n_keep)
+            .select(ident, F.col("seed_id").alias("cell"))
+        )
+
+    cells = argmax_cells(
+        corpus.select(id_col, vec_col), id_col, 1
+    )
+    probes = argmax_cells(
+        queries.select(query_id_col, F.col(vec_col)),
+        query_id_col,
+        n_probe,
+    )
+    cand = (
+        probes.join(cells, "cell")
+        .select(query_id_col, F.col(id_col).alias("neighbor_id"))
+        .distinct()
+    )
+    scored = (
+        cand.join(
+            queries.select(
+                query_id_col, F.col(vec_col).alias("query_vec")
+            ),
+            query_id_col,
+        )
+        .join(
+            corpus.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col).alias("cand_vec"),
+            ),
+            "neighbor_id",
+        )
+        .select(
+            query_id_col,
+            "neighbor_id",
+            cosine_similarity("query_vec", "cand_vec").alias("cos"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "cos", "rank")
+    )
+
+
 def quantize_int8(
     df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
