@@ -1,0 +1,82 @@
+"""Empty-input resilience: a 100 TB pipeline routinely sees empty
+partitions, empty date slices, and filters that match nothing. Core
+operators must return empty results with the right schema — not crash,
+not return nulls.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _empty_docs(spark):
+    return spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+
+def _empty_events(spark):
+    return spark.createDataFrame(
+        [],
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string",
+    )
+
+
+def test_dedup_operators_on_empty_corpus(spark):
+    from youtube_trending_data_pipeline_spark.operators import dedup as dd
+
+    docs = _empty_docs(spark)
+    assert dd.exact_duplicates(docs, "doc_id", "text").count() == 0
+    sigs = dd.minhash_signatures(docs, "doc_id", "text", num_perm=16)
+    assert sigs.count() == 0
+    pairs = dd.lsh_candidate_pairs(sigs, num_perm=16)
+    assert pairs.count() == 0
+
+
+def test_sessionize_and_topk_on_empty_events(spark):
+    from youtube_trending_data_pipeline_spark.operators.sessions import sessionize
+    from youtube_trending_data_pipeline_spark.operators.topk import top_k_per_group
+
+    ev = _empty_events(spark)
+    out = sessionize(ev, "user_id", "ts", gap=1000)
+    assert out.count() == 0 and "session_id" in out.columns
+    tk = top_k_per_group(
+        ev.select("user_id", "event_id", "value"),
+        ["user_id"],
+        [F.desc("value")],
+        k=3,
+    )
+    assert tk.count() == 0
+
+
+def test_similarity_on_empty_corpus(spark):
+    from youtube_trending_data_pipeline_spark.operators import similarity as sim
+
+    emb_schema = "vec_id long, embedding array<float>, label int"
+    corpus = spark.createDataFrame([], emb_schema)
+    queries = spark.createDataFrame(
+        [(0, [1.0, 0.0], 0)], emb_schema
+    ).select(F.col("vec_id").alias("query_id"), "embedding")
+    assert sim.brute_force_topk(corpus, queries, k=3).count() == 0
+    assert sim.lsh_topk(corpus, queries, k=3).count() == 0
+    assert sim.quantize_int8(corpus).count() == 0
+
+
+def test_pagerank_on_empty_edges(spark):
+    from youtube_trending_data_pipeline_spark.operators.graph import (
+        pagerank_integer,
+    )
+
+    edges = spark.createDataFrame([], "src long, dst long")
+    assert pagerank_integer(edges, iterations=2, checkpoint=False).count() == 0
+
+
+def test_bm25_on_empty_corpus(spark):
+    from youtube_trending_data_pipeline_spark.operators.retrieval import (
+        bm25_scores,
+    )
+
+    out = bm25_scores(_empty_docs(spark), ["join"], log_idf=False)
+    assert out.count() == 0
+    assert set(out.columns) == {"doc_id", "dl", "tf_join", "bm25"}

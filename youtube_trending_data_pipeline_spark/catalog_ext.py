@@ -1087,6 +1087,59 @@ def stream_interval_join(spark, sf_dir):
 
 
 @register(
+    "w_rolling_median",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS us,
+             CAST(ROUND(value*100) AS BIGINT) AS vc
+      FROM events
+    )
+    SELECT user_id, event_id,
+           CAST(quantile_cont(vc, 0.5) OVER (
+             PARTITION BY user_id ORDER BY us, event_id
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) / 100.0 AS rolling_median
+    FROM e
+    """,
+    "Rolling median (trailing-5 robust center) per user: Spark has no "
+    "percentile window function, so the frame's values are gathered "
+    "with collect_list OVER the rows frame, sorted, and the median "
+    "computed positionally — exact, and on integer cents, so the "
+    "even-count midpoint average is the only float op and matches "
+    "DuckDB's quantile_cont interpolation bit-for-bit. The pattern "
+    "generalizes to any exact order statistic over a bounded frame; "
+    "frame width bounds the per-row array, so memory stays O(frame) "
+    "per row at any scale.",
+)
+def w_rolling_median(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.expr("ts div 1000").alias("us"),
+        F.round(F.col("value") * 100).cast("long").alias("vc"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(-4, 0)
+    )
+    vals = F.sort_array(F.collect_list("vc").over(w))
+    n = F.size(vals)
+    mid_lo = F.element_at(vals, ((n + 1) / 2).cast("int"))
+    mid_hi = F.element_at(vals, (n / 2 + 1).cast("int"))
+    median_c = F.when(
+        n % 2 == 1, mid_lo.cast("double")
+    ).otherwise((mid_lo + mid_hi) / 2.0)
+    return ev.select(
+        "user_id",
+        "event_id",
+        (median_c / 100.0).alias("rolling_median"),
+    )
+
+
+@register(
     "stream_dedup_keys",
     """
     SELECT DISTINCT user_id, event_type FROM events

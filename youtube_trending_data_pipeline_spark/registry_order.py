@@ -107,7 +107,7 @@ PRIORITY_UNCHECKED = [
 #     "multimodal_video_frames", "graph_pagerank",
 #     "embedding_quantize_int8", "heavy_hitters_tokens",
 #     "dq_expectations", "corpus_shuffle_shards", "stream_interval_join",
-#     "stream_dedup_keys", "sim_ivf_pivot_topk",
+#     "stream_dedup_keys", "sim_ivf_pivot_topk", "w_rolling_median",
 #     "sim_lsh_topk" (now exact-oracle; was rows-only)
 
 
