@@ -396,31 +396,75 @@ def sim_bruteforce_topk(spark, sf_dir):
     return sim.brute_force_topk(corpus, queries, k=3)
 
 
+def _lsh_topk_oracle(
+    planes: int = 4, tables: int = 16, seed: int = 7, k: int = 3
+) -> str:
+    """DuckDB replay of the ENTIRE lsh_topk pipeline (not brute force).
+
+    Mirrors similarity.hyperplane_signatures exactly: per table ti the
+    seeded plane constants ``_hyperplanes(64, planes, seed + ti)`` are
+    inlined as literal arrays, each elementwise product is quantized to
+    1e-9 integer units (similarity._QUANT) so the per-plane dot is an
+    exact BIGINT — bucket assignment is therefore bit-identical to
+    Spark's order-independent partial aggregation. Candidates are pairs
+    sharing ANY table's bucket (the multi-table union), then exact
+    cosine re-rank. Because the oracle replays candidate generation,
+    the comparison holds at ANY recall — a testdata regeneration that
+    drops recall below 1.0 no longer converts tuning noise into a gate
+    failure (ADVICE r4)."""
+
+    def qdot_sql(vec: str, plane: list[float]) -> str:
+        arr = "[" + ", ".join(repr(w) for w in plane) + "]"
+        return (
+            f"list_sum(list_transform(list_zip({vec}, {arr}), "
+            f"p -> CAST(floor(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) "
+            f"* 1000000000.0 + 0.5) AS BIGINT)))"
+        )
+
+    sig_cols = []
+    for ti in range(tables):
+        hp = sim._hyperplanes(64, planes, seed + ti)
+        bits = [
+            f"(CASE WHEN {qdot_sql('embedding', plane)} > 0"
+            f" THEN {1 << pj} ELSE 0 END)"
+            for pj, plane in enumerate(hp)
+        ]
+        sig_cols.append("(" + " + ".join(bits) + f") AS b{ti}")
+    any_match = " OR ".join(f"q.b{ti} = c.b{ti}" for ti in range(tables))
+    rr = _COS_SQL.format(a="qv.embedding", b="cv.embedding")
+    return f"""
+    WITH sigs AS (
+      SELECT vec_id, {", ".join(sig_cols)} FROM embeddings
+    ), cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM sigs q JOIN sigs c
+        ON q.vec_id < 5 AND c.vec_id >= 5 AND ({any_match})
+    )
+    SELECT query_id, neighbor_id, cos, rank FROM (
+      SELECT cand.query_id, cand.neighbor_id, {rr} AS cos,
+             ROW_NUMBER() OVER (PARTITION BY cand.query_id
+                                ORDER BY {rr} DESC,
+                                         cand.neighbor_id ASC) AS rank
+      FROM cand
+      JOIN embeddings qv ON qv.vec_id = cand.query_id
+      JOIN embeddings cv ON cv.vec_id = cand.neighbor_id
+    ) WHERE rank <= {k}
+    """
+
+
 @register(
     "sim_lsh_topk",
-    f"""
-    SELECT query_id, neighbor_id, cos, rank FROM (
-      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-             {_COS_SQL.format(a="q.embedding", b="c.embedding")} AS cos,
-             ROW_NUMBER() OVER (PARTITION BY q.vec_id
-                                ORDER BY {_COS_SQL.format(a="q.embedding", b="c.embedding")} DESC,
-                                         c.vec_id ASC) AS rank
-      FROM embeddings q, embeddings c
-      WHERE q.vec_id < 5 AND c.vec_id >= 5
-    ) WHERE rank <= 3
-    """,
+    _lsh_topk_oracle(),
     "Hyperplane-LSH approximate top-k with exact re-rank, in the EXACT "
-    "gate: at 16 tables x 4 planes the seeded (RNG-free at runtime) "
-    "bucket union empirically covers every true top-3 neighbor of this "
-    "corpus — recall 1.0, measured at sf0.001 and sf0.01 — so the "
-    "brute-force ranking IS the expected output and the oracle checks "
-    "both the LSH plumbing and the re-rank, a strictly stronger check "
-    "than rows-only. The tables/planes dial trades candidate volume for "
-    "recall (4x6 gives 0.13 on this near-uniform corpus; 16x4 gives "
-    "1.0); production corpora with real cluster structure sit far left "
-    "of this point. If a future testdata regeneration drops recall "
-    "below 1.0, this entry fails loudly in the local parity suite — "
-    "retune or revert to rows-only then.",
+    "gate: the oracle replays the WHOLE pipeline — seeded plane "
+    "constants, 1e-9-unit quantized BIGINT dots, per-table bucket "
+    "assignment, multi-table candidate union, exact cosine re-rank — "
+    "the same way _ivf_pivot_oracle replays IVF. The check therefore "
+    "verifies the LSH plumbing itself and holds at any recall, so a "
+    "driver testdata regeneration cannot turn tuning noise into a gate "
+    "failure (recall was separately measured 1.0 at 16 tables x 4 "
+    "planes on the r1-r4 corpora; tests/test_new_operators.py keeps a "
+    "recall floor assertion against brute force).",
 )
 def sim_lsh_topk(spark, sf_dir):
     emb = t(spark, sf_dir, "embeddings")
@@ -2265,21 +2309,35 @@ def f_array_hof(spark, sf_dir):
     "a23_collect_set",
     """
     SELECT l_returnflag,
-           list_sort(list_distinct(list(l_linestatus))) AS statuses,
-           list_sort(list(DISTINCT l_linenumber)) AS line_numbers
+           array_to_string(list_sort(list_distinct(list(l_linestatus))), ',')
+             AS statuses,
+           array_to_string(list_sort(list(DISTINCT l_linenumber)), ',')
+             AS line_numbers
     FROM lineitem GROUP BY l_returnflag
     """,
     "Array-valued aggregation: collect_set with sort_array for a "
     "deterministic element order (bare collect_list/set order is "
-    "partitioning-dependent — never hash an unsorted collected array).",
+    "partitioning-dependent — never hash an unsorted collected array). "
+    "Output arrays are comma-joined to scalar strings: the driver's "
+    "pandas canonicalizer cannot hash list cells (r4 ERR), and the "
+    "numeric sort happens BEFORE the string cast so both engines agree "
+    "on element order for multi-digit values.",
 )
 def a23_collect_set(spark, sf_dir):
     return (
         t(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-            F.sort_array(F.collect_set("l_linestatus")).alias("statuses"),
-            F.sort_array(F.collect_set("l_linenumber")).alias("line_numbers"),
+            F.array_join(
+                F.sort_array(F.collect_set("l_linestatus")), ","
+            ).alias("statuses"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_set("l_linenumber")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("line_numbers"),
         )
     )
 
@@ -2295,8 +2353,9 @@ def a23_collect_set(spark, sf_dir):
     """
     WITH agg AS (
       SELECT l_returnflag,
-             SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
-             SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS sum_base_cents,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+             CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT)
+               AS sum_base_cents,
              COUNT(*) AS cnt
       FROM lineitem GROUP BY l_returnflag
     )
@@ -2337,7 +2396,7 @@ def u3_unpivot(spark, sf_dir):
     ),
     rhs AS (
       SELECT nullif(l_returnflag, 'N') AS flag_key,
-             SUM(CAST(l_quantity AS BIGINT)) AS qty_sum
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum
       FROM lineitem GROUP BY 1
     )
     SELECT lhs.flag_key, cnt, qty_sum
@@ -2983,7 +3042,7 @@ def scd2_build(spark, sf_dir):
     SELECT token,
            CAST(COUNT(*) AS BIGINT) AS tf_total,
            CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
-           list_sort(list(DISTINCT doc_id)) AS postings
+           array_to_string(list_sort(list(DISTINCT doc_id)), ',') AS postings
     FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
           FROM documents)
     WHERE token <> ''
@@ -3008,7 +3067,16 @@ def inverted_index(spark, sf_dir):
         .agg(
             F.count(F.lit(1)).alias("tf_total"),
             F.countDistinct("doc_id").alias("df"),
-            F.sort_array(F.collect_set("doc_id")).alias("postings"),
+            # numeric sort BEFORE string cast, then comma-join: the driver's
+            # pandas hasher cannot hash list cells (r4 ERR), and sorting the
+            # ids as longs keeps both engines' element order identical
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_set("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("postings"),
         )
     )
 

@@ -59,56 +59,59 @@ DRIVER_VERIFIED_R02_R03 = [
     "f_bitwise_funcs",
 ]
 
-DRIVER_VERIFIED: set[str] = set(DRIVER_VERIFIED_R01) | set(
-    DRIVER_VERIFIED_R02_R03
-)
-
-# Round-4 window: the two r02/r03 FAILURES, fixed this round, must be
-# re-verified — force them back into the window ahead of everything else.
-#   * pack_sequences_linear: oracle HUGEINT -> float64 hash mismatch,
-#     fixed by CAST(... AS BIGINT) in the oracle;
-#   * multimodal_image_features: list-typed feature column crashed the
-#     driver's pandas canonicalizer, fixed by flattening to scalar cols.
-# The remaining 48 never-driver-checked queries fill the other slots
-# (48 + 2 = exactly the 50-entry window).
-PRIORITY_UNCHECKED = [
-    "pack_sequences_linear",
-    "multimodal_image_features",
-    # the 48 entries that have waited since round 2 with no driver row —
-    # pinned explicitly so operators ADDED this round (multimodal audio /
-    # video, BM25, streaming session windows; all with fresh local parity
-    # evidence) queue behind them for the round-5 window instead of
-    # displacing them
-    "w_forward_fill", "resample_daily", "a22_histogram", "j6b_asof_forward",
-    "j4b_posexplode", "f_map_funcs", "f_array_hof", "a23_collect_set",
-    "u3_unpivot", "j8_null_safe_join", "j4c_explode_outer", "f_try_arith",
-    "a24_regr_fit", "dedup_components_star", "dedup_keep_best",
-    "sim_range_search", "r1_recursive_spine", "winsorize_doc_lengths",
-    "scd2_build", "inverted_index", "activity_islands", "profile_table",
-    "snapshot_diff", "hopping_window_counts", "dedup_incremental",
-    "text_redact_pii", "text_repetition_score", "corpus_mix_resample",
-    "a25_equidepth_histogram", "sample_per_group_topk", "twap_per_user",
-    "event_transition_matrix", "a26_median_abs_deviation",
-    "w_distinct_over_window", "sub_not_in_nullable", "pseudonymize_keys",
-    "stream_stateful_engagement", "l_topk_with_ties", "w_ratio_to_report",
-    "a27_pivot_multi_measure", "sub_scalar_in_select", "token_freq_of_freq",
-    "sub_scalar_above_avg", "sub_correlated_min_per_group",
-    "a19_grouping_sets", "w_range_frame_sliding", "sub_not_exists",
-    "j9_lateral_topk",
+# Keys present in CORRECTNESS_r04.json (driver gate, round 4).  Includes the
+# four red rows (a23_collect_set, inverted_index, u3_unpivot,
+# j8_null_safe_join) — those are forced back into the round-5 window via
+# PRIORITY_UNCHECKED below, which outranks membership here.
+DRIVER_VERIFIED_R04 = [
+    "pack_sequences_linear", "multimodal_image_features", "w_forward_fill",
+    "resample_daily", "a22_histogram", "j6b_asof_forward", "j4b_posexplode",
+    "f_map_funcs", "f_array_hof", "a23_collect_set", "u3_unpivot",
+    "j8_null_safe_join", "j4c_explode_outer", "f_try_arith", "a24_regr_fit",
+    "dedup_components_star", "dedup_keep_best", "sim_range_search",
+    "r1_recursive_spine", "winsorize_doc_lengths", "scd2_build",
+    "inverted_index", "activity_islands", "profile_table", "snapshot_diff",
+    "hopping_window_counts", "dedup_incremental", "text_redact_pii",
+    "text_repetition_score", "corpus_mix_resample", "a25_equidepth_histogram",
+    "sample_per_group_topk", "twap_per_user", "event_transition_matrix",
+    "a26_median_abs_deviation", "w_distinct_over_window",
+    "sub_not_in_nullable", "pseudonymize_keys", "stream_stateful_engagement",
+    "l_topk_with_ties", "w_ratio_to_report", "a27_pivot_multi_measure",
+    "sub_scalar_in_select", "token_freq_of_freq", "sub_scalar_above_avg",
+    "sub_correlated_min_per_group", "a19_grouping_sets",
+    "w_range_frame_sliding", "sub_not_exists", "j9_lateral_topk",
 ]
 
-# ROUND 5: after CORRECTNESS_r04 lands, merge its keys into DRIVER_VERIFIED
-# and put these in PRIORITY_UNCHECKED:
-#   * gained EXACT oracles in round 4 but driver rows are still the old
-#     rows-only checks from r02/r03: "sample_stratified",
-#     "stream_windowed_counts"
-#   * ADDED in round 4 (local parity evidence only): "text_bm25_score",
-#     "stream_session_windows", "multimodal_audio_features",
-#     "multimodal_video_frames", "graph_pagerank",
-#     "embedding_quantize_int8", "heavy_hitters_tokens",
-#     "dq_expectations", "corpus_shuffle_shards", "stream_interval_join",
-#     "stream_dedup_keys", "sim_ivf_pivot_topk", "w_rolling_median",
-#     "sim_lsh_topk" (now exact-oracle; was rows-only)
+DRIVER_VERIFIED: set[str] = (
+    set(DRIVER_VERIFIED_R01)
+    | set(DRIVER_VERIFIED_R02_R03)
+    | set(DRIVER_VERIFIED_R04)
+)
+
+# Round-5 window (VERDICT r4 items 1-3):
+#   * the 4 r04 reds, fixed this round (list columns flattened to strings
+#     in a23_collect_set / inverted_index; CAST(... AS BIGINT) added to the
+#     u3_unpivot / j8_null_safe_join oracles) — re-verify first;
+#   * the 13 registry queries that have never had any driver row;
+#   * early entries whose driver row predates their exact oracle
+#     (were "no_oracle" rows-only when last checked).
+# 4 + 13 + 6 = 23 pinned; the remaining 27 window slots fall to tier 3
+# (oldest driver-verified entries in registration order), which re-checks
+# round-1 queries against the regenerated testdata — useful regression
+# coverage, not waste.
+PRIORITY_UNCHECKED = [
+    # fixed r04 reds
+    "a23_collect_set", "u3_unpivot", "j8_null_safe_join", "inverted_index",
+    # never driver-checked
+    "graph_pagerank", "text_bm25_score", "multimodal_audio_features",
+    "multimodal_video_frames", "sim_ivf_pivot_topk", "w_rolling_median",
+    "heavy_hitters_tokens", "dq_expectations", "embedding_quantize_int8",
+    "corpus_shuffle_shards", "stream_session_windows", "stream_interval_join",
+    "stream_dedup_keys",
+    # oracle added after their last driver row
+    "sim_lsh_topk", "sample_stratified", "stream_windowed_counts",
+    "dedup_minhash_lsh", "dedup_simhash", "a14_approx_distinct",
+]
 
 
 def order_for_driver(names: list[str]) -> list[str]:
