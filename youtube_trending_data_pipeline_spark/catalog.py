@@ -58,32 +58,53 @@ def ts_nanos(ts_dtype: str, col: str = "ts") -> Column:
     """Expression normalizing an events ``ts`` column to epoch-NANOS long.
 
     No-op for long columns (TIMESTAMP(NANOS) parquet read under
-    nanosAsLong); for timestamp columns, a wall-clock NTZ difference from
+    nanosAsLong); for TIMESTAMP_NTZ, a wall-clock NTZ difference from
     the NTZ epoch — session-timezone-independent, matching the DuckDB
-    oracles' ``epoch_ns(ts)`` on the same naive values. Pure projection,
-    so it also composes with Structured Streaming sources."""
-    if ts_dtype.startswith("timestamp"):
+    oracles' ``epoch_ns(ts)`` on the same naive values. A TIMESTAMP_LTZ
+    column (UTC-adjusted parquet, or NTZ inference unavailable) must NOT
+    go through ``cast(.. as timestamp_ntz)`` — that cast consults the
+    session timezone and silently shifts every epoch in non-UTC sessions
+    (ADVICE r4); ``unix_micros`` reads the stored micros with no tz
+    consultation, which equals DuckDB's ``epoch_us`` on the same parquet
+    either way it reads it. Unknown physical types fail loudly. Pure
+    projection, so it also composes with Structured Streaming sources."""
+    if ts_dtype == "timestamp_ntz":
         return F.expr(
             "timestampdiff(MICROSECOND, "
             "TIMESTAMP_NTZ '1970-01-01 00:00:00', "
             f"cast({col} as timestamp_ntz)) * 1000L"
         )
-    return F.col(col)
+    if ts_dtype == "timestamp":
+        return F.unix_micros(F.col(col)) * F.lit(1000)
+    if ts_dtype in ("bigint", "long", ""):
+        return F.col(col)
+    raise TypeError(
+        f"events.{col} has unsupported physical dtype {ts_dtype!r}; "
+        "expected bigint (nanosAsLong), timestamp_ntz, or timestamp"
+    )
 
 
 def ts_micros(ts_dtype: str, col: str = "ts") -> Column:
     """Epoch-MICROS long from an events ``ts`` column — exact integer
-    derivation on both physical types. NEVER divide epoch nanos by 1000
-    with ``/``: the double division loses precision above 2^53 and lands
-    a micro off, which shifts session/window boundaries (observed as
-    off-by-one session_start_us vs the oracle)."""
-    if ts_dtype.startswith("timestamp"):
+    derivation on every physical type (same LTZ/NTZ split as ts_nanos).
+    NEVER divide epoch nanos by 1000 with ``/``: the double division
+    loses precision above 2^53 and lands a micro off, which shifts
+    session/window boundaries (observed as off-by-one session_start_us
+    vs the oracle)."""
+    if ts_dtype == "timestamp_ntz":
         return F.expr(
             "timestampdiff(MICROSECOND, "
             "TIMESTAMP_NTZ '1970-01-01 00:00:00', "
             f"cast({col} as timestamp_ntz))"
         )
-    return F.expr(f"{col} div 1000")
+    if ts_dtype == "timestamp":
+        return F.unix_micros(F.col(col))
+    if ts_dtype in ("bigint", "long", ""):
+        return F.expr(f"{col} div 1000")
+    raise TypeError(
+        f"events.{col} has unsupported physical dtype {ts_dtype!r}; "
+        "expected bigint (nanosAsLong), timestamp_ntz, or timestamp"
+    )
 
 
 def event_day(ts_nanos: Column | str) -> Column:

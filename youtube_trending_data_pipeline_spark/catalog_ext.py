@@ -757,7 +757,7 @@ def text_token_bpe(spark, sf_dir):
     )
     SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs
     FROM documents d JOIN frac USING (lang)
-    WHERE (d.doc_id * 2654435761) % 4294967296 < CAST(p * 4294967296 AS BIGINT)
+    WHERE ((d.doc_id % 2147483648) * 2654435761) % 4294967296 < CAST(p * 4294967296 AS BIGINT)
     GROUP BY d.lang
     """,
     "Stratified sampling with per-language fractions, as a DETERMINISTIC "
@@ -778,7 +778,10 @@ def sample_stratified(spark, sf_dir):
         )
     )
     docs = t(spark, sf_dir, "documents").select("doc_id", "lang")
-    h = F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(4294967296))
+    h = F.pmod(
+        F.pmod(F.col("doc_id"), F.lit(2147483648)) * F.lit(2654435761),
+        F.lit(4294967296),
+    )
     return (
         docs.join(frac, "lang")
         .where(h < (F.col("p") * F.lit(4294967296)).cast("long"))
@@ -1038,6 +1041,21 @@ def stream_session_windows(spark, sf_dir):
         .start()
     )
     q.awaitTermination(300)
+    # The equality with the batch oracle requires the real events to be
+    # processed no LATER than the sentinel (else the watermark jumps to
+    # 2100 first and every real event is dropped as late). File-source
+    # options that could reorder (latestFirst, maxFilesPerTrigger) are
+    # not set, so everything lands in ONE data micro-batch — assert that
+    # instead of relying on it silently (ADVICE r4).
+    data_batches = [
+        p for p in q.recentProgress if p["numInputRows"] > 0
+    ]
+    if len(data_batches) != 1:
+        raise RuntimeError(
+            "stream_session_windows expects the events file and the "
+            f"sentinel in one micro-batch, saw {len(data_batches)}; "
+            "the append-mode result would silently drop sessions"
+        )
     return (
         spark.table(name)
         .where(F.col("user_id") != -1)
@@ -1194,7 +1212,13 @@ def w_rolling_median(spark, sf_dir):
     "watermark-bounded state (the unbounded-stream-safe form of "
     "dropDuplicates). Which physical row survives is batch-order-"
     "dependent, so the entry emits only the KEY columns, whose "
-    "surviving set equals SELECT DISTINCT deterministically.",
+    "surviving set equals SELECT DISTINCT deterministically. The "
+    "watermark delay is derived from the corpus's own time span "
+    "(max(ts)-min(ts) of the batch read, plus an hour), so no key's "
+    "dedup state can expire mid-run and a key is never re-emitted even "
+    "if the source splits the files across micro-batches (ADVICE r4); "
+    "a production deployment would instead size the delay to the "
+    "stream's duplicate-arrival horizon.",
 )
 def stream_dedup_keys(spark, sf_dir):
     import os
@@ -1209,6 +1233,12 @@ def stream_dedup_keys(spark, sf_dir):
     ts_dtype = dict(batch.dtypes).get("ts", "")
     src_dir = tempfile.mkdtemp(prefix="sdk-src-")
     os.symlink(f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet")
+    # 1-row bound collect: watermark delay > the whole corpus span means
+    # dedup state never expires within the run -> exactly SELECT DISTINCT
+    span = batch.select(
+        ((F.max(ts_micros(ts_dtype)) - F.min(ts_micros(ts_dtype)))
+         / 1_000_000).cast("long").alias("s")
+    ).first()["s"] or 0
     stream = (
         spark.readStream.schema(batch.schema)
         .parquet(src_dir)
@@ -1217,7 +1247,7 @@ def stream_dedup_keys(spark, sf_dir):
             "event_type",
             F.timestamp_micros(ts_micros(ts_dtype)).alias("ts_t"),
         )
-        .withWatermark("ts_t", "1 hour")
+        .withWatermark("ts_t", f"{span + 3600} seconds")
         .dropDuplicatesWithinWatermark(["user_id", "event_type"])
         .select("user_id", "event_type")
     )
@@ -1239,7 +1269,7 @@ def stream_dedup_keys(spark, sf_dir):
     """
     WITH h AS (
       SELECT doc_id, source,
-             (doc_id * 2654435761 + 42) % 4294967296 AS hv
+             ((doc_id % 2147483648) * 2654435761 + 42) % 4294967296 AS hv
       FROM documents
     )
     SELECT doc_id,
@@ -1264,7 +1294,9 @@ def corpus_shuffle_shards(spark, sf_dir):
 
     n_shards, seed = 8, 42
     hv = F.pmod(
-        F.col("doc_id") * F.lit(2654435761) + F.lit(seed), F.lit(4294967296)
+        F.pmod(F.col("doc_id"), F.lit(2147483648)) * F.lit(2654435761)
+        + F.lit(seed),
+        F.lit(4294967296),
     )
     docs = t(spark, sf_dir, "documents").select(
         "doc_id", hv.alias("hv")
@@ -3523,7 +3555,7 @@ def text_repetition_score(spark, sf_dir):
     )
     SELECT d.doc_id, d.source
     FROM documents d JOIN w USING (source), tot
-    WHERE (d.doc_id * 2654435761) % 4294967296 * n_s * sum_w
+    WHERE ((d.doc_id % 2147483648) * 2654435761) % 4294967296 * n_s * sum_w
           < w_s * n_total * 4294967296
     """,
     "Corpus mixing / resampling to a target source distribution (the "
@@ -3532,7 +3564,9 @@ def text_repetition_score(spark, sf_dir):
     "every doc is kept iff a uniform 32-bit key hash falls below that "
     "source's acceptance rate p_s * N / n_s — cross-multiplied into one "
     "integer inequality so the decision is exact and engine-independent. "
-    "The key hash is Knuth multiplicative (doc_id * 2654435761 mod 2^32): "
+    "The key hash is Knuth multiplicative ((doc_id mod 2^31) * 2654435761 "
+    "mod 2^32 — the pre-reduction keeps the product inside int64 for ANY "
+    "id, since DuckDB BIGINT raises on overflow where Spark wraps): "
     "deterministic, seedless, joinable — the same doc is kept in every "
     "rerun. Plan: tiny per-source stats aggregate broadcasts back onto a "
     "map-side filter; no shuffle of the corpus itself. (Cross-factors "
@@ -3547,7 +3581,10 @@ def corpus_mix_resample(spark, sf_dir):
     tot = w.agg(
         F.sum("n_s").alias("n_total"), F.sum("w_s").alias("sum_w")
     )
-    h = F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(4294967296))
+    h = F.pmod(
+        F.pmod(F.col("doc_id"), F.lit(2147483648)) * F.lit(2654435761),
+        F.lit(4294967296),
+    )
     return (
         docs.join(F.broadcast(w), "source")
         .crossJoin(F.broadcast(tot))
@@ -3605,7 +3642,7 @@ def a25_equidepth_histogram(spark, sf_dir):
       SELECT doc_id, source,
              ROW_NUMBER() OVER (
                PARTITION BY source
-               ORDER BY (doc_id * 2654435761) % 4294967296, doc_id
+               ORDER BY ((doc_id % 2147483648) * 2654435761) % 4294967296, doc_id
              ) AS rn
       FROM documents
     ) WHERE rn <= 5
@@ -3623,7 +3660,10 @@ def a25_equidepth_histogram(spark, sf_dir):
 def sample_per_group_topk(spark, sf_dir):
     from pyspark.sql import Window as W
 
-    h = F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(4294967296))
+    h = F.pmod(
+        F.pmod(F.col("doc_id"), F.lit(2147483648)) * F.lit(2654435761),
+        F.lit(4294967296),
+    )
     w = W.partitionBy("source").orderBy(h, "doc_id")
     return (
         t(spark, sf_dir, "documents")
