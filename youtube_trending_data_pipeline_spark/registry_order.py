@@ -111,6 +111,9 @@ PRIORITY_UNCHECKED = [
     # oracle added after their last driver row
     "sim_lsh_topk", "sample_stratified", "stream_windowed_counts",
     "dedup_minhash_lsh", "dedup_simhash", "a14_approx_distinct",
+    # NEW in round 5 (VERDICT r4 #7: tests-only §2 seams promoted into
+    # the gate)
+    "s3_bronze_roundtrip", "f2_timestamp_parse", "p2_channel_defaults",
 ]
 
 

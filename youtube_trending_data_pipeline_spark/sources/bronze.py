@@ -69,6 +69,29 @@ def region_items(bronze: DataFrame) -> DataFrame:
     )
 
 
-def write_bronze_day(bronze: DataFrame, path: str) -> None:
-    """Persist the raw day (S3 sink parity: ing:83-91) as JSON under ``path``."""
-    bronze.write.mode("overwrite").json(path)
+def write_bronze_day(
+    bronze: DataFrame, path: str, regions: list[str] | None = None
+) -> None:
+    """Persist the raw day (S3 sink parity: ing:83-91) as JSON under ``path``.
+
+    Written in the reference's day-file shape — ONE JSON object mapping
+    region code -> response (assets/2025-10-06.json) — so the sink's
+    output is readable by :func:`read_bronze_day`: (region, response)
+    rows pivot to one wide row whose columns are the region codes.
+    Passing ``regions`` skips the tiny distinct-scan pivot inference."""
+    if regions is None:
+        regions = sorted(
+            r["region"] for r in bronze.select("region").distinct().collect()
+        )
+    if not regions:  # nothing fetched today: persist an empty day object
+        bronze.sparkSession.createDataFrame([()], StructType([])).coalesce(
+            1
+        ).write.mode("overwrite").json(path)
+        return
+    day = (
+        bronze.groupBy()
+        .pivot("region", regions)
+        .agg(F.first("response"))
+        .coalesce(1)
+    )
+    day.write.mode("overwrite").json(path)
