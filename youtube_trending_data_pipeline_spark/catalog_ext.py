@@ -4183,3 +4183,112 @@ def token_freq_of_freq(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     return tf.groupBy("cnt").agg(F.count(F.lit(1)).alias("n_tokens_with_cnt"))
+
+
+# ---------------------------------------------------------------------------
+# Round 5 additions: distributed linear algebra + collocation extraction
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_gram_matrix",
+    """
+    WITH q AS (
+      SELECT list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 10000.0 + 0.5) AS BIGINT))
+             AS qv
+      FROM embeddings
+    )
+    SELECT i, j, CAST(SUM(qv[i + 1] * qv[j + 1]) AS BIGINT) AS gram
+    FROM q, generate_series(0, 63) gi(i), generate_series(0, 63) gj(j)
+    WHERE j >= i
+    GROUP BY i, j
+    """,
+    "Distributed Gram matrix over the embedding column — the reduction "
+    "behind PCA / whitening / covariance-conditioned quantization of an "
+    "embedding corpus (X^T X, upper triangle; subtract the mean outer "
+    "product downstream for covariance). Elements are quantized to 1e-4 "
+    "units so every entry is an exact BIGINT sum — order-independent "
+    "under partial aggregation and bit-identical to the oracle. Plan "
+    "shape is the scale-correct one: the d*(d+1)/2 per-vector products "
+    "are generated MAP-SIDE by a nested HOF (no self-join — an "
+    "explode+join formulation would shuffle the 64x-exploded corpus on "
+    "vec_id), and the only exchange carries partially-aggregated "
+    "(i, j) cells: 2080 groups regardless of corpus size, so the "
+    "shuffle is O(partitions * d^2), not O(N). At 1e9+ vectors drop "
+    "the unit to 1e3 to keep the BIGINT sum inside int64, or "
+    "tree-aggregate per-partition numpy Grams via mapInPandas; the "
+    "driver-side eigendecomposition of the 64x64 result is O(d^3) "
+    "and free.",
+)
+def embedding_gram_matrix(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    q = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * 10000.0 + 0.5).cast("long"),
+    )
+    pairs = F.expr(
+        """
+        flatten(transform(sequence(0, size(_q) - 1), i ->
+          transform(sequence(i, size(_q) - 1), j ->
+            struct(i AS i, j AS j, _q[i] * _q[j] AS p))))
+        """
+    )
+    return (
+        emb.select(q.alias("_q"))
+        .select(F.explode(pairs).alias("c"))
+        .groupBy(F.col("c.i").alias("i"), F.col("c.j").alias("j"))
+        .agg(F.sum("c.p").alias("gram"))
+    )
+
+
+@register(
+    "token_skipgram_pairs",
+    """
+    WITH tk AS (
+      SELECT list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+      FROM documents
+    )
+    SELECT toks[i + 1] AS center, toks[j + 1] AS context,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM tk,
+         LATERAL (SELECT unnest(range(0, len(toks))) AS i) gi,
+         LATERAL (SELECT unnest(range(greatest(i - 2, 0),
+                                      least(i + 2, len(toks) - 1) + 1)) AS j) gj
+    WHERE j <> i
+    GROUP BY center, context
+    """,
+    "Skip-gram (center, context) pair extraction with a +/-2 token "
+    "window — the corpus pass behind word2vec-style embedding training "
+    "and PMI collocation mining. Same map-side-generation shape as "
+    "embedding_gram_matrix: the window pairs are produced per document "
+    "by a nested HOF (bounded inner sequence, so work is O(tokens * "
+    "window), never O(tokens^2)) and the single exchange carries "
+    "partially-aggregated (center, context) counts — vocabulary-sized, "
+    "not corpus-sized. Skewed stopword pairs are absorbed map-side by "
+    "the partial aggregate; at 100 TB add a count-min prefilter or "
+    "frequency cap before the shuffle if the pair vocabulary itself "
+    "explodes.",
+)
+def token_skipgram_pairs(spark, sf_dir):
+    toks = F.filter(
+        F.split(F.lower("text"), " "), lambda x: x != F.lit("")
+    )
+    pairs = F.expr(
+        """
+        flatten(transform(sequence(0, size(_toks) - 1), i ->
+          transform(
+            filter(sequence(greatest(i - 2, 0),
+                            least(i + 2, size(_toks) - 1)),
+                   j -> j != i),
+            j -> struct(_toks[i] AS center, _toks[j] AS context))))
+        """
+    )
+    return (
+        t(spark, sf_dir, "documents")
+        .select(toks.alias("_toks"))
+        .where(F.size("_toks") > 0)
+        .select(F.explode(pairs).alias("c"))
+        .groupBy(F.col("c.center").alias("center"), F.col("c.context").alias("context"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
