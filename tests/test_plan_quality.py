@@ -194,3 +194,24 @@ def test_hyperplane_signature_stage_is_codegen_hash_aggregate(spark):
     assert "HashAggregate" in plan
     assert "lambdafunction" not in plan.lower()  # no interpreted HOF fold
     assert "Generate" in plan  # posexplode feeding the aggregate
+
+
+def test_gram_matrix_single_small_exchange(spark):
+    """embedding_gram_matrix must generate its d*(d+1)/2 per-vector
+    products map-side (nested HOF, no self-join) so the only exchange
+    carries partially-aggregated (i, j) cells — O(partitions * d^2),
+    independent of corpus size."""
+    df = QUERIES["embedding_gram_matrix"].fn(spark, SF)
+    plan = formatted_plan(df)
+    assert count_exchanges(df) == 1, plan
+    assert "Join" not in plan, f"gram matrix must not self-join:\n{plan}"
+
+
+def test_skipgram_single_exchange_no_join(spark):
+    """token_skipgram_pairs: window pairs are generated per document
+    map-side; the single exchange carries vocabulary-sized aggregated
+    pair counts, and no join appears anywhere in the plan."""
+    df = QUERIES["token_skipgram_pairs"].fn(spark, SF)
+    plan = formatted_plan(df)
+    assert count_exchanges(df) == 1, plan
+    assert "Join" not in plan, f"skip-gram extraction must not join:\n{plan}"
