@@ -52,11 +52,15 @@ def duck(sf_dir):
 
 
 def _norm(v):
+    import numpy as np
     import pandas as pd
 
-    # the driver canonicalizes PANDAS frames, where a list-typed cell is
-    # unhashable and crashes its sort — ban them here too
-    assert not isinstance(v, (list, dict, set)), (
+    # the driver canonicalizes PANDAS frames, where a container-typed cell
+    # is unhashable and crashes its sort — ban them here too. NB: Spark
+    # toPandas() and DuckDB .df() both deliver array columns as
+    # numpy.ndarray, NOT list — the r4 a23_collect_set/inverted_index reds
+    # slipped through the old list-only check exactly that way.
+    assert not isinstance(v, (list, dict, set, tuple, np.ndarray)), (
         f"unhashable container value {type(v).__name__} in oracle-checked "
         "output; flatten arrays/maps to scalar columns"
     )
