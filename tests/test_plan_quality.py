@@ -97,12 +97,18 @@ def test_mode_avoids_raw_row_shuffle(spark):
 
 def test_no_python_udf_in_core_queries(spark):
     """Reference-parity queries must stay JVM-side (no BatchEvalPython /
-    ArrowEvalPython nodes) — UDFs are reserved for multimodal kernels."""
+    ArrowEvalPython nodes) — UDFs are reserved for multimodal kernels and
+    the one capability Spark genuinely lacks as a built-in (Unicode NFC
+    normalization, text_nfc_normalize: deliberately an Arrow-vectorized
+    pandas_udf under the exact gate, never a row UDF)."""
+    allowed_arrow = {"text_nfc_normalize"}
     for name, spec in QUERIES.items():
         if name.startswith("multimodal"):
             continue
         plan = QUERIES[name].fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
-        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+        if name not in allowed_arrow:
+            assert "ArrowEvalPython" not in plan, name
 
 
 def test_no_accidental_cartesian_anywhere(spark):

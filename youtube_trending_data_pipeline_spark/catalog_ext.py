@@ -4292,3 +4292,57 @@ def token_skipgram_pairs(spark, sf_dir):
         .groupBy(F.col("c.center").alias("center"), F.col("c.context").alias("context"))
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+@register(
+    "text_nfc_normalize",
+    """
+    SELECT doc_id,
+           nfc_normalize(substr(text, 1, 40) || 'e' || chr(769) || chr(8217))
+             AS norm,
+           CAST(length(substr(text, 1, 40) || 'e' || chr(769) || chr(8217))
+                AS BIGINT) AS n_before,
+           CAST(length(nfc_normalize(substr(text, 1, 40) || 'e' || chr(769)
+                || chr(8217))) AS BIGINT) AS n_after
+    FROM documents
+    """,
+    "Unicode NFC normalization — the canonicalization every multilingual "
+    "training corpus needs before hashing/dedup (a composed and a "
+    "decomposed 'e-acute' must fingerprint identically). Spark has no "
+    "built-in Unicode normalizer, so this is the catalog's one "
+    "deliberate Arrow-vectorized pandas_udf (SURVEY §2.11: the "
+    "extension surface demonstrated UNDER the exact gate, not just in "
+    "tests): unicodedata.normalize('NFC') over Arrow string batches, "
+    "checked bit-for-bit against DuckDB's nfc_normalize. Decomposed "
+    "input is synthesized by appending e + U+0301 (combining acute; "
+    "collapses to one codepoint under NFC — visible in n_before vs "
+    "n_after) and U+2019 (NFC-invariant quote). Plan: pure map-side "
+    "projection, zero shuffles; the Arrow transfer is the batch-"
+    "vectorized slow path (10-100x over row UDFs), and at 100 TB this "
+    "runs as the same narrow stage fused with the scan.",
+)
+def text_nfc_normalize(spark, sf_dir):
+    from pyspark.sql.functions import pandas_udf
+
+    def _nfc(s):
+        import unicodedata
+
+        return s.map(
+            lambda x: unicodedata.normalize("NFC", x) if x is not None else None
+        )
+
+    nfc = pandas_udf(_nfc, "string")
+
+    raw = F.concat(
+        F.substring("text", 1, 40), F.lit("é’")
+    )
+    return (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", raw.alias("_raw"))
+        .select(
+            "doc_id",
+            nfc("_raw").alias("norm"),
+            F.length("_raw").cast("long").alias("n_before"),
+            F.length(nfc("_raw")).cast("long").alias("n_after"),
+        )
+    )
