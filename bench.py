@@ -51,6 +51,9 @@ BENCH_QUERIES = [
     "text_bm25_score",
     "graph_pagerank",
     "embedding_quantize_int8",
+    # round-5 additions: map-side pairwise reductions
+    "embedding_gram_matrix",
+    "token_skipgram_pairs",
 ]
 
 

@@ -1145,6 +1145,15 @@ def stream_interval_join(spark, sf_dir):
         .start()
     )
     q.awaitTermination(300)
+    # equality with the batch oracle relies on both sides arriving in one
+    # micro-batch (no watermark eviction between a view and its click) —
+    # assert that instead of assuming it, like stream_session_windows
+    data_batches = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    if len(data_batches) != 1:
+        raise RuntimeError(
+            "stream_interval_join expects both sides in one micro-batch, "
+            f"saw {len(data_batches)}; matches could have been evicted"
+        )
     return spark.table(name)
 
 
