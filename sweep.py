@@ -1,0 +1,120 @@
+"""Full-catalog sweep on a VANILLA SparkSession (none of our session
+confs — the same environment the external driver uses), at any SF dir.
+
+For every registry entry: run the Spark query; if it has an oracle, run
+the DuckDB SQL too and compare (count + sorted normalized tuples), except
+entries whose ORACLE is known super-linear at large SF (DuckDB recursive
+transitive closures — the Spark side is fine) which fall back to
+rows-only. Prints one JSON line per entry and a final summary line.
+
+Usage: python sweep.py [sf_dir]   (default /root/testdata/sf0.1)
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# DuckDB-side quadratic/recursive oracles: compare only at sf<=0.01
+ORACLE_HEAVY = {
+    "dedup_components",
+    "dedup_components_star",
+    "dedup_ngram_jaccard",
+    "dedup_levenshtein",
+    "dedup_embedding_cosine",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "r1_recursive_spine",
+    "contamination_check",
+}
+
+
+def _norm(v):
+    if v is None or (isinstance(v, float) and math.isnan(v)):
+        return "NULL"
+    if isinstance(v, float) and v.is_integer():
+        return str(int(v))
+    s = str(v)
+    if s.endswith(" 00:00:00"):
+        s = s[: -len(" 00:00:00")]
+    return s
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    big_sf = not sf_dir.rstrip("/").endswith(("sf0.001", "sf0.01"))
+
+    import duckdb
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    import __spark_entry__ as entry
+
+    con = duckdb.connect()
+    for tb in [
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings",
+    ]:
+        con.sql(f"create view {tb} as select * from '{sf_dir}/{tb}.parquet'")
+
+    qs, oracles = entry.queries(), entry.oracle_sql()
+    exact = rows_only = failed = 0
+    for name in qs:
+        t0 = time.perf_counter()
+        rec = {"q": name}
+        try:
+            df = qs[name](spark, sf_dir)
+            cols = sorted(df.columns)
+            rows = df.collect()
+            rec["rows"] = len(rows)
+            if name in oracles and not (big_sf and name in ORACLE_HEAVY):
+                a = sorted(
+                    tuple(_norm(r[c]) for c in cols) for r in rows
+                )
+                cur = con.execute(oracles[name])
+                dcols = [d[0] for d in cur.description]
+                idx = [dcols.index(c) for c in cols]
+                b = sorted(
+                    tuple(_norm(row[i]) for i in idx)
+                    for row in cur.fetchall()
+                )
+                rec["match"] = a == b
+                if a == b:
+                    exact += 1
+                else:
+                    failed += 1
+            else:
+                rec["match"] = None
+                rows_only += 1
+        except Exception as e:  # noqa: BLE001 - sweep must report, not die
+            rec["err"] = str(e)[:200]
+            failed += 1
+        rec["sec"] = round(time.perf_counter() - t0, 2)
+        print(json.dumps(rec), flush=True)
+    print(
+        json.dumps(
+            {
+                "summary": True,
+                "sf_dir": sf_dir,
+                "total": len(qs),
+                "exact": exact,
+                "rows_only": rows_only,
+                "failed": failed,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
