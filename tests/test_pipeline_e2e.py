@@ -116,7 +116,6 @@ def test_ingestion_through_fetcher_seam(spark, tmp_path):
                 for cid in ids
             ]
 
-    import youtube_trending_data_pipeline_spark.pipeline as pl
     from youtube_trending_data_pipeline_spark.sources import fetchers as fmod
 
     orig = fmod.channels_from_fetcher
