@@ -4339,3 +4339,61 @@ def text_nfc_normalize(spark, sf_dir):
             F.length(nfc("_raw")).cast("long").alias("n_after"),
         )
     )
+
+
+@register(
+    "merge_upsert",
+    """
+    WITH base AS (
+      SELECT o_orderkey AS k,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents
+      FROM orders WHERE o_orderkey % 7 <> 0
+    ), updates AS (
+      SELECT o_orderkey AS k,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) + 500 AS price_cents
+      FROM orders WHERE o_orderkey % 3 = 0
+    )
+    SELECT COALESCE(u.k, b.k) AS k,
+           COALESCE(u.price_cents, b.price_cents) AS price_cents,
+           CASE WHEN u.k IS NOT NULL AND b.k IS NOT NULL THEN 'update'
+                WHEN u.k IS NOT NULL THEN 'insert'
+                ELSE 'keep' END AS action
+    FROM base b FULL OUTER JOIN updates u ON b.k = u.k
+    """,
+    "MERGE / upsert semantics (the lakehouse MERGE INTO statement, and "
+    "the reference's WRITE_APPEND-with-dedup upgrade path) expressed as "
+    "one full outer join: source rows update matching targets and "
+    "insert unmatched ones, untouched targets pass through, and every "
+    "row is tagged with the action taken — the audit column a CDC "
+    "pipeline writes. Complements cdc_latest_per_key (which compacts a "
+    "changelog) and snapshot_diff (which derives the changelog): "
+    "together they are the full change-data round trip. One shuffle on "
+    "the merge key; at 100 TB the same plan holds with both sides "
+    "bucketed by key, making the merge exchange-free.",
+)
+def merge_upsert(spark, sf_dir):
+    from youtube_trending_data_pipeline_spark.catalog import cents
+
+    orders = t(spark, sf_dir, "orders")
+    base = orders.where(F.col("o_orderkey") % 7 != 0).select(
+        F.col("o_orderkey").alias("k"),
+        cents("o_totalprice").alias("price_cents"),
+    )
+    updates = orders.where(F.col("o_orderkey") % 3 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        (cents("o_totalprice") + 500).alias("price_cents"),
+    )
+    b, u = base.alias("b"), updates.alias("u")
+    return b.join(u, F.col("b.k") == F.col("u.k"), "full_outer").select(
+        F.coalesce(F.col("u.k"), F.col("b.k")).alias("k"),
+        F.coalesce(
+            F.col("u.price_cents"), F.col("b.price_cents")
+        ).alias("price_cents"),
+        F.when(
+            F.col("u.k").isNotNull() & F.col("b.k").isNotNull(),
+            F.lit("update"),
+        )
+        .when(F.col("u.k").isNotNull(), F.lit("insert"))
+        .otherwise(F.lit("keep"))
+        .alias("action"),
+    )
