@@ -119,11 +119,12 @@ PRIORITY_UNCHECKED = [
 # ROUND 6 bookkeeping: after CORRECTNESS_r05 lands, append its keys as
 # DRIVER_VERIFIED_R05 and rebuild PRIORITY_UNCHECKED with (a) any r05
 # failures once fixed, (b) operators added late in round 5 that missed
-# the window (embedding_gram_matrix / token_skipgram_pairs auto-rank in
-# tier 2 at positions 26-27, so they SHOULD have r05 rows — verify),
-# (c) nothing else: at that point every registry query has a driver row
-# and the window's tail keeps cycling tier-3 regression re-checks of the
-# oldest verified entries.
+# the window — none expected: the four round-5 additions
+# (embedding_gram_matrix, token_skipgram_pairs, text_nfc_normalize,
+# merge_upsert) auto-rank in tier 2 at window positions 26-29, so they
+# SHOULD have r05 rows — verify, (c) nothing else: at that point every
+# registry query has a driver row and the window's tail keeps cycling
+# tier-3 regression re-checks of the oldest verified entries.
 
 
 def order_for_driver(names: list[str]) -> list[str]:
