@@ -7,7 +7,9 @@ entries whose ORACLE is known super-linear at large SF (DuckDB recursive
 transitive closures — the Spark side is fine) which fall back to
 rows-only. Prints one JSON line per entry and a final summary line.
 
-Usage: python sweep.py [sf_dir]   (default /root/testdata/sf0.1)
+Usage: python sweep.py [sf_dir] [resume_file]
+(default sf_dir /root/testdata/sf0.1; with resume_file, entries already
+recorded there are skipped and the new lines can be concatenated)
 """
 
 from __future__ import annotations
@@ -24,6 +26,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 ORACLE_HEAVY = {
     "dedup_components",
     "dedup_components_star",
+    "dedup_keep_best",
     "dedup_ngram_jaccard",
     "dedup_levenshtein",
     "dedup_embedding_cosine",
@@ -68,8 +71,18 @@ def main() -> None:
         con.sql(f"create view {tb} as select * from '{sf_dir}/{tb}.parquet'")
 
     qs, oracles = entry.queries(), entry.oracle_sql()
+    done: set[str] = set()
+    if len(sys.argv) > 2 and os.path.exists(sys.argv[2]):
+        with open(sys.argv[2]) as fh:
+            done = {
+                json.loads(line).get("q")
+                for line in fh
+                if line.strip() and '"q"' in line
+            }
     exact = rows_only = failed = 0
     for name in qs:
+        if name in done:
+            continue
         t0 = time.perf_counter()
         rec = {"q": name}
         try:
