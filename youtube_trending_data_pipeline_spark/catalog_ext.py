@@ -4397,3 +4397,155 @@ def merge_upsert(spark, sf_dir):
         .otherwise(F.lit("keep"))
         .alias("action"),
     )
+
+
+@register(
+    "ngram_lm_counts",
+    """
+    WITH tk AS (
+      SELECT list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+      FROM documents
+    ), uni AS (
+      SELECT t AS token, CAST(COUNT(*) AS BIGINT) AS n_unigram
+      FROM (SELECT unnest(toks) AS t FROM tk WHERE len(toks) > 0)
+      GROUP BY 1
+    ), pairs AS (
+      SELECT toks[i + 1] AS w1, toks[i + 2] AS w2
+      FROM tk, LATERAL (SELECT unnest(range(0, greatest(len(toks) - 1, 0)))
+                        AS i) g
+      WHERE len(toks) >= 2
+    ), lefts AS (
+      SELECT w2 AS token, CAST(COUNT(DISTINCT w1) AS BIGINT) AS n_left_types
+      FROM pairs GROUP BY 1
+    ), rights AS (
+      SELECT w1 AS token, CAST(COUNT(DISTINCT w2) AS BIGINT) AS n_right_types
+      FROM pairs GROUP BY 1
+    )
+    SELECT u.token, u.n_unigram,
+           COALESCE(l.n_left_types, 0) AS n_left_types,
+           COALESCE(r.n_right_types, 0) AS n_right_types
+    FROM uni u
+    LEFT JOIN lefts l USING (token)
+    LEFT JOIN rights r USING (token)
+    """,
+    "n-gram language-model count table with Kneser-Ney continuation "
+    "counts: per token, its unigram frequency plus the number of "
+    "DISTINCT left and right neighbor types over all adjacent bigrams — "
+    "the statistics behind KN-smoothed LM scoring (a classic "
+    "perplexity-based quality filter for pretraining corpora). Adjacent "
+    "pairs are generated map-side per document (same HOF shape as "
+    "token_skipgram_pairs, guarded against Spark's DESCENDING "
+    "sequence(0,-1) on 1-token docs); three vocabulary-sized hash "
+    "aggregates then two joins on the tiny vocab table. At 100 TB the "
+    "pair aggregates partial map-side and the final joins are "
+    "vocabulary-scale, not corpus-scale.",
+)
+def ngram_lm_counts(spark, sf_dir):
+    toks = F.filter(
+        F.split(F.lower("text"), " "), lambda x: x != F.lit("")
+    )
+    docs = (
+        t(spark, sf_dir, "documents")
+        .select(toks.alias("_toks"))
+        .where(F.size("_toks") > 0)
+    )
+    uni = (
+        docs.select(F.explode("_toks").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_unigram"))
+    )
+    pairs = (
+        docs.where(F.size("_toks") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(_toks) - 2), i -> "
+                    "struct(_toks[i] AS w1, _toks[i + 1] AS w2))"
+                )
+            ).alias("c")
+        )
+        .select("c.w1", "c.w2")
+    )
+    lefts = pairs.groupBy(F.col("w2").alias("token")).agg(
+        F.countDistinct("w1").alias("n_left_types")
+    )
+    rights = pairs.groupBy(F.col("w1").alias("token")).agg(
+        F.countDistinct("w2").alias("n_right_types")
+    )
+    return (
+        uni.join(lefts, "token", "left")
+        .join(rights, "token", "left")
+        .select(
+            "token",
+            "n_unigram",
+            F.coalesce("n_left_types", F.lit(0)).alias("n_left_types"),
+            F.coalesce("n_right_types", F.lit(0)).alias("n_right_types"),
+        )
+    )
+
+
+@register(
+    "quality_filter_audit",
+    """
+    WITH s AS (
+      SELECT doc_id, lang,
+             len(list_filter(string_split(text, ' '), x -> x <> ''))
+               AS n_tokens,
+             CASE WHEN len(list_filter(string_split(text, ' '), x -> x <> ''))
+                       > 0
+                  THEN CAST(len(replace(text, ' ', '')) AS DOUBLE)
+                       / len(list_filter(string_split(text, ' '),
+                                         x -> x <> ''))
+                  ELSE 0.0 END AS mean_tok_len
+      FROM documents
+    )
+    SELECT doc_id,
+           (n_tokens >= 10 AND n_tokens <= 500
+            AND lang IN ('en', 'es', 'de') AND mean_tok_len >= 2.0)
+             AS keep,
+           concat_ws(',',
+             CASE WHEN n_tokens < 10 THEN 'too_short' END,
+             CASE WHEN n_tokens > 500 THEN 'too_long' END,
+             CASE WHEN lang NOT IN ('en', 'es', 'de') THEN 'lang' END,
+             CASE WHEN mean_tok_len < 2.0 THEN 'gibberish' END)
+             AS reasons
+    FROM s
+    """,
+    "Corpus quality gate as an AUDIT table: every document gets a keep "
+    "verdict plus the comma-joined list of rules it failed (length "
+    "bounds, language allowlist, mean-token-length gibberish floor) in "
+    "a fixed rule order — the reviewable artifact a production filter "
+    "emits alongside the kept corpus (clean_corpus_pipeline is the "
+    "keep-side composite; this is its explainable complement). Pure "
+    "map-side projection, zero shuffles; mean token length is the one "
+    "float and derives from two integers with a single division, "
+    "identical in both engines.",
+)
+def quality_filter_audit(spark, sf_dir):
+    toks = F.filter(F.split("text", " "), lambda x: x != F.lit(""))
+    n_tokens = F.size(toks)
+    mean_tok_len = F.when(
+        n_tokens > 0,
+        F.length(F.regexp_replace("text", " ", "")).cast("double") / n_tokens,
+    ).otherwise(F.lit(0.0))
+    lang_ok = F.col("lang").isin("en", "es", "de")
+    return (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", "lang", n_tokens.alias("n_tokens"),
+                mean_tok_len.alias("mean_tok_len"))
+        .select(
+            "doc_id",
+            (
+                (F.col("n_tokens") >= 10) & (F.col("n_tokens") <= 500)
+                & F.col("lang").isin("en", "es", "de")
+                & (F.col("mean_tok_len") >= 2.0)
+            ).alias("keep"),
+            F.concat_ws(
+                ",",
+                F.when(F.col("n_tokens") < 10, F.lit("too_short")),
+                F.when(F.col("n_tokens") > 500, F.lit("too_long")),
+                F.when(~F.col("lang").isin("en", "es", "de"), F.lit("lang")),
+                F.when(F.col("mean_tok_len") < 2.0, F.lit("gibberish")),
+            ).alias("reasons"),
+        )
+    )
