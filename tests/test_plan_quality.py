@@ -221,3 +221,22 @@ def test_skipgram_single_exchange_no_join(spark):
     plan = formatted_plan(df)
     assert count_exchanges(df) == 1, plan
     assert "Join" not in plan, f"skip-gram extraction must not join:\n{plan}"
+
+
+def test_quality_audit_zero_shuffle(spark):
+    """quality_filter_audit is a pure map-side projection — any exchange
+    means a regression snuck a wide op into the per-doc gate."""
+    df = QUERIES["quality_filter_audit"].fn(spark, SF)
+    assert count_exchanges(df) == 0, formatted_plan(df)
+
+
+def test_merge_upsert_single_join_no_extra_exchange(spark):
+    """merge_upsert: one full-outer join on the merge key; at this scale
+    the two aggregated sides shuffle once each for the SMJ (bucketing
+    both sides by key makes it exchange-free at 100 TB)."""
+    df = QUERIES["merge_upsert"].fn(spark, SF)
+    plan = formatted_plan(df)
+    # formatted plans print every node twice (tree + details); "Join type:"
+    # appears exactly once per join node in the details section
+    assert plan.count("Join type:") == 1, plan
+    assert "FullOuter" in plan, plan
