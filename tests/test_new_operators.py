@@ -200,3 +200,30 @@ def test_connected_components_chain_and_islands(spark):
     assert clusters[1] == (6, [1, 2, 3, 4, 5, 6])
     assert clusters[10] == (3, [10, 11, 12])
     assert clusters[20] == (2, [20, 21])
+
+
+def test_pca_project_invariants(spark):
+    """embedding_pca_project has no SQL oracle, so pin its math here:
+    deterministic across reruns, pc1 captures at least as much energy as
+    pc2, and the projection magnitudes are bounded by the vector norms
+    (Cauchy-Schwarz with unit axes)."""
+    import math
+
+    from youtube_trending_data_pipeline_spark.operators import similarity as sim
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out1 = {r["vec_id"]: (r["pc1"], r["pc2"]) for r in sim.pca_project(emb).collect()}
+    out2 = {r["vec_id"]: (r["pc1"], r["pc2"]) for r in sim.pca_project(emb).collect()}
+    assert out1 == out2, "projection must be deterministic"
+    e1 = sum(v[0] * v[0] for v in out1.values())
+    e2 = sum(v[1] * v[1] for v in out1.values())
+    assert e1 >= e2, "pc1 must carry at least as much energy as pc2"
+    norms = {
+        r["vec_id"]: math.sqrt(
+            sum(float(x) ** 2 for x in r["embedding"])
+        )
+        for r in emb.collect()
+    }
+    for vid, (p1, p2) in out1.items():
+        bound = norms[vid] + 1e-6
+        assert abs(p1) <= bound and abs(p2) <= bound

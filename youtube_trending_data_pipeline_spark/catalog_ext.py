@@ -4549,3 +4549,24 @@ def quality_filter_audit(spark, sf_dir):
             ).alias("reasons"),
         )
     )
+
+
+@register(
+    "embedding_pca_project",
+    None,  # eigendecomposition is not expressible in the oracle engine;
+    # invariants (variance ordering, orthonormality, determinism) are
+    # asserted in tests/test_new_operators.py
+    "PCA projection onto the top-2 principal axes of the embedding "
+    "corpus — the completion of embedding_gram_matrix's story and the "
+    "canonical driver/executor split: Gram reduces distributed (exact "
+    "integer cells, one d^2-sized exchange), the 64x64 eigen solve is "
+    "driver-side and free, and the projection is a zero-shuffle map "
+    "with the eigenvectors baked in as plan literals. Sign-canonical "
+    "eigenvectors make the output deterministic across reruns and "
+    "partitionings; rows-only in the driver gate because no SQL engine "
+    "replays an eigendecomposition.",
+)
+def embedding_pca_project(spark, sf_dir):
+    return sim.pca_project(
+        t(spark, sf_dir, "embeddings"), id_col="vec_id", vec_col="embedding", k=2
+    )

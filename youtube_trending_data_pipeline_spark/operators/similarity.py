@@ -505,3 +505,56 @@ def gram_matrix(
         .groupBy("i", "j")
         .agg(F.sum("p").alias("gram"))
     )
+
+
+def pca_project(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 2,
+    unit: float = 10_000.0,
+) -> DataFrame:
+    """PCA projection of an embedding corpus onto its top-``k`` principal
+    axes — the scale-correct split: the d x d Gram matrix reduces
+    DISTRIBUTED (gram_matrix, one tiny exchange), the O(d^3) eigen
+    decomposition runs on the DRIVER (64x64 — microseconds), and the
+    projection streams back over the corpus as a zero-shuffle map with
+    the k eigenvectors baked into the plan as literals.
+
+    Deterministic: the Gram matrix is exact integers (order-independent),
+    numpy's symmetric eigh is deterministic for a fixed matrix, and each
+    eigenvector's sign is canonicalized (first nonzero component
+    positive) so reruns and partitionings give identical projections.
+    Covariance (mean-centered) PCA follows by subtracting the mean
+    outer-product — kept as raw (uncentered) Gram here to stay on the
+    exact-integer path end to end."""
+    import numpy as np
+
+    cells = gram_matrix(df, vec_col=vec_col, unit=unit).collect()
+    d = max(c["j"] for c in cells) + 1
+    g = np.zeros((d, d))
+    for c in cells:
+        g[c["i"], c["j"]] = c["gram"]
+        g[c["j"], c["i"]] = c["gram"]
+    # back to (unquantized) vector units; symmetric -> eigh (ascending)
+    g /= unit * unit
+    vals, vecs = np.linalg.eigh(g)
+    order = np.argsort(vals)[::-1][:k]
+    axes = vecs[:, order]  # d x k
+    for col in range(axes.shape[1]):  # canonical sign
+        nz = np.flatnonzero(np.abs(axes[:, col]) > 1e-12)
+        if len(nz) and axes[nz[0], col] < 0:
+            axes[:, col] = -axes[:, col]
+    projections = [
+        F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.array(*[F.lit(float(w)) for w in axes[:, col]]),
+                lambda x, w: x.cast("double") * w,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias(f"pc{col + 1}")
+        for col in range(axes.shape[1])
+    ]
+    return df.select(F.col(id_col), *projections)
