@@ -4570,3 +4570,102 @@ def embedding_pca_project(spark, sf_dir):
     return sim.pca_project(
         t(spark, sf_dir, "embeddings"), id_col="vec_id", vec_col="embedding", k=2
     )
+
+
+@register(
+    "stream_upsert_materialize",
+    """
+    SELECT user_id, event_id AS last_event_id,
+           CAST(epoch_us(ts) AS BIGINT) AS last_ts_us,
+           CAST(ROUND(value * 100) AS BIGINT) AS last_value_cents
+    FROM (
+      SELECT user_id, event_id, ts, value,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id
+               ORDER BY ts DESC, event_id DESC
+             ) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    "Streaming foreachBatch upsert MATERIALIZATION in the exact gate, "
+    "across genuinely multiple micro-batches: the events file is split "
+    "into 4 parquet chunks, streamed with maxFilesPerTrigger=1 (so "
+    "availableNow really delivers several batches), and every batch is "
+    "MERGED into a versioned keyed store — per user keep the event with "
+    "the lexicographically greatest (ts, event_id). The keep-latest "
+    "merge is associative and commutative, so the materialized table "
+    "equals the batch latest-per-key query REGARDLESS of how the source "
+    "was batched — the exactly-once upsert-sink semantics a lakehouse "
+    "MERGE INTO gives a streaming pipeline (each version dir is an "
+    "immutable snapshot; production swaps the versioned-parquet shim "
+    "for Delta/Iceberg MERGE with the same batch function). Timestamps "
+    "exposed as tz-free epoch micros, values as integer cents.",
+)
+def stream_upsert_materialize(spark, sf_dir):
+    import tempfile
+    import uuid
+
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ts_dtype = dict(batch.dtypes).get("ts", "")
+    src_dir = tempfile.mkdtemp(prefix="upsrc-")
+    # split into 4 files so maxFilesPerTrigger=1 yields 4 real batches
+    batch.repartition(4).write.mode("overwrite").parquet(src_dir)
+    state_root = tempfile.mkdtemp(prefix="upstate-")
+    versions: list[str] = []
+
+    def keep_latest(df):
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy("user_id").orderBy(
+            F.desc("last_ts_us"), F.desc("last_event_id")
+        )
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .drop("rn")
+        )
+
+    def merge_batch(bdf, epoch_id):
+        upserts = bdf.select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("ts_us").alias("last_ts_us"),
+            F.col("value_cents").alias("last_value_cents"),
+        )
+        if versions:
+            prev = bdf.sparkSession.read.parquet(versions[-1])
+            merged = keep_latest(prev.unionByName(upserts))
+        else:
+            merged = keep_latest(upserts)
+        out = f"{state_root}/v{epoch_id}_{uuid.uuid4().hex[:6]}"
+        merged.write.mode("overwrite").parquet(out)
+        versions.append(out)
+
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+        .select(
+            "user_id",
+            "event_id",
+            ts_micros(ts_dtype).alias("ts_us"),
+            F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+        )
+    )
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt-"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    if len(versions) < 2:
+        raise RuntimeError(
+            f"expected multiple micro-batches, got {len(versions)} — the "
+            "incremental-merge path was not actually exercised"
+        )
+    return spark.read.parquet(versions[-1])
