@@ -80,3 +80,24 @@ def test_bm25_on_empty_corpus(spark):
     out = bm25_scores(_empty_docs(spark), ["join"], log_idf=False)
     assert out.count() == 0
     assert set(out.columns) == {"doc_id", "dl", "tf_join", "bm25"}
+
+
+def test_gram_and_pca_on_empty_corpus(spark):
+    from youtube_trending_data_pipeline_spark.operators import similarity as sim
+
+    corpus = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    # no vectors -> no partial Grams -> zero cells (not a crash)
+    assert sim.gram_matrix(corpus).count() == 0
+
+
+def test_channels_fetch_on_empty_ids(spark):
+    from youtube_trending_data_pipeline_spark.sources.fetchers import (
+        channels_from_fetcher,
+    )
+
+    class Boom:
+        def fetch_channels(self, ids):
+            raise AssertionError("must not be called for zero ids")
+
+    ids = spark.createDataFrame([], "channel_id string")
+    assert channels_from_fetcher(ids, Boom()).count() == 0

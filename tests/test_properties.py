@@ -80,3 +80,40 @@ def test_mode_matches_counter(spark, values, seed):
     # engine tie-break: among max-count values, lexicographically smallest
     expected = min(v for v, c in counts.items() if c == best)
     assert got == expected
+
+
+events = st.lists(
+    st.tuples(
+        st.integers(0, 5),      # user_id
+        st.integers(0, 1000),   # event_id
+        st.integers(0, 50),     # ts (small range forces ties)
+        st.integers(-100, 100), # value_cents
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=25, deadline=None)
+@given(rows=events, cut1=st.integers(0, 40), cut2=st.integers(0, 40))
+def test_keep_latest_merge_is_batch_split_invariant(rows, cut1, cut2):
+    """The heart of stream_upsert_materialize's correctness claim: the
+    keep-latest-per-key merge is associative and commutative, so folding
+    ANY 3-way split of the events equals the batch latest-per-key answer
+    (pure-Python model of the same (ts, event_id) lexicographic rule —
+    ties included, since ts collisions are generated on purpose)."""
+    lo, hi = sorted((min(cut1, len(rows)), min(cut2, len(rows))))
+    batches = [rows[:lo], rows[lo:hi], rows[hi:]]
+
+    def merge(state, batch):
+        for u, e, ts, v in batch:
+            cur = state.get(u)
+            if cur is None or (ts, e) > (cur[0], cur[1]):
+                state[u] = (ts, e, v)
+        return state
+
+    incremental = {}
+    for b in batches:
+        incremental = merge(incremental, b)
+    oneshot = merge({}, rows)
+    assert incremental == oneshot
