@@ -4669,3 +4669,61 @@ def stream_upsert_materialize(spark, sf_dir):
             "incremental-merge path was not actually exercised"
         )
     return spark.read.parquet(versions[-1])
+
+
+@register(
+    "url_domain_stats",
+    """
+    WITH u AS (
+      SELECT doc_id,
+             'https://WWW.' || source || '.Example.com/p/'
+               || CAST(doc_id AS VARCHAR) || '/' || lang || '?utm=x#frag'
+               AS url
+      FROM documents
+    ), parts AS (
+      SELECT doc_id,
+             split_part(split_part(url, '//', 2), '?', 1) AS hostpath
+      FROM u
+    ), canon AS (
+      SELECT doc_id,
+             lower(split_part(hostpath, '/', 1)) AS domain,
+             substr(hostpath, len(split_part(hostpath, '/', 1)) + 1) AS path
+      FROM parts
+    )
+    SELECT domain,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT path) AS BIGINT) AS n_unique_paths
+    FROM canon GROUP BY domain
+    """,
+    "URL canonicalization + per-domain stats — the crawl-curation "
+    "primitive behind domain-level filtering/blocklists and URL-dedup "
+    "of a pretraining crawl: host lowercased, query string and fragment "
+    "stripped, then one domain-keyed aggregate (doc count + distinct "
+    "canonical paths). URLs are synthesized from documents fields with "
+    "a mixed-case host, tracking params and a fragment so the "
+    "canonicalization is observable. Spark side uses the real "
+    "parse_url(HOST/PATH) built-in; the oracle mirrors it with pure "
+    "string splitting. Map-side parse + ONE vocabulary-sized hash "
+    "aggregate; domain skew (one giant host) is absorbed by partial "
+    "aggregation exactly like inverted_index's stopword keys.",
+)
+def url_domain_stats(spark, sf_dir):
+    url = F.concat(
+        F.lit("https://WWW."), F.col("source"), F.lit(".Example.com/p/"),
+        F.col("doc_id").cast("string"), F.lit("/"), F.col("lang"),
+        F.lit("?utm=x#frag"),
+    )
+    return (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", url.alias("url"))
+        .select(
+            "doc_id",
+            F.lower(F.parse_url("url", F.lit("HOST"))).alias("domain"),
+            F.parse_url("url", F.lit("PATH")).alias("path"),
+        )
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("path").alias("n_unique_paths"),
+        )
+    )
