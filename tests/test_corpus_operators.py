@@ -1,0 +1,154 @@
+"""Unit tests for the round-5 corpus-curation and graph operators
+(catalog_corpus.py): passage-level dedup semantics, degree-oriented
+triangle counting, CMS invariants, Z-order bucket bounds, BPE pair
+shape. Oracle parity at every SF is covered by test_oracle_parity /
+sweep.py; these tests pin the SEMANTICS on hand-built inputs where the
+expected answer is knowable by inspection."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from youtube_trending_data_pipeline_spark.catalog import QUERIES, _load_extensions
+from youtube_trending_data_pipeline_spark.operators.dedup import passage_dedup
+from youtube_trending_data_pipeline_spark.operators.graph import triangle_counts
+
+_load_extensions()
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# passage_dedup
+# ---------------------------------------------------------------------------
+
+
+def test_passage_dedup_removes_repeated_passage_keeps_first(spark):
+    boiler = "a b c d e f g h"  # exactly one 8-word passage
+    docs = spark.createDataFrame(
+        [
+            (1, boiler + " unique one two three four five six seven"),
+            (2, boiler + " other words here that are not duplicated x"),
+            (3, "totally fresh text with no duplication at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in passage_dedup(docs).collect()}
+    # doc 1: both passages survive (it owns the first occurrence)
+    assert out[1]["n_passages"] == 2 and out[1]["n_kept"] == 2
+    assert out[1]["clean_text"].startswith(boiler)
+    # doc 2: boilerplate passage dropped, unique tail kept
+    assert out[2]["n_passages"] == 2 and out[2]["n_kept"] == 1
+    assert out[2]["clean_text"] == "other words here that are not duplicated x"
+    # doc 3: single short passage, untouched
+    assert out[3]["n_passages"] == 1 and out[3]["n_kept"] == 1
+
+
+def test_passage_dedup_identity_on_unique_corpus(spark):
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{i}x{j}" for j in range(12))) for i in range(5)],
+        "doc_id long, text string",
+    )
+    out = passage_dedup(docs).collect()
+    assert len(out) == 5
+    for r in out:
+        assert r["n_passages"] == 2  # 12 words -> passages of 8 + 4
+        assert r["n_kept"] == 2
+        assert r["clean_text"] == " ".join(f"w{r['doc_id']}x{j}" for j in range(12))
+
+
+def test_passage_dedup_empty_corpus(spark):
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    assert passage_dedup(docs).count() == 0
+
+
+def test_passage_dedup_intra_doc_repetition_collapses(spark):
+    p = "r r r r r r r r"
+    docs = spark.createDataFrame(
+        [(7, f"{p} {p} {p}")], "doc_id long, text string"
+    )
+    row = passage_dedup(docs).collect()[0]
+    # three identical passages inside one doc -> only pos 0 survives
+    assert row["n_passages"] == 3 and row["n_kept"] == 1
+    assert row["clean_text"] == p
+
+
+# ---------------------------------------------------------------------------
+# triangle_counts
+# ---------------------------------------------------------------------------
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "u long, v long")
+
+
+def test_triangles_k4(spark):
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    out = {r["node"]: r["n_triangles"] for r in triangle_counts(_edges(spark, k4)).collect()}
+    # K4 has 4 triangles; every node participates in C(3,2) = 3
+    assert out == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_triangles_path_graph_none(spark):
+    path = [(i, i + 1) for i in range(5)]
+    assert triangle_counts(_edges(spark, path)).count() == 0
+
+
+def test_triangles_single_triangle_plus_pendant(spark):
+    edges = [(1, 2), (2, 3), (1, 3), (3, 4)]
+    out = {r["node"]: r["n_triangles"] for r in triangle_counts(_edges(spark, edges)).collect()}
+    assert out == {1: 1, 2: 1, 3: 1}
+
+
+def test_triangles_empty_edges(spark):
+    assert triangle_counts(_edges(spark, [])).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# catalog-entry invariants on real testdata
+# ---------------------------------------------------------------------------
+
+
+def test_cms_never_underestimates(spark):
+    rows = QUERIES["cms_heavy_hitters"].fn(spark, SF).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r["cms_est"] >= r["exact_n"], r
+
+
+def test_zorder_buckets_bounded_and_spans_consistent(spark):
+    rows = QUERIES["zorder_layout_stats"].fn(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["bucket"] < 1024
+        assert r["min_cust"] <= r["max_cust"]
+        assert r["min_day"] <= r["max_day"]
+
+
+def test_bpe_pairs_are_bigrams_ranked(spark):
+    rows = QUERIES["bpe_merge_step"].fn(spark, SF).collect()
+    assert len(rows) == 10
+    assert all(len(r["pair"]) == 2 for r in rows)
+    counts = [r["pair_count"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+
+
+def test_tfidf_ranks_within_doc(spark):
+    rows = QUERIES["text_tfidf_topk"].fn(spark, SF).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc, rs in by_doc.items():
+        rs.sort(key=lambda r: r["rk"])
+        assert [r["rk"] for r in rs] == list(range(1, len(rs) + 1))
+        scores = [r["score_scaled"] for r in rs]
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_lm_bigram_score_bounds(spark):
+    rows = QUERIES["lm_bigram_doc_score"].fn(spark, SF).collect()
+    assert rows
+    for r in rows:
+        # every bigram occurs at least once (itself): score >= 1.0 ppm-scaled
+        assert r["avg_freq_ppm"] >= 1_000_000
+        assert r["n_bigrams"] >= 1

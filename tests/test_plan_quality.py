@@ -145,6 +145,9 @@ def test_no_accidental_cartesian_anywhere(spark):
         # heavy_hitters_tokens: 1-row total-count broadcast onto the
         # |vocabulary|-sized aggregate for the phi-threshold filter.
         "heavy_hitters_tokens",
+        # text_tfidf_topk: 1-row corpus doc-count broadcast onto the
+        # (doc, term) tf frame for the integer-scaled idf — constant-append.
+        "text_tfidf_topk",
     }
     for name, spec in QUERIES.items():
         if name in allowed_cross:
@@ -240,3 +243,41 @@ def test_merge_upsert_single_join_no_extra_exchange(spark):
     # appears exactly once per join node in the details section
     assert plan.count("Join type:") == 1, plan
     assert "FullOuter" in plan, plan
+
+
+def test_zorder_single_shuffle(spark):
+    """The Morton interleave must stay a pure map-side projection: one
+    hash exchange for the bucket aggregate and nothing else."""
+    df = QUERIES["zorder_layout_stats"].fn(spark, SF)
+    assert count_exchanges(df) == 1, formatted_plan(df)
+
+
+def test_bpe_vocab_sized_shuffles_only(spark):
+    """BPE pair counting: corpus shuffle for the vocab aggregate, vocab
+    shuffle for the pair aggregate, TakeOrdered for the top-10 — no
+    full-sort exchange, no join."""
+    df = QUERIES["bpe_merge_step"].fn(spark, SF)
+    plan = formatted_plan(df)
+    assert count_exchanges(df) <= 2, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_cms_no_join_takeordered(spark):
+    """CMS estimates derive from window sums over the vocabulary
+    aggregate — no join anywhere, top-20 via TakeOrdered (not a global
+    sort exchange)."""
+    df = QUERIES["cms_heavy_hitters"].fn(spark, SF)
+    plan = formatted_plan(df)
+    assert "Join" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_triangle_wedge_joins_are_equi(spark):
+    """Degree-oriented triangle counting must plan every join as an
+    equi-join (sort-merge or shuffled/broadcast hash) — a nested-loop
+    wedge join would be quadratic death at scale."""
+    df = QUERIES["graph_triangle_count"].fn(spark, SF)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan

@@ -1642,6 +1642,7 @@ def _load_extensions() -> None:
     # this module focused on reference-parity operators)
     from youtube_trending_data_pipeline_spark import catalog_ext  # noqa: F401
     from youtube_trending_data_pipeline_spark import catalog_tpch  # noqa: F401
+    from youtube_trending_data_pipeline_spark import catalog_corpus  # noqa: F401
 
 
 def all_oracles() -> dict[str, str]:

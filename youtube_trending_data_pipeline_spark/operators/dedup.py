@@ -537,3 +537,84 @@ def embedding_near_duplicates(
         )
         .where(F.col("cos") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# Passage-level dedup (CCNet/Gopher-style repeated-passage removal)
+# ---------------------------------------------------------------------------
+
+
+def passage_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    passage_words: int = 8,
+) -> DataFrame:
+    """Remove corpus-wide duplicated passages, keeping first occurrences.
+
+    CCNet dedups a crawl at the paragraph/line level rather than the
+    document level: a boilerplate passage repeated across thousands of
+    pages is dropped everywhere except its first occurrence, while the
+    surrounding unique prose survives. Documents here are segmented
+    into consecutive non-overlapping ``passage_words``-word passages
+    (the corpus has no newlines; fixed-width segmentation is the same
+    shape CCNet applies per line). "First occurrence" is the globally
+    least (doc_id, position) pair for the passage text.
+
+    Returns (id_col, n_passages, n_kept, clean_text) for every document
+    with >= 1 token, where clean_text is the document rebuilt from only
+    its surviving passages in original order.
+
+    Scale shape: one map-side segmentation (HOF, no UDF), one
+    passage-keyed window for first-occurrence ranking (single shuffle
+    of fixed-width passage rows), one doc-keyed aggregate to reassemble.
+    At 100 TB the passage shuffle would key on a passage HASH rather
+    than the text to keep exchange rows fixed-width — same plan shape.
+    """
+    from pyspark.sql import Window as W
+
+    n = passage_words
+    toks = F.filter(
+        F.split(F.lower(text_col), " "), lambda x: x != F.lit("")
+    )
+    base = (
+        df.select(F.col(id_col), toks.alias("_toks"))
+        .where(F.size("_toks") > 0)
+    )
+    px = base.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, (size(_toks) + {n - 1}) div {n} - 1), "
+                f"i -> struct(i AS pos, "
+                f"array_join(slice(_toks, i * {n} + 1, {n}), ' ') AS passage))"
+            )
+        ).alias("p"),
+    ).select(id_col, F.col("p.pos").alias("pos"), F.col("p.passage").alias("passage"))
+    first = F.row_number().over(
+        W.partitionBy("passage").orderBy(id_col, "pos")
+    )
+    ranked = px.withColumn("rn", first)
+    kept = (
+        ranked.where(F.col("rn") == 1)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "passage"))
+                    ),
+                    lambda s: s["passage"],
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+    )
+    totals = px.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_passages"))
+    return totals.join(kept, id_col, "left").select(
+        id_col,
+        "n_passages",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+    )
