@@ -152,3 +152,42 @@ def test_lm_bigram_score_bounds(spark):
         # every bigram occurs at least once (itself): score >= 1.0 ppm-scaled
         assert r["avg_freq_ppm"] >= 1_000_000
         assert r["n_bigrams"] >= 1
+
+
+# ---------------------------------------------------------------------------
+# semdedup_keepers
+# ---------------------------------------------------------------------------
+
+
+def test_semdedup_groups_identical_vectors(spark):
+    from youtube_trending_data_pipeline_spark.operators.dedup import (
+        semdedup_keepers,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0]),   # duplicate of 0
+        (2, [0.0, 1.0, 0.0]),   # orthogonal singleton
+        (3, [0.99, 0.01, 0.0]),  # near-dup of 0/1
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {
+        r["vec_id"]: r
+        for r in semdedup_keepers(
+            df, n_cells=2, threshold=0.9
+        ).collect()
+    }
+    assert len(out) == 4
+    assert out[0]["kept"] and out[0]["rep_id"] == 0
+    assert not out[1]["kept"] and out[1]["rep_id"] == 0
+    assert out[2]["kept"] and out[2]["rep_id"] == 2
+    assert not out[3]["kept"] and out[3]["rep_id"] == 0
+
+
+def test_semdedup_empty_corpus(spark):
+    from youtube_trending_data_pipeline_spark.operators.dedup import (
+        semdedup_keepers,
+    )
+
+    df = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert semdedup_keepers(df).count() == 0

@@ -504,3 +504,76 @@ def bpe_merge_step(spark, sf_dir):
         .orderBy(F.desc("pair_count"), "pair")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (cluster-then-dedup-within-cluster)
+# ---------------------------------------------------------------------------
+
+
+def _semdedup_oracle(n_cells: int = 8, threshold: float = 0.25) -> str:
+    from youtube_trending_data_pipeline_spark.catalog_ext import _COS_SQL
+
+    cs = _COS_SQL.format(a="c.embedding", b="s.seed_vec")
+    pc = _COS_SQL.format(a="a.embedding", b="b.embedding")
+    return f"""
+    WITH RECURSIVE seeds AS (
+      SELECT vec_id AS seed_id, embedding AS seed_vec
+      FROM embeddings ORDER BY vec_id LIMIT {n_cells}
+    ), corpus AS (
+      SELECT vec_id, embedding FROM embeddings
+    ), cells AS (
+      SELECT vec_id, cell FROM (
+        SELECT c.vec_id, s.seed_id AS cell,
+               ROW_NUMBER() OVER (PARTITION BY c.vec_id
+                                  ORDER BY {cs} DESC, s.seed_id ASC) AS rn
+        FROM corpus c, seeds s
+      ) WHERE rn = 1
+    ), pairs AS (
+      SELECT ca.vec_id AS id_a, cb.vec_id AS id_b
+      FROM cells ca
+      JOIN cells cb ON ca.cell = cb.cell AND ca.vec_id < cb.vec_id
+      JOIN corpus a ON a.vec_id = ca.vec_id
+      JOIN corpus b ON b.vec_id = cb.vec_id
+      WHERE {pc} >= {threshold}
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ), reach(node, root) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node
+    ), comp AS (
+      SELECT node, MIN(root) AS component FROM reach GROUP BY node
+    )
+    SELECT ce.vec_id, ce.cell,
+           COALESCE(p.component, ce.vec_id) AS rep_id,
+           (COALESCE(p.component, ce.vec_id) = ce.vec_id) AS kept
+    FROM cells ce LEFT JOIN comp p ON p.node = ce.vec_id
+    """
+
+
+@register(
+    "semdedup_keepers",
+    _semdedup_oracle(),
+    "SemDeDup (Abbas et al. 2023) — semantic dedup of an embedding "
+    "corpus by cluster-then-dedup-within-cluster: deterministic pivot "
+    "cells (argmax cosine against the first 8 vectors — the auditable "
+    "stand-in for the paper's KMeans clusters), exact cosine pairs "
+    "WITHIN each cell at >= 0.25, transitive closure into duplicate "
+    "groups, keep the min-id representative per group. One row per "
+    "vector: (vec_id, cell, rep_id, kept) — the pruned-corpus audit "
+    "table. The oracle replays the ENTIRE pipeline including the "
+    "recursive closure, so cell assignment, pair pruning and group "
+    "formation are all bit-checked. At 100 TB: n_cells scales up so "
+    "the within-cell quadratic stays bounded (the paper uses ~100k "
+    "clusters), candidates shuffle (id, cell) only, and the closure is "
+    "the O(log n) min-label rounds of operators/components.py. "
+    "operators/dedup.py:semdedup_keepers.",
+)
+def semdedup_keepers(spark, sf_dir):
+    return dd.semdedup_keepers(
+        t(spark, sf_dir, "embeddings"), id_col="vec_id",
+        vec_col="embedding", n_cells=8, threshold=0.25,
+    )

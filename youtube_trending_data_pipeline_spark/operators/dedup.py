@@ -618,3 +618,95 @@ def passage_dedup(
         F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
         F.coalesce("clean_text", F.lit("")).alias("clean_text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic dedup via cluster-then-dedup-within-cluster
+# ---------------------------------------------------------------------------
+
+
+def semdedup_keepers(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 8,
+    threshold: float = 0.25,
+) -> DataFrame:
+    """Semantic dedup (SemDeDup, Abbas et al. 2023): assign every
+    embedding to a cluster cell, find cosine-similar pairs WITHIN each
+    cell, close them into duplicate groups, and keep one representative
+    (min id) per group.
+
+    Cells are deterministic pivot cells — argmax cosine against the
+    first ``n_cells`` vectors by id (the auditable variant of KMeans
+    cells, same trade as sim_ivf_pivot_topk) — so the whole pipeline is
+    a pure function of the data and an SQL oracle can replay it,
+    including which cross-cell pairs were never scored.
+
+    Output: one row per input vector — (id, cell, rep_id, kept) where
+    rep_id is the duplicate-group representative (itself for
+    singletons) and kept marks the survivors of the pruned corpus.
+
+    Scale shape: cell assignment is an ``n_cells``-row broadcast
+    constant-append; the quadratic pair scoring is confined WITHIN
+    cells (at 100 TB you raise n_cells so cells stay bounded — the
+    paper uses ~100k clusters for LAION); candidate pairs shuffle only
+    (id, cell) rows with vectors re-joined per candidate; the closure
+    is the same O(log n)-round min-label propagation as
+    connected_components.
+    """
+    from pyspark.sql import Window as W
+
+    from youtube_trending_data_pipeline_spark.operators.components import (
+        connected_components,
+    )
+
+    seeds = F.broadcast(
+        df.orderBy(id_col)
+        .limit(n_cells)
+        .select(
+            F.col(id_col).alias("seed_id"), F.col(vec_col).alias("seed_vec")
+        )
+    )
+    w = W.partitionBy(id_col).orderBy(F.desc("seed_cos"), F.asc("seed_id"))
+    cells = (
+        df.select(id_col, vec_col)
+        .crossJoin(seeds)
+        .withColumn("seed_cos", cosine_similarity(vec_col, "seed_vec"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(id_col, F.col("seed_id").alias("cell"))
+    )
+    cells = cells.localCheckpoint(eager=False)
+    a, b = cells.alias("a"), cells.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.cell") == F.col("b.cell"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+    )
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    pairs = (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .where(cosine_similarity("_va", "_vb") >= F.lit(threshold))
+        .select("id_a", "id_b")
+    )
+    comp = connected_components(pairs, src="id_a", dst="id_b")
+    return (
+        cells.join(
+            comp.select(F.col("node").alias(id_col), "component"),
+            id_col,
+            "left",
+        )
+        .select(
+            id_col,
+            "cell",
+            F.coalesce("component", F.col(id_col)).alias("rep_id"),
+            (F.coalesce("component", F.col(id_col)) == F.col(id_col)).alias(
+                "kept"
+            ),
+        )
+    )
