@@ -191,3 +191,30 @@ def test_semdedup_empty_corpus(spark):
 
     df = spark.createDataFrame([], "vec_id long, embedding array<float>")
     assert semdedup_keepers(df).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# tokenize_to_ids / sim_knn_classify
+# ---------------------------------------------------------------------------
+
+
+def test_tokenize_ids_roundtrip_consistency(spark):
+    rows = QUERIES["tokenize_to_ids"].fn(spark, SF).collect()
+    assert rows
+    for r in rows:
+        ids = r["ids_csv"].split(",")
+        assert len(ids) == r["n_tokens"]
+        assert sum(1 for i in ids if i == "-1") == r["n_unk"]
+        # vocab ids are positive, dense from 1
+        assert all(int(i) >= 1 or i == "-1" for i in ids)
+
+
+def test_knn_classify_unanimous_vote(spark):
+    from youtube_trending_data_pipeline_spark.catalog_corpus import (
+        sim_knn_classify,  # registered fn object (callable directly)
+    )
+
+    rows = QUERIES["sim_knn_classify"].fn(spark, SF).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert 1 <= r["votes"] <= 3

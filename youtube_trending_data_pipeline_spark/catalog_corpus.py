@@ -577,3 +577,169 @@ def semdedup_keepers(spark, sf_dir):
         t(spark, sf_dir, "embeddings"), id_col="vec_id",
         vec_col="embedding", n_cells=8, threshold=0.25,
     )
+
+
+# ---------------------------------------------------------------------------
+# Tokenize-to-ids (vocab build + encode)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tokenize_to_ids",
+    f"""
+    WITH tk AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ), pos AS (
+      SELECT doc_id, i AS pos, toks[i + 1] AS tok
+      FROM tk, LATERAL (
+        SELECT unnest(range(0, len(toks))) AS i
+      ) g
+      WHERE len(toks) > 0
+    ), vc AS (
+      SELECT tok AS token, CAST(COUNT(*) AS BIGINT) AS c
+      FROM pos GROUP BY 1
+    ), vocab AS (
+      SELECT token,
+             CAST(ROW_NUMBER() OVER (ORDER BY c DESC, token) AS BIGINT)
+               AS id
+      FROM vc WHERE c >= 2
+    )
+    SELECT p.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN v.id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unk,
+           string_agg(CAST(COALESCE(v.id, -1) AS VARCHAR), ','
+                      ORDER BY p.pos) AS ids_csv
+    FROM pos p LEFT JOIN vocab v ON v.token = p.tok
+    GROUP BY p.doc_id
+    """,
+    "Corpus tokenization to integer ids — the encode step between "
+    "tokenizer training (bpe_merge_step) and sequence packing "
+    "(pack_sequences_linear): build a frequency-ranked vocabulary "
+    "(count >= 2; rank ties break on token text), map every token "
+    "position through it (OOV -> -1 UNK), and emit each document's id "
+    "sequence in original order plus token/UNK counts. Shapes: "
+    "map-side posexplode, one (token) count aggregate, the id "
+    "assignment window runs over the VOCABULARY (tokenizer vocabs are "
+    "~100k rows — driver-safe at any corpus scale), one token->id "
+    "equi-join (AQE broadcasts the vocab), one doc-keyed ordered "
+    "reassembly. The id join is the classic skew case (stopwords) — "
+    "absorbed by broadcast.",
+)
+def tokenize_to_ids(spark, sf_dir):
+    toks = F.filter(F.split(F.lower("text"), " "), lambda x: x != F.lit(""))
+    pos = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", toks.alias("_toks"))
+        .where(F.size("_toks") > 0)
+        .select("doc_id", F.posexplode("_toks").alias("pos", "tok"))
+    )
+    vc = pos.groupBy(F.col("tok").alias("token")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    vocab = (
+        vc.where(F.col("c") >= 2)
+        .withColumn(
+            "id",
+            F.row_number()
+            .over(W.orderBy(F.desc("c"), "token"))
+            .cast("long"),
+        )
+        .select("token", "id")
+    )
+    joined = pos.join(
+        F.broadcast(vocab), pos["tok"] == vocab["token"], "left"
+    )
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(F.col("id").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_unk"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "pos",
+                            F.coalesce("id", F.lit(-1)).alias("_id"),
+                        )
+                    )
+                ),
+                lambda s: s["_id"].cast("string"),
+            ),
+            ",",
+        ).alias("ids_csv"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-NN label classification
+# ---------------------------------------------------------------------------
+
+
+def _knn_oracle(k: int = 3) -> str:
+    from youtube_trending_data_pipeline_spark.catalog_ext import _COS_SQL
+
+    cos = _COS_SQL.format(a="q.embedding", b="c.embedding")
+    return f"""
+    WITH nn AS (
+      SELECT query_id, neighbor_id, label FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {cos} DESC, c.vec_id ASC)
+                 AS rank
+        FROM embeddings q, embeddings c
+        WHERE q.vec_id < 5 AND c.vec_id >= 5
+      ) WHERE rank <= {k}
+    ), votes AS (
+      SELECT query_id, label, CAST(COUNT(*) AS BIGINT) AS votes
+      FROM nn GROUP BY 1, 2
+    )
+    SELECT query_id, label AS predicted_label, votes FROM (
+      SELECT query_id, label, votes,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY votes DESC, label ASC) AS vr
+      FROM votes
+    ) WHERE vr = 1
+    """
+
+
+@register(
+    "sim_knn_classify",
+    _knn_oracle(),
+    "k-NN label classification over the embedding corpus: each query "
+    "vector takes the majority label of its 3 exact-cosine nearest "
+    "neighbors (vote ties break on label asc; neighbor ties on id) — "
+    "the classifier used for quality/topic/toxicity propagation from "
+    "a small labeled seed set to a 100 TB corpus. Composes the "
+    "brute-force top-k scan (broadcast queries, corpus-parallel, "
+    "per-query TakeOrdered reduction) with a votes-sized argmax "
+    "window; at scale the scan swaps for the LSH/IVF candidate path "
+    "with identical vote semantics. Exact double cosine (fixed-order "
+    "fold, bit-identical both engines), integer votes.",
+)
+def sim_knn_classify(spark, sf_dir):
+    from youtube_trending_data_pipeline_spark.operators import similarity as sim
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.where(F.col("vec_id") >= 5)
+    nn = sim.brute_force_topk(corpus, queries, k=3)
+    labels = emb.select(
+        F.col("vec_id").alias("neighbor_id"), "label"
+    )
+    votes = (
+        nn.join(labels, "neighbor_id")
+        .groupBy("query_id", "label")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    vr = F.row_number().over(
+        W.partitionBy("query_id").orderBy(F.desc("votes"), F.asc("label"))
+    )
+    return (
+        votes.withColumn("vr", vr)
+        .where(F.col("vr") == 1)
+        .select("query_id", F.col("label").alias("predicted_label"), "votes")
+    )
