@@ -218,3 +218,81 @@ def test_knn_classify_unanimous_vote(spark):
     assert len(rows) == 5
     for r in rows:
         assert 1 <= r["votes"] <= 3
+
+
+# ---------------------------------------------------------------------------
+# salted_join / ngram_novelty_score
+# ---------------------------------------------------------------------------
+
+
+def test_salted_join_equals_plain_join_on_skewed_input(spark):
+    from youtube_trending_data_pipeline_spark.operators.skew import salted_join
+
+    # 90% of fact rows hit key 1 — the shape salting exists for
+    fact = spark.createDataFrame(
+        [(1 if i % 10 else 2, i, i * 10) for i in range(200)],
+        "k long, rid long, v long",
+    )
+    dim = spark.createDataFrame(
+        [(1, "hot"), (2, "cold"), (3, "unmatched")], "dk long, name string"
+    )
+    salted = salted_join(
+        fact, dim, fact_key="k", dim_key="dk", salt_from="rid", salt_buckets=4
+    )
+    plain = fact.join(dim, fact["k"] == dim["dk"]).drop("dk")
+    a = sorted(tuple(r) for r in salted.select("k", "rid", "v", "name").collect())
+    b = sorted(tuple(r) for r in plain.select("k", "rid", "v", "name").collect())
+    assert a == b and len(a) == 200
+
+
+def test_novelty_all_unique_and_all_shared(spark):
+    from youtube_trending_data_pipeline_spark.catalog import QUERIES
+
+    # hand-built: doc 1 fully unique, docs 2/3 identical (all shingles shared)
+    import youtube_trending_data_pipeline_spark.catalog_corpus as cc
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "one two three four five"),
+            (3, "one two three four five"),
+        ],
+        "doc_id long, text string",
+    )
+    # drive the same logic as the catalog entry via a temp view + monkey
+    # source: simplest is to replicate through the operator expression
+    from pyspark.sql import functions as F
+
+    toks = F.filter(F.split(F.lower("text"), " "), lambda x: x != F.lit(""))
+    sh = (
+        docs.select("doc_id", toks.alias("_toks"))
+        .where(F.size("_toks") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        "transform(sequence(0, size(_toks) - 3), i -> "
+                        "array_join(slice(_toks, i + 1, 3), ' '))"
+                    )
+                )
+            ).alias("s"),
+        )
+    )
+    dfc = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    out = {
+        r["doc_id"]: r
+        for r in sh.join(dfc, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.expr(
+                "CAST((1000000 * sum(CASE WHEN df = 1 THEN 1 ELSE 0 END)) "
+                "div count(1) AS BIGINT)"
+            ).alias("novelty_ppm"),
+        )
+        .collect()
+    }
+    assert out[1]["novelty_ppm"] == 1_000_000   # fully novel
+    assert out[2]["novelty_ppm"] == 0           # fully duplicated
+    assert out[3]["novelty_ppm"] == 0

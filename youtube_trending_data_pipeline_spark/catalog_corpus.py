@@ -743,3 +743,200 @@ def sim_knn_classify(spark, sf_dir):
         .where(F.col("vr") == 1)
         .select("query_id", F.col("label").alias("predicted_label"), "votes")
     )
+
+
+# ---------------------------------------------------------------------------
+# Stream-static broadcast enrichment
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stream_static_enrich",
+    """
+    SELECT n.n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(e.value * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM events e
+    JOIN customer c ON c.c_custkey = e.user_id
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY n.n_name
+    """,
+    "Stream-static enrichment in the EXACT gate: the events file "
+    "streamed availableNow, every micro-batch joined against the "
+    "STATIC customer->nation dimension (the stateless stream-static "
+    "join Structured Streaming re-plans per batch; Spark broadcasts "
+    "the dim side), values accumulated as integer cents in-stream, "
+    "aggregated per nation in complete mode — the canonical streaming "
+    "ETL shape (clickstream x user dimension) the reference's daily "
+    "REST ingestion would become at lakehouse scale. Integer cents "
+    "make the result bit-identical to the oracle's batch join under "
+    "any micro-batch split.",
+)
+def stream_static_enrich(spark, sf_dir):
+    import os
+    import tempfile
+    import uuid
+
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    dim = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .select("c_custkey", "c_nationkey")
+        .join(
+            spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+                "n_nationkey", "n_name"
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(F.col("c_custkey").alias("user_id"), "n_name")
+    )
+    src_dir = tempfile.mkdtemp(prefix="sse-src-")
+    os.symlink(f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet")
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .parquet(src_dir)
+        .select(
+            "user_id",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .join(F.broadcast(dim), "user_id")
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").alias("total_cents"),
+        )
+    )
+    name = f"sse_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt-"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# Salted skew join
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "j10_salted_skew_join",
+    """
+    SELECT s.s_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS revenue_cents
+    FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    GROUP BY s.s_nationkey
+    """,
+    "Explicit SALTED join in the exact gate — the manual skew-breaker "
+    "for when AQE's runtime skew split isn't available (stream-static "
+    "joins, bucketed-table SMJs, engines with AQE off): the fact side "
+    "derives salt = l_orderkey % 8, the dimension side explodes 8x "
+    "with every salt value, and the join key becomes (s_suppkey, "
+    "salt) — so one hot supplier's rows spread over 8 shuffle "
+    "partitions instead of one reducer. Salting is result-invariant: "
+    "the oracle runs the UNSALTED join. Deterministic salt (no RNG) "
+    "keeps reruns identical; integer-cents aggregate; dim explosion "
+    "is 8x|suppliers| rows — negligible against the fact shuffle it "
+    "de-skews. Complements skew_salted_agg (salted AGGREGATION) and "
+    "the AQE skew-join plan gate (tests/test_aqe_skew_join.py).",
+)
+def j10_salted_skew_join(spark, sf_dir):
+    from youtube_trending_data_pipeline_spark.operators.skew import salted_join
+
+    fact = t(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        "l_orderkey",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    dim = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    return (
+        salted_join(
+            fact, dim, fact_key="l_suppkey", dim_key="s_suppkey",
+            salt_from="l_orderkey", salt_buckets=8,
+        )
+        .groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("cents").alias("revenue_cents"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram novelty score
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ngram_novelty_score",
+    f"""
+    WITH tk AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ), sh AS (
+      SELECT doc_id, unnest(list_distinct(
+        list_transform(range(1, len(toks) - 1),
+                       i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+      )) AS s
+      FROM tk WHERE len(toks) >= 3
+    ), df AS (
+      SELECT s, CAST(COUNT(*) AS BIGINT) AS df FROM sh GROUP BY 1
+    )
+    SELECT sh.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST((1000000 * SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END))
+                // COUNT(*) AS BIGINT) AS novelty_ppm
+    FROM sh JOIN df USING (s)
+    GROUP BY sh.doc_id
+    """,
+    "n-gram novelty scoring: per document, the fraction (scaled ppm) "
+    "of its DISTINCT word-3-gram shingles that occur in no other "
+    "document — the inverse of boilerplate-ness, used to rank crawl "
+    "pages by how much genuinely new text they contribute (high "
+    "novelty = keep; near-zero = template/mirror page). Same shingle "
+    "generation as the minhash pipeline (map-side HOF, list_distinct "
+    "per doc), one shingle-keyed df aggregate, one join back, one "
+    "doc-keyed integer reduce. At 100 TB the shingle df aggregate is "
+    "the minhash shuffle's cost twin — fixed-width hashed keys, "
+    "partial map-side combine.",
+)
+def ngram_novelty_score(spark, sf_dir):
+    toks = F.filter(F.split(F.lower("text"), " "), lambda x: x != F.lit(""))
+    sh = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", toks.alias("_toks"))
+        .where(F.size("_toks") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        "transform(sequence(0, size(_toks) - 3), i -> "
+                        "array_join(slice(_toks, i + 1, 3), ' '))"
+                    )
+                )
+            ).alias("s"),
+        )
+    )
+    df_counts = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        sh.join(df_counts, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.expr(
+                "CAST((1000000 * sum(CASE WHEN df = 1 THEN 1 ELSE 0 END)) "
+                "div count(1) AS BIGINT)"
+            ).alias("novelty_ppm"),
+        )
+    )

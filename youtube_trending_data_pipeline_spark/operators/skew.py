@@ -40,3 +40,43 @@ def salted_sum(
         .groupBy(*keys)
         .agg(F.sum("_partial").alias(out_col))
     )
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    salt_from: str,
+    salt_buckets: int = 8,
+) -> DataFrame:
+    """Skew-safe equi-join: fact rows carry a deterministic salt derived
+    from a high-cardinality column; the (small) dimension is exploded
+    ``salt_buckets``-fold so every (key, salt) combination exists, and
+    the join key becomes (key, salt) — a hot fact key's rows spread
+    over ``salt_buckets`` shuffle partitions instead of one reducer.
+
+    Salting is result-invariant (each fact row still matches exactly
+    its dimension row), so an oracle can verify with the plain join.
+    The manual form of AQE's skew-join split, for the paths AQE cannot
+    touch: stream-static joins, bucketed SMJs, AQE-off engines. Returns
+    the joined frame with the dimension columns attached; the salt and
+    duplicate key columns are dropped.
+    """
+    salted_fact = fact.withColumn(
+        "_salt", F.col(salt_from) % F.lit(salt_buckets)
+    )
+    salted_dim = (
+        dim.withColumn(
+            "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+        )
+        .withColumn("_salt", F.col("_salt").cast("long"))
+    )
+    joined = salted_fact.join(
+        salted_dim,
+        (salted_fact[fact_key] == salted_dim[dim_key])
+        & (salted_fact["_salt"] == salted_dim["_salt"]),
+    )
+    return joined.drop(salted_dim[dim_key]).drop(
+        salted_fact["_salt"]
+    ).drop(salted_dim["_salt"])
