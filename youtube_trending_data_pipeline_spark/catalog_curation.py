@@ -1,0 +1,482 @@
+"""Catalog extensions, round 5 continuation (batch 2): corpus-curation
+operators completing the training-data story — broadcast-dictionary
+keyword tagging (taxonomy filters), bigram PMI collocation extraction,
+content-defined chunk dedup (shift-robust, vs passage_dedup's fixed
+windows), a per-key sequential integer EWMA fold (the applyInPandas
+escape hatch, oracled by a recursive CTE), deterministic weighted
+priority sampling (Duffield-Lund-Thorup), and ordered conversation/
+transcript assembly (SFT data prep).
+
+Same doctrine as catalog_ext.py / catalog_corpus.py: exact-integer
+aggregates (or fixed-order folds), bit-exact DuckDB oracle replays, and
+plans that survive 100 TB (map-side HOFs, broadcast dims, bounded
+shuffles, no driver loops).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+
+from youtube_trending_data_pipeline_spark.catalog import register, t
+
+_TOKS_SQL = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
+
+
+def _toks():
+    # built lazily: Column construction needs an active SparkContext,
+    # which does not exist at import/registration time
+    return F.filter(F.split(F.lower("text"), " "), lambda x: x != F.lit(""))
+
+# ---------------------------------------------------------------------------
+# Broadcast-dictionary keyword tagging (taxonomy matching)
+# ---------------------------------------------------------------------------
+
+_KEYWORDS: dict[str, str] = {
+    # operator vocabulary -> taxonomy category (tiny dim: broadcast literal)
+    "join": "ops", "scan": "ops", "merge": "ops", "sort": "ops",
+    "filter": "ops", "agg": "ops",
+    "spark": "engine", "stream": "engine", "batch": "engine",
+    "query": "engine",
+    "customer": "entity", "part": "entity", "order": "entity",
+    "line": "entity",
+}
+
+_KW_MAP_SQL = "map(" + ", ".join(
+    f"'{k}', '{v}'" for k, v in _KEYWORDS.items()
+) + ")"
+_KW_VALUES_SQL = ", ".join(f"('{k}', '{v}')" for k, v in _KEYWORDS.items())
+
+
+@register(
+    "keyword_tag",
+    f"""
+    WITH dict(tok, cat) AS (VALUES {_KW_VALUES_SQL}),
+    tk AS (
+      SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents
+    ), hits AS (
+      SELECT tk.doc_id, dict.cat FROM tk JOIN dict USING (tok)
+    ), agg AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
+             array_to_string(list_sort(list_distinct(list(cat))), ',') AS tags
+      FROM hits GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(a.n_hits, 0) AS BIGINT) AS n_hits,
+           COALESCE(a.tags, '') AS tags
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+    "Broadcast-dictionary keyword tagging: every document is matched "
+    "against a phrase->category taxonomy (content filters, topic "
+    "routing, licence/PII keyword screens) and annotated with its hit "
+    "count and sorted distinct category set. The dictionary is a "
+    "LITERAL map evaluated inside the scan's HOF lambda, so the whole "
+    "operator is map-side — zero exchanges, no join: the plan a "
+    "100 TB keyword screen needs (a real deployment broadcasts the "
+    "dictionary; the shape is identical). Oracle replays it as a "
+    "dict-table join + group-by, which must agree bit-for-bit.",
+)
+def keyword_tag(spark, sf_dir):
+    hits = F.filter(
+        "_toks", lambda x: F.element_at(F.expr(_KW_MAP_SQL), x).isNotNull()
+    )
+    return (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", _toks().alias("_toks"))
+        .select(
+            "doc_id",
+            F.size(hits).cast("long").alias("n_hits"),
+            F.array_join(
+                F.array_sort(
+                    F.array_distinct(
+                        F.transform(
+                            hits, lambda x: F.element_at(F.expr(_KW_MAP_SQL), x)
+                        )
+                    )
+                ),
+                ",",
+            ).alias("tags"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bigram PMI collocation extraction
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "token_pmi",
+    f"""
+    WITH tk AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ), bg AS (
+      SELECT unnest(list_transform(range(1, len(toks)),
+                    i -> struct_pack(w1 := toks[i], w2 := toks[i + 1]))) AS b
+      FROM tk WHERE len(toks) >= 2
+    ), pairs AS (
+      SELECT b.w1 AS w1, b.w2 AS w2, CAST(COUNT(*) AS BIGINT) AS c12
+      FROM bg GROUP BY 1, 2
+    ), uni AS (
+      SELECT tok AS w, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT unnest({_TOKS_SQL}) AS tok FROM documents) GROUP BY 1
+    ), tot AS (
+      SELECT CAST(SUM(c12) AS BIGINT) AS n FROM pairs
+    )
+    SELECT p.w1, p.w2, p.c12,
+           u1.c AS c1, u2.c AS c2,
+           CAST((1000000 * p.c12 * tot.n) // (u1.c * u2.c) AS BIGINT)
+             AS pmi_ratio_ppm
+    FROM pairs p
+    JOIN uni u1 ON u1.w = p.w1
+    JOIN uni u2 ON u2.w = p.w2
+    CROSS JOIN tot
+    WHERE p.c12 >= 5
+    """,
+    "Bigram PMI collocation extraction: adjacent-token pair counts vs "
+    "unigram occurrence counts, scored by the exact-integer PMI ratio "
+    "p(w1,w2)/(p(w1)p(w2)) scaled to ppm (log-free so the gate stays "
+    "bit-exact; rank order is identical to log-PMI since log is "
+    "monotone). The collocation table that drives tokenizer merges and "
+    "phrase mining. Plan: one bigram aggregate (map-side HOF pair "
+    "emission, vocabulary^2-bounded exchange), one unigram aggregate, "
+    "two BROADCAST joins of the vocabulary-sized unigram table onto "
+    "the pair table, and a 1-row broadcast total — no all-corpus "
+    "shuffle beyond the two count aggregates. At 100 TB the ppm "
+    "product needs log-space doubles (c12*N overflows int64 past "
+    "~3e9 tokens); documented, exact at every test SF.",
+)
+def token_pmi(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents").select(_toks().alias("_toks"))
+    bg = (
+        docs.where(F.size("_toks") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(_toks) - 2), i -> "
+                    "struct(_toks[i] AS w1, _toks[i + 1] AS w2))"
+                )
+            ).alias("b")
+        )
+        .select("b.w1", "b.w2")
+    )
+    pairs = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    uni = (
+        docs.select(F.explode("_toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = pairs.agg(F.sum("c12").alias("n"))
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    return (
+        pairs.where(F.col("c12") >= 5)
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            "c1",
+            "c2",
+            F.expr("CAST((1000000 * c12 * n) div (c1 * c2) AS BIGINT)").alias(
+                "pmi_ratio_ppm"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunk dedup (shift-robust passage dedup)
+# ---------------------------------------------------------------------------
+
+# Boundary gate: cheap content hash of a single token, identical in both
+# engines (ascii = code point of first char; reverse+ascii = last char).
+_GATE_SQL = "(ascii({tok}) * 31 + ascii(reverse({tok})) * 7 + length({tok})) % 8 = 0"
+
+
+@register(
+    "cdc_chunk_dedup",
+    f"""
+    WITH tk AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ), pos AS (
+      SELECT doc_id, toks[i] AS tok, CAST(i AS BIGINT) AS pos
+      FROM tk, LATERAL (
+        SELECT unnest(range(1, len(toks) + 1)) AS i
+      ) g
+    ), marked AS (
+      SELECT doc_id, tok, pos,
+             CASE WHEN {_GATE_SQL.format(tok='tok')} THEN 1 ELSE 0 END AS b
+      FROM pos
+    ), ch AS (
+      SELECT doc_id, tok, pos,
+             CAST(COALESCE(SUM(b) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS BIGINT) AS chunk_id
+      FROM marked
+    ), chunks AS (
+      SELECT doc_id, chunk_id,
+             string_agg(tok, ' ' ORDER BY pos) AS chunk
+      FROM ch GROUP BY doc_id, chunk_id
+    ), ranked AS (
+      SELECT doc_id, chunk_id,
+             ROW_NUMBER() OVER (PARTITION BY chunk
+                                ORDER BY doc_id, chunk_id) AS rn
+      FROM chunks
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST((1000000 * SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END))
+                // COUNT(*) AS BIGINT) AS dup_ppm
+    FROM ranked GROUP BY doc_id
+    """,
+    "Content-defined chunk dedup: chunk boundaries are decided by a "
+    "per-token content gate (hash of the token mod 8), so an insertion "
+    "near the top of a page shifts NO downstream chunk boundaries — "
+    "the rsync/LBFS trick that fixed-width passage_dedup lacks; a "
+    "mirrored page with one extra header word still dedups chunk-for-"
+    "chunk. Per doc: segment, keep the globally-first occurrence of "
+    "each chunk string (window rank), report kept/dropped counts and "
+    "a duplicate-ppm score. Plan: map-side tokenize+gate, ONE doc-"
+    "keyed window for the running boundary count (at 100 TB this "
+    "prefix count folds into the tokenize HOF, making segmentation "
+    "fully map-side), one chunk-keyed first-occurrence window over "
+    "chunk-count-sized rows, one doc-keyed reduce.",
+)
+def cdc_chunk_dedup(spark, sf_dir):
+    pos = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", F.posexplode(_toks()).alias("pos0", "tok"))
+        .select("doc_id", "tok", (F.col("pos0") + 1).cast("long").alias("pos"))
+    )
+    marked = pos.withColumn(
+        "b",
+        F.expr(
+            "CASE WHEN " + _GATE_SQL.format(tok="tok") + " THEN 1 ELSE 0 END"
+        ),
+    )
+    wb = (
+        W.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    ch = marked.withColumn(
+        "chunk_id", F.coalesce(F.sum("b").over(wb), F.lit(0)).cast("long")
+    )
+    chunks = ch.groupBy("doc_id", "chunk_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda x: x.tok,
+            ),
+            " ",
+        ).alias("chunk")
+    )
+    ranked = chunks.withColumn(
+        "rn",
+        F.row_number().over(W.partitionBy("chunk").orderBy("doc_id", "chunk_id")),
+    )
+    return ranked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_kept"),
+        F.expr(
+            "CAST((1000000 * sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)) "
+            "div count(1) AS BIGINT)"
+        ).alias("dup_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-key sequential integer EWMA (applyInPandas fold, recursive-CTE oracle)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ewma_user_value",
+    """
+    WITH RECURSIVE x AS (
+      SELECT user_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts), event_id) AS rn,
+             CAST(ROUND(value * 100) AS BIGINT) AS v
+      FROM events
+    ), r AS (
+      SELECT user_id, rn, v AS e FROM x WHERE rn = 1
+      UNION ALL
+      SELECT x.user_id, x.rn, (r.e + x.v) // 2
+      FROM r JOIN x ON x.user_id = r.user_id AND x.rn = r.rn + 1
+    ), n AS (
+      SELECT user_id, CAST(MAX(rn) AS BIGINT) AS n_events
+      FROM x GROUP BY user_id
+    )
+    SELECT n.user_id, n.n_events, r.e AS ewma_c
+    FROM n JOIN r ON r.user_id = n.user_id AND r.rn = n.n_events
+    """,
+    "Per-key sequential integer EWMA: each user's time-ordered cent "
+    "values folded through e_n = (e_(n-1) + v_n) div 2 — a genuinely "
+    "order-dependent recurrence no window frame or algebraic aggregate "
+    "expresses (floor-div does not distribute), so it exercises the "
+    "applyInPandas escape hatch the RIGHT way: ONE shuffle on user_id, "
+    "one Arrow batch per user, a bounded integer fold per group, one "
+    "row out per key. The oracle replays the identical fold as a "
+    "DuckDB recursive CTE. Exact-integer state means any partitioning "
+    "(and any pandas version) produces bit-identical results. At "
+    "100 TB this is the per-entity feature-fold shape (decayed "
+    "engagement, fraud scores): state is O(1) per key, rows stream "
+    "through Arrow, nothing lands on the driver.",
+)
+def ewma_user_value(spark, sf_dir):
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.expr("ts div 1000").alias("ts_us"),
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("ewma_c", LongType()),
+        ]
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts_us", "event_id"])
+        e = 0
+        first = True
+        for v in pdf["v"]:
+            e = int(v) if first else (e + int(v)) // 2
+            first = False
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n_events": [len(pdf)],
+                "ewma_c": [e],
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandas(fold, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic weighted priority sampling (Duffield-Lund-Thorup)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sample_weighted_topk",
+    """
+    WITH w AS (
+      SELECT doc_id, n_chars,
+             ((doc_id % 2147483648) * 2654435761) % 4294967296 AS hv
+      FROM documents
+    ), p AS (
+      SELECT doc_id, n_chars, hv,
+             ROW_NUMBER() OVER (
+               ORDER BY CAST(hv AS DOUBLE) / n_chars, doc_id
+             ) AS rn
+      FROM w
+    )
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(hv AS BIGINT) AS hv
+    FROM p WHERE rn <= 100
+    """,
+    "Deterministic weighted sample (priority sampling, Duffield-Lund-"
+    "Thorup): priority = uniform_hash(id) / weight, keep the k smallest "
+    "— inclusion probability proportional to n_chars (the corpus-"
+    "curation 'sample long documents more' knob) with NO RNG state: "
+    "the Knuth multiplicative hash (pre-reduced mod 2^31 so the "
+    "product never overflows int64) is the uniform draw, so every "
+    "engine, partitioning, and rerun selects the identical set. Both "
+    "operands are exact integers < 2^53, so the IEEE double division "
+    "is correctly rounded to the same value in Spark and DuckDB. "
+    "Plan: map-side priority, TakeOrdered top-k (per-partition heaps, "
+    "k rows to one reducer) — no global sort, no shuffle of the "
+    "corpus.",
+)
+def sample_weighted_topk(spark, sf_dir):
+    w = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        (
+            F.pmod(
+                F.pmod(F.col("doc_id"), F.lit(2147483648)) * F.lit(2654435761),
+                F.lit(4294967296),
+            )
+        ).alias("hv"),
+    )
+    return (
+        w.orderBy(
+            (F.col("hv").cast("double") / F.col("n_chars")).asc(),
+            F.col("doc_id").asc(),
+        )
+        .limit(100)
+        .select("doc_id", "n_chars", "hv")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Conversation / transcript assembly (SFT data prep)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "conversation_render",
+    """
+    WITH ev AS (
+      SELECT user_id, event_id,
+             CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+             event_type || '=' ||
+               CAST(CAST(ROUND(value * 100) AS BIGINT) AS VARCHAR) AS turn,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts), event_id) AS rn
+      FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_turns,
+           string_agg(turn, ' | ' ORDER BY ts_us, event_id) AS transcript
+    FROM ev WHERE rn <= 12
+    GROUP BY user_id
+    """,
+    "Conversation/transcript assembly: each user's event stream is "
+    "rendered into ONE ordered, length-capped transcript string "
+    "(first 12 turns) — the SFT/chat-template data-prep step that "
+    "turns row-per-message logs into row-per-conversation training "
+    "examples. One user-keyed window for the turn cap and one ordered "
+    "string aggregate (collect_list -> array_sort on the (ts, id) "
+    "struct -> join), sharing the same user_id exchange. The turn cap "
+    "bounds per-key state, so a 100 TB log with hot users cannot blow "
+    "an aggregation buffer; uncapped assembly would need the chunked "
+    "variant doc_chunk_overlap already provides.",
+)
+def conversation_render(spark, sf_dir):
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.expr("ts div 1000").alias("ts_us"),
+        F.concat_ws(
+            "=",
+            F.col("event_type"),
+            F.round(F.col("value") * 100).cast("long").cast("string"),
+        ).alias("turn"),
+    )
+    wr = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    capped = ev.withColumn("rn", F.row_number().over(wr)).where(F.col("rn") <= 12)
+    return capped.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ts_us", "event_id", "turn"))),
+                lambda x: x.turn,
+            ),
+            " | ",
+        ).alias("transcript"),
+    )

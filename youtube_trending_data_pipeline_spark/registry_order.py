@@ -118,13 +118,12 @@ PRIORITY_UNCHECKED = [
 
 # ROUND 6 bookkeeping: after CORRECTNESS_r05 lands, append its keys as
 # DRIVER_VERIFIED_R05 and rebuild PRIORITY_UNCHECKED with (a) any r05
-# failures once fixed, (b) operators added late in round 5 that missed
-# the window — none expected: the four round-5 additions
-# (embedding_gram_matrix, token_skipgram_pairs, text_nfc_normalize,
-# merge_upsert) auto-rank in tier 2 at window positions 26-29, so they
-# SHOULD have r05 rows — verify, (c) nothing else: at that point every
-# registry query has a driver row and the window's tail keeps cycling
-# tier-3 regression re-checks of the oldest verified entries.
+# failures once fixed, (b) the four operators added after the r05
+# window filled (54 unchecked entries, 50 slots — computed via
+# order_for_driver): cdc_chunk_dedup, ewma_user_value,
+# sample_weighted_topk, conversation_render — these lead round 6's
+# priorities, (c) then tier-3 regression re-checks keep cycling the
+# oldest verified entries.
 
 
 def order_for_driver(names: list[str]) -> list[str]:
