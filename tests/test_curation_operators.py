@@ -135,3 +135,47 @@ def test_conversation_render_caps_turns(spark):
     assert mx <= 12
     row = df.orderBy("user_id").first()
     assert row.transcript.count(" | ") == row.n_turns - 1
+
+
+def test_winnowing_guarantee_shared_run_shares_fingerprint(spark):
+    """The winnowing density guarantee: two documents sharing a token
+    run of length >= w + k - 1 (= 6) must share at least one
+    (hash) fingerprint value — the property MOSS copy-detection relies
+    on."""
+    from youtube_trending_data_pipeline_spark import catalog_curation as cc
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 tokens
+    df = spark.createDataFrame(
+        [
+            (1, "one two three " + shared + " four five six"),
+            (2, "seven eight " + shared + " nine ten eleven twelve"),
+        ],
+        "doc_id long, text string",
+    )
+    orig_t = cc.t
+    try:
+        cc.t = lambda spark, sf_dir, name: df
+        out = {r.doc_id: r.fps for r in cc.text_winnow_fingerprints(spark, "x").collect()}
+    finally:
+        cc.t = orig_t
+    h1 = {p.split(":")[1] for p in out[1].split(",") if p}
+    h2 = {p.split(":")[1] for p in out[2].split(",") if p}
+    assert h1 & h2, (h1, h2)
+
+
+def test_gini_extremes(spark):
+    """gini_ppm: all-same-token doc scores 0; all-distinct doc scores
+    1e6 * (1 - 1/n) floor'd."""
+    from youtube_trending_data_pipeline_spark import catalog_curation as cc
+
+    df = spark.createDataFrame(
+        [(1, "x x x x"), (2, "a b c d")], "doc_id long, text string"
+    )
+    orig_t = cc.t
+    try:
+        cc.t = lambda spark, sf_dir, name: df
+        out = {r.doc_id: r.gini_ppm for r in cc.token_gini_diversity(spark, "x").collect()}
+    finally:
+        cc.t = orig_t
+    assert out[1] == 0
+    assert out[2] == 1000000 - 1000000 // 4  # 750000

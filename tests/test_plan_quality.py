@@ -343,3 +343,22 @@ def test_cdc_chunk_windows_are_keyed(spark):
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_winnowing_zero_shuffle(spark):
+    """text_winnow_fingerprints: the whole select-min-per-window
+    computation is a nested HOF inside the scan projection — zero
+    exchanges, no join (winnowing is embarrassingly parallel)."""
+    df = QUERIES["text_winnow_fingerprints"].fn(spark, SF)
+    plan = formatted_plan(df)
+    assert count_exchanges(df) == 0, plan
+    assert "Join" not in plan, plan
+
+
+def test_gini_two_shared_key_aggregates(spark):
+    """token_gini_diversity: token counts then moment sums — exactly two
+    hash exchanges, both keyed on doc_id(+tok), no join."""
+    df = QUERIES["token_gini_diversity"].fn(spark, SF)
+    plan = formatted_plan(df)
+    assert count_exchanges(df) <= 2, plan
+    assert "Join" not in plan, plan

@@ -480,3 +480,165 @@ def conversation_render(spark, sf_dir):
             " | ",
         ).alias("transcript"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03)
+# ---------------------------------------------------------------------------
+
+# portable 32-bit shingle hash (same construction as operators/dedup.py
+# portable_hash32: first 8 md5 hex digits as an integer), spelled for HOFs
+_H32_SPARK = "cast(conv(substring(md5({s}), 1, 8), 16, 10) AS BIGINT)"
+_H32_DUCK = "(('0x' || substr(md5({s}), 1, 8))::BIGINT)"
+_WINNOW_K = 3  # tokens per shingle
+_WINNOW_W = 4  # shingles per winnowing window
+
+
+@register(
+    "text_winnow_fingerprints",
+    f"""
+    WITH tk AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_transform(range(1, len(toks) - {_WINNOW_K - 2}),
+               i -> {_H32_DUCK.format(s=f"array_to_string(list_slice(toks, i, i + {_WINNOW_K - 1}), ' ')")})
+               AS h
+      FROM tk WHERE len(toks) >= {_WINNOW_K}
+    ), pos AS (
+      SELECT doc_id, h[i] AS hv, CAST(i AS BIGINT) AS pos,
+             CAST(len(h) AS BIGINT) AS m
+      FROM sh, LATERAL (SELECT unnest(range(1, len(h) + 1)) AS i) g
+    ), win AS (
+      SELECT doc_id, CAST(j AS BIGINT) AS j
+      FROM (SELECT DISTINCT doc_id, greatest(m - {_WINNOW_W - 1}, 1) AS nw
+            FROM pos),
+           LATERAL (SELECT unnest(range(1, nw + 1)) AS j) g
+    ), cand AS (
+      SELECT w.doc_id, w.j, p.pos, p.hv,
+             ROW_NUMBER() OVER (PARTITION BY w.doc_id, w.j
+                                ORDER BY p.hv ASC, p.pos DESC) AS rn
+      FROM win w JOIN pos p
+        ON p.doc_id = w.doc_id
+       AND p.pos BETWEEN w.j AND w.j + {_WINNOW_W - 1}
+    ), sel AS (
+      SELECT DISTINCT doc_id, pos, hv FROM cand WHERE rn = 1
+    ), agg AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fp,
+             string_agg(CAST(pos AS VARCHAR) || ':' || CAST(hv AS VARCHAR),
+                        ',' ORDER BY pos) AS fps
+      FROM sel GROUP BY doc_id
+    ), shc AS (
+      SELECT DISTINCT doc_id, m FROM pos
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(s.m, 0) AS BIGINT) AS n_shingles,
+           CAST(COALESCE(a.n_fp, 0) AS BIGINT) AS n_fp,
+           COALESCE(a.fps, '') AS fps
+    FROM documents d
+    LEFT JOIN shc s USING (doc_id)
+    LEFT JOIN agg a USING (doc_id)
+    """,
+    "Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 — "
+    "the MOSS algorithm): hash every 3-token shingle (portable md5-"
+    "derived 32-bit hash, bit-identical in both engines), slide a "
+    "4-shingle window, keep the RIGHTMOST-minimum hash per window, "
+    "dedupe selections — the guaranteed-density local fingerprint set "
+    "that detects partial copies (any shared run of >= w+k-1 tokens "
+    "shares a fingerprint), which whole-document md5 (text_fingerprint) "
+    "and doc-level minhash cannot localize. Spark plan: the ENTIRE "
+    "selection is a nested HOF fold inside the scan projection — zero "
+    "exchanges, no join; winnowing is embarrassingly parallel and this "
+    "plan proves it (the oracle replays it relationally with a "
+    "window-join + rank, same bits). At 100 TB the fingerprint "
+    "postings feed the contamination_check equi-join.",
+)
+def text_winnow_fingerprints(spark, sf_dir):
+    k, w = _WINNOW_K, _WINNOW_W
+    hexpr = _H32_SPARK.format(s=f"array_join(slice(_toks, i, {k}), ' ')")
+    docs = t(spark, sf_dir, "documents").select("doc_id", _toks().alias("_toks"))
+    sel = F.expr(
+        f"""
+        CASE WHEN size(_toks) >= {k} THEN
+          array_distinct(transform(
+            sequence(1, greatest(size(_toks) - {k + w - 2}, 1)),
+            j -> aggregate(
+              sequence(j, least(j + {w - 1}, size(_toks) - {k - 1})),
+              struct(CAST(-1 AS BIGINT) AS bp,
+                     CAST(9223372036854775807 AS BIGINT) AS bh),
+              (acc, i) -> CASE
+                WHEN {hexpr} <= acc.bh
+                THEN struct(CAST(i AS BIGINT) AS bp, {hexpr} AS bh)
+                ELSE acc END)))
+        ELSE array() END
+        """
+    )
+    return docs.select(
+        "doc_id",
+        F.greatest(
+            F.size("_toks") - F.lit(k - 1), F.lit(0)
+        ).cast("long").alias("n_shingles"),
+        sel.alias("_sel"),
+    ).select(
+        "doc_id",
+        "n_shingles",
+        F.size("_sel").cast("long").alias("n_fp"),
+        F.array_join(
+            F.transform(
+                F.array_sort("_sel"),
+                lambda x: F.concat_ws(
+                    ":", x.bp.cast("string"), x.bh.cast("string")
+                ),
+            ),
+            ",",
+        ).alias("fps"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gini lexical diversity (log-free entropy surrogate)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "token_gini_diversity",
+    f"""
+    WITH tk AS (
+      SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents
+    ), cnt AS (
+      SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c
+      FROM tk GROUP BY doc_id, tok
+    )
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           CAST(1000000 - (1000000 * SUM(c * c)) // (SUM(c) * SUM(c))
+                AS BIGINT) AS gini_ppm
+    FROM cnt GROUP BY doc_id
+    """,
+    "Gini-impurity lexical diversity: 1 - sum(p_i^2) over each "
+    "document's token distribution, scaled to ppm with pure integer "
+    "arithmetic — the log-free entropy surrogate (same ranking for "
+    "quality filtering: near-0 = one token repeated, near-1 = all "
+    "distinct) that stays bit-exact across engines where Shannon "
+    "entropy's ln() drifts in the last ulp. Two hash aggregates "
+    "sharing the doc_id key (token counts, then the moment sums); "
+    "map-side partial combine makes the exchange vocabulary-bounded "
+    "per doc. The repetition/diversity score a quality-filter stack "
+    "runs beside text_repetition_score.",
+)
+def token_gini_diversity(spark, sf_dir):
+    cnt = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(_toks()).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return cnt.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.expr(
+            "CAST(1000000 - (1000000 * sum(c * c)) div (sum(c) * sum(c)) "
+            "AS BIGINT)"
+        ).alias("gini_ppm"),
+    )
