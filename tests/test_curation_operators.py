@@ -179,3 +179,55 @@ def test_gini_extremes(spark):
         cc.t = orig_t
     assert out[1] == 0
     assert out[2] == 1000000 - 1000000 // 4  # 750000
+
+
+def test_hits_bipartite_roles(spark):
+    """On the supplier->customer bipartite graph every hub is a supplier
+    node (< 1e6) and every authority a customer node (>= 1e6); the two
+    max-normalized score sets each peak at exactly HITS_SCALE."""
+    from youtube_trending_data_pipeline_spark.operators.graph import HITS_SCALE
+
+    rows = QUERIES["graph_hits"].fn(spark, SF).collect()
+    hubs = [r for r in rows if r.kind == "hub"]
+    auths = [r for r in rows if r.kind == "auth"]
+    assert hubs and auths
+    assert all(r.node < 1000000 for r in hubs)
+    assert all(r.node >= 1000000 for r in auths)
+    assert max(r.score for r in hubs) == HITS_SCALE
+    assert max(r.score for r in auths) == HITS_SCALE
+
+
+def test_decontaminated_train_is_leak_free(spark):
+    """No surviving train doc may share an 8-gram shingle with any eval
+    doc — re-derive both shingle sets independently and intersect."""
+    import hashlib
+
+    clean = {
+        r.doc_id
+        for r in QUERIES["split_decontaminated_train"].fn(spark, SF).collect()
+    }
+    docs = (
+        QUERIES["split_decontaminated_train"]
+        .fn.__globals__["t"](spark, SF, "documents")
+        .select("doc_id", "text")
+        .collect()
+    )
+    def split_of(doc_id):
+        return "train" if hashlib.md5(str(doc_id).encode()).hexdigest()[0] in "0123456789ab" else "eval"
+    def shingles(text):
+        toks = text.lower().split(" ")
+        return {" ".join(toks[k:k+8]) for k in range(max(len(toks)-7, 0))}
+    eval_sh = set()
+    for r in docs:
+        if split_of(r.doc_id) == "eval":
+            eval_sh |= shingles(r.text)
+    for r in docs:
+        if r.doc_id in clean:
+            assert split_of(r.doc_id) == "train"
+            assert not (shingles(r.text) & eval_sh), r.doc_id
+
+
+def test_domain_quota_cap_holds(spark):
+    out = QUERIES["domain_quota_sample"].fn(spark, SF).toPandas()
+    assert (out.groupby("source").size() <= 50).all()
+    assert (out["rn"] <= 50).all()

@@ -362,3 +362,31 @@ def test_gini_two_shared_key_aggregates(spark):
     plan = formatted_plan(df)
     assert count_exchanges(df) <= 2, plan
     assert "Join" not in plan, plan
+
+
+def test_hits_rounds_are_equi_joins(spark):
+    """graph_hits: every half-step joins the score vector onto the edge
+    list as an equi-join; the only BNLJ allowed is the 1-row max
+    broadcast for normalization."""
+    df = QUERIES["graph_hits"].fn(spark, SF)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_decontaminated_split_uses_semi_anti(spark):
+    """split_decontaminated_train: leakage removal must plan as
+    left-semi (taint discovery) + left-anti (drop) equi-joins on the
+    shingle hash / doc id — no NOT IN null-trap BNLJ."""
+    df = QUERIES["split_decontaminated_train"].fn(spark, SF)
+    plan = formatted_plan(df)
+    assert "LeftSemi" in plan, plan
+    assert "LeftAnti" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_domain_quota_single_window_shuffle(spark):
+    """domain_quota_sample: one source-keyed exchange for the window
+    rank, nothing else."""
+    df = QUERIES["domain_quota_sample"].fn(spark, SF)
+    assert count_exchanges(df) == 1, formatted_plan(df)

@@ -642,3 +642,208 @@ def token_gini_diversity(spark, sf_dir):
             "AS BIGINT)"
         ).alias("gini_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs/authorities (Kleinberg JACM'99), integer units
+# ---------------------------------------------------------------------------
+
+
+def _hits_oracle(iterations: int = 3) -> str:
+    """Unrolled-CTE replay of integer HITS: each round is two aggregate
+    half-steps plus a scalar-subquery max-normalization — all BIGINT, so
+    the shuffled iterative computation hash-matches this sequential
+    evaluation (same doctrine as _pagerank_oracle)."""
+    scale = 1_000_000
+    steps = []
+    prev_h = "h0"
+    for i in range(1, iterations + 1):
+        steps.append(f"""
+    a{i}r AS (
+      SELECT e.dst AS node, CAST(SUM(h.score) AS BIGINT) AS raw
+      FROM edges e JOIN {prev_h} h ON h.node = e.src GROUP BY e.dst
+    ), a{i} AS (
+      SELECT node,
+             CAST((raw * {scale}) // (SELECT MAX(raw) FROM a{i}r) AS BIGINT)
+               AS score
+      FROM a{i}r
+    ), h{i}r AS (
+      SELECT e.src AS node, CAST(SUM(a.score) AS BIGINT) AS raw
+      FROM edges e JOIN a{i} a ON a.node = e.dst GROUP BY e.src
+    ), h{i} AS (
+      SELECT node,
+             CAST((raw * {scale}) // (SELECT MAX(raw) FROM h{i}r) AS BIGINT)
+               AS score
+      FROM h{i}r
+    )""")
+        prev_h = f"h{i}"
+    return f"""
+    WITH edges AS (
+      SELECT DISTINCT l_suppkey AS src, o_custkey + 1000000 AS dst
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    h0 AS (SELECT DISTINCT src AS node, CAST({scale} AS BIGINT) AS score
+           FROM edges),
+    {','.join(steps)}
+    SELECT node, 'hub' AS kind, score FROM h{iterations}
+    UNION ALL
+    SELECT node, 'auth' AS kind, score FROM a{iterations}
+    """
+
+
+@register(
+    "graph_hits",
+    _hits_oracle(3),
+    "HITS hubs & authorities (Kleinberg, JACM'99) in the exact gate: 3 "
+    "synchronous rounds of the hub/authority mutual recursion over the "
+    "directed supplier->customer transaction graph, with integer "
+    "max-normalization replacing the textbook L2 norm (positive "
+    "monotone rescale: identical ranking, zero float drift) — so the "
+    "iterative distributed computation is bit-identical to the "
+    "oracle's unrolled CTE chain. Per half-step: ONE equi-join of the "
+    "score vector onto the localCheckpoint'ed edge list, one hash "
+    "aggregate, and a 1-row broadcast max for the rescale. Same "
+    "Pregel-on-a-join shape as graph_pagerank; at 100 TB the edge "
+    "list is bucketed by the join key per direction.",
+)
+def graph_hits(spark, sf_dir):
+    from youtube_trending_data_pipeline_spark.operators.graph import hits_integer
+
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.col("l_suppkey").alias("src"),
+            (F.col("o_custkey") + 1000000).alias("dst"),
+        )
+        .distinct()
+    )
+    return hits_integer(edges, iterations=3)
+
+
+# ---------------------------------------------------------------------------
+# Decontaminated train split (split + leakage removal, end to end)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "split_decontaminated_train",
+    """
+    WITH docs AS (
+      SELECT doc_id, source, n_chars, lower(text) AS lt,
+             CASE
+               WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                    IN ('0','1','2','3','4','5','6','7','8','9','a','b')
+                 THEN 'train'
+               ELSE 'eval'
+             END AS split
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, split,
+             md5(array_to_string(toks[k+1:k+8], ' ')) AS h
+      FROM (SELECT doc_id, split, string_split(lt, ' ') AS toks FROM docs),
+           LATERAL (SELECT unnest(range(0, greatest(len(toks)-7, 0))) AS k)
+    ), eval_h AS (
+      SELECT DISTINCT h FROM sh WHERE split = 'eval'
+    ), bad AS (
+      SELECT DISTINCT s.doc_id FROM sh s JOIN eval_h USING (h)
+      WHERE s.split = 'train'
+    )
+    SELECT d.doc_id, d.source, CAST(d.n_chars AS BIGINT) AS n_chars
+    FROM docs d
+    WHERE d.split = 'train'
+      AND d.doc_id NOT IN (SELECT doc_id FROM bad)
+    """,
+    "Decontaminated train split, end to end: the deterministic hash "
+    "split (train = first md5 nibble 0-b, 75%) composed with word-"
+    "8-gram leakage removal — any train document sharing a shingle "
+    "hash with ANY eval document is dropped, and the output IS the "
+    "clean train set (the artifact a pretraining run actually "
+    "consumes; contamination_check only reports the leak the other "
+    "direction). Plan: map-side split + shingle HOF, one distinct on "
+    "eval shingle hashes, one semi-join to find tainted train docs, "
+    "one anti-join to drop them — all equi-joins on fixed-width "
+    "hashes. At 100 TB the eval shingle set is small (eval is the "
+    "curated fraction) and broadcasts.",
+)
+def split_decontaminated_train(spark, sf_dir):
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.split(F.lower("text"), " ").alias("toks"),
+        F.when(bucket.isin(*"0123456789ab"), F.lit("train"))
+        .otherwise(F.lit("eval"))
+        .alias("split"),
+    )
+    shingles = (
+        docs.where(F.size("toks") >= 8)
+        .select(
+            "doc_id",
+            "split",
+            F.explode(F.sequence(F.lit(0), F.size("toks") - 8)).alias("k"),
+            "toks",
+        )
+        .select(
+            "doc_id",
+            "split",
+            F.md5(F.concat_ws(" ", F.slice("toks", F.col("k") + 1, 8))).alias("h"),
+        )
+    )
+    eval_h = shingles.where(F.col("split") == "eval").select("h").distinct()
+    bad = (
+        shingles.where(F.col("split") == "train")
+        .join(eval_h, "h", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    return (
+        docs.where(F.col("split") == "train")
+        .join(bad, "doc_id", "left_anti")
+        .select("doc_id", "source", "n_chars")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-domain quota sampling (crawl balance)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "domain_quota_sample",
+    """
+    SELECT doc_id, source, rn FROM (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY ((doc_id % 2147483648) * 2654435761) % 4294967296,
+                        doc_id
+             ) AS rn
+      FROM documents
+    ) WHERE rn <= 50
+    """,
+    "Per-domain quota sampling: at most 50 documents per source, "
+    "chosen by deterministic Knuth-hash order (no RNG state, stable "
+    "under reruns/partitioning) — the crawl-balance step that stops a "
+    "single giant domain from dominating the training mix, run before "
+    "corpus_mix_resample's proportional reweighting. ONE source-keyed "
+    "window shuffle; at 100 TB skewed domains salt-pre-aggregate to "
+    "a per-salt top-50 before the final per-domain merge (same "
+    "two-level trick as skew_salted_agg).",
+)
+def domain_quota_sample(spark, sf_dir):
+    hv = F.pmod(
+        F.pmod(F.col("doc_id"), F.lit(2147483648)) * F.lit(2654435761),
+        F.lit(4294967296),
+    )
+    rn = F.row_number().over(
+        W.partitionBy("source").orderBy(hv.asc(), F.col("doc_id").asc())
+    )
+    return (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", "source")
+        .withColumn("rn", rn.cast("long"))
+        .where(F.col("rn") <= 50)
+    )
