@@ -557,27 +557,37 @@ def text_winnow_fingerprints(spark, sf_dir):
     k, w = _WINNOW_K, _WINNOW_W
     hexpr = _H32_SPARK.format(s=f"array_join(slice(_toks, i, {k}), ' ')")
     docs = t(spark, sf_dir, "documents").select("doc_id", _toks().alias("_toks"))
+    # precompute the shingle-hash array ONCE per doc (one md5 per shingle);
+    # folding md5 directly inside the window fold recomputes each hash w
+    # times — A/B at sf0.1 warm: 0.38 s -> 0.15 s (PERF.md round 5)
+    pre = docs.select(
+        "doc_id",
+        F.expr(
+            # NB sequence(1, 0) is DESCENDING in Spark, not empty — guard
+            f"CASE WHEN size(_toks) >= {k} THEN "
+            f"transform(sequence(1, size(_toks) - {k - 1}), i -> {hexpr}) "
+            f"ELSE array() END"
+        ).alias("_h"),
+    )
     sel = F.expr(
         f"""
-        CASE WHEN size(_toks) >= {k} THEN
+        CASE WHEN size(_h) >= 1 THEN
           array_distinct(transform(
-            sequence(1, greatest(size(_toks) - {k + w - 2}, 1)),
+            sequence(1, greatest(size(_h) - {w - 1}, 1)),
             j -> aggregate(
-              sequence(j, least(j + {w - 1}, size(_toks) - {k - 1})),
+              sequence(j, least(j + {w - 1}, size(_h))),
               struct(CAST(-1 AS BIGINT) AS bp,
                      CAST(9223372036854775807 AS BIGINT) AS bh),
               (acc, i) -> CASE
-                WHEN {hexpr} <= acc.bh
-                THEN struct(CAST(i AS BIGINT) AS bp, {hexpr} AS bh)
+                WHEN element_at(_h, i) <= acc.bh
+                THEN struct(CAST(i AS BIGINT) AS bp, element_at(_h, i) AS bh)
                 ELSE acc END)))
         ELSE array() END
         """
     )
-    return docs.select(
+    return pre.select(
         "doc_id",
-        F.greatest(
-            F.size("_toks") - F.lit(k - 1), F.lit(0)
-        ).cast("long").alias("n_shingles"),
+        F.size("_h").cast("long").alias("n_shingles"),
         sel.alias("_sel"),
     ).select(
         "doc_id",
