@@ -54,6 +54,11 @@ BENCH_QUERIES = [
     # round-5 additions: map-side pairwise reductions
     "embedding_gram_matrix",
     "token_skipgram_pairs",
+    # round-5 batch-2 additions: second iterative graph op, shingle-heavy
+    # leak removal, zero-shuffle winnowing fingerprints
+    "graph_hits",
+    "split_decontaminated_train",
+    "text_winnow_fingerprints",
 ]
 
 
