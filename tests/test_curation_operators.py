@@ -231,3 +231,27 @@ def test_domain_quota_cap_holds(spark):
     out = QUERIES["domain_quota_sample"].fn(spark, SF).toPandas()
     assert (out.groupby("source").size() <= 50).all()
     assert (out["rn"] <= 50).all()
+
+
+def test_kmv_estimate_within_bound(spark):
+    """KMV relative error concentrates around 1/sqrt(k-1) ~ 12.6% at
+    k=64; assert the estimate is within 3 sigma of exact (and the
+    degenerate small-corpus branch returns exact)."""
+    r = QUERIES["sketch_kmv_distinct"].fn(spark, SF).collect()[0]
+    if r.k_used < 64:
+        assert r.kmv_estimate == r.exact_distinct
+    else:
+        rel = abs(r.kmv_estimate - r.exact_distinct) / r.exact_distinct
+        assert rel < 3 * 0.126, (r.kmv_estimate, r.exact_distinct)
+
+
+def test_cooccurrence_pairs_are_canonical(spark):
+    """Every pair is emitted in sorted (w1 < w2) order exactly once —
+    no (b,a)/(a,b) double counting."""
+    rows = QUERIES["token_cooccurrence_pairs"].fn(spark, SF).collect()
+    assert rows
+    seen = set()
+    for r in rows:
+        assert r.w1 < r.w2, (r.w1, r.w2)
+        assert (r.w1, r.w2) not in seen
+        seen.add((r.w1, r.w2))

@@ -390,3 +390,21 @@ def test_domain_quota_single_window_shuffle(spark):
     rank, nothing else."""
     df = QUERIES["domain_quota_sample"].fn(spark, SF)
     assert count_exchanges(df) == 1, formatted_plan(df)
+
+
+def test_kmv_bottom_k_is_takeordered(spark):
+    """sketch_kmv_distinct: the bottom-k selection must be
+    TakeOrderedAndProject (mergeable per-partition heaps), never a
+    global sort of the vocabulary."""
+    df = QUERIES["sketch_kmv_distinct"].fn(spark, SF)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_cooccurrence_single_exchange_no_join(spark):
+    """token_cooccurrence_pairs: pair emission is a map-side nested HOF;
+    one count-aggregate exchange, no join anywhere."""
+    df = QUERIES["token_cooccurrence_pairs"].fn(spark, SF)
+    plan = formatted_plan(df)
+    assert count_exchanges(df) == 1, plan
+    assert "Join" not in plan, plan

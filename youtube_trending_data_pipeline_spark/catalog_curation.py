@@ -857,3 +857,129 @@ def domain_quota_sample(spark, sf_dir):
         .withColumn("rn", rn.cast("long"))
         .where(F.col("rn") <= 50)
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct-count sketch, exact-checkable
+# ---------------------------------------------------------------------------
+
+_KMV_K = 64
+
+
+@register(
+    "sketch_kmv_distinct",
+    f"""
+    WITH tk AS (
+      SELECT DISTINCT unnest({_TOKS_SQL}) AS tok FROM documents
+    ), hv AS (
+      SELECT tok, {_H32_DUCK.format(s='tok')} AS h FROM tk
+    ), ranked AS (
+      SELECT h, ROW_NUMBER() OVER (ORDER BY h ASC, tok ASC) AS rn FROM hv
+    ), kth AS (
+      SELECT MAX(h) AS kth_min, CAST(COUNT(*) AS BIGINT) AS k_used
+      FROM ranked WHERE rn <= {_KMV_K}
+    ), exact AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS exact_distinct FROM tk
+    )
+    SELECT k.k_used, k.kth_min,
+           CASE WHEN k.k_used < {_KMV_K} THEN e.exact_distinct
+                ELSE CAST((({_KMV_K} - 1) * 4294967296) // k.kth_min AS BIGINT)
+           END AS kmv_estimate,
+           e.exact_distinct
+    FROM kth k CROSS JOIN exact e
+    """,
+    "KMV (k-minimum-values / bottom-k) distinct-count sketch over the "
+    "corpus vocabulary: keep the k=64 smallest 32-bit hash values; the "
+    "estimator (k-1) * 2^32 / kth_min is PURE INTEGER arithmetic, so "
+    "unlike HLL (a14_approx_distinct, register-layout-dependent) the "
+    "sketch result is bit-identical across engines AND the estimate "
+    "sits in the exact gate beside its exact companion column — the "
+    "audit a production sketch deployment needs. Degenerate corpora "
+    "(< k distinct) fall back to exact. Plan: one distinct on tokens, "
+    "TakeOrdered bottom-k (per-partition heaps — the sketch IS "
+    "mergeable, which is why it scales), 1-row outputs crossed. At "
+    "100 TB you keep one bottom-k heap per partition and merge k "
+    "values per partition at the driver — constant memory.",
+)
+def sketch_kmv_distinct(spark, sf_dir):
+    tk = (
+        t(spark, sf_dir, "documents")
+        .select(F.explode(_toks()).alias("tok"))
+        .distinct()
+    )
+    hv = tk.select(
+        "tok",
+        F.expr(_H32_SPARK.format(s="tok")).alias("h"),
+    )
+    bottom = hv.orderBy(F.col("h").asc(), F.col("tok").asc()).limit(_KMV_K)
+    kth = bottom.agg(
+        F.max("h").alias("kth_min"), F.count(F.lit(1)).alias("k_used")
+    )
+    exact = tk.agg(F.count(F.lit(1)).alias("exact_distinct"))
+    return (
+        kth.crossJoin(F.broadcast(exact))
+        .select(
+            "k_used",
+            "kth_min",
+            F.expr(
+                f"CASE WHEN k_used < {_KMV_K} THEN exact_distinct "
+                f"ELSE CAST((({_KMV_K} - 1) * 4294967296) div kth_min AS BIGINT) "
+                f"END"
+            ).alias("kmv_estimate"),
+            "exact_distinct",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket token co-occurrence (A-priori pair counting)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "token_cooccurrence_pairs",
+    f"""
+    WITH dt AS (
+      SELECT doc_id, list_sort(list_distinct({_TOKS_SQL})) AS v
+      FROM documents
+    ), pairs AS (
+      SELECT unnest(flatten(list_transform(range(1, len(v)),
+               i -> list_transform(range(i + 1, len(v) + 1),
+                      j -> struct_pack(w1 := v[i], w2 := v[j]))))) AS p
+      FROM dt WHERE len(v) >= 2
+    )
+    SELECT p.w1 AS w1, p.w2 AS w2, CAST(COUNT(*) AS BIGINT) AS support
+    FROM pairs GROUP BY 1, 2
+    HAVING COUNT(*) >= 100
+    """,
+    "Market-basket co-occurrence (the A-priori candidate-pair count): "
+    "for every document, emit all unordered pairs of DISTINCT tokens "
+    "(sorted, so each pair counts once per doc) and keep pairs with "
+    "support >= 100 docs — topic co-occurrence vs token_pmi's "
+    "adjacency collocation. Pair emission is a nested HOF over the "
+    "per-doc distinct vocabulary (bounded by distinct-tokens-per-doc "
+    "squared, NOT doc length squared), entirely map-side; the single "
+    "exchange carries vocabulary^2-bounded partially-aggregated "
+    "counts. At 100 TB a support-based prefilter (drop tokens below "
+    "min support first — the actual A-priori trick) bounds the "
+    "per-doc fan-out further.",
+)
+def token_cooccurrence_pairs(spark, sf_dir):
+    dt = t(spark, sf_dir, "documents").select(
+        F.array_sort(F.array_distinct(_toks())).alias("v")
+    )
+    pairs = dt.where(F.size("v") >= 2).select(
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(1, size(v) - 1), i -> "
+                "transform(sequence(i + 1, size(v)), j -> "
+                "struct(element_at(v, i) AS w1, element_at(v, j) AS w2))))"
+            )
+        ).alias("p")
+    )
+    return (
+        pairs.select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= 100)
+    )
