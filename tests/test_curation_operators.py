@@ -255,3 +255,40 @@ def test_cooccurrence_pairs_are_canonical(spark):
         assert r.w1 < r.w2, (r.w1, r.w2)
         assert (r.w1, r.w2) not in seen
         seen.add((r.w1, r.w2))
+
+
+def test_dhash_separates_gradient_direction(spark):
+    """dHash invariants: byte-identical images share a hash; reversing
+    the brightness gradient flips comparison bits (different hash); and
+    uniform images hash to 0."""
+    from youtube_trending_data_pipeline_spark.operators.multimodal import (
+        _dhash_impl,
+    )
+
+    def ppm(pixels):
+        return b"P6\n3 2\n255\n" + bytes(pixels)
+
+    asc = ppm([min(i * 10, 255) for i in range(18)])
+    asc2 = ppm([min(i * 10, 255) for i in range(18)])
+    desc = ppm([max(0, 170 - i * 10) for i in range(18)])
+    flat = ppm([7] * 18)
+    assert _dhash_impl(asc) == _dhash_impl(asc2)
+    assert _dhash_impl(asc) != _dhash_impl(desc)
+    assert _dhash_impl(flat) == 0
+
+
+def test_dhash_dedup_groups_cover_corpus(spark):
+    """Every document lands in exactly one perceptual group and group
+    sizes sum to the corpus size; keeper is the min member."""
+    rows = QUERIES["multimodal_image_dhash_dedup"].fn(spark, SF).collect()
+    total = sum(r.n_images for r in rows)
+    docs = (
+        QUERIES["multimodal_image_dhash_dedup"]
+        .fn.__globals__["t"](spark, SF, "documents")
+        .count()
+    )
+    assert total == docs
+    for r in rows:
+        members = [int(x) for x in r.members.split(",")]
+        assert len(members) == r.n_images
+        assert min(members) == r.keeper_id

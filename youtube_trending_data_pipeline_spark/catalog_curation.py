@@ -983,3 +983,95 @@ def token_cooccurrence_pairs(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("support"))
         .where(F.col("support") >= 100)
     )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal near-dup image dedup via perceptual dHash
+# ---------------------------------------------------------------------------
+
+
+def _dhash_oracle() -> str:
+    """Replay of the REAL decode->dHash path: the Spark query builds a
+    3x2 binary PPM per document (pixel byte i = ((doc_id%40)*11 + i*17)
+    % 256), the mapInPandas kernel decodes actual pixels and packs
+    horizontal-then-vertical neighbour comparisons little-endian; this
+    oracle recomputes the identical integer arithmetic — a decoder or
+    bit-order bug hash-mismatches."""
+    def px(i: int) -> str:
+        return f"(((doc_id % 40) * 11 + {i} * 17) % 256)"
+
+    def gray(p: int) -> str:
+        return f"({px(p * 3)} + {px(p * 3 + 1)} + {px(p * 3 + 2)})"
+
+    # 3x2 raster: horizontal comparisons (0,1),(1,2),(3,4),(4,5) then
+    # vertical (0,3),(1,4),(2,5) — bit j set when left < right
+    cmps = [(0, 1), (1, 2), (3, 4), (4, 5), (0, 3), (1, 4), (2, 5)]
+    bits = " + ".join(
+        f"(CASE WHEN {gray(a)} < {gray(b)} THEN {1 << j} ELSE 0 END)"
+        for j, (a, b) in enumerate(cmps)
+    )
+    return f"""
+    WITH hashed AS (
+      SELECT doc_id, CAST({bits} AS BIGINT) AS dhash FROM documents
+    )
+    SELECT dhash,
+           CAST(COUNT(*) AS BIGINT) AS n_images,
+           CAST(MIN(doc_id) AS BIGINT) AS keeper_id,
+           string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+             AS members
+    FROM hashed GROUP BY dhash
+    """
+
+
+@register(
+    "multimodal_image_dhash_dedup",
+    _dhash_oracle(),
+    "Multimodal near-dup image dedup: per-doc synthetic 3x2 binary PPM "
+    "(REAL bytes, built JVM-side; pixel bytes derive from doc_id mod 40 "
+    "so the corpus contains genuine duplicate-image groups) -> Arrow-"
+    "batched mapInPandas running the real P6 decoder + difference-hash "
+    "(dHash: integer grayscale, horizontal-then-vertical neighbour "
+    "comparison bits) -> ONE hash aggregate grouping perceptually "
+    "identical images, keeping the smallest doc_id. The image twin of "
+    "dedup_exact, through the Python decode boundary; at 100 TB near- "
+    "(not exactly-) duplicate images bucket by hamming bands of the "
+    "dhash exactly like dedup_simhash. Oracle recomputes decode + "
+    "hash arithmetic bit-for-bit.",
+)
+def multimodal_image_dhash_dedup(spark, sf_dir):
+    from youtube_trending_data_pipeline_spark.operators.multimodal import (
+        image_dhash,
+    )
+
+    pixel_hex = F.concat(
+        *[
+            F.lpad(
+                F.hex((F.pmod(F.col("doc_id"), F.lit(40)) * 11 + i * 17) % 256),
+                2,
+                "0",
+            )
+            for i in range(18)
+        ]
+    )
+    media = t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("asset_id"),
+        F.lit("image").alias("media_type"),
+        F.concat(
+            F.encode(F.lit("P6\n3 2\n255\n"), "utf-8"), F.unhex(pixel_hex)
+        ).alias("content"),
+        F.lit(None).cast("string").alias("uri"),
+    )
+    hashed = image_dhash(media).select(
+        F.col("asset_id").cast("long").alias("doc_id"), "dhash"
+    )
+    return hashed.groupBy("dhash").agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.min("doc_id").alias("keeper_id"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list("doc_id")),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("members"),
+    )

@@ -493,3 +493,65 @@ def extract_video_frame_features(
         "asset_id", "content"
     )
     return videos.mapInPandas(kernel, schema=VIDEO_FRAME_FEATURES_SCHEMA)
+
+
+DHASH_SCHEMA = StructType(
+    [
+        StructField("asset_id", StringType()),
+        StructField("dhash", LongType()),
+    ]
+)
+
+
+def _dhash_impl(content: bytes) -> int:
+    """Difference hash (dHash) of a decoded image: integer grayscale
+    (r+g+b, no division — exact) compared between horizontal neighbours
+    row-major, then vertical neighbours — one bit per comparison, packed
+    little-endian. Perceptually identical images get identical hashes;
+    the classic 9x8 downscale step is the identity here because the
+    synthetic corpus images are already thumbnail-sized (a production
+    deployment adds an integer box-filter downscale first)."""
+    w, h, rgb = _decode_image_impl_raw(content)
+    gray = [
+        rgb[p * 3] + rgb[p * 3 + 1] + rgb[p * 3 + 2] for p in range(w * h)
+    ]
+    bits = []
+    for y in range(h):
+        for x in range(w - 1):
+            bits.append(1 if gray[y * w + x] < gray[y * w + x + 1] else 0)
+    for y in range(h - 1):
+        for x in range(w):
+            bits.append(1 if gray[y * w + x] < gray[(y + 1) * w + x] else 0)
+    out = 0
+    for j, b in enumerate(bits):
+        out |= b << j
+    return out
+
+
+def _decode_image_impl_raw(content: bytes) -> tuple[int, int, bytes]:
+    """(width, height, rgb) via the real decoders (PPM then BMP)."""
+    try:
+        return decode_ppm(content)
+    except Exception:
+        return decode_bmp(content)
+
+
+def image_dhash(media: DataFrame, batch_hint: int = 1024, fetch=None) -> DataFrame:
+    """mapInPandas perceptual hashing: (asset_id, dhash) per image asset.
+
+    Same Arrow-batched, constant-memory kernel shape as
+    extract_image_features; media_type filter stays JVM-side."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            content = _resolve_content(pdf, fetch)
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "dhash": content.map(_dhash_impl),
+                }
+            )
+
+    cols = ["asset_id", "content"] + (["uri"] if "uri" in media.columns else [])
+    images = media.where(F.col("media_type") == "image").select(*cols)
+    return images.mapInPandas(kernel, schema=DHASH_SCHEMA)
