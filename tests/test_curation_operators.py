@@ -292,3 +292,35 @@ def test_dhash_dedup_groups_cover_corpus(spark):
         members = [int(x) for x in r.members.split(",")]
         assert len(members) == r.n_images
         assert min(members) == r.keeper_id
+
+
+def test_fim_roundtrip_reconstructs_document(spark):
+    """PSM rendering is lossless: prefix + middle + suffix re-concatenate
+    to the original token sequence for every fim-mode doc."""
+    rows = QUERIES["fim_transform"].fn(spark, SF).collect()
+    modes = {r.mode for r in rows}
+    assert modes == {"fim", "plain"}
+    import re
+
+    for r in rows:
+        if r.mode != "fim":
+            continue
+        m = re.fullmatch(r"<PRE>(.*)<SUF>(.*)<MID>(.*)", r.rendered, re.S)
+        assert m, r.rendered[:80]
+        pre, suf, mid = m.groups()
+        toks = " ".join(x for x in (pre, mid, suf) if x)
+        assert len(toks.split(" ")) == r.n_tokens, r.doc_id
+
+
+def test_preference_pairs_margins_and_uniqueness(spark):
+    """chosen always outranks rejected (margin >= 0 by the ordering,
+    ties broken by id), and no document appears in two pairs."""
+    rows = QUERIES["preference_pair_assembly"].fn(spark, SF).collect()
+    assert rows
+    used = set()
+    for r in rows:
+        assert r.margin >= 0
+        assert r.chosen_id != r.rejected_id
+        for d in (r.chosen_id, r.rejected_id):
+            assert d not in used, d
+            used.add(d)

@@ -408,3 +408,20 @@ def test_cooccurrence_single_exchange_no_join(spark):
     plan = formatted_plan(df)
     assert count_exchanges(df) == 1, plan
     assert "Join" not in plan, plan
+
+
+def test_fim_zero_shuffle(spark):
+    """fim_transform is a pure map-side projection — zero exchanges."""
+    df = QUERIES["fim_transform"].fn(spark, SF)
+    assert count_exchanges(df) == 0, formatted_plan(df)
+
+
+def test_preference_pairs_single_window_partitioning(spark):
+    """preference_pair_assembly: the rank window and the pairing
+    self-join both key on source — Catalyst must not add a third
+    exchange beyond the two window-input sides."""
+    df = QUERIES["preference_pair_assembly"].fn(spark, SF)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert count_exchanges(df) <= 2, plan

@@ -1075,3 +1075,145 @@ def multimodal_image_dhash_dedup(spark, sf_dir):
             ",",
         ).alias("members"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Fill-in-middle (FIM) transform (pretraining data prep)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "fim_transform",
+    f"""
+    WITH tk AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks,
+             ((doc_id % 2147483648) * 2654435761) % 4294967296 AS hv
+      FROM documents
+    ), base AS (
+      SELECT doc_id, toks, len(toks) AS n,
+             CASE WHEN hv % 100 < 50 AND len(toks) >= 3
+                  THEN 'fim' ELSE 'plain' END AS mode
+      FROM tk
+    )
+    SELECT doc_id, mode,
+           CASE WHEN mode = 'fim' THEN
+             '<PRE>' || array_to_string(list_slice(toks, 1, n // 3), ' ')
+             || '<SUF>' || array_to_string(
+                  list_slice(toks, 2 * (n // 3) + 1, n), ' ')
+             || '<MID>' || array_to_string(
+                  list_slice(toks, n // 3 + 1, 2 * (n // 3)), ' ')
+           ELSE array_to_string(toks, ' ') END AS rendered,
+           CAST(n AS BIGINT) AS n_tokens
+    FROM base
+    """,
+    "Fill-in-middle (FIM) transform: a deterministic hash selects 50% "
+    "of documents for PSM-order rewriting — the document is split into "
+    "prefix/middle/suffix thirds at token boundaries and re-rendered "
+    "as <PRE>prefix<SUF>suffix<MID>middle, teaching the model to "
+    "infill (Bavarian et al.-style pretraining prep); the rest pass "
+    "through verbatim. Everything — selection (Knuth hash, no RNG), "
+    "split points (integer floor-division thirds), rendering — is a "
+    "pure map-side projection: zero exchanges, trivially 100 TB-"
+    "parallel, and the oracle replays it string-for-string.",
+)
+def fim_transform(spark, sf_dir):
+    hv = F.pmod(
+        F.pmod(F.col("doc_id"), F.lit(2147483648)) * F.lit(2654435761),
+        F.lit(4294967296),
+    )
+    base = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        _toks().alias("toks"),
+        F.when(
+            (F.pmod(hv, F.lit(100)) < 50), F.lit("fim")
+        ).otherwise(F.lit("plain")).alias("_sel"),
+    ).select(
+        "doc_id",
+        "toks",
+        F.size("toks").alias("n"),
+        F.when(
+            (F.col("_sel") == "fim") & (F.size("toks") >= 3), F.lit("fim")
+        ).otherwise(F.lit("plain")).alias("mode"),
+    )
+    rendered = F.when(
+        F.col("mode") == "fim",
+        F.concat(
+            F.lit("<PRE>"),
+            F.array_join(F.slice("toks", 1, F.expr("n div 3")), " "),
+            F.lit("<SUF>"),
+            F.array_join(
+                F.expr("slice(toks, 2 * (n div 3) + 1, n - 2 * (n div 3))"), " "
+            ),
+            F.lit("<MID>"),
+            F.array_join(
+                F.expr("slice(toks, n div 3 + 1, n div 3)"), " "
+            ),
+        ),
+    ).otherwise(F.array_join("toks", " "))
+    return base.select(
+        "doc_id", "mode", rendered.alias("rendered"),
+        F.col("n").cast("long").alias("n_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Preference-pair assembly (alignment data prep)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "preference_pair_assembly",
+    """
+    WITH ranked AS (
+      SELECT doc_id, source, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY source ORDER BY n_chars DESC, doc_id ASC
+             ) AS rk
+      FROM documents
+    )
+    SELECT a.source,
+           CAST((a.rk + 1) / 2 AS BIGINT) AS pair_id,
+           a.doc_id AS chosen_id,
+           b.doc_id AS rejected_id,
+           CAST(a.n_chars - b.n_chars AS BIGINT) AS margin
+    FROM ranked a JOIN ranked b
+      ON a.source = b.source AND b.rk = a.rk + 1
+    WHERE a.rk % 2 = 1
+    """,
+    "Preference-pair assembly (RLHF/DPO data prep): documents ranked "
+    "within each source by a deterministic quality score (n_chars here; "
+    "any scored column plugs in), then adjacent ranks are paired — "
+    "rank 1 vs 2, 3 vs 4, ... — into (chosen, rejected, margin) rows, "
+    "the exact shape a preference-tuning trainer consumes. One source-"
+    "keyed window and one self-equi-join on (source, rank) that reuses "
+    "the same partitioning — at 100 TB both sides co-locate so the "
+    "pairing join is exchange-free; margin stays exact-integer.",
+)
+def preference_pair_assembly(spark, sf_dir):
+    ranked = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.row_number()
+        .over(W.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id")))
+        .alias("rk"),
+    )
+    a = ranked.alias("a")
+    b = ranked.alias("b")
+    return (
+        a.where(F.col("a.rk") % 2 == 1)
+        .join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("b.rk") == F.col("a.rk") + 1),
+        )
+        .select(
+            F.col("a.source").alias("source"),
+            F.expr("CAST((a.rk + 1) div 2 AS BIGINT)").alias("pair_id"),
+            F.col("a.doc_id").alias("chosen_id"),
+            F.col("b.doc_id").alias("rejected_id"),
+            (F.col("a.n_chars") - F.col("b.n_chars"))
+            .cast("long")
+            .alias("margin"),
+        )
+    )
