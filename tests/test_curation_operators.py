@@ -324,3 +324,33 @@ def test_preference_pairs_margins_and_uniqueness(spark):
         for d in (r.chosen_id, r.rejected_id):
             assert d not in used, d
             used.add(d)
+
+
+def test_python_kernels_partition_invariant(spark):
+    """The two Arrow-batched Python kernels added this round (EWMA
+    grouped fold, dHash mapInPandas) must produce identical results
+    under any input partitioning — the property that makes them safe
+    on a 1000-executor cluster."""
+    def canon(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    for name in ("ewma_user_value", "multimodal_image_dhash_dedup"):
+        fn = QUERIES[name].fn
+        base = canon(fn(spark, SF))
+        # re-run with the scan forced through different partitionings
+        import youtube_trending_data_pipeline_spark.catalog as cat
+
+        orig_t = cat.t
+        for parts in (1, 7):
+            def t_repart(s, d, n, _orig=orig_t, _p=parts):
+                return _orig(s, d, n).repartition(_p)
+            cat.t = t_repart
+            # catalog_curation binds t at import; patch it too
+            import youtube_trending_data_pipeline_spark.catalog_curation as cc
+            orig_cc = cc.t
+            cc.t = t_repart
+            try:
+                assert canon(fn(spark, SF)) == base, (name, parts)
+            finally:
+                cat.t = orig_t
+                cc.t = orig_cc
