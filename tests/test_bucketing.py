@@ -60,3 +60,64 @@ def test_bucketed_join_correct(spark, bucketed_tables):
     customer = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
     expected = orders.join(customer, orders.o_custkey == customer.c_custkey).count()
     assert got == expected
+
+
+def test_bucketed_pagerank_round_edge_side_shuffle_free(spark):
+    """The 100 TB claim recorded in operators/graph.py: bucket the edge
+    list by src and one PageRank round's rank-onto-edges join reads the
+    edge side with NO exchange — only the (small) rank vector shuffles.
+    This is the layout that amortizes across all iterations."""
+    from youtube_trending_data_pipeline_spark.catalog import t
+
+    li = t(spark, "/root/testdata/sf0.001", "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    orders = t(spark, "/root/testdata/sf0.001", "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    pairs = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.col("l_suppkey").alias("s"),
+            (F.col("o_custkey") + 1000000).alias("c"),
+        )
+        .distinct()
+    )
+    edges = (
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+        .union(pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")))
+        .distinct()
+    )
+    spark.sql("DROP TABLE IF EXISTS edges_b")
+    (
+        edges.write.bucketBy(8, "src")
+        .sortBy("src")
+        .mode("overwrite")
+        .saveAsTable("edges_b")
+    )
+    edges_b = spark.table("edges_b")
+    ranks = edges_b.select(F.col("src").alias("node")).distinct().select(
+        "node", F.lit(1_000_000_000_000).alias("rank")
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        contrib = (
+            edges_b.join(ranks, edges_b["src"] == ranks["node"])
+            .groupBy("dst")
+            .agg(F.sum("rank").alias("s"))
+        )
+        contrib.collect()
+        plan = physical_plan(contrib)
+        assert "SortMergeJoin" in plan, plan
+        # the streamed (edge) side of the SMJ must scan the bucketed
+        # table directly: between the join and the edges_b FileScan there
+        # is no Exchange node
+        join_tail = plan.split("SortMergeJoin")[-1]
+        edge_scan = join_tail.find("edges_b")
+        assert edge_scan != -1, plan
+        assert "Exchange" not in join_tail[:edge_scan], plan
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+        spark.sql("DROP TABLE IF EXISTS edges_b")
