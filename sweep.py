@@ -34,6 +34,13 @@ ORACLE_HEAVY = {
     "dedup_simhash",
     "r1_recursive_spine",
     "contamination_check",
+    # DuckDB-side iterative replays: the unrolled HITS CTE chain with
+    # scalar-subquery maxes re-evaluates each round (~340 s at sf0.1;
+    # Spark side is ~6 s), and the EWMA recursive CTE joins per event
+    # rank. Both verified EXACT at sf0.1 once (2026-08-14 session);
+    # routine big-SF sweeps skip the oracle side only.
+    "graph_hits",
+    "ewma_user_value",
 }
 
 
