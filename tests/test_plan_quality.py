@@ -154,6 +154,9 @@ def test_no_accidental_cartesian_anywhere(spark):
         # token_pmi: 1-row bigram grand total broadcast onto the
         # vocabulary^2-bounded pair table — constant-append.
         "token_pmi",
+        # sketch_kmv_distinct: two 1-row aggregates (bottom-k kth min,
+        # exact companion count) crossed — 1x1 constant join.
+        "sketch_kmv_distinct",
     }
     for name, spec in QUERIES.items():
         if name in allowed_cross:
