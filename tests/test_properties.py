@@ -117,3 +117,88 @@ def test_keep_latest_merge_is_batch_split_invariant(rows, cut1, cut2):
         incremental = merge(incremental, b)
     oneshot = merge({}, rows)
     assert incremental == oneshot
+
+
+# ---------------------------------------------------------------------------
+# Winnowing + CDC chunking properties (pure-Python reference models; the
+# Spark implementations are oracle-matched separately — these pin the
+# ALGORITHM's guarantees on random inputs)
+# ---------------------------------------------------------------------------
+
+_W_K, _W_W = 3, 4  # must match catalog_curation._WINNOW_K/_WINNOW_W
+
+
+def _py_winnow(tokens):
+    """Reference winnowing: md5-derived 32-bit shingle hashes, rightmost
+    min per w-window, deduped selections — mirrors the catalog entry."""
+    import hashlib
+
+    if len(tokens) < _W_K:
+        return set()
+    hs = [
+        int(hashlib.md5(" ".join(tokens[i:i + _W_K]).encode()).hexdigest()[:8], 16)
+        for i in range(len(tokens) - _W_K + 1)
+    ]
+    sel = set()
+    for j in range(max(len(hs) - _W_W + 1, 1)):
+        win = hs[j:j + _W_W]
+        # rightmost minimum
+        bi, bv = 0, win[0]
+        for i, v in enumerate(win):
+            if v <= bv:
+                bi, bv = i, v
+        sel.add((j + bi, bv))
+    return sel
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    shared=st.lists(st.sampled_from("abcdefgh"), min_size=_W_K + _W_W - 1,
+                    max_size=12),
+    pre_a=st.lists(st.sampled_from("pqrs"), max_size=6),
+    pre_b=st.lists(st.sampled_from("tuvw"), max_size=6),
+)
+def test_winnowing_density_guarantee_property(shared, pre_a, pre_b):
+    """Any two token sequences sharing a run of >= w + k - 1 tokens share
+    at least one fingerprint HASH (position-independent) — the MOSS
+    guarantee, on random surroundings."""
+    a = pre_a + shared + ["x"]
+    b = pre_b + shared + ["y", "z"]
+    ha = {h for _, h in _py_winnow(a)}
+    hb = {h for _, h in _py_winnow(b)}
+    assert ha & hb
+
+
+def _py_cdc_chunks(tokens):
+    """Reference content-defined chunking: boundary AFTER token t when
+    (ascii(first)*31 + ascii(last)*7 + len) % 8 == 0 — mirrors
+    catalog_curation._GATE_SQL."""
+    chunks, cur = [], []
+    for tok in tokens:
+        cur.append(tok)
+        if (ord(tok[0]) * 31 + ord(tok[-1]) * 7 + len(tok)) % 8 == 0:
+            chunks.append(" ".join(cur))
+            cur = []
+    if cur:
+        chunks.append(" ".join(cur))
+    return chunks
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    doc=st.lists(
+        st.text(alphabet="abcdefgmnopq", min_size=1, max_size=6), min_size=8,
+        max_size=40
+    ),
+    inserted=st.text(alphabet="rstuv", min_size=1, max_size=5),
+)
+def test_cdc_chunks_after_first_boundary_survive_prefix_edit(doc, inserted):
+    """Inserting one token at the head changes AT MOST the chunks before
+    the first boundary of the original document: every original chunk
+    after that boundary reappears verbatim."""
+    orig = _py_cdc_chunks(doc)
+    edited = _py_cdc_chunks([inserted] + doc)
+    if len(orig) <= 1:
+        return  # no interior boundary to preserve
+    # all original chunks after the first must survive as a suffix
+    assert edited[-(len(orig) - 1):] == orig[1:]
