@@ -354,3 +354,22 @@ def test_python_kernels_partition_invariant(spark):
             finally:
                 cat.t = orig_t
                 cc.t = orig_cc
+
+
+def test_triplets_are_semantically_valid(spark):
+    """Positive shares the anchor's label; every negative does not; the
+    positive never appears among the negatives."""
+    rows = QUERIES["contrastive_triplet_mining"].fn(spark, SF).collect()
+    assert rows
+    emb = (
+        QUERIES["contrastive_triplet_mining"]
+        .fn.__globals__["t"](spark, SF, "embeddings")
+        .select("vec_id", "label")
+        .collect()
+    )
+    label = {r.vec_id: r.label for r in emb}
+    for r in rows:
+        negs = [int(x) for x in r.neg_ids.split(",")]
+        assert label[r.pos_id] == label[r.anchor_id]
+        assert all(label[n] != label[r.anchor_id] for n in negs)
+        assert r.pos_id not in negs

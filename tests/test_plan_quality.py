@@ -130,6 +130,9 @@ def test_no_accidental_cartesian_anywhere(spark):
         "sim_range_search",
         "sim_ivf_pivot_topk",
         "sim_knn_classify",
+        # contrastive_triplet_mining: same labeled brute-force scan
+        # (20-row broadcast anchor side x corpus).
+        "contrastive_triplet_mining",
         "resample_daily",
     }
     # Scalar-subquery shapes: crossJoin against a broadcast single-row

@@ -1217,3 +1217,105 @@ def preference_pair_assembly(spark, sf_dir):
             .alias("margin"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Contrastive triplet mining (hard negatives) for embedding training
+# ---------------------------------------------------------------------------
+
+
+def _triplet_oracle(n_neg: int = 3) -> str:
+    from youtube_trending_data_pipeline_spark.catalog_ext import _COS_SQL
+
+    cos = _COS_SQL.format(a="q.embedding", b="c.embedding")
+    return f"""
+    WITH scored AS (
+      SELECT q.vec_id AS anchor_id, q.label AS anchor_label,
+             c.vec_id AS neighbor_id, c.label AS neighbor_label,
+             {cos} AS cos
+      FROM embeddings q, embeddings c
+      WHERE q.vec_id < 20 AND c.vec_id >= 20
+    ), pos AS (
+      SELECT anchor_id, neighbor_id AS pos_id FROM (
+        SELECT anchor_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                  ORDER BY cos DESC, neighbor_id ASC) AS r
+        FROM scored WHERE neighbor_label = anchor_label
+      ) WHERE r = 1
+    ), neg AS (
+      SELECT anchor_id,
+             string_agg(CAST(neighbor_id AS VARCHAR), ',' ORDER BY r)
+               AS neg_ids
+      FROM (
+        SELECT anchor_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                  ORDER BY cos DESC, neighbor_id ASC) AS r
+        FROM scored WHERE neighbor_label <> anchor_label
+      ) WHERE r <= {n_neg}
+      GROUP BY anchor_id
+    )
+    SELECT p.anchor_id, p.pos_id, n.neg_ids
+    FROM pos p JOIN neg n USING (anchor_id)
+    """
+
+
+@register(
+    "contrastive_triplet_mining",
+    _triplet_oracle(3),
+    "Contrastive triplet mining (hard negatives): for each anchor "
+    "vector, the positive is its nearest SAME-label neighbour and the "
+    "negatives are the 3 nearest DIFFERENT-label neighbours — the "
+    "semi-hard mining step that builds (anchor, positive, negatives) "
+    "training rows for embedding-model contrastive fine-tuning. "
+    "Composes the labeled brute-force scan (broadcast anchors, "
+    "partition-parallel corpus, exact fixed-order cosine — "
+    "bit-identical to the oracle) with two anchor-keyed rank windows "
+    "sharing one exchange. At 100 TB the scan swaps for the LSH/IVF "
+    "candidate path per anchor, identical downstream semantics.",
+)
+def contrastive_triplet_mining(spark, sf_dir):
+    from youtube_trending_data_pipeline_spark.operators.similarity import (
+        cosine_similarity,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    anchors = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("embedding").alias("anchor_vec"),
+    )
+    corpus = emb.where(F.col("vec_id") >= 20).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        F.col("embedding").alias("vec"),
+    )
+    scored = corpus.crossJoin(F.broadcast(anchors)).select(
+        "anchor_id",
+        "anchor_label",
+        "neighbor_id",
+        "neighbor_label",
+        cosine_similarity("anchor_vec", "vec").alias("cos"),
+    )
+    w = W.partitionBy("anchor_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    pos = (
+        scored.where(F.col("neighbor_label") == F.col("anchor_label"))
+        .withColumn("r", F.row_number().over(w))
+        .where(F.col("r") == 1)
+        .select("anchor_id", F.col("neighbor_id").alias("pos_id"))
+    )
+    neg = (
+        scored.where(F.col("neighbor_label") != F.col("anchor_label"))
+        .withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= 3)
+        .groupBy("anchor_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("r", "neighbor_id"))),
+                    lambda x: x.neighbor_id.cast("string"),
+                ),
+                ",",
+            ).alias("neg_ids")
+        )
+    )
+    return pos.join(neg, "anchor_id")
