@@ -326,12 +326,13 @@ def test_sample_weighted_topk_is_takeordered(spark):
 
 
 def test_ewma_single_shuffle_arrow_fold(spark):
-    """ewma_user_value: ONE exchange on user_id feeding the Arrow-batched
-    grouped-map fold; no second shuffle, no join."""
+    """ewma_user_value: ONE exchange on user_id + in-partition sort
+    feeding the single-pass carried-state mapInPandas fold; no second
+    shuffle, no join."""
     df = QUERIES["ewma_user_value"].fn(spark, SF)
     plan = formatted_plan(df)
     assert count_exchanges(df) == 1, plan
-    assert "FlatMapGroupsInPandas" in plan, plan
+    assert "MapInPandas" in plan, plan
     assert "Join" not in plan, plan
 
 

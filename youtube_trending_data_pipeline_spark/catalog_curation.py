@@ -324,14 +324,19 @@ def cdc_chunk_dedup(spark, sf_dir):
     "values folded through e_n = (e_(n-1) + v_n) div 2 — a genuinely "
     "order-dependent recurrence no window frame or algebraic aggregate "
     "expresses (floor-div does not distribute), so it exercises the "
-    "applyInPandas escape hatch the RIGHT way: ONE shuffle on user_id, "
-    "one Arrow batch per user, a bounded integer fold per group, one "
-    "row out per key. The oracle replays the identical fold as a "
-    "DuckDB recursive CTE. Exact-integer state means any partitioning "
-    "(and any pandas version) produces bit-identical results. At "
-    "100 TB this is the per-entity feature-fold shape (decayed "
-    "engagement, fraud scores): state is O(1) per key, rows stream "
-    "through Arrow, nothing lands on the driver.",
+    "Arrow escape hatch the RIGHT way: ONE shuffle on user_id + "
+    "sortWithinPartitions, then a single-pass mapInPandas kernel that "
+    "CARRIES per-user fold state across Arrow batches (mapInPandas "
+    "delivers a partition's batches in order, so a user whose run "
+    "straddles a batch boundary folds correctly) — one kernel call per "
+    "partition instead of one per key, measured 4.7x over the "
+    "per-group applyInPandas form (2.64 s -> 0.56 s warm at sf0.1, "
+    "PERF.md). The oracle replays the identical fold as a DuckDB "
+    "recursive CTE. Exact-integer state means any partitioning (and "
+    "any pandas version) produces bit-identical results. At 100 TB "
+    "this is the per-entity feature-fold shape (decayed engagement, "
+    "fraud scores): state is O(keys-per-partition) smallints, rows "
+    "stream through Arrow, nothing lands on the driver.",
 )
 def ewma_user_value(spark, sf_dir):
     ev = t(spark, sf_dir, "events").select(
@@ -348,22 +353,32 @@ def ewma_user_value(spark, sf_dir):
         ]
     )
 
-    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts_us", "event_id"])
-        e = 0
-        first = True
-        for v in pdf["v"]:
-            e = int(v) if first else (e + int(v)) // 2
-            first = False
-        return pd.DataFrame(
-            {
-                "user_id": [int(pdf["user_id"].iloc[0])],
-                "n_events": [len(pdf)],
-                "ewma_c": [e],
-            }
-        )
+    def fold(batches):
+        state: dict[int, list[int]] = {}  # user -> [n_events, ewma]
+        for pdf in batches:
+            u = pdf["user_id"].to_numpy()
+            v = pdf["v"].to_numpy()
+            for i in range(len(u)):
+                s = state.get(u[i])
+                if s is None:
+                    state[u[i]] = [1, int(v[i])]
+                else:
+                    s[0] += 1
+                    s[1] = (s[1] + int(v[i])) // 2
+        if state:
+            yield pd.DataFrame(
+                {
+                    "user_id": list(state.keys()),
+                    "n_events": [s[0] for s in state.values()],
+                    "ewma_c": [s[1] for s in state.values()],
+                }
+            )
 
-    return ev.groupBy("user_id").applyInPandas(fold, schema=schema)
+    return (
+        ev.repartition("user_id")
+        .sortWithinPartitions("user_id", "ts_us", "event_id")
+        .mapInPandas(fold, schema=schema)
+    )
 
 
 # ---------------------------------------------------------------------------
