@@ -373,3 +373,26 @@ def test_triplets_are_semantically_valid(spark):
         assert label[r.pos_id] == label[r.anchor_id]
         assert all(label[n] != label[r.anchor_id] for n in negs)
         assert r.pos_id not in negs
+
+
+def test_box2_resize_kernel_invariants(spark):
+    """Box-filter resize: uniform image stays uniform; a checkerboard of
+    0/255 averages to floor(510/4)=127 per channel; odd dims rejected."""
+    from youtube_trending_data_pipeline_spark.operators.multimodal import (
+        _resize_box2_impl,
+    )
+    import pytest as _pytest
+
+    def ppm(w, h, pixels):
+        return f"P6\n{w} {h}\n255\n".encode() + bytes(pixels)
+
+    ow, oh, hexpix = _resize_box2_impl(ppm(4, 4, [9] * 48))
+    assert (ow, oh) == (2, 2)
+    assert hexpix == "09" * 12
+    # 2x2 checkerboard: pixels (0,0)=(255,255,255), (1,0)=0, (0,1)=0, (1,1)=255
+    board = [255] * 3 + [0] * 3 + [0] * 3 + [255] * 3
+    ow, oh, hexpix = _resize_box2_impl(ppm(2, 2, board))
+    assert (ow, oh) == (1, 1)
+    assert hexpix == "7f" * 3  # floor(510/4) = 127
+    with _pytest.raises(ValueError):
+        _resize_box2_impl(ppm(3, 2, [0] * 18))

@@ -1334,3 +1334,73 @@ def contrastive_triplet_mining(spark, sf_dir):
         )
     )
     return pos.join(neg, "anchor_id")
+
+
+# ---------------------------------------------------------------------------
+# Multimodal image resize (integer box filter, exact)
+# ---------------------------------------------------------------------------
+
+
+def _resize_oracle() -> str:
+    """Replay of decode -> 2x box resize on the synthetic 4x4 images:
+    pixel byte i = ((doc_id*5 + i*11) % 256); each output channel is the
+    floor mean of its 2x2 block, re-hex'd in raster order."""
+    def px(i: int) -> str:
+        return f"((doc_id * 5 + {i} * 11) % 256)"
+
+    # input 4x4 RGB: byte index of pixel (x,y) channel c = (y*4+x)*3+c
+    parts = []
+    for oy in range(2):
+        for ox in range(2):
+            for c in range(3):
+                s = " + ".join(
+                    px(((2 * oy + dy) * 4 + 2 * ox + dx) * 3 + c)
+                    for dy in (0, 1)
+                    for dx in (0, 1)
+                )
+                parts.append(f"lpad(hex(({s}) // 4), 2, '0')")
+    concat = " || ".join(parts)
+    return f"""
+    SELECT CAST(doc_id AS VARCHAR) AS asset_id,
+           CAST(2 AS BIGINT) AS out_w,
+           CAST(2 AS BIGINT) AS out_h,
+           lower({concat}) AS pixels_hex
+    FROM documents
+    """
+
+
+@register(
+    "multimodal_image_resize",
+    _resize_oracle(),
+    "Multimodal image resize: per-doc synthetic 4x4 binary PPM (real "
+    "bytes) -> Arrow-batched mapInPandas running the real P6 decoder "
+    "and a 2x integer BOX-FILTER downscale (each output channel = "
+    "floor mean of its 2x2 block) -> hex raster out. Completes the "
+    "brief's decode / feature-extract / RESIZE / frame-sample "
+    "multimodal quartet in the exactly-checkable integer form; the "
+    "oracle recomputes every resized byte from the generator "
+    "arithmetic, so a raster-order or rounding bug hash-mismatches. "
+    "Map-side only — zero exchanges; at 100 TB this is the "
+    "constant-memory per-asset preprocessing stage before batch "
+    "inference.",
+)
+def multimodal_image_resize(spark, sf_dir):
+    from youtube_trending_data_pipeline_spark.operators.multimodal import (
+        resize_images_box2,
+    )
+
+    pixel_hex = F.concat(
+        *[
+            F.lpad(F.hex((F.col("doc_id") * 5 + i * 11) % 256), 2, "0")
+            for i in range(48)
+        ]
+    )
+    media = t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("asset_id"),
+        F.lit("image").alias("media_type"),
+        F.concat(
+            F.encode(F.lit("P6\n4 4\n255\n"), "utf-8"), F.unhex(pixel_hex)
+        ).alias("content"),
+        F.lit(None).cast("string").alias("uri"),
+    )
+    return resize_images_box2(media)

@@ -555,3 +555,60 @@ def image_dhash(media: DataFrame, batch_hint: int = 1024, fetch=None) -> DataFra
     cols = ["asset_id", "content"] + (["uri"] if "uri" in media.columns else [])
     images = media.where(F.col("media_type") == "image").select(*cols)
     return images.mapInPandas(kernel, schema=DHASH_SCHEMA)
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("asset_id", StringType()),
+        StructField("out_w", LongType()),
+        StructField("out_h", LongType()),
+        StructField("pixels_hex", StringType()),
+    ]
+)
+
+
+def _resize_box2_impl(content: bytes) -> tuple[int, int, str]:
+    """2x box-filter downscale of a decoded image: each output pixel is
+    the per-channel FLOOR MEAN of its 2x2 input block — pure integer
+    arithmetic, so the resized raster is bit-deterministic (the resize
+    every multimodal pipeline runs before feature extraction, in its
+    exactly-checkable form). Requires even dimensions."""
+    w, h, rgb = _decode_image_impl_raw(content)
+    if w % 2 or h % 2:
+        raise ValueError("box2 resize needs even dimensions")
+    ow, oh = w // 2, h // 2
+    out = bytearray()
+    for oy in range(oh):
+        for ox in range(ow):
+            for c in range(3):
+                s = (
+                    rgb[((2 * oy) * w + 2 * ox) * 3 + c]
+                    + rgb[((2 * oy) * w + 2 * ox + 1) * 3 + c]
+                    + rgb[((2 * oy + 1) * w + 2 * ox) * 3 + c]
+                    + rgb[((2 * oy + 1) * w + 2 * ox + 1) * 3 + c]
+                )
+                out.append(s // 4)
+    return ow, oh, bytes(out).hex()
+
+
+def resize_images_box2(media: DataFrame, fetch=None) -> DataFrame:
+    """mapInPandas 2x box-filter image resize: (asset_id, out_w, out_h,
+    pixels_hex) per image asset. Same Arrow-batched constant-memory
+    kernel shape as the other multimodal operators."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            content = _resolve_content(pdf, fetch)
+            resized = content.map(_resize_box2_impl)
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "out_w": resized.map(lambda r: r[0]),
+                    "out_h": resized.map(lambda r: r[1]),
+                    "pixels_hex": resized.map(lambda r: r[2]),
+                }
+            )
+
+    cols = ["asset_id", "content"] + (["uri"] if "uri" in media.columns else [])
+    images = media.where(F.col("media_type") == "image").select(*cols)
+    return images.mapInPandas(kernel, schema=RESIZE_SCHEMA)
