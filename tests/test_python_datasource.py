@@ -1,0 +1,88 @@
+"""PySpark 4 Python DataSource for REST-shaped ingestion (S1/S2 as a
+first-class Spark format): registration, per-region executor-side
+partitions, missing-region guard, and exact equivalence with the bronze
+day-file scan path."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from youtube_trending_data_pipeline_spark.schemas import VIDEO_LIST_RESPONSE
+from youtube_trending_data_pipeline_spark.sources.bronze import read_bronze_day
+from youtube_trending_data_pipeline_spark.sources.datasource import (
+    TrendingVideosDataSource,
+)
+
+
+@pytest.fixture(scope="module")
+def registered(spark):
+    spark.dataSource.register(TrendingVideosDataSource)
+    return spark
+
+
+def _load(spark, day_file, regions):
+    return (
+        spark.read.format("trending_videos")
+        .option("regions", regions)
+        .option("day_file", day_file)
+        .load()
+    )
+
+
+def test_reads_one_row_per_present_region(registered, bronze_day_path):
+    df = _load(registered, bronze_day_path, "QA,US,DE")
+    rows = {r.region: r.payload for r in df.collect()}
+    assert set(rows) == {"QA", "US", "DE"}
+    for payload in rows.values():
+        parsed = json.loads(payload)
+        assert parsed["kind"] == "youtube#videoListResponse"
+        assert len(parsed["items"]) == 20
+
+
+def test_missing_region_yields_no_row(registered, bronze_day_path):
+    df = _load(registered, bronze_day_path, "QA,XX")
+    assert [r.region for r in df.collect()] == ["QA"]
+
+
+def test_one_partition_per_region(registered, bronze_day_path):
+    df = _load(registered, bronze_day_path, "QA,US,DE")
+    # each region is an InputPartition: fetch parallelism == region count
+    assert df.rdd.getNumPartitions() == 3
+
+
+def test_datasource_path_equals_file_scan_path(registered, bronze_day_path):
+    """Parsing the DataSource payload with the bronze schema must produce
+    the identical (region, item-id) demultiplex as read_bronze_day — the
+    two ingestion paths (live fetch vs archived day-file) are one
+    pipeline."""
+    via_ds = (
+        _load(registered, bronze_day_path, "QA,US,DE")
+        .select(
+            "region",
+            F.from_json("payload", VIDEO_LIST_RESPONSE).alias("response"),
+        )
+        .select("region", F.explode("response.items").alias("item"))
+        .select("region", F.col("item.id").alias("vid"))
+    )
+    via_file = (
+        read_bronze_day(registered, bronze_day_path, ["QA", "US", "DE"])
+        .select("region", F.explode("response.items").alias("item"))
+        .select("region", F.col("item.id").alias("vid"))
+    )
+    a = sorted(tuple(r) for r in via_ds.collect())
+    b = sorted(tuple(r) for r in via_file.collect())
+    assert a == b and len(a) == 60
+
+
+def test_option_validation(registered, bronze_day_path):
+    with pytest.raises(Exception):
+        registered.read.format("trending_videos").option(
+            "day_file", bronze_day_path
+        ).load().collect()  # no regions
+    with pytest.raises(Exception):
+        registered.read.format("trending_videos").option(
+            "regions", "QA"
+        ).load().collect()  # no fetcher source

@@ -1,0 +1,93 @@
+"""First-class Spark DataSource for the reference's REST ingestion
+(SURVEY §2 S1/S2) via the PySpark 4 Python DataSource API.
+
+The reference calls the YouTube ``videos().list`` endpoint per region
+inside its DAG (dags/trending_daily_ingestion.py:76-82) on the single
+Airflow worker. Here the same ingestion is a REGISTRABLE SPARK FORMAT:
+
+    spark.dataSource.register(TrendingVideosDataSource)
+    df = (spark.read.format("trending_videos")
+          .option("regions", "US,GB,DE")
+          .option("day_file", "/path/2025-10-06.json")   # replay/backfill
+          .load())
+
+Each region is its own ``InputPartition``, so the fetches run ON THE
+EXECUTORS in parallel — 50 regions = 50 concurrent fetches with no
+driver-side loop, which is the scale story the reference's sequential
+worker loop lacks. The returned frame is (region, payload) with payload
+the verbatim ``videoListResponse`` JSON; the existing bronze flatten
+(sources/bronze.py / operators/flatten.py) consumes it unchanged.
+
+Fetchers resolve from STRING options (the only thing the DataSource
+contract ships to executors):
+
+* ``day_file`` — replay a recorded bronze day-file (DayFileFetcher);
+  also exactly how an archived-raw backfill runs in production.
+* ``fetcher`` — ``"pkg.module:factory"`` dotted path to a zero-arg
+  callable returning a ``TrendingFetcher``; a production REST client
+  (HTTP + API key + pagination) plugs in here with no engine change.
+"""
+
+from __future__ import annotations
+
+import importlib
+import json
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+
+class RegionPartition(InputPartition):
+    def __init__(self, region: str):
+        self.region = region
+
+
+def _resolve_fetcher(options: dict):
+    day_file = options.get("day_file")
+    dotted = options.get("fetcher")
+    if day_file:
+        from youtube_trending_data_pipeline_spark.sources.fetchers import (
+            DayFileFetcher,
+        )
+
+        return DayFileFetcher(day_file)
+    if dotted:
+        mod, _, attr = dotted.partition(":")
+        factory = getattr(importlib.import_module(mod), attr)
+        return factory()
+    raise ValueError(
+        "trending_videos needs option 'day_file' (replay) or "
+        "'fetcher' (pkg.module:factory)"
+    )
+
+
+class TrendingVideosReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.options = options
+        regions = options.get("regions", "")
+        self.regions = [r.strip() for r in regions.split(",") if r.strip()]
+        if not self.regions:
+            raise ValueError("trending_videos needs option 'regions' (csv)")
+
+    def partitions(self):
+        # one partition per region: fetches parallelize across executors
+        return [RegionPartition(r) for r in self.regions]
+
+    def read(self, partition: RegionPartition):
+        fetcher = _resolve_fetcher(self.options)
+        payload = fetcher.fetch_trending(partition.region)
+        if payload is not None:  # reference's `if region in today_json` guard
+            yield (partition.region, json.dumps(payload, sort_keys=True))
+
+
+class TrendingVideosDataSource(DataSource):
+    """``spark.read.format("trending_videos")`` — see module docstring."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "trending_videos"
+
+    def schema(self) -> str:
+        return "region string, payload string"
+
+    def reader(self, schema) -> TrendingVideosReader:
+        return TrendingVideosReader(self.options)
