@@ -86,3 +86,45 @@ def test_option_validation(registered, bronze_day_path):
         registered.read.format("trending_videos").option(
             "regions", "QA"
         ).load().collect()  # no fetcher source
+
+
+def test_streaming_day_backfill(registered, tmp_path):
+    """trending_days: two recorded days stream through availableNow; the
+    materialized batches equal the union of both day files, and the
+    day column tracks the source file."""
+    from tests.conftest import make_day_json
+    from youtube_trending_data_pipeline_spark.sources.datasource import (
+        TrendingDaysStreamDataSource,
+    )
+
+    registered.dataSource.register(TrendingDaysStreamDataSource)
+    d = tmp_path / "days"
+    d.mkdir()
+    for day in ("2025-10-06", "2025-10-07"):
+        (d / f"{day}.json").write_text(json.dumps(make_day_json()))
+    out = []
+    q = (
+        registered.readStream.format("trending_days")
+        .option("dir", str(d))
+        .option("regions", "QA,US,DE")
+        .load()
+        .writeStream.format("memory")
+        .queryName("trending_days_test")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = registered.sql(
+        "SELECT day, region, count(*) AS n FROM trending_days_test "
+        "GROUP BY day, region"
+    ).collect()
+    got = {(r.day, r.region) for r in rows}
+    assert got == {
+        (day, region)
+        for day in ("2025-10-06", "2025-10-07")
+        for region in ("QA", "US", "DE")
+    }
+    payload = registered.sql(
+        "SELECT payload FROM trending_days_test LIMIT 1"
+    ).collect()[0].payload
+    assert json.loads(payload)["kind"] == "youtube#videoListResponse"

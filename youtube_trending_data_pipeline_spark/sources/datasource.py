@@ -91,3 +91,80 @@ class TrendingVideosDataSource(DataSource):
 
     def reader(self, schema) -> TrendingVideosReader:
         return TrendingVideosReader(self.options)
+
+
+# ---------------------------------------------------------------------------
+# Streaming: incremental day-file backfill as a Spark stream
+# ---------------------------------------------------------------------------
+
+import os
+
+from pyspark.sql.datasource import SimpleDataSourceStreamReader
+
+
+class TrendingDaysStreamReader(SimpleDataSourceStreamReader):
+    """Each recorded bronze day-file is one increment: offset = number of
+    (lexicographically sorted) files consumed from ``dir``. The daily
+    ingestion the reference schedules with Airflow becomes a checkpointed
+    Spark stream — replayable via readBetweenOffsets, restartable from
+    the checkpoint, drivable with availableNow for batch backfills."""
+
+    def __init__(self, options: dict):
+        self.dir = options.get("dir")
+        if not self.dir:
+            raise ValueError("streaming trending_videos needs option 'dir'")
+        regions = options.get("regions", "")
+        self.regions = [r.strip() for r in regions.split(",") if r.strip()]
+        if not self.regions:
+            raise ValueError("streaming trending_videos needs option 'regions'")
+
+    def _files(self) -> list[str]:
+        return sorted(
+            os.path.join(self.dir, f)
+            for f in os.listdir(self.dir)
+            if f.endswith(".json")
+        )
+
+    def initialOffset(self) -> dict:
+        return {"index": 0}
+
+    def _rows_for(self, files: list[str]) -> list[tuple]:
+        from youtube_trending_data_pipeline_spark.sources.fetchers import (
+            DayFileFetcher,
+        )
+
+        # a LIST, not a generator: the simple-reader prefetch cache
+        # copy.copy()s the returned iterator for replay, which a
+        # generator cannot survive
+        rows = []
+        for path in files:
+            day = os.path.basename(path)[: -len(".json")]
+            fetcher = DayFileFetcher(path)
+            for region in self.regions:
+                payload = fetcher.fetch_trending(region)
+                if payload is not None:
+                    rows.append((day, region, json.dumps(payload, sort_keys=True)))
+        return rows
+
+    def read(self, start: dict):
+        files = self._files()
+        i = start["index"]
+        return self._rows_for(files[i:]), {"index": len(files)}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        files = self._files()
+        return self._rows_for(files[start["index"]:end["index"]])
+
+
+class TrendingDaysStreamDataSource(DataSource):
+    """``spark.readStream.format("trending_days")`` over a day-file dir."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "trending_days"
+
+    def schema(self) -> str:
+        return "day string, region string, payload string"
+
+    def simpleStreamReader(self, schema) -> TrendingDaysStreamReader:
+        return TrendingDaysStreamReader(self.options)
