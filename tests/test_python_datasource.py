@@ -128,3 +128,28 @@ def test_streaming_day_backfill(registered, tmp_path):
         "SELECT payload FROM trending_days_test LIMIT 1"
     ).collect()[0].payload
     assert json.loads(payload)["kind"] == "youtube#videoListResponse"
+
+
+def test_report_sender_writer_delivers_per_partition(registered, tmp_path):
+    """report_sender: rows written through the Spark writer land as audit
+    files via the FileReportSender seam — one file per (subject) row,
+    delivered executor-side."""
+    from youtube_trending_data_pipeline_spark.sources.datasource import (
+        ReportSenderDataSource,
+    )
+
+    registered.dataSource.register(ReportSenderDataSource)
+    out = tmp_path / "sent"
+    df = registered.createDataFrame(
+        [
+            ("Weekly Report QA", "<h1>qa</h1>", "a@x.com,b@x.com"),
+            ("Weekly Report US", "<h1>us</h1>", "c@x.com"),
+        ],
+        "subject string, html string, recipients string",
+    ).repartition(2)
+    df.write.format("report_sender").option("out_dir", str(out)).mode(
+        "append"
+    ).save()
+    files = sorted(p.name for p in out.iterdir())
+    assert files == ["weekly-report-qa.html", "weekly-report-us.html"]
+    assert (out / "weekly-report-qa.html").read_text() == "<h1>qa</h1>"

@@ -168,3 +168,83 @@ class TrendingDaysStreamDataSource(DataSource):
 
     def simpleStreamReader(self, schema) -> TrendingDaysStreamReader:
         return TrendingDaysStreamReader(self.options)
+
+
+# ---------------------------------------------------------------------------
+# Sink: report delivery as a first-class Spark writer (S11)
+# ---------------------------------------------------------------------------
+
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage
+
+
+@dataclass
+class SentReports(WriterCommitMessage):
+    n_sent: int = 0
+
+
+def _resolve_sender(options: dict):
+    out_dir = options.get("out_dir")
+    dotted = options.get("sender")
+    if out_dir:
+        from youtube_trending_data_pipeline_spark.report.delivery import (
+            FileReportSender,
+        )
+
+        return FileReportSender(out_dir)
+    if dotted:
+        mod, _, attr = dotted.partition(":")
+        factory = getattr(importlib.import_module(mod), attr)
+        return factory()
+    raise ValueError(
+        "report_sender needs option 'out_dir' (audit sink) or "
+        "'sender' (pkg.module:factory)"
+    )
+
+
+class ReportSenderWriter(DataSourceWriter):
+    """Per-partition delivery through the ReportSender seam: each input
+    row (subject, html, recipients_csv) becomes one send, executed on
+    the executor that holds the row — a driver-side loop over reports
+    would serialize delivery AND funnel every rendered HTML through the
+    driver. commit() receives one SentReports count per partition (the
+    two-phase contract: a failed partition aborts before anything is
+    acknowledged)."""
+
+    def __init__(self, options: dict):
+        self.options = dict(options)
+
+    def write(self, iterator) -> SentReports:
+        sender = _resolve_sender(self.options)
+        n = 0
+        for row in iterator:
+            recipients = [
+                r.strip() for r in (row.recipients or "").split(",") if r.strip()
+            ]
+            sender.send(row.subject, row.html, recipients)
+            n += 1
+        return SentReports(n_sent=n)
+
+    def commit(self, messages) -> None:
+        # messages carry per-partition send counts; nothing to finalize
+        # for the audit sink (sends are idempotent by subject slug)
+        pass
+
+    def abort(self, messages) -> None:
+        pass
+
+
+class ReportSenderDataSource(DataSource):
+    """``df.write.format("report_sender")`` over rows
+    (subject string, html string, recipients string)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "report_sender"
+
+    def schema(self) -> str:
+        return "subject string, html string, recipients string"
+
+    def writer(self, schema, overwrite: bool) -> ReportSenderWriter:
+        return ReportSenderWriter(self.options)
