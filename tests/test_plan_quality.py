@@ -432,3 +432,9 @@ def test_preference_pairs_single_window_partitioning(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert count_exchanges(df) <= 2, plan
+
+
+def test_xml_funcs_zero_shuffle(spark):
+    """f_xml_funcs: XML build + parse is a pure map-side projection."""
+    df = QUERIES["f_xml_funcs"].fn(spark, SF)
+    assert count_exchanges(df) == 0, formatted_plan(df)

@@ -1404,3 +1404,58 @@ def multimodal_image_resize(spark, sf_dir):
         F.lit(None).cast("string").alias("uri"),
     )
     return resize_images_box2(media)
+
+
+# ---------------------------------------------------------------------------
+# XML functions (Spark 4 from_xml / xpath family)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "f_xml_funcs",
+    """
+    SELECT doc_id,
+           doc_id AS xml_id,
+           CAST(doc_id * 7 % 1000 AS BIGINT) AS views,
+           'cat-' || CAST(doc_id % 5 AS VARCHAR) AS category,
+           CAST(doc_id * 7 % 1000 AS BIGINT) * 2 AS views_x2
+    FROM documents
+    """,
+    "F-extension: XML ingestion surface (Spark 4 native from_xml + the "
+    "xpath_* family). Each doc gets a synthetic XML record built from "
+    "doc_id arithmetic; the query parses it BOTH ways — from_xml with "
+    "an explicit struct schema (attribute + element extraction, the "
+    "schema-on-read path a 100 TB feed ingest uses) and xpath_long "
+    "(the ad-hoc path) — and the oracle replays the generator "
+    "arithmetic, so a parser regression in either extraction breaks "
+    "the hash. Map-side only: zero exchanges, codegen string "
+    "expressions feeding the JVM XML parser.",
+)
+def f_xml_funcs(spark, sf_dir):
+    xml = F.concat(
+        F.lit('<rec cat="cat-'),
+        F.pmod("doc_id", F.lit(5)).cast("string"),
+        F.lit('"><id>'),
+        F.col("doc_id").cast("string"),
+        F.lit("</id><views>"),
+        F.pmod(F.col("doc_id") * 7, F.lit(1000)).cast("string"),
+        F.lit("</views></rec>"),
+    )
+    parsed = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", xml.alias("_xml"))
+        .select(
+            "doc_id",
+            F.from_xml(
+                "_xml", "_cat STRING, id BIGINT, views BIGINT"
+            ).alias("p"),
+            F.expr("xpath_long(_xml, '/rec/views')").alias("_xp_views"),
+        )
+    )
+    return parsed.select(
+        "doc_id",
+        F.col("p.id").alias("xml_id"),
+        F.col("p.views").alias("views"),
+        F.col("p._cat").alias("category"),
+        (F.col("_xp_views") * 2).alias("views_x2"),
+    )
