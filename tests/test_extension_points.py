@@ -68,3 +68,35 @@ def test_python_udtf_explodes_rows(spark):
         "SELECT word, pos FROM docs_udtf, LATERAL tokenize_udtf(text)"
     ).collect()
     assert {(r.word, r.pos) for r in rows} == {("the", 0), ("quick", 1), ("fox", 2)}
+
+
+def test_parameterized_sql_named_args(spark):
+    """spark.sql named-parameter binding (Spark 4): injection-safe query
+    templating — the surface a multi-tenant engine exposes instead of
+    string interpolation."""
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "a")], "id long, tag string"
+    )
+    df.createOrReplaceTempView("pt")
+    out = spark.sql(
+        "SELECT count(*) AS n FROM pt WHERE tag = :tag AND id >= :lo",
+        args={"tag": "a", "lo": 1},
+    ).collect()
+    assert out[0].n == 2
+    # literal string with quote chars binds as DATA, not SQL
+    evil = "a' OR '1'='1"
+    out2 = spark.sql(
+        "SELECT count(*) AS n FROM pt WHERE tag = :tag", args={"tag": evil}
+    ).collect()
+    assert out2[0].n == 0
+
+
+def test_identifier_clause_safe_table_templating(spark):
+    """IDENTIFIER() binds table/column names from parameters — the safe
+    form of dynamic DDL/DML a catalog layer needs."""
+    spark.createDataFrame([(5,)], "v long").createOrReplaceTempView("safe_t")
+    out = spark.sql(
+        "SELECT sum(IDENTIFIER(:col)) AS s FROM IDENTIFIER(:tbl)",
+        args={"col": "v", "tbl": "safe_t"},
+    ).collect()
+    assert out[0].s == 5
