@@ -396,3 +396,25 @@ def test_box2_resize_kernel_invariants(spark):
     assert hexpix == "7f" * 3  # floor(510/4) = 127
     with _pytest.raises(ValueError):
         _resize_box2_impl(ppm(3, 2, [0] * 18))
+
+
+def test_gdpr_delete_is_complete_and_audited(spark):
+    """No deletion-cohort user survives; audit counts are consistent
+    with the raw table."""
+    rows = QUERIES["gdpr_delete_propagation"].fn(spark, SF).collect()
+    assert rows
+    def hv(u):
+        return ((u % 2147483648) * 2654435761) % 4294967296
+    for r in rows:
+        assert hv(r.user_id) % 20 != 0
+    ev = (
+        QUERIES["gdpr_delete_propagation"]
+        .fn.__globals__["t"](spark, SF, "events")
+        .select("user_id")
+        .collect()
+    )
+    purged_users = {e.user_id for e in ev if hv(e.user_id) % 20 == 0}
+    purged_rows = sum(1 for e in ev if e.user_id in purged_users)
+    assert rows[0].n_purged_users == len(purged_users)
+    assert rows[0].n_purged_rows == purged_rows
+    assert sum(r.n_kept for r in rows) == len(ev) - purged_rows

@@ -160,6 +160,9 @@ def test_no_accidental_cartesian_anywhere(spark):
         # sketch_kmv_distinct: two 1-row aggregates (bottom-k kth min,
         # exact companion count) crossed — 1x1 constant join.
         "sketch_kmv_distinct",
+        # gdpr_delete_propagation: 1-row audit pair broadcast onto the
+        # kept-rows aggregate — constant-append.
+        "gdpr_delete_propagation",
     }
     for name, spec in QUERIES.items():
         if name in allowed_cross:

@@ -1459,3 +1459,67 @@ def f_xml_funcs(spark, sf_dir):
         F.col("p._cat").alias("category"),
         (F.col("_xp_views") * 2).alias("views_x2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Right-to-be-forgotten deletion propagation (compliance)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "gdpr_delete_propagation",
+    """
+    WITH dels AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE ((user_id % 2147483648) * 2654435761) % 4294967296 % 20 = 0
+    ), kept AS (
+      SELECT e.user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_kept,
+             CAST(SUM(CAST(ROUND(e.value * 100) AS BIGINT)) AS BIGINT)
+               AS kept_cents
+      FROM events e LEFT JOIN dels d ON d.user_id = e.user_id
+      WHERE d.user_id IS NULL
+      GROUP BY e.user_id
+    ), audit AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_purged_users,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM events e
+              JOIN dels d ON d.user_id = e.user_id) AS n_purged_rows
+      FROM dels
+    )
+    SELECT k.user_id, k.n_kept, k.kept_cents,
+           a.n_purged_users, a.n_purged_rows
+    FROM kept k CROSS JOIN audit a
+    """,
+    "Right-to-be-forgotten deletion propagation: a deletion-request "
+    "list (deterministic hash cohort here; a real run reads the DSAR "
+    "table) is anti-joined out of the event store, and every surviving "
+    "row carries the audit pair (purged-user count, purged-row count) "
+    "a compliance report needs — the delete is provable, not silent. "
+    "Plan: one broadcast anti-join against the (small) deletion list, "
+    "one keyed aggregate, one 1-row audit broadcast. At 100 TB the "
+    "anti-join pushes into the scan via a runtime bloom filter and "
+    "partition-level deletes compact asynchronously (Delta/Iceberg "
+    "DELETE); the relational semantics here are exactly those.",
+)
+def gdpr_delete_propagation(spark, sf_dir):
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", F.round(F.col("value") * 100).cast("long").alias("vc")
+    )
+    hv = F.pmod(
+        F.pmod(F.col("user_id"), F.lit(2147483648)) * F.lit(2654435761),
+        F.lit(4294967296),
+    )
+    dels = ev.select("user_id").distinct().where(F.pmod(hv, F.lit(20)) == 0)
+    kept = (
+        ev.join(F.broadcast(dels), "user_id", "left_anti")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("vc").alias("kept_cents"),
+        )
+    )
+    purged_rows = ev.join(F.broadcast(dels), "user_id", "left_semi")
+    audit = dels.agg(F.count(F.lit(1)).alias("n_purged_users")).crossJoin(
+        F.broadcast(purged_rows.agg(F.count(F.lit(1)).alias("n_purged_rows")))
+    )
+    return kept.crossJoin(F.broadcast(audit))
