@@ -1,11 +1,19 @@
-"""Catalog extensions, round 5 continuation (batch 2): corpus-curation
-operators completing the training-data story — broadcast-dictionary
-keyword tagging (taxonomy filters), bigram PMI collocation extraction,
-content-defined chunk dedup (shift-robust, vs passage_dedup's fixed
-windows), a per-key sequential integer EWMA fold (the applyInPandas
-escape hatch, oracled by a recursive CTE), deterministic weighted
-priority sampling (Duffield-Lund-Thorup), and ordered conversation/
-transcript assembly (SFT data prep).
+"""Catalog extensions, round 5 continuation (batches 2-3): the
+curation / alignment / compliance layer of the training-data story —
+
+* text curation: keyword tagging, bigram PMI, content-defined chunk
+  dedup, winnowing fingerprints (MOSS), Gini diversity, token
+  co-occurrence;
+* sampling & splits: weighted priority sampling, per-domain quotas,
+  decontaminated train split, KMV distinct sketch;
+* sequence prep: conversation/transcript assembly, FIM transform,
+  preference-pair assembly, contrastive triplet mining;
+* per-key folds: integer EWMA (carried-state mapInPandas, recursive-CTE
+  oracle);
+* graph: integer HITS hubs/authorities;
+* multimodal: perceptual dHash image dedup, integer box-filter resize;
+* ingestion/compliance: Spark-4 XML functions, right-to-be-forgotten
+  deletion propagation.
 
 Same doctrine as catalog_ext.py / catalog_corpus.py: exact-integer
 aggregates (or fixed-order folds), bit-exact DuckDB oracle replays, and
