@@ -418,3 +418,28 @@ def test_gdpr_delete_is_complete_and_audited(spark):
     assert rows[0].n_purged_users == len(purged_users)
     assert rows[0].n_purged_rows == purged_rows
     assert sum(r.n_kept for r in rows) == len(ev) - purged_rows
+
+
+def test_corrupt_images_quarantine_not_crash(spark):
+    """A corrupt asset must survive the dHash and resize kernels as a
+    NULL row (quarantine), never an executor exception."""
+    from youtube_trending_data_pipeline_spark.operators.multimodal import (
+        _dhash_impl,
+        _resize_box2_impl,
+        image_dhash,
+        resize_images_box2,
+    )
+
+    assert _dhash_impl(b"not an image") is None
+    assert _resize_box2_impl(b"\x00\x01\x02") == (None, None, None)
+    media = spark.createDataFrame(
+        [
+            ("ok", "image", b"P6\n2 2\n255\n" + bytes(range(12)), None),
+            ("bad", "image", b"garbage-bytes", None),
+        ],
+        "asset_id string, media_type string, content binary, uri string",
+    )
+    d = {r.asset_id: r.dhash for r in image_dhash(media).collect()}
+    assert d["bad"] is None and d["ok"] is not None
+    rz = {r.asset_id: r.out_w for r in resize_images_box2(media).collect()}
+    assert rz["bad"] is None and rz["ok"] == 1

@@ -503,15 +503,22 @@ DHASH_SCHEMA = StructType(
 )
 
 
-def _dhash_impl(content: bytes) -> int:
+def _dhash_impl(content: bytes) -> int | None:
     """Difference hash (dHash) of a decoded image: integer grayscale
     (r+g+b, no division — exact) compared between horizontal neighbours
     row-major, then vertical neighbours — one bit per comparison, packed
     little-endian. Perceptually identical images get identical hashes;
     the classic 9x8 downscale step is the identity here because the
     synthetic corpus images are already thumbnail-sized (a production
-    deployment adds an integer box-filter downscale first)."""
-    w, h, rgb = _decode_image_impl_raw(content)
+    deployment adds an integer box-filter downscale first).
+
+    Undecodable bytes hash to NULL instead of raising: one corrupt asset
+    out of billions must not kill the job — the NULL group is the
+    quarantine bucket a curation run routes to triage."""
+    try:
+        w, h, rgb = _decode_image_impl_raw(content)
+    except Exception:
+        return None
     gray = [
         rgb[p * 3] + rgb[p * 3 + 1] + rgb[p * 3 + 2] for p in range(w * h)
     ]
@@ -567,13 +574,19 @@ RESIZE_SCHEMA = StructType(
 )
 
 
-def _resize_box2_impl(content: bytes) -> tuple[int, int, str]:
+def _resize_box2_impl(content: bytes) -> tuple:
     """2x box-filter downscale of a decoded image: each output pixel is
     the per-channel FLOOR MEAN of its 2x2 input block — pure integer
     arithmetic, so the resized raster is bit-deterministic (the resize
     every multimodal pipeline runs before feature extraction, in its
-    exactly-checkable form). Requires even dimensions."""
-    w, h, rgb = _decode_image_impl_raw(content)
+    exactly-checkable form). Requires even dimensions (ValueError
+    otherwise — a SHAPE contract violation is a pipeline bug, not data
+    corruption). Undecodable bytes yield (None, None, None): corrupt
+    assets quarantine instead of killing the job."""
+    try:
+        w, h, rgb = _decode_image_impl_raw(content)
+    except Exception:
+        return (None, None, None)
     if w % 2 or h % 2:
         raise ValueError("box2 resize needs even dimensions")
     ow, oh = w // 2, h // 2
