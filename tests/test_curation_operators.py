@@ -443,3 +443,23 @@ def test_corrupt_images_quarantine_not_crash(spark):
     assert d["bad"] is None and d["ok"] is not None
     rz = {r.asset_id: r.out_w for r in resize_images_box2(media).collect()}
     assert rz["bad"] is None and rz["ok"] == 1
+
+
+def test_corrupt_audio_video_quarantine(spark):
+    """Corrupt audio yields an all-NULL feature row; corrupt video yields
+    one NULL quarantine frame row — neither kills the kernel."""
+    from youtube_trending_data_pipeline_spark.operators.multimodal import (
+        extract_audio_features,
+        extract_video_frame_features,
+    )
+
+    media = spark.createDataFrame(
+        [("bad-a", "audio", b"not-a-wav", None),
+         ("bad-v", "video", b"not-a-y4m", None)],
+        "asset_id string, media_type string, content binary, uri string",
+    )
+    arow = extract_audio_features(media).collect()
+    assert len(arow) == 1 and arow[0].sample_rate is None
+    assert arow[0].n_bytes == 9  # byte length still audited
+    vrow = extract_video_frame_features(media).collect()
+    assert len(vrow) == 1 and vrow[0].frame_idx is None

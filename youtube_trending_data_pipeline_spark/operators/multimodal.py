@@ -287,11 +287,15 @@ def _resolve_content(pdf: pd.DataFrame, fetch) -> "pd.Series":
 
 def _decode_audio_impl(content: bytes) -> list:
     """Real audio decode -> features; 16-bit mono PCM WAV decodes for
-    real, anything else raises (callers filter media_type='audio' and a
-    mixed corpus routes unknowns to the byte-hash fallback upstream)."""
+    real. URI-only assets without a fetch step still raise (deliberate
+    seam); CORRUPT bytes quarantine to an all-NULL feature row instead
+    of killing the job."""
     if content is None:
         raise NotImplementedError("URI-only assets need an object-store fetch step")
-    sr, samples = decode_wav(content)
+    try:
+        sr, samples = decode_wav(content)
+    except Exception:
+        return [None] * 6
     return audio_features(sr, samples, len(content))
 
 
@@ -446,8 +450,21 @@ def decode_y4m(content: bytes):
 def _video_frame_rows(asset_id: str, content: bytes, every_ms: int):
     """Real Y4M decode -> one feature row per sampled timestamp: the grid
     steps every_ms through the clip and picks the frame on display at each
-    instant (idx = ts*fps, truncating)."""
-    width, height, fps_num, fps_den, frames = decode_y4m(content)
+    instant (idx = ts*fps, truncating). Corrupt bytes yield ONE
+    quarantine row (NULL frame stats) — visible for triage, not a
+    silent drop, not an executor crash."""
+    try:
+        width, height, fps_num, fps_den, frames = decode_y4m(content)
+    except Exception:
+        yield {
+            "asset_id": asset_id,
+            "frame_idx": None,
+            "frame_ts_ms": None,
+            "mean_y": None,
+            "min_y": None,
+            "max_y": None,
+        }
+        return
     n = len(frames)
     if n == 0 or fps_num == 0:
         return
