@@ -59,6 +59,9 @@ BENCH_QUERIES = [
     "graph_hits",
     "split_decontaminated_train",
     "text_winnow_fingerprints",
+    # round-5 batch-3: carried-state Arrow fold, window-heavy CDC chunking
+    "ewma_user_value",
+    "cdc_chunk_dedup",
 ]
 
 
