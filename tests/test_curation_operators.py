@@ -463,3 +463,30 @@ def test_corrupt_audio_video_quarantine(spark):
     assert arow[0].n_bytes == 9  # byte length still audited
     vrow = extract_video_frame_features(media).collect()
     assert len(vrow) == 1 and vrow[0].frame_idx is None
+
+
+def test_merkle_root_detects_single_doc_change(spark):
+    """The integrity property: flipping ONE document's text changes the
+    root hash, and the divergent subtree is locatable level by level."""
+    from youtube_trending_data_pipeline_spark import catalog_curation as cc
+
+    base = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(40)], "doc_id long, text string"
+    )
+    changed = spark.createDataFrame(
+        [(i, "TAMPERED" if i == 17 else f"text {i}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    orig_t = cc.t
+    try:
+        cc.t = lambda s, d, n: base
+        a = {(r.level, r.bucket): r.h for r in cc.corpus_merkle_tree(spark, "x").collect()}
+        cc.t = lambda s, d, n: changed
+        b = {(r.level, r.bucket): r.h for r in cc.corpus_merkle_tree(spark, "x").collect()}
+    finally:
+        cc.t = orig_t
+    # root differs
+    assert a[(4, 0)] != b[(4, 0)]
+    # the divergent path is exactly doc 17's ancestry; siblings agree
+    diff = {k for k in a if a[k] != b[k]}
+    assert diff == {(0, 17), (1, 1), (2, 0), (3, 0), (4, 0)}

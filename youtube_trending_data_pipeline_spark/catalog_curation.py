@@ -1531,3 +1531,77 @@ def gdpr_delete_propagation(spark, sf_dir):
         F.broadcast(purged_rows.agg(F.count(F.lit(1)).alias("n_purged_rows")))
     )
     return kept.crossJoin(F.broadcast(audit))
+
+
+# ---------------------------------------------------------------------------
+# Merkle-tree corpus checksum (integrity / versioning)
+# ---------------------------------------------------------------------------
+
+_MERKLE_FANOUT = 16
+_MERKLE_LEVELS = 4  # doc_id < 16^4; a bigger corpus adds levels
+
+
+def _merkle_oracle() -> str:
+    ctes = [
+        "l0 AS (SELECT doc_id AS bucket, md5(text) AS h FROM documents)"
+    ]
+    selects = ["SELECT CAST(0 AS BIGINT) AS level, bucket, h FROM l0"]
+    for k in range(1, _MERKLE_LEVELS + 1):
+        ctes.append(f"""
+    l{k} AS (
+      SELECT bucket // {_MERKLE_FANOUT} AS bucket,
+             md5(string_agg(h, '' ORDER BY bucket)) AS h
+      FROM l{k-1} GROUP BY bucket // {_MERKLE_FANOUT}
+    )""")
+        selects.append(
+            f"SELECT CAST({k} AS BIGINT) AS level, bucket, h FROM l{k}"
+        )
+    return "WITH " + ",".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+@register(
+    "corpus_merkle_tree",
+    _merkle_oracle(),
+    "Merkle-tree corpus checksum: leaf = md5(doc), each parent = md5 of "
+    "its 16 children's hashes concatenated in bucket order, 4 fixed "
+    "levels up to the root — the integrity structure that lets two "
+    "copies of a 100 TB corpus prove equality (or locate the divergent "
+    "16^k-doc subtree) by comparing O(log n) hashes instead of "
+    "re-scanning, and the backbone of dataset versioning/lineage "
+    "attestation. Each level is ONE ordered-string-agg hash aggregate "
+    "keyed by bucket div 16 (ordered agg via sort_array(collect_list) "
+    "— same idiom as a16); level k has n/16^k rows, so the whole tree "
+    "costs barely more than one corpus pass. Fixed level count keeps "
+    "the plan static and collect-free.",
+)
+def corpus_merkle_tree(spark, sf_dir):
+    level = (
+        t(spark, sf_dir, "documents")
+        .select(
+            F.col("doc_id").alias("bucket"), F.md5(F.col("text")).alias("h")
+        )
+    )
+    out = level.select(F.lit(0).cast("long").alias("level"), "bucket", "h")
+    for k in range(1, _MERKLE_LEVELS + 1):
+        level = (
+            level.groupBy(
+                (F.col("bucket") / _MERKLE_FANOUT).cast("long").alias("bucket")
+            )
+            .agg(
+                F.md5(
+                    F.array_join(
+                        F.transform(
+                            F.array_sort(
+                                F.collect_list(F.struct("bucket", "h"))
+                            ),
+                            lambda x: x.h,
+                        ),
+                        "",
+                    )
+                ).alias("h")
+            )
+        )
+        out = out.unionAll(
+            level.select(F.lit(k).cast("long").alias("level"), "bucket", "h")
+        )
+    return out
