@@ -490,3 +490,25 @@ def test_merkle_root_detects_single_doc_change(spark):
     # the divergent path is exactly doc 17's ancestry; siblings agree
     diff = {k for k in a if a[k] != b[k]}
     assert diff == {(0, 17), (1, 1), (2, 0), (3, 0), (4, 0)}
+
+
+def test_pr_curve_monotonicity(spark):
+    """Raising the threshold can only shrink tp and fp (recall is
+    non-increasing); fn is the complement of tp over a fixed gold set."""
+    rows = sorted(
+        QUERIES["eval_pr_curve"].fn(spark, SF).collect(),
+        key=lambda r: r.thresh,
+    )
+    gold_total = rows[0].tp + rows[0].fn
+    prev = None
+    for r in rows:
+        assert r.tp + r.fn == gold_total
+        if prev is not None:
+            assert r.tp <= prev.tp and r.fp <= prev.fp
+        prev = r
+
+
+def test_knn_confusion_totals(spark):
+    """Confusion cells sum to the number of queries (5 anchors)."""
+    rows = QUERIES["eval_knn_confusion"].fn(spark, SF).collect()
+    assert sum(r.n for r in rows) == 5

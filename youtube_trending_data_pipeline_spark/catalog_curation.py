@@ -1605,3 +1605,118 @@ def corpus_merkle_tree(spark, sf_dir):
             level.select(F.lit(k).cast("long").alias("level"), "bucket", "h")
         )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Evaluation metrics: confusion matrix + PR threshold sweep
+# ---------------------------------------------------------------------------
+
+
+def _knn_confusion_oracle() -> str:
+    from youtube_trending_data_pipeline_spark.catalog_corpus import _knn_oracle
+
+    return f"""
+    WITH pred AS ({_knn_oracle(3)})
+    SELECT t.label AS true_label, p.predicted_label,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM pred p JOIN embeddings t ON t.vec_id = p.query_id
+    GROUP BY t.label, p.predicted_label
+    """
+
+
+@register(
+    "eval_knn_confusion",
+    _knn_confusion_oracle(),
+    "Evaluation: confusion matrix of the k-NN classifier "
+    "(sim_knn_classify) against gold labels — the (true, predicted, "
+    "count) cells every eval harness derives accuracy/precision/recall "
+    "from, closing the mine -> classify -> evaluate loop inside the "
+    "engine. One join of the (tiny) prediction set onto the label "
+    "table + one cells-sized aggregate on top of the labeled "
+    "brute-force scan.",
+)
+def eval_knn_confusion(spark, sf_dir):
+    from youtube_trending_data_pipeline_spark.catalog_corpus import (
+        sim_knn_classify,
+    )
+
+    pred = sim_knn_classify(spark, sf_dir)
+    gold = t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
+    )
+    return (
+        pred.join(F.broadcast(gold), "query_id")
+        .groupBy("true_label", "predicted_label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "eval_pr_curve",
+    """
+    WITH scored AS (
+      SELECT doc_id, CAST(n_chars AS BIGINT) AS score,
+             CASE WHEN ((doc_id % 2147483648) * 2654435761) % 4294967296
+                       % 10 < 3
+                  THEN 1 ELSE 0 END AS gold
+      FROM documents
+    ), th(thresh) AS (
+      VALUES (100), (200), (300), (400), (500)
+    )
+    SELECT th.thresh,
+           CAST(SUM(CASE WHEN s.score >= th.thresh AND s.gold = 1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+           CAST(SUM(CASE WHEN s.score >= th.thresh AND s.gold = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+           CAST(SUM(CASE WHEN s.score < th.thresh AND s.gold = 1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+           CAST((1000000 * SUM(CASE WHEN s.score >= th.thresh AND s.gold = 1
+                                    THEN 1 ELSE 0 END))
+                // GREATEST(SUM(CASE WHEN s.score >= th.thresh
+                                     THEN 1 ELSE 0 END), 1) AS BIGINT)
+             AS precision_ppm,
+           CAST((1000000 * SUM(CASE WHEN s.score >= th.thresh AND s.gold = 1
+                                    THEN 1 ELSE 0 END))
+                // GREATEST(SUM(CASE WHEN s.gold = 1 THEN 1 ELSE 0 END), 1)
+                AS BIGINT) AS recall_ppm
+    FROM scored s CROSS JOIN th
+    GROUP BY th.thresh
+    """,
+    "Evaluation: precision/recall threshold sweep of a document scorer "
+    "against a gold set (deterministic hash cohort stands in for human "
+    "labels) — 5 operating points with exact-integer ppm precision/"
+    "recall, the table a filter-tuning run reads to pick its threshold. "
+    "ONE pass: scores cross-joined with the 5-row literal threshold "
+    "spine (broadcast constant-append), one 5-row aggregate; at 100 TB "
+    "the same plan sweeps any number of thresholds in a single corpus "
+    "scan.",
+)
+def eval_pr_curve(spark, sf_dir):
+    hv = F.pmod(
+        F.pmod(F.col("doc_id"), F.lit(2147483648)) * F.lit(2654435761),
+        F.lit(4294967296),
+    )
+    scored = t(spark, sf_dir, "documents").select(
+        F.col("n_chars").cast("long").alias("score"),
+        F.when(F.pmod(hv, F.lit(10)) < 3, F.lit(1)).otherwise(F.lit(0)).alias("gold"),
+    )
+    th = spark.range(1, 6).select((F.col("id") * 100).alias("thresh"))
+    hit = (F.col("score") >= F.col("thresh")).cast("long")
+    return (
+        scored.crossJoin(F.broadcast(th))
+        .groupBy("thresh")
+        .agg(
+            F.sum(hit * F.col("gold")).alias("tp"),
+            F.sum(hit * (1 - F.col("gold"))).alias("fp"),
+            F.sum((1 - hit) * F.col("gold")).alias("fn"),
+            F.expr(
+                "CAST((1000000 * sum(CASE WHEN score >= thresh AND gold = 1 "
+                "THEN 1 ELSE 0 END)) div greatest(sum(CASE WHEN score >= "
+                "thresh THEN 1 ELSE 0 END), 1) AS BIGINT)"
+            ).alias("precision_ppm"),
+            F.expr(
+                "CAST((1000000 * sum(CASE WHEN score >= thresh AND gold = 1 "
+                "THEN 1 ELSE 0 END)) div greatest(sum(gold), 1) AS BIGINT)"
+            ).alias("recall_ppm"),
+        )
+    )
