@@ -135,6 +135,8 @@ def test_no_accidental_cartesian_anywhere(spark):
         "contrastive_triplet_mining",
         # eval_knn_confusion: composes sim_knn_classify's brute-force scan.
         "eval_knn_confusion",
+        # eval_mrr: same labeled brute-force scan (20-row anchor side).
+        "eval_mrr",
         # eval_pr_curve: 5-row literal threshold spine broadcast onto the
         # scored corpus — the output IS scores x thresholds.
         "eval_pr_curve",

@@ -1720,3 +1720,90 @@ def eval_pr_curve(spark, sf_dir):
             ).alias("recall_ppm"),
         )
     )
+
+
+def _mrr_oracle(k: int = 10) -> str:
+    from youtube_trending_data_pipeline_spark.catalog_ext import _COS_SQL
+
+    cos = _COS_SQL.format(a="q.embedding", b="c.embedding")
+    return f"""
+    WITH ranked AS (
+      SELECT q.vec_id AS query_id,
+             CASE WHEN c.label = q.label THEN 1 ELSE 0 END AS rel,
+             ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                ORDER BY {cos} DESC, c.vec_id ASC) AS rank
+      FROM embeddings q, embeddings c
+      WHERE q.vec_id < 20 AND c.vec_id >= 20
+    ), first_hit AS (
+      SELECT query_id, MIN(rank) AS first_rel_rank
+      FROM ranked WHERE rel = 1 AND rank <= {k}
+      GROUP BY query_id
+    )
+    SELECT q.query_id,
+           CAST(COALESCE(f.first_rel_rank, 0) AS BIGINT) AS first_rel_rank,
+           CAST(CASE WHEN f.first_rel_rank IS NULL THEN 0
+                     ELSE 1000000 // f.first_rel_rank END AS BIGINT)
+             AS rr_ppm
+    FROM (SELECT DISTINCT vec_id AS query_id FROM embeddings
+          WHERE vec_id < 20) q
+    LEFT JOIN first_hit f USING (query_id)
+    """
+
+
+@register(
+    "eval_mrr",
+    _mrr_oracle(10),
+    "Evaluation: reciprocal rank @10 of the exact-cosine retrieval "
+    "against same-label relevance — MRR is the ranking metric that "
+    "stays EXACT in integer ppm (NDCG's log2 discount would put an "
+    "irrational constant in the gate), so retrieval-quality tracking "
+    "lands in the bit-exact harness. Per anchor: the rank of the "
+    "first same-label neighbour in the top-10 (0 = miss), rr = 1e6 "
+    "div rank. Composes the labeled brute-force scan with one rank "
+    "window and one min-aggregate.",
+)
+def eval_mrr(spark, sf_dir):
+    from youtube_trending_data_pipeline_spark.operators.similarity import (
+        cosine_similarity,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    anchors = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("embedding").alias("qvec"),
+    )
+    corpus = emb.where(F.col("vec_id") >= 20).select(
+        F.col("vec_id").alias("nid"), F.col("label").alias("nlabel"),
+        F.col("embedding").alias("nvec"),
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("nid")
+    )
+    ranked = (
+        corpus.crossJoin(F.broadcast(anchors))
+        .select(
+            "query_id",
+            (F.col("nlabel") == F.col("qlabel")).cast("int").alias("rel"),
+            cosine_similarity("qvec", "nvec").alias("cos"),
+            "nid",
+        )
+        .withColumn("rank", F.row_number().over(w))
+    )
+    first_hit = (
+        ranked.where((F.col("rel") == 1) & (F.col("rank") <= 10))
+        .groupBy("query_id")
+        .agg(F.min("rank").alias("fr"))
+    )
+    return (
+        anchors.select("query_id")
+        .join(first_hit, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("fr", F.lit(0)).cast("long").alias("first_rel_rank"),
+            F.expr(
+                "CAST(CASE WHEN fr IS NULL THEN 0 "
+                "ELSE 1000000 div fr END AS BIGINT)"
+            ).alias("rr_ppm"),
+        )
+    )
