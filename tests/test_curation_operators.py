@@ -512,3 +512,33 @@ def test_knn_confusion_totals(spark):
     """Confusion cells sum to the number of queries (5 anchors)."""
     rows = QUERIES["eval_knn_confusion"].fn(spark, SF).collect()
     assert sum(r.n for r in rows) == 5
+
+
+def test_sft_mask_offsets_split_prompt_from_response(spark):
+    """rendered[:mask_end] is exactly the prompt span (template +
+    instruction + assistant marker); rendered[mask_end:] is the
+    response the loss trains on."""
+    rows = QUERIES["sft_render_masked"].fn(spark, SF).limit(20).collect()
+    assert rows
+    for r in rows:
+        assert len(r.rendered) == r.total_len
+        prompt, response = r.rendered[: r.mask_end], r.rendered[r.mask_end:]
+        assert prompt.startswith("<|user|>")
+        assert prompt.endswith("<|assistant|>")
+        assert response and "<|" not in response
+
+
+def test_attention_spans_tile_each_pack(spark):
+    """Within every (source, pack), spans are disjoint and contiguous:
+    each doc starts where the previous ended (mod carry), never
+    exceeding the 512-token pack."""
+    rows = QUERIES["pack_attention_spans"].fn(spark, SF).collect()
+    by_pack = {}
+    for r in rows:
+        by_pack.setdefault((r.source, r.pack_id), []).append(r)
+    for (_, _), docs in by_pack.items():
+        docs.sort(key=lambda r: r.span_start)
+        for r in docs:
+            assert 0 <= r.span_start <= r.span_end <= 512
+        for a, b in zip(docs, docs[1:]):
+            assert b.span_start >= a.span_end or a.carry_tokens > 0

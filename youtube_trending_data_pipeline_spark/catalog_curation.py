@@ -1807,3 +1807,141 @@ def eval_mrr(spark, sf_dir):
             ).alias("rr_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# SFT template rendering with loss-mask offsets
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sft_render_masked",
+    f"""
+    WITH tk AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ), parts AS (
+      SELECT doc_id,
+             array_to_string(list_slice(toks, 1, greatest(len(toks) // 2, 1)),
+                             ' ') AS instruction,
+             array_to_string(list_slice(toks, greatest(len(toks) // 2, 1) + 1,
+                                        len(toks)), ' ') AS response
+      FROM tk WHERE len(toks) >= 2
+    )
+    SELECT doc_id,
+           '<|user|>' || instruction || '<|assistant|>' || response
+             AS rendered,
+           CAST(length('<|user|>' || instruction || '<|assistant|>')
+                AS BIGINT) AS mask_end,
+           CAST(length('<|user|>' || instruction || '<|assistant|>'
+                       || response) AS BIGINT) AS total_len
+    FROM parts
+    """,
+    "SFT template rendering with loss-mask offsets: each document is "
+    "split into an (instruction, response) pair (deterministic halves "
+    "here; a real run joins the annotation table), rendered through a "
+    "chat template, and annotated with the CHARACTER OFFSET where the "
+    "loss mask ends — the prompt span a supervised-fine-tune run "
+    "excludes from the loss, computed at data-prep time so the trainer "
+    "never re-parses templates. Pure map-side projection: zero "
+    "exchanges; the oracle replays template + offsets string-for-"
+    "string.",
+)
+def sft_render_masked(spark, sf_dir):
+    parts = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", _toks().alias("toks"))
+        .where(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            F.array_join(
+                F.expr("slice(toks, 1, greatest(size(toks) div 2, 1))"), " "
+            ).alias("instruction"),
+            F.array_join(
+                F.expr(
+                    "slice(toks, greatest(size(toks) div 2, 1) + 1, "
+                    "size(toks) - greatest(size(toks) div 2, 1))"
+                ),
+                " ",
+            ).alias("response"),
+        )
+    )
+    prompt = F.concat(
+        F.lit("<|user|>"), F.col("instruction"), F.lit("<|assistant|>")
+    )
+    return parts.select(
+        "doc_id",
+        F.concat(prompt, F.col("response")).alias("rendered"),
+        F.length(prompt).cast("long").alias("mask_end"),
+        F.length(F.concat(prompt, F.col("response"))).cast("long").alias(
+            "total_len"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Attention spans within packed sequences (block-diagonal mask prep)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pack_attention_spans",
+    """
+    WITH toks AS (
+      SELECT doc_id, source, n_chars // 4 AS n_tokens FROM documents
+    ), packed AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS prior_toks
+      FROM toks
+    )
+    SELECT doc_id, source,
+           prior_toks // 512 AS pack_id,
+           prior_toks % 512 AS span_start,
+           CASE WHEN prior_toks % 512 + n_tokens > 512 THEN 512
+                ELSE prior_toks % 512 + n_tokens END AS span_end,
+           CAST(CASE WHEN prior_toks % 512 + n_tokens > 512
+                     THEN prior_toks % 512 + n_tokens - 512 ELSE 0 END
+                AS BIGINT) AS carry_tokens
+    FROM packed
+    """,
+    "Attention spans within packed sequences: extends "
+    "pack_sequences_linear's assignment with each document's "
+    "(span_start, span_end) token range INSIDE its 512-token pack plus "
+    "the carry spilling into the next pack — exactly the per-document "
+    "boundary table a block-diagonal attention mask (packed-sample "
+    "training without cross-doc attention) is built from. Same single "
+    "source-keyed window as the packer; everything else is arithmetic "
+    "on the prefix sum.",
+)
+def pack_attention_spans(spark, sf_dir):
+    w = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    toks = t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.expr("n_chars div 4").alias("n_tokens")
+    )
+    packed = toks.withColumn(
+        "prior_toks", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    )
+    start = F.pmod("prior_toks", F.lit(512))
+    return packed.select(
+        "doc_id",
+        "source",
+        F.expr("prior_toks div 512").alias("pack_id"),
+        start.alias("span_start"),
+        F.when(start + F.col("n_tokens") > 512, F.lit(512))
+        .otherwise(start + F.col("n_tokens"))
+        .cast("long")
+        .alias("span_end"),
+        F.when(
+            start + F.col("n_tokens") > 512,
+            start + F.col("n_tokens") - 512,
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("carry_tokens"),
+    )
