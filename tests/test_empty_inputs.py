@@ -101,3 +101,12 @@ def test_channels_fetch_on_empty_ids(spark):
 
     ids = spark.createDataFrame([], "channel_id string")
     assert channels_from_fetcher(ids, Boom()).count() == 0
+
+
+def test_hits_on_empty_edges(spark):
+    from youtube_trending_data_pipeline_spark.operators.graph import hits_integer
+
+    edges = spark.createDataFrame([], "src long, dst long")
+    out = hits_integer(edges, iterations=2)
+    assert out.count() == 0
+    assert out.columns == ["node", "kind", "score"]
