@@ -58,3 +58,38 @@ def test_bloom_filter_injected_on_shuffle_join(spark, sf_dir):
                 conf.unset(k)
             else:
                 conf.set(k, v)
+
+
+def test_dynamic_partition_pruning_fires(spark, tmp_path):
+    """DPP: a date-partitioned fact joined to a filtered dim must show a
+    dynamicpruning subquery on the fact's partition column — at 100 TB
+    this is the difference between scanning one partition and all of
+    them when the filter arrives through a join."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    fact = spark.createDataFrame(
+        [(i, dt.date(2025, 10, 1 + i % 10)) for i in range(2000)],
+        "id long, date date",
+    )
+    fact_path = str(tmp_path / "fact")
+    fact.write.partitionBy("date").parquet(fact_path)
+    dim = spark.createDataFrame(
+        [(dt.date(2025, 10, 1 + i), "keep" if i == 3 else "drop") for i in range(10)],
+        "date date, flag string",
+    )
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+    # defeat the reuse-broadcast shortcut check by forcing SMJ? no — DPP
+    # with broadcast reuse is the common production shape; assert either
+    # pruning expression form appears
+    joined = (
+        spark.read.parquet(fact_path)
+        .join(dim.where(F.col("flag") == "keep"), "date")
+        .groupBy("date")
+        .count()
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower() or "DynamicPruning" in plan, plan[:3000]
+    out = joined.collect()
+    assert len(out) == 1 and out[0]["count"] == 200
