@@ -542,3 +542,35 @@ def test_attention_spans_tile_each_pack(spark):
             assert 0 <= r.span_start <= r.span_end <= 512
         for a, b in zip(docs, docs[1:]):
             assert b.span_start >= a.span_end or a.carry_tokens > 0
+
+
+def test_binaryfile_source_feeds_image_kernels(spark, tmp_path):
+    """The production multimodal ingestion path: image FILES on disk read
+    through Spark's binaryFile source -> (path, content) rows -> the
+    same dHash/resize kernels, no bespoke loader."""
+    from pyspark.sql import functions as F
+
+    from youtube_trending_data_pipeline_spark.operators.multimodal import (
+        image_dhash,
+    )
+
+    d = tmp_path / "imgs"
+    d.mkdir()
+    for i in range(4):
+        (d / f"img{i}.ppm").write_bytes(
+            b"P6\n2 2\n255\n" + bytes((i * 17 + j) % 256 for j in range(12))
+        )
+    media = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.ppm")
+        .load(str(d))
+        .select(
+            F.element_at(F.split("path", "/"), -1).alias("asset_id"),
+            F.lit("image").alias("media_type"),
+            F.col("content"),
+            F.lit(None).cast("string").alias("uri"),
+        )
+    )
+    out = {r.asset_id: r.dhash for r in image_dhash(media).collect()}
+    assert len(out) == 4
+    assert all(v is not None for v in out.values())
