@@ -574,3 +574,30 @@ def test_binaryfile_source_feeds_image_kernels(spark, tmp_path):
     out = {r.asset_id: r.dhash for r in image_dhash(media).collect()}
     assert len(out) == 4
     assert all(v is not None for v in out.values())
+
+
+def test_interleave_offsets_are_splice_consistent(spark):
+    """Per doc: segments ordered by seq_pos have token offsets 0, n1,
+    n1+1 and the two text chunks re-concatenate to the full document."""
+    rows = QUERIES["interleave_image_text"].fn(spark, SF).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    docs = {
+        r.doc_id: r.text
+        for r in QUERIES["interleave_image_text"]
+        .fn.__globals__["t"](spark, SF, "documents")
+        .collect()
+    }
+    for doc_id, segs in list(by_doc.items())[:50]:
+        segs.sort(key=lambda r: r.seq_pos)
+        assert [s.kind for s in segs] == ["text", "image", "text"]
+        t1, img, t2 = segs
+        n1 = len(t1.content_ref.split(" "))
+        assert (t1.token_offset, img.token_offset, t2.token_offset) == (
+            0, n1, n1 + 1,
+        )
+        assert img.content_ref == f"asset://{doc_id}"
+        joined = (t1.content_ref + " " + t2.content_ref).split()
+        orig = [x for x in docs[doc_id].lower().split(" ") if x]
+        assert joined == orig

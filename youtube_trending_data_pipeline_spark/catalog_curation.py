@@ -1945,3 +1945,88 @@ def pack_attention_spans(spark, sf_dir):
         .cast("long")
         .alias("carry_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Interleaved image-text sequence assembly (VLM training prep)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "interleave_image_text",
+    f"""
+    WITH tk AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ), base AS (
+      SELECT doc_id, toks, len(toks) AS n,
+             greatest(len(toks) // 2, 1) AS n1
+      FROM tk WHERE len(toks) >= 2
+    )
+    SELECT doc_id, seq_pos, kind, content_ref, token_offset FROM (
+      SELECT doc_id, CAST(0 AS BIGINT) AS seq_pos, 'text' AS kind,
+             array_to_string(list_slice(toks, 1, n1), ' ') AS content_ref,
+             CAST(0 AS BIGINT) AS token_offset
+      FROM base
+      UNION ALL
+      SELECT doc_id, CAST(1 AS BIGINT), 'image',
+             'asset://' || CAST(doc_id AS VARCHAR),
+             CAST(n1 AS BIGINT)
+      FROM base
+      UNION ALL
+      SELECT doc_id, CAST(2 AS BIGINT), 'text',
+             array_to_string(list_slice(toks, n1 + 1, n), ' '),
+             CAST(n1 + 1 AS BIGINT)
+      FROM base
+    )
+    """,
+    "Interleaved image-text sequence assembly (the MMC4/OBELICS-style "
+    "VLM training-data shape): each document becomes an ordered "
+    "sequence of typed segments — text chunk, image placeholder "
+    "(asset URI, 1 position in the token stream), text chunk — each "
+    "carrying its TOKEN OFFSET so the trainer can splice image "
+    "embeddings into the right positions without re-tokenizing. "
+    "Map-side segment emission (one explode), no shuffle; the asset "
+    "URI joins against the multimodal kernels' asset_id downstream. "
+    "Oracle replays segments and offsets string-for-string.",
+)
+def interleave_image_text(spark, sf_dir):
+    base = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", _toks().alias("toks"))
+        .where(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            "toks",
+            F.size("toks").alias("n"),
+            F.expr("greatest(size(toks) div 2, 1)").alias("n1"),
+        )
+    )
+    segs = F.array(
+        F.struct(
+            F.lit(0).cast("long").alias("seq_pos"),
+            F.lit("text").alias("kind"),
+            F.array_join(F.expr("slice(toks, 1, n1)"), " ").alias(
+                "content_ref"
+            ),
+            F.lit(0).cast("long").alias("token_offset"),
+        ),
+        F.struct(
+            F.lit(1).cast("long").alias("seq_pos"),
+            F.lit("image").alias("kind"),
+            F.concat(F.lit("asset://"), F.col("doc_id").cast("string")).alias(
+                "content_ref"
+            ),
+            F.col("n1").cast("long").alias("token_offset"),
+        ),
+        F.struct(
+            F.lit(2).cast("long").alias("seq_pos"),
+            F.lit("text").alias("kind"),
+            F.array_join(F.expr("slice(toks, n1 + 1, n - n1)"), " ").alias(
+                "content_ref"
+            ),
+            (F.col("n1") + 1).cast("long").alias("token_offset"),
+        ),
+    )
+    return base.select("doc_id", F.explode(segs).alias("s")).select(
+        "doc_id", "s.seq_pos", "s.kind", "s.content_ref", "s.token_offset"
+    )
