@@ -601,3 +601,28 @@ def test_interleave_offsets_are_splice_consistent(spark):
         joined = (t1.content_ref + " " + t2.content_ref).split()
         orig = [x for x in docs[doc_id].lower().split(" ") if x]
         assert joined == orig
+
+
+def test_span_corruption_is_lossless(spark):
+    """Splicing each target span back over its sentinel in the corrupted
+    input reconstructs the original document, for every doc."""
+    import re
+
+    rows = QUERIES["span_corruption_t5"].fn(spark, SF).limit(50).collect()
+    docs = {
+        r.doc_id: [x for x in r.text.lower().split(" ") if x]
+        for r in QUERIES["span_corruption_t5"]
+        .fn.__globals__["t"](spark, SF, "documents")
+        .collect()
+    }
+    assert rows
+    for r in rows:
+        spans = {}
+        for m in re.finditer(r"<extra_id_(\d+)> (\S+) (\S+)", r.target):
+            spans[int(m.group(1))] = [m.group(2), m.group(3)]
+        assert len(spans) >= 1
+        rebuilt = []
+        for tok in r.corrupted.split(" "):
+            m = re.fullmatch(r"<extra_id_(\d+)>", tok)
+            rebuilt.extend(spans[int(m.group(1))] if m else [tok])
+        assert rebuilt == docs[r.doc_id], r.doc_id

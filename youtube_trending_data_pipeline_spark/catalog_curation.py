@@ -2030,3 +2030,80 @@ def interleave_image_text(spark, sf_dir):
     return base.select("doc_id", F.explode(segs).alias("s")).select(
         "doc_id", "s.seq_pos", "s.kind", "s.content_ref", "s.token_offset"
     )
+
+
+# ---------------------------------------------------------------------------
+# T5-style span corruption (denoising objective prep)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "span_corruption_t5",
+    f"""
+    WITH tk AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ), base AS (
+      SELECT doc_id, toks, len(toks) AS n FROM tk WHERE len(toks) >= 12
+    )
+    SELECT doc_id,
+           array_to_string(list_filter(list_transform(range(1, n + 1), p ->
+             CASE WHEN (p - 1) % 10 = 0 AND p + 1 <= n
+                    THEN '<extra_id_' || CAST((p - 1) // 10 AS VARCHAR) || '>'
+                  WHEN (p - 1) % 10 = 1 AND p <= n
+                       AND (p - 2) % 10 = 0 AND p - 1 >= 1
+                    THEN ''
+                  ELSE toks[p] END), x -> x <> ''), ' ') AS corrupted,
+           array_to_string(list_filter(list_transform(range(1, n + 1), p ->
+             CASE WHEN (p - 1) % 10 = 0 AND p + 1 <= n
+                    THEN '<extra_id_' || CAST((p - 1) // 10 AS VARCHAR) || '>'
+                         || ' ' || toks[p] || ' ' || toks[p + 1]
+                  ELSE '' END), x -> x <> ''), ' ') AS target,
+           CAST((n + 9) // 10 AS BIGINT) AS n_spans,
+           CAST(n AS BIGINT) AS n_tokens
+    FROM base
+    """,
+    "T5/UL2-style span corruption: deterministic 2-token spans (every "
+    "10th position) are replaced by numbered sentinel tokens in the "
+    "corrupted input, and the target is the sentinel-delimited "
+    "concatenation of the masked spans — the denoising-objective data "
+    "prep (Raffel et al.) in its exactly-replayable form (hash-free "
+    "fixed stride here; a seeded-hash stride drops in without "
+    "changing the plan). Pure map-side HOFs over the token array: "
+    "zero exchanges; the oracle rebuilds both strings token-for-"
+    "token.",
+)
+def span_corruption_t5(spark, sf_dir):
+    base = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", _toks().alias("toks"))
+        .where(F.size("toks") >= 12)
+        .select("doc_id", "toks", F.size("toks").alias("n"))
+    )
+    corrupted = F.expr(
+        """
+        array_join(filter(transform(sequence(1, n), p ->
+          CASE WHEN (p - 1) % 10 = 0 AND p + 1 <= n
+                 THEN concat('<extra_id_', CAST((p - 1) div 10 AS STRING), '>')
+               WHEN (p - 1) % 10 = 1 AND p <= n
+                    AND (p - 2) % 10 = 0 AND p - 1 >= 1
+                 THEN ''
+               ELSE element_at(toks, p) END), x -> x != ''), ' ')
+        """
+    )
+    target = F.expr(
+        """
+        array_join(filter(transform(sequence(1, n), p ->
+          CASE WHEN (p - 1) % 10 = 0 AND p + 1 <= n
+                 THEN concat('<extra_id_', CAST((p - 1) div 10 AS STRING), '>',
+                             ' ', element_at(toks, p), ' ',
+                             element_at(toks, p + 1))
+               ELSE '' END), x -> x != ''), ' ')
+        """
+    )
+    return base.select(
+        "doc_id",
+        corrupted.alias("corrupted"),
+        target.alias("target"),
+        F.expr("CAST((n + 9) div 10 AS BIGINT)").alias("n_spans"),
+        F.col("n").cast("long").alias("n_tokens"),
+    )

@@ -119,7 +119,7 @@ PRIORITY_UNCHECKED = [
 # ROUND 6 bookkeeping: after CORRECTNESS_r05 lands, append its keys as
 # DRIVER_VERIFIED_R05 and rebuild PRIORITY_UNCHECKED with (a) any r05
 # failures once fixed, (b) the four operators added after the r05
-# window filled (75 unchecked entries, 50 slots — computed via
+# window filled (76 unchecked entries, 50 slots — computed via
 # order_for_driver): cdc_chunk_dedup, ewma_user_value,
 # sample_weighted_topk, conversation_render, text_winnow_fingerprints,
 # token_gini_diversity, graph_hits, split_decontaminated_train,
@@ -128,7 +128,7 @@ PRIORITY_UNCHECKED = [
 # contrastive_triplet_mining, multimodal_image_resize, f_xml_funcs,
 # gdpr_delete_propagation, corpus_merkle_tree, eval_knn_confusion,
 # eval_pr_curve, eval_mrr, sft_render_masked, pack_attention_spans,
-# interleave_image_text — these lead
+# interleave_image_text, span_corruption_t5 — these lead
 # round 6's
 # priorities, (c) then tier-3 regression re-checks keep cycling the
 # oldest verified entries.
