@@ -118,15 +118,20 @@ def test_weighted_sample_prefers_heavy_docs(spark):
 def test_keyword_tag_zero_hit_doc(spark):
     """A document with no dictionary tokens must still appear, with
     n_hits = 0 and empty tags (the oracle's LEFT JOIN contract)."""
-    from youtube_trending_data_pipeline_spark.catalog_curation import keyword_tag
+    from youtube_trending_data_pipeline_spark import catalog_curation as cc
 
-    # patch a one-doc frame through the same expression path
-    df = QUERIES["keyword_tag"].fn(spark, SF)
-    assert df.where(F.col("n_hits") == 0).count() >= 0  # shape holds
-    out = (
-        df.select("doc_id", "n_hits", "tags").orderBy("doc_id").limit(5).collect()
+    df = spark.createDataFrame(
+        [(1, "zz yy xx"), (2, "join scan spark")], "doc_id long, text string"
     )
-    assert all(isinstance(r.tags, str) for r in out)
+    orig_t = cc.t
+    try:
+        cc.t = lambda s_, d, n: df
+        out = {r.doc_id: r for r in cc.keyword_tag(spark, "x").collect()}
+    finally:
+        cc.t = orig_t
+    # zero-hit doc present with the empty contract
+    assert out[1].n_hits == 0 and out[1].tags == ""
+    assert out[2].n_hits == 3 and out[2].tags == "engine,ops"
 
 
 def test_conversation_render_caps_turns(spark):
@@ -626,3 +631,60 @@ def test_span_corruption_is_lossless(spark):
             m = re.fullmatch(r"<extra_id_(\d+)>", tok)
             rebuilt.extend(spans[int(m.group(1))] if m else [tok])
         assert rebuilt == docs[r.doc_id], r.doc_id
+
+
+def test_dhash_large_image_fits_int64(spark):
+    """The 63-bit XOR fold: a 16x16 image (480 comparison bits) must
+    produce a hash that fits the LongType column instead of overflowing
+    the Arrow conversion; thumbnails (< 63 bits) are unchanged."""
+    from youtube_trending_data_pipeline_spark.operators.multimodal import (
+        _dhash_impl,
+        image_dhash,
+    )
+
+    big = b"P6\n16 16\n255\n" + bytes((i * 7) % 256 for i in range(16 * 16 * 3))
+    h = _dhash_impl(big)
+    assert 0 <= h < (1 << 63)
+    media = spark.createDataFrame(
+        [("big", "image", big, None)],
+        "asset_id string, media_type string, content binary, uri string",
+    )
+    rows = image_dhash(media).collect()
+    assert rows[0].dhash == h
+
+
+def test_video_uri_only_still_raises(spark):
+    """The URI seam contract: a video row with NULL content must raise
+    (missing fetch step = misconfiguration), not quarantine silently."""
+    import pytest as _pytest
+
+    from youtube_trending_data_pipeline_spark.operators.multimodal import (
+        _video_frame_rows,
+    )
+
+    with _pytest.raises(NotImplementedError):
+        list(_video_frame_rows("a", None, 1000))
+
+
+def test_span_count_matches_emitted_sentinels(spark):
+    """n_spans equals the number of sentinels actually present in the
+    corrupted text — including the n % 10 == 1 boundary where the final
+    position cannot start a span."""
+    import re
+
+    from youtube_trending_data_pipeline_spark import catalog_curation as cc
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(21))),   # n=21: 2 spans
+         (2, " ".join(f"w{i}" for i in range(20)))],  # n=20: 2 spans
+        "doc_id long, text string",
+    )
+    orig_t = cc.t
+    try:
+        cc.t = lambda s_, d, n: df
+        rows = {r.doc_id: r for r in cc.span_corruption_t5(spark, "x").collect()}
+    finally:
+        cc.t = orig_t
+    for r in rows.values():
+        n_sentinels = len(re.findall(r"<extra_id_\d+>", r.corrupted))
+        assert r.n_spans == n_sentinels, (r.doc_id, r.n_spans, n_sentinels)

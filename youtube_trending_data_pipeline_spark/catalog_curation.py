@@ -28,7 +28,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StructField, StructType
 
-from youtube_trending_data_pipeline_spark.catalog import register, t
+from youtube_trending_data_pipeline_spark.catalog import cents, register, t
 
 _TOKS_SQL = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
 
@@ -37,6 +37,16 @@ def _toks():
     # built lazily: Column construction needs an active SparkContext,
     # which does not exist at import/registration time
     return F.filter(F.split(F.lower("text"), " "), lambda x: x != F.lit(""))
+
+
+def _knuth_hash(col: str):
+    """Knuth multiplicative hash, pre-reduced mod 2^31 so the product
+    stays in int64 — the ONE definition all five call sites (and their
+    SQL twins) must match bit-for-bit."""
+    return F.pmod(
+        F.pmod(F.col(col), F.lit(2147483648)) * F.lit(2654435761),
+        F.lit(4294967296),
+    )
 
 # ---------------------------------------------------------------------------
 # Broadcast-dictionary keyword tagging (taxonomy matching)
@@ -303,7 +313,8 @@ def cdc_chunk_dedup(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# Per-key sequential integer EWMA (applyInPandas fold, recursive-CTE oracle)
+# Per-key sequential integer EWMA (carried-state mapInPandas fold,
+# recursive-CTE oracle)
 # ---------------------------------------------------------------------------
 
 
@@ -351,7 +362,7 @@ def ewma_user_value(spark, sf_dir):
         "user_id",
         "event_id",
         F.expr("ts div 1000").alias("ts_us"),
-        F.round(F.col("value") * 100).cast("long").alias("v"),
+        cents("value").alias("v"),
     )
     schema = StructType(
         [
@@ -429,12 +440,7 @@ def sample_weighted_topk(spark, sf_dir):
     w = t(spark, sf_dir, "documents").select(
         "doc_id",
         F.col("n_chars").cast("long").alias("n_chars"),
-        (
-            F.pmod(
-                F.pmod(F.col("doc_id"), F.lit(2147483648)) * F.lit(2654435761),
-                F.lit(4294967296),
-            )
-        ).alias("hv"),
+        _knuth_hash("doc_id").alias("hv"),
     )
     return (
         w.orderBy(
@@ -486,9 +492,7 @@ def conversation_render(spark, sf_dir):
         "event_id",
         F.expr("ts div 1000").alias("ts_us"),
         F.concat_ws(
-            "=",
-            F.col("event_type"),
-            F.round(F.col("value") * 100).cast("long").cast("string"),
+            "=", F.col("event_type"), cents("value").cast("string")
         ).alias("turn"),
     )
     wr = W.partitionBy("user_id").orderBy("ts_us", "event_id")
@@ -867,10 +871,7 @@ def split_decontaminated_train(spark, sf_dir):
     "two-level trick as skew_salted_agg).",
 )
 def domain_quota_sample(spark, sf_dir):
-    hv = F.pmod(
-        F.pmod(F.col("doc_id"), F.lit(2147483648)) * F.lit(2654435761),
-        F.lit(4294967296),
-    )
+    hv = _knuth_hash("doc_id")
     rn = F.row_number().over(
         W.partitionBy("source").orderBy(hv.asc(), F.col("doc_id").asc())
     )
@@ -1140,10 +1141,7 @@ def multimodal_image_dhash_dedup(spark, sf_dir):
     "parallel, and the oracle replays it string-for-string.",
 )
 def fim_transform(spark, sf_dir):
-    hv = F.pmod(
-        F.pmod(F.col("doc_id"), F.lit(2147483648)) * F.lit(2654435761),
-        F.lit(4294967296),
-    )
+    hv = _knuth_hash("doc_id")
     base = t(spark, sf_dir, "documents").select(
         "doc_id",
         _toks().alias("toks"),
@@ -1511,12 +1509,9 @@ def f_xml_funcs(spark, sf_dir):
 )
 def gdpr_delete_propagation(spark, sf_dir):
     ev = t(spark, sf_dir, "events").select(
-        "user_id", F.round(F.col("value") * 100).cast("long").alias("vc")
+        "user_id", cents("value").alias("vc")
     )
-    hv = F.pmod(
-        F.pmod(F.col("user_id"), F.lit(2147483648)) * F.lit(2654435761),
-        F.lit(4294967296),
-    )
+    hv = _knuth_hash("user_id")
     dels = ev.select("user_id").distinct().where(F.pmod(hv, F.lit(20)) == 0)
     kept = (
         ev.join(F.broadcast(dels), "user_id", "left_anti")
@@ -1692,10 +1687,7 @@ def eval_knn_confusion(spark, sf_dir):
     "scan.",
 )
 def eval_pr_curve(spark, sf_dir):
-    hv = F.pmod(
-        F.pmod(F.col("doc_id"), F.lit(2147483648)) * F.lit(2654435761),
-        F.lit(4294967296),
-    )
+    hv = _knuth_hash("doc_id")
     scored = t(spark, sf_dir, "documents").select(
         F.col("n_chars").cast("long").alias("score"),
         F.when(F.pmod(hv, F.lit(10)) < 3, F.lit(1)).otherwise(F.lit(0)).alias("gold"),
@@ -2058,7 +2050,7 @@ def interleave_image_text(spark, sf_dir):
                     THEN '<extra_id_' || CAST((p - 1) // 10 AS VARCHAR) || '>'
                          || ' ' || toks[p] || ' ' || toks[p + 1]
                   ELSE '' END), x -> x <> ''), ' ') AS target,
-           CAST((n + 9) // 10 AS BIGINT) AS n_spans,
+           CAST((n + 8) // 10 AS BIGINT) AS n_spans,
            CAST(n AS BIGINT) AS n_tokens
     FROM base
     """,
@@ -2104,6 +2096,6 @@ def span_corruption_t5(spark, sf_dir):
         "doc_id",
         corrupted.alias("corrupted"),
         target.alias("target"),
-        F.expr("CAST((n + 9) div 10 AS BIGINT)").alias("n_spans"),
+        F.expr("CAST((n + 8) div 10 AS BIGINT)").alias("n_spans"),
         F.col("n").cast("long").alias("n_tokens"),
     )

@@ -186,7 +186,8 @@ def hits_integer(
         hubs = hubs.localCheckpoint(eager=False)
         auths = auths.localCheckpoint(eager=False)
     h = hubs.select("node", F.lit(HITS_SCALE).cast("long").alias("score"))
-    a = None
+    # iterations=0 degenerates to the uniform initialization (not a crash)
+    a = auths.select("node", F.lit(HITS_SCALE).cast("long").alias("score"))
     for _ in range(iterations):
         # authority half-step: a_raw(v) = sum of h(u) over edges u->v
         a_raw = (

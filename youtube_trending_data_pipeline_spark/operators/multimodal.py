@@ -452,7 +452,13 @@ def _video_frame_rows(asset_id: str, content: bytes, every_ms: int):
     steps every_ms through the clip and picks the frame on display at each
     instant (idx = ts*fps, truncating). Corrupt bytes yield ONE
     quarantine row (NULL frame stats) — visible for triage, not a
-    silent drop, not an executor crash."""
+    silent drop, not an executor crash. URI-only assets (content None)
+    still raise: a missing fetch step is a misconfiguration, not data
+    corruption (same contract as _decode_audio_impl)."""
+    if content is None:
+        raise NotImplementedError(
+            "URI-only assets need an object-store fetch step"
+        )
     try:
         width, height, fps_num, fps_den, frames = decode_y4m(content)
     except Exception:
@@ -548,7 +554,11 @@ def _dhash_impl(content: bytes) -> int | None:
             bits.append(1 if gray[y * w + x] < gray[(y + 1) * w + x] else 0)
     out = 0
     for j, b in enumerate(bits):
-        out |= b << j
+        # XOR-fold into 63 bits so ANY image size fits a signed int64
+        # (identity for thumbnails with < 63 comparison bits; a 16x16
+        # image has 480 bits and would otherwise overflow the LongType
+        # column and kill the task)
+        out ^= b << (j % 63)
     return out
 
 

@@ -118,7 +118,7 @@ PRIORITY_UNCHECKED = [
 
 # ROUND 6 bookkeeping: after CORRECTNESS_r05 lands, append its keys as
 # DRIVER_VERIFIED_R05 and rebuild PRIORITY_UNCHECKED with (a) any r05
-# failures once fixed, (b) the four operators added after the r05
+# failures once fixed, (b) the operators added after the r05
 # window filled (76 unchecked entries, 50 slots — computed via
 # order_for_driver): cdc_chunk_dedup, ewma_user_value,
 # sample_weighted_topk, conversation_render, text_winnow_fingerprints,
