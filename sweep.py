@@ -77,6 +77,9 @@ def main() -> None:
     ]:
         con.sql(f"create view {tb} as select * from '{sf_dir}/{tb}.parquet'")
 
+    # generated oracles (embedding_pca_project) embed data-dependent
+    # literals; point them at the swept SF so both sides read one dataset
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
     qs, oracles = entry.queries(), entry.oracle_sql()
     done: set[str] = set()
     if len(sys.argv) > 2 and os.path.exists(sys.argv[2]):

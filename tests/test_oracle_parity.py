@@ -107,7 +107,8 @@ def _rows_multiset(pdf):
 def test_query_matches_oracle(name, spark, duck, sf_dir):
     spec = QUERIES[name]
     sdf = spec.fn(spark, sf_dir)
-    if spec.oracle is None:
+    oracle = spec.oracle(sf_dir) if callable(spec.oracle) else spec.oracle
+    if oracle is None:
         # rows-only check: the driver records only the row count for
         # oracle-less queries, so locally require the query to actually
         # produce rows — a silent empty result (the sub_not_exists
@@ -115,7 +116,7 @@ def test_query_matches_oracle(name, spark, duck, sf_dir):
         assert sdf.count() > 0, f"{name}: rows-only query returned 0 rows"
         return
     spdf = sdf.toPandas()
-    dpdf = duck.execute(spec.oracle).df()
+    dpdf = duck.execute(oracle).df()
     assert sorted(spdf.columns) == sorted(dpdf.columns), (
         f"{name}: column names differ: {sorted(spdf.columns)} vs "
         f"{sorted(dpdf.columns)}"

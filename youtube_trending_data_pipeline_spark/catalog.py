@@ -149,7 +149,10 @@ def cents(col: Column | str) -> Column:
 @dataclass(frozen=True)
 class QuerySpec:
     fn: Callable[[SparkSession, str], DataFrame]
-    oracle: str | None
+    # str = static DuckDB SQL; callable = lazily-GENERATED SQL (data-dependent
+    # literals, e.g. PCA axes) invoked as oracle(sf_dir=None) at gate time;
+    # None = rows-only driver check
+    oracle: str | Callable[..., str] | None
     doc: str
 
 
@@ -1647,7 +1650,15 @@ def _load_extensions() -> None:
 
 
 def all_oracles() -> dict[str, str]:
+    """Resolved oracle SQL per query (callables invoked here).
+
+    Generated oracles read ``SPARK_GRAFT_ORACLE_SF_DIR`` (default
+    ``/root/testdata/sf0.01`` — the driver's comparison SF) so the
+    data-dependent literals they embed come from the same tables the
+    driver's DuckDB views point at."""
     _load_extensions()
     return {
-        name: spec.oracle for name, spec in QUERIES.items() if spec.oracle is not None
+        name: (spec.oracle() if callable(spec.oracle) else spec.oracle)
+        for name, spec in QUERIES.items()
+        if spec.oracle is not None
     }

@@ -4551,11 +4551,66 @@ def quality_filter_audit(spark, sf_dir):
     )
 
 
+def _pca_oracle_sql(sf_dir: str | None = None) -> str:
+    """GENERATED oracle for embedding_pca_project: an INDEPENDENT replay of
+    the whole PCA pipeline outside Spark — DuckDB reads the same parquet,
+    numpy re-derives the quantized integer Gram matrix (order-independent,
+    so it equals the distributed reduction bit-for-bit), eigh + the same
+    sign canonicalization produce the axes, and the emitted SQL projects
+    the raw embeddings onto those axes as full-precision literals with the
+    SAME left-associated fold order Spark's F.aggregate uses — so the
+    doubles agree bit-for-bit and the e4 rounding is boundary-safe. Same
+    full-pipeline-oracle pattern as sim_ivf_pivot_topk (VERDICT r5 #2)."""
+    import os
+
+    import duckdb
+    import numpy as np
+
+    sf_dir = sf_dir or os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT embedding FROM '{sf_dir}/embeddings.parquet' "
+        "WHERE embedding IS NOT NULL"
+    ).fetchall()
+    con.close()
+    m = np.array([r[0] for r in rows], dtype="float64")
+    unit = 10_000.0
+    # identical quantization to operators/similarity.gram_matrix
+    q = np.floor(m * unit + 0.5).astype("int64")
+    g = np.zeros((m.shape[1], m.shape[1]))
+    gi = q.T @ q  # int64, order-independent == distributed cell sums
+    g[:, :] = gi
+    g /= unit * unit
+    vals, vecs = np.linalg.eigh(g)
+    order = np.argsort(vals)[::-1][:2]
+    axes = vecs[:, order]
+    for col in range(axes.shape[1]):  # canonical sign, same rule as operator
+        nz = np.flatnonzero(np.abs(axes[:, col]) > 1e-12)
+        if len(nz) and axes[nz[0], col] < 0:
+            axes[:, col] = -axes[:, col]
+    d = axes.shape[0]
+
+    def fold(col: int) -> str:
+        # left-associated += chain == F.aggregate's sequential fold
+        terms = "".join(
+            f" + CAST(embedding[{i + 1}] AS DOUBLE) * {axes[i, col]!r}"
+            for i in range(d)
+        )
+        return f"(0.0{terms})"
+
+    return f"""
+    SELECT vec_id,
+           CAST(FLOOR({fold(0)} * 10000 + 0.5) AS BIGINT) AS pc1_e4,
+           CAST(FLOOR({fold(1)} * 10000 + 0.5) AS BIGINT) AS pc2_e4
+    FROM embeddings
+    """
+
+
 @register(
     "embedding_pca_project",
-    None,  # eigendecomposition is not expressible in the oracle engine;
-    # invariants (variance ordering, orthonormality, determinism) are
-    # asserted in tests/test_new_operators.py
+    _pca_oracle_sql,
     "PCA projection onto the top-2 principal axes of the embedding "
     "corpus — the completion of embedding_gram_matrix's story and the "
     "canonical driver/executor split: Gram reduces distributed (exact "
@@ -4563,12 +4618,21 @@ def quality_filter_audit(spark, sf_dir):
     "driver-side and free, and the projection is a zero-shuffle map "
     "with the eigenvectors baked in as plan literals. Sign-canonical "
     "eigenvectors make the output deterministic across reruns and "
-    "partitionings; rows-only in the driver gate because no SQL engine "
-    "replays an eigendecomposition.",
+    "partitionings. Oracle: a GENERATED full-pipeline replay "
+    "(DuckDB+numpy re-derive the exact integer Gram and the same "
+    "canonicalized eigh axes, then project with literal axes in the "
+    "same IEEE fold order), so the formerly rows-only entry is now "
+    "value-hash exact (VERDICT r5 #2). Output rounded to 1e-4 units "
+    "as BIGINT on both sides.",
 )
 def embedding_pca_project(spark, sf_dir):
-    return sim.pca_project(
+    proj = sim.pca_project(
         t(spark, sf_dir, "embeddings"), id_col="vec_id", vec_col="embedding", k=2
+    )
+    return proj.select(
+        "vec_id",
+        F.floor(F.col("pc1") * 10000 + F.lit(0.5)).cast("long").alias("pc1_e4"),
+        F.floor(F.col("pc2") * 10000 + F.lit(0.5)).cast("long").alias("pc2_e4"),
     )
 
 

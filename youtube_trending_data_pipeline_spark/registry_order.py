@@ -82,56 +82,72 @@ DRIVER_VERIFIED_R04 = [
     "w_range_frame_sliding", "sub_not_exists", "j9_lateral_topk",
 ]
 
-DRIVER_VERIFIED: set[str] = (
-    set(DRIVER_VERIFIED_R01)
-    | set(DRIVER_VERIFIED_R02_R03)
-    | set(DRIVER_VERIFIED_R04)
-)
-
-# Round-5 window (VERDICT r4 items 1-3):
-#   * the 4 r04 reds, fixed this round (list columns flattened to strings
-#     in a23_collect_set / inverted_index; CAST(... AS BIGINT) added to the
-#     u3_unpivot / j8_null_safe_join oracles) — re-verify first;
-#   * the 13 registry queries that have never had any driver row;
-#   * early entries whose driver row predates their exact oracle
-#     (were "no_oracle" rows-only when last checked).
-# 4 + 13 + 6 = 23 pinned; the remaining 27 window slots fall to tier 3
-# (oldest driver-verified entries in registration order), which re-checks
-# round-1 queries against the regenerated testdata — useful regression
-# coverage, not waste.
-PRIORITY_UNCHECKED = [
-    # fixed r04 reds
+# Keys present in CORRECTNESS_r05.json (driver gate, round 5).  49/50 fully
+# green; `embedding_pca_project` was the one `no_oracle` rows-only row — it
+# gets a sign-canonicalized oracle in round 6 and re-enters the window via
+# PRIORITY_UNCHECKED below.
+DRIVER_VERIFIED_R05 = [
     "a23_collect_set", "u3_unpivot", "j8_null_safe_join", "inverted_index",
-    # never driver-checked
     "graph_pagerank", "text_bm25_score", "multimodal_audio_features",
     "multimodal_video_frames", "sim_ivf_pivot_topk", "w_rolling_median",
     "heavy_hitters_tokens", "dq_expectations", "embedding_quantize_int8",
     "corpus_shuffle_shards", "stream_session_windows", "stream_interval_join",
-    "stream_dedup_keys",
-    # oracle added after their last driver row
-    "sim_lsh_topk", "sample_stratified", "stream_windowed_counts",
-    "dedup_minhash_lsh", "dedup_simhash", "a14_approx_distinct",
-    # NEW in round 5 (VERDICT r4 #7: tests-only §2 seams promoted into
-    # the gate)
-    "s3_bronze_roundtrip", "f2_timestamp_parse", "p2_channel_defaults",
+    "stream_dedup_keys", "sim_lsh_topk", "sample_stratified",
+    "stream_windowed_counts", "dedup_minhash_lsh", "dedup_simhash",
+    "a14_approx_distinct", "s3_bronze_roundtrip", "f2_timestamp_parse",
+    "p2_channel_defaults", "embedding_gram_matrix", "token_skipgram_pairs",
+    "text_nfc_normalize", "merge_upsert", "ngram_lm_counts",
+    "quality_filter_audit", "embedding_pca_project",
+    "stream_upsert_materialize", "url_domain_stats", "passage_dedup",
+    "text_tfidf_topk", "cms_heavy_hitters", "graph_triangle_count",
+    "zorder_layout_stats", "lm_bigram_doc_score", "bpe_merge_step",
+    "semdedup_keepers", "tokenize_to_ids", "sim_knn_classify",
+    "stream_static_enrich", "j10_salted_skew_join", "ngram_novelty_score",
+    "keyword_tag", "token_pmi",
 ]
 
-# ROUND 6 bookkeeping: after CORRECTNESS_r05 lands, append its keys as
-# DRIVER_VERIFIED_R05 and rebuild PRIORITY_UNCHECKED with (a) any r05
-# failures once fixed, (b) the operators added after the r05
-# window filled (76 unchecked entries, 50 slots — computed via
-# order_for_driver): cdc_chunk_dedup, ewma_user_value,
-# sample_weighted_topk, conversation_render, text_winnow_fingerprints,
-# token_gini_diversity, graph_hits, split_decontaminated_train,
-# domain_quota_sample, sketch_kmv_distinct, token_cooccurrence_pairs,
-# multimodal_image_dhash_dedup, fim_transform, preference_pair_assembly,
-# contrastive_triplet_mining, multimodal_image_resize, f_xml_funcs,
-# gdpr_delete_propagation, corpus_merkle_tree, eval_knn_confusion,
-# eval_pr_curve, eval_mrr, sft_render_masked, pack_attention_spans,
-# interleave_image_text, span_corruption_t5 — these lead
-# round 6's
-# priorities, (c) then tier-3 regression re-checks keep cycling the
-# oldest verified entries.
+DRIVER_VERIFIED: set[str] = (
+    set(DRIVER_VERIFIED_R01)
+    | set(DRIVER_VERIFIED_R02_R03)
+    | set(DRIVER_VERIFIED_R04)
+    | set(DRIVER_VERIFIED_R05)
+)
+
+# Round-6 window (VERDICT r5 items 1, 2, 7):
+#   * the 26 round-5 curation additions that have never held a driver row
+#     (all judge-verified EXACT at sf0.01 in the r5 review — this closes
+#     the driver-row gap so every registry entry has a driver row ever);
+#   * `embedding_pca_project`, re-entering with its new sign-canonicalized
+#     exact oracle (was the single `no_oracle` rows-only row in r05);
+#   * `s1_datasource_roundtrip`, the new catalog entry reading through the
+#     `trending_videos` Python DataSource format (S1 promoted from
+#     tests-only into the gate).
+# 26 + 1 + 1 = 28 pinned; the remaining 22 window slots fall to tier 3
+# (oldest driver-verified entries in registration order) — regression
+# re-checks of round-1 queries, useful coverage, not waste.
+PRIORITY_UNCHECKED = [
+    # never driver-checked (round-5 curation additions)
+    "cdc_chunk_dedup", "contrastive_triplet_mining", "conversation_render",
+    "corpus_merkle_tree", "domain_quota_sample", "eval_knn_confusion",
+    "eval_mrr", "eval_pr_curve", "ewma_user_value", "f_xml_funcs",
+    "fim_transform", "gdpr_delete_propagation", "graph_hits",
+    "interleave_image_text", "multimodal_image_dhash_dedup",
+    "multimodal_image_resize", "pack_attention_spans",
+    "preference_pair_assembly", "sample_weighted_topk", "sft_render_masked",
+    "sketch_kmv_distinct", "span_corruption_t5",
+    "split_decontaminated_train", "text_winnow_fingerprints",
+    "token_cooccurrence_pairs", "token_gini_diversity",
+    # oracle added after the last (rows-only) driver row
+    "embedding_pca_project",
+    # NEW in round 6 (VERDICT r5 #7: S1 DataSource promoted into the gate)
+    "s1_datasource_roundtrip",
+]
+
+# ROUND 7 bookkeeping: after CORRECTNESS_r06 lands, append its keys as
+# DRIVER_VERIFIED_R06 and rebuild PRIORITY_UNCHECKED with (a) any r06
+# failures once fixed, (b) operators added after the r06 window filled,
+# (c) then tier-3 regression re-checks keep cycling the oldest verified
+# entries.
 
 
 def order_for_driver(names: list[str]) -> list[str]:
