@@ -130,6 +130,54 @@ def test_streaming_day_backfill(registered, tmp_path):
     assert json.loads(payload)["kind"] == "youtube#videoListResponse"
 
 
+def test_streaming_offsets_are_content_based(tmp_path):
+    """The ADVICE-r5 backfill scenario, at the reader level: after day 07
+    is consumed, a day-file that SORTS BEFORE it (06) arrives late. A
+    positional index would mistake 06 for already-consumed (and on
+    restart replay 06 under 07's index); the content-based offset picks
+    it up as the next batch, and readBetweenOffsets replays exactly each
+    committed batch's file set even after the late add. Deleting a
+    committed file makes replay fail loudly instead of returning the
+    wrong rows."""
+    from tests.conftest import make_day_json
+    from youtube_trending_data_pipeline_spark.sources.datasource import (
+        TrendingDaysStreamReader,
+    )
+
+    d = tmp_path / "days"
+    d.mkdir()
+    (d / "2025-10-07.json").write_text(json.dumps(make_day_json()))
+    reader = TrendingDaysStreamReader({"dir": str(d), "regions": "QA,US"})
+
+    o0 = reader.initialOffset()
+    rows1, o1 = reader.read(o0)
+    assert {r[0] for r in rows1} == {"2025-10-07"}
+    assert o1 == {"consumed": ["2025-10-07.json"]}
+
+    # late backfill: an older day lands after a newer one was committed
+    (d / "2025-10-06.json").write_text(json.dumps(make_day_json()))
+    rows2, o2 = reader.read(o1)
+    assert {r[0] for r in rows2} == {"2025-10-06"}
+    assert o2 == {"consumed": ["2025-10-06.json", "2025-10-07.json"]}
+
+    # replay is the set difference of offsets, unaffected by the late add
+    assert {r[0] for r in reader.readBetweenOffsets(o0, o1)} == {"2025-10-07"}
+    assert {r[0] for r in reader.readBetweenOffsets(o1, o2)} == {"2025-10-06"}
+
+    # nothing new -> empty batch, offset unchanged
+    rows3, o3 = reader.read(o2)
+    assert rows3 == [] and o3 == o2
+
+    # committed file deleted -> replay must fail loudly, not under-emit
+    (d / "2025-10-07.json").unlink()
+    with pytest.raises(FileNotFoundError):
+        reader.readBetweenOffsets(o0, o1)
+
+    # pre-round-6 positional checkpoints are rejected explicitly
+    with pytest.raises(ValueError):
+        reader.read({"index": 1})
+
+
 def test_report_sender_writer_delivers_per_partition(registered, tmp_path):
     """report_sender: rows written through the Spark writer land as audit
     files via the FileReportSender seam — one file per (subject) row,

@@ -1610,7 +1610,11 @@ def corpus_merkle_tree(spark, sf_dir):
     for k in range(1, _MERKLE_LEVELS + 1):
         level = (
             level.groupBy(
-                (F.col("bucket") / _MERKLE_FANOUT).cast("long").alias("bucket")
+                # integer floor-div, matching the oracle's `bucket // N`
+                # exactly for any fanout — the previous double-division
+                # form was exact only for power-of-two fanouts below 2^53
+                # (ADVICE r5)
+                F.expr(f"bucket div {_MERKLE_FANOUT}").alias("bucket")
             )
             .agg(
                 F.md5(

@@ -103,11 +103,20 @@ from pyspark.sql.datasource import SimpleDataSourceStreamReader
 
 
 class TrendingDaysStreamReader(SimpleDataSourceStreamReader):
-    """Each recorded bronze day-file is one increment: offset = number of
-    (lexicographically sorted) files consumed from ``dir``. The daily
-    ingestion the reference schedules with Airflow becomes a checkpointed
-    Spark stream — replayable via readBetweenOffsets, restartable from
-    the checkpoint, drivable with availableNow for batch backfills."""
+    """Each recorded bronze day-file is one increment. The offset is
+    CONTENT-BASED — the sorted list of consumed day-file basenames — not
+    a positional index into a re-listed directory: backfilling a day
+    that sorts before already-consumed files (the scenario this source
+    exists for) is picked up by the next batch instead of silently
+    shifting indices, deleting a file cannot make a checkpoint restart
+    replay the wrong files, and readBetweenOffsets replays exactly the
+    set difference of the two offsets (ADVICE r5). One basename per day
+    keeps the offset dict small (a decade of days is ~3.6k short
+    strings, far below checkpoint-offset practical limits). The daily
+    ingestion the reference schedules with Airflow becomes a
+    checkpointed Spark stream — replayable via readBetweenOffsets,
+    restartable from the checkpoint, drivable with availableNow for
+    batch backfills."""
 
     def __init__(self, options: dict):
         self.dir = options.get("dir")
@@ -126,7 +135,21 @@ class TrendingDaysStreamReader(SimpleDataSourceStreamReader):
         )
 
     def initialOffset(self) -> dict:
-        return {"index": 0}
+        return {"consumed": []}
+
+    @staticmethod
+    def _consumed_set(offset: dict) -> set[str]:
+        # compat shim for checkpoints written by the pre-round-6
+        # positional-index offset format: index n == "the first n files
+        # of the directory as currently sorted" (exactly what the old
+        # reader would have consumed in a churn-free dir)
+        if "index" in offset and "consumed" not in offset:
+            raise ValueError(
+                "positional trending_days offset {'index': ...} is no "
+                "longer supported; restart the stream with a fresh "
+                "checkpoint (offsets are now content-based filename sets)"
+            )
+        return set(offset.get("consumed", []))
 
     def _rows_for(self, files: list[str]) -> list[tuple]:
         from youtube_trending_data_pipeline_spark.sources.fetchers import (
@@ -147,13 +170,27 @@ class TrendingDaysStreamReader(SimpleDataSourceStreamReader):
         return rows
 
     def read(self, start: dict):
-        files = self._files()
-        i = start["index"]
-        return self._rows_for(files[i:]), {"index": len(files)}
+        done = self._consumed_set(start)
+        fresh = [
+            p for p in self._files() if os.path.basename(p) not in done
+        ]
+        end = {"consumed": sorted(done | {os.path.basename(p) for p in fresh})}
+        return self._rows_for(fresh), end
 
     def readBetweenOffsets(self, start: dict, end: dict):
-        files = self._files()
-        return self._rows_for(files[start["index"]:end["index"]])
+        # replay exactly the files this batch consumed: the set difference
+        # of the two content-based offsets. A replayed file that has been
+        # deleted since must fail loudly (silently skipping it would make
+        # recovery emit fewer rows than the committed batch).
+        batch = self._consumed_set(end) - self._consumed_set(start)
+        paths = [os.path.join(self.dir, name) for name in sorted(batch)]
+        missing = [p for p in paths if not os.path.exists(p)]
+        if missing:
+            raise FileNotFoundError(
+                "trending_days replay: committed day-files deleted from "
+                f"{self.dir}: {sorted(os.path.basename(p) for p in missing)}"
+            )
+        return self._rows_for(paths)
 
 
 class TrendingDaysStreamDataSource(DataSource):
@@ -208,9 +245,21 @@ class ReportSenderWriter(DataSourceWriter):
     row (subject, html, recipients_csv) becomes one send, executed on
     the executor that holds the row — a driver-side loop over reports
     would serialize delivery AND funnel every rendered HTML through the
-    driver. commit() receives one SentReports count per partition (the
-    two-phase contract: a failed partition aborts before anything is
-    acknowledged)."""
+    driver.
+
+    Delivery contract: **at-least-once with idempotent senders
+    required** (ADVICE r5). Sends happen inside write(), so a task
+    retry or speculative duplicate re-delivers its partition and
+    abort() cannot undo sends already performed by other partitions.
+    The bundled FileReportSender is idempotent (one file per subject
+    slug, overwritten on re-send); an injected production sender must
+    either be idempotent (e.g. provider-side dedup on a message key
+    derived from the subject) or tolerate duplicates. commit() receives
+    one SentReports count per partition for the job-level audit total —
+    it is bookkeeping, not a transactional barrier. Exactly-once would
+    require staging payloads in write() and delivering in commit(),
+    which trades duplicate-sends for an all-on-one-driver delivery
+    funnel — the wrong trade for a fan-out sink."""
 
     def __init__(self, options: dict):
         self.options = dict(options)
