@@ -1424,9 +1424,9 @@ def f_date_suite(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "s3_bronze_roundtrip",
-    """
+# Shared by s3_bronze_roundtrip and s1_datasource_roundtrip: both pipelines
+# end in the identical silver frame, so they share one oracle.
+_BRONZE_DAY_ORACLE = """
     SELECT CAST(o_orderkey AS VARCHAR) AS id,
            DATE '2025-10-06' AS date,
            CAST(o_orderkey % 10 AS VARCHAR) AS category_id,
@@ -1443,34 +1443,15 @@ def f_date_suite(spark, sf_dir):
            CASE o_orderkey % 3 WHEN 0 THEN 'QA' WHEN 1 THEN 'US' ELSE 'DE' END
              AS region
     FROM orders WHERE o_orderkey <= 240
-    """,
-    "S3/S4/F10/P7 + P1/F1/F2/F3 end-to-end in the exact gate: a bronze "
-    "day is SYNTHESIZED from orders rows as nested videoListResponse "
-    "structs (stringified counts, ISO-8601 durations, Z-suffixed "
-    "timestamps, likeCount absent on odd keys), written through "
-    "write_bronze_day (reference day-file shape: one JSON object mapping "
-    "region -> response, ing:83-91), read back with read_bronze_day's "
-    "explicit schema (no inference, multiLine, region key-presence "
-    "guard), region-demultiplexed, and flattened by the production "
-    "flatten_videos — so the oracle checks the whole JSON ser/de + sink "
-    "+ scan + flatten path, with the missing-statistic default (ing:"
-    "170-172) observable in likes_count. Bounded: the synthetic day is "
-    "<= 60 items regardless of SF (orderkey filter), matching the "
-    "reference's 60-rows/day workload.",
-)
-def s3_bronze_roundtrip(spark, sf_dir):
-    import datetime as dtmod
-    import tempfile
+    """
 
-    from youtube_trending_data_pipeline_spark.operators.flatten import (
-        flatten_videos,
-    )
-    from youtube_trending_data_pipeline_spark.sources.bronze import (
-        read_bronze_day,
-        region_items,
-        write_bronze_day,
-    )
 
+def _synthetic_bronze_day(spark, sf_dir) -> DataFrame:
+    """(region, response) bronze frame synthesized from orders rows as
+    nested videoListResponse structs — stringified counts, ISO-8601
+    durations, Z-suffixed timestamps, likeCount absent on odd keys.
+    Bounded to <= 60 items regardless of SF (orderkey filter), matching
+    the reference's 60-rows/day workload."""
     src = t(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 240)
     key, cust = F.col("o_orderkey"), F.col("o_custkey")
     item = F.struct(
@@ -1507,17 +1488,14 @@ def s3_bronze_roundtrip(spark, sf_dir):
         .when(key % 3 == 1, F.lit("US"))
         .otherwise(F.lit("DE"))
     )
-    bronze = (
+    return (
         src.select(region.alias("region"), item.alias("item"))
         .groupBy("region")
         .agg(F.struct(F.collect_list("item").alias("items")).alias("response"))
     )
-    day_path = tempfile.mkdtemp(prefix="bronze-rt-") + "/day.json"
-    write_bronze_day(bronze, day_path, ["QA", "US", "DE"])
-    silver = flatten_videos(
-        region_items(read_bronze_day(spark, day_path, ["QA", "US", "DE"])),
-        dtmod.date(2025, 10, 6),
-    )
+
+
+def _silver_select(silver: DataFrame) -> DataFrame:
     return silver.select(
         "id", "date", "category_id", "channel_id", "comments_count",
         "likes_count", "views_count", "duration", "title",
@@ -1527,6 +1505,103 @@ def s3_bronze_roundtrip(spark, sf_dir):
         ).alias("publish_us"),
         "region",
     )
+
+
+@register(
+    "s3_bronze_roundtrip",
+    _BRONZE_DAY_ORACLE,
+    "S3/S4/F10/P7 + P1/F1/F2/F3 end-to-end in the exact gate: a bronze "
+    "day is SYNTHESIZED from orders rows as nested videoListResponse "
+    "structs (stringified counts, ISO-8601 durations, Z-suffixed "
+    "timestamps, likeCount absent on odd keys), written through "
+    "write_bronze_day (reference day-file shape: one JSON object mapping "
+    "region -> response, ing:83-91), read back with read_bronze_day's "
+    "explicit schema (no inference, multiLine, region key-presence "
+    "guard), region-demultiplexed, and flattened by the production "
+    "flatten_videos — so the oracle checks the whole JSON ser/de + sink "
+    "+ scan + flatten path, with the missing-statistic default (ing:"
+    "170-172) observable in likes_count. Bounded: the synthetic day is "
+    "<= 60 items regardless of SF (orderkey filter), matching the "
+    "reference's 60-rows/day workload.",
+)
+def s3_bronze_roundtrip(spark, sf_dir):
+    import datetime as dtmod
+    import tempfile
+
+    from youtube_trending_data_pipeline_spark.operators.flatten import (
+        flatten_videos,
+    )
+    from youtube_trending_data_pipeline_spark.sources.bronze import (
+        read_bronze_day,
+        region_items,
+        write_bronze_day,
+    )
+
+    bronze = _synthetic_bronze_day(spark, sf_dir)
+    day_path = tempfile.mkdtemp(prefix="bronze-rt-") + "/day.json"
+    write_bronze_day(bronze, day_path, ["QA", "US", "DE"])
+    silver = flatten_videos(
+        region_items(read_bronze_day(spark, day_path, ["QA", "US", "DE"])),
+        dtmod.date(2025, 10, 6),
+    )
+    return _silver_select(silver)
+
+
+@register(
+    "s1_datasource_roundtrip",
+    _BRONZE_DAY_ORACLE,
+    "S1 in the exact gate (VERDICT r5 #7): the same synthesized bronze "
+    "day is read back through the first-class "
+    "spark.read.format('trending_videos') Python DataSource (one "
+    "InputPartition per region, executor-side fetch through the "
+    "DayFileFetcher seam — the replay path a live REST fetcher plugs "
+    "into, sources/datasource.py), its per-region payload parsed with "
+    "the explicit bronze schema, demultiplexed, and flattened by the "
+    "production flatten_videos. Shares s3_bronze_roundtrip's oracle "
+    "because the DataSource path is row-equal to the file-scan path — "
+    "now driver-verified, not just asserted in "
+    "tests/test_python_datasource.py.",
+)
+def s1_datasource_roundtrip(spark, sf_dir):
+    import datetime as dtmod
+    import tempfile
+
+    from youtube_trending_data_pipeline_spark.operators.flatten import (
+        flatten_videos,
+    )
+    from youtube_trending_data_pipeline_spark.schemas import (
+        VIDEO_LIST_RESPONSE,
+    )
+    from youtube_trending_data_pipeline_spark.sources.bronze import (
+        region_items,
+        write_bronze_day,
+    )
+    from youtube_trending_data_pipeline_spark.sources.datasource import (
+        TrendingVideosDataSource,
+    )
+
+    bronze = _synthetic_bronze_day(spark, sf_dir)
+    day_path = tempfile.mkdtemp(prefix="bronze-ds-") + "/day.json"
+    write_bronze_day(bronze, day_path, ["QA", "US", "DE"])
+    # the sink coalesces to ONE part-file holding the reference-shaped
+    # day object; the DataSource's DayFileFetcher replays that file
+    import glob
+    import os
+
+    (part_file,) = glob.glob(os.path.join(day_path, "part-*"))
+    spark.dataSource.register(TrendingVideosDataSource)
+    via_ds = (
+        spark.read.format("trending_videos")
+        .option("regions", "QA,US,DE")
+        .option("day_file", part_file)
+        .load()
+        .select(
+            "region",
+            F.from_json("payload", VIDEO_LIST_RESPONSE).alias("response"),
+        )
+    )
+    silver = flatten_videos(region_items(via_ds), dtmod.date(2025, 10, 6))
+    return _silver_select(silver)
 
 
 @register(
