@@ -121,3 +121,76 @@ def test_bucketed_pagerank_round_edge_side_shuffle_free(spark):
             "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
         )
         spark.sql("DROP TABLE IF EXISTS edges_b")
+
+
+def test_bucketed_hits_round_edge_side_shuffle_free(spark):
+    """VERDICT r5 #6 — the HITS companion to the PageRank proof above:
+    with TWO bucketed copies of the edge list (by src and by dst), BOTH
+    half-steps of a HITS round read their edge side with NO exchange —
+    the authority half-step (edges⋈hubs on src) consumes the
+    src-bucketed copy, the hub half-step (edges⋈auths on dst) the
+    dst-bucketed copy. Only the small score vectors shuffle, and the
+    two layouts amortize across all iterations x 2 joins — the 100 TB
+    claim in operators/graph.py:hits_integer."""
+    from youtube_trending_data_pipeline_spark.catalog import t
+
+    li = t(spark, "/root/testdata/sf0.001", "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    orders = t(spark, "/root/testdata/sf0.001", "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    edges = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.col("l_suppkey").alias("src"),
+            (F.col("o_custkey") + 1000000).alias("dst"),
+        )
+        .distinct()
+    )
+    for name, key in (("hits_edges_src", "src"), ("hits_edges_dst", "dst")):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            edges.write.bucketBy(8, key)
+            .sortBy(key)
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+    e_src = spark.table("hits_edges_src")
+    e_dst = spark.table("hits_edges_dst")
+    hubs = e_src.select(F.col("src").alias("node")).distinct().select(
+        "node", F.lit(1_000_000).alias("score")
+    )
+    auths = e_dst.select(F.col("dst").alias("node")).distinct().select(
+        "node", F.lit(1_000_000).alias("score")
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        half_steps = [
+            (  # authority half-step: sum hub scores over in-edges
+                e_src.join(hubs, e_src["src"] == hubs["node"])
+                .groupBy("dst")
+                .agg(F.sum("score").alias("raw")),
+                "hits_edges_src",
+            ),
+            (  # hub half-step: sum authority scores over out-edges
+                e_dst.join(auths, e_dst["dst"] == auths["node"])
+                .groupBy("src")
+                .agg(F.sum("score").alias("raw")),
+                "hits_edges_dst",
+            ),
+        ]
+        for step, table in half_steps:
+            step.collect()
+            plan = physical_plan(step)
+            assert "SortMergeJoin" in plan, plan
+            join_tail = plan.split("SortMergeJoin")[-1]
+            edge_scan = join_tail.find(table)
+            assert edge_scan != -1, plan
+            assert "Exchange" not in join_tail[:edge_scan], plan
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+        spark.sql("DROP TABLE IF EXISTS hits_edges_src")
+        spark.sql("DROP TABLE IF EXISTS hits_edges_dst")
