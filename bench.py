@@ -62,6 +62,19 @@ BENCH_QUERIES = [
     # round-5 batch-3: carried-state Arrow fold, window-heavy CDC chunking
     "ewma_user_value",
     "cdc_chunk_dedup",
+    # round-6 breadth (VERDICT r5 #5): the heaviest curation/dedup entries
+    # so regressions in the newest third of the registry show in bench
+    # diffs — banded near-dup joins, cluster-then-dedup, multimodal decode
+    # kernels, shingle-heavy decontamination, and the SFT render composite
+    "dedup_minhash_lsh",
+    "semdedup_keepers",
+    "multimodal_image_dhash_dedup",
+    "multimodal_image_features",
+    "sft_render_masked",
+    "passage_dedup",
+    "sim_lsh_topk",
+    "tokenize_to_ids",
+    "contamination_check",
 ]
 
 
