@@ -688,3 +688,73 @@ def test_span_count_matches_emitted_sentinels(spark):
     for r in rows.values():
         n_sentinels = len(re.findall(r"<extra_id_\d+>", r.corrupted))
         assert r.n_spans == n_sentinels, (r.doc_id, r.n_spans, n_sentinels)
+
+
+# ---------------------------------------------------------------------------
+# Round-6 additions: PQ encode, BLEU components, bloom probe
+# ---------------------------------------------------------------------------
+
+
+def test_pq_encode_centroids_self_code_and_coverage(spark):
+    """Every codebook pivot (the 8 smallest vec_ids) must encode to
+    ITSELF with distance 0 in every subspace, every corpus vector gets
+    exactly one code per subspace, and all codes come from the pivot
+    set."""
+    rows = QUERIES["embedding_pq_encode"].fn(spark, SF).collect()
+    by_vec = {}
+    for r in rows:
+        by_vec.setdefault(r.vec_id, {})[r.sub] = (r.code, r.dist_q)
+    n_vecs = (
+        spark.read.parquet(f"{SF}/embeddings.parquet").count()
+    )
+    assert len(by_vec) == n_vecs
+    pivot_ids = sorted(by_vec)[:8]
+    for vid, subs in by_vec.items():
+        assert sorted(subs) == [0, 1, 2, 3], (vid, subs)
+        for code, dist in subs.values():
+            assert code in pivot_ids
+            assert dist >= 0
+    for pid in pivot_ids:
+        for sub, (code, dist) in by_vec[pid].items():
+            assert (code, dist) == (pid, 0), (pid, sub, code, dist)
+
+
+def test_bleu_components_identical_and_disjoint_pairs(spark):
+    """An identical candidate/reference pair scores 1e6 ppm at both n;
+    a token-disjoint pair scores 0; clipping caps repeated candidate
+    grams at the reference count."""
+    from youtube_trending_data_pipeline_spark import catalog_curation as cc
+    import tempfile
+
+    docs = [
+        (0, "a b c d"), (1, "a b c d"),          # identical -> 1e6
+        (2, "a b c d"), (3, "x y z w"),          # disjoint -> 0
+        (4, "p q"), (5, "p p p q"),              # clip: p counted once
+    ]
+    d = tempfile.mkdtemp(prefix="bleu-")
+    spark.createDataFrame(docs, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(f"{d}/documents.parquet")
+    got = {
+        r.pair_id: (r.n_cand_tokens, r.p1_ppm, r.p2_ppm)
+        for r in QUERIES["eval_bleu_components"].fn(spark, d).collect()
+    }
+    assert got[1] == (4, 1_000_000, 1_000_000)
+    assert got[3] == (4, 0, 0)
+    # cand "p p p q": p1 = (min(3,1) + min(1,1)) / 4 = 0.5
+    # bigrams: 'p p' x2 (ref 0), 'p q' x1 (ref 1) -> 1/3
+    assert got[5] == (4, 500_000, 333_333)
+
+
+def test_bloom_probe_no_false_negatives(spark):
+    """The bloom invariant: every exact member must be a bloom hit
+    (false positives allowed, false negatives impossible), and matched
+    bit counts stay in [0, 3]."""
+    rows = QUERIES["sketch_bloom_probe"].fn(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_matched <= 3
+        if r.is_member:
+            assert r.bloom_hit, r
+        if r.bloom_hit:
+            assert r.n_matched == 3

@@ -2133,3 +2133,223 @@ def span_corruption_t5(spark, sf_dir):
         F.expr("CAST((n + 8) div 10 AS BIGINT)").alias("n_spans"),
         F.col("n").cast("long").alias("n_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Evaluation: BLEU modified n-gram precision components (integer-exact)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "eval_bleu_components",
+    f"""
+    WITH tk AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ), grams AS (
+      SELECT doc_id, 1 AS n, unnest(toks) AS g FROM tk
+      UNION ALL
+      SELECT doc_id, 2 AS n,
+             unnest(list_transform(range(1, len(toks)),
+               i -> toks[i] || ' ' || toks[i + 1])) AS g
+      FROM tk WHERE len(toks) >= 2
+    ), counts AS (
+      SELECT doc_id, n, g, COUNT(*) AS cnt FROM grams GROUP BY 1, 2, 3
+    ), cand AS (
+      SELECT * FROM counts WHERE doc_id % 2 = 1
+    ), ref AS (
+      SELECT doc_id + 1 AS pair_id, n, g, cnt FROM counts WHERE doc_id % 2 = 0
+    ), clipped AS (
+      SELECT c.doc_id AS pair_id, c.n,
+             SUM(least(c.cnt, COALESCE(r.cnt, 0))) AS clip,
+             SUM(c.cnt) AS tot
+      FROM cand c
+      LEFT JOIN ref r ON r.pair_id = c.doc_id AND r.n = c.n AND r.g = c.g
+      WHERE c.doc_id IN (SELECT pair_id FROM ref)
+      GROUP BY 1, 2
+    )
+    SELECT pair_id,
+           CAST(MAX(CASE WHEN n = 1 THEN tot END) AS BIGINT)
+             AS n_cand_tokens,
+           CAST(MAX(CASE WHEN n = 1 THEN (1000000 * clip) // tot END)
+                AS BIGINT) AS p1_ppm,
+           CAST(MAX(CASE WHEN n = 2 THEN (1000000 * clip) // tot END)
+                AS BIGINT) AS p2_ppm
+    FROM clipped GROUP BY pair_id
+    """,
+    "Evaluation: BLEU's modified n-gram precision components between "
+    "paired documents (candidate = odd doc_id, reference = the "
+    "preceding even doc_id — the generation-vs-gold pairing of an eval "
+    "harness). For n in (1, 2): per pair, sum over candidate grams of "
+    "count clipped at the reference count, over total candidate grams, "
+    "as exact ppm integers (the geometric mean + brevity penalty are a "
+    "driver-side exp/log over these exact components — kept out so the "
+    "gate stays integer-exact, the same policy as Gini-vs-entropy and "
+    "MRR-vs-NDCG). Plan: one gram-count aggregate over each side, one "
+    "broadcast-sized equi-join per n on (pair, gram), one pair reduce "
+    "— at 100 TB the gram join shuffles hashed fixed-width keys with "
+    "map-side partial counts, the contamination_check cost shape.",
+)
+def eval_bleu_components(spark, sf_dir):
+    tk = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", _toks().alias("toks"))
+    )
+    one = tk.select("doc_id", F.lit(1).alias("n"), F.explode("toks").alias("g"))
+    two = tk.where(F.size("toks") >= 2).select(
+        "doc_id",
+        F.lit(2).alias("n"),
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1), "
+                "i -> concat(element_at(toks, i), ' ', "
+                "element_at(toks, i + 1)))"
+            )
+        ).alias("g"),
+    )
+    counts = (
+        one.unionByName(two)
+        .groupBy("doc_id", "n", "g")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    cand = counts.where(F.col("doc_id") % 2 == 1)
+    ref = counts.where(F.col("doc_id") % 2 == 0).select(
+        (F.col("doc_id") + 1).alias("pair_id"),
+        F.col("n").alias("rn"),
+        F.col("g").alias("rg"),
+        F.col("cnt").alias("rcnt"),
+    )
+    clipped = (
+        cand.join(
+            ref.select("pair_id").distinct(),
+            cand["doc_id"] == F.col("pair_id"),
+            "left_semi",
+        )
+        .join(
+            ref,
+            (cand["doc_id"] == ref["pair_id"])
+            & (cand["n"] == ref["rn"])
+            & (cand["g"] == ref["rg"]),
+            "left",
+        )
+        .groupBy(cand["doc_id"].alias("pair_id"), "n")
+        .agg(
+            F.sum(F.least("cnt", F.coalesce("rcnt", F.lit(0)))).alias("clip"),
+            F.sum("cnt").alias("tot"),
+        )
+    )
+    return clipped.groupBy("pair_id").agg(
+        F.max(F.when(F.col("n") == 1, F.col("tot")))
+        .cast("long")
+        .alias("n_cand_tokens"),
+        F.max(
+            F.when(F.col("n") == 1, F.expr("(1000000 * clip) div tot"))
+        )
+        .cast("long")
+        .alias("p1_ppm"),
+        F.max(
+            F.when(F.col("n") == 2, F.expr("(1000000 * clip) div tot"))
+        )
+        .cast("long")
+        .alias("p2_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter membership sketch (build + probe, FP-rate audited vs exact)
+# ---------------------------------------------------------------------------
+
+_BLOOM_BITS = 8192  # bits per hash partition (partitioned bloom, k=3)
+
+
+def _bloom_pos_duck(j: int) -> str:
+    return (
+        f"((('0x' || substr(md5(text), {1 + 8 * j}, 6))::BIGINT) "
+        f"% {_BLOOM_BITS} + {j * _BLOOM_BITS})"
+    )
+
+
+@register(
+    "sketch_bloom_probe",
+    f"""
+    WITH build AS (
+      SELECT DISTINCT pos FROM (
+        {" UNION ALL ".join(
+            f"SELECT {_bloom_pos_duck(j)} AS pos FROM documents "
+            "WHERE doc_id % 2 = 0" for j in range(3)
+        )}
+      )
+    ), members AS (
+      SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 2 = 0
+    ), probe AS (
+      SELECT doc_id, md5(text) AS h, p.j,
+             ((('0x' || substr(md5(text), 1 + 8 * p.j, 6))::BIGINT)
+              % {_BLOOM_BITS} + p.j * {_BLOOM_BITS}) AS pos
+      FROM documents, (SELECT unnest(range(3)) AS j) p
+      WHERE doc_id % 2 = 1
+    ), matched AS (
+      SELECT pr.doc_id, pr.h,
+             SUM(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END) AS n_matched
+      FROM probe pr LEFT JOIN build b ON pr.pos = b.pos
+      GROUP BY 1, 2
+    )
+    SELECT m.doc_id, CAST(m.n_matched AS BIGINT) AS n_matched,
+           m.n_matched = 3 AS bloom_hit,
+           EXISTS (SELECT 1 FROM members mm WHERE mm.h = m.h) AS is_member
+    FROM matched m
+    """,
+    "Bloom-filter membership sketch, build + probe + exact audit: the "
+    "build side (even doc_ids) sets k=3 bit positions per content hash "
+    "in a PARTITIONED bloom (each hash function owns its own "
+    f"{_BLOOM_BITS}-bit range — independent FP math, no cross-hash "
+    "position collisions); the probe side (odd doc_ids) reports bits "
+    "matched, the bloom verdict (all 3 set), and the EXACT membership "
+    "verdict side by side, so the entry audits its own false-positive "
+    "rate (false negatives are impossible — asserted in tests). "
+    "Hashes are the md5-portable construction every dedup entry "
+    "shares. Plan: the bit-position set is a bounded broadcast "
+    f"(<= 3 x {_BLOOM_BITS} rows) joined map-side onto probe "
+    "positions; the exact audit is one broadcast semi-probe on the "
+    "content hash. At 100 TB this is the cheap pre-filter in front of "
+    "dedup_incremental's anti-join: ship the kilobyte-scale bloom, "
+    "not the fingerprint store, to every executor.",
+)
+def sketch_bloom_probe(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", F.md5("text").alias("h")
+    )
+
+    def pos(j: int):
+        return (
+            F.conv(F.substring("h", 1 + 8 * j, 6), 16, 10).cast("long")
+            % _BLOOM_BITS
+            + j * _BLOOM_BITS
+        )
+
+    positions = F.array(*[pos(j) for j in range(3)])
+    build = (
+        docs.where(F.col("doc_id") % 2 == 0)
+        .select(F.explode(positions).alias("pos"))
+        .distinct()
+        .withColumn("set_bit", F.lit(1))
+    )
+    members = (
+        docs.where(F.col("doc_id") % 2 == 0).select("h").distinct()
+        .withColumn("is_m", F.lit(True))
+    )
+    probe = docs.where(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "h", F.explode(positions).alias("pos")
+    )
+    matched = (
+        probe.join(F.broadcast(build), "pos", "left")
+        .groupBy("doc_id", "h")
+        .agg(F.sum(F.coalesce("set_bit", F.lit(0))).alias("n_matched"))
+    )
+    return (
+        matched.join(F.broadcast(members), "h", "left")
+        .select(
+            "doc_id",
+            F.col("n_matched").cast("long").alias("n_matched"),
+            (F.col("n_matched") == 3).alias("bloom_hit"),
+            F.coalesce("is_m", F.lit(False)).alias("is_member"),
+        )
+    )

@@ -1478,6 +1478,54 @@ def embedding_quantize_int8(spark, sf_dir):
     return quantize_int8(t(spark, sf_dir, "embeddings"))
 
 
+@register(
+    "embedding_pq_encode",
+    """
+    WITH comps AS (
+      SELECT vec_id, CAST((i - 1) // 16 AS INTEGER) AS sub,
+             (i - 1) % 16 AS j,
+             CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000 + 0.5)
+                  AS BIGINT) AS q
+      FROM embeddings, (SELECT unnest(range(1, 65)) AS i)
+    ), cent AS (
+      SELECT vec_id AS centroid_id, sub, j, q
+      FROM comps
+      WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)
+    ), scored AS (
+      SELECT c.vec_id, c.sub, ct.centroid_id,
+             SUM((c.q - ct.q) * (c.q - ct.q)) AS dist
+      FROM comps c JOIN cent ct ON c.sub = ct.sub AND c.j = ct.j
+      GROUP BY c.vec_id, c.sub, ct.centroid_id
+    ), ranked AS (
+      SELECT vec_id, sub, centroid_id, dist,
+             ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                ORDER BY dist, centroid_id) AS rn
+      FROM scored
+    )
+    SELECT vec_id, sub, centroid_id AS code, CAST(dist AS BIGINT) AS dist_q
+    FROM ranked WHERE rn = 1
+    """,
+    "Product-quantization encoding (PQ codes, the ANN storage ladder's "
+    "last rung after int8 scalar quantization): each 64-dim vector "
+    "splits into 4 subspaces of 16 components; per subspace the "
+    "codebook is the sub-vectors of the 8 smallest vec_ids "
+    "(deterministic auditable pivots, same policy as sim_ivf_pivot_"
+    "topk — learned KMeans codebooks are partition-layout-dependent), "
+    "and assignment minimizes EXACT integer squared L2 distance at "
+    "1e-4 quantization with smallest-centroid tie-break. Plan: the "
+    "m x n_centroids codebook broadcasts, sub-vector rows stream "
+    "map-side, and the argmin is one min(struct) hash aggregate — "
+    "partial map-side min, no window. Oracle replays components "
+    "exploded to (sub, j, q) integer grids.",
+)
+def embedding_pq_encode(spark, sf_dir):
+    from youtube_trending_data_pipeline_spark.operators.similarity import (
+        pq_encode,
+    )
+
+    return pq_encode(t(spark, sf_dir, "embeddings"))
+
+
 def _pagerank_oracle(iterations: int = 5) -> str:
     """Declarative replay of integer PageRank: the fixed iteration count
     is unrolled into chained CTEs (DuckDB's recursive terms cannot

@@ -558,3 +558,73 @@ def pca_project(
         for col in range(axes.shape[1])
     ]
     return df.select(F.col(id_col), *projections)
+
+
+def pq_encode(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = 4,
+    n_centroids: int = 8,
+) -> DataFrame:
+    """Product-quantization encoding with DETERMINISTIC codebooks — the
+    index write-path that completes the ANN storage ladder (float32 ->
+    int8 scalar quantization -> PQ codes at m*log2(n_centroids) bits
+    per vector, here 4 x 3 bits vs 2048 float bits).
+
+    Each vector splits into ``m`` contiguous subspaces of ``dim/m``
+    components; per subspace the codebook is the sub-vectors of the
+    first ``n_centroids`` corpus vectors by id (the same auditable-
+    pivot policy as ivf_pivot_topk — a learned-KMeans codebook would be
+    partition-layout-dependent, this one is a pure function of the
+    data). Assignment minimizes EXACT integer squared L2 distance
+    (components quantized to 1e-4 units, so the argmin and its
+    tie-break — smallest centroid id — are bit-reproducible across
+    engines and reruns).
+
+    Plan shape: the codebook is an ``m * n_centroids``-row broadcast;
+    sub-vector rows stream map-side through the broadcast join, and the
+    argmin is ONE hash aggregate of ``min(struct(dist, centroid))`` —
+    partial map-side min, no window, no extra exchange. At 100 TB the
+    only shuffle is (corpus rows x m) pre-reduced per partition.
+    """
+    d_sub = dim // m
+    sub_arrays = F.array(
+        *[F.slice(F.col(vec_col), s * d_sub + 1, d_sub) for s in range(m)]
+    )
+    subs = df.select(
+        F.col(id_col), F.posexplode(sub_arrays).alias("sub", "svec")
+    )
+    codebook = F.broadcast(
+        df.orderBy(id_col)
+        .limit(n_centroids)
+        .select(
+            F.col(id_col).alias("centroid_id"),
+            F.posexplode(sub_arrays).alias("sub", "cvec"),
+        )
+    )
+    qdist = F.aggregate(
+        F.zip_with(
+            F.col("svec"),
+            F.col("cvec"),
+            lambda a, b: F.floor(a.cast("double") * 10000 + F.lit(0.5))
+            - F.floor(b.cast("double") * 10000 + F.lit(0.5)),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x * x,
+    )
+    scored = subs.join(codebook, "sub").select(
+        id_col,
+        "sub",
+        F.struct(
+            qdist.alias("dist"), F.col("centroid_id").alias("code")
+        ).alias("cand"),
+    )
+    best = scored.groupBy(id_col, "sub").agg(F.min("cand").alias("best"))
+    return best.select(
+        id_col,
+        "sub",
+        F.col("best.code").alias("code"),
+        F.col("best.dist").alias("dist_q"),
+    )
