@@ -448,3 +448,20 @@ def test_xml_funcs_zero_shuffle(spark):
     """f_xml_funcs: XML build + parse is a pure map-side projection."""
     df = QUERIES["f_xml_funcs"].fn(spark, SF)
     assert count_exchanges(df) == 0, formatted_plan(df)
+
+
+def test_pq_encode_broadcast_codebook_single_reduce(spark):
+    """embedding_pq_encode: the m x n_centroids codebook must reach the
+    corpus side as a BROADCAST join (never a shuffled join of the full
+    sub-vector stream), and the argmin must be the min(struct) hash
+    aggregate — partial map-side min, so the post-join exchange carries
+    pre-reduced (vec_id, sub) rows, not the n x centroids scored
+    stream."""
+    df = QUERIES["embedding_pq_encode"].fn(spark, SF)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    # one exchange for the (vec_id, sub) reduce; the codebook's
+    # broadcast distribution and its tiny limit don't count as data
+    # exchanges of the corpus stream
+    assert "HashAggregate" in plan, plan

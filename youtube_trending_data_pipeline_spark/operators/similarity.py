@@ -585,9 +585,12 @@ def pq_encode(
 
     Plan shape: the codebook is an ``m * n_centroids``-row broadcast;
     sub-vector rows stream map-side through the broadcast join, and the
-    argmin is ONE hash aggregate of ``min(struct(dist, centroid))`` —
-    partial map-side min, no window, no extra exchange. At 100 TB the
-    only shuffle is (corpus rows x m) pre-reduced per partition.
+    argmin is ONE HASH aggregate over a packed BIGINT
+    ``dist * n_centroids + centroid_rank`` (a struct-min would compile
+    to SortAggregate — long-typed min keeps whole-stage hash
+    aggregation with partial map-side min), decoded through a second
+    tiny broadcast. At 100 TB the only corpus-sized exchange carries
+    (corpus rows x m) pre-reduced per partition.
     """
     d_sub = dim // m
     sub_arrays = F.array(
@@ -596,12 +599,34 @@ def pq_encode(
     subs = df.select(
         F.col(id_col), F.posexplode(sub_arrays).alias("sub", "svec")
     )
-    codebook = F.broadcast(
+    # rank 0..n_centroids-1 in centroid-id order: the packed-long
+    # tie-break (min dist, then min rank) == (min dist, min centroid id)
+    ranked_seeds = (
         df.orderBy(id_col)
         .limit(n_centroids)
         .select(
             F.col(id_col).alias("centroid_id"),
-            F.posexplode(sub_arrays).alias("sub", "cvec"),
+            (
+                F.row_number().over(
+                    Window.orderBy(F.col(id_col).asc())
+                )
+                - 1
+            ).alias("rank"),
+            F.col(vec_col).alias("_cv"),
+        )
+    )
+    codebook = F.broadcast(
+        ranked_seeds.select(
+            "centroid_id",
+            "rank",
+            F.posexplode(
+                F.array(
+                    *[
+                        F.slice(F.col("_cv"), s * d_sub + 1, d_sub)
+                        for s in range(m)
+                    ]
+                )
+            ).alias("sub", "cvec"),
         )
     )
     qdist = F.aggregate(
@@ -617,14 +642,17 @@ def pq_encode(
     scored = subs.join(codebook, "sub").select(
         id_col,
         "sub",
-        F.struct(
-            qdist.alias("dist"), F.col("centroid_id").alias("code")
-        ).alias("cand"),
+        (qdist * n_centroids + F.col("rank")).alias("packed"),
     )
-    best = scored.groupBy(id_col, "sub").agg(F.min("cand").alias("best"))
-    return best.select(
-        id_col,
-        "sub",
-        F.col("best.code").alias("code"),
-        F.col("best.dist").alias("dist_q"),
+    best = scored.groupBy(id_col, "sub").agg(F.min("packed").alias("packed"))
+    rank_map = F.broadcast(ranked_seeds.select("centroid_id", "rank"))
+    return (
+        best.withColumn("rank", F.col("packed") % n_centroids)
+        .join(rank_map, "rank")
+        .select(
+            id_col,
+            "sub",
+            F.col("centroid_id").alias("code"),
+            F.expr(f"packed div {n_centroids}").alias("dist_q"),
+        )
     )
