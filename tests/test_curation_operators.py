@@ -758,3 +758,74 @@ def test_bloom_probe_no_false_negatives(spark):
             assert r.bloom_hit, r
         if r.bloom_hit:
             assert r.n_matched == 3
+
+
+def test_detokenize_roundtrip_exact_when_no_unk(spark):
+    """The lossless-round-trip contract: every document with zero UNKs
+    MUST reconstruct exactly; documents with UNKs must not claim
+    exactness."""
+    rows = QUERIES["detokenize_roundtrip"].fn(spark, SF).collect()
+    assert rows
+    no_unk = [r for r in rows if r.n_unk == 0]
+    assert no_unk, "vocab c>=2 should cover some documents fully"
+    for r in no_unk:
+        assert r.roundtrip_exact, r
+    for r in rows:
+        if r.n_unk > 0:
+            assert not r.roundtrip_exact, r
+
+
+def test_matryoshka_energy_monotone_and_zero_shuffle(spark):
+    """Prefix energies are monotone (e16 <= e32 <= 1e6) and the plan has
+    NO exchange — it is a pure map-side projection."""
+    from youtube_trending_data_pipeline_spark.plans.explain import (
+        physical_plan,
+    )
+
+    df = QUERIES["embedding_matryoshka_truncate"].fn(spark, SF)
+    plan = physical_plan(df)
+    assert "Exchange" not in plan, plan
+    for r in df.collect():
+        assert 0 <= r.energy16_ppm <= r.energy32_ppm <= 1_000_000, r
+        assert 0 <= r.norm_16_q <= r.norm_full_q, r
+
+
+def test_tokenizer_fertility_bounds(spark):
+    """Every whitespace word yields at least one BPE-ish subword, so
+    fertility >= 1e6 ppm per language."""
+    rows = QUERIES["tokenizer_fertility"].fn(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.n_subwords >= r.n_words > 0, r
+        assert r.fertility_ppm >= 1_000_000, r
+
+
+def test_chunk_stitch_detects_all_adjacent_seams(spark):
+    """Ground-truth completeness: for every document, every consecutive
+    chunk pair (full 200-char chunk followed by a >=50-char chunk) must
+    appear as a detected pair flagged adjacent=True."""
+    import duckdb
+
+    rows = QUERIES["chunk_stitch_detect"].fn(spark, SF).collect()
+    detected = {
+        (r.a_doc, r.a_start, r.b_doc, r.b_start)
+        for r in rows
+        if r.adjacent
+    }
+    con = duckdb.connect()
+    expect = con.execute(
+        f"""
+        WITH c AS (
+          SELECT doc_id, CAST(start AS INT) AS s,
+                 len(substr(text, CAST(start AS INT) + 1, 200)) AS l
+          FROM (SELECT doc_id, text, unnest(range(0, n_chars, 150)) AS start
+                FROM '{SF}/documents.parquet' WHERE n_chars > 0)
+        )
+        SELECT a.doc_id, a.s FROM c a JOIN c b
+          ON a.doc_id = b.doc_id AND b.s = a.s + 150
+        WHERE a.l = 200 AND b.l >= 50
+        """
+    ).fetchall()
+    for doc, s in expect:
+        assert (doc, s, doc, s + 150) in detected, (doc, s)
+    assert expect, "testdata should contain documents longer than 200 chars"

@@ -2353,3 +2353,321 @@ def sketch_bloom_probe(spark, sf_dir):
             F.coalesce("is_m", F.lit(False)).alias("is_member"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-6 batch 2: decode round-trip, MRL truncation audit, tokenizer
+# fertility, chunk-stitch detection
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "detokenize_roundtrip",
+    f"""
+    WITH tk AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ), pos AS (
+      SELECT doc_id, i AS pos, toks[i + 1] AS tok
+      FROM tk, LATERAL (SELECT unnest(range(0, len(toks))) AS i) g
+      WHERE len(toks) > 0
+    ), vc AS (
+      SELECT tok AS token, CAST(COUNT(*) AS BIGINT) AS c FROM pos GROUP BY 1
+    ), vocab AS (
+      SELECT token,
+             CAST(ROW_NUMBER() OVER (ORDER BY c DESC, token) AS BIGINT) AS id
+      FROM vc WHERE c >= 2
+    ), enc AS (
+      SELECT p.doc_id, p.pos, v.id, p.tok
+      FROM pos p LEFT JOIN vocab v ON v.token = p.tok
+    ), dec AS (
+      SELECT e.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(CASE WHEN e.id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_unk,
+             string_agg(COALESCE(v2.token, '<unk>'), ' ' ORDER BY e.pos)
+               AS decoded
+      FROM enc e LEFT JOIN vocab v2 ON v2.id = e.id
+      GROUP BY e.doc_id
+    )
+    SELECT d.doc_id, d.n_tokens, d.n_unk,
+           (d.n_unk = 0 AND
+            d.decoded = array_to_string({_TOKS_SQL.replace('text', 'dd.text')}, ' '))
+             AS roundtrip_exact
+    FROM dec d JOIN documents dd ON dd.doc_id = d.doc_id
+    """,
+    "Detokenization round-trip integrity gate: encode every document "
+    "through the SAME frequency-ranked vocabulary as tokenize_to_ids, "
+    "decode the id sequence back through the reverse vocabulary "
+    "(OOV -> '<unk>'), and verify the reconstruction equals the "
+    "normalized original exactly when no UNKs were emitted — the "
+    "lossless-round-trip check a tokenized-corpus release runs before "
+    "shipping (id corruption, vocab drift, and ordering bugs all land "
+    "here). Plan: the decode is a second broadcast join against the "
+    "same vocab (id-keyed this time) + one ordered doc reassembly; "
+    "nothing new shuffles beyond tokenize_to_ids' own shapes. "
+    "tests assert n_unk=0 docs ALWAYS round-trip exactly.",
+)
+def detokenize_roundtrip(spark, sf_dir):
+    pos = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", _toks().alias("_toks"))
+        .where(F.size("_toks") > 0)
+        .select("doc_id", F.posexplode("_toks").alias("pos", "tok"))
+    )
+    vc = pos.groupBy(F.col("tok").alias("token")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    vocab = (
+        vc.where(F.col("c") >= 2)
+        .withColumn(
+            "id",
+            F.row_number().over(W.orderBy(F.desc("c"), "token")).cast("long"),
+        )
+        .select("token", "id")
+    )
+    enc = pos.join(F.broadcast(vocab), pos["tok"] == vocab["token"], "left")
+    dec_vocab = F.broadcast(
+        vocab.select(F.col("id").alias("did"), F.col("token").alias("dtok"))
+    )
+    dec = (
+        enc.select("doc_id", "pos", "id")
+        .join(dec_vocab, F.col("id") == F.col("did"), "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("id").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_unk"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                "pos",
+                                F.coalesce("dtok", F.lit("<unk>")).alias("tk"),
+                            )
+                        )
+                    ),
+                    lambda x: x.tk,
+                ),
+                " ",
+            ).alias("decoded"),
+        )
+    )
+    orig = t(spark, sf_dir, "documents").select(
+        "doc_id", F.array_join(_toks(), " ").alias("norm_text")
+    )
+    return dec.join(orig, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        "n_unk",
+        (
+            (F.col("n_unk") == 0) & (F.col("decoded") == F.col("norm_text"))
+        ).alias("roundtrip_exact"),
+    )
+
+
+@register(
+    "embedding_matryoshka_truncate",
+    """
+    WITH comps AS (
+      SELECT vec_id, i,
+             CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000 + 0.5)
+                  AS BIGINT) AS q
+      FROM embeddings, (SELECT unnest(range(1, 65)) AS i)
+    )
+    SELECT vec_id,
+           CAST(SUM(q * q) AS BIGINT) AS norm_full_q,
+           CAST(SUM(CASE WHEN i <= 16 THEN q * q ELSE 0 END) AS BIGINT)
+             AS norm_16_q,
+           CAST((1000000 * SUM(CASE WHEN i <= 16 THEN q * q ELSE 0 END))
+                // SUM(q * q) AS BIGINT) AS energy16_ppm,
+           CAST((1000000 * SUM(CASE WHEN i <= 32 THEN q * q ELSE 0 END))
+                // SUM(q * q) AS BIGINT) AS energy32_ppm
+    FROM comps
+    GROUP BY vec_id
+    """,
+    "Matryoshka (MRL) truncation audit: for every embedding, the "
+    "fraction of squared norm retained by the first 16 and 32 of 64 "
+    "components, in exact ppm integers over 1e-4-quantized components "
+    "— the decision table for 'can this corpus serve 4x-cheaper "
+    "truncated vectors?' (MRL-trained embeddings front-load energy; "
+    "this measures whether THESE vectors do). Pure map-side HOF-free "
+    "arithmetic; zero shuffle beyond the per-vector reduce of its own "
+    "64 rows — and the Spark side never explodes at all: fixed-length "
+    "slices + the same quantized fold as the Gram kernel, one "
+    "projection, NO exchange (plan-gated).",
+)
+def embedding_matryoshka_truncate(spark, sf_dir):
+    def qnorm(length: int):
+        return F.aggregate(
+            F.slice(F.col("embedding"), 1, length),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc
+            + F.floor(x.cast("double") * 10000 + F.lit(0.5))
+            * F.floor(x.cast("double") * 10000 + F.lit(0.5)),
+        )
+
+    return (
+        t(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            qnorm(64).alias("norm_full_q"),
+            qnorm(16).alias("norm_16_q"),
+            qnorm(32).alias("norm_32_q"),
+        )
+        .select(
+            "vec_id",
+            "norm_full_q",
+            "norm_16_q",
+            F.expr("(1000000 * norm_16_q) div norm_full_q").alias(
+                "energy16_ppm"
+            ),
+            F.expr("(1000000 * norm_32_q) div norm_full_q").alias(
+                "energy32_ppm"
+            ),
+        )
+    )
+
+
+@register(
+    "tokenizer_fertility",
+    """
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(list_filter(str_split_regex(text, '\\s+'),
+                                    x -> x <> ''))) AS BIGINT) AS n_words,
+           CAST(SUM(len(regexp_extract_all(text,
+                    '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))) AS BIGINT)
+             AS n_subwords,
+           CAST((1000000 * SUM(len(regexp_extract_all(text,
+                    '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))))
+                // SUM(len(list_filter(str_split_regex(text, '\\s+'),
+                                       x -> x <> ''))) AS BIGINT)
+             AS fertility_ppm,
+           CAST((1000000 * SUM(n_chars))
+                // SUM(len(regexp_extract_all(text,
+                     '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))) AS BIGINT)
+             AS chars_per_subword_ppm
+    FROM documents
+    GROUP BY lang
+    """,
+    "Tokenizer fertility by language — the standard multilingual-"
+    "tokenizer equity metric (subwords emitted per whitespace word; "
+    "high fertility = that language pays more sequence length per "
+    "word): per lang, exact ppm ratios of BPE-ish pretokenizer tokens "
+    "(letter runs / digit runs / single punctuation — the same scheme "
+    "as text_token_bpe) over words, plus chars-per-subword "
+    "(compression). One map-side projection + one small per-lang "
+    "aggregate; the shuffle carries |langs| pre-reduced rows.",
+)
+def tokenizer_fertility(spark, sf_dir):
+    from youtube_trending_data_pipeline_spark.functions.text import token_count
+
+    docs = t(spark, sf_dir, "documents").select(
+        "lang",
+        "n_chars",
+        token_count("text").alias("w"),
+        F.size(
+            F.regexp_extract_all(
+                "text", F.lit(r"([a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s])"), 1
+            )
+        )
+        .cast("long")
+        .alias("s"),
+    )
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("w").cast("long").alias("n_words"),
+        F.sum("s").cast("long").alias("n_subwords"),
+        F.expr("(1000000 * sum(s)) div sum(w)").alias("fertility_ppm"),
+        F.expr("(1000000 * sum(n_chars)) div sum(s)").alias(
+            "chars_per_subword_ppm"
+        ),
+    )
+
+
+@register(
+    "chunk_stitch_detect",
+    """
+    WITH chunks AS (
+      SELECT doc_id, CAST(start AS INT) AS chunk_start,
+             substr(text, CAST(start AS INT) + 1, 200) AS chunk
+      FROM (SELECT doc_id, text, unnest(range(0, n_chars, 150)) AS start
+            FROM documents WHERE n_chars > 0) exploded
+    ), tails AS (
+      SELECT doc_id AS a_doc, chunk_start AS a_start,
+             substr(chunk, 151, 50) AS seam
+      FROM chunks WHERE len(chunk) = 200
+    ), heads AS (
+      SELECT doc_id AS b_doc, chunk_start AS b_start,
+             substr(chunk, 1, 50) AS seam
+      FROM chunks WHERE len(chunk) >= 50
+    )
+    SELECT a_doc, a_start, b_doc, b_start,
+           (a_doc = b_doc AND b_start = a_start + 150) AS adjacent
+    FROM tails JOIN heads USING (seam)
+    WHERE NOT (a_doc = b_doc AND a_start = b_start)
+    """,
+    "Chunk-stitch detection — the inverse of doc_chunk_overlap and the "
+    "dedup problem overlapped chunking creates: given content-chunked "
+    "rows (200-char windows every 150 chars, 50-char overlap), find "
+    "every (chunk A, chunk B) pair where A's 50-char tail equals B's "
+    "50-char head PURELY FROM CONTENT — recovering the stitch order of "
+    "a shredded corpus and flagging cross-document boundary "
+    "coincidences (mirrors/templates) in the same pass; the 'adjacent' "
+    "column verifies detection against ground truth. Plan: one "
+    "generator fan-out, one equi-join on the fixed-width seam string "
+    "(at 100 TB: join on its 64-bit hash with verify-equality, same "
+    "shuffle narrowing as the minhash band join). Self-pairs excluded.",
+)
+def chunk_stitch_detect(spark, sf_dir):
+    chunks = (
+        t(spark, sf_dir, "documents")
+        .where(F.col("n_chars") > 0)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(
+                    F.lit(0), (F.col("n_chars") - 1).cast("int"), F.lit(150)
+                )
+            ).alias("chunk_start"),
+            "text",
+        )
+        .select(
+            "doc_id",
+            "chunk_start",
+            F.substring(F.col("text"), F.col("chunk_start") + 1, 200).alias(
+                "chunk"
+            ),
+        )
+    )
+    tails = chunks.where(F.length("chunk") == 200).select(
+        F.col("doc_id").alias("a_doc"),
+        F.col("chunk_start").alias("a_start"),
+        F.substring("chunk", 151, 50).alias("seam"),
+    )
+    heads = chunks.where(F.length("chunk") >= 50).select(
+        F.col("doc_id").alias("b_doc"),
+        F.col("chunk_start").alias("b_start"),
+        F.substring("chunk", 1, 50).alias("seam"),
+    )
+    return (
+        tails.join(heads, "seam")
+        .where(
+            ~(
+                (F.col("a_doc") == F.col("b_doc"))
+                & (F.col("a_start") == F.col("b_start"))
+            )
+        )
+        .select(
+            "a_doc",
+            "a_start",
+            "b_doc",
+            "b_start",
+            (
+                (F.col("a_doc") == F.col("b_doc"))
+                & (F.col("b_start") == F.col("a_start") + 150)
+            ).alias("adjacent"),
+        )
+    )
