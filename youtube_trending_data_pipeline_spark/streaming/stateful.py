@@ -103,3 +103,69 @@ def running_user_engagement(
         outputMode="update",
         timeoutConf=timeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 transformWithStateInPandas: the successor stateful API
+# ---------------------------------------------------------------------------
+
+
+def running_user_engagement_tws(events_stream: DataFrame) -> DataFrame:
+    """Same running per-user engagement fold as
+    :func:`running_user_engagement`, expressed through Spark 4's
+    ``transformWithStateInPandas`` — the successor API to
+    applyInPandasWithState (SPARK-49564): per-key TYPED state handles
+    (ValueState / ListState / MapState) with schema'd values instead of
+    one opaque tuple, an object-oriented StatefulProcessor lifecycle
+    (init/handleInputRows/close), native state TTL, and timers — the
+    API new stateful operators should target; the applyInPandasWithState
+    form above is kept as the compatibility path. Emits one updated
+    summary row per user per micro-batch (Update mode). Exact integer
+    cents, same bit-determinism policy as the batch side.
+
+    Runtime requirements beyond applyInPandasWithState: the RocksDB
+    state-store provider and the ``protobuf`` package (the
+    transformWithState state-server protocol is protobuf-framed) —
+    absent protobuf the query fails at initialization, so the test is
+    import-gated like the optional multimodal decoders."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class EngagementProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("agg", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            (user_id,) = key
+            n, total, last = (
+                self._state.get() if self._state.exists() else (0, 0, 0)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                total += int(
+                    np.floor(pdf["value"].to_numpy() * 100 + 0.5)
+                    .astype("int64")
+                    .sum()
+                )
+                last = max(last, int(pdf["ts"].max()))
+            self._state.update((n, total, last))
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "n_events": [n],
+                    "total_value": [total / 100.0],
+                    "last_ts": [last],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events_stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=EngagementProcessor(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
