@@ -829,3 +829,74 @@ def test_chunk_stitch_detects_all_adjacent_seams(spark):
     for doc, s in expect:
         assert (doc, s, doc, s + 150) in detected, (doc, s)
     assert expect, "testdata should contain documents longer than 200 chars"
+
+
+def test_round6_multimodal_kernels_quarantine_and_semantics(spark):
+    """The round-6 kernels inherit the quarantine contract (corrupt
+    bytes -> one NULL row, never a crash) and their integer semantics
+    hold on crafted assets: a hard black->white frame change is a cut,
+    a constant clip has zero cuts; an all-black image lands entirely in
+    bucket 0; leading/trailing quiet samples count exactly."""
+    import struct
+
+    from youtube_trending_data_pipeline_spark.operators.multimodal import (
+        audio_silence_trim,
+        detect_scene_cuts,
+        image_gray_histogram,
+    )
+
+    # video: 2x2 C420, 3 frames: black, black, white -> cut only at idx 2
+    def frame(y: int) -> bytes:
+        return b"FRAME\n" + bytes([y] * 4) + bytes([128, 128])
+
+    clip = (
+        b"YUV4MPEG2 W2 H2 F10:1 Ip A1:1 C420\n"
+        + frame(0) + frame(0) + frame(255)
+    )
+    media = spark.createDataFrame(
+        [("v", "video", clip), ("bad", "video", b"junk")],
+        "asset_id string, media_type string, content binary",
+    )
+    cuts = {
+        (r.asset_id, r.frame_idx): (r.delta_ppm, r.is_cut)
+        for r in detect_scene_cuts(media).collect()
+    }
+    assert cuts[("v", 1)] == (0, False)
+    assert cuts[("v", 2)] == (1_000_000, True)
+    assert cuts[("bad", None)] == (None, None)
+
+    # image: all-black 2x2 -> 4 pixels in bucket 0
+    img = spark.createDataFrame(
+        [("black", "image", b"P6\n2 2\n255\n" + bytes(12)),
+         ("bad", "image", b"nope")],
+        "asset_id string, media_type string, content binary",
+    )
+    hist = {
+        (r.asset_id, r.bucket): r.n_px
+        for r in image_gray_histogram(img).collect()
+    }
+    assert hist[("black", 0)] == 4
+    assert hist[("bad", None)] is None
+
+    # audio: samples [10, 5000, -4000, 20] at threshold 256 -> lead 1, tail 1
+    def wav(samples):
+        data = b"".join(struct.pack("<h", s) for s in samples)
+        hdr = (
+            b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 1000, 2000, 2, 16)
+            + b"data" + struct.pack("<I", len(data))
+        )
+        return hdr + data
+    aud = spark.createDataFrame(
+        [("a", "audio", wav([10, 5000, -4000, 20])),
+         ("quiet", "audio", wav([0, 0])),
+         ("bad", "audio", b"x")],
+        "asset_id string, media_type string, content binary",
+    )
+    trims = {
+        r.asset_id: (r.n_samples, r.lead_silent, r.tail_silent)
+        for r in audio_silence_trim(aud).collect()
+    }
+    assert trims["a"] == (4, 1, 1)
+    assert trims["quiet"] == (2, 2, 2)
+    assert trims["bad"] == (None, None, None)

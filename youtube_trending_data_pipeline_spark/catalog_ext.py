@@ -4839,3 +4839,192 @@ def url_domain_stats(spark, sf_dir):
             F.countDistinct("path").alias("n_unique_paths"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-6 multimodal batch: scene cuts, grayscale histogram, silence trim
+# ---------------------------------------------------------------------------
+
+
+def _scene_cut_oracle(n_frames: int = 4, threshold_ppm: int = 150_000) -> str:
+    """Exact replay of the Y4M scene-cut path: per adjacent frame pair,
+    integer luma sums and the ppm delta verdict."""
+    def fsum(f: int) -> str:
+        return " + ".join(_y4m_luma(f, i) for i in range(4))
+
+    parts = []
+    for f in range(1, n_frames):
+        parts.append(
+            f"""
+    SELECT CAST(doc_id AS VARCHAR) AS asset_id,
+           CAST({f} AS INT) AS frame_idx,
+           CAST((1000000 * abs(({fsum(f)}) - ({fsum(f - 1)}))) // (255 * 4)
+                AS BIGINT) AS delta_ppm,
+           ((1000000 * abs(({fsum(f)}) - ({fsum(f - 1)}))) // (255 * 4))
+             >= {threshold_ppm} AS is_cut
+    FROM documents"""
+        )
+    return " UNION ALL ".join(parts)
+
+
+@register(
+    "multimodal_video_scene_cuts",
+    _scene_cut_oracle(),
+    "Multimodal video scene-change detection: per-doc synthetic 4-frame "
+    "2x2 Y4M clip (real bytes) -> mapInPandas with the REAL Y4M parser "
+    "-> one row per adjacent frame pair with the integer mean-luma "
+    "delta (ppm of full-scale) and the cut verdict at a 15% threshold "
+    "— the shot-boundary pass a video-training pipeline runs before "
+    "frame sampling (sample densely near cuts, sparsely inside shots). "
+    "All frame pairs compare inside the Python worker from one binary "
+    "cell; exact integer deltas so the oracle replays bit-for-bit.",
+)
+def multimodal_video_scene_cuts(spark, sf_dir):
+    from youtube_trending_data_pipeline_spark.operators.multimodal import (
+        detect_scene_cuts,
+    )
+
+    frame_parts = []
+    for f in range(4):
+        luma_hex = F.concat(
+            *[
+                F.lpad(
+                    F.hex((F.col("doc_id") * 11 + f * 29 + i * 17) % 256),
+                    2,
+                    "0",
+                )
+                for i in range(4)
+            ]
+        )
+        chroma_hex = F.concat(
+            F.lpad(F.hex((F.col("doc_id") * 5 + f * 3) % 256), 2, "0"),
+            F.lpad(F.hex((F.col("doc_id") * 3 + f * 7) % 256), 2, "0"),
+        )
+        frame_parts.append(F.encode(F.lit("FRAME\n"), "utf-8"))
+        frame_parts.append(F.unhex(F.concat(luma_hex, chroma_hex)))
+    media = t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("asset_id"),
+        F.lit("video").alias("media_type"),
+        F.concat(
+            F.encode(F.lit("YUV4MPEG2 W2 H2 F10:1 Ip A1:1 C420\n"), "utf-8"),
+            *frame_parts,
+        ).alias("content"),
+    )
+    return detect_scene_cuts(media, threshold_ppm=150_000).orderBy(
+        "asset_id", "frame_idx"
+    )
+
+
+def _gray_hist_oracle() -> str:
+    """Exact replay of the 2x2 P6 grayscale histogram: per pixel p,
+    gray = (v(3p)+v(3p+1)+v(3p+2)) // 3, bucket = gray * 4 // 256."""
+    def v(i: int) -> str:
+        return f"((doc_id * 7 + {i} * 13) % 256)"
+
+    pix = " UNION ALL ".join(
+        f"SELECT doc_id, ((({v(3 * p)}) + ({v(3 * p + 1)}) + ({v(3 * p + 2)}))"
+        f" // 3) * 4 // 256 AS bucket FROM documents"
+        for p in range(4)
+    )
+    return f"""
+    SELECT CAST(doc_id AS VARCHAR) AS asset_id,
+           CAST(bucket AS INT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_px
+    FROM ({pix})
+    GROUP BY doc_id, bucket
+    """
+
+
+@register(
+    "multimodal_image_histogram",
+    _gray_hist_oracle(),
+    "Multimodal image grayscale histogram: the same synthetic 2x2 P6 "
+    "assets as multimodal_image_features, decoded by the REAL "
+    "pure-Python P6 parser, reduced to sparse (bucket, n_px) rows over "
+    "4 luminance buckets with integer gray = (r+g+b) // 3 — the "
+    "exposure/contrast screen an image-training pipeline runs to drop "
+    "all-black/all-white assets before the expensive embedding pass. "
+    "Oracle replays every pixel exactly.",
+)
+def multimodal_image_histogram(spark, sf_dir):
+    from youtube_trending_data_pipeline_spark.operators.multimodal import (
+        image_gray_histogram,
+    )
+
+    pixel_hex = F.concat(
+        *[
+            F.lpad(F.hex((F.col("doc_id") * 7 + i * 13) % 256), 2, "0")
+            for i in range(12)
+        ]
+    )
+    media = t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("asset_id"),
+        F.lit("image").alias("media_type"),
+        F.concat(
+            F.encode(F.lit("P6\n2 2\n255\n"), "utf-8"), F.unhex(pixel_hex)
+        ).alias("content"),
+    )
+    return image_gray_histogram(media, buckets=4).orderBy(
+        "asset_id", "bucket"
+    )
+
+
+def _silence_oracle(threshold: int = 256) -> str:
+    """Exact replay of the 4-sample WAV silence trim: nested CASE chains
+    count leading/trailing samples with |v| < threshold."""
+    s = [f"(((doc_id * 13 + {i} * 37) % 2048) - 1024)" for i in range(4)]
+
+    def silent(i: int) -> str:
+        return f"abs({s[i]}) < {threshold}"
+
+    def chain(order: list[int]) -> str:
+        # CASE WHEN not silent(first) THEN 0 WHEN not silent(second) THEN 1 ...
+        whens = "".join(
+            f" WHEN NOT ({silent(idx)}) THEN {k}"
+            for k, idx in enumerate(order)
+        )
+        return f"CASE{whens} ELSE 4 END"
+
+    return f"""
+    SELECT CAST(doc_id AS VARCHAR) AS asset_id,
+           CAST(4 AS BIGINT) AS n_samples,
+           CAST({chain([0, 1, 2, 3])} AS BIGINT) AS lead_silent,
+           CAST({chain([3, 2, 1, 0])} AS BIGINT) AS tail_silent
+    FROM documents
+    """
+
+
+@register(
+    "multimodal_audio_silence_trim",
+    _silence_oracle(),
+    "Multimodal audio silence trim: the same synthetic PCM16 WAV assets "
+    "as multimodal_audio_features, decoded by the REAL chunk-walking "
+    "WAV parser, measured for leading/trailing samples below an "
+    "integer amplitude threshold — the trim pass a speech-training "
+    "pipeline runs before chunking so padding silence doesn't become "
+    "training tokens (an all-silent clip reports lead = tail = "
+    "n_samples and gets dropped). Oracle replays the sample arithmetic "
+    "with nested CASE chains.",
+)
+def multimodal_audio_silence_trim(spark, sf_dir):
+    from youtube_trending_data_pipeline_spark.operators.multimodal import (
+        audio_silence_trim,
+    )
+
+    def sample_hex(i: int):
+        v = (F.col("doc_id") * 13 + i * 37) % 2048 - 1024
+        u = F.pmod(v, F.lit(65536))
+        return F.concat(
+            F.lpad(F.hex(u % 256), 2, "0"),
+            F.lpad(F.hex(F.floor(u / 256).cast("long")), 2, "0"),
+        )
+
+    data_hex = F.concat(*[sample_hex(i) for i in range(4)])
+    media = t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("asset_id"),
+        F.lit("audio").alias("media_type"),
+        F.concat(
+            F.unhex(F.lit(_wav_header_hex())), F.unhex(data_hex)
+        ).alias("content"),
+    )
+    return audio_silence_trim(media, threshold=256).orderBy("asset_id")
