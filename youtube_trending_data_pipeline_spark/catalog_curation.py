@@ -2671,3 +2671,46 @@ def chunk_stitch_detect(spark, sf_dir):
             ).alias("adjacent"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Privacy: k-anonymity / l-diversity audit
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "privacy_k_anonymity",
+    """
+    SELECT event_type,
+           CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day_bucket,
+           CAST(COUNT(*) AS BIGINT) AS k,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS l_users,
+           (COUNT(*) < 10 OR COUNT(DISTINCT user_id) < 3) AS suppress
+    FROM events
+    GROUP BY 1, 2
+    """,
+    "Privacy audit before releasing an event dataset keyed by "
+    "quasi-identifiers: per (event_type, day) cell, k-anonymity (group "
+    "size k — how many records share these QIs) and l-diversity "
+    "(distinct users — whether the sensitive attribute is actually "
+    "varied inside the cell), plus the suppression verdict (k < 10 or "
+    "l < 3 -> the cell must be generalized or dropped before release). "
+    "The governance sibling of pseudonymize_keys and "
+    "gdpr_delete_propagation: pseudonymization alone does not stop "
+    "re-identification when a QI cell is small. One hash aggregate "
+    "with a distinct-agg (Spark expands to two-phase partial "
+    "aggregation); day bucketing is timezone-free epoch arithmetic.",
+)
+def privacy_k_anonymity(spark, sf_dir):
+    ev = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("(ts div 1000) div 86400000000").alias("day_bucket"),
+        "user_id",
+    )
+    return ev.groupBy("event_type", "day_bucket").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.countDistinct("user_id").alias("l_users"),
+        (
+            (F.count(F.lit(1)) < 10) | (F.countDistinct("user_id") < 3)
+        ).alias("suppress"),
+    )
