@@ -465,3 +465,14 @@ def test_pq_encode_broadcast_codebook_single_reduce(spark):
     # broadcast distribution and its tiny limit don't count as data
     # exchanges of the corpus stream
     assert "HashAggregate" in plan, plan
+
+
+def test_bloom_probe_broadcast_both_sides(spark):
+    """sketch_bloom_probe: both auxiliary joins — the bounded
+    bit-position set and the member-hash audit — must reach the probe
+    stream as BROADCAST joins; a sort-merge join would shuffle the
+    whole probe side against kilobyte-scale build artifacts."""
+    df = QUERIES["sketch_bloom_probe"].fn(spark, SF)
+    plan = formatted_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
