@@ -110,3 +110,30 @@ def test_hits_on_empty_edges(spark):
     out = hits_integer(edges, iterations=2)
     assert out.count() == 0
     assert out.columns == ["node", "kind", "score"]
+
+
+def test_round6_operators_on_empty_inputs(spark):
+    """PQ encode, the multimodal round-6 kernels, and the bloom/BLEU
+    frames must all return empty with the right schema on empty input."""
+    from youtube_trending_data_pipeline_spark.operators.multimodal import (
+        audio_silence_trim,
+        detect_scene_cuts,
+        image_gray_histogram,
+    )
+    from youtube_trending_data_pipeline_spark.operators.similarity import (
+        pq_encode,
+    )
+
+    empty_vecs = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>, label int"
+    )
+    pq = pq_encode(empty_vecs)
+    assert pq.count() == 0
+    assert pq.columns == ["vec_id", "sub", "code", "dist_q"]
+
+    empty_media = spark.createDataFrame(
+        [], "asset_id string, media_type string, content binary"
+    )
+    assert detect_scene_cuts(empty_media).count() == 0
+    assert image_gray_histogram(empty_media).count() == 0
+    assert audio_silence_trim(empty_media).count() == 0
