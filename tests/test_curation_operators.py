@@ -900,3 +900,51 @@ def test_round6_multimodal_kernels_quarantine_and_semantics(spark):
     assert trims["a"] == (4, 1, 1)
     assert trims["quiet"] == (2, 2, 2)
     assert trims["bad"] == (None, None, None)
+
+
+def test_label_propagation_matches_reference_and_splits_communities(spark):
+    """Synchronous LPA must equal a straightforward Python reference on
+    a crafted graph (two 4-cliques joined by one bridge), and — unlike
+    connected components — keep the two dense communities under
+    distinct labels even though the bridge makes them ONE component."""
+    from youtube_trending_data_pipeline_spark.operators.components import (
+        connected_components,
+    )
+    from youtube_trending_data_pipeline_spark.operators.graph import (
+        label_propagation_sync,
+    )
+
+    a, b = [1, 2, 3, 4], [10, 11, 12, 13]
+    und = [
+        (x, y) for grp in (a, b) for x in grp for y in grp if x != y
+    ] + [(4, 10), (10, 4)]
+    edges = spark.createDataFrame(und, "src long, dst long")
+
+    got = {
+        r.node: r.label
+        for r in label_propagation_sync(edges, iterations=3).collect()
+    }
+
+    # reference: labels[v] <- most frequent in-neighbor label, min on ties
+    from collections import Counter, defaultdict
+
+    inn = defaultdict(list)
+    for s, d in und:
+        inn[d].append(s)
+    labels = {v: v for grp in (a, b) for v in grp}
+    for _ in range(3):
+        nxt = {}
+        for v, srcs in inn.items():
+            c = Counter(labels[s] for s in srcs)
+            best = min(c.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            nxt[v] = best
+        labels = nxt
+    assert got == labels
+
+    comp = {
+        r.node: r.component
+        for r in connected_components(edges).collect()
+    }
+    assert len(set(comp.values())) == 1  # bridge joins everything
+    assert len({got[v] for v in a} | {got[v] for v in b}) >= 2
+    assert {got[v] for v in a}.isdisjoint({got[v] for v in b})

@@ -5028,3 +5028,74 @@ def multimodal_audio_silence_trim(spark, sf_dir):
         ).alias("content"),
     )
     return audio_silence_trim(media, threshold=256).orderBy("asset_id")
+
+
+def _lpa_oracle(iterations: int = 3) -> str:
+    """Unrolled replay of synchronous min-tie-break label propagation."""
+    steps = []
+    for i in range(1, iterations + 1):
+        steps.append(f"""
+    l{i} AS (
+      SELECT node, label FROM (
+        SELECT e.dst AS node, r.label,
+               ROW_NUMBER() OVER (PARTITION BY e.dst
+                                  ORDER BY COUNT(*) DESC, r.label) AS rn
+        FROM edges e JOIN l{i - 1} r ON r.node = e.src
+        GROUP BY e.dst, r.label
+      ) WHERE rn = 1
+    )""")
+    return f"""
+    WITH pairs AS (
+      SELECT DISTINCT l_suppkey AS s, o_custkey + 1000000 AS c
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    edges AS (
+      SELECT s AS src, c AS dst FROM pairs
+      UNION
+      SELECT c AS src, s AS dst FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges
+              UNION SELECT DISTINCT dst FROM edges),
+    l0 AS (SELECT node, CAST(node AS BIGINT) AS label FROM nodes),
+    {','.join(steps)}
+    SELECT node, CAST(label AS BIGINT) AS label FROM l{iterations}
+    """
+
+
+@register(
+    "graph_label_propagation",
+    _lpa_oracle(3),
+    "Community detection IN the exact gate: 3 synchronous rounds of "
+    "label propagation (Raghavan et al. 2007) over the supplier<->"
+    "customer transaction graph — each node adopts its in-neighbors' "
+    "most frequent label, ties to the smallest label. The async/random "
+    "LPA of the paper is irreproducible by design; this deterministic "
+    "synchronous variant is a pure function of the graph, replayed by "
+    "the oracle as unrolled CTE rounds (the pagerank/HITS doctrine), "
+    "and distinct from min-label connected components: frequency "
+    "outranks label order. Per round: one join of the label vector "
+    "onto the static edges + one count aggregate + one argmax window; "
+    "localCheckpoint lineage cuts; src-bucketed edges make every "
+    "round's join edge-side shuffle-free (tests/test_bucketing.py).",
+)
+def graph_label_propagation(spark, sf_dir):
+    from youtube_trending_data_pipeline_spark.operators.graph import (
+        label_propagation_sync,
+    )
+
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.col("l_suppkey").alias("s"),
+            (F.col("o_custkey") + 1000000).alias("c"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("s").alias("src"), F.col("c").alias("dst")
+    ).union(
+        pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+    ).distinct()
+    return label_propagation_sync(edges, iterations=3)

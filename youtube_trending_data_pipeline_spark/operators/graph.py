@@ -219,3 +219,58 @@ def _max_normalize(raw: DataFrame) -> DataFrame:
     return raw.crossJoin(F.broadcast(mx)).select(
         "node", F.expr(f"(raw * {HITS_SCALE}) div mx").alias("score")
     )
+
+
+def label_propagation_sync(
+    edges: DataFrame,
+    iterations: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Synchronous label propagation (community detection; Raghavan et
+    al. 2007) with DETERMINISTIC tie-break: every node starts labeled
+    with its own id; each round, a node adopts the most frequent label
+    among its in-neighbors, ties broken by smallest label. The classic
+    async/random-order LPA is irreproducible by design; the synchronous
+    + min-label variant is a pure function of the graph, so the oracle
+    replays it as unrolled CTE rounds (same doctrine as
+    pagerank_integer) — and it is NOT min-label connected components
+    (components.py): frequency wins before label order, so dense
+    communities keep distinct labels instead of collapsing to one.
+
+    Scale shape per round: one equi-join of the label vector onto the
+    static edge list + one (dst, label) count aggregate + one per-node
+    argmax window; lineage cut via localCheckpoint. Under a
+    src-bucketed edge table every round's join is edge-side
+    shuffle-free (the PageRank/HITS bucketing claim, proven in
+    tests/test_bucketing.py).
+    """
+    from pyspark.sql import Window
+
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if checkpoint:
+        e = e.localCheckpoint(eager=False)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    if checkpoint:
+        nodes = nodes.localCheckpoint(eager=False)
+    labels = nodes.select("node", F.col("node").alias("label"))
+    w = Window.partitionBy("node").orderBy(F.desc("cnt"), F.asc("label"))
+    for _ in range(iterations):
+        counted = (
+            e.join(labels, e["src"] == labels["node"])
+            .groupBy(e["dst"].alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        labels = (
+            counted.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("node", "label")
+        )
+        if checkpoint:
+            labels = labels.localCheckpoint(eager=False)
+    return labels
