@@ -202,3 +202,97 @@ def test_cdc_chunks_after_first_boundary_survive_prefix_edit(doc, inserted):
         return  # no interior boundary to preserve
     # all original chunks after the first must survive as a suffix
     assert edited[-(len(orig) - 1):] == orig[1:]
+
+
+# ---------------------------------------------------------------------------
+# Round-6 properties: EWMA segmented fold, PQ assignment
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 5),          # user
+            st.integers(0, 10_000),     # ts_us
+            st.integers(-10_000, 10_000),  # cents, negatives included
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_ewma_segmented_fold_matches_reference(spark, rows):
+    """The mapInPandas segmented fold must equal a naive per-event
+    Python floor-div fold for ANY (user, ts, value) multiset, including
+    negative running sums (the ADVICE-r5 divergence case)."""
+    from youtube_trending_data_pipeline_spark.catalog import QUERIES, _load_extensions
+
+    _load_extensions()
+    import tempfile
+
+    # distinct (user, ts, event) ordering keys: disambiguate by event_id
+    data = [
+        (i, u, ts, v / 100.0) for i, (u, ts, v) in enumerate(rows)
+    ]
+    d = tempfile.mkdtemp(prefix="ewmaprop-")
+    spark.createDataFrame(
+        data, "event_id long, user_id long, ts long, value double"
+    ).selectExpr(
+        "event_id",
+        "timestamp_micros(ts) AS ts",
+        "user_id",
+        "'x' AS event_type",
+        "value",
+        "'' AS props",
+    ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+
+    got = {
+        r.user_id: (r.n_events, r.ewma_c)
+        for r in QUERIES["ewma_user_value"].fn(spark, d).collect()
+    }
+    ref: dict[int, list[int]] = {}
+    for i, (u, ts, v) in sorted(
+        enumerate(rows), key=lambda x: (x[1][0], x[1][1], x[0])
+    ):
+        cents = round(v)  # value round-trips exactly (v/100 * 100)
+        s = ref.get(u)
+        if s is None:
+            ref[u] = [1, cents]
+        else:
+            s[0] += 1
+            s[1] = (s[1] + cents) // 2
+    assert got == {u: (s[0], s[1]) for u, s in ref.items()}
+
+
+@settings(max_examples=10, deadline=None)
+@given(seed=st.integers(0, 10_000))
+def test_pq_assignment_matches_numpy_argmin(spark, seed):
+    """pq_encode's packed-long argmin must equal a direct numpy argmin
+    over quantized sub-vector distances with (dist, centroid) ordering."""
+    import numpy as np
+
+    from youtube_trending_data_pipeline_spark.operators.similarity import (
+        pq_encode,
+    )
+
+    rng = np.random.default_rng(seed)
+    n, d = 20, 16
+    vecs = rng.normal(size=(n, d)).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        (r.vec_id, r.sub): (r.code, r.dist_q)
+        for r in pq_encode(df, dim=d, m=2, n_centroids=4).collect()
+    }
+    q = np.floor(vecs.astype("float64") * 10000 + 0.5).astype("int64")
+    for i in range(n):
+        for sub in range(2):
+            lo, hi = sub * 8, sub * 8 + 8
+            dists = [
+                (int(((q[i, lo:hi] - q[c, lo:hi]) ** 2).sum()), c)
+                for c in range(4)  # centroids = 4 smallest vec_ids = 0..3
+            ]
+            dist, code = min(dists)
+            assert got[(i, sub)] == (code, dist), (i, sub)
