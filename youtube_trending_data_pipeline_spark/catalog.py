@@ -924,6 +924,55 @@ def j6_asof_join(spark, sf_dir):
 
 
 @register(
+    "j6c_asof_tolerance",
+    """
+    WITH purchases AS (
+      SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+    ), clicks AS (
+      SELECT user_id, ts, MAX(event_id) AS click_event_id
+      FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+    )
+    SELECT p.event_id, p.user_id,
+           CASE WHEN epoch_ns(p.ts) - epoch_ns(c.ts) <= 3600000000000
+                THEN c.click_event_id END AS asof_click_event_id
+    FROM purchases p
+    ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    "As-of join with TOLERANCE (pandas merge_asof(tolerance=...) "
+    "semantics, the attribution-window variant marketing pipelines "
+    "actually run): latest prior click per purchase, but only if it "
+    "happened within 1 hour — staler matches null out. The matched "
+    "right timestamp rides inside the carried payload struct of the "
+    "same single window pass (operators/asof.py), so tolerance costs "
+    "no extra shuffle over j6. Oracle: DuckDB ASOF JOIN + the gap "
+    "CASE on epoch nanos.",
+)
+def j6c_asof_tolerance(spark, sf_dir):
+    from youtube_trending_data_pipeline_spark.operators.asof import as_of_join
+
+    ev = t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_event_id"))
+    )
+    out = as_of_join(
+        purchases,
+        clicks,
+        keys=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        payload_cols=["click_event_id"],
+        tolerance=3_600_000_000_000,  # 1 hour in epoch-nanos units
+    )
+    return out.select("event_id", "user_id", "asof_click_event_id")
+
+
+@register(
     "j7_range_join",
     """
     WITH buckets AS (

@@ -5099,3 +5099,64 @@ def graph_label_propagation(spark, sf_dir):
         pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
     ).distinct()
     return label_propagation_sync(edges, iterations=3)
+
+
+@register(
+    "w_pattern_v_shape",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, epoch_ns(ts) AS tsn,
+             CAST(ROUND(value * 100) AS BIGINT) AS vc
+      FROM events
+    ), lagged AS (
+      SELECT user_id, event_id, tsn, vc,
+             LAG(vc) OVER w AS prev_vc,
+             LEAD(vc) OVER w AS next_vc
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsn, event_id)
+    )
+    SELECT user_id, event_id,
+           CAST(vc AS BIGINT) AS bottom_cents,
+           CAST(LEAST(prev_vc - vc, next_vc - vc) AS BIGINT) AS depth_cents
+    FROM lagged
+    WHERE prev_vc > vc AND next_vc > vc
+    """,
+    "Row-pattern matching (the MATCH_RECOGNIZE shape, emulated the "
+    "Spark way): per user's time-ordered event values, detect every "
+    "V-shape — a strict local minimum (prev > bottom < next) — and "
+    "report its depth, the dip-detection motif behind drawdown alerts "
+    "and V-shaped-recovery screens. SQL:2016 MATCH_RECOGNIZE "
+    "(DOWN+ UP+ patterns) compiles to exactly this lag/lead window "
+    "form for fixed-length motifs; longer regex-style patterns chain "
+    "more lags or fall through to the gaps-and-islands machinery "
+    "(activity_islands). Integer cents; one shuffle on user_id shared "
+    "by both window functions.",
+)
+def w_pattern_v_shape(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    from youtube_trending_data_pipeline_spark.catalog import cents
+
+    e = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.col("ts").alias("tsn"),
+        cents("value").alias("vc"),
+    )
+    w = W.partitionBy("user_id").orderBy("tsn", "event_id")
+    lagged = e.select(
+        "user_id",
+        "event_id",
+        "vc",
+        F.lag("vc").over(w).alias("prev_vc"),
+        F.lead("vc").over(w).alias("next_vc"),
+    )
+    return lagged.where(
+        (F.col("prev_vc") > F.col("vc")) & (F.col("next_vc") > F.col("vc"))
+    ).select(
+        "user_id",
+        "event_id",
+        F.col("vc").alias("bottom_cents"),
+        F.least(
+            F.col("prev_vc") - F.col("vc"), F.col("next_vc") - F.col("vc")
+        ).alias("depth_cents"),
+    )

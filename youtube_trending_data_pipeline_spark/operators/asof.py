@@ -29,6 +29,7 @@ def as_of_join(
     right_ts: str,
     payload_cols: Sequence[str],
     direction: str = "backward",
+    tolerance: int | float | None = None,
 ) -> DataFrame:
     """For every left row, attach the payload of the matching right row
     within the same key group (NULLs if none):
@@ -37,6 +38,11 @@ def as_of_join(
       ``right_ts <= left_ts`` — DuckDB/pandas ASOF semantics.
     - ``direction="forward"``: earliest right row with
       ``right_ts >= left_ts`` (next-event attribution).
+    - ``tolerance``: maximum |left_ts - matched_ts| (same units as the
+      ts columns); a match farther away is nulled out — pandas
+      ``merge_asof(tolerance=...)`` semantics. Implemented by carrying
+      the matched ts alongside the payload in the same window pass, so
+      the cost shape is unchanged (no extra shuffle).
 
     ``right`` must be unique per (keys, right_ts) — pre-aggregate if not,
     or the carried payload among equal timestamps is unspecified.
@@ -53,7 +59,10 @@ def as_of_join(
         *keys,
         F.col(right_ts).alias("_ts"),
         F.lit(r_side).alias("_side"),
-        F.struct(*[F.col(c) for c in payload_cols]).alias("_payload"),
+        F.struct(
+            F.col(right_ts).alias("_rts"),
+            *[F.col(c) for c in payload_cols],
+        ).alias("_payload"),
     )
     l_tagged = left.select(
         *keys,
@@ -75,8 +84,12 @@ def as_of_join(
         carried = unioned.withColumn(
             "_matched", F.first("_payload", ignorenulls=True).over(w)
         )
+    matched = F.col("_matched")
+    if tolerance is not None:
+        gap = F.abs(F.col("_ts") - F.col("_matched")["_rts"])
+        matched = F.when(gap <= F.lit(tolerance), F.col("_matched"))
     out = carried.where(F.col("_side") == 1).select(
         F.col("_left_row.*"),
-        *[F.col("_matched")[c].alias(f"asof_{c}") for c in payload_cols],
+        *[matched[c].alias(f"asof_{c}") for c in payload_cols],
     )
     return out
