@@ -948,3 +948,35 @@ def test_label_propagation_matches_reference_and_splits_communities(spark):
     assert len(set(comp.values())) == 1  # bridge joins everything
     assert len({got[v] for v in a} | {got[v] for v in b}) >= 2
     assert {got[v] for v in a}.isdisjoint({got[v] for v in b})
+
+
+def test_pq_adc_exact_on_codebook_members(spark):
+    """ADC search degenerates to exact search for vectors that ARE
+    codebook centroids: a query equal to centroid vector c gets
+    adc_dist 0 to c (every subspace table entry is 0 at c's own code)
+    and must rank it first."""
+    import numpy as np
+
+    from youtube_trending_data_pipeline_spark.operators.similarity import (
+        pq_adc_topk,
+    )
+
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(12, 16)).astype("float32")
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(12)],
+        "vec_id long, embedding array<float>",
+    )
+    queries = spark.createDataFrame(
+        [(100 + c, [float(x) for x in vecs[c]]) for c in range(4)],
+        "query_id long, embedding array<float>",
+    )
+    out = {
+        (r.query_id, r.rank): (r.neighbor_id, r.adc_dist_q)
+        for r in pq_adc_topk(
+            corpus, queries, k=2, dim=16, m=2, n_centroids=4
+        ).collect()
+    }
+    for c in range(4):
+        nbr, dist = out[(100 + c, 1)]
+        assert (nbr, dist) == (c, 0), (c, nbr, dist)

@@ -5160,3 +5160,73 @@ def w_pattern_v_shape(spark, sf_dir):
             F.col("prev_vc") - F.col("vc"), F.col("next_vc") - F.col("vc")
         ).alias("depth_cents"),
     )
+
+
+@register(
+    "sim_pq_adc_topk",
+    """
+    WITH comps AS (
+      SELECT vec_id, CAST((i - 1) // 16 AS INTEGER) AS sub,
+             (i - 1) % 16 AS j,
+             CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000 + 0.5)
+                  AS BIGINT) AS q
+      FROM embeddings, (SELECT unnest(range(1, 65)) AS i)
+    ), corpus AS (
+      SELECT * FROM comps WHERE vec_id >= 5
+    ), cent AS (
+      SELECT vec_id AS centroid_id, sub, j, q FROM corpus
+      WHERE vec_id IN (SELECT vec_id FROM embeddings
+                       WHERE vec_id >= 5 ORDER BY vec_id LIMIT 8)
+    ), code_scored AS (
+      SELECT c.vec_id, c.sub, ct.centroid_id,
+             SUM((c.q - ct.q) * (c.q - ct.q)) AS dist
+      FROM corpus c JOIN cent ct ON c.sub = ct.sub AND c.j = ct.j
+      GROUP BY 1, 2, 3
+    ), codes AS (
+      SELECT vec_id AS neighbor_id, sub, centroid_id AS code FROM (
+        SELECT vec_id, sub, centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY dist, centroid_id) AS rn
+        FROM code_scored
+      ) WHERE rn = 1
+    ), dtable AS (
+      SELECT qc.vec_id AS query_id, qc.sub,
+             ct.centroid_id AS code,
+             SUM((qc.q - ct.q) * (qc.q - ct.q)) AS d
+      FROM comps qc JOIN cent ct ON qc.sub = ct.sub AND qc.j = ct.j
+      WHERE qc.vec_id < 5
+      GROUP BY 1, 2, 3
+    ), scored AS (
+      SELECT dtable.query_id, codes.neighbor_id, SUM(dtable.d) AS adc_dist_q
+      FROM codes JOIN dtable ON dtable.sub = codes.sub
+                            AND dtable.code = codes.code
+      GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, CAST(adc_dist_q AS BIGINT) AS adc_dist_q,
+           CAST(rank AS BIGINT) AS rank
+    FROM (
+      SELECT query_id, neighbor_id, adc_dist_q,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY adc_dist_q, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    """,
+    "PQ search by Asymmetric Distance Computation (Jegou et al., "
+    "PAMI'11) in the exact gate — the READ path that completes "
+    "embedding_pq_encode's write path: queries (vec_id < 5) build "
+    "per-subspace integer distance tables against the deterministic "
+    "codebook; every corpus vector is ranked using ONLY its PQ codes "
+    "(4 small ints — the 16x-compressed representation; raw corpus "
+    "vectors never stream through the search). Top-3 per query, ties "
+    "to the smaller id. Oracle replays codebook build, encoding, "
+    "table build, and ranking end to end on integer grids. Plan: "
+    "codes scan + broadcast table join + one (query, neighbor) "
+    "reduce + k-bounded window.",
+)
+def sim_pq_adc_topk(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.where(F.col("vec_id") >= 5)
+    return sim.pq_adc_topk(corpus, queries, k=3).orderBy("query_id", "rank")

@@ -656,3 +656,92 @@ def pq_encode(
             F.expr(f"packed div {n_centroids}").alias("dist_q"),
         )
     )
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    dim: int = 64,
+    m: int = 4,
+    n_centroids: int = 8,
+) -> DataFrame:
+    """PQ search via Asymmetric Distance Computation (ADC) — the read
+    path that pairs with :func:`pq_encode`: the corpus is represented
+    ONLY by its PQ codes (m small ints per vector); each query builds a
+    per-subspace distance table against the codebook (m x n_centroids
+    exact integer squared L2 entries); a candidate's approximate
+    distance is the sum of its codes' table entries. This is the
+    standard IVFADC search half (Jegou et al., PAMI'11) minus the IVF
+    cell prune (compose with ivf_pivot_topk for that).
+
+    Deterministic end to end: the codebook is the same auditable-pivot
+    policy as pq_encode, distances are exact integers, and top-k ties
+    break on neighbor id — so an SQL oracle replays the whole search.
+
+    Plan shape: the distance table is a (queries x m x n_centroids)-row
+    BROADCAST; the scan side is the CODES table (m longs per corpus
+    row — the 16x-compressed representation, exactly what makes PQ
+    search cheap at 100 TB: the raw vectors never stream), one
+    broadcast join + one (query, neighbor) reduce + one per-query
+    top-k window over k-bounded rows.
+    """
+    codes = pq_encode(
+        corpus,
+        id_col=id_col,
+        vec_col=vec_col,
+        dim=dim,
+        m=m,
+        n_centroids=n_centroids,
+    ).select(F.col(id_col).alias("neighbor_id"), "sub", "code")
+    d_sub = dim // m
+    seeds = (
+        corpus.orderBy(id_col)
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("_cv"))
+    )
+    sub_of = lambda c, s: F.slice(F.col(c), s * d_sub + 1, d_sub)  # noqa: E731
+    qsubs = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.posexplode(
+            F.array(*[sub_of(vec_col, s) for s in range(m)])
+        ).alias("sub", "qvec"),
+    )
+    csubs = seeds.select(
+        "centroid_id",
+        F.posexplode(
+            F.array(*[sub_of("_cv", s) for s in range(m)])
+        ).alias("sub", "cvec"),
+    )
+    qdist = F.aggregate(
+        F.zip_with(
+            F.col("qvec"),
+            F.col("cvec"),
+            lambda a, b: F.floor(a.cast("double") * 10000 + F.lit(0.5))
+            - F.floor(b.cast("double") * 10000 + F.lit(0.5)),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x * x,
+    )
+    dtable = F.broadcast(
+        qsubs.join(csubs, "sub").select(
+            "query_id", "sub", F.col("centroid_id").alias("code"),
+            qdist.alias("d"),
+        )
+    )
+    scored = (
+        codes.join(dtable, ["sub", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("d").alias("adc_dist_q"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist_q"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_dist_q", "rank")
+    )
