@@ -5230,3 +5230,177 @@ def sim_pq_adc_topk(spark, sf_dir):
     )
     corpus = emb.where(F.col("vec_id") >= 5)
     return sim.pq_adc_topk(corpus, queries, k=3).orderBy("query_id", "rank")
+
+
+def _minhash_est_oracle(
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_words: int = 3,
+    seed: int = 42,
+) -> str:
+    """Replay of the minhash JACCARD ESTIMATOR audit: the same signature
+    pipeline as _minhash_oracle, but per candidate pair the output is
+    the estimator (matching positions / num_perm, ppm) NEXT TO the
+    exact shingle Jaccard and the absolute error — the calibration
+    table for choosing num_perm."""
+    params = dd._affine_params(num_perm, seed)
+    rpb = num_perm // bands
+    p = dd._MERSENNE_P
+    n = shingle_words
+    mins = ",\n             ".join(
+        f"MIN((h * {a} + {b}) % {p}) AS m{i}" for i, (a, b) in enumerate(params)
+    )
+    sent = ",\n             ".join(
+        f"COALESCE(m{i}, {-(i + 1)}) AS m{i}" for i in range(num_perm)
+    )
+    band_eq = " OR ".join(
+        "("
+        + " AND ".join(
+            f"a.m{j} = b.m{j}" for j in range(bi * rpb, (bi + 1) * rpb)
+        )
+        + ")"
+        for bi in range(bands)
+    )
+    matches = " + ".join(
+        f"(CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END)" for i in range(num_perm)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS.format(t="text")} AS tk FROM documents
+    ), sh AS (
+      SELECT doc_id, unnest(list_distinct(
+        list_transform(range(1, len(tk) - {n} + 2),
+                       i -> array_to_string(list_slice(tk, i, i + {n - 1}), ' '))
+      )) AS s
+      FROM toks
+    ), hashed AS (
+      SELECT doc_id, {_H32.format(s="s")} AS h FROM sh
+    ), mins AS (
+      SELECT doc_id,
+             {mins}
+      FROM hashed GROUP BY doc_id
+    ), sigs AS (
+      SELECT d.doc_id,
+             {sent}
+      FROM (SELECT doc_id FROM documents) d LEFT JOIN mins USING (doc_id)
+    ), cands AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST((1000000 * ({matches})) // {num_perm} AS BIGINT) AS est_ppm
+      FROM sigs a JOIN sigs b
+        ON a.doc_id < b.doc_id AND ({band_eq})
+    ), szs AS (
+      SELECT doc_id, CAST(COUNT(DISTINCT s) AS BIGINT) AS nsh FROM sh GROUP BY 1
+    ), inter AS (
+      SELECT c.id_a, c.id_b, CAST(COUNT(*) AS BIGINT) AS ninter
+      FROM cands c
+      JOIN sh sa ON sa.doc_id = c.id_a
+      JOIN sh sb ON sb.doc_id = c.id_b AND sb.s = sa.s
+      GROUP BY 1, 2
+    )
+    SELECT c.id_a, c.id_b, c.est_ppm,
+           CAST(CASE
+             WHEN COALESCE(za.nsh, 0) + COALESCE(zb.nsh, 0)
+                  - COALESCE(i.ninter, 0) = 0 THEN 1000000
+             ELSE (1000000 * COALESCE(i.ninter, 0))
+                  // (COALESCE(za.nsh, 0) + COALESCE(zb.nsh, 0)
+                      - COALESCE(i.ninter, 0))
+           END AS BIGINT) AS exact_ppm,
+           CAST(abs(c.est_ppm - CASE
+             WHEN COALESCE(za.nsh, 0) + COALESCE(zb.nsh, 0)
+                  - COALESCE(i.ninter, 0) = 0 THEN 1000000
+             ELSE (1000000 * COALESCE(i.ninter, 0))
+                  // (COALESCE(za.nsh, 0) + COALESCE(zb.nsh, 0)
+                      - COALESCE(i.ninter, 0))
+           END) AS BIGINT) AS err_ppm
+    FROM cands c
+    LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+    LEFT JOIN szs za ON za.doc_id = c.id_a
+    LEFT JOIN szs zb ON zb.doc_id = c.id_b
+    """
+
+
+@register(
+    "dedup_minhash_jaccard_est",
+    _minhash_est_oracle(),
+    "MinHash estimator CALIBRATION audit: for every LSH candidate pair "
+    "(64-perm, 16-band — the production dedup_minhash_lsh pipeline), "
+    "the signature-agreement Jaccard estimate next to the EXACT "
+    "distinct-shingle Jaccard and the absolute error, all in ppm "
+    "integers — the table that answers 'is 64 permutations enough for "
+    "our near-dup threshold?' without trusting the estimator it "
+    "audits. Two empty documents define Jaccard 1 (identical). Exact "
+    "intersection joins shingle rows ONLY for candidate pairs "
+    "(LSH-bounded, never all-pairs); at 100 TB the audit runs on a "
+    "sampled partition of candidates with identical plan shape.",
+)
+def dedup_minhash_jaccard_est(spark, sf_dir):
+    from youtube_trending_data_pipeline_spark.functions.text import word_ngrams
+
+    num_perm = 64
+    docs = t(spark, sf_dir, "documents")
+    sigs = dd.minhash_signatures(docs, "doc_id", "text", num_perm=num_perm)
+    cands = dd.lsh_candidate_pairs(sigs, num_perm=num_perm, bands=16)
+    sa = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    est = (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.expr(
+                f"(1000000 * aggregate(zip_with(sig_a, sig_b, "
+                f"(x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END), "
+                f"0L, (acc, v) -> acc + v)) div {num_perm}"
+            ).alias("est_ppm"),
+        )
+    )
+    sh = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(word_ngrams("text", 3))).alias("s"),
+    )
+    szs = sh.groupBy("doc_id").agg(F.countDistinct("s").alias("nsh"))
+    sh_b = sh.select(
+        F.col("doc_id").alias("_bid"), F.col("s").alias("_bs")
+    )
+    inter = (
+        est.select("id_a", "id_b")
+        .join(sh.select(F.col("doc_id").alias("id_a"), "s"), "id_a")
+        .join(
+            sh_b,
+            (F.col("id_b") == F.col("_bid")) & (F.col("s") == F.col("_bs")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("ninter"))
+    )
+    uni = (
+        F.coalesce(F.col("nsh_a"), F.lit(0))
+        + F.coalesce(F.col("nsh_b"), F.lit(0))
+        - F.coalesce(F.col("ninter"), F.lit(0))
+    )
+    exact_ppm = F.when(uni == 0, F.lit(1_000_000)).otherwise(
+        F.expr(
+            "(1000000 * COALESCE(ninter, 0)) div "
+            "(COALESCE(nsh_a, 0) + COALESCE(nsh_b, 0) - COALESCE(ninter, 0))"
+        )
+    )
+    return (
+        est.join(inter, ["id_a", "id_b"], "left")
+        .join(
+            szs.select(F.col("doc_id").alias("id_a"), F.col("nsh").alias("nsh_a")),
+            "id_a",
+            "left",
+        )
+        .join(
+            szs.select(F.col("doc_id").alias("id_b"), F.col("nsh").alias("nsh_b")),
+            "id_b",
+            "left",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "est_ppm",
+            exact_ppm.cast("long").alias("exact_ppm"),
+            F.abs(F.col("est_ppm") - exact_ppm).cast("long").alias("err_ppm"),
+        )
+    )
