@@ -31,6 +31,7 @@ ORACLE_HEAVY = {
     "dedup_levenshtein",
     "dedup_embedding_cosine",
     "dedup_minhash_lsh",
+    "dedup_minhash_jaccard_est",
     "dedup_simhash",
     "r1_recursive_spine",
     "contamination_check",

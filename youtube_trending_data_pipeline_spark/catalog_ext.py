@@ -5404,3 +5404,153 @@ def dedup_minhash_jaccard_est(spark, sf_dir):
             F.abs(F.col("est_ppm") - exact_ppm).cast("long").alias("err_ppm"),
         )
     )
+
+
+def _rrf_oracle(terms: list[str], rrf_k: int = 60) -> str:
+    """Replay of hybrid retrieval with reciprocal-rank fusion: the BM25
+    ranking (same CTEs as _bm25_oracle), the cosine ranking against the
+    vec_id=0 query embedding (same _COS_SQL), and the integer RRF blend
+    1e6 // (k + rank) summed across rankers."""
+    tf_cols = ",\n         ".join(
+        f"CAST(SUM(CASE WHEN tok = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS tf_{t}"
+        for t in terms
+    )
+    df_cols = ",\n         ".join(
+        f"CAST(SUM(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_{t}"
+        for t in terms
+    )
+    score = "\n           + ".join(
+        f"(((n_docs - df_{t} + 0.5) / (df_{t} + 0.5)) * "
+        f"(tf_{t} * CAST(2.2 AS DOUBLE))) / "
+        f"(tf_{t} + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) "
+        f"+ CAST(0.75 AS DOUBLE) * p.dl / (CAST(sum_dl AS DOUBLE) / n_docs)))"
+        for t in terms
+    )
+    cos = _COS_SQL.format(a="q.embedding", b="c.embedding")
+    return f"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(str_split_regex(lower(text), '[^a-z0-9]+'),
+                                x -> x <> '')) AS tok
+      FROM documents
+    ), perdoc AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl,
+         {tf_cols}
+      FROM tok GROUP BY doc_id
+    ), stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(dl) AS BIGINT) AS sum_dl,
+         {df_cols}
+      FROM perdoc
+    ), lex AS (
+      SELECT doc_id, lex_rank FROM (
+        SELECT p.doc_id,
+               ROW_NUMBER() OVER (ORDER BY {score} DESC, p.doc_id)
+                 AS lex_rank
+        FROM perdoc p, stats
+      ) WHERE lex_rank <= 20
+    ), sem AS (
+      SELECT doc_id, sem_rank FROM (
+        SELECT c.vec_id AS doc_id,
+               ROW_NUMBER() OVER (ORDER BY {cos} DESC, c.vec_id)
+                 AS sem_rank
+        FROM embeddings c, (SELECT embedding FROM embeddings
+                            WHERE vec_id = 0) q
+      ) WHERE sem_rank <= 20
+    ), fused AS (
+      SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+             l.lex_rank, s.sem_rank,
+             COALESCE(1000000 // ({rrf_k} + l.lex_rank), 0)
+             + COALESCE(1000000 // ({rrf_k} + s.sem_rank), 0) AS rrf_micro
+      FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id
+    )
+    SELECT doc_id, CAST(lex_rank AS BIGINT) AS lex_rank,
+           CAST(sem_rank AS BIGINT) AS sem_rank,
+           CAST(rrf_micro AS BIGINT) AS rrf_micro,
+           CAST(fused_rank AS BIGINT) AS fused_rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY rrf_micro DESC, doc_id)
+                  AS fused_rank
+      FROM fused
+    ) WHERE fused_rank <= 10
+    """
+
+
+@register(
+    "retrieval_hybrid_rrf",
+    _rrf_oracle(_BM25_TERMS),
+    "Hybrid retrieval with reciprocal-rank fusion — the RAG-stack "
+    "ranker: the BM25 lexical top-20 (text_bm25_score's scorer, terms "
+    "as the query) and the embedding cosine top-20 (vec_id 0 as the "
+    "query vector, doc_id == vec_id) fuse by integer RRF "
+    "(1e6 // (60 + rank), summed across rankers; Cormack et al., "
+    "SIGIR'09), final top-10 with doc-id tie-break. Each ranker keeps "
+    "its own plan shape (single-shuffle BM25 aggregate; broadcast-"
+    "query corpus scan); fusion touches only 2 x 20 rank rows, so at "
+    "100 TB the fusion cost is the rankers' cost, nothing more. "
+    "Integer RRF keeps the gate exact (float 1/(k+r) sums would be "
+    "order-dependent).",
+)
+def retrieval_hybrid_rrf(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    from youtube_trending_data_pipeline_spark.operators.retrieval import (
+        bm25_scores,
+    )
+    from youtube_trending_data_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    emb = t(spark, sf_dir, "embeddings")
+    lex = (
+        bm25_scores(docs, _BM25_TERMS, log_idf=False)
+        .withColumn(
+            "lex_rank",
+            F.row_number().over(W.orderBy(F.desc("bm25"), F.asc("doc_id"))),
+        )
+        .where(F.col("lex_rank") <= 20)
+        .select("doc_id", "lex_rank")
+    )
+    sem = (
+        brute_force_topk(
+            emb,
+            emb.where(F.col("vec_id") == 0).select(
+                F.col("vec_id").alias("query_id"), "embedding"
+            ),
+            k=20,
+        )
+        .select(F.col("neighbor_id").alias("doc_id"), F.col("rank").alias("sem_rank"))
+    )
+    fused = (
+        lex.join(sem, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            "lex_rank",
+            "sem_rank",
+            (
+                F.coalesce(
+                    F.expr("1000000 div (60 + lex_rank)"), F.lit(0)
+                )
+                + F.coalesce(
+                    F.expr("1000000 div (60 + sem_rank)"), F.lit(0)
+                )
+            ).alias("rrf_micro"),
+        )
+    )
+    return (
+        fused.withColumn(
+            "fused_rank",
+            F.row_number().over(
+                W.orderBy(F.desc("rrf_micro"), F.asc("doc_id"))
+            ),
+        )
+        .where(F.col("fused_rank") <= 10)
+        .select(
+            "doc_id",
+            F.col("lex_rank").cast("long").alias("lex_rank"),
+            F.col("sem_rank").cast("long").alias("sem_rank"),
+            "rrf_micro",
+            F.col("fused_rank").cast("long").alias("fused_rank"),
+        )
+    )
