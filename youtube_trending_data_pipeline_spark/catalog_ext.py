@@ -5554,3 +5554,101 @@ def retrieval_hybrid_rrf(spark, sf_dir):
             F.col("fused_rank").cast("long").alias("fused_rank"),
         )
     )
+
+
+def _ivfadc_oracle(n_probe: int = 3, k: int = 3) -> str:
+    """Replay of IVFADC end to end: pivot-cell assignment and probing
+    (cosine argmax, _COS_SQL), PQ encoding (integer grids), per-query
+    distance tables, cell-pruned candidate ADC ranking."""
+    cos_seed = _COS_SQL.format(a="v.embedding", b="s.embedding")
+    return f"""
+    WITH seeds AS (
+      SELECT vec_id AS seed_id, embedding FROM embeddings
+      WHERE vec_id >= 5 ORDER BY vec_id LIMIT 8
+    ), cells AS (
+      SELECT vec_id, seed_id AS cell FROM (
+        SELECT v.vec_id, s.seed_id,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {cos_seed} DESC, s.seed_id)
+                 AS rn
+        FROM embeddings v, seeds s WHERE v.vec_id >= 5
+      ) WHERE rn = 1
+    ), probes AS (
+      SELECT vec_id AS query_id, seed_id AS cell FROM (
+        SELECT v.vec_id, s.seed_id,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {cos_seed} DESC, s.seed_id)
+                 AS rn
+        FROM embeddings v, seeds s WHERE v.vec_id < 5
+      ) WHERE rn <= {n_probe}
+    ), comps AS (
+      SELECT vec_id, CAST((i - 1) // 16 AS INTEGER) AS sub,
+             (i - 1) % 16 AS j,
+             CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000 + 0.5)
+                  AS BIGINT) AS q
+      FROM embeddings, (SELECT unnest(range(1, 65)) AS i)
+    ), cent AS (
+      SELECT vec_id AS centroid_id, sub, j, q FROM comps
+      WHERE vec_id IN (SELECT seed_id FROM seeds)
+    ), code_scored AS (
+      SELECT c.vec_id, c.sub, ct.centroid_id,
+             SUM((c.q - ct.q) * (c.q - ct.q)) AS dist
+      FROM comps c JOIN cent ct ON c.sub = ct.sub AND c.j = ct.j
+      WHERE c.vec_id >= 5
+      GROUP BY 1, 2, 3
+    ), codes AS (
+      SELECT vec_id AS neighbor_id, sub, centroid_id AS code FROM (
+        SELECT vec_id, sub, centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY dist, centroid_id) AS rn
+        FROM code_scored
+      ) WHERE rn = 1
+    ), cand AS (
+      SELECT DISTINCT p.query_id, c.vec_id AS neighbor_id
+      FROM probes p JOIN cells c ON c.cell = p.cell
+    ), dtable AS (
+      SELECT qc.vec_id AS query_id, qc.sub, ct.centroid_id AS code,
+             SUM((qc.q - ct.q) * (qc.q - ct.q)) AS d
+      FROM comps qc JOIN cent ct ON qc.sub = ct.sub AND qc.j = ct.j
+      WHERE qc.vec_id < 5
+      GROUP BY 1, 2, 3
+    ), scored AS (
+      SELECT ca.query_id, ca.neighbor_id, SUM(dt.d) AS adc_dist_q
+      FROM cand ca
+      JOIN codes co ON co.neighbor_id = ca.neighbor_id
+      JOIN dtable dt ON dt.query_id = ca.query_id
+                    AND dt.sub = co.sub AND dt.code = co.code
+      GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, CAST(adc_dist_q AS BIGINT) AS adc_dist_q,
+           CAST(rank AS BIGINT) AS rank
+    FROM (
+      SELECT query_id, neighbor_id, adc_dist_q,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY adc_dist_q, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+@register(
+    "sim_ivfadc_topk",
+    _ivfadc_oracle(),
+    "IVFADC in the exact gate — the capstone of the ANN ladder and the "
+    "architecture FAISS ships as its default billion-scale index "
+    "(Jegou et al., PAMI'11): IVF pivot-cell pruning (queries probe "
+    "their 3 closest of 8 deterministic cells) composed with PQ "
+    "asymmetric-distance ranking over the pruned candidates, reading "
+    "ONLY the 16x-compressed code table. Both halves are the "
+    "auditable deterministic variants (sim_ivf_pivot_topk's cells, "
+    "embedding_pq_encode's codebook), so the oracle replays the "
+    "ENTIRE index build + search: cell argmax, PQ encoding, distance "
+    "tables, pruned ADC ranking, k=3 with id tie-break.",
+)
+def sim_ivfadc_topk(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.where(F.col("vec_id") >= 5)
+    return sim.ivfadc_topk(corpus, queries, k=3).orderBy("query_id", "rank")

@@ -745,3 +745,122 @@ def pq_adc_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "adc_dist_q", "rank")
     )
+
+
+def ivfadc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    n_cells: int = 8,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    dim: int = 64,
+    m: int = 4,
+    n_centroids: int = 8,
+) -> DataFrame:
+    """IVFADC (Jegou et al., PAMI'11): the full quantized-ANN index —
+    IVF cell pruning (deterministic pivot cells, as ivf_pivot_topk)
+    composed with PQ asymmetric-distance ranking (as pq_adc_topk).
+    Queries probe their ``n_probe`` closest cells; only corpus vectors
+    in probed cells are ranked, and ranking reads ONLY their PQ codes.
+    This is the architecture FAISS ships as its default large-scale
+    index; both halves here are the auditable deterministic variants,
+    so the whole search replays in SQL.
+
+    Plan: cells and codes are both index-build artifacts (broadcast
+    constant-append + one reduce each, computed once and reusable);
+    search joins the tiny probe set to the cell-partitioned codes, then
+    one broadcast distance-table join + (query, neighbor) reduce +
+    k-bounded window. At 100 TB the codes table is the only corpus-
+    sized scan — 16x narrower than the raw vectors — and the cell join
+    prunes it to n_probe/n_cells of the corpus.
+    """
+    seeds = F.broadcast(
+        corpus.orderBy(id_col)
+        .limit(n_cells)
+        .select(
+            F.col(id_col).alias("seed_id"), F.col(vec_col).alias("seed_vec")
+        )
+    )
+
+    def argmax_cells(df, ident, n_keep):
+        w = Window.partitionBy(ident).orderBy(
+            F.desc("seed_cos"), F.asc("seed_id")
+        )
+        return (
+            df.crossJoin(seeds)
+            .withColumn("seed_cos", cosine_similarity(vec_col, "seed_vec"))
+            .withColumn("cell_rank", F.row_number().over(w))
+            .where(F.col("cell_rank") <= n_keep)
+            .select(ident, F.col("seed_id").alias("cell"))
+        )
+
+    cells = argmax_cells(corpus.select(id_col, vec_col), id_col, 1)
+    probes = argmax_cells(
+        queries.select(query_id_col, F.col(vec_col)), query_id_col, n_probe
+    )
+    codes = pq_encode(
+        corpus,
+        id_col=id_col,
+        vec_col=vec_col,
+        dim=dim,
+        m=m,
+        n_centroids=n_centroids,
+    ).select(F.col(id_col).alias("neighbor_id"), "sub", "code")
+    cand = (
+        probes.join(
+            cells.select(F.col(id_col).alias("neighbor_id"), "cell"), "cell"
+        )
+        .select(F.col(query_id_col).alias("query_id"), "neighbor_id")
+        .distinct()
+    )
+    d_sub = dim // m
+    sub_of = lambda c, s: F.slice(F.col(c), s * d_sub + 1, d_sub)  # noqa: E731
+    qsubs = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.posexplode(
+            F.array(*[sub_of(vec_col, s) for s in range(m)])
+        ).alias("sub", "qvec"),
+    )
+    csubs = (
+        corpus.orderBy(id_col)
+        .limit(n_centroids)
+        .select(
+            F.col(id_col).alias("centroid_id"),
+            F.posexplode(
+                F.array(*[sub_of(vec_col, s) for s in range(m)])
+            ).alias("sub", "cvec"),
+        )
+    )
+    qdist = F.aggregate(
+        F.zip_with(
+            F.col("qvec"),
+            F.col("cvec"),
+            lambda a, b: F.floor(a.cast("double") * 10000 + F.lit(0.5))
+            - F.floor(b.cast("double") * 10000 + F.lit(0.5)),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x * x,
+    )
+    dtable = F.broadcast(
+        qsubs.join(csubs, "sub").select(
+            "query_id", "sub", F.col("centroid_id").alias("code"),
+            qdist.alias("d"),
+        )
+    )
+    scored = (
+        cand.join(codes, "neighbor_id")
+        .join(dtable, ["query_id", "sub", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("d").alias("adc_dist_q"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist_q"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_dist_q", "rank")
+    )
