@@ -2714,3 +2714,62 @@ def privacy_k_anonymity(spark, sf_dir):
             (F.count(F.lit(1)) < 10) | (F.countDistinct("user_id") < 3)
         ).alias("suppress"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Dataset datasheet (release card aggregate)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_datasheet",
+    f"""
+    WITH base AS (
+      SELECT source, lang, n_chars,
+             len({_TOKS_SQL}) AS n_words,
+             md5(text) AS h
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(n_words) AS BIGINT) AS total_words,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+           CAST(COUNT(*) - COUNT(DISTINCT h) AS BIGINT) AS n_exact_dups,
+           CAST((1000000 * (COUNT(*) - COUNT(DISTINCT h))) // COUNT(*)
+                AS BIGINT) AS dup_ppm
+    FROM base GROUP BY source
+    """,
+    "Dataset datasheet / release card (Gebru et al., 'Datasheets for "
+    "Datasets'): per source shard, the headline numbers a corpus "
+    "release publishes — document and language counts, char/word "
+    "volumes, length extremes, and the exact-duplicate rate (ppm, via "
+    "content-hash distinct) — in ONE pass over the corpus. The "
+    "one-stop companion to profile_table (which profiles columns, not "
+    "release semantics). Plan: single hash aggregate keyed by source "
+    "with two distinct-aggs (Spark expands-and-reduces both in the "
+    "same two-phase plan); everything else is algebraic, so map-side "
+    "partials carry the weight at 100 TB.",
+)
+def corpus_datasheet(spark, sf_dir):
+    base = t(spark, sf_dir, "documents").select(
+        "source",
+        "lang",
+        "n_chars",
+        F.size(_toks()).alias("n_words"),
+        F.md5("text").alias("h"),
+    )
+    return base.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.sum("n_words").cast("long").alias("total_words"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+        (F.count(F.lit(1)) - F.countDistinct("h")).alias("n_exact_dups"),
+        F.expr(
+            "(1000000 * (count(1) - count(DISTINCT h))) div count(1)"
+        ).alias("dup_ppm"),
+    )
