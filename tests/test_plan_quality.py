@@ -129,6 +129,10 @@ def test_no_accidental_cartesian_anywhere(spark):
         "sim_bruteforce_topk",
         "sim_range_search",
         "sim_ivf_pivot_topk",
+        # sim_ivfadc_topk: composes sim_ivf_pivot_topk's 8-row pivot-seed
+        # broadcast (cell assignment + probing) — constant-append,
+        # O(n x n_cells); the ranking side is equi-joins only.
+        "sim_ivfadc_topk",
         "sim_knn_classify",
         # contrastive_triplet_mining: same labeled brute-force scan
         # (20-row broadcast anchor side x corpus).
@@ -170,6 +174,10 @@ def test_no_accidental_cartesian_anywhere(spark):
         # gdpr_delete_propagation: 1-row audit pair broadcast onto the
         # kept-rows aggregate — constant-append.
         "gdpr_delete_propagation",
+        # retrieval_hybrid_rrf: composes text_bm25_score's 1-row corpus
+        # stats broadcast AND brute_force_topk's 1-row query-vector
+        # broadcast — both constant-appends, O(n) each.
+        "retrieval_hybrid_rrf",
     }
     for name, spec in QUERIES.items():
         if name in allowed_cross:
