@@ -2773,3 +2773,45 @@ def corpus_datasheet(spark, sf_dir):
             "(1000000 * (count(1) - count(DISTINCT h))) div count(1)"
         ).alias("dup_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Python UDTF under the exact gate (§2.11 extension surface)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "udtf_sentence_split",
+    """
+    SELECT doc_id,
+           CAST(i - 1 AS INTEGER) AS sent_idx,
+           parts[i] AS sentence,
+           CAST(len(parts[i]) AS BIGINT) AS n_chars
+    FROM (SELECT doc_id, str_split(text, '. ') AS parts FROM documents),
+         LATERAL (SELECT unnest(range(1, len(parts) + 1)) AS i) g
+    """,
+    "Python UDTF (table function, Spark 3.5+/4) IN the exact gate — "
+    "the §2.11 extension surface promoted from tests-only: a lateral "
+    "UDTF fans each document out to sentence rows (split on '. ', "
+    "ordinal + char count), proving the row-expanding extension point "
+    "round-trips the gate bit-exactly. Deliberately allowlisted in the "
+    "no-Python-UDF plan gate: THIS entry exists to exercise the UDTF "
+    "surface itself; the production path for this transform is the "
+    "relational posexplode(split(...)) (doc_chunk_overlap / "
+    "j4b_posexplode), which is what every other entry uses.",
+)
+def udtf_sentence_split(spark, sf_dir):
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id: long, sent_idx: int, sentence: string, n_chars: long")
+    class SplitSentences:
+        def eval(self, doc_id, text):
+            for i, s in enumerate((text or "").split(". ")):
+                yield doc_id, i, s, len(s)
+
+    spark.udtf.register("split_sentences_udtf", SplitSentences)
+    t(spark, sf_dir, "documents").createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        "SELECT s.doc_id, s.sent_idx, s.sentence, s.n_chars "
+        "FROM _udtf_docs, LATERAL split_sentences_udtf(doc_id, text) s"
+    )
