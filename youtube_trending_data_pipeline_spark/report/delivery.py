@@ -50,13 +50,13 @@ class SendGridShapedSender:
     html_content) and calls client.send) and hands it to an injectable
     ``transport`` callable ``(url, headers, json_body) -> None``.
 
-    The HTTP call itself stays injected — this container has no network
-    and shipping a live client would be untestable here — but everything
-    the reference encodes into the request (personalizations, sender,
-    subject, text/html content type) is built and testable
-    deterministically. A real deployment passes
-    ``transport=lambda url, headers, body: requests.post(url,
-    headers=headers, json=body, timeout=30).raise_for_status()``.
+    The HTTP call is injected; everything the reference encodes into the
+    request (personalizations, sender, subject, text/html content type)
+    is built and testable deterministically. Pass
+    :class:`UrllibJsonTransport` (below) for a REAL stdlib network
+    transport — driven end-to-end against a loopback HTTP server in
+    tests/test_http_integrations.py — or any callable
+    ``(url, headers, json_body) -> None``.
     """
 
     URL = "https://api.sendgrid.com/v3/mail/send"
@@ -80,3 +80,56 @@ class SendGridShapedSender:
             "Content-Type": "application/json",
         }
         self.transport(self.URL, headers, body)
+
+
+class UrllibJsonTransport:
+    """REAL network transport for SendGridShapedSender, stdlib-only: POST
+    the JSON body with the given headers via urllib and raise unless the
+    response status matches ``expect_status`` — the reference's
+    'raise unless 202' contract (dags/weekly_report.py:93-109). Closes
+    the round-5 'no HTTP transport' gap without adding dependencies;
+    tested against an in-process loopback HTTP server
+    (tests/test_http_integrations.py), pointed at the real SendGrid URL
+    in production.
+
+    Bounded retries with linear backoff mirror the reference's Airflow
+    ``retries: 1 / retry_delay: 10`` task policy (ing:30, wk:13) at the
+    request level; a non-retryable 4xx fails immediately."""
+
+    def __init__(self, expect_status: int = 202, retries: int = 1,
+                 backoff_s: float = 0.1):
+        self.expect_status = expect_status
+        self.retries = retries
+        self.backoff_s = backoff_s
+
+    def __call__(self, url: str, headers: dict, body: dict) -> None:
+        import json as _json
+        import time
+        import urllib.error
+        import urllib.request
+
+        data = _json.dumps(body).encode("utf-8")
+        last: Exception | None = None
+        for attempt in range(self.retries + 1):
+            req = urllib.request.Request(
+                url, data=data, headers=headers, method="POST"
+            )
+            try:
+                with urllib.request.urlopen(req, timeout=30) as resp:
+                    if resp.status != self.expect_status:
+                        raise RuntimeError(
+                            f"report delivery returned {resp.status}, "
+                            f"expected {self.expect_status}"
+                        )
+                    return
+            except urllib.error.HTTPError as e:
+                if 400 <= e.code < 500:  # not retryable
+                    raise RuntimeError(
+                        f"report delivery rejected: HTTP {e.code}"
+                    ) from e
+                last = e
+            except urllib.error.URLError as e:
+                last = e
+            if attempt < self.retries:
+                time.sleep(self.backoff_s * (attempt + 1))
+        raise RuntimeError(f"report delivery failed after retries: {last}")
