@@ -198,3 +198,53 @@ def test_sendgrid_sender_posts_real_http(api_server):
     _ApiHandler.fail_next = [500]
     with pytest.raises(RuntimeError):
         sender.send("again", "<p>x</p>", ["a@x.com"])
+
+
+def test_full_daily_pipeline_live_over_http(spark, api_server, tmp_path):
+    """The reference's ENTIRE daily schedule, live: trending fetch +
+    channel fetch over real loopback HTTP (RestApiFetcher), bronze ->
+    silver -> gold through the production jobs, weekly report delivered
+    back over HTTP (UrllibJsonTransport). A user replaying the
+    reference's DAGs against the live API runs exactly this code path
+    with a different base_url."""
+    import datetime as dt
+
+    from youtube_trending_data_pipeline_spark.pipeline import (
+        PipelineConfig,
+        run_daily_aggregates,
+        run_daily_ingestion,
+        run_weekly_report,
+    )
+    from youtube_trending_data_pipeline_spark.report.delivery import (
+        SendGridShapedSender,
+        UrllibJsonTransport,
+    )
+    from youtube_trending_data_pipeline_spark.sources.fetchers import (
+        RestApiFetcher,
+    )
+
+    cfg = PipelineConfig(
+        bronze_dir=str(tmp_path / "bronze"),
+        videos_dir=str(tmp_path / "videos"),
+        channels_dir=str(tmp_path / "channels"),
+        insights_dir=str(tmp_path / "insights"),
+    )
+    fetcher = RestApiFetcher("k", base_url=api_server)
+    run_date = dt.date(2025, 10, 6)
+    silver = run_daily_ingestion(spark, cfg, run_date, fetcher=fetcher)
+    assert silver.count() == 60
+    gold = run_daily_aggregates(spark, cfg, run_date)
+    assert gold.count() == 3  # one insight row per region
+    channels = spark.read.parquet(cfg.channels_dir)
+    assert channels.count() > 0  # channel metadata arrived over HTTP
+
+    sender = SendGridShapedSender(
+        "sg", "reports@example.com", UrllibJsonTransport(retries=0)
+    )
+    sender.URL = f"{api_server}/v3/mail/send"
+    report, html = run_weekly_report(
+        spark, cfg, run_date, sender=sender, recipients=["ops@example.com"]
+    )
+    assert report.count() == 3 and "<table" in html
+    posts = [r for r in _ApiHandler.requests if isinstance(r, tuple)]
+    assert posts, "report was not delivered over HTTP"
