@@ -488,3 +488,32 @@ def test_bloom_probe_broadcast_both_sides(spark):
     plan = formatted_plan(df)
     assert plan.count("BroadcastHashJoin") >= 2, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_fertility_and_datasheet_single_aggregate(spark):
+    """tokenizer_fertility and corpus_datasheet are one-pass corpus
+    reports: exactly one shuffle each (the per-group reduce; the
+    datasheet's two distinct-aggs expand inside the same two-phase
+    aggregate), no joins."""
+    for name in ("tokenizer_fertility", "corpus_datasheet"):
+        df = QUERIES[name].fn(spark, SF)
+        plan = formatted_plan(df)
+        assert "Join" not in plan, f"{name} must not join:\n{plan}"
+
+
+def test_cached_frame_reuses_inmemory_scan(spark):
+    """df.cache() must serve the second action from InMemoryTableScan —
+    the interactive-analysis reuse layer (SURVEY §4 notes Spark's
+    caching is free engine surface; this pins it working)."""
+    df = (
+        spark.read.parquet(f"{SF}/orders.parquet")
+        .groupBy("o_orderpriority")
+        .count()
+        .cache()
+    )
+    try:
+        df.count()  # materialize
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan, plan
+    finally:
+        df.unpersist()
