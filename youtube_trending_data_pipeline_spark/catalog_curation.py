@@ -2815,3 +2815,235 @@ def udtf_sentence_split(spark, sf_dir):
         "SELECT s.doc_id, s.sent_idx, s.sentence, s.n_chars "
         "FROM _udtf_docs, LATERAL split_sentences_udtf(doc_id, text) s"
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-6 batch 3: URL dedup, k-fold assignment, mergeable KMV union,
+# MAD anomaly screen
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_url_exact",
+    """
+    WITH u AS (
+      SELECT doc_id,
+             'https://WWW.' || source || '.Example.com/page/' || lang
+               || '/' || CAST(n_chars % 50 AS VARCHAR) || '?session=abc#top'
+               AS url
+      FROM documents
+    ), canon AS (
+      SELECT doc_id,
+             lower(split_part(split_part(url, '//', 2), '?', 1)) AS curl
+      FROM u
+    )
+    SELECT curl,
+           CAST(MIN(doc_id) AS BIGINT) AS keeper_id,
+           CAST(COUNT(*) AS BIGINT) AS n_copies
+    FROM canon GROUP BY curl
+    """,
+    "URL-keyed exact dedup — the crawl-frontier twin of content dedup "
+    "(dedup_exact): canonicalize (lowercase host, strip query+fragment) "
+    "and keep one fetch per canonical URL (min doc_id) with the "
+    "duplicate count — run BEFORE fetching at crawl time, where content "
+    "hashes don't exist yet. Synthetic URLs collide on (source, lang, "
+    "n_chars bucket) so the dedup is observable. Same one-shuffle "
+    "fixed-width-key shape as dedup_exact; Spark side canonicalizes "
+    "with the real parse_url built-ins.",
+)
+def dedup_url_exact(spark, sf_dir):
+    url = F.concat(
+        F.lit("https://WWW."), F.col("source"), F.lit(".Example.com/page/"),
+        F.col("lang"), F.lit("/"), (F.col("n_chars") % 50).cast("string"),
+        F.lit("?session=abc#top"),
+    )
+    return (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", url.alias("url"))
+        .select(
+            "doc_id",
+            F.concat(
+                F.lower(F.parse_url("url", F.lit("HOST"))),
+                F.parse_url("url", F.lit("PATH")),
+            ).alias("curl"),
+        )
+        .groupBy("curl")
+        .agg(
+            F.min("doc_id").alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+@register(
+    "split_kfold_assign",
+    """
+    SELECT CAST(((doc_id % 2147483648) * 2654435761) % 5 AS BIGINT) AS fold,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+    FROM documents
+    GROUP BY 1
+    """,
+    "Deterministic k-fold cross-validation assignment (k=5): fold = "
+    "Knuth-multiplicative-hash(doc_id) mod k — no RNG, so every rerun, "
+    "engine, and partitioning yields identical folds (the property "
+    "sample_hash_split establishes for train/test, extended to CV), "
+    "plus per-fold balance stats (doc count, char volume, language "
+    "coverage) — the sanity report before trusting CV variance. One "
+    "map-side hash + one k-row aggregate.",
+)
+def split_kfold_assign(spark, sf_dir):
+    fold = ((F.col("doc_id") % F.lit(2147483648)) * F.lit(2654435761)) % 5
+    return (
+        t(spark, sf_dir, "documents")
+        .select(fold.alias("fold"), "n_chars", "lang")
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+    )
+
+
+@register(
+    "sketch_kmv_merge",
+    """
+    WITH h AS (
+      SELECT source,
+             ((doc_id % 2147483648) * 2654435761) % 4294967296 AS hv
+      FROM documents
+    ), per_source AS (
+      SELECT source, hv,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY hv) AS rn
+      FROM (SELECT DISTINCT source, hv FROM h)
+    ), sketches AS (
+      SELECT source, hv FROM per_source WHERE rn <= 32
+    ), merged AS (
+      SELECT hv, ROW_NUMBER() OVER (ORDER BY hv) AS rn
+      FROM (SELECT DISTINCT hv FROM sketches)
+    ), est AS (
+      SELECT CAST((32 - 1) * 4294967296 // MAX(hv) AS BIGINT) AS est_distinct
+      FROM merged WHERE rn <= 32
+    ), exact AS (
+      SELECT CAST(COUNT(DISTINCT hv) AS BIGINT) AS n_exact FROM h
+    )
+    SELECT est.est_distinct, exact.n_exact
+    FROM est, exact
+    """,
+    "KMV sketch MERGEABILITY — the property that makes sketches work "
+    "at 100 TB: each source shard keeps only its 32 smallest distinct "
+    "hash values (a bottom-k sketch), the per-shard sketches merge by "
+    "union + re-take-bottom-32 (NO access to raw data), and the merged "
+    "sketch estimates global distinct count as (k-1)*2^32 // kth_min — "
+    "audited against the exact distinct count in the same result row. "
+    "Extends sketch_kmv_distinct (single-pass global sketch) to the "
+    "distributed merge path: shard sketches are k-row artifacts, so "
+    "combining S shards moves S*k rows instead of the corpus. Integer "
+    "arithmetic end to end.",
+)
+def sketch_kmv_merge(spark, sf_dir):
+    k = 32
+    h = t(spark, sf_dir, "documents").select(
+        "source",
+        (
+            ((F.col("doc_id") % F.lit(2147483648)) * F.lit(2654435761))
+            % F.lit(4294967296)
+        ).alias("hv"),
+    )
+    per_source = (
+        h.distinct()
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("source").orderBy("hv")
+            ),
+        )
+        .where(F.col("rn") <= k)
+        .select("source", "hv")
+    )
+    merged = (
+        per_source.select("hv")
+        .distinct()
+        .withColumn("rn", F.row_number().over(W.orderBy("hv")))
+        .where(F.col("rn") <= k)
+    )
+    est = merged.agg(
+        F.expr(f"CAST(({k} - 1) * 4294967296 div MAX(hv) AS BIGINT)").alias(
+            "est_distinct"
+        )
+    )
+    exact = h.select("hv").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact")
+    )
+    return est.crossJoin(exact)
+
+
+@register(
+    "events_anomaly_mad",
+    """
+    WITH e AS (
+      SELECT user_id, event_id,
+             CAST(ROUND(value * 100) AS BIGINT) AS vc
+      FROM events
+    ), med AS (
+      SELECT user_id,
+             CAST(floor(median(vc)) AS BIGINT) AS med_c
+      FROM e GROUP BY user_id
+    ), dev AS (
+      SELECT e.user_id, e.event_id, e.vc, m.med_c,
+             abs(e.vc - m.med_c) AS adev
+      FROM e JOIN med m USING (user_id)
+    ), mad AS (
+      SELECT user_id, CAST(floor(median(adev)) AS BIGINT) AS mad_c
+      FROM dev GROUP BY user_id
+    )
+    SELECT d.user_id, d.event_id, d.vc,
+           (d.adev > 5 * NULLIF(ma.mad_c, 0)) AS is_anomaly
+    FROM dev d JOIN mad ma USING (user_id)
+    WHERE d.adev > 5 * NULLIF(ma.mad_c, 0)
+    """,
+    "Robust per-user anomaly screen: flag events whose integer-cents "
+    "value deviates from the USER's median by more than 5x the user's "
+    "median absolute deviation — the outlier filter that survives the "
+    "heavy tails that break z-scores (extends a26's MAD stats into a "
+    "row-level verdict; fraud/telemetry triage shape). Medians are "
+    "floored to exact integers; users with MAD 0 (constant values) "
+    "flag nothing via NULLIF — a constant series has no outliers by "
+    "this definition. Two grouped exact-median passes + one row-level "
+    "join; at 100 TB the medians come from the same grouped sort "
+    "machinery as winsorize_doc_lengths.",
+)
+def events_anomaly_mad(spark, sf_dir):
+    e = t(spark, sf_dir, "events").select(
+        "user_id", "event_id", cents("value").alias("vc")
+    )
+    med = e.groupBy("user_id").agg(
+        F.floor(F.expr("median(vc)")).cast("long").alias("med_c")
+    )
+    dev = e.join(med, "user_id").select(
+        "user_id",
+        "event_id",
+        "vc",
+        F.abs(F.col("vc") - F.col("med_c")).alias("adev"),
+    )
+    mad = dev.groupBy("user_id").agg(
+        F.floor(F.expr("median(adev)")).cast("long").alias("mad_c")
+    )
+    return (
+        dev.join(mad, "user_id")
+        .where(
+            F.col("adev")
+            > 5 * F.when(F.col("mad_c") != 0, F.col("mad_c"))
+        )
+        .select(
+            "user_id",
+            "event_id",
+            "vc",
+            (
+                F.col("adev")
+                > 5 * F.when(F.col("mad_c") != 0, F.col("mad_c"))
+            ).alias("is_anomaly"),
+        )
+    )
