@@ -5652,3 +5652,160 @@ def sim_ivfadc_topk(spark, sf_dir):
     )
     corpus = emb.where(F.col("vec_id") >= 5)
     return sim.ivfadc_topk(corpus, queries, k=3).orderBy("query_id", "rank")
+
+
+@register(
+    "stream_sliding_window_counts",
+    """
+    SELECT CAST(epoch_us(ts) // 3600000000 - off.o AS BIGINT) AS hour_bucket,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM events, (SELECT unnest(range(2)) AS o) off
+    GROUP BY 1, 2
+    """,
+    "Structured Streaming SLIDING windows in the exact gate (the "
+    "hopping companion to stream_windowed_counts' tumbling form): "
+    "2-hour windows every 1 hour, so each event lands in exactly two "
+    "overlapping windows; integer cents inside the stream keep the "
+    "overlapping sums exact under any micro-batch split. Epoch-aligned "
+    "hops mean window_start = event_hour - {0,1}, which is precisely "
+    "how the oracle replays the fan-out (events x 2-row offset spine). "
+    "Streaming state is 2x the tumbling case — the size/accuracy knob "
+    "sliding windows trade on at 100 TB event volumes.",
+)
+def stream_sliding_window_counts(spark, sf_dir):
+    import os
+    import tempfile
+    import uuid
+
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ts_dtype = dict(batch.dtypes).get("ts", "")
+    src_dir = tempfile.mkdtemp(prefix="stream-slide-src-")
+    os.symlink(f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet")
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .parquet(src_dir)
+        .select(
+            F.timestamp_micros(ts_micros(ts_dtype)).alias("ts_t"),
+            "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("vc"),
+        )
+    )
+    agg = (
+        stream.withWatermark("ts_t", "4 hours")
+        .groupBy(
+            F.window(F.col("ts_t"), "2 hours", "1 hour"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("vc").alias("total_cents"),
+        )
+    )
+    name = f"swc_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt-"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select(
+        F.expr("unix_micros(window.start) div 3600000000").alias(
+            "hour_bucket"
+        ),
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("total_cents").cast("long").alias("total_cents"),
+    )
+
+
+def _bfs_oracle(rounds: int = 4) -> str:
+    """Unrolled replay of synchronous multi-source BFS distances."""
+    steps = []
+    for i in range(1, rounds + 1):
+        steps.append(f"""
+    d{i} AS (
+      SELECT node, CAST(MIN(dist) AS BIGINT) AS dist FROM (
+        SELECT node, dist FROM d{i - 1}
+        UNION ALL
+        SELECT e.dst AS node, r.dist + 1 AS dist
+        FROM edges e JOIN d{i - 1} r ON r.node = e.src
+      ) GROUP BY node
+    )""")
+    return f"""
+    WITH pairs AS (
+      SELECT DISTINCT l_suppkey AS s, o_custkey + 1000000 AS c
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    edges AS (
+      SELECT s AS src, c AS dst FROM pairs
+      UNION
+      SELECT c AS src, s AS dst FROM pairs
+    ),
+    d0 AS (
+      SELECT DISTINCT s AS node, CAST(0 AS BIGINT) AS dist
+      FROM pairs WHERE s % 100 = 0
+    ),
+    {','.join(steps)}
+    SELECT node, dist FROM d{rounds}
+    """
+
+
+@register(
+    "graph_bfs_distances",
+    _bfs_oracle(4),
+    "Multi-source BFS shortest-hop distances (the reachability/"
+    "radius query of graph analytics, and the frontier pattern Pregel "
+    "was built for): seeds are suppliers with suppkey % 100 = 0 at "
+    "distance 0; 4 synchronous rounds of dist(v) = min(dist(v), "
+    "min over in-neighbors + 1) over the supplier<->customer graph; "
+    "unreached nodes are absent (no sentinel rows to shuffle). All "
+    "integer min-aggregates — order-independent, replayed by the "
+    "oracle as unrolled CTE rounds (the pagerank/LPA doctrine). Per "
+    "round: one equi-join of the frontier onto the static edge list + "
+    "one min aggregate; localCheckpoint lineage cuts; src-bucketed "
+    "edges make every round's join edge-side shuffle-free.",
+)
+def graph_bfs_distances(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.col("l_suppkey").alias("s"),
+            (F.col("o_custkey") + 1000000).alias("c"),
+        )
+        .distinct()
+    )
+    edges = (
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+        .union(pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    dist = (
+        pairs.where(F.col("s") % 100 == 0)
+        .select(F.col("s").alias("node"))
+        .distinct()
+        .select("node", F.lit(0).cast("long").alias("dist"))
+    )
+    for _ in range(4):
+        hop = (
+            edges.join(dist, edges["src"] == dist["node"])
+            .select(F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist"))
+        )
+        dist = (
+            dist.unionByName(hop)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=False)
+        )
+    return dist
