@@ -5809,3 +5809,77 @@ def graph_bfs_distances(spark, sf_dir):
             .localCheckpoint(eager=False)
         )
     return dist
+
+
+@register(
+    "f_sql_pipe_syntax",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM lineitem
+    WHERE l_quantity >= 30
+    GROUP BY l_returnflag
+    """,
+    "Spark 4 SQL PIPE syntax (|>) in the exact gate: the same scan -> "
+    "filter -> aggregate expressed as `FROM lineitem |> WHERE ... |> "
+    "AGGREGATE ... GROUP BY ...` — the linear query style SQL:2023's "
+    "pipe operators standardize (and BigQuery popularized; the "
+    "reference's warehouse dialect). Catalyst compiles pipes to the "
+    "identical logical plan as nested SQL, so pushdown and partial "
+    "aggregation are unchanged — this entry pins the SURFACE, the "
+    "oracle states the classic form.",
+)
+def f_sql_pipe_syntax(spark, sf_dir):
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("_pipe_lineitem")
+    return spark.sql(
+        """
+        FROM _pipe_lineitem
+        |> WHERE l_quantity >= 30
+        |> AGGREGATE COUNT(*) AS n,
+                     SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                       AS revenue_cents
+           GROUP BY l_returnflag
+        |> SELECT l_returnflag, n, revenue_cents
+        """
+    )
+
+
+@register(
+    "f_collation_compare",
+    """
+    SELECT lower(o_orderpriority) AS priority_ci,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM (SELECT CASE WHEN o_orderkey % 2 = 0
+                      THEN upper(o_orderpriority)
+                      ELSE lower(o_orderpriority) END AS o_orderpriority
+          FROM orders)
+    GROUP BY 1
+    """,
+    "Spark 4 COLLATIONS in the exact gate: a mixed-case priority column "
+    "grouped under UTF8_LCASE collation — equality, hashing, and "
+    "GROUP BY all respect the case-insensitive collation natively "
+    "(pre-collation engines lower() everything, which loses the "
+    "original strings and breaks range predicates on mixed data). The "
+    "oracle states the classic lower() form; output is normalized "
+    "lowercase so both sides hash identically. The collation tag rides "
+    "the DATA TYPE, so every downstream operator inherits the "
+    "comparison semantics without per-expression wrapping.",
+)
+def f_collation_compare(spark, sf_dir):
+    mixed = t(spark, sf_dir, "orders").select(
+        F.when(
+            F.col("o_orderkey") % 2 == 0, F.upper("o_orderpriority")
+        )
+        .otherwise(F.lower("o_orderpriority"))
+        .alias("o_orderpriority")
+    )
+    ci = mixed.select(
+        F.expr("o_orderpriority COLLATE UTF8_LCASE").alias("priority_ci")
+    )
+    return (
+        ci.groupBy("priority_ci")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lower("priority_ci").alias("priority_ci"), "n")
+    )
