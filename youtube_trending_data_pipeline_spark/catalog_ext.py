@@ -5883,3 +5883,122 @@ def f_collation_compare(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.lower("priority_ci").alias("priority_ci"), "n")
     )
+
+
+@register(
+    "j11_interval_overlap_join",
+    """
+    WITH sess AS (
+      SELECT user_id, CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS h,
+             MIN(epoch_us(ts)) AS s_lo, MAX(epoch_us(ts)) AS s_hi
+      FROM events GROUP BY 1, 2
+    ), promos AS (
+      SELECT CAST(p AS BIGINT) AS promo_id,
+             CAST(p * 7200000000 AS BIGINT) AS p_lo,
+             CAST(p * 7200000000 + 5400000000 AS BIGINT) AS p_hi
+      FROM range(0, 200) t(p)
+    )
+    SELECT s.user_id, s.h AS sess_hour, p.promo_id,
+           CAST(LEAST(s.s_hi, p.p_hi) - GREATEST(s.s_lo, p.p_lo) AS BIGINT)
+             AS overlap_us
+    FROM sess s JOIN promos p
+      ON s.s_lo <= p.p_hi AND p.p_lo <= s.s_hi
+    """,
+    "Interval-overlap join (interval x interval, the harder sibling of "
+    "j7's point-in-range): per-user hourly activity spans joined to a "
+    "generated promo-window calendar on the overlap predicate "
+    "(lo <= other.hi AND other.lo <= hi), reporting the exact overlap "
+    "in epoch micros — the campaign-attribution / downtime-impact "
+    "shape. The promo side is a tiny generated dimension, so Spark "
+    "plans a broadcast nested-loop with a 200-row build side — "
+    "bounded, not quadratic; at 100 TB both sides bucket by coarse "
+    "time cell first (the rangejoin.py prefilter) so the theta join "
+    "runs within cells. Integer epoch arithmetic end to end.",
+)
+def j11_interval_overlap_join(spark, sf_dir):
+    sess = (
+        t(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.expr("(ts div 1000) div 3600000000").alias("h"),
+            F.expr("ts div 1000").alias("us"),
+        )
+        .groupBy("user_id", "h")
+        .agg(F.min("us").alias("s_lo"), F.max("us").alias("s_hi"))
+    )
+    promos = spark.range(0, 200).select(
+        F.col("id").alias("promo_id"),
+        (F.col("id") * 7200000000).alias("p_lo"),
+        (F.col("id") * 7200000000 + 5400000000).alias("p_hi"),
+    )
+    return (
+        sess.join(
+            F.broadcast(promos),
+            (F.col("s_lo") <= F.col("p_hi")) & (F.col("p_lo") <= F.col("s_hi")),
+        )
+        .select(
+            "user_id",
+            F.col("h").alias("sess_hour"),
+            "promo_id",
+            (
+                F.least("s_hi", "p_hi") - F.greatest("s_lo", "p_lo")
+            ).alias("overlap_us"),
+        )
+    )
+
+
+@register(
+    "ts_resample_ohlc",
+    """
+    WITH e AS (
+      SELECT user_id,
+             CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour_bucket,
+             epoch_us(ts) AS us, event_id,
+             CAST(ROUND(value * 100) AS BIGINT) AS vc
+      FROM events
+    ), w AS (
+      SELECT user_id, hour_bucket, vc,
+             FIRST_VALUE(vc) OVER win AS open_c,
+             LAST_VALUE(vc) OVER win AS close_c
+      FROM e
+      WINDOW win AS (PARTITION BY user_id, hour_bucket
+                     ORDER BY us, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, hour_bucket,
+           CAST(MIN(open_c) AS BIGINT) AS open_c,
+           CAST(MAX(vc) AS BIGINT) AS high_c,
+           CAST(MIN(vc) AS BIGINT) AS low_c,
+           CAST(MIN(close_c) AS BIGINT) AS close_c,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM w GROUP BY 1, 2
+    """,
+    "OHLC time-series downsampling: per (user, hour), the opening "
+    "value (argmin over (ts, event_id) — the composite key makes the "
+    "argmin deterministic under timestamp ties), high, low, close "
+    "(argmax), and count, in integer cents — the candlestick resample "
+    "every metrics store runs, expressed as ONE hash aggregate with "
+    "max_by/min_by ordered-tuple arguments instead of two window "
+    "passes. Map-side partials carry (open, high, low, close) per "
+    "group, so the shuffle is bucket-sized regardless of event "
+    "volume.",
+)
+def ts_resample_ohlc(spark, sf_dir):
+    from youtube_trending_data_pipeline_spark.catalog import cents
+
+    e = t(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("(ts div 1000) div 3600000000").alias("hour_bucket"),
+        F.expr("ts div 1000").alias("us"),
+        "event_id",
+        cents("value").alias("vc"),
+    )
+    key = F.struct("us", "event_id")
+    return e.groupBy("user_id", "hour_bucket").agg(
+        F.min_by("vc", key).alias("open_c"),
+        F.max("vc").alias("high_c"),
+        F.min("vc").alias("low_c"),
+        F.max_by("vc", key).alias("close_c"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
