@@ -3047,3 +3047,74 @@ def events_anomaly_mad(spark, sf_dir):
             ).alias("is_anomaly"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-data export: sharded JSONL with checksummed manifest
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "export_jsonl_manifest",
+    """
+    WITH ordered AS (
+      SELECT doc_id,
+             ((doc_id % 2147483648) * 2654435761) % 4294967296 AS hv,
+             ROW_NUMBER() OVER (
+               ORDER BY ((doc_id % 2147483648) * 2654435761) % 4294967296,
+                        doc_id
+             ) - 1 AS pos
+      FROM documents
+    ), sharded AS (
+      SELECT doc_id, pos // 100 AS shard,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               AS doc_h
+      FROM ordered
+    )
+    SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc_id,
+           CAST(SUM(doc_h) AS BIGINT) AS content_checksum
+    FROM sharded GROUP BY shard
+    """,
+    "Training-data EXPORT manifest — the last mile: documents are "
+    "assigned to fixed-size JSONL shards (100 rows) in deterministic "
+    "hash order (the same no-RNG shuffle as corpus_shuffle_shards, so "
+    "reruns produce byte-identical shards), and the manifest row per "
+    "shard carries row count, id range, and an order-independent "
+    "integer content checksum (sum of per-doc md5-derived hashes) — "
+    "what a consumer verifies before training starts and what "
+    "corpus_merkle_tree extends to O(log n) proofs. The entry RETURNS "
+    "the manifest (the oracle-checkable artifact); the physical JSONL "
+    "write is df.write.partitionBy('shard').json(...) on the same "
+    "frame — a sink call, not a different plan. One global-order "
+    "window at vocabulary... corpus scale is the one global sort an "
+    "export inherently needs (at 100 TB: range-partitioned sort, "
+    "Spark's TakeOrdered/TeraSort machinery).",
+)
+def export_jsonl_manifest(spark, sf_dir):
+    hv = (
+        (F.col("doc_id") % F.lit(2147483648)) * F.lit(2654435761)
+    ) % F.lit(4294967296)
+    ordered = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", hv.alias("hv"))
+        .withColumn(
+            "pos",
+            F.row_number().over(W.orderBy("hv", "doc_id")) - 1,
+        )
+    )
+    sharded = ordered.select(
+        "doc_id",
+        F.expr("pos div 100").alias("shard"),
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        .alias("doc_h"),
+    )
+    return sharded.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+        F.sum("doc_h").alias("content_checksum"),
+    )
