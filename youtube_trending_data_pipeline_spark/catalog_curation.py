@@ -3088,10 +3088,9 @@ def events_anomaly_mad(spark, sf_dir):
     "corpus_merkle_tree extends to O(log n) proofs. The entry RETURNS "
     "the manifest (the oracle-checkable artifact); the physical JSONL "
     "write is df.write.partitionBy('shard').json(...) on the same "
-    "frame — a sink call, not a different plan. One global-order "
-    "window at vocabulary... corpus scale is the one global sort an "
-    "export inherently needs (at 100 TB: range-partitioned sort, "
-    "Spark's TakeOrdered/TeraSort machinery).",
+    "frame — a sink call, not a different plan. The global-order "
+    "window is the one global sort an export inherently needs (at "
+    "100 TB: a range-partitioned sort, Spark's TeraSort machinery).",
 )
 def export_jsonl_manifest(spark, sf_dir):
     hv = (
