@@ -3117,3 +3117,74 @@ def export_jsonl_manifest(spark, sf_dir):
         F.max("doc_id").alias("max_doc_id"),
         F.sum("doc_h").alias("content_checksum"),
     )
+
+
+@register(
+    "stats_partial_merge",
+    """
+    WITH partials AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(n_chars) AS BIGINT) AS s1,
+             CAST(SUM(n_chars * n_chars) AS BIGINT) AS s2
+      FROM documents GROUP BY source
+    ), merged AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS n,
+             CAST(SUM(s1) AS BIGINT) AS s1,
+             CAST(SUM(s2) AS BIGINT) AS s2
+      FROM partials
+    ), direct AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(n_chars) AS BIGINT) AS s1,
+             CAST(SUM(n_chars * n_chars) AS BIGINT) AS s2
+      FROM documents
+    )
+    SELECT m.n, m.s1, m.s2,
+           CAST((1000000 * m.s1) // m.n AS BIGINT) AS mean_ppm,
+           CAST((m.n * m.s2 - m.s1 * m.s1) // (m.n * m.n) AS BIGINT)
+             AS var_floor,
+           (m.n = d.n AND m.s1 = d.s1 AND m.s2 = d.s2) AS merge_exact
+    FROM merged m, direct d
+    """,
+    "Mergeable moment statistics — the algebraic-aggregation property "
+    "that makes distributed statistics correct: per-source partial "
+    "sketches (n, sum, sum of squares — exact integers) merge by plain "
+    "addition WITHOUT touching raw data, and the merged moments "
+    "reconstruct global mean (ppm) and variance (floored population "
+    "form (n*s2 - s1^2) / n^2) bit-identically to a direct global "
+    "pass — asserted in-row by the merge_exact verdict. The same "
+    "contract Spark's own partial aggregation relies on, made explicit "
+    "as the statistics sibling of sketch_kmv_merge: shard artifacts "
+    "are 3 integers, so combining S shards moves 3S values. "
+    "Welford-style streaming variance follows from these sums without "
+    "a second pass.",
+)
+def stats_partial_merge(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    partials = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").alias("s1"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).alias("s2"),
+    )
+    merged = partials.agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sum("s1").cast("long").alias("s1"),
+        F.sum("s2").cast("long").alias("s2"),
+    )
+    direct = docs.agg(
+        F.count(F.lit(1)).alias("dn"),
+        F.sum("n_chars").cast("long").alias("ds1"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).cast("long").alias("ds2"),
+    )
+    return merged.crossJoin(direct).select(
+        "n",
+        "s1",
+        "s2",
+        F.expr("(1000000 * s1) div n").alias("mean_ppm"),
+        F.expr("(n * s2 - s1 * s1) div (n * n)").alias("var_floor"),
+        (
+            (F.col("n") == F.col("dn"))
+            & (F.col("s1") == F.col("ds1"))
+            & (F.col("s2") == F.col("ds2"))
+        ).alias("merge_exact"),
+    )
