@@ -3188,3 +3188,205 @@ def stats_partial_merge(spark, sf_dir):
             & (F.col("s2") == F.col("ds2"))
         ).alias("merge_exact"),
     )
+
+
+@register(
+    "drift_snapshot_stats",
+    """
+    WITH halves AS (
+      SELECT CASE WHEN epoch_us(ts) <= (SELECT CAST(floor(median(epoch_us(ts)))
+                                               AS BIGINT) FROM events)
+                  THEN 0 ELSE 1 END AS half,
+             event_type,
+             CAST(ROUND(value * 100) AS BIGINT) AS vc,
+             user_id
+      FROM events
+    ), per AS (
+      SELECT half, event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST((1000000 * SUM(vc)) // COUNT(*) AS BIGINT) AS mean_c_ppm,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM halves GROUP BY 1, 2
+    )
+    SELECT a.event_type,
+           a.n AS n_before, b.n AS n_after,
+           a.mean_c_ppm AS mean_before_ppm, b.mean_c_ppm AS mean_after_ppm,
+           CAST(abs(b.mean_c_ppm - a.mean_c_ppm) AS BIGINT) AS mean_drift_ppm,
+           CAST(abs(1000000 * b.n // a.n - 1000000) AS BIGINT)
+             AS volume_drift_ppm
+    FROM per a JOIN per b ON a.event_type = b.event_type
+    WHERE a.half = 0 AND b.half = 1
+    """,
+    "Data-drift monitor between two snapshots (the MLOps check that "
+    "catches silent upstream changes before they poison training): the "
+    "event stream splits at its median timestamp into before/after "
+    "halves, and per event_type the monitor reports volume and "
+    "mean-value drift in exact ppm integers — per-segment drift, not "
+    "one global number, because drift localizes (one event type "
+    "changing units while totals look stable). The median split makes "
+    "the entry self-contained; production compares yesterday's "
+    "partition to today's with identical code. Two grouped aggregates "
+    "+ one tiny self-join on the segment key.",
+)
+def drift_snapshot_stats(spark, sf_dir):
+    ev = t(spark, sf_dir, "events").select(
+        F.expr("ts div 1000").alias("us"),
+        "event_type",
+        cents("value").alias("vc"),
+        "user_id",
+    )
+    med = ev.agg(
+        F.floor(F.expr("median(us)")).cast("long").alias("m")
+    )
+    halves = ev.crossJoin(F.broadcast(med)).select(
+        F.when(F.col("us") <= F.col("m"), 0).otherwise(1).alias("half"),
+        "event_type",
+        "vc",
+        "user_id",
+    )
+    per = halves.groupBy("half", "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("(1000000 * sum(vc)) div count(1)").alias("mean_c_ppm"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+    a = per.where(F.col("half") == 0).select(
+        "event_type",
+        F.col("n").alias("n_before"),
+        F.col("mean_c_ppm").alias("mean_before_ppm"),
+    )
+    b = per.where(F.col("half") == 1).select(
+        "event_type",
+        F.col("n").alias("n_after"),
+        F.col("mean_c_ppm").alias("mean_after_ppm"),
+    )
+    return a.join(b, "event_type").select(
+        "event_type",
+        "n_before",
+        "n_after",
+        "mean_before_ppm",
+        "mean_after_ppm",
+        F.abs(F.col("mean_after_ppm") - F.col("mean_before_ppm")).alias(
+            "mean_drift_ppm"
+        ),
+        F.abs(
+            F.expr("1000000 * n_after div n_before - 1000000")
+        ).alias("volume_drift_ppm"),
+    )
+
+
+@register(
+    "ab_test_metrics",
+    """
+    WITH assigned AS (
+      SELECT CASE WHEN ((user_id % 2147483648) * 2654435761) % 2 = 0
+                  THEN 'A' ELSE 'B' END AS arm,
+             user_id, event_type,
+             CAST(ROUND(value * 100) AS BIGINT) AS vc
+      FROM events
+    ), per_user AS (
+      SELECT arm, user_id,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS converted,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN vc ELSE 0 END)
+                  AS BIGINT) AS revenue_c
+      FROM assigned GROUP BY 1, 2
+    )
+    SELECT arm,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(converted) AS BIGINT) AS n_converted,
+           CAST((1000000 * SUM(converted)) // COUNT(*) AS BIGINT)
+             AS conversion_ppm,
+           CAST(SUM(revenue_c) AS BIGINT) AS revenue_c,
+           CAST(SUM(revenue_c) // COUNT(*) AS BIGINT) AS arpu_c
+    FROM per_user GROUP BY arm
+    """,
+    "A/B experiment readout: users assigned to arms by the "
+    "deterministic Knuth hash (the no-RNG assignment every entry in "
+    "the sampling family uses — assignment is reproducible and "
+    "balanced without storing an allocation table), then per arm: "
+    "user-level conversion (any purchase), conversion rate ppm, "
+    "revenue, ARPU in integer cents. User-level first (per_user "
+    "aggregate) because event-level rates double-count heavy users — "
+    "the classic A/B pitfall. The z-test on these exact counts is a "
+    "driver-side formula (same exact-components policy as "
+    "eval_bleu_components). Two hash aggregates, both map-side "
+    "partial.",
+)
+def ab_test_metrics(spark, sf_dir):
+    arm = F.when(
+        ((F.col("user_id") % F.lit(2147483648)) * F.lit(2654435761)) % 2 == 0,
+        F.lit("A"),
+    ).otherwise(F.lit("B"))
+    per_user = (
+        t(spark, sf_dir, "events")
+        .select(arm.alias("arm"), "user_id", "event_type", cents("value").alias("vc"))
+        .groupBy("arm", "user_id")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("converted"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", F.col("vc")).otherwise(0)
+            )
+            .cast("long")
+            .alias("revenue_c"),
+        )
+    )
+    return per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("converted").cast("long").alias("n_converted"),
+        F.expr("(1000000 * sum(converted)) div count(1)").alias(
+            "conversion_ppm"
+        ),
+        F.sum("revenue_c").cast("long").alias("revenue_c"),
+        F.expr("sum(revenue_c) div count(1)").alias("arpu_c"),
+    )
+
+
+@register(
+    "graph_degree_distribution",
+    """
+    WITH pairs AS (
+      SELECT DISTINCT l_suppkey AS s, o_custkey + 1000000 AS c
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ), edges AS (
+      SELECT s AS src, c AS dst FROM pairs
+      UNION
+      SELECT c AS src, s AS dst FROM pairs
+    ), deg AS (
+      SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS degree
+      FROM edges GROUP BY src
+    )
+    SELECT degree,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM deg GROUP BY degree
+    """,
+    "Degree distribution of the supplier<->customer graph — the "
+    "first-look audit before ANY graph algorithm runs (it decides "
+    "whether PageRank needs skew salting, whether triangle counting's "
+    "degree-ordered orientation pays, and what the LSH-style band "
+    "caps should be): per-node degree then the frequency of each "
+    "degree — the table a power-law fit reads. Two hash aggregates, "
+    "both map-side partial; the degree-keyed second aggregate is "
+    "vocabulary-sized.",
+)
+def graph_degree_distribution(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.col("l_suppkey").alias("s"),
+            (F.col("o_custkey") + 1000000).alias("c"),
+        )
+        .distinct()
+    )
+    edges = (
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+        .union(pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")))
+        .distinct()
+    )
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
