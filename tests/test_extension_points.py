@@ -100,3 +100,23 @@ def test_identifier_clause_safe_table_templating(spark):
         args={"col": "v", "tbl": "safe_t"},
     ).collect()
     assert out[0].s == 5
+
+
+def test_identifier_clause_binds_table_names(spark):
+    """Spark 4 IDENTIFIER(:param): dynamic table/column names bind as
+    identifiers through parameter markers — injection-safe templating
+    for the multi-tenant catalog patterns string interpolation breaks."""
+    spark.createDataFrame([(1, "a"), (2, "b")], "id long, tag string")\
+        .createOrReplaceTempView("ident_t")
+    out = spark.sql(
+        "SELECT count(*) AS n FROM IDENTIFIER(:tbl)", args={"tbl": "ident_t"}
+    ).collect()
+    assert out[0].n == 2
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        # a malicious "name" is treated as one identifier, not SQL
+        spark.sql(
+            "SELECT count(*) AS n FROM IDENTIFIER(:tbl)",
+            args={"tbl": "ident_t WHERE 1=0"},
+        ).collect()

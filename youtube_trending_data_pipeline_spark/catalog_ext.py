@@ -6002,3 +6002,43 @@ def ts_resample_ohlc(spark, sf_dir):
         F.max_by("vc", key).alias("close_c"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@register(
+    "f_sql_udf_inline",
+    """
+    SELECT o_orderkey,
+           CASE WHEN CAST(ROUND(o_totalprice * 100) AS BIGINT) > 0
+                THEN CAST((o_orderkey % 1000) + 2 * (o_custkey % 100)
+                          AS DOUBLE)
+                     / CAST(ROUND(o_totalprice * 100) AS BIGINT) * 1000
+                ELSE 0.0 END AS engagement_ratio
+    FROM orders
+    """,
+    "SQL-defined scalar function (CREATE TEMPORARY FUNCTION ... RETURN "
+    "expr, Spark 3.4+/4) in the exact gate, carrying the reference's A5 "
+    "guarded engagement-ratio formula ((likes + 2*comments)/views*1000 "
+    "ELSE 0, agg:79-84): unlike a Python UDF, a SQL UDF INLINES into "
+    "the plan at analysis time — whole-stage codegen, pushdown through "
+    "it, zero serialization boundary — so it is the right way to "
+    "package reusable business formulas on a 100 TB engine. The plan "
+    "carries no BatchEvalPython (generic gate) and the oracle states "
+    "the inlined expression directly.",
+)
+def f_sql_udf_inline(spark, sf_dir):
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION eng_ratio_udf("
+        "l BIGINT, c BIGINT, v BIGINT) RETURNS DOUBLE "
+        "RETURN CASE WHEN v > 0 THEN (l + 2 * c) / v * 1000 "
+        "ELSE 0.0 END"
+    )
+    t(spark, sf_dir, "orders").createOrReplaceTempView("_sqludf_orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey,
+               eng_ratio_udf(o_orderkey % 1000, o_custkey % 100,
+                             CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                 AS engagement_ratio
+        FROM _sqludf_orders
+        """
+    )
