@@ -6042,3 +6042,74 @@ def f_sql_udf_inline(spark, sf_dir):
         FROM _sqludf_orders
         """
     )
+
+
+@register(
+    "attribution_last_touch",
+    """
+    WITH purchases AS (
+      SELECT user_id, ts, event_id,
+             CAST(ROUND(value * 100) AS BIGINT) AS revenue_c
+      FROM events WHERE event_type = 'purchase'
+    ), clicks AS (
+      SELECT user_id, ts,
+             MAX(CAST(props->>'k' AS BIGINT) % 5) AS channel
+      FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+    ), attributed AS (
+      SELECT p.revenue_c, c.channel
+      FROM purchases p
+      ASOF LEFT JOIN clicks c
+        ON p.user_id = c.user_id AND p.ts >= c.ts
+    )
+    SELECT COALESCE(CAST(channel AS BIGINT), -1) AS channel,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(revenue_c) AS BIGINT) AS revenue_c
+    FROM attributed GROUP BY 1
+    """,
+    "Last-touch marketing attribution — the revenue-allocation query "
+    "the reference's analytics warehouse exists to serve: every "
+    "purchase's revenue (integer cents) is credited to the CHANNEL of "
+    "the user's most recent prior click (channel parsed from the "
+    "click's JSON props with the ->>/get_json_object path family, "
+    "bucketed to 5 synthetic channels), organic purchases (no prior "
+    "click) land in channel -1. Composes the as-of join "
+    "(operators/asof.py, j6's union-merge single-shuffle shape) with a "
+    "channel-keyed revenue rollup; at 100 TB this is one shuffle on "
+    "user_id plus a 5-row aggregate.",
+)
+def attribution_last_touch(spark, sf_dir):
+    from youtube_trending_data_pipeline_spark.catalog import cents
+    from youtube_trending_data_pipeline_spark.operators.asof import as_of_join
+
+    ev = t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", cents("value").alias("revenue_c")
+    )
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max(
+                F.get_json_object("props", "$.k").cast("long") % 5
+            ).alias("channel")
+        )
+    )
+    attributed = as_of_join(
+        purchases,
+        clicks,
+        keys=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        payload_cols=["channel"],
+    )
+    return (
+        attributed.select(
+            F.coalesce(F.col("asof_channel"), F.lit(-1)).alias("channel"),
+            "revenue_c",
+        )
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum("revenue_c").cast("long").alias("revenue_c"),
+        )
+    )
