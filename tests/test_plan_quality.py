@@ -149,6 +149,12 @@ def test_no_accidental_cartesian_anywhere(spark):
         # scored corpus — the output IS scores x thresholds.
         "eval_pr_curve",
         "resample_daily",
+        # j11_interval_overlap_join: the overlap predicate IS a theta
+        # join; the build side is a generated 200-row promo calendar
+        # broadcast — bounded constant-append like resample_daily's
+        # date spine (the entry docstring records the bucketed-cell
+        # prefilter as the 100 TB path).
+        "j11_interval_overlap_join",
     }
     # Scalar-subquery shapes: crossJoin against a broadcast single-row
     # aggregate ("compare every row to the global total/average"). Spark
@@ -182,6 +188,13 @@ def test_no_accidental_cartesian_anywhere(spark):
         # stats broadcast AND brute_force_topk's 1-row query-vector
         # broadcast — both constant-appends, O(n) each.
         "retrieval_hybrid_rrf",
+        # sketch_kmv_merge / stats_partial_merge: two 1-row audit
+        # aggregates crossed (estimate x exact) — 1x1 constant joins.
+        "sketch_kmv_merge",
+        "stats_partial_merge",
+        # drift_snapshot_stats: 1-row median-timestamp broadcast onto the
+        # event stream for the snapshot split — constant-append.
+        "drift_snapshot_stats",
     }
     for name, spec in QUERIES.items():
         if name in allowed_cross:
