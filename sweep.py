@@ -32,6 +32,7 @@ ORACLE_HEAVY = {
     "dedup_embedding_cosine",
     "dedup_minhash_lsh",
     "dedup_minhash_jaccard_est",
+    "dedup_shingle_containment",
     "dedup_simhash",
     "r1_recursive_spine",
     "contamination_check",

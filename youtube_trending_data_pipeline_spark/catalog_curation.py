@@ -3390,3 +3390,218 @@ def graph_degree_distribution(spark, sf_dir):
         F.count(F.lit(1)).alias("degree")
     )
     return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
+
+
+@register(
+    "dedup_shingle_containment",
+    f"""
+    WITH tk AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ), sh AS (
+      SELECT doc_id, unnest(list_distinct(
+        list_transform(range(1, len(toks) - 1),
+                       i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+      )) AS s
+      FROM tk WHERE len(toks) >= 3
+    ), szs AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nsh FROM sh GROUP BY 1
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(COUNT(*) AS BIGINT) AS ninter
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT i.id_a, i.id_b,
+           CAST((1000000 * i.ninter) // za.nsh AS BIGINT)
+             AS containment_a_ppm,
+           CAST((1000000 * i.ninter) // zb.nsh AS BIGINT)
+             AS containment_b_ppm
+    FROM inter i
+    JOIN szs za ON za.doc_id = i.id_a
+    JOIN szs zb ON zb.doc_id = i.id_b
+    WHERE (1000000 * i.ninter) // za.nsh >= 800000
+       OR (1000000 * i.ninter) // zb.nsh >= 800000
+    """,
+    "Asymmetric shingle CONTAINMENT dedup (Broder's containment, the "
+    "measure Jaccard misses): |A∩B|/|A| per ordered pair — a short "
+    "document wholly quoted inside a long one scores containment ~1 "
+    "while its Jaccard stays tiny, so symmetric near-dup passes keep "
+    "both copies. Pairs with >= 80% containment in either direction "
+    "are flagged (ppm integers). Candidate generation here is the "
+    "shingle equi-join (bounded by shared-shingle pairs at gate "
+    "scale); at 100 TB the same LSH banding as dedup_minhash_lsh "
+    "prefilters candidates and this containment check replaces the "
+    "Jaccard threshold.",
+)
+def dedup_shingle_containment(spark, sf_dir):
+    sh = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", _toks().alias("toks"))
+        .where(F.size("toks") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        "transform(sequence(0, size(toks) - 3), i -> "
+                        "array_join(slice(toks, i + 1, 3), ' '))"
+                    )
+                )
+            ).alias("s"),
+        )
+    )
+    szs = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nsh"))
+    a = sh.select(F.col("doc_id").alias("id_a"), "s")
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("s").alias("s2"))
+    inter = (
+        a.join(b, (F.col("s") == F.col("s2")) & (F.col("id_a") < F.col("id_b")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("ninter"))
+    )
+    out = (
+        inter.join(
+            szs.select(F.col("doc_id").alias("id_a"), F.col("nsh").alias("nsh_a")),
+            "id_a",
+        )
+        .join(
+            szs.select(F.col("doc_id").alias("id_b"), F.col("nsh").alias("nsh_b")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.expr("(1000000 * ninter) div nsh_a").alias("containment_a_ppm"),
+            F.expr("(1000000 * ninter) div nsh_b").alias("containment_b_ppm"),
+        )
+    )
+    return out.where(
+        (F.col("containment_a_ppm") >= 800000)
+        | (F.col("containment_b_ppm") >= 800000)
+    )
+
+
+@register(
+    "split_walk_forward",
+    """
+    WITH e AS (
+      SELECT event_id, CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+      FROM events
+    ), bounds AS (
+      SELECT MIN(day) AS d0 FROM e
+    ), folds AS (
+      SELECT CAST(f AS BIGINT) AS fold FROM range(0, 3) t(f)
+    )
+    SELECT f.fold,
+           CASE WHEN e.day < b.d0 + 7 + f.fold * 7 THEN 'train'
+                ELSE 'test' END AS role,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MIN(e.day) AS BIGINT) AS min_day,
+           CAST(MAX(e.day) AS BIGINT) AS max_day
+    FROM e, bounds b, folds f
+    WHERE e.day < b.d0 + 7 + (f.fold + 1) * 7
+    GROUP BY 1, 2
+    """,
+    "Walk-forward (rolling-origin) backtest splits — the TEMPORAL "
+    "cross-validation k-fold hashing cannot give you (training on the "
+    "future leaks): 3 folds, each training on everything before its "
+    "cutoff (first week + fold*7 days) and testing on the following "
+    "week, reported as per-(fold, role) counts and day ranges. "
+    "Deterministic pure date arithmetic off the corpus's own min day; "
+    "the events x 3-row fold spine is a bounded broadcast "
+    "constant-append. The evaluation sibling of split_kfold_assign "
+    "and the scheduling shape behind every time-series model refresh.",
+)
+def split_walk_forward(spark, sf_dir):
+    e = t(spark, sf_dir, "events").select(
+        "event_id",
+        F.expr("(ts div 1000) div 86400000000").alias("day"),
+    )
+    bounds = e.agg(F.min("day").alias("d0"))
+    folds = spark.range(0, 3).select(F.col("id").alias("fold"))
+    joined = (
+        e.crossJoin(F.broadcast(bounds))
+        .crossJoin(F.broadcast(folds))
+        .where(F.col("day") < F.col("d0") + 7 + (F.col("fold") + 1) * 7)
+    )
+    return (
+        joined.select(
+            "fold",
+            F.when(
+                F.col("day") < F.col("d0") + 7 + F.col("fold") * 7, "train"
+            )
+            .otherwise("test")
+            .alias("role"),
+            "day",
+        )
+        .groupBy("fold", "role")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("day").alias("min_day"),
+            F.max("day").alias("max_day"),
+        )
+    )
+
+
+@register(
+    "graph_link_prediction",
+    """
+    WITH pairs AS (
+      SELECT DISTINCT l_suppkey AS s, o_custkey + 1000000 AS c
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ), cn AS (
+      SELECT a.s AS u, b.s AS v, CAST(COUNT(*) AS BIGINT) AS common
+      FROM pairs a JOIN pairs b ON a.c = b.c AND a.s < b.s
+      GROUP BY 1, 2
+    ), deg AS (
+      SELECT s, CAST(COUNT(*) AS BIGINT) AS d FROM pairs GROUP BY s
+    )
+    SELECT cn.u, cn.v, cn.common,
+           CAST((1000000 * cn.common)
+                // (du.d + dv.d - cn.common) AS BIGINT) AS jaccard_ppm
+    FROM cn
+    JOIN deg du ON du.s = cn.u
+    JOIN deg dv ON dv.s = cn.v
+    WHERE cn.common >= 3
+    """,
+    "Link prediction by common-neighbor / Jaccard scoring (the "
+    "Liben-Nowell & Kleinberg baseline that collaborative-filtering "
+    "candidate generation still runs on): supplier pairs sharing >= 3 "
+    "customers, scored by |N(u) n N(v)| and Jaccard over neighbor "
+    "sets in ppm integers — 'suppliers serving the same customers "
+    "will likely share the next one'. The wedge join (pairs joined on "
+    "the shared customer) is the triangle-counting cost shape; the "
+    "common>=3 support floor is the A-priori prune that keeps wedge "
+    "output bounded at 100 TB.",
+)
+def graph_link_prediction(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.col("l_suppkey").alias("s"),
+            (F.col("o_custkey") + 1000000).alias("c"),
+        )
+        .distinct()
+    )
+    a = pairs.select(F.col("s").alias("u"), "c")
+    b = pairs.select(F.col("s").alias("v"), F.col("c").alias("c2"))
+    cn = (
+        a.join(b, (F.col("c") == F.col("c2")) & (F.col("u") < F.col("v")))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("common"))
+        .where(F.col("common") >= 3)
+    )
+    deg = pairs.groupBy("s").agg(F.count(F.lit(1)).alias("d"))
+    return (
+        cn.join(deg.select(F.col("s").alias("u"), F.col("d").alias("du")), "u")
+        .join(deg.select(F.col("s").alias("v"), F.col("d").alias("dv")), "v")
+        .select(
+            "u",
+            "v",
+            "common",
+            F.expr("(1000000 * common) div (du + dv - common)").alias(
+                "jaccard_ppm"
+            ),
+        )
+    )
