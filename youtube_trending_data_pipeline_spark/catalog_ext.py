@@ -6113,3 +6113,76 @@ def attribution_last_touch(spark, sf_dir):
             F.sum("revenue_c").cast("long").alias("revenue_c"),
         )
     )
+
+
+@register(
+    "lang_mismatch_audit",
+    f"""
+    SELECT lang, lang_pred,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM ({_langid_oracle()})
+    GROUP BY lang, lang_pred
+    """,
+    "Declared-vs-detected language confusion audit: the language-ID "
+    "heuristic (text_langid's marker scorer) crossed against each "
+    "document's DECLARED lang column as a (declared, predicted) "
+    "confusion table — the metadata-trust check a multilingual corpus "
+    "runs before per-language sampling quotas consume the labels "
+    "(mislabeled crawl segments show up as off-diagonal mass; "
+    "systematic detector bias shows up as a column). Same map-side "
+    "scorer, one |langs|^2-bounded aggregate.",
+)
+def lang_mismatch_audit(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", lang_id("text").alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@register(
+    "dedup_cluster_size_histogram",
+    f"""
+    WITH tk AS (
+      SELECT doc_id, md5(lower(array_to_string(
+        list_filter(str_split_regex(text, '\\s+'), x -> x <> ''), ' ')))
+        AS h
+      FROM documents
+    ), clusters AS (
+      SELECT h, CAST(COUNT(*) AS BIGINT) AS cluster_size
+      FROM tk GROUP BY h
+    )
+    SELECT cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(cluster_size) AS BIGINT) AS n_docs,
+           CAST(SUM(cluster_size - 1) AS BIGINT) AS n_removable
+    FROM clusters GROUP BY cluster_size
+    """,
+    "Duplicate-cluster size histogram — the dedup IMPACT report read "
+    "before running any removal pass: exact-content clusters "
+    "(normalized-text hash, the dedup_exact key) bucketed by size, "
+    "with cluster counts, covered docs, and the removable-row total "
+    "(size - 1 per cluster) per bucket — 'how much does dedup buy us "
+    "and is it one mega-cluster or a long tail?'. The answer decides "
+    "between plain exact dedup and the near-dup pipeline, and the "
+    "mega-cluster tail is exactly what lsh_candidate_pairs' "
+    "max_bucket guard defends against. Two hash aggregates, both "
+    "map-side partial.",
+)
+def dedup_cluster_size_histogram(spark, sf_dir):
+    from youtube_trending_data_pipeline_spark.operators.dedup import (
+        fingerprint,
+    )
+
+    clusters = (
+        t(spark, sf_dir, "documents")
+        .select(fingerprint("text").alias("h"))
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+    )
+    return clusters.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum("cluster_size").cast("long").alias("n_docs"),
+        F.sum(F.col("cluster_size") - 1).cast("long").alias("n_removable"),
+    )
