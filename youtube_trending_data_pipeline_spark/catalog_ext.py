@@ -6186,3 +6186,198 @@ def dedup_cluster_size_histogram(spark, sf_dir):
         F.sum("cluster_size").cast("long").alias("n_docs"),
         F.sum(F.col("cluster_size") - 1).cast("long").alias("n_removable"),
     )
+
+
+def _av_sync_oracle() -> str:
+    """Replay of the A/V duration audit: audio n_samples/rate and video
+    n_frames/fps computed from the same synthesis arithmetic."""
+    return """
+    SELECT CAST(doc_id AS VARCHAR) AS asset_id,
+           CAST((4 + doc_id % 3) * 1000 // 1000 AS BIGINT) AS audio_ms,
+           CAST((2 + doc_id % 2) * 1000 // 10 AS BIGINT) AS video_ms,
+           CAST(abs((4 + doc_id % 3) * 1000 // 1000
+                    - (2 + doc_id % 2) * 1000 // 10) AS BIGINT) AS drift_ms,
+           abs((4 + doc_id % 3) * 1000 // 1000
+               - (2 + doc_id % 2) * 1000 // 10) <= 250 AS in_sync
+    FROM documents
+    """
+
+
+@register(
+    "multimodal_av_sync_audit",
+    _av_sync_oracle(),
+    "Audio/video duration-sync audit — the container-integrity check a "
+    "multimodal training pipeline runs before pairing tracks (a "
+    "mismatched mux yields captions drifting off their frames): each "
+    "asset carries BOTH a synthetic PCM16 WAV (4 + doc_id%3 samples at "
+    "1 kHz) and a Y4M clip (2 + doc_id%2 frames at 10 fps); the REAL "
+    "decoders recover each track's duration and the audit reports the "
+    "drift and a 250 ms sync verdict (discriminating on this data: 2-frame clips pass, 3-frame clips fail). Exercises both decode kernels in "
+    "ONE pass over one media frame — the two mapInPandas lanes join on "
+    "asset_id (fixed-width keys). Oracle replays the duration "
+    "arithmetic.",
+)
+def multimodal_av_sync_audit(spark, sf_dir):
+    from youtube_trending_data_pipeline_spark.operators.multimodal import (
+        extract_audio_features,
+        extract_video_frame_features,
+    )
+
+    def sample_hex(i: int):
+        v = (F.col("doc_id") * 13 + i * 37) % 2048 - 1024
+        u = F.pmod(v, F.lit(65536))
+        return F.concat(
+            F.lpad(F.hex(u % 256), 2, "0"),
+            F.lpad(F.hex(F.floor(u / 256).cast("long")), 2, "0"),
+        )
+
+    # audio: variable sample count 4..6 -> rebuild RIFF sizes per doc
+    n_samp = (F.col("doc_id") % 3 + 4).cast("int")
+    data_hex6 = [sample_hex(i) for i in range(6)]
+
+    def wav_content():
+        # RIFF header with per-row data size: assemble hex via concat
+        data = F.concat(
+            *[
+                F.when(F.lit(i) < n_samp, data_hex6[i]).otherwise(F.lit(""))
+                for i in range(6)
+            ]
+        )
+        dlen = (n_samp * 2).cast("long")
+        rlen = dlen + 36
+        le32 = lambda c: F.concat(  # noqa: E731
+            F.lpad(F.hex(c % 256), 2, "0"),
+            F.lpad(F.hex((c.cast("long") / 256).cast("long") % 256), 2, "0"),
+            F.lit("0000"),
+        )
+        hdr = F.concat(
+            F.lit("52494646"), le32(rlen), F.lit("57415645"),
+            F.lit("666d7420"), F.lit("10000000"), F.lit("0100"), F.lit("0100"),
+            F.lit("e8030000"), F.lit("d0070000"), F.lit("0200"), F.lit("1000"),
+            F.lit("64617461"), le32(dlen),
+        )
+        return F.unhex(F.concat(hdr, data))
+
+    n_frames = (F.col("doc_id") % 2 + 2).cast("int")
+    frame_blobs = []
+    for f in range(3):
+        luma_hex = F.concat(
+            *[
+                F.lpad(F.hex((F.col("doc_id") * 11 + f * 29 + i * 17) % 256), 2, "0")
+                for i in range(4)
+            ]
+        )
+        blob = F.concat(
+            F.encode(F.lit("FRAME\n"), "utf-8"),
+            F.unhex(F.concat(luma_hex, F.lit("8080"))),
+        )
+        frame_blobs.append(
+            F.when(F.lit(f) < n_frames, blob).otherwise(
+                F.encode(F.lit(""), "utf-8")
+            )
+        )
+    video_content = F.concat(
+        F.encode(F.lit("YUV4MPEG2 W2 H2 F10:1 Ip A1:1 C420\n"), "utf-8"),
+        *frame_blobs,
+    )
+    docs = t(spark, sf_dir, "documents")
+    audio_media = docs.select(
+        F.col("doc_id").cast("string").alias("asset_id"),
+        F.lit("audio").alias("media_type"),
+        wav_content().alias("content"),
+    )
+    video_media = docs.select(
+        F.col("doc_id").cast("string").alias("asset_id"),
+        F.lit("video").alias("media_type"),
+        video_content.alias("content"),
+    )
+    audio = extract_audio_features(audio_media).select(
+        "asset_id",
+        F.expr("n_samples * 1000 div sample_rate").alias("audio_ms"),
+    )
+    video = (
+        extract_video_frame_features(video_media, every_ms=100)
+        .groupBy("asset_id")
+        .agg(
+            ((F.max("frame_idx") + 1) * 100).cast("long").alias("video_ms")
+        )
+    )
+    return audio.join(video, "asset_id").select(
+        "asset_id",
+        "audio_ms",
+        "video_ms",
+        F.abs(F.col("audio_ms") - F.col("video_ms")).alias("drift_ms"),
+        (F.abs(F.col("audio_ms") - F.col("video_ms")) <= 250).alias("in_sync"),
+    )
+
+
+@register(
+    "w_pareto_concentration",
+    """
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS rev_c
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ), ranked AS (
+      SELECT user_id, rev_c,
+             ROW_NUMBER() OVER (ORDER BY rev_c DESC, user_id) AS rn,
+             SUM(rev_c) OVER (ORDER BY rev_c DESC, user_id
+                              ROWS UNBOUNDED PRECEDING) AS cum_c,
+             SUM(rev_c) OVER () AS total_c,
+             COUNT(*) OVER () AS n_users
+      FROM per_user
+    )
+    SELECT CAST((10 * rn + n_users - 1) // n_users AS BIGINT) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(rev_c) AS BIGINT) AS decile_rev_c,
+           CAST(MAX((1000000 * cum_c) // total_c) AS BIGINT)
+             AS cum_share_ppm
+    FROM ranked GROUP BY 1
+    """,
+    "Pareto concentration curve (the '80/20' revenue-concentration "
+    "audit): per-user purchase revenue ranked descending, bucketed "
+    "into deciles by rank (ceil(10*rn/n)), each decile reporting its "
+    "revenue and the CUMULATIVE share of total revenue in ppm at its "
+    "boundary — 'the top 10% of users carry X% of revenue', the "
+    "number that decides whether per-user sampling or capping is "
+    "needed before training on behavioral data (extends "
+    "w_ratio_to_report's percent-of-group to the cumulative "
+    "distribution). One user aggregate + one global-order window over "
+    "the user vector (users << events; at corpus scale the same "
+    "range-partitioned sort as export_jsonl_manifest).",
+)
+def w_pareto_concentration(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    from youtube_trending_data_pipeline_spark.catalog import cents
+
+    per_user = (
+        t(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.sum(cents("value")).cast("long").alias("rev_c"))
+    )
+    w_order = W.orderBy(F.desc("rev_c"), F.asc("user_id"))
+    ranked = per_user.select(
+        "user_id",
+        "rev_c",
+        F.row_number().over(w_order).alias("rn"),
+        F.sum("rev_c")
+        .over(w_order.rowsBetween(W.unboundedPreceding, 0))
+        .alias("cum_c"),
+        F.sum("rev_c").over(W.partitionBy()).alias("total_c"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("n_users"),
+    )
+    return (
+        ranked.select(
+            F.expr("(10 * rn + n_users - 1) div n_users").alias("decile"),
+            "rev_c",
+            F.expr("(1000000 * cum_c) div total_c").alias("share_ppm"),
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("rev_c").cast("long").alias("decile_rev_c"),
+            F.max("share_ppm").alias("cum_share_ppm"),
+        )
+    )
