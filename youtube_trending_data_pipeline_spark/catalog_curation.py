@@ -3605,3 +3605,137 @@ def graph_link_prediction(spark, sf_dir):
             ),
         )
     )
+
+
+@register(
+    "feature_hashing_vectorize",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents
+    )
+    SELECT doc_id,
+           CAST((('0x' || substr(md5(tok), 1, 8))::BIGINT) % 64 AS BIGINT)
+             AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM tok GROUP BY 1, 2
+    """,
+    "Hashing-trick vectorization (Weinberger et al., ICML'09 — the "
+    "fixed-width featurizer that needs NO vocabulary pass): every "
+    "token hashes straight to one of 64 buckets (portable md5-derived "
+    "hash, the same construction the dedup family shares) and the "
+    "sparse (doc, bucket, count) rows ARE the feature vectors — "
+    "one-pass, stateless, new tokens at serving time land in existing "
+    "buckets instead of an OOV path. The no-vocabulary counterpart to "
+    "tokenize_to_ids: one explode + one hash aggregate, no join, no "
+    "broadcast state.",
+)
+def feature_hashing_vectorize(spark, sf_dir):
+    from youtube_trending_data_pipeline_spark.operators.dedup import (
+        portable_hash32,
+    )
+
+    tok = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(_toks()).alias("tok"))
+    )
+    return (
+        tok.select("doc_id", (portable_hash32("tok") % 64).alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@register(
+    "feature_target_encode_loo",
+    """
+    WITH e AS (
+      SELECT event_type, user_id,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+             CAST(ROUND(value * 100) AS BIGINT) AS vc, event_id
+      FROM events
+    ), seg AS (
+      SELECT user_id % 10 AS segment, event_id, vc,
+             CASE WHEN vc > 5000 THEN 1 ELSE 0 END AS target
+      FROM e
+    ), stats AS (
+      SELECT segment, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(target) AS BIGINT) AS s
+      FROM seg GROUP BY segment
+    )
+    SELECT g.event_id,
+           CAST(g.segment AS BIGINT) AS segment,
+           CAST(CASE WHEN st.n > 1
+                THEN (1000000 * (st.s - g.target)) // (st.n - 1)
+                ELSE 500000 END AS BIGINT) AS te_loo_ppm
+    FROM seg g JOIN stats st ON st.segment = g.segment
+    """,
+    "Leave-one-out target encoding — the leakage-SAFE form of the "
+    "classic tabular-ML categorical feature: each event's segment "
+    "(user_id mod 10) is encoded as the target rate (value > $50) "
+    "over all OTHER rows of its segment, (sum - own) / (n - 1) in "
+    "exact ppm — naive target encoding leaks each row's own label "
+    "into its feature and wins offline while failing online; "
+    "singleton segments fall back to the 0.5 prior. One segment "
+    "aggregate broadcast back onto the rows — the encoding costs one "
+    "small join regardless of cardinality.",
+)
+def feature_target_encode_loo(spark, sf_dir):
+    seg = t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 10).alias("segment"),
+        "event_id",
+        F.when(cents("value") > 5000, 1).otherwise(0).alias("target"),
+    )
+    stats = seg.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("target").alias("s")
+    )
+    return seg.join(F.broadcast(stats), "segment").select(
+        "event_id",
+        F.col("segment").cast("long").alias("segment"),
+        F.when(
+            F.col("n") > 1,
+            F.expr("(1000000 * (s - target)) div (n - 1)"),
+        )
+        .otherwise(F.lit(500000))
+        .cast("long")
+        .alias("te_loo_ppm"),
+    )
+
+
+@register(
+    "labels_next_event",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+      FROM events
+    )
+    SELECT user_id, event_id, event_type,
+           LEAD(event_type) OVER w AS next_event_type,
+           CAST(LEAD(us) OVER w - us AS BIGINT) AS gap_us
+    FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    """,
+    "Sequence-model label generation: for every event, the NEXT event "
+    "type in the user's timeline and the gap to it — the (input, "
+    "label) pairs next-action prediction and churn models train on, "
+    "with NULL labels marking each user's final event (the "
+    "right-censored rows a survival loss needs flagged, not dropped). "
+    "Deterministic ordering by (ts, event_id); one shuffle on user_id "
+    "shared by both lead windows — the supervised-learning sibling of "
+    "event_transition_matrix (which aggregates these same pairs).",
+)
+def labels_next_event(spark, sf_dir):
+    from pyspark.sql import Window as Wd
+
+    e = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.expr("ts div 1000").alias("us"),
+    )
+    w = Wd.partitionBy("user_id").orderBy("us", "event_id")
+    return e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.lead("event_type").over(w).alias("next_event_type"),
+        (F.lead("us").over(w) - F.col("us")).alias("gap_us"),
+    )
