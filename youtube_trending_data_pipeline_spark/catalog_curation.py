@@ -3648,15 +3648,11 @@ def feature_hashing_vectorize(spark, sf_dir):
 @register(
     "feature_target_encode_loo",
     """
-    WITH e AS (
-      SELECT event_type, user_id,
-             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
-             CAST(ROUND(value * 100) AS BIGINT) AS vc, event_id
+    WITH seg AS (
+      SELECT user_id % 10 AS segment, event_id,
+             CASE WHEN CAST(ROUND(value * 100) AS BIGINT) > 5000
+                  THEN 1 ELSE 0 END AS target
       FROM events
-    ), seg AS (
-      SELECT user_id % 10 AS segment, event_id, vc,
-             CASE WHEN vc > 5000 THEN 1 ELSE 0 END AS target
-      FROM e
     ), stats AS (
       SELECT segment, CAST(COUNT(*) AS BIGINT) AS n,
              CAST(SUM(target) AS BIGINT) AS s
