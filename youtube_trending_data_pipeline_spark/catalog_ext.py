@@ -6381,3 +6381,95 @@ def w_pareto_concentration(spark, sf_dir):
             F.max("share_ppm").alias("cum_share_ppm"),
         )
     )
+
+
+@register(
+    "basket_brand_lift",
+    """
+    WITH items AS (
+      SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ), n_orders AS (
+      SELECT CAST(COUNT(DISTINCT okey) AS BIGINT) AS n FROM items
+    ), brand_freq AS (
+      SELECT brand, CAST(COUNT(*) AS BIGINT) AS f FROM items GROUP BY brand
+    ), pairs AS (
+      SELECT a.brand AS brand_a, b.brand AS brand_b,
+             CAST(COUNT(*) AS BIGINT) AS together
+      FROM items a JOIN items b
+        ON a.okey = b.okey AND a.brand < b.brand
+      GROUP BY 1, 2
+    )
+    SELECT p.brand_a, p.brand_b, p.together,
+           CAST((1000000 * p.together) // fa.f AS BIGINT)
+             AS confidence_a_ppm,
+           CAST((1000000 * p.together * n.n) // (fa.f * fb.f) AS BIGINT)
+             AS lift_ppm
+    FROM pairs p
+    JOIN brand_freq fa ON fa.brand = p.brand_a
+    JOIN brand_freq fb ON fb.brand = p.brand_b
+    CROSS JOIN n_orders n
+    WHERE p.together >= 20
+    """,
+    "Market-basket association on the transactional tables (the "
+    "retail twin of token_cooccurrence_pairs): brand pairs bought in "
+    "the same order, with support, confidence P(b|a), and LIFT "
+    "P(a,b)/(P(a)P(b)) in exact ppm — lift > 1e6 is genuine "
+    "association, not popularity (the A-priori reading). Baskets are "
+    "distinct (order, brand) rows so quantity doesn't inflate "
+    "support; the within-order pair join is bounded by basket size "
+    "(25 brands max); support >= 20 is the A-priori prune. The "
+    "brand-frequency and order-count joins are broadcast-sized.",
+)
+def basket_brand_lift(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    items = (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    n_orders = items.select("okey").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    brand_freq = items.groupBy("brand").agg(F.count(F.lit(1)).alias("f"))
+    a = items.select(F.col("okey"), F.col("brand").alias("brand_a"))
+    b = items.select(
+        F.col("okey").alias("okey2"), F.col("brand").alias("brand_b")
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("okey") == F.col("okey2"))
+            & (F.col("brand_a") < F.col("brand_b")),
+        )
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).alias("together"))
+        .where(F.col("together") >= 20)
+    )
+    return (
+        pairs.join(
+            F.broadcast(
+                brand_freq.select(
+                    F.col("brand").alias("brand_a"), F.col("f").alias("fa")
+                )
+            ),
+            "brand_a",
+        )
+        .join(
+            F.broadcast(
+                brand_freq.select(
+                    F.col("brand").alias("brand_b"), F.col("f").alias("fb")
+                )
+            ),
+            "brand_b",
+        )
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "brand_a",
+            "brand_b",
+            "together",
+            F.expr("(1000000 * together) div fa").alias("confidence_a_ppm"),
+            F.expr("(1000000 * together * n) div (fa * fb)").alias("lift_ppm"),
+        )
+    )
