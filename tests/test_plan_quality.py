@@ -195,6 +195,12 @@ def test_no_accidental_cartesian_anywhere(spark):
         # drift_snapshot_stats: 1-row median-timestamp broadcast onto the
         # event stream for the snapshot split — constant-append.
         "drift_snapshot_stats",
+        # basket_brand_lift: 1-row order-count broadcast onto the
+        # bounded brand-pair table for the lift denominator.
+        "basket_brand_lift",
+        # split_walk_forward: 1-row min-day bound and a 3-row fold spine
+        # broadcast onto the event stream — bounded constant-appends.
+        "split_walk_forward",
     }
     for name, spec in QUERIES.items():
         if name in allowed_cross:
