@@ -3735,3 +3735,49 @@ def labels_next_event(spark, sf_dir):
         F.lead("event_type").over(w).alias("next_event_type"),
         (F.lead("us").over(w) - F.col("us")).alias("gap_us"),
     )
+
+
+@register(
+    "dedup_tokenset_fingerprint",
+    f"""
+    WITH tk AS (
+      SELECT doc_id,
+             md5(array_to_string(list_sort(list_distinct({_TOKS_SQL})), ' '))
+               AS set_h,
+             md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS ord_h
+      FROM documents
+    )
+    SELECT set_h,
+           CAST(MIN(doc_id) AS BIGINT) AS keeper_id,
+           CAST(COUNT(*) AS BIGINT) AS n_copies,
+           CAST(COUNT(DISTINCT ord_h) AS BIGINT) AS n_order_variants
+    FROM tk GROUP BY set_h
+    """,
+    "Token-SET fingerprint dedup (OpenRefine's key-collision "
+    "'fingerprint method'): cluster key = md5 of the sorted distinct "
+    "token set, so reordered or word-shuffled duplicates — spintax "
+    "rewrites, list-order churn, 'title - site' vs 'site - title' — "
+    "collapse into one cluster that order-sensitive exact dedup "
+    "(dedup_exact) keeps apart; n_order_variants counts the distinct "
+    "order-sensitive fingerprints inside each cluster, so "
+    "n_order_variants > 1 rows are exactly the reorder-dups only THIS "
+    "key finds. Same one-shuffle fixed-width-hash shape as "
+    "dedup_exact, with the set normalization as a map-side HOF.",
+)
+def dedup_tokenset_fingerprint(spark, sf_dir):
+    from youtube_trending_data_pipeline_spark.functions.text import (
+        fingerprint,
+    )
+
+    tk = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(
+            F.array_join(F.array_sort(F.array_distinct(_toks())), " ")
+        ).alias("set_h"),
+        fingerprint("text").alias("ord_h"),
+    )
+    return tk.groupBy("set_h").agg(
+        F.min("doc_id").alias("keeper_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+        F.countDistinct("ord_h").alias("n_order_variants"),
+    )
