@@ -1,0 +1,141 @@
+"""Behavioral claims of the round-6 batch-3 operators — the semantics
+the oracle sweep can't state: leakage-freedom, censoring flags,
+asymmetric containment, deterministic arms, Pareto closure."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from youtube_trending_data_pipeline_spark.catalog import QUERIES, _load_extensions
+
+_load_extensions()
+
+SF = "/root/testdata/sf0.001"
+
+
+def _events_dir(spark, rows):
+    d = tempfile.mkdtemp(prefix="r6beh-")
+    spark.createDataFrame(
+        rows, "event_id long, user_id long, ts_us long, event_type string, "
+        "value double, props string"
+    ).selectExpr(
+        "event_id", "timestamp_micros(ts_us) AS ts", "user_id",
+        "event_type", "value", "props",
+    ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    return d
+
+
+def test_attribution_credits_last_click_and_organic(spark):
+    """Revenue lands on the most recent PRIOR click's channel; purchases
+    with no prior click go to organic (-1); later clicks don't count."""
+    rows = [
+        # user 1: click ch(k=7 -> 7%5=2) at t=100, purchase at t=200
+        (1, 1, 100, "click", 0.0, '{"k": 7}'),
+        (2, 1, 200, "purchase", 10.0, "{}"),
+        # user 2: purchase at t=50 BEFORE its only click at t=60 -> organic
+        (3, 2, 50, "purchase", 5.0, "{}"),
+        (4, 2, 60, "click", 0.0, '{"k": 3}'),
+    ]
+    d = _events_dir(spark, rows)
+    got = {
+        r.channel: (r.n_purchases, r.revenue_c)
+        for r in QUERIES["attribution_last_touch"].fn(spark, d).collect()
+    }
+    assert got[2] == (1, 1000)   # user 1's $10 on channel 2
+    assert got[-1] == (1, 500)   # user 2 organic
+
+
+def test_target_encoding_excludes_own_label(spark):
+    """LOO property: a row's own target never leaks into its feature —
+    in a segment where only row X has target 1, X's encoding is 0 and
+    every other row's encoding is positive."""
+    # user_id % 10 buckets; value > $50 is the target
+    rows = [
+        (i, 10 + 0, i * 100, "view", 10.0, "{}") for i in range(4)
+    ] + [(99, 10, 9900, "view", 100.0, "{}")]  # the single target=1 row
+    d = _events_dir(spark, rows)
+    got = {
+        r.event_id: r.te_loo_ppm
+        for r in QUERIES["feature_target_encode_loo"].fn(spark, d).collect()
+    }
+    assert got[99] == 0  # own label excluded -> rate over others = 0
+    for i in range(4):
+        assert got[i] == 250000  # 1 positive among the other 4 rows
+
+
+def test_next_event_labels_censor_final_event(spark):
+    rows = [
+        (1, 1, 100, "view", 0.0, "{}"),
+        (2, 1, 250, "click", 0.0, "{}"),
+        (3, 1, 400, "purchase", 1.0, "{}"),
+    ]
+    d = _events_dir(spark, rows)
+    got = {
+        r.event_id: (r.next_event_type, r.gap_us)
+        for r in QUERIES["labels_next_event"].fn(spark, d).collect()
+    }
+    assert got[1] == ("click", 150)
+    assert got[2] == ("purchase", 150)
+    assert got[3] == (None, None)  # right-censored final event
+
+
+def test_ab_arms_deterministic_and_user_level(spark):
+    """Arms are a pure function of user_id (rerun-stable), and a heavy
+    user converts once, not per purchase."""
+    rows = [
+        (1, 7, 100, "purchase", 10.0, "{}"),
+        (2, 7, 200, "purchase", 20.0, "{}"),  # same user converts ONCE
+        (3, 8, 100, "view", 0.0, "{}"),
+    ]
+    d = _events_dir(spark, rows)
+    out1 = {r.arm: (r.n_users, r.n_converted, r.revenue_c)
+            for r in QUERIES["ab_test_metrics"].fn(spark, d).collect()}
+    out2 = {r.arm: (r.n_users, r.n_converted, r.revenue_c)
+            for r in QUERIES["ab_test_metrics"].fn(spark, d).collect()}
+    assert out1 == out2
+    assert sum(v[0] for v in out1.values()) == 2       # two users
+    assert sum(v[1] for v in out1.values()) == 1       # one converted user
+    assert sum(v[2] for v in out1.values()) == 3000    # $30 total
+
+
+def test_pareto_cumulative_closes_at_one(spark):
+    rows = QUERIES["w_pareto_concentration"].fn(spark, SF).collect()
+    assert rows
+    by_decile = {r.decile: r for r in rows}
+    last = max(by_decile)
+    assert by_decile[last].cum_share_ppm == 1_000_000
+    # cumulative share is monotone over deciles
+    shares = [by_decile[d].cum_share_ppm for d in sorted(by_decile)]
+    assert shares == sorted(shares)
+
+
+def test_containment_flags_subset_document(spark):
+    """A document fully contained in a larger one must score containment
+    1e6 on the small side even though Jaccard is far below any near-dup
+    threshold."""
+    small = "alpha beta gamma delta epsilon"
+    big = small + " " + " ".join(f"w{i}" for i in range(40))
+    d = tempfile.mkdtemp(prefix="cont-")
+    spark.createDataFrame(
+        [(1, small), (2, big)], "doc_id long, text string"
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    got = {
+        (r.id_a, r.id_b): (r.containment_a_ppm, r.containment_b_ppm)
+        for r in QUERIES["dedup_shingle_containment"].fn(spark, d).collect()
+    }
+    a, b = got[(1, 2)]
+    assert a == 1_000_000 and b < 200_000
+
+
+def test_walk_forward_train_grows_and_roles_disjoint(spark):
+    rows = QUERIES["split_walk_forward"].fn(spark, SF).collect()
+    by = {(r.fold, r.role): r for r in rows}
+    trains = [by[(f, "train")].n_events for f in sorted({r.fold for r in rows})]
+    assert trains == sorted(trains)  # training window only grows
+    for f in sorted({r.fold for r in rows}):
+        tr, te = by.get((f, "train")), by.get((f, "test"))
+        if tr and te:
+            assert tr.max_day < te.min_day  # temporal order, no leakage
