@@ -139,3 +139,68 @@ def test_walk_forward_train_grows_and_roles_disjoint(spark):
         tr, te = by.get((f, "train")), by.get((f, "test"))
         if tr and te:
             assert tr.max_day < te.min_day  # temporal order, no leakage
+
+
+def test_bfs_distances_on_crafted_path(spark):
+    """Multi-source BFS on a 5-node path: seed supplier 0 (suppkey%100==0)
+    reaches customer A at 1 hop, supplier 7 at 2, customer B at 3,
+    supplier 13 at 4 — exact hop distances, nothing else reached deeper
+    than the 4-round budget."""
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="bfs-")
+    # path: s0 - cA(5) - s7 - cB(6) - s13 via orders (orderkey->cust)
+    # joined to lineitem (orderkey->supp)
+    orders = [(1, 5), (2, 5), (3, 6), (4, 6)]
+    lineitem = [(1, 0), (2, 7), (3, 7), (4, 13)]
+    spark.createDataFrame(
+        [(o, c, "O", 1.0, None, "x") for o, c in orders],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.mode("overwrite").parquet(f"{d}/orders.parquet")
+    spark.createDataFrame(
+        [(o, 1, s, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", None)
+         for o, s in lineitem],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    ).write.mode("overwrite").parquet(f"{d}/lineitem.parquet")
+    got = {
+        r.node: r.dist
+        for r in QUERIES["graph_bfs_distances"].fn(spark, d).collect()
+    }
+    assert got == {0: 0, 1000005: 1, 7: 2, 1000006: 3, 13: 4}
+
+
+def test_v_shape_detects_local_minimum_only(spark):
+    rows = [
+        (1, 1, 100, "view", 5.0, "{}"),
+        (2, 1, 200, "view", 2.0, "{}"),   # bottom of the V
+        (3, 1, 300, "view", 4.0, "{}"),
+        (4, 1, 400, "view", 6.0, "{}"),   # monotone rise: not a bottom
+    ]
+    d = _events_dir(spark, rows)
+    got = {
+        r.event_id: (r.bottom_cents, r.depth_cents)
+        for r in QUERIES["w_pattern_v_shape"].fn(spark, d).collect()
+    }
+    assert got == {2: (200, 200)}  # depth = min(500-200, 400-200)
+
+
+def test_asof_tolerance_nulls_stale_matches(spark):
+    """j6c: a click 1h+1us before the purchase is dropped; 1h-1us
+    survives (pandas merge_asof tolerance semantics)."""
+    hour_us = 3_600_000_000
+    rows = [
+        (1, 1, 0, "click", 0.0, "{}"),
+        (2, 1, hour_us - 1, "purchase", 1.0, "{}"),   # within tolerance
+        (3, 2, 0, "click", 0.0, "{}"),
+        (4, 2, hour_us + 1, "purchase", 1.0, "{}"),   # stale -> NULL
+    ]
+    d = _events_dir(spark, rows)
+    got = {
+        r.event_id: r.asof_click_event_id
+        for r in QUERIES["j6c_asof_tolerance"].fn(spark, d).collect()
+    }
+    assert got[2] == 1 and got[4] is None
