@@ -204,3 +204,25 @@ def test_asof_tolerance_nulls_stale_matches(spark):
         for r in QUERIES["j6c_asof_tolerance"].fn(spark, d).collect()
     }
     assert got[2] == 1 and got[4] is None
+
+
+def test_personalized_pagerank_localizes_to_seed_component(spark):
+    """PPR property uniform PageRank lacks: nodes unreachable from the
+    seeds hold rank 0, and seeds outrank their neighbors."""
+    from youtube_trending_data_pipeline_spark.operators.graph import (
+        personalized_pagerank_integer,
+    )
+
+    edges = spark.createDataFrame(
+        # component 1: 0 <-> 1 ; component 2: 10 <-> 11 (disconnected)
+        [(0, 1), (1, 0), (10, 11), (11, 10)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(0,)], "node long")
+    got = {
+        r.node: r.rank
+        for r in personalized_pagerank_integer(
+            edges, seeds, iterations=4
+        ).collect()
+    }
+    assert got[10] == 0 and got[11] == 0     # walk never reaches them
+    assert got[0] > got[1] > 0               # seed holds restart mass

@@ -6473,3 +6473,87 @@ def basket_brand_lift(spark, sf_dir):
             F.expr("(1000000 * together * n) div (fa * fb)").alias("lift_ppm"),
         )
     )
+
+
+def _ppr_oracle(iterations: int = 4, scale: int = 1_000_000_000_000) -> str:
+    """Unrolled replay of integer personalized PageRank: restart mass to
+    seeds only, same BIGINT arithmetic as _pagerank_oracle."""
+    base = 15 * scale // 100
+    steps = []
+    for i in range(1, iterations + 1):
+        steps.append(f"""
+    r{i} AS (
+      SELECT n.node,
+             CAST(n.seed * {base} + (85 * COALESCE(s.s, 0)) // 100
+                  AS BIGINT) AS rank
+      FROM tagged n LEFT JOIN (
+        SELECT e.dst AS node, CAST(SUM(r.rank // o.outdeg) AS BIGINT) AS s
+        FROM edges e
+        JOIN r{i-1} r ON r.node = e.src
+        JOIN outdeg o ON o.src = e.src
+        GROUP BY e.dst
+      ) s ON s.node = n.node
+    )""")
+    return f"""
+    WITH pairs AS (
+      SELECT DISTINCT l_suppkey AS s, o_custkey + 1000000 AS c
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    edges AS (
+      SELECT s AS src, c AS dst FROM pairs
+      UNION
+      SELECT c AS src, s AS dst FROM pairs
+    ),
+    outdeg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg
+               FROM edges GROUP BY src),
+    nodes AS (SELECT DISTINCT src AS node FROM edges
+              UNION SELECT DISTINCT dst FROM edges),
+    tagged AS (
+      SELECT node, CASE WHEN node % 100 = 0 AND node < 1000000
+                        THEN 1 ELSE 0 END AS seed
+      FROM nodes
+    ),
+    r0 AS (SELECT node, CAST(seed * {scale} AS BIGINT) AS rank FROM tagged),
+    {','.join(steps)}
+    SELECT node, rank FROM r{iterations}
+    """
+
+
+@register(
+    "graph_personalized_pagerank",
+    _ppr_oracle(),
+    "PERSONALIZED PageRank in the exact gate (random walk with restart "
+    "to a seed set — Haveliwala WWW'02; the recommender/trust-"
+    "propagation variant Pinterest's Pixie runs at scale): restart "
+    "mass returns only to seed suppliers (suppkey % 100 = 0), so rank "
+    "measures proximity to the seeds instead of global centrality — "
+    "rank 0 rows are nodes the walk cannot reach from the seeds, "
+    "information uniform PageRank destroys. 4 synchronous integer "
+    "rounds over the supplier<->customer graph, same BIGINT doctrine "
+    "and per-round join+aggregate shape as graph_pagerank, replayed "
+    "by unrolled CTEs.",
+)
+def graph_personalized_pagerank(spark, sf_dir):
+    from youtube_trending_data_pipeline_spark.operators.graph import (
+        personalized_pagerank_integer,
+    )
+
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.col("l_suppkey").alias("s"),
+            (F.col("o_custkey") + 1000000).alias("c"),
+        )
+        .distinct()
+    )
+    edges = (
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+        .union(pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")))
+        .distinct()
+    )
+    seeds = pairs.where(F.col("s") % 100 == 0).select(
+        F.col("s").alias("node")
+    )
+    return personalized_pagerank_integer(edges, seeds, iterations=4)
