@@ -3781,3 +3781,78 @@ def dedup_tokenset_fingerprint(spark, sf_dir):
         F.count(F.lit(1)).alias("n_copies"),
         F.countDistinct("ord_h").alias("n_order_variants"),
     )
+
+
+@register(
+    "epoch_shuffle_audit",
+    """
+    WITH e0 AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (
+               ORDER BY ((doc_id % 2147483648) * 2654435761
+                         + 0 * 40503) % 4294967296, doc_id
+             ) AS rn
+      FROM documents
+    ), e1 AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (
+               ORDER BY ((doc_id % 2147483648) * 2654435761
+                         + 1 * 40503) % 4294967296, doc_id
+             ) AS rn
+      FROM documents
+    ), p0 AS (
+      SELECT LEAST(a.doc_id, b.doc_id) AS u,
+             GREATEST(a.doc_id, b.doc_id) AS v
+      FROM e0 a JOIN e0 b ON b.rn = a.rn + 1
+    ), p1 AS (
+      SELECT LEAST(a.doc_id, b.doc_id) AS u,
+             GREATEST(a.doc_id, b.doc_id) AS v
+      FROM e1 a JOIN e1 b ON b.rn = a.rn + 1
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM p0) AS n_adjacent_pairs,
+           (SELECT CAST(COUNT(*) AS BIGINT)
+            FROM p0 JOIN p1 ON p0.u = p1.u AND p0.v = p1.v)
+             AS n_repeat_adjacent
+    """,
+    "Multi-epoch shuffle quality audit: two deterministic training "
+    "orders (epoch-salted Knuth hash — corpus_shuffle_shards' no-RNG "
+    "permutation, one per epoch) compared by REPEAT ADJACENCY — how "
+    "many neighboring document pairs from epoch 0 are neighbors again "
+    "in epoch 1. Fixed-order training (the failure this audit "
+    "catches) scores n-1; independent permutations score ~2 expected "
+    "— gradient-correlation hygiene for multi-epoch LLM runs, "
+    "measured exactly instead of assumed. Adjacency via the epoch-"
+    "order windows, one pair equi-join; scalar results assembled "
+    "without collecting anything but 3 counters.",
+)
+def epoch_shuffle_audit(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+
+    def epoch_pairs(epoch: int):
+        key = (
+            (F.col("doc_id") % F.lit(2147483648)) * F.lit(2654435761)
+            + F.lit(epoch * 40503)
+        ) % F.lit(4294967296)
+        ranked = docs.select("doc_id", key.alias("hv")).withColumn(
+            "rn", F.row_number().over(W.orderBy("hv", "doc_id"))
+        )
+        b = ranked.select(
+            (F.col("rn") - 1).alias("rn_prev"), F.col("doc_id").alias("doc_b")
+        )
+        return (
+            ranked.join(b, ranked["rn"] == b["rn_prev"])
+            .select(
+                F.least("doc_id", "doc_b").alias("u"),
+                F.greatest("doc_id", "doc_b").alias("v"),
+            )
+        )
+
+    p0, p1 = epoch_pairs(0), epoch_pairs(1)
+    n_docs = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    n_adj = p0.agg(F.count(F.lit(1)).cast("long").alias("n_adjacent_pairs"))
+    n_rep = (
+        p0.join(p1, ["u", "v"])
+        .agg(F.count(F.lit(1)).cast("long").alias("n_repeat_adjacent"))
+    )
+    return n_docs.crossJoin(n_adj).crossJoin(n_rep)
