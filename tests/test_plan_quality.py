@@ -201,6 +201,9 @@ def test_no_accidental_cartesian_anywhere(spark):
         # split_walk_forward: 1-row min-day bound and a 3-row fold spine
         # broadcast onto the event stream — bounded constant-appends.
         "split_walk_forward",
+        # epoch_shuffle_audit: three 1-row counters crossed into the
+        # single scalar result row — 1x1 constant joins.
+        "epoch_shuffle_audit",
     }
     for name, spec in QUERIES.items():
         if name in allowed_cross:
