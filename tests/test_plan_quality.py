@@ -204,6 +204,9 @@ def test_no_accidental_cartesian_anywhere(spark):
         # epoch_shuffle_audit: three 1-row counters crossed into the
         # single scalar result row — 1x1 constant joins.
         "epoch_shuffle_audit",
+        # embedding_health_audit: 1-row median and MAD broadcasts onto
+        # the norm stream — constant-appends.
+        "embedding_health_audit",
     }
     for name, spec in QUERIES.items():
         if name in allowed_cross:

@@ -6557,3 +6557,118 @@ def graph_personalized_pagerank(spark, sf_dir):
         F.col("s").alias("node")
     )
     return personalized_pagerank_integer(edges, seeds, iterations=4)
+
+
+@register(
+    "embedding_health_audit",
+    """
+    WITH norms AS (
+      SELECT vec_id,
+             CAST(list_sum(list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)
+                    * CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)))
+               AS BIGINT) AS norm_q
+      FROM embeddings
+    ), med AS (
+      SELECT CAST(floor(median(norm_q)) AS BIGINT) AS med_q FROM norms
+    ), dev AS (
+      SELECT n.vec_id, n.norm_q, abs(n.norm_q - m.med_q) AS adev, m.med_q
+      FROM norms n, med m
+    ), mad AS (
+      SELECT CAST(floor(median(adev)) AS BIGINT) AS mad_q FROM dev
+    )
+    SELECT d.vec_id, d.norm_q,
+           d.norm_q = 0 AS is_zero,
+           (d.adev > 5 * NULLIF(ma.mad_q, 0)) IS TRUE AS is_outlier
+    FROM dev d, mad ma
+    """,
+    "Embedding-health audit before any index build: per-vector exact "
+    "quantized squared norm, zero-vector flag (dead encoder outputs "
+    "poison cosine math — cosine_similarity guards them, this finds "
+    "them), and a robust norm-outlier flag (> 5 MADs from the corpus "
+    "median — collapsed or exploded encodings). The vector QA sibling "
+    "of events_anomaly_mad, run on embeddings instead of values; "
+    "constant-MAD corpora flag nothing via the NULLIF guard. Norm is "
+    "a zero-shuffle map; the median/MAD pair are two 1-row "
+    "aggregates broadcast back.",
+)
+def embedding_health_audit(spark, sf_dir):
+    qsq = F.aggregate(
+        F.col("embedding"),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc
+        + F.floor(x.cast("double") * 10000 + F.lit(0.5))
+        * F.floor(x.cast("double") * 10000 + F.lit(0.5)),
+    )
+    norms = t(spark, sf_dir, "embeddings").select(
+        "vec_id", qsq.alias("norm_q")
+    )
+    med = norms.agg(
+        F.floor(F.expr("median(norm_q)")).cast("long").alias("med_q")
+    )
+    dev = norms.crossJoin(F.broadcast(med)).select(
+        "vec_id",
+        "norm_q",
+        F.abs(F.col("norm_q") - F.col("med_q")).alias("adev"),
+    )
+    mad = dev.agg(
+        F.floor(F.expr("median(adev)")).cast("long").alias("mad_q")
+    )
+    return dev.crossJoin(F.broadcast(mad)).select(
+        "vec_id",
+        "norm_q",
+        (F.col("norm_q") == 0).alias("is_zero"),
+        F.coalesce(
+            F.col("adev")
+            > 5 * F.when(F.col("mad_q") != 0, F.col("mad_q")),
+            F.lit(False),
+        ).alias("is_outlier"),
+    )
+
+
+@register(
+    "crawl_politeness_schedule",
+    """
+    WITH u AS (
+      SELECT doc_id,
+             lower(source) || '.example.com' AS domain
+      FROM documents
+    ), ranked AS (
+      SELECT doc_id, domain,
+             ROW_NUMBER() OVER (PARTITION BY domain ORDER BY doc_id) - 1
+               AS rn
+      FROM u
+    )
+    SELECT doc_id, domain,
+           CAST(rn % 4 AS BIGINT) AS worker,
+           CAST(rn // 4 AS BIGINT) AS time_slot
+    FROM ranked
+    """,
+    "Crawl-frontier politeness scheduling: per domain, pending fetches "
+    "are assigned round-robin to 4 workers and consecutive TIME SLOTS "
+    "(slot = rank div workers), so no domain ever sees more than "
+    "'workers' concurrent requests and each domain's fetch times "
+    "spread evenly — the per-host rate limit every polite crawler "
+    "enforces, expressed as a deterministic partition-ordered window "
+    "instead of a queueing service. One shuffle on domain; the slot "
+    "arithmetic is pure projection. Companion to url_domain_stats "
+    "(which measures the frontier this schedules) and "
+    "domain_quota_sample (which caps it).",
+)
+def crawl_politeness_schedule(spark, sf_dir):
+    from pyspark.sql import Window as Wd
+
+    u = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lower("source"), F.lit(".example.com")).alias("domain"),
+    )
+    ranked = u.withColumn(
+        "rn",
+        F.row_number().over(Wd.partitionBy("domain").orderBy("doc_id")) - 1,
+    )
+    return ranked.select(
+        "doc_id",
+        "domain",
+        (F.col("rn") % 4).cast("long").alias("worker"),
+        F.expr("rn div 4").cast("long").alias("time_slot"),
+    )
