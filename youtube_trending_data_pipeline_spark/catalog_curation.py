@@ -3940,3 +3940,61 @@ def index_postings_delta(spark, sf_dir):
             "WHEN gap < 268435456 THEN 4 ELSE 5 END))) div (8 * count(1))"
         ).alias("savings_ppm"),
     )
+
+
+@register(
+    "eval_calibration_bins",
+    """
+    WITH scored AS (
+      SELECT event_id,
+             ((event_id % 2147483648) * 2654435761) % 1000000 AS score_ppm,
+             CASE WHEN CAST(ROUND(value * 100) AS BIGINT) > 5000
+                  THEN 1 ELSE 0 END AS label
+      FROM events
+    )
+    SELECT CAST(score_ppm // 100000 AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(score_ppm) // COUNT(*) AS BIGINT) AS mean_score_ppm,
+           CAST((1000000 * SUM(label)) // COUNT(*) AS BIGINT)
+             AS empirical_ppm,
+           CAST(abs(SUM(score_ppm) // COUNT(*)
+                    - (1000000 * SUM(label)) // COUNT(*)) AS BIGINT)
+             AS gap_ppm
+    FROM scored GROUP BY 1
+    """,
+    "Classifier calibration bins (the reliability diagram, computed "
+    "exactly): every event gets a deterministic pseudo-score (Knuth "
+    "hash -> ppm; the stand-in for a model's predicted probability — "
+    "production swaps in the real score column) and a binary label "
+    "(value > $50); scores bucket into 10 bins, each reporting count, "
+    "mean predicted ppm, empirical positive rate ppm, and the "
+    "calibration gap — the per-bin |confidence - accuracy| whose "
+    "weighted sum is ECE (a driver-side formula over these exact "
+    "components, same policy as BLEU/MRR). One map-side projection + "
+    "one 10-row aggregate; completes the eval family (confusion, PR "
+    "sweep, MRR, BLEU) with the probability-quality axis.",
+)
+def eval_calibration_bins(spark, sf_dir):
+    scored = t(spark, sf_dir, "events").select(
+        (
+            ((F.col("event_id") % F.lit(2147483648)) * F.lit(2654435761))
+            % F.lit(1000000)
+        ).alias("score_ppm"),
+        F.when(cents("value") > 5000, 1).otherwise(0).alias("label"),
+    )
+    return (
+        scored.groupBy(
+            F.expr("score_ppm div 100000").alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("sum(score_ppm) div count(1)").alias("mean_score_ppm"),
+            F.expr("(1000000 * sum(label)) div count(1)").alias(
+                "empirical_ppm"
+            ),
+            F.abs(
+                F.expr("sum(score_ppm) div count(1)")
+                - F.expr("(1000000 * sum(label)) div count(1)")
+            ).alias("gap_ppm"),
+        )
+    )
