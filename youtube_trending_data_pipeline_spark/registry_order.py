@@ -145,16 +145,22 @@ PRIORITY_UNCHECKED = [
 
 # ROUND 7 bookkeeping: after CORRECTNESS_r06 lands, append its keys as
 # DRIVER_VERIFIED_R06 and rebuild PRIORITY_UNCHECKED with (a) any r06
-# failures once fixed, (b) the 15 round-6 additions registered after the
-# r06 window filled (52 unchecked entries, 50 slots; all 15 verified by
-# the round-6 full sf0.01 sweep, 0 failures): embedding_matryoshka_
-# truncate, tokenizer_fertility, chunk_stitch_detect, privacy_k_anonymity,
+# failures once fixed, (b) the 33 round-6 additions registered after the
+# r06 window filled (83 unchecked entries, 50 slots; ALL 33 verified by
+# the round-6 definitive full sf0.01 sweep, 270/270 ran, 0 failures):
+# w_pareto_concentration, basket_brand_lift, graph_personalized_pagerank,
+# embedding_health_audit, crawl_politeness_schedule, eval_bleu_components,
+# sketch_bloom_probe, detokenize_roundtrip, embedding_matryoshka_truncate,
+# tokenizer_fertility, chunk_stitch_detect, privacy_k_anonymity,
 # corpus_datasheet, udtf_sentence_split, dedup_url_exact,
 # split_kfold_assign, sketch_kmv_merge, events_anomaly_mad,
 # export_jsonl_manifest, stats_partial_merge, drift_snapshot_stats,
-# ab_test_metrics, graph_degree_distribution — these lead round 7's
-# priorities, (c) then tier-3 regression re-checks keep cycling the
-# oldest verified entries.
+# ab_test_metrics, graph_degree_distribution, dedup_shingle_containment,
+# split_walk_forward, graph_link_prediction, feature_hashing_vectorize,
+# feature_target_encode_loo, labels_next_event, dedup_tokenset_fingerprint,
+# epoch_shuffle_audit, index_postings_delta, eval_calibration_bins —
+# these lead round 7's priorities, (c) then tier-3 regression re-checks
+# keep cycling the oldest verified entries.
 
 
 def order_for_driver(names: list[str]) -> list[str]:
