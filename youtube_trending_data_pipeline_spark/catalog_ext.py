@@ -6672,3 +6672,73 @@ def crawl_politeness_schedule(spark, sf_dir):
         (F.col("rn") % 4).cast("long").alias("worker"),
         F.expr("rn div 4").cast("long").alias("time_slot"),
     )
+
+
+@register(
+    "multimodal_content_sniff",
+    """
+    SELECT CAST(doc_id AS VARCHAR) AS asset_id,
+           CASE doc_id % 4 WHEN 0 THEN 'ppm'
+                           WHEN 1 THEN 'wav'
+                           WHEN 2 THEN 'y4m'
+                           ELSE 'unknown' END AS sniffed,
+           CAST(CASE doc_id % 4 WHEN 0 THEN 23
+                                WHEN 1 THEN 52
+                                WHEN 2 THEN 47
+                                ELSE 9 END AS BIGINT) AS n_bytes
+    FROM documents
+    """,
+    "Content-type sniffing over binary media columns — the ingestion "
+    "triage that routes each asset to the right decoder WITHOUT "
+    "trusting file extensions or metadata (the reference's raw lake "
+    "stores verbatim payloads; a real lake stores mislabeled blobs): "
+    "magic bytes ('P6' PPM, 'RIFF' WAV, 'YUV4MPEG2' Y4M, else "
+    "unknown/quarantine) matched ENTIRELY JVM-side via binary "
+    "substring + hex comparison — no Python worker touches the bytes "
+    "until a decoder is chosen, so the sniff costs a codegen "
+    "projection at any scale. Assets are synthesized per doc in all "
+    "four classes (including garbage); the oracle replays the "
+    "synthesis rule while the Spark side derives the verdict from "
+    "the actual BYTES — disagreement means the sniffer broke.",
+)
+def multimodal_content_sniff(spark, sf_dir):
+    mod = F.col("doc_id") % 4
+    ppm = F.concat(
+        F.encode(F.lit("P6\n2 2\n255\n"), "utf-8"),
+        F.unhex(F.concat(*[
+            F.lpad(F.hex((F.col("doc_id") * 7 + i * 13) % 256), 2, "0")
+            for i in range(12)
+        ])),
+    )
+    wav = F.concat(
+        F.unhex(F.lit(_wav_header_hex())),
+        F.unhex(F.lit("00" * 8)),
+    )
+    y4m = F.concat(
+        F.encode(F.lit("YUV4MPEG2 W2 H2 F10:1 Ip A1:1 C420\n"), "utf-8"),
+        F.encode(F.lit("FRAME\n"), "utf-8"),
+        F.unhex(F.lit("00" * 6)),
+    )
+    junk = F.encode(F.lit("notmedia!"), "utf-8")
+    content = (
+        F.when(mod == 0, ppm)
+        .when(mod == 1, wav)
+        .when(mod == 2, y4m)
+        .otherwise(junk)
+    )
+    media = t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("asset_id"),
+        content.alias("content"),
+    )
+    head = lambda n: F.hex(F.substring(F.col("content"), 1, n))  # noqa: E731
+    sniffed = (
+        F.when(head(2) == F.lit("5036"), "ppm")            # 'P6'
+        .when(head(4) == F.lit("52494646"), "wav")          # 'RIFF'
+        .when(head(9) == F.lit("595556344D50454732"), "y4m")  # 'YUV4MPEG2'
+        .otherwise("unknown")
+    )
+    return media.select(
+        "asset_id",
+        sniffed.alias("sniffed"),
+        F.length("content").cast("long").alias("n_bytes"),
+    )
