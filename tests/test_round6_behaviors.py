@@ -226,3 +226,26 @@ def test_personalized_pagerank_localizes_to_seed_component(spark):
     }
     assert got[10] == 0 and got[11] == 0     # walk never reaches them
     assert got[0] > got[1] > 0               # seed holds restart mass
+
+
+def test_bmp_encoder_roundtrip_and_quarantine(spark):
+    """encode_bmp is the exact inverse of decode_bmp for arbitrary
+    rasters (including odd widths that need row padding), and corrupt
+    input quarantines."""
+    from youtube_trending_data_pipeline_spark.operators.multimodal import (
+        decode_bmp,
+        encode_bmp,
+        transcode_ppm_to_bmp,
+    )
+
+    rgb = bytes(range(3 * 3 * 3))  # 3x3, odd width -> padded rows
+    assert decode_bmp(encode_bmp(3, 3, rgb)) == (3, 3, rgb)
+
+    media = spark.createDataFrame(
+        [("ok", "image", b"P6\n2 2\n255\n" + bytes(range(12))),
+         ("bad", "image", b"garbage")],
+        "asset_id string, media_type string, content binary",
+    )
+    got = {r.asset_id: r for r in transcode_ppm_to_bmp(media).collect()}
+    assert got["ok"].pixels_equal is True
+    assert got["bad"].pixels_equal is None and got["bad"].out_bytes is None

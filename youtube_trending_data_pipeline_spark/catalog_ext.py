@@ -6742,3 +6742,44 @@ def multimodal_content_sniff(spark, sf_dir):
         sniffed.alias("sniffed"),
         F.length("content").cast("long").alias("n_bytes"),
     )
+
+
+@register(
+    "multimodal_transcode_roundtrip",
+    """
+    SELECT CAST(doc_id AS VARCHAR) AS asset_id,
+           CAST(23 AS BIGINT) AS in_bytes,
+           CAST(14 + 40 + 16 AS BIGINT) AS out_bytes,
+           TRUE AS pixels_equal
+    FROM documents
+    """,
+    "Media transcoding with round-trip verification: the synthetic 2x2 "
+    "P6 assets decode with the real PPM parser, re-encode through a "
+    "REAL minimal BMP writer (encode_bmp: BI_RGB headers, bottom-up "
+    "BGR rows, 4-byte padding), decode back with the real BMP parser, "
+    "and every pixel must survive bit-for-bit — the storage-format "
+    "normalization pass (PPM 23 B -> BMP 70 B for a 2x2: header-"
+    "dominated at this size; at real resolutions BMP is the "
+    "fixed-overhead one). The oracle states the exact sizes and the "
+    "all-TRUE verdict — any codec asymmetry breaks the hash. "
+    "Completes the multimodal codec story with a WRITE path.",
+)
+def multimodal_transcode_roundtrip(spark, sf_dir):
+    from youtube_trending_data_pipeline_spark.operators.multimodal import (
+        transcode_ppm_to_bmp,
+    )
+
+    pixel_hex = F.concat(
+        *[
+            F.lpad(F.hex((F.col("doc_id") * 7 + i * 13) % 256), 2, "0")
+            for i in range(12)
+        ]
+    )
+    media = t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("asset_id"),
+        F.lit("image").alias("media_type"),
+        F.concat(
+            F.encode(F.lit("P6\n2 2\n255\n"), "utf-8"), F.unhex(pixel_hex)
+        ).alias("content"),
+    )
+    return transcode_ppm_to_bmp(media).orderBy("asset_id")

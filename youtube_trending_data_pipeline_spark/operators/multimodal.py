@@ -841,3 +841,91 @@ def audio_silence_trim(media: DataFrame, threshold: int = 256) -> DataFrame:
         "asset_id", "content"
     )
     return audio.mapInPandas(kernel, schema=SILENCE_TRIM_SCHEMA)
+
+
+def encode_bmp(width: int, height: int, rgb: bytes) -> bytes:
+    """Encode RGB bytes (top-down row order) as an uncompressed 24-bit
+    BMP (BI_RGB, bottom-up, BGR, rows padded to 4 bytes) — the WRITE
+    half of decode_bmp, used by the transcode round-trip."""
+    import struct
+
+    row_stride = (width * 3 + 3) & ~3
+    data_size = row_stride * height
+    data_offset = 14 + 40
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", data_offset + data_size, 0, 0, data_offset)
+        + struct.pack(
+            "<IiiHHIIiiII", 40, width, height, 1, 24, 0, data_size,
+            2835, 2835, 0, 0,
+        )
+    )
+    rows = bytearray()
+    pad = b"\x00" * (row_stride - width * 3)
+    for row in range(height - 1, -1, -1):  # bottom-up
+        base = row * width * 3
+        for x in range(width):
+            r, g, b = rgb[base + 3 * x : base + 3 * x + 3]
+            rows += bytes((b, g, r))
+        rows += pad
+    return header + bytes(rows)
+
+
+TRANSCODE_SCHEMA = StructType(
+    [
+        StructField("asset_id", StringType()),
+        StructField("in_bytes", LongType()),
+        StructField("out_bytes", LongType()),
+        StructField("pixels_equal", BooleanType()),
+    ]
+)
+
+
+def transcode_ppm_to_bmp(media: DataFrame) -> DataFrame:
+    """Media transcoding round-trip: decode each PPM with the real P6
+    parser, re-encode as 24-bit BMP with encode_bmp, decode the BMP
+    back, and verify the pixel raster survived bit-for-bit — the
+    format-conversion pass (plus its own verification) an asset
+    pipeline runs when normalizing heterogeneous crawled media into
+    one storage format. Corrupt inputs yield a quarantine row (NULL
+    sizes, pixels_equal NULL)."""
+
+    def rows_for(asset_id: str, content: bytes):
+        if content is None:
+            raise NotImplementedError(
+                "URI-only assets need an object-store fetch step"
+            )
+        try:
+            w, h, rgb = _decode_image_impl_raw(content)
+        except Exception:
+            yield {
+                "asset_id": asset_id,
+                "in_bytes": None,
+                "out_bytes": None,
+                "pixels_equal": None,
+            }
+            return
+        bmp = encode_bmp(w, h, rgb)
+        w2, h2, rgb2 = decode_bmp(bmp)
+        yield {
+            "asset_id": asset_id,
+            "in_bytes": len(content),
+            "out_bytes": len(bmp),
+            "pixels_equal": (w, h, rgb) == (w2, h2, rgb2),
+        }
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                row
+                for aid, content in zip(pdf["asset_id"], pdf["content"])
+                for row in rows_for(aid, content)
+            ]
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in TRANSCODE_SCHEMA.fields]
+            )
+
+    images = media.where(F.col("media_type") == "image").select(
+        "asset_id", "content"
+    )
+    return images.mapInPandas(kernel, schema=TRANSCODE_SCHEMA)
