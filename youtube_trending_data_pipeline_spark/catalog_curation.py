@@ -3998,3 +3998,68 @@ def eval_calibration_bins(spark, sf_dir):
             ).alias("gap_ppm"),
         )
     )
+
+
+@register(
+    "corpus_budget_select",
+    f"""
+    WITH scored AS (
+      SELECT doc_id,
+             CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens,
+             CAST((1000000 * len(list_distinct({_TOKS_SQL})))
+                  // greatest(len({_TOKS_SQL}), 1) AS BIGINT) AS quality_ppm
+      FROM documents
+    ), ranked AS (
+      SELECT doc_id, n_tokens, quality_ppm,
+             SUM(n_tokens) OVER (
+               ORDER BY quality_ppm DESC, doc_id
+               ROWS UNBOUNDED PRECEDING
+             ) AS cum_tokens
+      FROM scored WHERE n_tokens > 0
+    )
+    SELECT doc_id, n_tokens, quality_ppm,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens,
+           cum_tokens <= 100000 AS selected
+    FROM ranked
+    """,
+    "Token-budget corpus selection — the 'best 100k tokens' planner "
+    "behind every compute-constrained training run: documents rank by "
+    "a quality score (distinct-token ratio in ppm — lexical diversity, "
+    "the cheap proxy; production swaps in quality_filter_audit's "
+    "verdicts), and the greedy prefix under the cumulative token "
+    "budget is selected — ties on quality break by doc_id, so the "
+    "selection is a pure function of the corpus. Emits the full "
+    "ranking with cum_tokens and the selected flag (the audit view: "
+    "what was cut and how close it was). One global-order window "
+    "over doc-level rows (the export-manifest sort shape).",
+)
+def corpus_budget_select(spark, sf_dir):
+    scored = (
+        t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.size(_toks()).cast("long").alias("n_tokens"),
+            F.expr(
+                "CAST((1000000 * size(array_distinct("
+                "filter(split(lower(text), ' '), x -> x != '')))) div "
+                "greatest(size(filter(split(lower(text), ' '), "
+                "x -> x != '')), 1) AS BIGINT)"
+            ).alias("quality_ppm"),
+        )
+        .where(F.col("n_tokens") > 0)
+    )
+    ranked = scored.withColumn(
+        "cum_tokens",
+        F.sum("n_tokens").over(
+            W.orderBy(F.desc("quality_ppm"), F.asc("doc_id")).rowsBetween(
+                W.unboundedPreceding, 0
+            )
+        ),
+    )
+    return ranked.select(
+        "doc_id",
+        "n_tokens",
+        "quality_ppm",
+        F.col("cum_tokens").cast("long").alias("cum_tokens"),
+        (F.col("cum_tokens") <= 100000).alias("selected"),
+    )
