@@ -5892,11 +5892,14 @@ def f_collation_compare(spark, sf_dir):
       SELECT user_id, CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS h,
              MIN(epoch_us(ts)) AS s_lo, MAX(epoch_us(ts)) AS s_hi
       FROM events GROUP BY 1, 2
+    ), anchor AS (
+      SELECT (MIN(epoch_us(ts)) // 3600000000) * 3600000000 AS a
+      FROM events
     ), promos AS (
       SELECT CAST(p AS BIGINT) AS promo_id,
-             CAST(p * 7200000000 AS BIGINT) AS p_lo,
-             CAST(p * 7200000000 + 5400000000 AS BIGINT) AS p_hi
-      FROM range(0, 200) t(p)
+             CAST(a + p * 7200000000 AS BIGINT) AS p_lo,
+             CAST(a + p * 7200000000 + 5400000000 AS BIGINT) AS p_hi
+      FROM range(0, 200) t(p), anchor
     )
     SELECT s.user_id, s.h AS sess_hour, p.promo_id,
            CAST(LEAST(s.s_hi, p.p_hi) - GREATEST(s.s_lo, p.p_lo) AS BIGINT)
@@ -5926,10 +5929,20 @@ def j11_interval_overlap_join(spark, sf_dir):
         .groupBy("user_id", "h")
         .agg(F.min("us").alias("s_lo"), F.max("us").alias("s_hi"))
     )
-    promos = spark.range(0, 200).select(
-        F.col("id").alias("promo_id"),
-        (F.col("id") * 7200000000).alias("p_lo"),
-        (F.col("id") * 7200000000 + 5400000000).alias("p_hi"),
+    anchor = (
+        t(spark, sf_dir, "events")
+        .agg(
+            F.expr("(min(ts div 1000) div 3600000000) * 3600000000").alias("a")
+        )
+    )
+    promos = (
+        spark.range(0, 200)
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            F.col("id").alias("promo_id"),
+            (F.col("a") + F.col("id") * 7200000000).alias("p_lo"),
+            (F.col("a") + F.col("id") * 7200000000 + 5400000000).alias("p_hi"),
+        )
     )
     return (
         sess.join(

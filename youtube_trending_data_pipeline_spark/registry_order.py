@@ -146,8 +146,8 @@ PRIORITY_UNCHECKED = [
 # ROUND 7 bookkeeping: after CORRECTNESS_r06 lands, append its keys as
 # DRIVER_VERIFIED_R06 and rebuild PRIORITY_UNCHECKED with (a) any r06
 # failures once fixed, (b) the 33 round-6 additions registered after the
-# r06 window filled (83 unchecked entries, 50 slots; ALL 33 verified by
-# the round-6 definitive full sf0.01 sweep, 270/270 ran, 0 failures):
+# r06 window filled (86 unchecked entries, 50 slots; ALL 36 verified by
+# the round-6 definitive full sf0.01 sweep, 273/273 ran, 0 failures):
 # w_pareto_concentration, basket_brand_lift, graph_personalized_pagerank,
 # embedding_health_audit, crawl_politeness_schedule, eval_bleu_components,
 # sketch_bloom_probe, detokenize_roundtrip, embedding_matryoshka_truncate,
@@ -158,9 +158,10 @@ PRIORITY_UNCHECKED = [
 # ab_test_metrics, graph_degree_distribution, dedup_shingle_containment,
 # split_walk_forward, graph_link_prediction, feature_hashing_vectorize,
 # feature_target_encode_loo, labels_next_event, dedup_tokenset_fingerprint,
-# epoch_shuffle_audit, index_postings_delta, eval_calibration_bins —
-# these lead round 7's priorities, (c) then tier-3 regression re-checks
-# keep cycling the oldest verified entries.
+# epoch_shuffle_audit, index_postings_delta, eval_calibration_bins,
+# multimodal_content_sniff, multimodal_transcode_roundtrip,
+# corpus_budget_select — these lead round 7's priorities, (c) then
+# tier-3 regression re-checks keep cycling the oldest verified entries.
 
 
 def order_for_driver(names: list[str]) -> list[str]:
