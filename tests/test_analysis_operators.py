@@ -1,0 +1,137 @@
+"""Behavioral claims of the catalog_analysis operators — the semantics
+the oracle sweep can't state: peel monotonicity/fixpoint headroom on
+crafted graphs, pass@k's unbiasedness identities, nucleus monotonicity."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from youtube_trending_data_pipeline_spark.catalog import QUERIES, _load_extensions
+from youtube_trending_data_pipeline_spark.operators.graph import kcore_peel
+
+_load_extensions()
+
+SF = "/root/testdata/sf0.001"
+
+
+def _sym_edges(spark, pairs):
+    und = spark.createDataFrame(pairs, "u long, v long")
+    return und.selectExpr("u AS src", "v AS dst").union(
+        und.selectExpr("v AS src", "u AS dst")
+    )
+
+
+def test_kcore_path_graph_dissolves_at_k2(spark):
+    """A path has no 2-core: peeling eats it from both endpoints inward,
+    one layer per round — the crafted case that exercises MULTIPLE
+    peel rounds, not just one."""
+    path = [(i, i + 1) for i in range(6)]  # 0-1-2-...-6
+    out = kcore_peel(_sym_edges(spark, path), k=2, rounds=4).collect()
+    assert out == []
+
+
+def test_kcore_clique_plus_pendant(spark):
+    """A 4-clique with a pendant vertex: the pendant (deg 1) peels in
+    round one, the clique survives k=3 intact with core_deg 3 each."""
+    clique = [(a, b) for a in range(4) for b in range(4) if a < b]
+    pendant = [(3, 99)]
+    rows = kcore_peel(
+        _sym_edges(spark, clique + pendant), k=3, rounds=3
+    ).collect()
+    got = {r["node"]: r["core_deg"] for r in rows}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_kcore_needs_multiple_rounds(spark):
+    """Cascade: clique - a - b chain. Round 1 peels b (deg 1), round 2
+    peels a (now deg 1): one round is NOT enough, proving the peel is
+    iterative and the fixed budget matters."""
+    clique = [(a, b) for a in range(4) for b in range(4) if a < b]
+    chain = [(3, 50), (50, 51)]
+    one = kcore_peel(_sym_edges(spark, clique + chain), k=2, rounds=1)
+    two = kcore_peel(_sym_edges(spark, clique + chain), k=2, rounds=2)
+    assert 50 in {r["node"] for r in one.collect()}  # a survives round 1
+    assert {r["node"] for r in two.collect()} == {0, 1, 2, 3}
+
+
+def test_kcore_entry_fixpoint_headroom(spark):
+    """The registered entry's round budget has real margin: one extra
+    round changes nothing at gate scale (peeling is monotone, so equal
+    outputs == fixpoint reached strictly before the budget)."""
+    import youtube_trending_data_pipeline_spark.catalog_analysis as ca
+
+    base = QUERIES["graph_kcore_mutual_knn"].fn(spark, SF)
+    bumped_rounds = ca._PEEL_ROUNDS + 1
+    orig = ca._PEEL_ROUNDS
+    try:
+        ca._PEEL_ROUNDS = bumped_rounds
+        bumped = QUERIES["graph_kcore_mutual_knn"].fn(spark, SF)
+        a = sorted((r["node"], r["core_deg"]) for r in base.collect())
+        b = sorted((r["node"], r["core_deg"]) for r in bumped.collect())
+    finally:
+        ca._PEEL_ROUNDS = orig
+    assert a == b and len(a) > 0
+
+
+def test_pass_at_k_identities(spark):
+    """pass@1 == c/n exactly (num/den reduces to c*...  /n*...), and
+    pass@k is monotone nondecreasing in k for every task."""
+    df = QUERIES["eval_pass_at_k"].fn(spark, SF).collect()
+    by_user: dict[int, dict[int, tuple]] = {}
+    for r in df:
+        by_user.setdefault(r["user_id"], {})[r["k"]] = r
+    assert by_user
+    for user, ks in by_user.items():
+        if 1 in ks:
+            r = ks[1]
+            # pass@1 = c/n: num * n == den * c
+            assert r["pass_num"] * r["n_trials"] == r["pass_den"] * r["n_pass"]
+        fracs = [
+            (k, r["pass_num"] / r["pass_den"]) for k, r in sorted(ks.items())
+        ]
+        for (k0, f0), (k1, f1) in zip(fracs, fracs[1:]):
+            assert f1 >= f0 - 1e-12, (user, k0, k1, f0, f1)
+        for r in ks.values():
+            # exact binomial identity: C(n,k) = n! / (k!(n-k)!)
+            n, k = r["n_trials"], r["k"]
+            assert r["pass_den"] == math.comb(n, k)
+            assert r["pass_num"] == math.comb(n, k) - math.comb(
+                n - r["n_pass"], k
+            )
+
+
+def test_nucleus_bounds(spark):
+    """1 <= nucleus_size <= vocab_next; a context whose top token holds
+    >= 90% of the mass has nucleus_size == 1."""
+    rows = QUERIES["ngram_nucleus_cutoff"].fn(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["nucleus_size"] <= r["vocab_next"]
+
+
+def test_nucleus_crafted_distribution(spark):
+    """Crafted doc set: context 'a' continues to x,x,x,x,x,x,x,x,x,y
+    (9:1) -> nucleus at p=0.9 is exactly {x}; context 'b' continues
+    50/50 -> needs both tokens."""
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="nucleus-")
+    docs = [
+        (1, "a x " * 9 + "a y", "en", "s", 1),
+        (2, "b p b q", "en", "s", 1),
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    rows = {
+        r["context"]: r
+        for r in QUERIES["ngram_nucleus_cutoff"].fn(spark, d).collect()
+    }
+    assert rows["a"]["nucleus_size"] == 1
+    assert rows["a"]["top_next"] == "x"
+    assert rows["a"]["total_cnt"] == 10
+    # 'b' has total 2 < min-total filter of 5 -> absent
+    assert "b" not in rows

@@ -353,3 +353,48 @@ def personalized_pagerank_integer(
         if checkpoint:
             ranks = ranks.localCheckpoint(eager=False)
     return ranks
+
+
+def kcore_peel(
+    edges: DataFrame,
+    k: int,
+    rounds: int,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Fixed-round synchronous k-core peeling (Seidman 1983): each round
+    removes EVERY vertex whose current degree is below ``k``, plus all
+    its incident edges, simultaneously. Input must be a symmetric edge
+    list (both directions present); returns the surviving vertices with
+    their degree inside the k-core as ``(node, core_deg)``.
+
+    Fixed ``rounds`` instead of a convergence loop so the result is a
+    pure function replayable by an unrolled-CTE DuckDB oracle (the
+    pagerank/LPA doctrine) with zero driver-side actions: peeling is
+    monotone, so any round past the fixpoint is a no-op and a generous
+    round budget costs only empty-delta iterations. Scale shape per
+    round: one degree aggregate + two semi-joins against the survivor
+    set; lineage cut via localCheckpoint. Under a src-bucketed edge
+    table the degree aggregate is shuffle-free (the PageRank bucketing
+    claim, tests/test_bucketing.py).
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if checkpoint:
+        e = e.localCheckpoint(eager=False)
+    for _ in range(rounds):
+        surv = (
+            e.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .where(F.col("d") >= k)
+            .select(F.col("src").alias("node"))
+        )
+        if checkpoint:
+            surv = surv.localCheckpoint(eager=False)
+        e = e.join(surv, e["src"] == surv["node"], "left_semi")
+        e = e.join(surv, e["dst"] == surv["node"], "left_semi")
+        if checkpoint:
+            e = e.localCheckpoint(eager=False)
+    return e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("core_deg")
+    )
