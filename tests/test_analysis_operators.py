@@ -135,3 +135,83 @@ def test_nucleus_crafted_distribution(spark):
     assert rows["a"]["total_cnt"] == 10
     # 'b' has total 2 < min-total filter of 5 -> absent
     assert "b" not in rows
+
+
+def test_er_score_decomposition(spark):
+    """Every emitted pair's score equals the weight sum of its agreement
+    flags, clears the threshold, and is canonically ordered."""
+    import youtube_trending_data_pipeline_spark.catalog_analysis as ca
+
+    rows = QUERIES["er_blocked_match_score"].fn(spark, SF).collect()
+    assert rows
+    for r in rows:
+        expect = (
+            r["seg_agree"] * ca._ER_W_SEG
+            - (1 - r["seg_agree"]) * ca._ER_U_SEG
+            + r["band_agree"] * ca._ER_W_BAND
+            - (1 - r["band_agree"]) * ca._ER_U_BAND
+            + r["close_agree"] * ca._ER_W_CLOSE
+            - (1 - r["close_agree"]) * ca._ER_U_CLOSE
+        )
+        assert r["score"] == expect >= ca._ER_THRESHOLD
+        assert r["a_key"] < r["b_key"]
+
+
+def test_copeland_zero_sum(spark):
+    """Copeland scores sum to zero across types (every decisive matchup
+    contributes +1 and -1), and each type's matchup counts add up to
+    (n_types - 1)."""
+    rows = QUERIES["eval_pairwise_winrate"].fn(spark, SF).collect()
+    n = len(rows)
+    assert n >= 2
+    assert sum(r["copeland"] for r in rows) == 0
+    for r in rows:
+        assert r["n_beats"] + r["n_losses"] + r["n_ties"] == n - 1
+
+
+def test_theta_sketch_bounds(spark):
+    """theta <= U32; retained common hashes fit the sketch size; the
+    estimator is exact-equal when both sets fit inside the sketch."""
+    import youtube_trending_data_pipeline_spark.catalog_analysis as ca
+
+    r = QUERIES["sketch_theta_intersect"].fn(spark, SF).collect()[0]
+    assert 0 < r["theta"] <= ca._U32
+    assert 0 <= r["n_common"] <= ca._THETA_K
+    assert r["est_intersect"] >= 0 and r["exact_intersect"] >= 0
+    if r["theta"] == ca._U32:  # both sets smaller than k: sketch is exact
+        assert r["est_intersect"] == r["exact_intersect"]
+
+
+def test_theta_sketch_exact_when_small(spark):
+    """Crafted events: 10 click user-days and 10 purchase user-days with
+    5 shared -> both sets fit in k=64, so the 'estimate' IS exact."""
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="theta-")
+    rows = []
+    eid = 0
+    for u in range(10):
+        eid += 1
+        rows.append((eid, u, 86400000000 * u, "click", 0.0, "{}"))
+    for u in range(5, 15):  # users 5..9 shared with clicks (same day=u)
+        eid += 1
+        rows.append((eid, u, 86400000000 * u, "purchase", 0.0, "{}"))
+    spark.createDataFrame(
+        rows, "event_id long, user_id long, ts_us long, event_type string, "
+        "value double, props string"
+    ).selectExpr(
+        "event_id", "timestamp_micros(ts_us) AS ts", "user_id",
+        "event_type", "value", "props",
+    ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    r = QUERIES["sketch_theta_intersect"].fn(spark, d).collect()[0]
+    assert r["exact_intersect"] == 5
+    assert r["est_intersect"] == 5
+    assert r["n_common"] == 5
+
+
+def test_permutation_test_invariants(spark):
+    """n_perm fixed, numerator within range, ppm arithmetic exact."""
+    r = QUERIES["ab_permutation_test"].fn(spark, SF).collect()[0]
+    assert r["n_perm"] == 64
+    assert 0 <= r["n_ge"] <= 64
+    assert r["p_ppm"] == (1000000 * r["n_ge"]) // 64

@@ -348,3 +348,486 @@ def ngram_nucleus_cutoff(spark, sf_dir):
         )
         .where(F.col("total_cnt") >= _NUCLEUS_MIN_TOTAL)
     )
+
+
+# ---------------------------------------------------------------------------
+# Entity resolution: blocked Fellegi-Sunter field-agreement scoring
+# ---------------------------------------------------------------------------
+
+# Integer log-odds-shaped weights: agreement adds w, disagreement
+# subtracts u (Fellegi & Sunter 1969; Splink/dedupe.io ship the same
+# shape). Floats never appear — the score is a pure integer sum.
+_ER_W_SEG, _ER_U_SEG = 12, 4
+_ER_W_BAND, _ER_U_BAND = 8, 3
+_ER_W_CLOSE, _ER_U_CLOSE = 5, 2
+_ER_THRESHOLD = 14
+_ER_BAND_C = 100000       # 1000.00-unit acctbal bands (cents)
+_ER_CLOSE_C = 5000        # |acctbal diff| <= 50.00 (cents)
+_ER_SHIFT_C = 100000      # shift so band division is on positives only
+
+
+@register(
+    "er_blocked_match_score",
+    f"""
+    WITH c AS (
+      SELECT c_custkey AS k, c_nationkey AS n, c_mktsegment AS seg,
+             CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal
+      FROM customer
+    ), scored AS (
+      SELECT a.k AS a_key, b.k AS b_key,
+             CASE WHEN a.seg = b.seg THEN 1 ELSE 0 END AS seg_agree,
+             CASE WHEN (a.bal + {_ER_SHIFT_C}) // {_ER_BAND_C}
+                     = (b.bal + {_ER_SHIFT_C}) // {_ER_BAND_C}
+                  THEN 1 ELSE 0 END AS band_agree,
+             CASE WHEN abs(a.bal - b.bal) <= {_ER_CLOSE_C}
+                  THEN 1 ELSE 0 END AS close_agree
+      FROM c a JOIN c b ON a.n = b.n AND a.k < b.k
+    )
+    SELECT a_key, b_key,
+           CAST(seg_agree AS BIGINT) AS seg_agree,
+           CAST(band_agree AS BIGINT) AS band_agree,
+           CAST(close_agree AS BIGINT) AS close_agree,
+           CAST(seg_agree * {_ER_W_SEG} - (1 - seg_agree) * {_ER_U_SEG}
+              + band_agree * {_ER_W_BAND} - (1 - band_agree) * {_ER_U_BAND}
+              + close_agree * {_ER_W_CLOSE} - (1 - close_agree) * {_ER_U_CLOSE}
+              AS BIGINT) AS score
+    FROM scored
+    WHERE seg_agree * {_ER_W_SEG} - (1 - seg_agree) * {_ER_U_SEG}
+        + band_agree * {_ER_W_BAND} - (1 - band_agree) * {_ER_U_BAND}
+        + close_agree * {_ER_W_CLOSE} - (1 - close_agree) * {_ER_U_CLOSE}
+        >= {_ER_THRESHOLD}
+    """,
+    "Entity-resolution candidate scoring (Fellegi & Sunter 1969, the "
+    "model behind Splink and dedupe.io): customers are BLOCKED by "
+    "nation, and every within-block pair is scored by integer "
+    "agreement weights over three comparison fields — market segment "
+    "equality, same 1000-unit balance band (on shifted-positive cents "
+    "so integer division never touches a negative), and balance "
+    "within 50.00 — keeping pairs whose summed log-odds-shaped score "
+    "clears the review threshold. The blocked self-join is the "
+    "canonical record-linkage shape: quadratic ONLY within a block "
+    "(the dedup_ngram_jaccard doctrine — blocks are the unit of "
+    "scale-out, and a skewed block is salted or split by a second "
+    "blocking pass at 100 TB), all-integer so the oracle replays it "
+    "bit-for-bit.",
+)
+def er_blocked_match_score(spark, sf_dir):
+    from youtube_trending_data_pipeline_spark.catalog import cents
+
+    c = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_nationkey").alias("n"),
+        F.col("c_mktsegment").alias("seg"),
+        cents("c_acctbal").alias("bal"),
+    )
+    a, b = c.alias("a"), c.alias("b")
+    band = lambda side: F.expr(  # noqa: E731
+        f"({side}.bal + {_ER_SHIFT_C}) div {_ER_BAND_C}"
+    )
+    scored = (
+        a.join(
+            b,
+            (F.col("a.n") == F.col("b.n")) & (F.col("a.k") < F.col("b.k")),
+        )
+        .select(
+            F.col("a.k").alias("a_key"),
+            F.col("b.k").alias("b_key"),
+            F.when(F.col("a.seg") == F.col("b.seg"), 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("seg_agree"),
+            F.when(band("a") == band("b"), 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("band_agree"),
+            F.when(
+                F.abs(F.col("a.bal") - F.col("b.bal")) <= _ER_CLOSE_C, 1
+            )
+            .otherwise(0)
+            .cast("long")
+            .alias("close_agree"),
+        )
+        .withColumn(
+            "score",
+            (
+                F.col("seg_agree") * _ER_W_SEG
+                - (1 - F.col("seg_agree")) * _ER_U_SEG
+                + F.col("band_agree") * _ER_W_BAND
+                - (1 - F.col("band_agree")) * _ER_U_BAND
+                + F.col("close_agree") * _ER_W_CLOSE
+                - (1 - F.col("close_agree")) * _ER_U_CLOSE
+            ).cast("long"),
+        )
+    )
+    return scored.where(F.col("score") >= _ER_THRESHOLD)
+
+
+# ---------------------------------------------------------------------------
+# Pairwise win-rate matrix + Copeland ranking
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "eval_pairwise_winrate",
+    """
+    WITH s AS (
+      SELECT user_id, event_type,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS v
+      FROM events GROUP BY 1, 2
+    ), duel AS (
+      SELECT a.event_type AS ta, b.event_type AS tb,
+             CASE WHEN a.v >= b.v THEN a.event_type
+                  ELSE b.event_type END AS winner
+      FROM s a JOIN s b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+    ), matchup AS (
+      SELECT ta, tb,
+             CAST(SUM(CASE WHEN winner = ta THEN 1 ELSE 0 END) AS BIGINT) AS wa,
+             CAST(SUM(CASE WHEN winner = tb THEN 1 ELSE 0 END) AS BIGINT) AS wb
+      FROM duel GROUP BY 1, 2
+    ), sides AS (
+      SELECT ta AS event_type, wa AS w, wb AS l FROM matchup
+      UNION ALL
+      SELECT tb, wb, wa FROM matchup
+    )
+    SELECT event_type,
+           CAST(SUM(CASE WHEN w > l THEN 1 ELSE 0 END) AS BIGINT) AS n_beats,
+           CAST(SUM(CASE WHEN w < l THEN 1 ELSE 0 END) AS BIGINT) AS n_losses,
+           CAST(SUM(CASE WHEN w = l THEN 1 ELSE 0 END) AS BIGINT) AS n_ties,
+           CAST(SUM(CASE WHEN w > l THEN 1 ELSE 0 END)
+              - SUM(CASE WHEN w < l THEN 1 ELSE 0 END) AS BIGINT) AS copeland,
+           CAST(SUM(w) AS BIGINT) AS n_user_wins
+    FROM sides GROUP BY event_type
+    """,
+    "Pairwise win-rate matrix + Copeland ranking — the aggregation "
+    "under every LLM-judge preference leaderboard (lmsys-style "
+    "head-to-head tallies) stated on deterministic data: within each "
+    "user, every pair of event types duels on total integer value "
+    "(ties to the lexicographically smaller, so the duel is a total "
+    "function), matchups tally per-user wins, and each type's "
+    "Copeland score is #opponents-beaten minus #opponents-lost-to. "
+    "Shape: one (user,type) aggregate, a within-user self-join whose "
+    "fan-out is bounded by the TYPE-PAIR count (not data size), a "
+    "types^2-row matchup table, then a constant-size union — the "
+    "whole reduction after the first aggregate is dimension-sized at "
+    "any corpus scale.",
+)
+def eval_pairwise_winrate(spark, sf_dir):
+    from youtube_trending_data_pipeline_spark.catalog import cents
+
+    s = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.sum(cents("value")).alias("v"))
+    )
+    a, b = s.alias("a"), s.alias("b")
+    duel = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("a.event_type") < F.col("b.event_type")),
+    ).select(
+        F.col("a.event_type").alias("ta"),
+        F.col("b.event_type").alias("tb"),
+        F.when(F.col("a.v") >= F.col("b.v"), F.col("a.event_type"))
+        .otherwise(F.col("b.event_type"))
+        .alias("winner"),
+    )
+    matchup = duel.groupBy("ta", "tb").agg(
+        F.sum(F.when(F.col("winner") == F.col("ta"), 1).otherwise(0))
+        .cast("long")
+        .alias("wa"),
+        F.sum(F.when(F.col("winner") == F.col("tb"), 1).otherwise(0))
+        .cast("long")
+        .alias("wb"),
+    )
+    sides = matchup.select(
+        F.col("ta").alias("event_type"),
+        F.col("wa").alias("w"),
+        F.col("wb").alias("l"),
+    ).unionAll(
+        matchup.select(
+            F.col("tb").alias("event_type"),
+            F.col("wb").alias("w"),
+            F.col("wa").alias("l"),
+        )
+    )
+    return sides.groupBy("event_type").agg(
+        F.sum(F.when(F.col("w") > F.col("l"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_beats"),
+        F.sum(F.when(F.col("w") < F.col("l"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_losses"),
+        F.sum(F.when(F.col("w") == F.col("l"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_ties"),
+        (
+            F.sum(F.when(F.col("w") > F.col("l"), 1).otherwise(0))
+            - F.sum(F.when(F.col("w") < F.col("l"), 1).otherwise(0))
+        )
+        .cast("long")
+        .alias("copeland"),
+        F.sum("w").cast("long").alias("n_user_wins"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Theta/KMV sketch set intersection
+# ---------------------------------------------------------------------------
+
+_THETA_K = 64
+_U32 = 4294967296
+_H32_SPARK = "cast(conv(substring(md5({s}), 1, 8), 16, 10) AS BIGINT)"
+_H32_DUCK = "(('0x' || substr(md5({s}), 1, 8))::BIGINT)"
+_DAY_SPARK = "(ts div 1000) div 86400000000"
+_DAY_DUCK = "epoch_us(ts) // 86400000000"
+
+
+@register(
+    "sketch_theta_intersect",
+    f"""
+    WITH elems AS (
+      SELECT DISTINCT event_type,
+             CAST(user_id AS VARCHAR) || ':' ||
+             CAST({_DAY_DUCK} AS VARCHAR) AS e
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ), hv AS (
+      SELECT event_type, {_H32_DUCK.format(s='e')} AS h FROM elems
+      GROUP BY 1, 2
+    ), km AS (
+      SELECT event_type, h,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n_distinct
+      FROM hv
+    ), sk AS (
+      SELECT event_type,
+             list_sort(list(h) FILTER (rn <= {_THETA_K})) AS kmv,
+             MAX(n_distinct) AS nd
+      FROM km GROUP BY event_type
+    ), ab AS (
+      SELECT a.kmv AS ka, b.kmv AS kb,
+             CASE WHEN a.nd < {_THETA_K} THEN {_U32}
+                  ELSE a.kmv[{_THETA_K}] END AS theta_a,
+             CASE WHEN b.nd < {_THETA_K} THEN {_U32}
+                  ELSE b.kmv[{_THETA_K}] END AS theta_b
+      FROM sk a, sk b
+      WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+    ), co AS (
+      SELECT LEAST(theta_a, theta_b) AS theta,
+             len(list_filter(list_intersect(ka, kb),
+                 x -> x < LEAST(theta_a, theta_b))) AS n_common
+      FROM ab
+    ), ex AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS exact_intersect FROM (
+        SELECT e FROM elems WHERE event_type = 'click'
+        INTERSECT
+        SELECT e FROM elems WHERE event_type = 'purchase'
+      )
+    )
+    SELECT CAST(co.theta AS BIGINT) AS theta,
+           CAST(co.n_common AS BIGINT) AS n_common,
+           CAST((co.n_common * {_U32}) // co.theta AS BIGINT)
+             AS est_intersect,
+           ex.exact_intersect
+    FROM co, ex
+    """,
+    "Theta/KMV sketch INTERSECTION (Dasgupta et al. 2016, the "
+    "DataSketches theta family): the click and purchase user-day sets "
+    "are each summarized by their 64 smallest md5-32 hash values, "
+    "theta = min of the two k-th minima (or the full domain when a "
+    "set is smaller than k), and |A intersect B| is estimated as "
+    "(retained common hashes below theta) * U / theta in pure integer "
+    "arithmetic — set algebra on constant-size state, which is the "
+    "entire point: at 100 TB the two sketches are mergeable bottom-k "
+    "heaps (the sketch_kmv_distinct shape) and the intersection is a "
+    "64-element list operation, never a join of the raw sets. The "
+    "exact intersection rides along as the audit column, computed "
+    "once at gate scale.",
+)
+def sketch_theta_intersect(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    elems = (
+        ev.where(F.col("event_type").isin("click", "purchase"))
+        .select(
+            "event_type",
+            F.concat_ws(
+                ":",
+                F.col("user_id").cast("string"),
+                F.expr(_DAY_SPARK).cast("string"),
+            ).alias("e"),
+        )
+        .distinct()
+    )
+    hv = elems.select(
+        "event_type", F.expr(_H32_SPARK.format(s="e")).alias("h")
+    ).distinct()
+    wk = W.partitionBy("event_type").orderBy("h")
+    km = hv.select(
+        "event_type",
+        "h",
+        F.row_number().over(wk).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("event_type")).alias("nd"),
+    )
+    sk = (
+        km.groupBy("event_type")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.when(F.col("rn") <= _THETA_K, F.col("h")))
+            ).alias("kmv"),
+            F.max("nd").alias("nd"),
+        )
+    )
+    a = sk.where(F.col("event_type") == "click").select(
+        F.col("kmv").alias("ka"), F.col("nd").alias("na")
+    )
+    b = sk.where(F.col("event_type") == "purchase").select(
+        F.col("kmv").alias("kb"), F.col("nd").alias("nb")
+    )
+    ab = a.crossJoin(F.broadcast(b)).select(
+        "ka",
+        "kb",
+        F.expr(
+            f"CASE WHEN na < {_THETA_K} THEN {_U32}L "
+            f"ELSE element_at(ka, {_THETA_K}) END"
+        ).alias("theta_a"),
+        F.expr(
+            f"CASE WHEN nb < {_THETA_K} THEN {_U32}L "
+            f"ELSE element_at(kb, {_THETA_K}) END"
+        ).alias("theta_b"),
+    )
+    co = ab.select(
+        F.least("theta_a", "theta_b").alias("theta"),
+        F.size(
+            F.filter(
+                F.array_intersect("ka", "kb"),
+                lambda x: x < F.least(F.col("theta_a"), F.col("theta_b")),
+            )
+        )
+        .cast("long")
+        .alias("n_common"),
+    )
+    ex = (
+        elems.where(F.col("event_type") == "click")
+        .select("e")
+        .intersect(elems.where(F.col("event_type") == "purchase").select("e"))
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_intersect"))
+    )
+    return co.crossJoin(F.broadcast(ex)).select(
+        F.col("theta").cast("long").alias("theta"),
+        "n_common",
+        F.expr(f"CAST((n_common * {_U32}L) div theta AS BIGINT)").alias(
+            "est_intersect"
+        ),
+        "exact_intersect",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic permutation test (two-sample, sign-flip)
+# ---------------------------------------------------------------------------
+
+_PERM_T = 64
+
+
+@register(
+    "ab_permutation_test",
+    f"""
+    WITH um AS (
+      SELECT user_id,
+             CAST(SUM(CASE WHEN event_type = 'purchase'
+                      THEN CAST(ROUND(value * 100) AS BIGINT)
+                      ELSE 0 END) AS BIGINT) AS m
+      FROM events GROUP BY user_id
+    ), obs AS (
+      SELECT CAST(SUM(CASE WHEN user_id % 2 = 0 THEN m ELSE -m END)
+                  AS BIGINT) AS obs_diff_c
+      FROM um
+    ), perm AS (
+      SELECT p.t,
+             CAST(SUM(CASE WHEN
+               {_H32_DUCK.format(s="CAST(u.user_id AS VARCHAR) || ':' || CAST(p.t AS VARCHAR)")}
+               % 2 = 0 THEN u.m ELSE -u.m END) AS BIGINT) AS d
+      FROM um u, (SELECT unnest(range({_PERM_T})) AS t) p
+      GROUP BY p.t
+    )
+    SELECT obs.obs_diff_c,
+           CAST(SUM(CASE WHEN abs(perm.d) >= abs(obs.obs_diff_c)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_ge,
+           CAST({_PERM_T} AS BIGINT) AS n_perm,
+           CAST((1000000 * SUM(CASE WHEN abs(perm.d) >= abs(obs.obs_diff_c)
+                               THEN 1 ELSE 0 END)) // {_PERM_T} AS BIGINT)
+             AS p_ppm
+    FROM perm, obs
+    GROUP BY obs.obs_diff_c
+    """,
+    "Two-sample permutation test with DETERMINISTIC sign-flips: the "
+    "observed statistic is the even-vs-odd-user difference of total "
+    "purchase cents; each of 64 permutations reassigns every user by "
+    "the parity of md5(user:t) and recomputes the difference; the "
+    "p-value numerator counts permutations at least as extreme. "
+    "Hash-derived permutations replace RNG state so the test is a "
+    "pure function of the data (the sample_hash_split doctrine), and "
+    "all statistics are integer cents. Shape: one user aggregate, "
+    "then a 64-way constant fan-out whose per-group traffic collapses "
+    "map-side (each task emits <= 64 partial sums) — at 100 TB the "
+    "permutation pass costs one extra scan of the USER AGGREGATE, "
+    "never of the raw events.",
+)
+def ab_permutation_test(spark, sf_dir):
+    from youtube_trending_data_pipeline_spark.catalog import cents
+
+    um = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase", cents("value")
+                ).otherwise(F.lit(0).cast("long"))
+            ).alias("m")
+        )
+    )
+    obs = um.agg(
+        F.sum(
+            F.when(F.col("user_id") % 2 == 0, F.col("m")).otherwise(-F.col("m"))
+        )
+        .cast("long")
+        .alias("obs_diff_c")
+    )
+    ts = spark.range(0, _PERM_T).select(F.col("id").alias("t"))
+    sign_h = _H32_SPARK.format(
+        s="concat(cast(user_id as string), ':', cast(t as string))"
+    )
+    perm = (
+        um.crossJoin(F.broadcast(ts))
+        .select(
+            "t",
+            F.expr(
+                f"CASE WHEN {sign_h} % 2 = 0 THEN m ELSE -m END"
+            ).alias("sm"),
+        )
+        .groupBy("t")
+        .agg(F.sum("sm").cast("long").alias("d"))
+    )
+    return (
+        perm.crossJoin(F.broadcast(obs))
+        .groupBy("obs_diff_c")
+        .agg(
+            F.sum(
+                F.when(
+                    F.abs(F.col("d")) >= F.abs(F.col("obs_diff_c")), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_ge"),
+            F.lit(_PERM_T).cast("long").alias("n_perm"),
+        )
+        .select(
+            "obs_diff_c",
+            "n_ge",
+            "n_perm",
+            F.expr(f"CAST((1000000 * n_ge) div {_PERM_T} AS BIGINT)").alias(
+                "p_ppm"
+            ),
+        )
+    )
