@@ -215,3 +215,79 @@ def test_permutation_test_invariants(spark):
     assert r["n_perm"] == 64
     assert 0 <= r["n_ge"] <= 64
     assert r["p_ppm"] == (1000000 * r["n_ge"]) // 64
+
+
+def test_ktruss_triangle_keeps_pendant_drops(spark):
+    """A triangle plus a pendant edge: every triangle edge has support 1
+    (>= k-2 for k=3) and survives; the pendant edge closes no triangle
+    and is peeled."""
+    from youtube_trending_data_pipeline_spark.operators.graph import ktruss_peel
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 9)], "src long, dst long"
+    )
+    rows = ktruss_peel(edges, k=3, rounds=3).collect()
+    got = {(r["src"], r["dst"]): r["support"] for r in rows}
+    assert got == {(1, 2): 1, (1, 3): 1, (2, 3): 1}
+
+
+def test_ktruss_cascade(spark):
+    """K4 minus one edge under k=4: the two edges not on both remaining
+    triangles fall first, then the rest cascade — fixed-round peel to
+    empty, exercising >1 round."""
+    from youtube_trending_data_pipeline_spark.operators.graph import ktruss_peel
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    k4.remove((0, 1))
+    edges = spark.createDataFrame(k4, "src long, dst long")
+    assert ktruss_peel(edges, k=4, rounds=4).collect() == []
+    # the intact K4 survives k=4 with support 2 per edge
+    full = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(4) if a < b],
+        "src long, dst long",
+    )
+    rows = ktruss_peel(full, k=4, rounds=4).collect()
+    assert len(rows) == 6 and all(r["support"] == 2 for r in rows)
+
+
+def test_ktruss_entry_fixpoint_headroom(spark):
+    """One extra round changes nothing at gate scale."""
+    import youtube_trending_data_pipeline_spark.catalog_analysis as ca
+
+    orig = ca._TRUSS_ROUNDS
+    base = QUERIES["graph_ktruss_mutual_knn"].fn(spark, SF)
+    try:
+        ca._TRUSS_ROUNDS = orig + 1
+        bumped = QUERIES["graph_ktruss_mutual_knn"].fn(spark, SF)
+        a = sorted((r["src"], r["dst"], r["support"]) for r in base.collect())
+        b = sorted((r["src"], r["dst"], r["support"]) for r in bumped.collect())
+    finally:
+        ca._TRUSS_ROUNDS = orig
+    assert a == b and len(a) > 0
+
+
+def test_zonemap_sorted_layout_dominates(spark):
+    """The shipdate-sorted layout skips at least as many files as the
+    ingest layout for every predicate, and scanned rows always cover
+    the true matches."""
+    rows = QUERIES["zonemap_skip_stats"].fn(spark, SF).collect()
+    by = {(r["layout"], r["quarter"]): r for r in rows}
+    quarters = {q for (_, q) in by}
+    assert len(quarters) == 4
+    for q in quarters:
+        ing, srt = by[("ingest", q)], by[("sorted", q)]
+        assert srt["n_skipped"] >= ing["n_skipped"]
+        for r in (ing, srt):
+            assert r["n_files"] == 64
+            assert r["rows_scanned"] >= r["rows_matched"]
+
+
+def test_padding_sorted_batching_wastes_less(spark):
+    """Same corpus either way: identical total real tokens; the
+    length-sorted policy never pads more than arrival order."""
+    rows = {r["policy"]: r for r in
+            QUERIES["batch_padding_waste"].fn(spark, SF).collect()}
+    arr, srt = rows["arrival"], rows["length_sorted"]
+    assert arr["total_tokens"] == srt["total_tokens"]
+    assert srt["total_padding"] <= arr["total_padding"]
+    assert arr["n_batches"] == srt["n_batches"]

@@ -831,3 +831,342 @@ def ab_permutation_test(spark, sf_dir):
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# k-truss of the mutual-kNN embedding graph
+# ---------------------------------------------------------------------------
+
+_TRUSS_K = 3
+_TRUSS_ROUNDS = 6  # fixpoint at sf0.01/sf0.001 is round 2; monotone after
+
+
+def _ktruss_oracle() -> str:
+    """Unrolled replay of the fixed-round support peel. MATERIALIZED
+    everywhere: each round references the previous edge set four times
+    (two symmetrize arms + the support join + the filter)."""
+    steps = []
+    for i in range(1, _TRUSS_ROUNDS + 1):
+        steps.append(f"""
+    sym{i} AS MATERIALIZED (
+      SELECT src, dst FROM e{i - 1}
+      UNION ALL SELECT dst, src FROM e{i - 1}
+    ),
+    sup{i} AS MATERIALIZED (
+      SELECT e.src, e.dst, COUNT(*) AS s
+      FROM e{i - 1} e
+      JOIN sym{i} x ON x.src = e.src
+      JOIN sym{i} y ON y.src = e.dst AND y.dst = x.dst
+      GROUP BY e.src, e.dst
+    ),
+    e{i} AS MATERIALIZED (
+      SELECT e.src, e.dst FROM e{i - 1} e
+      JOIN sup{i} s ON s.src = e.src AND s.dst = e.dst
+      WHERE s.s >= {_TRUSS_K - 2}
+    )""")
+    R = _TRUSS_ROUNDS
+    return f"""
+    WITH q AS MATERIALIZED (
+      SELECT vec_id, {_QV_SQL} AS qv FROM embeddings
+    ), scored AS (
+      SELECT a.vec_id AS u, b.vec_id AS v,
+             ROW_NUMBER() OVER (PARTITION BY a.vec_id
+               ORDER BY list_sum(list_transform(range(1, 65),
+                                 i -> a.qv[i] * b.qv[i])) DESC,
+                        b.vec_id) AS rn
+      FROM q a JOIN q b ON a.vec_id <> b.vec_id
+    ), knn AS MATERIALIZED (SELECT u, v FROM scored WHERE rn <= {_KNN_K}),
+    e0 AS MATERIALIZED (
+      SELECT a.u AS src, a.v AS dst
+      FROM knn a JOIN knn b ON a.u = b.v AND a.v = b.u
+      WHERE a.u < a.v
+    ),
+    {','.join(steps)},
+    symf AS MATERIALIZED (
+      SELECT src, dst FROM e{R} UNION ALL SELECT dst, src FROM e{R}
+    )
+    SELECT e.src, e.dst, CAST(COUNT(*) AS BIGINT) AS support
+    FROM e{R} e
+    JOIN symf x ON x.src = e.src
+    JOIN symf y ON y.src = e.dst AND y.dst = x.dst
+    GROUP BY e.src, e.dst
+    """
+
+
+@register(
+    "graph_ktruss_mutual_knn",
+    _ktruss_oracle(),
+    "k-truss extraction (Cohen 2008) over the same mutual-kNN "
+    "embedding graph as graph_kcore_mutual_knn, but peeling EDGES by "
+    "triangle support instead of vertices by degree — the stricter "
+    "cohesion mining that keeps only relationships embedded in at "
+    "least k-2 triangles (3-truss: every surviving edge closes a "
+    "triangle), the community-backbone filter of graph mining. "
+    "Support is the wedge join of triangle counting, bounded by the "
+    "kNN degree cap; fixed 6 peel rounds against a measured round-2 "
+    "fixpoint, unrolled-CTE oracle with MATERIALIZED rounds (each "
+    "round reads the previous edge set four times). Output is the "
+    "surviving canonical edge list with fixpoint support.",
+)
+def graph_ktruss_mutual_knn(spark, sf_dir):
+    from youtube_trending_data_pipeline_spark.operators.graph import ktruss_peel
+
+    q = t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr(_QV_SPARK).alias("qv"),
+    )
+    a, b = q.alias("a"), q.alias("b")
+    scored = (
+        a.join(F.broadcast(b), F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("u"),
+            F.col("b.vec_id").alias("v"),
+            F.aggregate(
+                F.zip_with(F.col("a.qv"), F.col("b.qv"), lambda x, y: x * y),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("dot"),
+        )
+    )
+    wk = W.partitionBy("u").orderBy(F.desc("dot"), F.asc("v"))
+    knn = (
+        scored.withColumn("rn", F.row_number().over(wk))
+        .where(F.col("rn") <= _KNN_K)
+        .select("u", "v")
+    )
+    rev = knn.select(F.col("v").alias("ru"), F.col("u").alias("rv"))
+    canon = (
+        knn.join(
+            rev,
+            (knn["u"] == rev["ru"]) & (knn["v"] == rev["rv"]),
+            "left_semi",
+        )
+        .where(F.col("u") < F.col("v"))
+        .select(F.col("u").alias("src"), F.col("v").alias("dst"))
+    )
+    return ktruss_peel(canon, k=_TRUSS_K, rounds=_TRUSS_ROUNDS)
+
+
+# ---------------------------------------------------------------------------
+# Zone-map file-skipping audit under two layouts
+# ---------------------------------------------------------------------------
+
+_ZM_FILES = 64
+# 1995 quarters as epoch-day [lo, hi) literals
+_ZM_QUARTERS = [
+    ("1995Q1", 9131, 9221),
+    ("1995Q2", 9221, 9312),
+    ("1995Q3", 9312, 9404),
+    ("1995Q4", 9404, 9496),
+]
+_ZM_Q_VALUES = ", ".join(f"('{q}', {lo}, {hi})" for q, lo, hi in _ZM_QUARTERS)
+
+
+@register(
+    "zonemap_skip_stats",
+    f"""
+    WITH li AS (
+      SELECT (epoch_us(l_shipdate) // 86400000000) AS day,
+             l_orderkey, l_linenumber
+      FROM lineitem
+    ), files AS (
+      SELECT 'ingest' AS layout, day,
+             NTILE({_ZM_FILES}) OVER (ORDER BY l_orderkey, l_linenumber)
+               AS file_id
+      FROM li
+      UNION ALL
+      SELECT 'sorted', day,
+             NTILE({_ZM_FILES}) OVER (ORDER BY day, l_orderkey, l_linenumber)
+      FROM li
+    ), zm AS (
+      SELECT layout, file_id, MIN(day) AS zmin, MAX(day) AS zmax,
+             CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM files GROUP BY 1, 2
+    ), preds(quarter, lo, hi) AS (VALUES {_ZM_Q_VALUES}),
+    truth AS (
+      SELECT p.quarter, CAST(COUNT(*) AS BIGINT) AS rows_matched
+      FROM li JOIN preds p ON li.day >= p.lo AND li.day < p.hi
+      GROUP BY 1
+    )
+    SELECT zm.layout, p.quarter,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(CASE WHEN zm.zmax < p.lo OR zm.zmin >= p.hi
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_skipped,
+           CAST(SUM(CASE WHEN zm.zmax < p.lo OR zm.zmin >= p.hi
+                    THEN 0 ELSE zm.n_rows END) AS BIGINT) AS rows_scanned,
+           MAX(t.rows_matched) AS rows_matched
+    FROM zm CROSS JOIN preds p
+    JOIN truth t ON t.quarter = p.quarter
+    GROUP BY 1, 2
+    """,
+    "Zone-map (min/max statistics) file-skipping audit — the "
+    "layout-to-scan-cost bridge behind every Parquet/Iceberg/Delta "
+    "pruning decision: lineitem is laid out into 64 equal files two "
+    "ways (ingest order vs shipdate-sorted), each file keeps its "
+    "shipdate min/max, and four quarter predicates report how many "
+    "files each layout lets the reader SKIP and how many rows the "
+    "surviving files force it to scan, against the true match count "
+    "as the lower bound. The sorted layout's near-perfect pruning vs "
+    "the ingest layout's near-zero is the measured argument for "
+    "OPTIMIZE/sort-on-write at 100 TB. The NTILE windows SIMULATE "
+    "the two file layouts (a production layout job is a "
+    "repartitionByRange + local sort, not a global window); the "
+    "audit over the resulting zone maps is dimension-sized: 64 "
+    "files x 4 predicates.",
+)
+def zonemap_skip_stats(spark, sf_dir):
+    from youtube_trending_data_pipeline_spark.catalog import ts_micros
+
+    raw = t(spark, sf_dir, "lineitem")
+    sd_dtype = dict(raw.dtypes).get("l_shipdate", "")
+    li = raw.select(
+        ts_micros(sd_dtype, "l_shipdate").alias("_us"),
+        "l_orderkey",
+        "l_linenumber",
+    ).select(
+        F.expr("_us div 86400000000").alias("day"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    w_ing = W.orderBy("l_orderkey", "l_linenumber")
+    w_srt = W.orderBy("day", "l_orderkey", "l_linenumber")
+    files = li.select(
+        F.lit("ingest").alias("layout"),
+        "day",
+        F.ntile(_ZM_FILES).over(w_ing).alias("file_id"),
+    ).unionAll(
+        li.select(
+            F.lit("sorted").alias("layout"),
+            "day",
+            F.ntile(_ZM_FILES).over(w_srt).alias("file_id"),
+        )
+    )
+    zm = files.groupBy("layout", "file_id").agg(
+        F.min("day").alias("zmin"),
+        F.max("day").alias("zmax"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    )
+    preds = spark.createDataFrame(
+        _ZM_QUARTERS, "quarter string, lo long, hi long"
+    )
+    truth = (
+        li.join(
+            F.broadcast(preds),
+            (F.col("day") >= F.col("lo")) & (F.col("day") < F.col("hi")),
+        )
+        .groupBy("quarter")
+        .agg(F.count(F.lit(1)).cast("long").alias("rows_matched"))
+    )
+    skipped = F.when(
+        (F.col("zmax") < F.col("lo")) | (F.col("zmin") >= F.col("hi")), 1
+    ).otherwise(0)
+    return (
+        zm.crossJoin(F.broadcast(preds))
+        .join(F.broadcast(truth), "quarter")
+        .groupBy("layout", "quarter")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_files"),
+            F.sum(skipped).cast("long").alias("n_skipped"),
+            F.sum(
+                F.when(skipped == 1, 0).otherwise(F.col("n_rows"))
+            )
+            .cast("long")
+            .alias("rows_scanned"),
+            F.max("rows_matched").alias("rows_matched"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Length-bucketed batching: padding-waste audit
+# ---------------------------------------------------------------------------
+
+_BATCH_B = 32
+
+
+@register(
+    "batch_padding_waste",
+    f"""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tok
+      FROM documents
+    ), assigned AS (
+      SELECT 'arrival' AS policy, n_tok,
+             (ROW_NUMBER() OVER (ORDER BY doc_id) - 1) // {_BATCH_B}
+               AS batch_id
+      FROM d
+      UNION ALL
+      SELECT 'length_sorted', n_tok,
+             (ROW_NUMBER() OVER (ORDER BY n_tok DESC, doc_id) - 1)
+               // {_BATCH_B}
+      FROM d
+    ), batches AS (
+      SELECT policy, batch_id,
+             CAST(COUNT(*) AS BIGINT) AS bsz,
+             CAST(MAX(n_tok) AS BIGINT) AS max_tok,
+             CAST(SUM(n_tok) AS BIGINT) AS sum_tok
+      FROM assigned GROUP BY 1, 2
+    )
+    SELECT policy,
+           CAST(COUNT(*) AS BIGINT) AS n_batches,
+           CAST(SUM(sum_tok) AS BIGINT) AS total_tokens,
+           CAST(SUM(bsz * max_tok - sum_tok) AS BIGINT) AS total_padding,
+           CAST((1000000 * SUM(bsz * max_tok - sum_tok))
+                // SUM(bsz * max_tok) AS BIGINT) AS pad_ppm
+    FROM batches GROUP BY policy
+    """,
+    "Padding-waste audit of batch assembly — the training-efficiency "
+    "decision every fixed-shape training loop makes: documents are "
+    "grouped into batches of 32 under (a) arrival order and (b) "
+    "length-sorted order, each batch pads to its longest member, and "
+    "the audit reports total real tokens vs total padding tokens per "
+    "policy in exact integers (pad_ppm = padding share of the padded "
+    "volume). Length-bucketed batching's padding collapse vs arrival "
+    "order is the measured justification for sorted bucketing in "
+    "sequence-packing pipelines (the pack_sequences_linear sibling "
+    "from the packing side). The global ROW_NUMBER simulates the "
+    "batch assembly; production assembly range-partitions by length "
+    "first — the waste accounting is identical.",
+)
+def batch_padding_waste(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(_toks_a()).cast("long").alias("n_tok")
+    )
+    w_arr = W.orderBy("doc_id")
+    w_len = W.orderBy(F.desc("n_tok"), F.asc("doc_id"))
+    assigned = d.select(
+        F.lit("arrival").alias("policy"),
+        "n_tok",
+        ((F.row_number().over(w_arr) - 1) / _BATCH_B)
+        .cast("long")
+        .alias("batch_id"),
+    ).unionAll(
+        d.select(
+            F.lit("length_sorted").alias("policy"),
+            "n_tok",
+            ((F.row_number().over(w_len) - 1) / _BATCH_B)
+            .cast("long")
+            .alias("batch_id"),
+        )
+    )
+    batches = assigned.groupBy("policy", "batch_id").agg(
+        F.count(F.lit(1)).cast("long").alias("bsz"),
+        F.max("n_tok").alias("max_tok"),
+        F.sum("n_tok").alias("sum_tok"),
+    )
+    return batches.groupBy("policy").agg(
+        F.count(F.lit(1)).cast("long").alias("n_batches"),
+        F.sum("sum_tok").cast("long").alias("total_tokens"),
+        F.sum(F.col("bsz") * F.col("max_tok") - F.col("sum_tok"))
+        .cast("long")
+        .alias("total_padding"),
+        F.expr(
+            "CAST((1000000 * SUM(bsz * max_tok - sum_tok)) "
+            "div SUM(bsz * max_tok) AS BIGINT)"
+        ).alias("pad_ppm"),
+    )
+
+
+def _toks_a():
+    return F.filter(F.split(F.lower("text"), " "), lambda x: x != F.lit(""))

@@ -398,3 +398,52 @@ def kcore_peel(
     return e.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).cast("long").alias("core_deg")
     )
+
+
+def ktruss_peel(
+    edges: DataFrame,
+    k: int,
+    rounds: int,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Fixed-round k-truss peeling (Cohen 2008): each round computes the
+    SUPPORT of every edge (the number of triangles it closes) and
+    removes, simultaneously, every edge with support < k-2. Input is a
+    CANONICAL undirected edge list (src < dst, one row per edge);
+    returns the surviving truss edges with their fixpoint support as
+    ``(src, dst, support)``.
+
+    Same doctrine as kcore_peel: a fixed round budget past the measured
+    fixpoint instead of a convergence loop, so the operator is a pure
+    function replayable by an unrolled-CTE oracle with zero driver
+    actions. Per round: one symmetrize union + a wedge join (the
+    triangle-counting cost shape, bounded here by the mutual-kNN cap on
+    degree) + one support aggregate + one filtering join; lineage cut
+    per round. An edge in no triangle simply gets no support row — the
+    inner join drops it, which IS support 0 < k-2 for every k >= 3.
+    """
+    cur = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if checkpoint:
+        cur = cur.localCheckpoint(eager=False)
+
+    def support(e: DataFrame) -> DataFrame:
+        sym = e.select("src", "dst").unionAll(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        x = sym.select(F.col("src").alias("xa"), F.col("dst").alias("xc"))
+        y = sym.select(F.col("src").alias("yb"), F.col("dst").alias("yc"))
+        return (
+            e.join(x, e["src"] == x["xa"])
+            .join(y, (e["dst"] == y["yb"]) & (x["xc"] == y["yc"]))
+            .groupBy(e["src"], e["dst"])
+            .agg(F.count(F.lit(1)).cast("long").alias("support"))
+        )
+
+    for _ in range(rounds):
+        sup = support(cur).where(F.col("support") >= k - 2)
+        cur = cur.join(sup.select("src", "dst"), ["src", "dst"], "left_semi")
+        if checkpoint:
+            cur = cur.localCheckpoint(eager=False)
+    return support(cur)
