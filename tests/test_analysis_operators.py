@@ -291,3 +291,35 @@ def test_padding_sorted_batching_wastes_less(spark):
     assert arr["total_tokens"] == srt["total_tokens"]
     assert srt["total_padding"] <= arr["total_padding"]
     assert arr["n_batches"] == srt["n_batches"]
+
+
+def test_ablation_grid_monotone_in_mask(spark):
+    """Adding a filter can only shrink the surviving set: survivors of a
+    superset mask <= survivors of any of its subsets; mask 0 keeps
+    everything."""
+    rows = {r["mask"]: r for r in
+            QUERIES["filter_ablation_grid"].fn(spark, SF).collect()}
+    assert set(rows) == set(range(8))
+    total = rows[0]["n_survivors"]
+    for m in range(8):
+        for bit in (1, 2, 4):
+            if m & bit:
+                sub = m & ~bit
+                assert rows[m]["n_survivors"] <= rows[sub]["n_survivors"]
+                assert rows[m]["tokens_kept"] <= rows[sub]["tokens_kept"]
+        assert rows[m]["n_survivors"] <= total
+
+
+def test_late_event_audit_monotone_in_watermark(spark):
+    """A larger watermark delay never drops MORE events, watermark 0 is
+    the strictest, and kept+dropped always covers the stream."""
+    rows = sorted(
+        QUERIES["late_event_audit"].fn(spark, SF).collect(),
+        key=lambda r: r["watermark_s"],
+    )
+    assert [r["watermark_s"] for r in rows] == [0, 900, 1800, 3600]
+    n = rows[0]["n_dropped"] + rows[0]["n_kept"]
+    for r in rows:
+        assert r["n_dropped"] + r["n_kept"] == n
+    for a, b in zip(rows, rows[1:]):
+        assert b["n_dropped"] <= a["n_dropped"]

@@ -207,6 +207,24 @@ def test_no_accidental_cartesian_anywhere(spark):
         # embedding_health_audit: 1-row median and MAD broadcasts onto
         # the norm stream — constant-appends.
         "embedding_health_audit",
+        # sketch_theta_intersect: two 1-row sketch frames crossed, then
+        # the 1-row exact-intersection audit — 1x1 constant joins.
+        "sketch_theta_intersect",
+        # ab_permutation_test: 64-row permutation-id spine broadcast onto
+        # the USER AGGREGATE (never raw events), then a 1-row observed
+        # statistic — bounded constant-appends like split_walk_forward's
+        # fold spine.
+        "ab_permutation_test",
+        # zonemap_skip_stats: 4-row quarter-predicate spine broadcast
+        # onto the 128-row zone-map table (+ theta truth join on the
+        # same 4-row side) — the output IS layouts x predicates.
+        "zonemap_skip_stats",
+        # filter_ablation_grid: 8-row mask spine broadcast onto the
+        # per-doc flag scan; the 8 per-group counters collapse map-side.
+        "filter_ablation_grid",
+        # late_event_audit: 4-row watermark-candidate spine broadcast
+        # onto the arrival-ordered event scan — same bounded fan-out.
+        "late_event_audit",
     }
     for name, spec in QUERIES.items():
         if name in allowed_cross:

@@ -1170,3 +1170,201 @@ def batch_padding_waste(spark, sf_dir):
 
 def _toks_a():
     return F.filter(F.split(F.lower("text"), " "), lambda x: x != F.lit(""))
+
+
+# ---------------------------------------------------------------------------
+# Quality-filter ablation grid
+# ---------------------------------------------------------------------------
+
+_ABL_MIN_TOK = 30
+_ABL_STOP_PCT = 5
+_ABL_LANG = "en"
+_STOPS_SQL = "('the','a','of','to','and','in','is')"
+
+
+@register(
+    "filter_ablation_grid",
+    f"""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tok,
+             CASE WHEN len({_TOKS_SQL}) >= {_ABL_MIN_TOK}
+                  THEN 1 ELSE 0 END AS f_len,
+             CASE WHEN 100 * len(list_filter({_TOKS_SQL},
+                      x -> x IN {_STOPS_SQL}))
+                      >= {_ABL_STOP_PCT} * len({_TOKS_SQL})
+                  THEN 1 ELSE 0 END AS f_stop,
+             CASE WHEN lang = '{_ABL_LANG}' THEN 1 ELSE 0 END AS f_lang
+      FROM documents
+    ), masks AS (SELECT unnest(range(8)) AS mask)
+    SELECT m.mask,
+           CAST(SUM(CASE WHEN ((m.mask & 1) = 0 OR d.f_len = 1)
+                          AND ((m.mask & 2) = 0 OR d.f_stop = 1)
+                          AND ((m.mask & 4) = 0 OR d.f_lang = 1)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors,
+           CAST(SUM(CASE WHEN ((m.mask & 1) = 0 OR d.f_len = 1)
+                          AND ((m.mask & 2) = 0 OR d.f_stop = 1)
+                          AND ((m.mask & 4) = 0 OR d.f_lang = 1)
+                    THEN d.n_tok ELSE 0 END) AS BIGINT) AS tokens_kept
+    FROM d CROSS JOIN masks m
+    GROUP BY m.mask
+    """,
+    "Quality-filter ablation grid — the Gopher-rules interaction table "
+    "(Rae et al. 2021 app. A): three document filters (length >= 30 "
+    "tokens, stopword ratio >= 5%, lang == en) evaluated over ALL 8 "
+    "on/off subsets at once, reporting surviving docs and kept tokens "
+    "per subset — the table a curation team reads to see which filter "
+    "does the work, which are redundant, and what each marginal "
+    "filter costs in tokens. One scan computes the three per-doc "
+    "flags; the 8-row mask spine is a broadcast constant fan-out "
+    "whose per-group traffic collapses map-side — at 100 TB the grid "
+    "costs one extra pass of counters, never 8 filtered scans.",
+)
+def filter_ablation_grid(spark, sf_dir):
+    toks = _toks_a()
+    stops = ["the", "a", "of", "to", "and", "in", "is"]
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.size(toks).cast("long").alias("n_tok"),
+        F.size(
+            F.filter(
+                toks,
+                lambda x: x.isin(*stops),
+            )
+        )
+        .cast("long")
+        .alias("n_stop"),
+    ).select(
+        "doc_id",
+        "n_tok",
+        F.when(F.col("n_tok") >= _ABL_MIN_TOK, 1).otherwise(0).alias("f_len"),
+        F.when(
+            100 * F.col("n_stop") >= _ABL_STOP_PCT * F.col("n_tok"), 1
+        )
+        .otherwise(0)
+        .alias("f_stop"),
+        F.when(F.col("lang") == _ABL_LANG, 1).otherwise(0).alias("f_lang"),
+    )
+    masks = spark.range(0, 8).select(F.col("id").alias("mask"))
+    passes = (
+        ((F.col("mask").bitwiseAND(F.lit(1)) == 0) | (F.col("f_len") == 1))
+        & ((F.col("mask").bitwiseAND(F.lit(2)) == 0) | (F.col("f_stop") == 1))
+        & ((F.col("mask").bitwiseAND(F.lit(4)) == 0) | (F.col("f_lang") == 1))
+    )
+    return (
+        d.crossJoin(F.broadcast(masks))
+        .groupBy("mask")
+        .agg(
+            F.sum(F.when(passes, 1).otherwise(0))
+            .cast("long")
+            .alias("n_survivors"),
+            F.sum(F.when(passes, F.col("n_tok")).otherwise(0))
+            .cast("long")
+            .alias("tokens_kept"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Watermark lateness audit
+# ---------------------------------------------------------------------------
+
+_WM_CANDIDATES_S = (0, 900, 1800, 3600)
+_WM_WINDOW_S = 3600
+_WM_MAX_DELAY_S = 7200
+_WM_VALUES = ", ".join(
+    f"(CAST({w} AS BIGINT))" for w in _WM_CANDIDATES_S
+)
+
+
+@register(
+    "late_event_audit",
+    f"""
+    WITH e AS (
+      SELECT event_id, epoch_ns(ts) AS tsn,
+             epoch_ns(ts) + ({_H32_DUCK.format(s="CAST(event_id AS VARCHAR)")}
+                % {_WM_MAX_DELAY_S}) * 1000000000 AS arrival
+      FROM events
+    ), r AS (
+      SELECT event_id, tsn, arrival,
+             ((tsn // {_WM_WINDOW_S}000000000) + 1)
+               * {_WM_WINDOW_S}000000000 AS win_end,
+             MAX(tsn) OVER (ORDER BY arrival, event_id
+                            ROWS UNBOUNDED PRECEDING) AS seen_max
+      FROM e
+    ), wm(watermark_s) AS (VALUES {_WM_VALUES})
+    SELECT wm.watermark_s,
+           CAST(SUM(CASE WHEN r.seen_max - wm.watermark_s * 1000000000
+                              > r.win_end THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dropped,
+           CAST(SUM(CASE WHEN r.seen_max - wm.watermark_s * 1000000000
+                              > r.win_end THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_kept,
+           CAST((1000000 * SUM(CASE WHEN r.seen_max
+                    - wm.watermark_s * 1000000000 > r.win_end
+                    THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT)
+             AS dropped_ppm
+    FROM r CROSS JOIN wm
+    GROUP BY wm.watermark_s
+    """,
+    "Watermark lateness audit — the tuning table behind every "
+    "Structured Streaming withWatermark() decision, computed batch-"
+    "side with real watermark SEMANTICS: each event's arrival is a "
+    "deterministic hash-derived delay (0..2h) after its event time, "
+    "the stream watermark at any arrival is (max event time seen so "
+    "far, in arrival order) minus the candidate delay, and an event "
+    "is DROPPED when the watermark has already passed its 1-hour "
+    "tumbling window's end — exactly the state-eviction rule the "
+    "streaming engine applies. Four candidate watermarks are scored "
+    "in one pass: running max over arrival order + a 4-row constant "
+    "spine (dimension fan-out, map-side collapse). The global "
+    "arrival-order window simulates the single logical stream; a "
+    "production replay range-partitions by arrival time first.",
+)
+def late_event_audit(spark, sf_dir):
+    e = t(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("ts").alias("tsn"),
+        (
+            F.col("ts")
+            + F.expr(
+                _H32_SPARK.format(s="cast(event_id as string)")
+                + f" % {_WM_MAX_DELAY_S}"
+            )
+            * F.lit(1000000000)
+        ).alias("arrival"),
+    )
+    wr = W.orderBy("arrival", "event_id").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    r = e.select(
+        "event_id",
+        "tsn",
+        F.expr(
+            f"((tsn div {_WM_WINDOW_S}000000000) + 1) "
+            f"* {_WM_WINDOW_S}000000000"
+        ).alias("win_end"),
+        F.max("tsn").over(wr).alias("seen_max"),
+    )
+    wm = spark.createDataFrame(
+        [(w,) for w in _WM_CANDIDATES_S], "watermark_s long"
+    )
+    dropped = F.when(
+        F.col("seen_max") - F.col("watermark_s") * 1000000000
+        > F.col("win_end"),
+        1,
+    ).otherwise(0)
+    return (
+        r.crossJoin(F.broadcast(wm))
+        .groupBy("watermark_s")
+        .agg(
+            F.sum(dropped).cast("long").alias("n_dropped"),
+            F.sum(1 - dropped).cast("long").alias("n_kept"),
+            F.expr(
+                "CAST((1000000 * SUM(CASE WHEN seen_max - watermark_s "
+                "* 1000000000 > win_end THEN 1 ELSE 0 END)) "
+                "div COUNT(*) AS BIGINT)"
+            ).alias("dropped_ppm"),
+        )
+    )
