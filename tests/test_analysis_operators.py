@@ -323,3 +323,70 @@ def test_late_event_audit_monotone_in_watermark(spark):
         assert r["n_dropped"] + r["n_kept"] == n
     for a, b in zip(rows, rows[1:]):
         assert b["n_dropped"] <= a["n_dropped"]
+
+
+def test_ta_early_termination_and_correct_topk(spark):
+    """TA halts far above the cap, touches few docs but at least k, and
+    its top-k IS the exact top-k (ranks 1..k, strictly ordered)."""
+    import youtube_trending_data_pipeline_spark.catalog_analysis as ca
+
+    rows = sorted(
+        QUERIES["retrieval_threshold_algorithm"].fn(spark, SF).collect(),
+        key=lambda r: r["rank_total"],
+    )
+    assert [r["rank_total"] for r in rows] == list(range(1, ca._TA_K + 1))
+    stop = rows[0]["stop_depth"]
+    touched = rows[0]["n_touched"]
+    assert stop <= ca._TA_DEPTH_CAP  # cap never binds at gate scale
+    assert ca._TA_K <= touched <= 2 * stop  # <= 2 new docs per depth
+    totals = [r["total"] for r in rows]
+    assert totals == sorted(totals, reverse=True)
+
+
+def test_ta_anticorrelated_goes_deeper(spark):
+    """Crafted anti-correlated lists (high sa <-> low sb) force TA deeper
+    than a correlated corpus: stop_depth > k."""
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="ta-")
+    docs = []
+    for i in range(60):
+        # sa ~ i, sb ~ (60 - i): perfectly anti-correlated signals
+        text = " ".join(f"w{j}" for j in range(60 - i))
+        docs.append((i, text, "en", "s", i * 10 + 10))
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    rows = QUERIES["retrieval_threshold_algorithm"].fn(spark, d).collect()
+    assert rows[0]["stop_depth"] > 10
+
+
+def test_skyline_is_exactly_the_nondominated_set(spark):
+    """Brute-force dominance check in Python over the same (quality,
+    size) pairs: the operator returns exactly the non-dominated set."""
+    from youtube_trending_data_pipeline_spark.catalog import t as _t
+    import youtube_trending_data_pipeline_spark.catalog_analysis as ca
+
+    d = (
+        _t(spark, SF, "documents")
+        .select(
+            "doc_id",
+            F.size(F.array_distinct(ca._toks_a())).cast("long").alias("q"),
+            F.col("n_chars").cast("long").alias("s"),
+        )
+        .collect()
+    )
+    pts = [(r["doc_id"], r["q"], r["s"]) for r in d]
+    expected = {
+        i
+        for (i, q, s) in pts
+        if not any(
+            (qb >= q and sb >= s and (qb > q or sb > s))
+            for (_, qb, sb) in pts
+        )
+    }
+    got = {
+        r["doc_id"]
+        for r in QUERIES["skyline_pareto_frontier"].fn(spark, SF).collect()
+    }
+    assert got == expected and got

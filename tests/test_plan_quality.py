@@ -225,6 +225,10 @@ def test_no_accidental_cartesian_anywhere(spark):
         # late_event_audit: 4-row watermark-candidate spine broadcast
         # onto the arrival-ordered event scan — same bounded fan-out.
         "late_event_audit",
+        # retrieval_threshold_algorithm: the capped 128-row threshold
+        # table broadcast-theta-joined onto the candidate set (monotone
+        # crossing lookup), plus two 1-row stop-depth/touched appends.
+        "retrieval_threshold_algorithm",
     }
     for name, spec in QUERIES.items():
         if name in allowed_cross:

@@ -1368,3 +1368,200 @@ def late_event_audit(spark, sf_dir):
             ).alias("dropped_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Fagin threshold-algorithm (TA) top-k audit
+# ---------------------------------------------------------------------------
+
+_TA_K = 10
+_TA_DEPTH_CAP = 128
+
+
+@register(
+    "retrieval_threshold_algorithm",
+    f"""
+    WITH d AS (
+      SELECT doc_id, CAST(n_chars AS BIGINT) AS sa,
+             CAST(100 * len(list_distinct({_TOKS_SQL})) AS BIGINT) AS sb
+      FROM documents
+    ), ra AS (
+      SELECT doc_id, sa, sb,
+             ROW_NUMBER() OVER (ORDER BY sa DESC, doc_id) AS rka
+      FROM d
+    ), rb AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY sb DESC, doc_id) AS rkb
+      FROM d
+    ), j AS (
+      SELECT ra.doc_id, ra.sa + ra.sb AS total,
+             LEAST(ra.rka, rb.rkb) AS mr
+      FROM ra JOIN rb USING (doc_id)
+    ), thr AS (
+      SELECT a.rka AS dep, a.sa + b.sb AS thr
+      FROM (SELECT ROW_NUMBER() OVER (ORDER BY sa DESC, doc_id) AS rka,
+                   sa FROM d) a
+      JOIN (SELECT ROW_NUMBER() OVER (ORDER BY sb DESC, doc_id) AS rkb,
+                   sb FROM d) b ON a.rka = b.rkb
+      WHERE a.rka <= {_TA_DEPTH_CAP}
+    ), q AS (
+      SELECT j.doc_id, j.total, j.mr,
+             GREATEST(j.mr, COALESCE(
+               (SELECT MIN(t.dep) FROM thr t WHERE t.thr <= j.total),
+               {_TA_DEPTH_CAP + 1})) AS qd
+      FROM j
+    ), stopd AS (
+      SELECT qd AS stop_depth FROM q
+      ORDER BY qd, doc_id LIMIT 1 OFFSET {_TA_K - 1}
+    ), touched AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_touched
+      FROM q, stopd WHERE q.mr <= stopd.stop_depth
+    ), topk AS (
+      SELECT doc_id, total,
+             ROW_NUMBER() OVER (ORDER BY total DESC, doc_id) AS rank_total
+      FROM j
+    )
+    SELECT tk.doc_id, tk.total, CAST(tk.rank_total AS BIGINT) AS rank_total,
+           CAST(s.stop_depth AS BIGINT) AS stop_depth, t.n_touched
+    FROM topk tk, stopd s, touched t
+    WHERE tk.rank_total <= {_TA_K}
+    """,
+    "Threshold-algorithm top-k audit (Fagin, Lotem & Naor 2001 — the "
+    "instance-optimal rank-join behind multi-signal retrieval): two "
+    "ranked lists (chars, 100x distinct tokens) are walked in "
+    "parallel, the depth-d threshold is the sum of the two scores AT "
+    "rank d, and TA halts at the first depth where k=10 seen "
+    "documents already score above it. The audit derives the halt "
+    "depth SET-BASED: each doc qualifies at max(its min rank, the "
+    "first depth whose threshold its total clears — threshold is "
+    "monotone nonincreasing so that crossing is a min over a capped "
+    "128-row broadcast), and the k-th smallest qualify-depth IS the "
+    "stop depth. Output: the exact top-k with the stop depth and how "
+    "few documents TA touched (~20 of 500 at gate scale) — the "
+    "measured case for early-termination top-k over full scans when "
+    "lists are precomputed per-signal at 100 TB.",
+)
+def retrieval_threshold_algorithm(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("sa"),
+        (100 * F.size(F.array_distinct(_toks_a()))).cast("long").alias("sb"),
+    )
+    wa = W.orderBy(F.desc("sa"), F.asc("doc_id"))
+    wb = W.orderBy(F.desc("sb"), F.asc("doc_id"))
+    ranked = d.select(
+        "doc_id",
+        "sa",
+        "sb",
+        F.row_number().over(wa).alias("rka"),
+        F.row_number().over(wb).alias("rkb"),
+    )
+    j = ranked.select(
+        "doc_id",
+        (F.col("sa") + F.col("sb")).alias("total"),
+        F.least("rka", "rkb").alias("mr"),
+    )
+    thr = (
+        ranked.select(F.col("rka").alias("dep"), "sa")
+        .join(
+            ranked.select(F.col("rkb").alias("dep"), "sb"),
+            "dep",
+        )
+        .where(F.col("dep") <= _TA_DEPTH_CAP)
+        .select("dep", (F.col("sa") + F.col("sb")).alias("thr"))
+    )
+    tmin = (
+        j.join(F.broadcast(thr), F.col("thr") <= F.col("total"), "left")
+        .groupBy("doc_id", "total", "mr")
+        .agg(F.min("dep").alias("t_first"))
+    )
+    q = tmin.select(
+        "doc_id",
+        "total",
+        "mr",
+        F.greatest(
+            F.col("mr"),
+            F.coalesce(F.col("t_first"), F.lit(_TA_DEPTH_CAP + 1)),
+        ).alias("qd"),
+    )
+    wq = W.orderBy(F.asc("qd"), F.asc("doc_id"))
+    stopd = (
+        q.withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") == _TA_K)
+        .select(F.col("qd").cast("long").alias("stop_depth"))
+    )
+    touched = (
+        q.crossJoin(F.broadcast(stopd))
+        .where(F.col("mr") <= F.col("stop_depth"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_touched"))
+    )
+    wt = W.orderBy(F.desc("total"), F.asc("doc_id"))
+    topk = (
+        j.withColumn("rank_total", F.row_number().over(wt))
+        .where(F.col("rank_total") <= _TA_K)
+        .select("doc_id", "total", F.col("rank_total").cast("long").alias("rank_total"))
+    )
+    return topk.crossJoin(F.broadcast(stopd)).crossJoin(F.broadcast(touched))
+
+
+# ---------------------------------------------------------------------------
+# Skyline (Pareto frontier) operator
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "skyline_pareto_frontier",
+    f"""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(len(list_distinct({_TOKS_SQL})) AS BIGINT) AS quality,
+             CAST(n_chars AS BIGINT) AS size
+      FROM documents
+    )
+    SELECT a.doc_id, a.quality, a.size
+    FROM d a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM d b
+      WHERE b.quality >= a.quality AND b.size >= a.size
+        AND (b.quality > a.quality OR b.size > a.size)
+    )
+    """,
+    "Skyline / Pareto-frontier operator (Borzsonyi, Kossmann & "
+    "Stocker 2001): the documents no other document dominates on "
+    "(distinct-token quality, char size) — the preference-query "
+    "primitive behind 'best tradeoff' corpus picks (longest AND "
+    "richest docs, cost/quality frontiers). The Spark plan is the "
+    "LINEAR skyline algorithm, not the quadratic definition: one "
+    "per-quality max-size aggregate, one running max over strictly "
+    "higher quality levels (dimension-sized window), and a doc is on "
+    "the frontier iff it holds its quality level's max size and "
+    "beats every higher level's best — O(n) + a vocab-sized sort vs "
+    "the oracle's NOT EXISTS self-join, which independently replays "
+    "the DEFINITION. Ties kept on both sides: equal (quality, size) "
+    "pairs do not dominate each other.",
+)
+def skyline_pareto_frontier(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.array_distinct(_toks_a())).cast("long").alias("quality"),
+        F.col("n_chars").cast("long").alias("size"),
+    )
+    perq = d.groupBy("quality").agg(F.max("size").alias("mq"))
+    wq = W.orderBy(F.desc("quality")).rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    lvl = perq.select(
+        "quality",
+        "mq",
+        F.max("mq").over(wq).alias("best_higher"),
+    )
+    return (
+        d.join(F.broadcast(lvl), "quality")
+        .where(
+            (F.col("size") == F.col("mq"))
+            & (
+                F.col("best_higher").isNull()
+                | (F.col("best_higher") < F.col("size"))
+            )
+        )
+        .select("doc_id", "quality", "size")
+    )
