@@ -43,6 +43,9 @@ ORACLE_HEAVY = {
     # routine big-SF sweeps skip the oracle side only.
     "graph_hits",
     "ewma_user_value",
+    # same recursive-CTE replay shape as ewma_user_value, with two
+    # carried registers
+    "holt_linear_fold",
 }
 
 

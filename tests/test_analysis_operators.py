@@ -390,3 +390,50 @@ def test_skyline_is_exactly_the_nondominated_set(spark):
         for r in QUERIES["skyline_pareto_frontier"].fn(spark, SF).collect()
     }
     assert got == expected and got
+
+
+def test_holt_fold_matches_python_reference(spark):
+    """Crafted series per user (including a falling one, where the trend
+    register goes NEGATIVE and floor-vs-truncate matters): the kernel
+    reproduces the reference fold exactly."""
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="holt-")
+    series = {
+        1: [100.0, 0.0, 0.0, 0.0],     # collapse: negative trend
+        2: [10.0, 20.0, 30.0, 40.0],   # steady climb
+        3: [5.0],                      # singleton: trend 0
+    }
+    rows, eid = [], 0
+    for u, vals in series.items():
+        for i, v in enumerate(vals):
+            eid += 1
+            rows.append((eid, u, i * 1000000, "view", v, "{}"))
+    spark.createDataFrame(
+        rows, "event_id long, user_id long, ts_us long, event_type string, "
+        "value double, props string"
+    ).selectExpr(
+        "event_id", "timestamp_micros(ts_us) AS ts", "user_id",
+        "event_type", "value", "props",
+    ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+
+    def ref(vals):
+        lv, tr = int(round(vals[0] * 100)), 0
+        for v in vals[1:]:
+            x = int(round(v * 100))
+            nl = (x + lv + tr) // 2
+            tr = (nl - lv + tr) // 2
+            lv = nl
+        return lv, tr
+
+    got = {
+        r["user_id"]: r
+        for r in QUERIES["holt_linear_fold"].fn(spark, d).collect()
+    }
+    for u, vals in series.items():
+        lv, tr = ref(vals)
+        assert got[u]["level_c"] == lv
+        assert got[u]["trend_c"] == tr
+        assert got[u]["forecast_c"] == lv + tr
+        assert got[u]["n_events"] == len(vals)
+    assert got[1]["trend_c"] < 0  # the falling series really exercises floor

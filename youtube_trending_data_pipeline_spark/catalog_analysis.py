@@ -1565,3 +1565,122 @@ def skyline_pareto_frontier(spark, sf_dir):
         )
         .select("doc_id", "quality", "size")
     )
+
+
+# ---------------------------------------------------------------------------
+# Holt linear-trend fold (double exponential smoothing, integer state)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "holt_linear_fold",
+    """
+    WITH RECURSIVE x AS (
+      SELECT user_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts), event_id) AS rn,
+             CAST(ROUND(value * 100) AS BIGINT) AS v
+      FROM events
+    ), r AS (
+      SELECT user_id, rn, v AS l, CAST(0 AS BIGINT) AS b,
+             v AS l_prev
+      FROM x WHERE rn = 1
+      UNION ALL
+      -- two carried registers; FLOOR spelled explicitly (DuckDB integer
+      -- // truncates toward zero, the kernel floors; trend deltas DO go
+      -- negative). Operands stay far below 2^53: double FLOOR is exact.
+      SELECT x.user_id, x.rn,
+             CAST(FLOOR((x.v + r.l + r.b) / 2.0) AS BIGINT),
+             CAST(FLOOR((CAST(FLOOR((x.v + r.l + r.b) / 2.0) AS BIGINT)
+                         - r.l + r.b) / 2.0) AS BIGINT),
+             r.l
+      FROM r JOIN x ON x.user_id = r.user_id AND x.rn = r.rn + 1
+    ), n AS (
+      SELECT user_id, CAST(MAX(rn) AS BIGINT) AS n_events
+      FROM x GROUP BY user_id
+    )
+    SELECT n.user_id, n.n_events, r.l AS level_c, r.b AS trend_c,
+           r.l + r.b AS forecast_c
+    FROM n JOIN r ON r.user_id = n.user_id AND r.rn = n.n_events
+    """,
+    "Holt linear-trend fold (double exponential smoothing, alpha = "
+    "beta = 1/2) over each user's time-ordered cent values — TWO "
+    "carried integer registers per key where ewma_user_value carries "
+    "one: l_t = floor((v_t + l_(t-1) + b_(t-1))/2), b_t = "
+    "floor((l_t - l_(t-1) + b_(t-1))/2), forecast = l_n + b_n; the "
+    "one-step-ahead demand forecast every per-entity capacity model "
+    "runs. Same Arrow doctrine as the EWMA kernel: ONE shuffle on "
+    "user_id + sortWithinPartitions, a single segmented-fold "
+    "mapInPandas kernel carrying state across batch boundaries, "
+    "Python floor-division matched by explicit FLOOR in the "
+    "recursive-CTE oracle (trend deltas go negative, where truncation "
+    "would diverge). State is O(keys-per-partition) x 3 ints; nothing "
+    "lands on the driver.",
+)
+def holt_linear_fold(spark, sf_dir):
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from youtube_trending_data_pipeline_spark.catalog import cents
+
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.expr("ts div 1000").alias("ts_us"),
+        cents("value").alias("v"),
+    )
+    schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("level_c", LongType()),
+            StructField("trend_c", LongType()),
+            StructField("forecast_c", LongType()),
+        ]
+    )
+
+    def fold(batches):
+        # state: user -> [n, level, trend]; the ewma_user_value segmented
+        # fold with a second carried register (see that kernel's notes).
+        state: dict[int, list[int]] = {}
+        for pdf in batches:
+            u = pdf["user_id"].to_numpy()
+            if not len(u):
+                continue
+            v = pdf["v"].to_numpy()
+            cuts = np.flatnonzero(u[1:] != u[:-1]) + 1
+            starts = np.concatenate(([0], cuts)).tolist()
+            ends = np.concatenate((cuts, [len(u)])).tolist()
+            for a, bnd in zip(starts, ends):
+                run = v[a:bnd].tolist()
+                s = state.get(int(u[a]))
+                if s is None:
+                    lv, tr = run[0], 0
+                    rest = run[1:]
+                    state[int(u[a])] = s = [bnd - a, lv, tr]
+                else:
+                    lv, tr = s[1], s[2]
+                    rest = run
+                    s[0] += bnd - a
+                for x in rest:
+                    nl = (x + lv + tr) // 2
+                    tr = (nl - lv + tr) // 2
+                    lv = nl
+                s[1], s[2] = lv, tr
+        if state:
+            yield pd.DataFrame(
+                {
+                    "user_id": list(state.keys()),
+                    "n_events": [s[0] for s in state.values()],
+                    "level_c": [s[1] for s in state.values()],
+                    "trend_c": [s[2] for s in state.values()],
+                    "forecast_c": [s[1] + s[2] for s in state.values()],
+                }
+            )
+
+    return (
+        ev.repartition("user_id")
+        .sortWithinPartitions("user_id", "ts_us", "event_id")
+        .mapInPandas(fold, schema=schema)
+    )
