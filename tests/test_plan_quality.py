@@ -229,6 +229,13 @@ def test_no_accidental_cartesian_anywhere(spark):
         # table broadcast-theta-joined onto the candidate set (monotone
         # crossing lookup), plus two 1-row stop-depth/touched appends.
         "retrieval_threshold_algorithm",
+        # ivm_delta_aggregate: 1-row min-day bound broadcast onto the
+        # event scan (split_walk_forward's d0 pattern).
+        "ivm_delta_aggregate",
+        # exact_median_twopass: 1-row (N, k) and 1-row target-bucket
+        # broadcasts onto the counting passes — constant-appends; the
+        # second pass's bucket filter is the theta condition.
+        "exact_median_twopass",
     }
     for name, spec in QUERIES.items():
         if name in allowed_cross:

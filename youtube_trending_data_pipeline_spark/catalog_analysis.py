@@ -1684,3 +1684,329 @@ def holt_linear_fold(spark, sf_dir):
         .sortWithinPartitions("user_id", "ts_us", "event_id")
         .mapInPandas(fold, schema=schema)
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental view maintenance: delta application vs recompute
+# ---------------------------------------------------------------------------
+
+_IVM_SPLIT_DAYS = 7          # base = first week of the corpus
+_IVM_DELTA_DAYS = 2          # delta batch = next two days of inserts
+_IVM_RETRACT_MOD = 37        # base rows with event_id % 37 == 0 retract
+
+
+@register(
+    "ivm_delta_aggregate",
+    f"""
+    WITH e AS (
+      SELECT event_id, event_type,
+             CAST(ROUND(value * 100) AS BIGINT) AS v,
+             epoch_us(ts) // 86400000000 AS day
+      FROM events
+    ), b AS (SELECT MIN(day) AS d0 FROM e),
+    base AS (
+      SELECT e.* FROM e, b WHERE e.day < b.d0 + {_IVM_SPLIT_DAYS}
+    ), inserts AS (
+      SELECT e.* FROM e, b
+      WHERE e.day >= b.d0 + {_IVM_SPLIT_DAYS}
+        AND e.day < b.d0 + {_IVM_SPLIT_DAYS + _IVM_DELTA_DAYS}
+    ), retracts AS (
+      SELECT * FROM base WHERE event_id % {_IVM_RETRACT_MOD} = 0
+    ), signed_delta AS (
+      SELECT event_type, v, CAST(1 AS BIGINT) AS mult FROM inserts
+      UNION ALL
+      SELECT event_type, v, CAST(-1 AS BIGINT) FROM retracts
+    ), view0 AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(v) AS BIGINT) AS s
+      FROM base GROUP BY 1
+    ), delta AS (
+      SELECT event_type, CAST(SUM(mult) AS BIGINT) AS dn,
+             CAST(SUM(mult * v) AS BIGINT) AS ds
+      FROM signed_delta GROUP BY 1
+    ), maintained AS (
+      SELECT COALESCE(v.event_type, d.event_type) AS event_type,
+             COALESCE(v.n, 0) + COALESCE(d.dn, 0) AS mn,
+             COALESCE(v.s, 0) + COALESCE(d.ds, 0) AS ms
+      FROM view0 v FULL OUTER JOIN delta d USING (event_type)
+    ), recomputed AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS rn,
+             CAST(SUM(v) AS BIGINT) AS rs
+      FROM (
+        SELECT * FROM base WHERE event_id % {_IVM_RETRACT_MOD} <> 0
+        UNION ALL SELECT * FROM inserts
+      ) GROUP BY 1
+    )
+    SELECT m.event_type,
+           CAST(m.mn AS BIGINT) AS maintained_n,
+           r.rn AS recomputed_n,
+           CAST(m.ms AS BIGINT) AS maintained_sum,
+           r.rs AS recomputed_sum,
+           CAST(CASE WHEN m.mn = r.rn AND m.ms = r.rs
+                THEN 1 ELSE 0 END AS BIGINT) AS consistent
+    FROM maintained m JOIN recomputed r USING (event_type)
+    """,
+    "Incremental view maintenance audit — the delta rule every "
+    "foreachBatch upsert and materialized-view engine depends on, "
+    "PROVEN against recompute in one query: a per-type count/sum view "
+    "over the first week of events is maintained by applying a signed "
+    "multiplicity delta (next-two-days inserts at +1, hash-chosen "
+    "base retractions at -1) and must equal the from-scratch "
+    "aggregate over (base minus retractions) union inserts. "
+    "Count/sum are self-maintainable, so the maintained path touches "
+    "ONLY the delta — at 100 TB that is the difference between "
+    "re-aggregating the lake and aggregating a day's partition; the "
+    "consistency flag makes the multiset algebra auditable. All "
+    "integer cents; full-outer delta merge handles types that appear "
+    "only in the delta.",
+)
+def ivm_delta_aggregate(spark, sf_dir):
+    from youtube_trending_data_pipeline_spark.catalog import cents
+
+    e = t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        cents("value").alias("v"),
+        F.expr("(ts div 1000) div 86400000000").alias("day"),
+    )
+    b = e.agg(F.min("day").alias("d0"))
+    e = e.crossJoin(F.broadcast(b))
+    base = e.where(F.col("day") < F.col("d0") + _IVM_SPLIT_DAYS)
+    inserts = e.where(
+        (F.col("day") >= F.col("d0") + _IVM_SPLIT_DAYS)
+        & (F.col("day") < F.col("d0") + _IVM_SPLIT_DAYS + _IVM_DELTA_DAYS)
+    )
+    retracts = base.where(F.col("event_id") % _IVM_RETRACT_MOD == 0)
+    signed_delta = inserts.select(
+        "event_type", "v", F.lit(1).cast("long").alias("mult")
+    ).unionAll(
+        retracts.select(
+            "event_type", "v", F.lit(-1).cast("long").alias("mult")
+        )
+    )
+    view0 = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v").cast("long").alias("s"),
+    )
+    delta = signed_delta.groupBy("event_type").agg(
+        F.sum("mult").cast("long").alias("dn"),
+        F.sum(F.col("mult") * F.col("v")).cast("long").alias("ds"),
+    )
+    maintained = (
+        view0.join(delta, "event_type", "full_outer")
+        .select(
+            "event_type",
+            (F.coalesce("n", F.lit(0)) + F.coalesce("dn", F.lit(0)))
+            .cast("long")
+            .alias("maintained_n"),
+            (F.coalesce("s", F.lit(0)) + F.coalesce("ds", F.lit(0)))
+            .cast("long")
+            .alias("maintained_sum"),
+        )
+    )
+    recomputed = (
+        base.where(F.col("event_id") % _IVM_RETRACT_MOD != 0)
+        .select("event_type", "v")
+        .unionAll(inserts.select("event_type", "v"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("recomputed_n"),
+            F.sum("v").cast("long").alias("recomputed_sum"),
+        )
+    )
+    return maintained.join(recomputed, "event_type").select(
+        "event_type",
+        "maintained_n",
+        "recomputed_n",
+        "maintained_sum",
+        "recomputed_sum",
+        F.when(
+            (F.col("maintained_n") == F.col("recomputed_n"))
+            & (F.col("maintained_sum") == F.col("recomputed_sum")),
+            1,
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("consistent"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact median by two-pass bucket selection (no global sort)
+# ---------------------------------------------------------------------------
+
+_MED_BUCKET_C = 10000  # 100.00-unit buckets
+
+
+@register(
+    "exact_median_twopass",
+    f"""
+    WITH x AS (
+      SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS v
+      FROM lineitem
+    ), n AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST((COUNT(*) + 1) // 2 AS BIGINT) AS k
+      FROM x
+    ), bkt AS (
+      SELECT v // {_MED_BUCKET_C} AS b, CAST(COUNT(*) AS BIGINT) AS c
+      FROM x GROUP BY 1
+    ), cum AS (
+      SELECT b, c,
+             SUM(c) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) AS run
+      FROM bkt
+    ), target AS (
+      SELECT cum.b AS tb, cum.c AS bucket_rows,
+             cum.run - cum.c AS before_cnt, n.n, n.k
+      FROM cum, n
+      WHERE cum.run >= n.k AND cum.run - cum.c < n.k
+    ), sel AS (
+      SELECT x.v, ROW_NUMBER() OVER (ORDER BY x.v) AS rno
+      FROM x, target WHERE x.v // {_MED_BUCKET_C} = target.tb
+    )
+    SELECT t.n, t.k, t.tb AS bucket_id, t.bucket_rows, s.v AS median_c
+    FROM target t JOIN sel s ON s.rno = t.k - t.before_cnt
+    """,
+    "Exact median WITHOUT a global sort — two-pass bucket selection, "
+    "the scalable order-statistic algorithm (Blum et al. selection "
+    "by partition counts): pass 1 is one hash aggregate of 100.00-"
+    "unit bucket counts whose running sum locates the bucket holding "
+    "the k-th value (k = (N+1)/2), pass 2 sorts ONLY that bucket "
+    "(~N/buckets rows) and offsets to the exact answer. At 100 TB "
+    "a global sort of the value column is the thing you cannot "
+    "afford; two counting passes + one bucket-local sort is the "
+    "shape percentile services actually run. Output keeps the "
+    "audit trail (N, k, chosen bucket, rows the second pass "
+    "touched); the oracle replays the same selection by definition "
+    "(ORDER BY ... OFFSET).",
+)
+def exact_median_twopass(spark, sf_dir):
+    from youtube_trending_data_pipeline_spark.catalog import cents
+
+    x = t(spark, sf_dir, "lineitem").select(
+        cents("l_extendedprice").alias("v")
+    )
+    n = x.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.expr("CAST((COUNT(*) + 1) div 2 AS BIGINT)").alias("k"),
+    )
+    bkt = (
+        x.select(F.expr(f"v div {_MED_BUCKET_C}").alias("b"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    wc = W.orderBy("b").rowsBetween(W.unboundedPreceding, 0)
+    cum = bkt.select(
+        "b", "c", F.sum("c").over(wc).alias("run")
+    )
+    target = (
+        cum.crossJoin(F.broadcast(n))
+        .where(
+            (F.col("run") >= F.col("k"))
+            & (F.col("run") - F.col("c") < F.col("k"))
+        )
+        .select(
+            F.col("b").alias("tb"),
+            F.col("c").alias("bucket_rows"),
+            (F.col("run") - F.col("c")).alias("before_cnt"),
+            "n",
+            "k",
+        )
+    )
+    in_bucket = x.join(
+        F.broadcast(target),
+        F.expr(f"v div {_MED_BUCKET_C}") == F.col("tb"),
+    )
+    wv = W.orderBy("v")
+    median = (
+        in_bucket.withColumn("rn", F.row_number().over(wv))
+        .where(F.col("rn") == F.col("k") - F.col("before_cnt"))
+        .select(
+            "n",
+            "k",
+            F.col("tb").alias("bucket_id"),
+            "bucket_rows",
+            F.col("v").alias("median_c"),
+        )
+    )
+    return median
+
+
+# ---------------------------------------------------------------------------
+# Join-key skew diagnosis report
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "skew_diagnosis_report",
+    """
+    WITH f AS (
+      SELECT l_suppkey AS key, CAST(COUNT(*) AS BIGINT) AS c
+      FROM lineitem GROUP BY 1
+    ), o AS (
+      SELECT key, c,
+             ROW_NUMBER() OVER (ORDER BY c, key) AS rn,
+             COUNT(*) OVER () AS nk,
+             SUM(c) OVER () AS total
+      FROM f
+    )
+    SELECT CAST(MAX(nk) AS BIGINT) AS n_keys,
+           CAST(MAX(total) AS BIGINT) AS n_rows,
+           CAST(MAX(c) AS BIGINT) AS max_freq,
+           CAST(MAX(CASE WHEN rn = (nk + 1) // 2 THEN c END) AS BIGINT)
+             AS p50_freq,
+           CAST(MAX(CASE WHEN rn = nk - (nk // 100) THEN c END) AS BIGINT)
+             AS p99_freq,
+           CAST((1000000 * MAX(c) * MAX(nk)) // MAX(total) AS BIGINT)
+             AS imbalance_ppm,
+           CAST(MAX(CASE WHEN c = (SELECT MAX(c) FROM f)
+                    THEN key END) AS BIGINT) AS heaviest_key
+    FROM o
+    """,
+    "Join-key skew diagnosis — the report you read BEFORE choosing "
+    "j10_salted_skew_join's salt factor or trusting AQE skew "
+    "handling: the lineitem supplier-key frequency table reduced to "
+    "key count, row count, max/p50/p99 per-key frequency (order "
+    "statistics over the KEY table, never the fact table), the "
+    "max-over-mean imbalance in ppm (straggler factor: the slowest "
+    "reducer's load relative to perfect balance), and the heaviest "
+    "key itself (max frequency, largest key on ties). One hash "
+    "aggregate + one key-table window: the diagnosis costs a "
+    "key-cardinality pass regardless of fact-table size.",
+)
+def skew_diagnosis_report(spark, sf_dir):
+    f = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_suppkey").alias("key"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    wo = W.orderBy("c", "key")
+    o = f.select(
+        "key",
+        "c",
+        F.row_number().over(wo).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("nk"),
+        F.sum("c").over(W.partitionBy()).alias("total"),
+        F.max("c").over(W.partitionBy()).alias("mx"),
+    )
+    return o.agg(
+        F.max("nk").cast("long").alias("n_keys"),
+        F.max("total").cast("long").alias("n_rows"),
+        F.max("c").cast("long").alias("max_freq"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(nk + 1) div 2"), F.col("c"))
+        )
+        .cast("long")
+        .alias("p50_freq"),
+        F.max(
+            F.when(F.col("rn") == F.expr("nk - (nk div 100)"), F.col("c"))
+        )
+        .cast("long")
+        .alias("p99_freq"),
+        F.expr(
+            "CAST((1000000 * MAX(c) * MAX(nk)) div MAX(total) AS BIGINT)"
+        ).alias("imbalance_ppm"),
+        F.max(F.when(F.col("c") == F.col("mx"), F.col("key")))
+        .cast("long")
+        .alias("heaviest_key"),
+    )
