@@ -484,3 +484,29 @@ def test_skew_report_internal_consistency(spark):
     by_key = {x["l_suppkey"]: x["count"] for x in freqs}
     assert by_key[r["heaviest_key"]] == r["max_freq"]
     assert r["n_keys"] == len(by_key)
+
+
+def test_consistent_hash_moves_less(spark):
+    """Ring placement moves roughly 1/(n+1) of docs; modulo moves the
+    vast majority — the audit must show the separation, and both
+    strategies count every doc."""
+    rows = {r["strategy"]: r for r in
+            QUERIES["consistent_hash_rebalance"].fn(spark, SF).collect()}
+    ch, md = rows["consistent"], rows["mod"]
+    assert ch["n_docs"] == md["n_docs"] > 0
+    assert ch["n_moved"] < md["n_moved"]
+    assert ch["moved_ppm"] < 400000   # ~111k expected; generous bound
+    assert md["moved_ppm"] > 600000   # ~889k expected
+
+
+def test_rle_audit_sorted_always_wins(spark):
+    """Sorting can't create runs: n_runs(sorted) == n_distinct exactly
+    (every value groups into one run) and never exceeds the natural
+    layout's runs."""
+    rows = QUERIES["encoding_rle_audit"].fn(spark, SF).collect()
+    by = {(r["col"], r["ord"]): r for r in rows}
+    for col in ("returnflag", "linestatus", "shipday"):
+        nat, srt = by[(col, "natural")], by[(col, "sorted")]
+        assert srt["n_runs"] == srt["n_distinct"]
+        assert srt["n_runs"] <= nat["n_runs"]
+        assert nat["n_rows"] == srt["n_rows"]

@@ -236,6 +236,10 @@ def test_no_accidental_cartesian_anywhere(spark):
         # broadcasts onto the counting passes — constant-appends; the
         # second pass's bucket filter is the theta condition.
         "exact_median_twopass",
+        # consistent_hash_rebalance: the 256/288-row vnode ring broadcast
+        # onto the doc scan (ring lookup is a conditional MIN over the
+        # dimension), plus the theta join resolving chosen_h -> shard.
+        "consistent_hash_rebalance",
     }
     for name, spec in QUERIES.items():
         if name in allowed_cross:

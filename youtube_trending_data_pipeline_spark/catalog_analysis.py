@@ -2010,3 +2010,311 @@ def skew_diagnosis_report(spark, sf_dir):
         .cast("long")
         .alias("heaviest_key"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Consistent-hash ring: shard rebalance audit
+# ---------------------------------------------------------------------------
+
+_CH_SHARDS_BEFORE = 8
+_CH_VNODES = 32
+
+
+def _ch_ring_sql(n_shards: int) -> str:
+    h = _H32_DUCK.format(
+        s="'shard' || CAST(s.s AS VARCHAR) || ':' || CAST(v.v AS VARCHAR)"
+    )
+    return f"""
+      SELECT {h} AS h, MIN(s.s) AS shard
+      FROM (SELECT unnest(range({n_shards})) AS s) s,
+           (SELECT unnest(range({_CH_VNODES})) AS v) v
+      GROUP BY 1
+    """
+
+
+def _ch_assign_sql(ring: str, tag: str) -> str:
+    return f"""
+      SELECT d.doc_id,
+             COALESCE(
+               MIN(CASE WHEN r.h >= d.pos THEN r.h END),
+               MIN(r.h)) AS chosen_h
+      FROM docs d CROSS JOIN ({ring}) r
+      GROUP BY d.doc_id
+    """
+
+
+@register(
+    "consistent_hash_rebalance",
+    f"""
+    WITH docs AS (
+      SELECT doc_id,
+             {_H32_DUCK.format(s="CAST(doc_id AS VARCHAR)")} AS pos
+      FROM documents
+    ), ring_a AS ({_ch_ring_sql(_CH_SHARDS_BEFORE)}),
+    ring_b AS ({_ch_ring_sql(_CH_SHARDS_BEFORE + 1)}),
+    ch_a AS ({_ch_assign_sql('SELECT * FROM ring_a', 'a')}),
+    ch_b AS ({_ch_assign_sql('SELECT * FROM ring_b', 'b')}),
+    consistent AS (
+      SELECT 'consistent' AS strategy,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CASE WHEN ra.shard <> rb.shard THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_moved
+      FROM ch_a a JOIN ch_b b USING (doc_id)
+      JOIN ring_a ra ON ra.h = a.chosen_h
+      JOIN ring_b rb ON rb.h = b.chosen_h
+    ), naive AS (
+      SELECT 'mod' AS strategy,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CASE WHEN pos % {_CH_SHARDS_BEFORE}
+                            <> pos % {_CH_SHARDS_BEFORE + 1}
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_moved
+      FROM docs
+    ), u AS (
+      SELECT * FROM consistent UNION ALL SELECT * FROM naive
+    )
+    SELECT strategy, n_docs, n_moved,
+           CAST((1000000 * n_moved) // n_docs AS BIGINT) AS moved_ppm
+    FROM u
+    """,
+    "Consistent-hash ring rebalance audit (Karger et al. 1997): "
+    "documents are placed on a 32-vnode-per-shard md5 ring, a ninth "
+    "shard is added, and the audit reports what fraction of documents "
+    "MOVE under ring assignment (~1/9) versus naive modulo sharding "
+    "(~8/9) — the measured justification for ring placement in every "
+    "shuffle-stable store and streaming-state assignment. Ring "
+    "assignment ('first vnode clockwise, wrap to ring minimum') is a "
+    "conditional MIN over the 288-row broadcast ring — dimension "
+    "fan-out, map-side collapse, no row ever leaves its partition; "
+    "vnode hash collisions are canonicalized to the smallest shard "
+    "so both engines resolve ties identically.",
+)
+def consistent_hash_rebalance(spark, sf_dir):
+    def ring(n_shards):
+        s = spark.range(0, n_shards).select(F.col("id").alias("s"))
+        v = spark.range(0, _CH_VNODES).select(F.col("id").alias("v"))
+        h = _H32_SPARK.format(
+            s="concat('shard', cast(s as string), ':', cast(v as string))"
+        )
+        return (
+            s.crossJoin(v)
+            .select(F.expr(h).alias("h"), "s")
+            .groupBy("h")
+            .agg(F.min("s").alias("shard"))
+        )
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(_H32_SPARK.format(s="cast(doc_id as string)")).alias("pos"),
+    )
+
+    def assign(ring_df):
+        return (
+            docs.crossJoin(F.broadcast(ring_df))
+            .groupBy("doc_id", "pos")
+            .agg(
+                F.coalesce(
+                    F.min(
+                        F.when(F.col("h") >= F.col("pos"), F.col("h"))
+                    ),
+                    F.min("h"),
+                ).alias("chosen_h")
+            )
+        )
+
+    ring_a, ring_b = ring(_CH_SHARDS_BEFORE), ring(_CH_SHARDS_BEFORE + 1)
+    a = assign(ring_a).join(
+        F.broadcast(ring_a.withColumnRenamed("shard", "shard_a")),
+        F.col("chosen_h") == F.col("h"),
+    ).select("doc_id", "pos", "shard_a")
+    b = assign(ring_b).join(
+        F.broadcast(ring_b.withColumnRenamed("shard", "shard_b")),
+        F.col("chosen_h") == F.col("h"),
+    ).select(F.col("doc_id").alias("doc_id_b"), "shard_b")
+    consistent = (
+        a.join(b, a["doc_id"] == b["doc_id_b"])
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(
+                F.when(F.col("shard_a") != F.col("shard_b"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_moved"),
+        )
+        .select(F.lit("consistent").alias("strategy"), "n_docs", "n_moved")
+    )
+    naive = docs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(
+            F.when(
+                F.col("pos") % _CH_SHARDS_BEFORE
+                != F.col("pos") % (_CH_SHARDS_BEFORE + 1),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_moved"),
+    ).select(F.lit("mod").alias("strategy"), "n_docs", "n_moved")
+    return consistent.unionAll(naive).select(
+        "strategy",
+        "n_docs",
+        "n_moved",
+        F.expr("CAST((1000000 * n_moved) div n_docs AS BIGINT)").alias(
+            "moved_ppm"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Columnar encoding audit: RLE runs + dictionary size per layout
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "encoding_rle_audit",
+    """
+    WITH li AS (
+      SELECT l_orderkey, l_linenumber, l_returnflag AS rf, l_linestatus AS ls,
+             CAST(epoch_us(l_shipdate) // 86400000000 AS BIGINT) AS day
+      FROM lineitem
+    ), cols AS (
+      SELECT 'returnflag' AS col, CAST(rf AS VARCHAR) AS v,
+             l_orderkey AS o1, l_linenumber AS o2 FROM li
+      UNION ALL
+      SELECT 'linestatus', CAST(ls AS VARCHAR), l_orderkey, l_linenumber
+      FROM li
+      UNION ALL
+      SELECT 'shipday', CAST(day AS VARCHAR), l_orderkey, l_linenumber
+      FROM li
+    ), runs AS (
+      -- (l_orderkey, l_linenumber) is NOT unique in the synthetic data,
+      -- so the value itself is the deterministic tiebreaker: rows tied on
+      -- the natural key sort their values adjacently in both engines,
+      -- which pins the run count
+      SELECT col, ord,
+             CASE WHEN v = LAG(v) OVER (PARTITION BY col, ord
+                                        ORDER BY k1, k2, v, k3)
+                  THEN 0 ELSE 1 END AS is_run_start
+      FROM (
+        SELECT col, v, 'natural' AS ord,
+               o1 AS k1, o2 AS k2, CAST(0 AS BIGINT) AS k3 FROM cols
+        UNION ALL
+        SELECT col, v, 'sorted', CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+               ROW_NUMBER() OVER (PARTITION BY col ORDER BY v, o1, o2)
+        FROM cols
+      )
+    ), dict AS (
+      SELECT col, CAST(COUNT(DISTINCT v) AS BIGINT) AS n_distinct,
+             CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM cols GROUP BY col
+    )
+    SELECT r.col, r.ord,
+           d.n_rows, d.n_distinct,
+           CAST(SUM(r.is_run_start) AS BIGINT) AS n_runs,
+           CAST((1000000 * SUM(r.is_run_start)) // d.n_rows AS BIGINT)
+             AS runs_per_row_ppm
+    FROM runs r JOIN dict d USING (col)
+    GROUP BY r.col, r.ord, d.n_rows, d.n_distinct
+    """,
+    "Columnar encoding audit — the RLE/dictionary sizing every "
+    "Parquet writer decides per column chunk: for three lineitem "
+    "columns (returnflag, linestatus, ship day), count the RLE runs "
+    "the column produces under its NATURAL row order vs fully SORTED "
+    "order, alongside dictionary cardinality — runs_per_row near 1e6 "
+    "means RLE is useless (natural-order low-cardinality columns "
+    "interleave), near n_distinct/n_rows means sorting made the "
+    "column almost free to store. This is zonemap_skip_stats' "
+    "sibling on the STORAGE axis: the same sort-on-write decision, "
+    "measured in encoding runs instead of skipped files. Run starts "
+    "are one LAG window per (column, layout); the sorted layout is "
+    "simulated by a per-column rank (production writers sort within "
+    "row groups).",
+)
+def encoding_rle_audit(spark, sf_dir):
+    from youtube_trending_data_pipeline_spark.catalog import ts_micros
+
+    raw = t(spark, sf_dir, "lineitem")
+    sd_dtype = dict(raw.dtypes).get("l_shipdate", "")
+    li = raw.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_returnflag").alias("rf"),
+        F.col("l_linestatus").alias("ls"),
+        F.expr(
+            f"({ts_micros(sd_dtype, 'l_shipdate')._jc.toString()})"
+        ).alias("_us"),
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        "rf",
+        "ls",
+        F.expr("CAST(_us div 86400000000 AS BIGINT)").alias("day"),
+    )
+    cols = (
+        li.select(
+            F.lit("returnflag").alias("col"),
+            F.col("rf").cast("string").alias("v"),
+            F.col("l_orderkey").alias("o1"),
+            F.col("l_linenumber").alias("o2"),
+        )
+        .unionAll(
+            li.select(
+                F.lit("linestatus").alias("col"),
+                F.col("ls").cast("string").alias("v"),
+                F.col("l_orderkey").alias("o1"),
+                F.col("l_linenumber").alias("o2"),
+            )
+        )
+        .unionAll(
+            li.select(
+                F.lit("shipday").alias("col"),
+                F.col("day").cast("string").alias("v"),
+                F.col("l_orderkey").alias("o1"),
+                F.col("l_linenumber").alias("o2"),
+            )
+        )
+    )
+    wsort = W.partitionBy("col").orderBy("v", "o1", "o2")
+    stacked = cols.select(
+        "col",
+        "v",
+        F.lit("natural").alias("ord"),
+        F.col("o1").alias("k1"),
+        F.col("o2").cast("long").alias("k2"),
+        F.lit(0).cast("long").alias("k3"),
+    ).unionAll(
+        cols.select(
+            "col",
+            "v",
+            F.lit("sorted").alias("ord"),
+            F.lit(0).cast("long").alias("k1"),
+            F.lit(0).cast("long").alias("k2"),
+            F.row_number().over(wsort).cast("long").alias("k3"),
+        )
+    )
+    wlag = W.partitionBy("col", "ord").orderBy("k1", "k2", "v", "k3")
+    runs = stacked.select(
+        "col",
+        "ord",
+        F.when(F.col("v") == F.lag("v").over(wlag), 0)
+        .otherwise(1)
+        .alias("is_run_start"),
+    )
+    dict_df = cols.groupBy("col").agg(
+        F.countDistinct("v").cast("long").alias("n_distinct"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    )
+    return (
+        runs.groupBy("col", "ord")
+        .agg(F.sum("is_run_start").cast("long").alias("n_runs"))
+        .join(F.broadcast(dict_df), "col")
+        .select(
+            "col",
+            "ord",
+            "n_rows",
+            "n_distinct",
+            "n_runs",
+            F.expr(
+                "CAST((1000000 * n_runs) div n_rows AS BIGINT)"
+            ).alias("runs_per_row_ppm"),
+        )
+    )
