@@ -40,6 +40,68 @@ _QV_SPARK = (
 )
 
 
+def _mutual_knn_edges(spark, sf_dir):
+    """Mutual-kNN edge list via ONE Arrow pass: the quantized corpus
+    rides along as a single-row block (1-row crossJoin — never a
+    driver collect), and a mapInPandas kernel computes every batch's
+    integer dot products as one numpy int64 matmul, taking each row's
+    top-_KNN_K by (-dot, neighbor id) with lexsort — bit-exact the
+    same ranking as the SQL window form, but BLAS instead of 256M
+    interpreted HOF lambda steps (measured 26 s -> ~3 s at sf0.1,
+    PERF.md round 6; the same measured tradeoff as the minhash
+    signature stage). The mutual filter and everything downstream
+    stay relational. At 100 TB the all-pairs block swaps for LSH/IVF
+    candidate generation (sim_lsh_topk / sim_ivf_pivot_topk) feeding
+    the same mutual filter + peel."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    q = t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr(_QV_SPARK).alias("qv"),
+    )
+    block = q.agg(
+        F.collect_list(F.struct("vec_id", "qv")).alias("block")
+    )
+    carried = q.crossJoin(F.broadcast(block))
+    schema = StructType(
+        [StructField("u", LongType()), StructField("v", LongType())]
+    )
+
+    def topk(batches):
+        B = ids = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            if B is None:
+                blk = pdf["block"].iloc[0]
+                ids = np.array([e["vec_id"] for e in blk], dtype=np.int64)
+                B = np.array([e["qv"] for e in blk], dtype=np.int64)
+            Q = np.array(list(pdf["qv"]), dtype=np.int64)
+            u = pdf["vec_id"].to_numpy()
+            D = Q @ B.T  # exact int64 dots
+            # mask self-pairs; min//2, NOT min: the lexsort key negates D
+            # and -int64.min overflows back to min, which would sort the
+            # masked self-pair FIRST instead of last
+            D[u[:, None] == ids[None, :]] = np.iinfo(np.int64).min // 2
+            us, vs = [], []
+            for r in range(len(u)):
+                # ties: larger dot first, then smaller neighbor id
+                order = np.lexsort((ids, -D[r]))[:_KNN_K]
+                us.extend([u[r]] * len(order))
+                vs.extend(ids[order])
+            yield pd.DataFrame({"u": us, "v": vs})
+
+    knn = carried.mapInPandas(topk, schema=schema)
+    rev = knn.select(F.col("v").alias("ru"), F.col("u").alias("rv"))
+    return knn.join(
+        rev,
+        (knn["u"] == rev["ru"]) & (knn["v"] == rev["rv"]),
+        "left_semi",
+    ).select(F.col("u").alias("src"), F.col("v").alias("dst"))
+
+
 def _kcore_oracle() -> str:
     """Unrolled replay: exact mutual-kNN build + _PEEL_ROUNDS peel rounds.
 
@@ -101,39 +163,7 @@ def _kcore_oracle() -> str:
 def graph_kcore_mutual_knn(spark, sf_dir):
     from youtube_trending_data_pipeline_spark.operators.graph import kcore_peel
 
-    q = t(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        F.expr(_QV_SPARK).alias("qv"),
-    )
-    a, b = q.alias("a"), q.alias("b")
-    scored = (
-        a.join(
-            F.broadcast(b), F.col("a.vec_id") != F.col("b.vec_id")
-        )
-        .select(
-            F.col("a.vec_id").alias("u"),
-            F.col("b.vec_id").alias("v"),
-            F.aggregate(
-                F.zip_with(
-                    F.col("a.qv"), F.col("b.qv"), lambda x, y: x * y
-                ),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            ).alias("dot"),
-        )
-    )
-    wk = W.partitionBy("u").orderBy(F.desc("dot"), F.asc("v"))
-    knn = (
-        scored.withColumn("rn", F.row_number().over(wk))
-        .where(F.col("rn") <= _KNN_K)
-        .select("u", "v")
-    )
-    rev = knn.select(F.col("v").alias("ru"), F.col("u").alias("rv"))
-    mutual = knn.join(
-        rev,
-        (knn["u"] == rev["ru"]) & (knn["v"] == rev["rv"]),
-        "left_semi",
-    ).select(F.col("u").alias("src"), F.col("v").alias("dst"))
+    mutual = _mutual_knn_edges(spark, sf_dir)
     return kcore_peel(mutual, k=_CORE_K, rounds=_PEEL_ROUNDS)
 
 
@@ -911,38 +941,9 @@ def _ktruss_oracle() -> str:
 def graph_ktruss_mutual_knn(spark, sf_dir):
     from youtube_trending_data_pipeline_spark.operators.graph import ktruss_peel
 
-    q = t(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        F.expr(_QV_SPARK).alias("qv"),
-    )
-    a, b = q.alias("a"), q.alias("b")
-    scored = (
-        a.join(F.broadcast(b), F.col("a.vec_id") != F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("u"),
-            F.col("b.vec_id").alias("v"),
-            F.aggregate(
-                F.zip_with(F.col("a.qv"), F.col("b.qv"), lambda x, y: x * y),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            ).alias("dot"),
-        )
-    )
-    wk = W.partitionBy("u").orderBy(F.desc("dot"), F.asc("v"))
-    knn = (
-        scored.withColumn("rn", F.row_number().over(wk))
-        .where(F.col("rn") <= _KNN_K)
-        .select("u", "v")
-    )
-    rev = knn.select(F.col("v").alias("ru"), F.col("u").alias("rv"))
     canon = (
-        knn.join(
-            rev,
-            (knn["u"] == rev["ru"]) & (knn["v"] == rev["rv"]),
-            "left_semi",
-        )
-        .where(F.col("u") < F.col("v"))
-        .select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        _mutual_knn_edges(spark, sf_dir)
+        .where(F.col("src") < F.col("dst"))
     )
     return ktruss_peel(canon, k=_TRUSS_K, rounds=_TRUSS_ROUNDS)
 
