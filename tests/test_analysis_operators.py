@@ -510,3 +510,47 @@ def test_rle_audit_sorted_always_wins(spark):
         assert srt["n_runs"] == srt["n_distinct"]
         assert srt["n_runs"] <= nat["n_runs"]
         assert nat["n_rows"] == srt["n_rows"]
+
+
+def test_spatial_join_matches_bruteforce(spark):
+    """Python brute force over the same hash-derived points: the grid
+    join finds exactly the within-radius pairs — including pairs whose
+    points sit in DIFFERENT grid cells."""
+    import youtube_trending_data_pipeline_spark.catalog_analysis as ca
+    from youtube_trending_data_pipeline_spark.catalog import t as _t
+
+    SF01 = "/root/testdata/sf0.01"
+    users = [
+        r["user_id"]
+        for r in _t(spark, SF01, "events").select("user_id").distinct().collect()
+    ]
+    import hashlib
+
+    def h32(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    pts = {
+        u: (h32(f"x:{u}") % ca._GEO_SPAN, h32(f"y:{u}") % ca._GEO_SPAN)
+        for u in users
+    }
+    expected = set()
+    cross_cell = 0
+    for a in users:
+        for b in users:
+            if a < b:
+                dx = pts[a][0] - pts[b][0]
+                dy = pts[a][1] - pts[b][1]
+                if dx * dx + dy * dy <= ca._GEO_R2:
+                    expected.add((a, b))
+                    if (
+                        pts[a][0] // ca._GEO_CELL != pts[b][0] // ca._GEO_CELL
+                        or pts[a][1] // ca._GEO_CELL
+                        != pts[b][1] // ca._GEO_CELL
+                    ):
+                        cross_cell += 1
+    got = {
+        (r["user_a"], r["user_b"])
+        for r in QUERIES["geo_grid_spatial_join"].fn(spark, SF01).collect()
+    }
+    assert got == expected and got
+    assert cross_cell > 0  # the neighborhood probe is genuinely exercised

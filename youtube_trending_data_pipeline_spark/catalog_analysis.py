@@ -2319,3 +2319,106 @@ def encoding_rle_audit(spark, sf_dir):
             ).alias("runs_per_row_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Grid-blocked spatial self-join
+# ---------------------------------------------------------------------------
+
+_GEO_SPAN = 1000000      # plane edge (scaled integer units)
+_GEO_CELL = 100000       # grid cell edge; radius <= cell guarantees 3x3
+_GEO_R = 80000           # join radius
+_GEO_R2 = _GEO_R * _GEO_R
+
+
+@register(
+    "geo_grid_spatial_join",
+    f"""
+    WITH pts AS (
+      SELECT user_id,
+             {_H32_DUCK.format(s="'x:' || CAST(user_id AS VARCHAR)")}
+               % {_GEO_SPAN} AS x,
+             {_H32_DUCK.format(s="'y:' || CAST(user_id AS VARCHAR)")}
+               % {_GEO_SPAN} AS y
+      FROM (SELECT DISTINCT user_id FROM events)
+    )
+    SELECT a.user_id AS user_a, b.user_id AS user_b,
+           CAST((a.x - b.x) * (a.x - b.x)
+              + (a.y - b.y) * (a.y - b.y) AS BIGINT) AS dist2
+    FROM pts a JOIN pts b
+      ON a.user_id < b.user_id
+     AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+         <= {_GEO_R2}
+    """,
+    "Grid-blocked spatial self-join — the uniform-grid algorithm "
+    "behind every distance join (PostGIS ST_DWithin tiling, Sedona's "
+    "partitioned spatial join): each user gets a deterministic "
+    "hash-derived point on a 1e6-unit integer plane, and pairs within "
+    "radius 80k are found by probing each point's 3x3 CELL "
+    "NEIGHBORHOOD (cell edge >= radius makes the neighborhood "
+    "sufficient, proven by the oracle) with an equi-join on cell "
+    "coordinates + the exact integer distance filter. Each unordered "
+    "pair is emitted exactly once: only the probe side with the "
+    "smaller user id keeps its match. The oracle replays the "
+    "quadratic DEFINITION (self-join + distance predicate) — "
+    "independent algorithms, identical output. At 100 TB the grid "
+    "equi-join shuffles each point 9x into dimension-bounded cells "
+    "instead of comparing all pairs; skewed cells salt like any "
+    "hot-key join.",
+)
+def geo_grid_spatial_join(spark, sf_dir):
+    users = t(spark, sf_dir, "events").select("user_id").distinct()
+    pts = users.select(
+        "user_id",
+        (
+            F.expr(
+                _H32_SPARK.format(s="concat('x:', cast(user_id as string))")
+            )
+            % _GEO_SPAN
+        ).alias("x"),
+        (
+            F.expr(
+                _H32_SPARK.format(s="concat('y:', cast(user_id as string))")
+            )
+            % _GEO_SPAN
+        ).alias("y"),
+    )
+    home = pts.select(
+        F.col("user_id").alias("ub"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+        F.expr(f"x div {_GEO_CELL}").alias("cx"),
+        F.expr(f"y div {_GEO_CELL}").alias("cy"),
+    )
+    probes = pts.select(
+        F.col("user_id").alias("ua"),
+        F.col("x").alias("xa"),
+        F.col("y").alias("ya"),
+        F.explode(
+            F.expr(
+                f"""flatten(transform(sequence(-1, 1), i ->
+                      transform(sequence(-1, 1), j ->
+                        struct(x div {_GEO_CELL} + i AS cx,
+                               y div {_GEO_CELL} + j AS cy))))"""
+            )
+        ).alias("c"),
+    ).select("ua", "xa", "ya", F.col("c.cx").alias("cx"), F.col("c.cy").alias("cy"))
+    return (
+        probes.join(home, ["cx", "cy"])
+        .where(F.col("ua") < F.col("ub"))
+        .where(
+            (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb"))
+            + (F.col("ya") - F.col("yb")) * (F.col("ya") - F.col("yb"))
+            <= _GEO_R2
+        )
+        .select(
+            F.col("ua").alias("user_a"),
+            F.col("ub").alias("user_b"),
+            (
+                (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb"))
+                + (F.col("ya") - F.col("yb")) * (F.col("ya") - F.col("yb"))
+            )
+            .cast("long")
+            .alias("dist2"),
+        )
+    )
