@@ -75,6 +75,12 @@ BENCH_QUERIES = [
     "sim_lsh_topk",
     "tokenize_to_ids",
     "contamination_check",
+    # round-6 continuation: the new analysis families — iterative edge/
+    # vertex peeling over the Arrow-built mutual-kNN graph, blocked
+    # entity-resolution scoring, and the arrival-ordered watermark audit
+    "graph_kcore_mutual_knn",
+    "er_blocked_match_score",
+    "late_event_audit",
 ]
 
 

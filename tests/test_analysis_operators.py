@@ -554,3 +554,61 @@ def test_spatial_join_matches_bruteforce(spark):
     }
     assert got == expected and got
     assert cross_cell > 0  # the neighborhood probe is genuinely exercised
+
+
+def test_temporal_reachability_respects_time(spark):
+    """Crafted 3-chain with DECREASING edge times: static BFS would reach
+    the end, time-respecting reachability must NOT (the second edge
+    fired before the walker arrived)."""
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="treach-")
+    B = 600000000  # one bucket, in microseconds
+    rows = [
+        # seed user 0 (0 % 20 == 0) meets user 1 at bucket 5
+        (1, 0, 5 * B, "click", 0.0, "{}"),
+        (2, 1, 5 * B, "click", 0.0, "{}"),
+        # user 1 met user 2 EARLIER, at bucket 3: edge exists but its
+        # time precedes user 1's arrival (5) -> not traversable
+        (3, 1, 3 * B, "view", 0.0, "{}"),
+        (4, 2, 3 * B, "view", 0.0, "{}"),
+        # user 2 meets user 3 at bucket 7: unreachable because 2 is
+        (5, 2, 7 * B, "signup", 0.0, "{}"),
+        (6, 3, 7 * B, "signup", 0.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, user_id long, ts_us long, event_type string, "
+        "value double, props string"
+    ).selectExpr(
+        "event_id", "timestamp_micros(ts_us) AS ts", "user_id",
+        "event_type", "value", "props",
+    ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    got = {
+        r["user_id"]: r["arrival_bucket"]
+        for r in QUERIES["graph_temporal_reachability"].fn(spark, d).collect()
+    }
+    assert 0 in got and got[0] == 0
+    assert got.get(1) == 5      # reached via the bucket-5 edge
+    assert 2 not in got         # time-respecting: stale edge unusable
+    assert 3 not in got
+
+
+def test_range_partition_balance_invariants(spark):
+    """All rows assigned; partitions used <= 32; max >= avg >= min; the
+    sampled boundaries deliver sane balance (imbalance < 4x)."""
+    r = QUERIES["range_partition_balance"].fn(spark, SF).collect()[0]
+    assert r["n_parts_used"] <= 32
+    assert r["n_rows"] == 6000
+    assert r["max_rows"] >= r["n_rows"] // r["n_parts_used"] >= r["min_rows"]
+    assert 1000000 <= r["imbalance_ppm"] < 4000000
+    assert 0 < r["sample_rows"] < r["n_rows"] // 10
+
+
+def test_l_diversity_flags_consistent(spark):
+    """satisfies_l is exactly the l_distinct >= 3 predicate and distinct
+    sensitive values can never exceed group size."""
+    rows = QUERIES["privacy_l_diversity"].fn(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["satisfies_l"] == (1 if r["l_distinct"] >= 3 else 0)
+        assert 1 <= r["l_distinct"] <= r["group_size"]

@@ -240,6 +240,10 @@ def test_no_accidental_cartesian_anywhere(spark):
         # onto the doc scan (ring lookup is a conditional MIN over the
         # dimension), plus the theta join resolving chosen_h -> shard.
         "consistent_hash_rebalance",
+        # range_partition_balance: the 31-rank spine and the 1-row cuts
+        # array broadcast onto the scan (map-side boundary rank), plus
+        # the 1-row sample-size append.
+        "range_partition_balance",
     }
     for name, spec in QUERIES.items():
         if name in allowed_cross:

@@ -2422,3 +2422,289 @@ def geo_grid_spatial_join(spark, sf_dir):
             .alias("dist2"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Temporal (time-respecting) reachability
+# ---------------------------------------------------------------------------
+
+_TR_ROUNDS = 4
+_TR_SEED_MOD = 20
+_TR_BUCKET_US = 600000000  # 10-minute co-occurrence buckets
+
+
+def _temporal_oracle() -> str:
+    """Unrolled time-respecting relaxation. MATERIALIZED rounds: each
+    references the previous arrival vector twice (carry + relax)."""
+    steps = []
+    for i in range(1, _TR_ROUNDS + 1):
+        steps.append(f"""
+    a{i} AS MATERIALIZED (
+      SELECT node, MIN(arrival) AS arrival FROM (
+        SELECT node, arrival FROM a{i - 1}
+        UNION ALL
+        SELECT e.dst AS node, e.b AS arrival
+        FROM edges e JOIN a{i - 1} p ON p.node = e.src AND p.arrival <= e.b
+      ) GROUP BY node
+    )""")
+    return f"""
+    WITH b AS MATERIALIZED (
+      SELECT DISTINCT user_id, event_type,
+             epoch_us(ts) // {_TR_BUCKET_US} AS bk
+      FROM events
+    ), und AS (
+      SELECT x.user_id AS u, y.user_id AS v, x.bk AS b
+      FROM b x JOIN b y
+        ON x.event_type = y.event_type AND x.bk = y.bk
+       AND x.user_id < y.user_id
+      GROUP BY 1, 2, 3
+    ), edges AS MATERIALIZED (
+      SELECT u AS src, v AS dst, b FROM und
+      UNION ALL SELECT v, u, b FROM und
+    ), a0 AS MATERIALIZED (
+      SELECT DISTINCT user_id AS node, CAST(0 AS BIGINT) AS arrival
+      FROM events WHERE user_id % {_TR_SEED_MOD} = 0
+    ),
+    {','.join(steps)}
+    SELECT node AS user_id, CAST(arrival AS BIGINT) AS arrival_bucket
+    FROM a{_TR_ROUNDS}
+    """
+
+
+@register(
+    "graph_temporal_reachability",
+    _temporal_oracle(),
+    "Time-respecting reachability (Kempe, Kleinberg & Kumar 2000 "
+    "temporal paths): users co-occurring in the same 10-minute "
+    "activity bucket are linked AT that bucket's time, and influence "
+    "from seed users (id % 20 == 0) spreads only along edges whose "
+    "time is >= the arrival time at the source — the contact-tracing "
+    "/ information-diffusion primitive a static BFS gets WRONG "
+    "(static paths can ride edges that fired before the source was "
+    "reached). Four fixed relaxation rounds, each one equi-join of "
+    "the arrival vector onto the timed edge list + a MIN aggregate; "
+    "arrivals are monotone nonincreasing so the unrolled oracle "
+    "replays the exact same prefix regardless of convergence. "
+    "At 100 TB: the timed edge list shuffles once, rounds reuse it "
+    "(localCheckpoint lineage cuts, the pagerank doctrine).",
+)
+def graph_temporal_reachability(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    b = ev.select(
+        "user_id",
+        "event_type",
+        F.expr(f"(ts div 1000) div {_TR_BUCKET_US}").alias("bk"),
+    ).distinct()
+    x, y = b.alias("x"), b.alias("y")
+    und = (
+        x.join(
+            y,
+            (F.col("x.event_type") == F.col("y.event_type"))
+            & (F.col("x.bk") == F.col("y.bk"))
+            & (F.col("x.user_id") < F.col("y.user_id")),
+        )
+        .select(
+            F.col("x.user_id").alias("u"),
+            F.col("y.user_id").alias("v"),
+            F.col("x.bk").alias("b"),
+        )
+        .distinct()
+    )
+    edges = und.select(
+        F.col("u").alias("src"), F.col("v").alias("dst"), "b"
+    ).unionAll(
+        und.select(F.col("v").alias("src"), F.col("u").alias("dst"), "b")
+    ).localCheckpoint(eager=False)
+    arrivals = (
+        ev.where(F.col("user_id") % _TR_SEED_MOD == 0)
+        .select(F.col("user_id").alias("node"))
+        .distinct()
+        .select("node", F.lit(0).cast("long").alias("arrival"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(_TR_ROUNDS):
+        relaxed = (
+            edges.join(arrivals, edges["src"] == arrivals["node"])
+            .where(F.col("arrival") <= F.col("b"))
+            .select(F.col("dst").alias("node"), F.col("b").alias("arrival"))
+        )
+        arrivals = (
+            arrivals.unionAll(relaxed)
+            .groupBy("node")
+            .agg(F.min("arrival").alias("arrival"))
+            .localCheckpoint(eager=False)
+        )
+    return arrivals.select(
+        F.col("node").alias("user_id"),
+        F.col("arrival").cast("long").alias("arrival_bucket"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Range-partitioner boundary quality audit
+# ---------------------------------------------------------------------------
+
+_RP_PARTS = 32
+_RP_SAMPLE_MOD = 100
+
+
+@register(
+    "range_partition_balance",
+    f"""
+    WITH x AS (
+      SELECT l_partkey AS v,
+             {_H32_DUCK.format(
+                 s="CAST(l_orderkey AS VARCHAR) || ':' || "
+                   "CAST(l_linenumber AS VARCHAR) || ':' || "
+                   "CAST(l_partkey AS VARCHAR)")} AS h
+      FROM lineitem
+    ), samp AS (
+      SELECT v, ROW_NUMBER() OVER (ORDER BY v, h) AS rn,
+             COUNT(*) OVER () AS ns
+      FROM x WHERE h % {_RP_SAMPLE_MOD} = 0
+    ), bounds AS (
+      SELECT v AS cut
+      FROM samp
+      WHERE rn IN (SELECT ((i * ns) // {_RP_PARTS})
+                   FROM (SELECT unnest(range(1, {_RP_PARTS})) AS i),
+                        (SELECT MAX(ns) AS ns FROM samp))
+      GROUP BY v
+    ), assigned AS (
+      SELECT x.v,
+             (SELECT COUNT(*) FROM bounds b WHERE b.cut < x.v) AS part
+      FROM x
+    ), sizes AS (
+      SELECT part, CAST(COUNT(*) AS BIGINT) AS n FROM assigned GROUP BY 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_parts_used,
+           CAST(SUM(n) AS BIGINT) AS n_rows,
+           CAST(MAX(n) AS BIGINT) AS max_rows,
+           CAST(MIN(n) AS BIGINT) AS min_rows,
+           CAST((1000000 * MAX(n) * COUNT(*)) // SUM(n) AS BIGINT)
+             AS imbalance_ppm,
+           (SELECT CAST(MAX(ns) AS BIGINT) FROM samp) AS sample_rows
+    FROM sizes
+    """,
+    "Range-partitioner boundary quality audit — what Spark's "
+    "RangePartitioner does before every sort/repartitionByRange, made "
+    "measurable: a deterministic ~1% hash sample of lineitem part "
+    "keys yields 31 equi-depth cut points, the FULL table is assigned "
+    "by boundary rank (count of cuts below the value), and the audit "
+    "reports max/min partition sizes and the straggler factor "
+    "(max-over-mean ppm) the sampled boundaries actually deliver — "
+    "the number that decides whether a sample rate is safe before a "
+    "100 TB global sort. Duplicate cut values collapse (GROUP BY), so "
+    "heavy keys that defeat range splitting surface as used-partition "
+    "loss, exactly like the real partitioner.",
+)
+def range_partition_balance(spark, sf_dir):
+    x = t(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("v"),
+        F.expr(
+            _H32_SPARK.format(
+                s="concat(cast(l_orderkey as string), ':', "
+                "cast(l_linenumber as string), ':', "
+                "cast(l_partkey as string))"
+            )
+        ).alias("h"),
+    )
+    samp = x.where(F.col("h") % _RP_SAMPLE_MOD == 0)
+    ws = W.orderBy("v", "h")
+    sr = samp.select(
+        "v",
+        F.row_number().over(ws).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("ns"),
+    )
+    ranks = spark.range(1, _RP_PARTS).select(F.col("id").alias("i"))
+    bounds = (
+        sr.crossJoin(F.broadcast(ranks))
+        .where(F.col("rn") == F.expr(f"(i * ns) div {_RP_PARTS}"))
+        .select(F.col("v").alias("cut"))
+        .distinct()
+    )
+    # the 31 cuts ride along as ONE broadcast array; each row ranks
+    # itself map-side (count of cuts below the value). A join+group
+    # formulation would collapse duplicate rows — (orderkey, linenumber)
+    # is not unique in the synthetic data — and undercount.
+    cuts = bounds.agg(F.sort_array(F.collect_list("cut")).alias("cuts"))
+    assigned = (
+        x.crossJoin(F.broadcast(cuts))
+        .select(
+            F.size(
+                F.filter("cuts", lambda c: c < F.col("v"))
+            ).alias("part")
+        )
+    )
+    sizes = assigned.groupBy("part").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    sample_rows = samp.agg(
+        F.count(F.lit(1)).cast("long").alias("sample_rows")
+    )
+    return (
+        sizes.agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts_used"),
+            F.sum("n").cast("long").alias("n_rows"),
+            F.max("n").cast("long").alias("max_rows"),
+            F.min("n").cast("long").alias("min_rows"),
+            F.expr(
+                "CAST((1000000 * MAX(n) * COUNT(*)) div SUM(n) AS BIGINT)"
+            ).alias("imbalance_ppm"),
+        )
+        .crossJoin(F.broadcast(sample_rows))
+    )
+
+
+# ---------------------------------------------------------------------------
+# l-diversity audit (companion to privacy_k_anonymity)
+# ---------------------------------------------------------------------------
+
+_LDIV_L = 3
+_LDIV_BAND_C = 200000
+
+
+@register(
+    "privacy_l_diversity",
+    f"""
+    WITH c AS (
+      SELECT c_nationkey AS nat, c_mktsegment AS seg,
+             (CAST(ROUND(c_acctbal * 100) AS BIGINT) + {_ER_SHIFT_C})
+               // {_LDIV_BAND_C} AS sens
+      FROM customer
+    )
+    SELECT nat, seg,
+           CAST(COUNT(*) AS BIGINT) AS group_size,
+           CAST(COUNT(DISTINCT sens) AS BIGINT) AS l_distinct,
+           CAST(CASE WHEN COUNT(DISTINCT sens) >= {_LDIV_L}
+                THEN 1 ELSE 0 END AS BIGINT) AS satisfies_l
+    FROM c GROUP BY nat, seg
+    """,
+    "l-diversity audit (Machanavajjhala et al. 2007) — the "
+    "k-anonymity companion that catches the homogeneity attack "
+    "k-anonymity misses: per quasi-identifier group (nation, "
+    "segment), count DISTINCT sensitive values (shifted-positive "
+    "balance bands) and flag groups below l=3, where every member's "
+    "sensitive value is effectively disclosed even though the group "
+    "is large. One grouped distinct-count; the release decision "
+    "then suppresses or generalizes the failing groups "
+    "(privacy_k_anonymity's machinery).",
+)
+def privacy_l_diversity(spark, sf_dir):
+    from youtube_trending_data_pipeline_spark.catalog import cents
+
+    c = t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nat"),
+        F.col("c_mktsegment").alias("seg"),
+        F.expr(
+            f"(CAST(ROUND(c_acctbal * 100) AS BIGINT) + {_ER_SHIFT_C}) "
+            f"div {_LDIV_BAND_C}"
+        ).alias("sens"),
+    )
+    return c.groupBy("nat", "seg").agg(
+        F.count(F.lit(1)).cast("long").alias("group_size"),
+        F.countDistinct("sens").cast("long").alias("l_distinct"),
+        F.when(F.countDistinct("sens") >= _LDIV_L, 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("satisfies_l"),
+    )

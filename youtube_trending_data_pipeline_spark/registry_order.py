@@ -160,8 +160,19 @@ PRIORITY_UNCHECKED = [
 # feature_target_encode_loo, labels_next_event, dedup_tokenset_fingerprint,
 # epoch_shuffle_audit, index_postings_delta, eval_calibration_bins,
 # multimodal_content_sniff, multimodal_transcode_roundtrip,
-# corpus_budget_select — these lead round 7's priorities, (c) then
-# tier-3 regression re-checks keep cycling the oldest verified entries.
+# corpus_budget_select — these lead round 7's priorities, (c) then the
+# 20 second-session round-6 additions (catalog_analysis.py; ALL verified
+# oracle-exact at BOTH sf0.01 and sf0.001 on a vanilla session as they
+# landed, and the mid-session definitive sweep ran 285/285 with 0
+# failures): graph_kcore_mutual_knn, graph_ktruss_mutual_knn,
+# eval_pass_at_k, ngram_nucleus_cutoff, er_blocked_match_score,
+# eval_pairwise_winrate, sketch_theta_intersect, ab_permutation_test,
+# zonemap_skip_stats, batch_padding_waste, filter_ablation_grid,
+# late_event_audit, retrieval_threshold_algorithm,
+# skyline_pareto_frontier, holt_linear_fold, ivm_delta_aggregate,
+# exact_median_twopass, skew_diagnosis_report, consistent_hash_rebalance,
+# encoding_rle_audit, geo_grid_spatial_join, (d) then tier-3 regression
+# re-checks keep cycling the oldest verified entries.
 
 
 def order_for_driver(names: list[str]) -> list[str]:
