@@ -612,3 +612,50 @@ def test_l_diversity_flags_consistent(spark):
     for r in rows:
         assert r["satisfies_l"] == (1 if r["l_distinct"] >= 3 else 0)
         assert 1 <= r["l_distinct"] <= r["group_size"]
+
+
+def test_theil_sen_robust_to_outlier(spark):
+    """Crafted series: steady +10c/s slope with one wild outlier point —
+    Theil-Sen stays at the true slope where the mean of slopes would
+    be dragged away."""
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="ts-")
+    rows = []
+    # user 1: v = 10c per second over 10 points, except point 5 spikes
+    for i in range(10):
+        v = 1.0 * i if i != 5 else 1000.0
+        rows.append((i + 1, 1, i * 1000000, "view", v, "{}"))
+    spark.createDataFrame(
+        rows, "event_id long, user_id long, ts_us long, event_type string, "
+        "value double, props string"
+    ).selectExpr(
+        "event_id", "timestamp_micros(ts_us) AS ts", "user_id",
+        "event_type", "value", "props",
+    ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    r = {x["user_id"]: x for x in
+         QUERIES["regr_theil_sen"].fn(spark, d).collect()}[1]
+    assert r["n_pairs"] == 45
+    # true slope: 100 cents per 1e6 us -> 100 ppm of cents/us... spelled
+    # as (1e6 * dv_c) div dt_us = (1000000 * 100) // 1000000 = 100
+    assert r["theil_sen_ppm"] == 100
+
+
+def test_quota_sums_to_budget(spark):
+    """Allocations sum EXACTLY to the slot budget; every source gets at
+    least its floor share; extras are 0/1."""
+    rows = QUERIES["quota_largest_remainder"].fn(spark, SF).collect()
+    assert sum(r["alloc"] for r in rows) == 1000
+    for r in rows:
+        assert r["alloc"] in (r["base_alloc"], r["base_alloc"] + 1)
+        assert r["extra_slot"] in (0, 1)
+
+
+def test_hash_collision_near_birthday_bound(spark):
+    """16-bit truncation must collide, and within ~3x of the birthday
+    bound (md5 behaves uniformly)."""
+    r = QUERIES["hash_collision_audit"].fn(spark, SF).collect()[0]
+    assert r["n"] == r["n_distinct_h"] + (r["n"] - r["n_distinct_h"])
+    assert r["colliding_pairs"] > 0
+    assert r["expected_pairs"] > 0
+    assert r["colliding_pairs"] < 3 * r["expected_pairs"] + 10

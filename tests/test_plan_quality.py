@@ -244,6 +244,12 @@ def test_no_accidental_cartesian_anywhere(spark):
         # array broadcast onto the scan (map-side boundary rank), plus
         # the 1-row sample-size append.
         "range_partition_balance",
+        # quota_largest_remainder: 1-row token total and 1-row leftover
+        # broadcasts onto the dimension-sized source table.
+        "quota_largest_remainder",
+        # hash_collision_audit: 1-row element count broadcast onto the
+        # hash-bucket aggregate.
+        "hash_collision_audit",
     }
     for name, spec in QUERIES.items():
         if name in allowed_cross:

@@ -2708,3 +2708,237 @@ def privacy_l_diversity(spark, sf_dir):
         .cast("long")
         .alias("satisfies_l"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Theil-Sen robust slope (median of pairwise slopes)
+# ---------------------------------------------------------------------------
+
+_TS_MAX_EVENTS = 20
+
+
+@register(
+    "regr_theil_sen",
+    f"""
+    WITH r AS (
+      SELECT user_id, epoch_us(ts) AS tu,
+             CAST(ROUND(value * 100) AS BIGINT) AS v,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts), event_id) AS rn
+      FROM events
+    ), w AS (
+      SELECT * FROM r WHERE rn <= {_TS_MAX_EVENTS}
+    ), slopes AS (
+      -- integer truncating division on a signed numerator: DuckDB's //
+      -- on BIGINT truncates toward zero, matching Spark's div (NOT
+      -- Python's floor //)
+      SELECT a.user_id,
+             (1000000 * (b.v - a.v)) // (b.tu - a.tu) AS slope_ppm
+      FROM w a JOIN w b
+        ON a.user_id = b.user_id AND a.rn < b.rn AND b.tu > a.tu
+    ), med AS (
+      SELECT user_id, slope_ppm,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY slope_ppm, slope_ppm) AS mrn,
+             COUNT(*) OVER (PARTITION BY user_id) AS np
+      FROM slopes
+    )
+    SELECT user_id, CAST(MAX(np) AS BIGINT) AS n_pairs,
+           CAST(MAX(CASE WHEN mrn = (np + 1) // 2 THEN slope_ppm END)
+                AS BIGINT) AS theil_sen_ppm
+    FROM med GROUP BY user_id
+    """,
+    "Theil-Sen robust slope estimator (the median of all pairwise "
+    "slopes; Sen 1968) for each user's value-over-time trend — "
+    "resistant to the outliers that wreck the OLS fit in "
+    "a24_regr_fit, which is exactly why robust monitors use it. "
+    "Pairs come from the first 20 events per user (the pass@k "
+    "capping discipline: the quadratic pair count is bounded at "
+    "190/user at ANY corpus scale), slopes are integer ppm with "
+    "truncating division spelled identically in both engines, "
+    "equal-timestamp pairs are excluded (undefined slope), and the "
+    "median is the lower order statistic — deterministic, no "
+    "averaging of middle pairs.",
+)
+def regr_theil_sen(spark, sf_dir):
+    from youtube_trending_data_pipeline_spark.catalog import cents
+
+    r = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.expr("ts div 1000").alias("tu"),
+        cents("value").alias("v"),
+    )
+    wr = W.partitionBy("user_id").orderBy("tu", "event_id")
+    w = (
+        r.withColumn("rn", F.row_number().over(wr))
+        .where(F.col("rn") <= _TS_MAX_EVENTS)
+        .select("user_id", "tu", "v", "rn")
+    )
+    a, b = w.alias("a"), w.alias("b")
+    slopes = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("a.rn") < F.col("b.rn"))
+        & (F.col("b.tu") > F.col("a.tu")),
+    ).select(
+        F.col("a.user_id").alias("user_id"),
+        F.expr(
+            "(1000000 * (b.v - a.v)) div (b.tu - a.tu)"
+        ).alias("slope_ppm"),
+    )
+    wm = W.partitionBy("user_id").orderBy("slope_ppm")
+    med = slopes.select(
+        "user_id",
+        "slope_ppm",
+        F.row_number().over(wm).alias("mrn"),
+        F.count(F.lit(1)).over(W.partitionBy("user_id")).alias("np"),
+    )
+    return med.groupBy("user_id").agg(
+        F.max("np").cast("long").alias("n_pairs"),
+        F.max(
+            F.when(F.col("mrn") == F.expr("(np + 1) div 2"), F.col("slope_ppm"))
+        )
+        .cast("long")
+        .alias("theil_sen_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Largest-remainder quota allocation
+# ---------------------------------------------------------------------------
+
+_QUOTA_SLOTS = 1000
+
+
+@register(
+    "quota_largest_remainder",
+    f"""
+    WITH d AS (
+      SELECT source, CAST(SUM(len({_TOKS_SQL})) AS BIGINT) AS toks
+      FROM documents GROUP BY source
+    ), tot AS (SELECT CAST(SUM(toks) AS BIGINT) AS total FROM d),
+    base AS (
+      SELECT d.source, d.toks,
+             ({_QUOTA_SLOTS} * d.toks) // tot.total AS base,
+             ({_QUOTA_SLOTS} * d.toks) % tot.total AS rem
+      FROM d, tot
+    ), leftover AS (
+      SELECT CAST({_QUOTA_SLOTS} - SUM(base) AS BIGINT) AS extra FROM base
+    ), ranked AS (
+      SELECT source, toks, base, rem,
+             ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk
+      FROM base
+    )
+    SELECT r.source, r.toks, CAST(r.base AS BIGINT) AS base_alloc,
+           CAST(CASE WHEN r.rk <= l.extra THEN 1 ELSE 0 END AS BIGINT)
+             AS extra_slot,
+           CAST(r.base + CASE WHEN r.rk <= l.extra THEN 1 ELSE 0 END
+                AS BIGINT) AS alloc
+    FROM ranked r, leftover l
+    """,
+    "Largest-remainder (Hamilton) quota allocation: 1000 sampling "
+    "slots apportioned across document sources proportionally to "
+    "their token mass — floor shares first, then the leftover slots "
+    "go to the largest remainders (ties to the lexicographically "
+    "smaller source). This is the exact-integer apportionment every "
+    "mixture-sampling plan needs once corpus_budget_select has picked "
+    "WHAT to keep: allocations always sum to exactly the slot budget "
+    "(no float drift, no re-normalization pass), which the behavioral "
+    "test asserts. Dimension-sized end to end after one token "
+    "aggregate.",
+)
+def quota_largest_remainder(spark, sf_dir):
+    d = (
+        t(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.sum(F.size(_toks_a())).cast("long").alias("toks"))
+    )
+    tot = d.agg(F.sum("toks").cast("long").alias("total"))
+    base = d.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "toks",
+        F.expr(f"({_QUOTA_SLOTS} * toks) div total").alias("base"),
+        F.expr(f"({_QUOTA_SLOTS} * toks) % total").alias("rem"),
+    )
+    leftover = base.agg(
+        (F.lit(_QUOTA_SLOTS) - F.sum("base")).cast("long").alias("extra")
+    )
+    wr = W.orderBy(F.desc("rem"), F.asc("source"))
+    ranked = base.withColumn("rk", F.row_number().over(wr))
+    return ranked.crossJoin(F.broadcast(leftover)).select(
+        "source",
+        "toks",
+        F.col("base").cast("long").alias("base_alloc"),
+        F.when(F.col("rk") <= F.col("extra"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("extra_slot"),
+        (
+            F.col("base")
+            + F.when(F.col("rk") <= F.col("extra"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("alloc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hash-quality collision audit
+# ---------------------------------------------------------------------------
+
+_HC_BITS = 16
+_HC_DOMAIN = 1 << _HC_BITS
+
+
+@register(
+    "hash_collision_audit",
+    f"""
+    WITH e AS (
+      SELECT DISTINCT CAST(event_id AS VARCHAR) AS s FROM events
+    ), h AS (
+      SELECT {_H32_DUCK.format(s="s")} % {_HC_DOMAIN} AS h16 FROM e
+    ), g AS (
+      SELECT h16, CAST(COUNT(*) AS BIGINT) AS c FROM h GROUP BY 1
+    ), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM e)
+    SELECT n.n,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_h,
+           CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS colliding_pairs,
+           CAST((n.n * (n.n - 1) // 2) // {_HC_DOMAIN} AS BIGINT)
+             AS expected_pairs
+    FROM g, n GROUP BY n.n
+    """,
+    "Hash-quality collision audit: every event id hashed into a "
+    "DELIBERATELY small 16-bit domain, actual colliding pairs "
+    "(sum of C(c,2) over hash buckets) reported against the birthday "
+    "bound n(n-1)/2/65536 — the audit run before trusting a "
+    "fingerprint width for dedup keys or shuffle buckets (the md5-32 "
+    "prefix used across this engine passes at 32 bits; truncating to "
+    "16 shows exactly the collision mass the bound predicts). One "
+    "hash aggregate over distinct ids; all integer.",
+)
+def hash_collision_audit(spark, sf_dir):
+    e = (
+        t(spark, sf_dir, "events")
+        .select(F.col("event_id").cast("string").alias("s"))
+        .distinct()
+    )
+    h = e.select(
+        (F.expr(_H32_SPARK.format(s="s")) % _HC_DOMAIN).alias("h16")
+    )
+    g = h.groupBy("h16").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    n = e.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return (
+        g.crossJoin(F.broadcast(n))
+        .groupBy("n")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_distinct_h"),
+            F.sum(F.expr("c * (c - 1) div 2")).cast("long").alias(
+                "colliding_pairs"
+            ),
+            F.expr(
+                f"CAST((MAX(n) * (MAX(n) - 1) div 2) div {_HC_DOMAIN} "
+                "AS BIGINT)"
+            ).alias("expected_pairs"),
+        )
+    )
