@@ -659,3 +659,47 @@ def test_hash_collision_near_birthday_bound(spark):
     assert r["colliding_pairs"] > 0
     assert r["expected_pairs"] > 0
     assert r["colliding_pairs"] < 3 * r["expected_pairs"] + 10
+
+
+def test_kendall_tau_identity_and_reversal(spark):
+    """Crafted corpora: identical rankings give tau = +1e6, exactly
+    reversed rankings give -1e6."""
+    import tempfile
+
+    def mk(rows):
+        d = tempfile.mkdtemp(prefix="kt-")
+        spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        return d
+
+    # concordant: more chars <=> more distinct tokens
+    agree = mk([
+        (i, " ".join(f"w{j}" for j in range(i + 2)), "en", "s", 100 + i)
+        for i in range(12)
+    ])
+    r = QUERIES["eval_kendall_tau"].fn(spark, agree).collect()[0]
+    assert r["n_discordant"] == 0 and r["tau_ppm"] == 1000000
+    # reversed: more chars <=> FEWER distinct tokens
+    disagree = mk([
+        (i, " ".join(f"w{j}" for j in range(20 - i)), "en", "s", 100 + i)
+        for i in range(12)
+    ])
+    r = QUERIES["eval_kendall_tau"].fn(spark, disagree).collect()[0]
+    assert r["n_discordant"] == r["n_pairs"] and r["tau_ppm"] == -1000000
+
+
+def test_benford_flags_uniform_prices(spark):
+    """TPC-H uniform prices are NOT Benford: digit 1 must sit far below
+    the 30.1% expectation (the audit's detection signature), and the
+    actual ppm column must sum to ~1e6."""
+    rows = QUERIES["dq_benford_digits"].fn(spark, SF).collect()
+    by = {r["digit"]: r for r in rows}
+    assert set(by) == set(range(1, 10))
+    total_ppm = sum(r["actual_ppm"] for r in rows)
+    assert 990000 <= total_ppm <= 1000000
+    assert by[1]["actual_ppm"] < 250000  # uniform data fails Benford
+    assert by[1]["abs_dev_ppm"] == abs(
+        by[1]["actual_ppm"] - by[1]["benford_ppm"]
+    )

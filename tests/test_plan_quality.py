@@ -250,6 +250,13 @@ def test_no_accidental_cartesian_anywhere(spark):
         # hash_collision_audit: 1-row element count broadcast onto the
         # hash-bucket aggregate.
         "hash_collision_audit",
+        # eval_kendall_tau: the 50-row top-docs frame self-paired via a
+        # bounded broadcast theta join (capped quadratic, the Theil-Sen
+        # discipline).
+        "eval_kendall_tau",
+        # dq_benford_digits: 9-row literal digit spine + 1-row total
+        # broadcast onto the digit aggregate.
+        "dq_benford_digits",
     }
     for name, spec in QUERIES.items():
         if name in allowed_cross:

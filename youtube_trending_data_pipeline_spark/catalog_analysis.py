@@ -2942,3 +2942,168 @@ def hash_collision_audit(spark, sf_dir):
             ).alias("expected_pairs"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Kendall tau distance between two rankings
+# ---------------------------------------------------------------------------
+
+_KT_TOP = 50
+
+
+@register(
+    "eval_kendall_tau",
+    f"""
+    WITH d AS (
+      SELECT doc_id, CAST(n_chars AS BIGINT) AS sa,
+             CAST(100 * len(list_distinct({_TOKS_SQL})) AS BIGINT) AS sb
+      FROM documents
+    ), top AS (
+      SELECT doc_id, sa, sb
+      FROM d ORDER BY sa DESC, doc_id LIMIT {_KT_TOP}
+    ), ranked AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY sa DESC, doc_id) AS ra,
+             ROW_NUMBER() OVER (ORDER BY sb DESC, doc_id) AS rb
+      FROM top
+    ), pairs AS (
+      SELECT CASE WHEN (a.ra < b.ra) <> (a.rb < b.rb)
+             THEN 1 ELSE 0 END AS disc
+      FROM ranked a JOIN ranked b ON a.doc_id < b.doc_id
+    )
+    SELECT CAST({_KT_TOP} AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(disc) AS BIGINT) AS n_discordant,
+           CAST((1000000 * (COUNT(*) - 2 * SUM(disc))) // COUNT(*)
+                AS BIGINT) AS tau_ppm
+    FROM pairs
+    """,
+    "Kendall tau rank correlation between two retrieval signals "
+    "(char-length vs lexical-richness rankings of the top-50 docs): "
+    "discordant pairs counted exactly, tau = (concordant - "
+    "discordant) / pairs in integer ppm — the ranking-agreement "
+    "number behind judge-vs-judge and reranker-vs-baseline evals, "
+    "where Spearman/Pearson on float scores would be "
+    "engine-dependent. Both rankings use strict row_number with "
+    "doc_id tie-break, so concordance is total and the pair "
+    "comparison is pure integer logic; the top-50 cap bounds the "
+    "quadratic pair count at any corpus scale (the Theil-Sen / "
+    "pass@k capping discipline).",
+)
+def eval_kendall_tau(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("sa"),
+        (100 * F.size(F.array_distinct(_toks_a()))).cast("long").alias("sb"),
+    )
+    top = d.orderBy(F.desc("sa"), F.asc("doc_id")).limit(_KT_TOP)
+    wa = W.orderBy(F.desc("sa"), F.asc("doc_id"))
+    wb = W.orderBy(F.desc("sb"), F.asc("doc_id"))
+    ranked = top.select(
+        "doc_id",
+        F.row_number().over(wa).alias("ra"),
+        F.row_number().over(wb).alias("rb"),
+    )
+    a, b = ranked.alias("a"), ranked.alias("b")
+    pairs = a.join(b, F.col("a.doc_id") < F.col("b.doc_id")).select(
+        F.when(
+            (F.col("a.ra") < F.col("b.ra")) != (F.col("a.rb") < F.col("b.rb")),
+            1,
+        )
+        .otherwise(0)
+        .alias("disc")
+    )
+    return pairs.agg(
+        F.lit(_KT_TOP).cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("disc").cast("long").alias("n_discordant"),
+        F.expr(
+            "CAST((1000000 * (COUNT(*) - 2 * SUM(disc))) div COUNT(*) "
+            "AS BIGINT)"
+        ).alias("tau_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit forensic audit
+# ---------------------------------------------------------------------------
+
+# log10(1 + 1/d) in ppm, rounded — constants, not computed (cross-engine
+# float logs are not bit-stable)
+_BENFORD_PPM = {
+    1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+    6: 66947, 7: 57992, 8: 51153, 9: 45757,
+}
+_BENFORD_VALUES = ", ".join(
+    f"({d}, {p})" for d, p in _BENFORD_PPM.items()
+)
+
+
+@register(
+    "dq_benford_digits",
+    f"""
+    WITH v AS (
+      SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS c
+      FROM lineitem
+      WHERE l_extendedprice > 0
+    ), fd AS (
+      SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM v
+    ), cnt AS (
+      SELECT digit, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS total
+      FROM fd GROUP BY digit
+    ), bf(digit, benford_ppm) AS (VALUES {_BENFORD_VALUES})
+    SELECT b.digit, COALESCE(c.n, 0) AS n,
+           CAST((1000000 * COALESCE(c.n, 0)) // MAX(c2.total) AS BIGINT)
+             AS actual_ppm,
+           CAST(b.benford_ppm AS BIGINT) AS benford_ppm,
+           CAST(abs((1000000 * COALESCE(c.n, 0)) // MAX(c2.total)
+                    - b.benford_ppm) AS BIGINT) AS abs_dev_ppm
+    FROM bf b
+    LEFT JOIN cnt c ON c.digit = b.digit, (SELECT total FROM cnt LIMIT 1) c2(total)
+    GROUP BY b.digit, c.n, b.benford_ppm
+    """,
+    "Benford first-digit forensic audit (Newcomb 1881 / Benford "
+    "1938) over positive price cents — the fraud/synthetic-data "
+    "screen auditors run on financial columns: per leading digit, "
+    "actual frequency in ppm against the Benford expectation, with "
+    "the expectations as INTEGER LITERALS (cross-engine float log10 "
+    "is not bit-stable; the constants are). TPC-H uniform prices "
+    "FAIL Benford loudly — which is the point: the audit detects "
+    "non-naturally-distributed columns, and the behavioral test "
+    "pins that signature. One digit aggregate + a 9-row literal "
+    "spine.",
+)
+def dq_benford_digits(spark, sf_dir):
+    from youtube_trending_data_pipeline_spark.catalog import cents
+
+    v = (
+        t(spark, sf_dir, "lineitem")
+        .where(F.col("l_extendedprice") > 0)
+        .select(cents("l_extendedprice").alias("c"))
+    )
+    fd = v.select(
+        F.substring(F.col("c").cast("string"), 1, 1).cast("long").alias("digit")
+    )
+    cnt = fd.groupBy("digit").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    total = fd.agg(F.count(F.lit(1)).cast("long").alias("total"))
+    bf = spark.createDataFrame(
+        sorted(_BENFORD_PPM.items()), "digit long, benford_ppm long"
+    )
+    return (
+        bf.join(cnt, "digit", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+            F.expr(
+                "CAST((1000000 * COALESCE(n, 0)) div total AS BIGINT)"
+            ).alias("actual_ppm"),
+            F.col("benford_ppm").cast("long").alias("benford_ppm"),
+            F.expr(
+                "CAST(abs((1000000 * COALESCE(n, 0)) div total "
+                "- benford_ppm) AS BIGINT)"
+            ).alias("abs_dev_ppm"),
+        )
+    )
