@@ -703,3 +703,58 @@ def test_benford_flags_uniform_prices(spark):
     assert by[1]["abs_dev_ppm"] == abs(
         by[1]["actual_ppm"] - by[1]["benford_ppm"]
     )
+
+
+def test_quantile_normalize_properties(spark):
+    """Within each source, normalization preserves order; normalized
+    values are drawn from the pooled value set; the max-rank doc of
+    each source maps to (nearly) the pooled max."""
+    rows = QUERIES["feature_quantile_normalize"].fn(spark, SF).collect()
+    assert len(rows) == 500
+    pooled = sorted(r["orig_chars"] for r in rows)
+    by_source: dict[str, list] = {}
+    for r in rows:
+        assert r["norm_chars"] in pooled
+        by_source.setdefault(r["source"], []).append(r)
+    for source, rs in by_source.items():
+        rs = sorted(rs, key=lambda r: (r["orig_chars"], r["doc_id"]))
+        norms = [r["norm_chars"] for r in rs]
+        assert norms == sorted(norms)  # monotone map
+        assert norms[-1] == pooled[-1]  # top rank maps to pooled max
+
+
+def test_shannon_code_invariants(spark):
+    """Kraft validity (sum 2^-L <= 1), monotone lengths (more frequent
+    tokens never get longer codes), and exact weighted arithmetic.
+    NOTE the audit's honest finding on this corpus: the vocabulary is
+    near-uniform, so the Shannon CEILING actually loses to fixed-length
+    — which is precisely what the audit exists to reveal before anyone
+    ships a frequency-aware token encoding."""
+    rows = QUERIES["token_shannon_code_audit"].fn(spark, SF).collect()
+    assert rows
+    kraft = sum(2.0 ** -r["code_bits"] for r in rows)
+    assert kraft <= 1.0 + 1e-9
+    by_freq = sorted(rows, key=lambda r: -r["c"])
+    for a, b in zip(by_freq, by_freq[1:]):
+        assert a["code_bits"] <= b["code_bits"]
+    for r in rows:
+        assert r["weighted_bits"] == r["c"] * r["code_bits"]
+        assert r["fixed_weighted_bits"] == r["c"] * r["fixed_bits"]
+
+
+def test_shannon_code_skewed_corpus_saves(spark):
+    """On a genuinely skewed vocabulary the Shannon code DOES beat
+    fixed-length — the audit distinguishes the two regimes."""
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="shannon-")
+    # one dominant token (1024 uses), 15 rare tokens (1 use each)
+    text = " ".join(["hot"] * 1024 + [f"rare{i}" for i in range(15)])
+    spark.createDataFrame(
+        [(1, text, "en", "s", len(text))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    rows = QUERIES["token_shannon_code_audit"].fn(spark, d).collect()
+    assert sum(r["weighted_bits"] for r in rows) < sum(
+        r["fixed_weighted_bits"] for r in rows
+    )

@@ -257,6 +257,12 @@ def test_no_accidental_cartesian_anywhere(spark):
         # dq_benford_digits: 9-row literal digit spine + 1-row total
         # broadcast onto the digit aggregate.
         "dq_benford_digits",
+        # feature_quantile_normalize: 1-row pooled-count append; the
+        # pooled lookup itself is an equi-join on the precomputed rank.
+        "feature_quantile_normalize",
+        # token_shannon_code_audit: 1-row (total, vocab) append onto the
+        # vocabulary aggregate.
+        "token_shannon_code_audit",
     }
     for name, spec in QUERIES.items():
         if name in allowed_cross:

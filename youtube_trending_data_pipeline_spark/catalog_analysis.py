@@ -3107,3 +3107,162 @@ def dq_benford_digits(spark, sf_dir):
             ).alias("abs_dev_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source quantile normalization
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "feature_quantile_normalize",
+    f"""
+    WITH d AS (
+      SELECT doc_id, source, CAST(n_chars AS BIGINT) AS v FROM documents
+    ), src AS (
+      SELECT doc_id, source, v,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY v, doc_id)
+               AS r,
+             COUNT(*) OVER (PARTITION BY source) AS ns
+      FROM d
+    ), pooled AS (
+      SELECT v AS ref_v,
+             ROW_NUMBER() OVER (ORDER BY v, doc_id) AS g,
+             COUNT(*) OVER () AS n
+      FROM d
+    )
+    SELECT s.doc_id, s.source, s.v AS orig_chars,
+           p.ref_v AS norm_chars
+    FROM src s JOIN pooled p
+      ON p.g = (s.r * p.n + s.ns - 1) // s.ns
+    """,
+    "Cross-source quantile normalization (the microarray-era "
+    "technique feature pipelines still use to make per-source "
+    "distributions comparable): each document's char length is "
+    "replaced by the POOLED distribution's value at the same "
+    "quantile — rank r of n_s within its source maps to pooled rank "
+    "ceil(r*N/n_s), all integer rank arithmetic, strict (value, "
+    "doc_id) orders so both engines agree on every tie. After this, "
+    "a length threshold means the same thing for every source — the "
+    "prerequisite for fair per-source quality gates. One window per "
+    "side + one equi-join on the computed rank.",
+)
+def feature_quantile_normalize(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("v")
+    )
+    ws = W.partitionBy("source").orderBy("v", "doc_id")
+    src = d.select(
+        "doc_id",
+        "source",
+        "v",
+        F.row_number().over(ws).alias("r"),
+        F.count(F.lit(1)).over(W.partitionBy("source")).alias("ns"),
+    )
+    wg = W.orderBy("v", "doc_id")
+    pooled = d.select(
+        F.col("v").alias("ref_v"),
+        F.row_number().over(wg).alias("g"),
+    )
+    n = d.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    # target rank computed src-side (1-row count append) so the pooled
+    # lookup stays an EQUI-join — a mixed-side rank expression would
+    # plan as an unbounded nested-loop join
+    tgt = src.crossJoin(F.broadcast(n)).select(
+        "doc_id",
+        "source",
+        "v",
+        F.expr("(r * n + ns - 1) div ns").alias("g"),
+    )
+    return tgt.join(pooled, "g").select(
+        "doc_id",
+        "source",
+        F.col("v").alias("orig_chars"),
+        F.col("ref_v").alias("norm_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shannon-code compression bound audit
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "token_shannon_code_audit",
+    f"""
+    WITH tk AS (
+      SELECT unnest({_TOKS_SQL}) AS tok FROM documents
+    ), cnt AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM tk GROUP BY tok
+    ), tot AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS total,
+             CAST(COUNT(*) AS BIGINT) AS vocab
+      FROM cnt
+    ), coded AS (
+      SELECT cnt.tok, cnt.c,
+             CASE WHEN (tot.total + cnt.c - 1) // cnt.c <= 1 THEN 1
+                  ELSE length(bin((tot.total + cnt.c - 1) // cnt.c - 1))
+             END AS code_bits,
+             CASE WHEN tot.vocab <= 1 THEN 1
+                  ELSE length(bin(tot.vocab - 1)) END AS fixed_bits,
+             tot.total
+      FROM cnt, tot
+    )
+    SELECT tok, c,
+           CAST(code_bits AS BIGINT) AS code_bits,
+           CAST(c * code_bits AS BIGINT) AS weighted_bits,
+           CAST(fixed_bits AS BIGINT) AS fixed_bits,
+           CAST(c * fixed_bits AS BIGINT) AS fixed_weighted_bits
+    FROM coded
+    """,
+    "Shannon-code compression bound audit: per corpus token, the "
+    "integer Shannon code length ceil(log2(total/count)) — computed "
+    "EXACTLY as length(bin(ceil(total/c) - 1)), which both engines "
+    "evaluate bit-identically, no float log2 — against the "
+    "fixed-length ceil(log2 V) baseline, with frequency-weighted bit "
+    "totals per token. Kraft-valid by construction (L >= log2(1/p)); "
+    "summing weighted_bits vs fixed_weighted_bits reads off whether "
+    "a frequency-aware token encoding pays AT ALL — on this corpus' "
+    "near-uniform vocabulary the ceiling overhead actually LOSES to "
+    "fixed-length (the behavioral test pins both regimes with a "
+    "skewed crafted corpus), which is exactly the go/no-go the audit "
+    "exists to answer before anyone ships dictionary coding. "
+    "Companion to encoding_rle_audit on the value-stream side; one "
+    "vocabulary aggregate + a 1-row totals append.",
+)
+def token_shannon_code_audit(spark, sf_dir):
+    tk = t(spark, sf_dir, "documents").select(
+        F.explode(_toks_a()).alias("tok")
+    )
+    cnt = tk.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    tot = cnt.agg(
+        F.sum("c").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+    )
+    return (
+        cnt.crossJoin(F.broadcast(tot))
+        .select(
+            "tok",
+            "c",
+            F.expr(
+                "CAST(CASE WHEN (total + c - 1) div c <= 1 THEN 1 "
+                "ELSE length(bin((total + c - 1) div c - 1)) END AS BIGINT)"
+            ).alias("code_bits"),
+            F.expr(
+                "CAST(CASE WHEN vocab <= 1 THEN 1 "
+                "ELSE length(bin(vocab - 1)) END AS BIGINT)"
+            ).alias("fixed_bits"),
+        )
+        .select(
+            "tok",
+            "c",
+            "code_bits",
+            (F.col("c") * F.col("code_bits")).cast("long").alias(
+                "weighted_bits"
+            ),
+            "fixed_bits",
+            (F.col("c") * F.col("fixed_bits")).cast("long").alias(
+                "fixed_weighted_bits"
+            ),
+        )
+    )
