@@ -758,3 +758,33 @@ def test_shannon_code_skewed_corpus_saves(spark):
     assert sum(r["weighted_bits"] for r in rows) < sum(
         r["fixed_weighted_bits"] for r in rows
     )
+
+
+def test_phrase_query_matches_text_scan(spark):
+    """Every reported (phrase, doc) count equals a direct text scan's
+    adjacent-token count over the raw corpus."""
+    import youtube_trending_data_pipeline_spark.catalog_analysis as ca
+    from youtube_trending_data_pipeline_spark.catalog import t as _t
+
+    rows = QUERIES["index_phrase_query"].fn(spark, SF).collect()
+    assert rows
+    docs = {
+        r["doc_id"]: [w for w in r["text"].lower().split(" ") if w]
+        for r in _t(spark, SF, "documents").collect()
+    }
+    for r in rows:
+        w1, w2 = r["phrase"].split(" ")
+        toks = docs[r["doc_id"]]
+        truth = sum(
+            1 for a, b in zip(toks, toks[1:]) if a == w1 and b == w2
+        )
+        assert truth == r["n_occurrences"] > 0
+
+
+def test_pq_recall_bounds_and_consistency(spark):
+    """recall is n_overlap/k exactly; one row per brute-force query."""
+    rows = QUERIES["sim_pq_recall_audit"].fn(spark, SF).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert 0 <= r["n_overlap"] <= r["k"] == 3
+        assert r["recall_ppm"] == (1000000 * r["n_overlap"]) // 3

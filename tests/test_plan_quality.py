@@ -263,6 +263,10 @@ def test_no_accidental_cartesian_anywhere(spark):
         # token_shannon_code_audit: 1-row (total, vocab) append onto the
         # vocabulary aggregate.
         "token_shannon_code_audit",
+        # sim_pq_recall_audit: composes sim_pq_adc_topk (whose 8-row
+        # pivot-seed broadcast is itself whitelisted) and the 5-row
+        # brute-force query-side broadcast.
+        "sim_pq_recall_audit",
     }
     for name, spec in QUERIES.items():
         if name in allowed_cross:

@@ -3266,3 +3266,136 @@ def token_shannon_code_audit(spark, sf_dir):
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Positional phrase query over an inverted index
+# ---------------------------------------------------------------------------
+
+_PHRASES = [("table", "hash"), ("customer", "join"), ("merge", "group")]
+_PHRASE_VALUES = ", ".join(f"('{a}', '{b}')" for a, b in _PHRASES)
+
+
+@register(
+    "index_phrase_query",
+    f"""
+    WITH tk AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ), post AS (
+      SELECT doc_id, toks[i] AS tok, i AS pos
+      FROM tk, unnest(range(1, len(toks) + 1)) AS u(i)
+    ), ph(w1, w2) AS (VALUES {_PHRASE_VALUES})
+    SELECT ph.w1 || ' ' || ph.w2 AS phrase, p1.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences
+    FROM ph
+    JOIN post p1 ON p1.tok = ph.w1
+    JOIN post p2 ON p2.doc_id = p1.doc_id AND p2.pos = p1.pos + 1
+                AND p2.tok = ph.w2
+    GROUP BY 1, 2
+    """,
+    "Positional phrase query — the inverted-index capability term "
+    "lookup alone cannot give you (Lucene/ES match_phrase): postings "
+    "carry POSITIONS (posexplode), and a phrase hits where the second "
+    "term's posting sits at exactly pos+1 of the first's, per "
+    "document. Three fixed phrases are resolved in one pass: the "
+    "phrase spine is a broadcast literal, the adjacency check is an "
+    "equi-join on (doc, pos+1) — at 100 TB this is two posting-list "
+    "retrievals + a positional merge per phrase, never a rescan of "
+    "raw text. Companion to inverted_index (term level) and "
+    "text_winnow_fingerprints (shingle level).",
+)
+def index_phrase_query(spark, sf_dir):
+    post = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", F.posexplode(_toks_a()).alias("pos0", "tok"))
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    )
+    ph = spark.createDataFrame(_PHRASES, "w1 string, w2 string")
+    p1 = post.join(F.broadcast(ph), post["tok"] == ph["w1"]).select(
+        "doc_id", "pos", "w1", "w2"
+    )
+    p2 = post.select(
+        F.col("doc_id").alias("d2"),
+        F.col("pos").alias("pos2"),
+        F.col("tok").alias("tok2"),
+    )
+    return (
+        p1.join(
+            p2,
+            (F.col("doc_id") == F.col("d2"))
+            & (F.col("pos2") == F.col("pos") + 1)
+            & (F.col("tok2") == F.col("w2")),
+        )
+        .groupBy(
+            F.concat_ws(" ", "w1", "w2").alias("phrase"), "doc_id"
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# PQ/ADC recall audit against the exact baseline
+# ---------------------------------------------------------------------------
+
+
+def _pq_recall_oracle() -> str:
+    """Composes the two REGISTERED pipeline oracles (sim_pq_adc_topk and
+    sim_bruteforce_topk) as subqueries — the audit replays both full
+    candidate pipelines, not a simplification of either."""
+    from youtube_trending_data_pipeline_spark.catalog import QUERIES
+
+    pq = QUERIES["sim_pq_adc_topk"].oracle
+    bf = QUERIES["sim_bruteforce_topk"].oracle
+    return f"""
+    WITH pq AS (SELECT query_id, neighbor_id FROM ({pq}) x),
+         bf AS (SELECT query_id, neighbor_id FROM ({bf}) y),
+         ov AS (
+           SELECT pq.query_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+           FROM pq JOIN bf USING (query_id, neighbor_id)
+           GROUP BY 1
+         )
+    SELECT q.query_id,
+           CAST(COALESCE(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+           CAST(3 AS BIGINT) AS k,
+           CAST((1000000 * COALESCE(ov.n_overlap, 0)) // 3 AS BIGINT)
+             AS recall_ppm
+    FROM (SELECT DISTINCT query_id FROM bf) q
+    LEFT JOIN ov ON ov.query_id = q.query_id
+    """
+
+
+@register(
+    "sim_pq_recall_audit",
+    _pq_recall_oracle,
+    "PQ/ADC recall audit — the number that decides whether a "
+    "product-quantized index is deployable: per query, how many of "
+    "the EXACT top-3 neighbors (sim_bruteforce_topk's pipeline) the "
+    "asymmetric-distance PQ search (sim_pq_adc_topk's pipeline) "
+    "actually returns, as recall@3 in integer ppm. Both sides are "
+    "the REGISTERED pipelines composed whole — the Spark plan joins "
+    "the two entry DataFrames, the oracle nests the two entry "
+    "oracles as subqueries — so the audit can never drift from what "
+    "the index entries themselves compute. The compression-vs-"
+    "quality readout every ANN deployment pins to a dashboard.",
+)
+def sim_pq_recall_audit(spark, sf_dir):
+    from youtube_trending_data_pipeline_spark.catalog import QUERIES
+
+    pq = QUERIES["sim_pq_adc_topk"].fn(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    bf = QUERIES["sim_bruteforce_topk"].fn(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    ov = pq.join(bf, ["query_id", "neighbor_id"]).groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_overlap")
+    )
+    q = bf.select("query_id").distinct()
+    return q.join(ov, "query_id", "left").select(
+        "query_id",
+        F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
+        F.lit(3).cast("long").alias("k"),
+        F.expr(
+            "CAST((1000000 * COALESCE(n_overlap, 0)) div 3 AS BIGINT)"
+        ).alias("recall_ppm"),
+    )
