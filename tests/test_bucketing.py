@@ -194,3 +194,68 @@ def test_bucketed_hits_round_edge_side_shuffle_free(spark):
         )
         spark.sql("DROP TABLE IF EXISTS hits_edges_src")
         spark.sql("DROP TABLE IF EXISTS hits_edges_dst")
+
+
+def test_bucketed_kcore_round_edge_side_shuffle_free(spark):
+    """The k-core companion to the PageRank/HITS proofs: under a
+    src-bucketed symmetric edge table, BOTH operations a peel round
+    performs on the edge side — the degree aggregate (groupBy src) and
+    the survivor semi-join (on src) — read the edges with NO exchange.
+    Only the survivor vector (node list) shuffles, and the layout
+    amortizes across all rounds — the 100 TB claim in
+    operators/graph.py:kcore_peel."""
+    from youtube_trending_data_pipeline_spark.catalog import t
+    from youtube_trending_data_pipeline_spark.plans.explain import physical_plan
+
+    li = t(spark, "/root/testdata/sf0.001", "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    orders = t(spark, "/root/testdata/sf0.001", "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    pairs = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.col("l_suppkey").alias("s"),
+            (F.col("o_custkey") + 1000000).alias("c"),
+        )
+        .distinct()
+    )
+    edges = pairs.selectExpr("s AS src", "c AS dst").union(
+        pairs.selectExpr("c AS src", "s AS dst")
+    )
+    spark.sql("DROP TABLE IF EXISTS kcore_edges_src")
+    (
+        edges.write.bucketBy(8, "src")
+        .sortBy("src")
+        .mode("overwrite")
+        .saveAsTable("kcore_edges_src")
+    )
+    e = spark.table("kcore_edges_src")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        # degree aggregate: partial agg feeds the final agg with no
+        # exchange ahead of the bucketed scan
+        deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+        deg.collect()
+        plan = physical_plan(deg)
+        scan = plan.find("kcore_edges_src")
+        assert scan != -1, plan
+        assert "Exchange" not in plan[:scan], plan
+        # survivor semi-join on src: edge side exchange-free
+        surv = deg.where(F.col("d") >= 3).select(
+            F.col("src").alias("node")
+        )
+        step = e.join(surv, e["src"] == surv["node"], "left_semi")
+        step.collect()
+        plan = physical_plan(step)
+        assert "SortMergeJoin" in plan, plan
+        join_tail = plan.split("SortMergeJoin")[-1]
+        edge_scan = join_tail.find("kcore_edges_src")
+        assert edge_scan != -1, plan
+        assert "Exchange" not in join_tail[:edge_scan], plan
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+        spark.sql("DROP TABLE IF EXISTS kcore_edges_src")
