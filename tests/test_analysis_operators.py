@@ -788,3 +788,68 @@ def test_pq_recall_bounds_and_consistency(spark):
     for r in rows:
         assert 0 <= r["n_overlap"] <= r["k"] == 3
         assert r["recall_ppm"] == (1000000 * r["n_overlap"]) // 3
+
+
+def test_match_recognize_strict_adjacency(spark):
+    """Crafted sequences: click,view,purchase adjacent -> 1 match; an
+    intervening 'error' run breaks adjacency -> 0 matches (the strict
+    semantics funnel_view_click_purchase does NOT have); repeated
+    letters collapse into runs (click,click,view,purchase -> 1 match
+    spanning 4 events)."""
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="mr-")
+    rows, eid = [], 0
+
+    def add(u, types):
+        nonlocal eid
+        for i, ty in enumerate(types):
+            eid += 1
+            rows.append((eid, u, i * 1000000, ty, 0.0, "{}"))
+
+    add(1, ["click", "view", "purchase"])
+    add(2, ["click", "error", "view", "purchase"])
+    add(3, ["click", "click", "view", "purchase"])
+    spark.createDataFrame(
+        rows, "event_id long, user_id long, ts_us long, event_type string, "
+        "value double, props string"
+    ).selectExpr(
+        "event_id", "timestamp_micros(ts_us) AS ts", "user_id",
+        "event_type", "value", "props",
+    ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    got = {
+        r["user_id"]: r
+        for r in QUERIES["pattern_match_recognize"].fn(spark, d).collect()
+    }
+    assert got[1]["n_matches"] == 1 and got[1]["events_spanned"] == 3
+    assert 2 not in got
+    assert got[3]["n_matches"] == 1 and got[3]["events_spanned"] == 4
+
+
+def test_udaf_weighted_median_reference(spark):
+    """The Arrow UDAF equals a plain-Python weighted-median over the
+    same rows."""
+    from youtube_trending_data_pipeline_spark.catalog import t as _t
+
+    rows = _t(spark, SF, "events").select(
+        "event_type", "event_id", "value"
+    ).collect()
+    groups: dict[str, list] = {}
+    for r in rows:
+        groups.setdefault(r["event_type"], []).append(
+            (int(round(r["value"] * 100)), 1 + r["event_id"] % 3)
+        )
+    got = {
+        r["event_type"]: r
+        for r in QUERIES["udaf_weighted_median"].fn(spark, SF).collect()
+    }
+    for ty, vw in groups.items():
+        vw.sort()
+        total = sum(w for _, w in vw)
+        run = 0
+        for v, w in vw:
+            run += w
+            if 2 * run >= total:
+                break
+        assert got[ty]["weighted_median_c"] == v
+        assert got[ty]["total_weight"] == total

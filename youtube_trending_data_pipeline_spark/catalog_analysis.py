@@ -3399,3 +3399,182 @@ def sim_pq_recall_audit(spark, sf_dir):
             "CAST((1000000 * COALESCE(n_overlap, 0)) div 3 AS BIGINT)"
         ).alias("recall_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# MATCH_RECOGNIZE-style sequence pattern over event runs
+# ---------------------------------------------------------------------------
+
+_MR_PATTERN = ("click", "view", "purchase")
+
+
+@register(
+    "pattern_match_recognize",
+    f"""
+    WITH e AS (
+      SELECT user_id, event_type, epoch_ns(ts) AS tsn, event_id
+      FROM events
+    ), marked AS (
+      SELECT user_id, event_type, tsn, event_id,
+             CASE WHEN event_type = LAG(event_type) OVER w
+                  THEN 0 ELSE 1 END AS is_start
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsn, event_id)
+    ), runs AS (
+      SELECT user_id, event_type, tsn, event_id,
+             SUM(is_start) OVER (PARTITION BY user_id
+                                 ORDER BY tsn, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM marked
+    ), rle AS (
+      SELECT user_id, run_id, MIN(event_type) AS event_type,
+             CAST(COUNT(*) AS BIGINT) AS run_len
+      FROM runs GROUP BY user_id, run_id
+    ), seq AS (
+      SELECT user_id, run_id, event_type, run_len,
+             LEAD(event_type, 1) OVER w AS t2,
+             LEAD(run_len, 1) OVER w AS l2,
+             LEAD(event_type, 2) OVER w AS t3,
+             LEAD(run_len, 2) OVER w AS l3
+      FROM rle WINDOW w AS (PARTITION BY user_id ORDER BY run_id)
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_matches,
+           CAST(SUM(run_len + l2 + l3) AS BIGINT) AS events_spanned
+    FROM seq
+    WHERE event_type = '{_MR_PATTERN[0]}'
+      AND t2 = '{_MR_PATTERN[1]}'
+      AND t3 = '{_MR_PATTERN[2]}'
+    GROUP BY user_id
+    """,
+    "MATCH_RECOGNIZE emulation (SQL:2016 row-pattern matching, which "
+    "Spark does not ship): the pattern click+ view+ purchase+ is "
+    "found per user by run-length-encoding the event-type sequence "
+    "(lag -> run starts -> prefix-sum run ids -> one aggregate per "
+    "run) and sliding a 3-run window over the RLE — a regex over "
+    "RUNS instead of rows, which is how Flink/Trino implement "
+    "greedy quantifiers. Reports match counts and the events each "
+    "match spans. Every step is a keyed window or aggregate; the "
+    "RLE table is at most one row per run, so the pattern join "
+    "never rescans raw events — the funnel_view_click_purchase "
+    "sibling with true adjacency semantics (no intervening other "
+    "events allowed).",
+)
+def pattern_match_recognize(spark, sf_dir):
+    e = t(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.col("ts").alias("tsn"), "event_id"
+    )
+    wu = W.partitionBy("user_id").orderBy("tsn", "event_id")
+    marked = e.withColumn(
+        "is_start",
+        F.when(
+            F.col("event_type") == F.lag("event_type").over(wu), 0
+        ).otherwise(1),
+    )
+    runs = marked.withColumn(
+        "run_id",
+        F.sum("is_start").over(wu.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    rle = runs.groupBy("user_id", "run_id").agg(
+        F.min("event_type").alias("event_type"),
+        F.count(F.lit(1)).cast("long").alias("run_len"),
+    )
+    wr = W.partitionBy("user_id").orderBy("run_id")
+    seq = rle.select(
+        "user_id",
+        "event_type",
+        "run_len",
+        F.lead("event_type", 1).over(wr).alias("t2"),
+        F.lead("run_len", 1).over(wr).alias("l2"),
+        F.lead("event_type", 2).over(wr).alias("t3"),
+        F.lead("run_len", 2).over(wr).alias("l3"),
+    )
+    return (
+        seq.where(
+            (F.col("event_type") == _MR_PATTERN[0])
+            & (F.col("t2") == _MR_PATTERN[1])
+            & (F.col("t3") == _MR_PATTERN[2])
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_matches"),
+            F.sum(F.col("run_len") + F.col("l2") + F.col("l3"))
+            .cast("long")
+            .alias("events_spanned"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grouped-aggregate pandas UDAF under the exact gate: weighted median
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "udaf_weighted_median",
+    """
+    WITH e AS (
+      SELECT event_type,
+             CAST(ROUND(value * 100) AS BIGINT) AS v,
+             1 + (event_id % 3) AS w
+      FROM events
+    ), cum AS (
+      SELECT event_type, v, w,
+             SUM(w) OVER (PARTITION BY event_type
+                          ORDER BY v, w
+                          ROWS UNBOUNDED PRECEDING) AS run,
+             SUM(w) OVER (PARTITION BY event_type) AS total
+      FROM e
+    )
+    SELECT event_type,
+           CAST(MIN(CASE WHEN 2 * run >= total THEN v END) AS BIGINT)
+             AS weighted_median_c,
+           CAST(MAX(total) AS BIGINT) AS total_weight
+    FROM cum GROUP BY event_type
+    """,
+    "Weighted median per event type via a GROUPED_AGG pandas UDAF — "
+    "the §2.11 extension surface under the EXACT gate, not just a "
+    "smoke test: Arrow ships each group's (value, weight) arrays to a "
+    "vectorized numpy kernel (sort + cumsum + searchsorted — the "
+    "lower weighted median, smallest v whose cumulative weight "
+    "reaches half the total, ties resolved by the same (v, w) sort "
+    "order the oracle uses). Weights are deterministic (1 + id % 3). "
+    "The oracle replays the definition with windows. Where a "
+    "cumulative-window SQL form also exists (and the oracle uses "
+    "it), the UDAF form is the one that generalizes to kernels SQL "
+    "cannot express — this entry pins the Arrow path's exactness so "
+    "those kernels inherit a proven harness.",
+)
+def udaf_weighted_median(spark, sf_dir):
+    import numpy as np
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    from youtube_trending_data_pipeline_spark.catalog import cents
+
+    # functionType spelled explicitly: this module uses
+    # `from __future__ import annotations`, which stringifies the type
+    # hints pandas_udf would otherwise infer GROUPED_AGG from
+    @pandas_udf("bigint", PandasUDFType.GROUPED_AGG)
+    def wmedian(v, w):
+        vv = v.to_numpy(dtype=np.int64)
+        ww = w.to_numpy(dtype=np.int64)
+        order = np.lexsort((ww, vv))  # (v, w) ascending — the oracle's order
+        vv, ww = vv[order], ww[order]
+        run = np.cumsum(ww)
+        idx = int(np.searchsorted(2 * run, run[-1], side="left"))
+        return int(vv[idx])
+
+    # Spark disallows mixing a GROUPED_AGG pandas UDF with JVM
+    # aggregates in one agg — the weight total is a pandas UDAF too
+    @pandas_udf("bigint", PandasUDFType.GROUPED_AGG)
+    def wsum(w):
+        return int(w.to_numpy(dtype=np.int64).sum())
+
+    e = t(spark, sf_dir, "events").select(
+        "event_type",
+        cents("value").alias("v"),
+        (1 + F.col("event_id") % 3).cast("long").alias("w"),
+    )
+    return e.groupBy("event_type").agg(
+        wmedian("v", "w").alias("weighted_median_c"),
+        wsum("w").alias("total_weight"),
+    )
