@@ -853,3 +853,45 @@ def test_udaf_weighted_median_reference(spark):
                 break
         assert got[ty]["weighted_median_c"] == v
         assert got[ty]["total_weight"] == total
+
+
+def test_max_coverage_diminishing_returns(spark):
+    """Submodularity: marginal gains are nonincreasing across rounds;
+    picks are distinct docs; cumulative coverage is the prefix sum."""
+    rows = sorted(
+        QUERIES["select_greedy_max_coverage"].fn(spark, SF).collect(),
+        key=lambda r: r["pick_round"],
+    )
+    assert [r["pick_round"] for r in rows] == [1, 2, 3, 4, 5]
+    gains = [r["n_new"] for r in rows]
+    assert gains == sorted(gains, reverse=True)
+    assert len({r["doc_id"] for r in rows}) == 5
+    run = 0
+    for r in rows:
+        run += r["n_new"]
+        assert r["total_covered"] == run
+
+
+def test_max_coverage_crafted_greedy_order(spark):
+    """Crafted corpus where the greedy order is forced: doc 1 covers 4
+    bigrams, doc 2 covers 3 NEW ones, doc 3 overlaps doc 1 entirely
+    (gain 0 -> never picked while positive gains remain)."""
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="mc-")
+    docs = [
+        (1, "a b c d e", "en", "s", 1),          # bigrams ab bc cd de
+        (2, "p q r s", "en", "s", 1),            # pq qr rs
+        (3, "a b c", "en", "s", 1),              # ab bc (subset of doc 1)
+        (4, "x y", "en", "s", 1),                # xy
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    rows = sorted(
+        QUERIES["select_greedy_max_coverage"].fn(spark, d).collect(),
+        key=lambda r: r["pick_round"],
+    )
+    assert [(r["doc_id"], r["n_new"]) for r in rows[:3]] == [
+        (1, 4), (2, 3), (4, 1),
+    ]

@@ -3578,3 +3578,128 @@ def udaf_weighted_median(spark, sf_dir):
         wmedian("v", "w").alias("weighted_median_c"),
         wsum("w").alias("total_weight"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Greedy max-coverage subset selection (submodular)
+# ---------------------------------------------------------------------------
+
+_MC_PICKS = 5
+
+
+def _maxcov_oracle() -> str:
+    """Unrolled greedy rounds; MATERIALIZED covered sets (each round
+    reads the previous covered set twice: gain anti-join + union)."""
+    steps = []
+    for r in range(1, _MC_PICKS + 1):
+        steps.append(f"""
+    p{r} AS MATERIALIZED (
+      SELECT cov.doc_id, CAST(COUNT(*) AS BIGINT) AS n_new
+      FROM cov
+      WHERE NOT EXISTS (SELECT 1 FROM c{r - 1} x WHERE x.bg = cov.bg)
+      GROUP BY cov.doc_id
+      ORDER BY n_new DESC, cov.doc_id
+      LIMIT 1
+    ),
+    c{r} AS MATERIALIZED (
+      SELECT bg FROM c{r - 1}
+      UNION
+      SELECT cov.bg FROM cov JOIN p{r} USING (doc_id)
+    )""")
+    unions = "\n      UNION ALL\n".join(
+        f"      SELECT CAST({r} AS BIGINT) AS pick_round, doc_id, n_new "
+        f"FROM p{r}"
+        for r in range(1, _MC_PICKS + 1)
+    )
+    return f"""
+    WITH tk AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ), cov AS MATERIALIZED (
+      SELECT DISTINCT doc_id, b.bg FROM (
+        SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+               i -> toks[i] || ' ' || toks[i + 1])) AS bg
+        FROM tk WHERE len(toks) >= 2
+      ) b(doc_id, bg)
+    ), c0 AS MATERIALIZED (SELECT CAST(NULL AS VARCHAR) AS bg WHERE false),
+    {','.join(steps)},
+    picks AS (
+{unions}
+    )
+    SELECT pick_round, doc_id, n_new,
+           CAST(SUM(n_new) OVER (ORDER BY pick_round
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS total_covered
+    FROM picks
+    """
+
+
+@register(
+    "select_greedy_max_coverage",
+    _maxcov_oracle(),
+    "Greedy max-coverage subset selection (the 1-1/e submodular "
+    "baseline; Nemhauser et al. 1978) — the data-selection shape "
+    "behind diverse-subset curation (facility location, coreset "
+    "picks): each of 5 rounds picks the document covering the most "
+    "NOT-YET-COVERED bigrams (ties to the smaller doc_id) and adds "
+    "its bigrams to the covered set. Per round: one anti-join of the "
+    "coverage table against the covered set + one gain aggregate + a "
+    "1-row argmax — the covered set is the only state, and it only "
+    "grows, so the unrolled-CTE oracle replays the exact prefix "
+    "(pagerank doctrine). Reports marginal and cumulative coverage "
+    "per pick — the diminishing-returns curve a curation team reads "
+    "to choose the subset size.",
+)
+def select_greedy_max_coverage(spark, sf_dir):
+    cov = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", _toks_a().alias("toks"))
+        .where(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1), "
+                    "i -> concat(toks[i - 1], ' ', toks[i]))"
+                )
+            ).alias("bg"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    covered = None
+    picks = None
+    for r in range(1, _MC_PICKS + 1):
+        remaining = (
+            cov
+            if covered is None
+            else cov.join(covered, "bg", "left_anti")
+        )
+        gains = remaining.groupBy("doc_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n_new")
+        )
+        pick = (
+            gains.orderBy(F.desc("n_new"), F.asc("doc_id"))
+            .limit(1)
+            .select(
+                F.lit(r).cast("long").alias("pick_round"),
+                "doc_id",
+                "n_new",
+            )
+            .localCheckpoint(eager=False)
+        )
+        picks = pick if picks is None else picks.unionAll(pick)
+        newly = cov.join(
+            pick.select("doc_id"), "doc_id", "left_semi"
+        ).select("bg")
+        covered = (
+            newly
+            if covered is None
+            else covered.union(newly).distinct()
+        ).localCheckpoint(eager=False)
+    wc = W.orderBy("pick_round").rowsBetween(W.unboundedPreceding, 0)
+    return picks.select(
+        "pick_round",
+        "doc_id",
+        "n_new",
+        F.sum("n_new").over(wc).cast("long").alias("total_covered"),
+    )
