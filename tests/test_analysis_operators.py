@@ -895,3 +895,56 @@ def test_max_coverage_crafted_greedy_order(spark):
     assert [(r["doc_id"], r["n_new"]) for r in rows[:3]] == [
         (1, 4), (2, 3), (4, 1),
     ]
+
+
+def test_backfill_ranges_cover_exactly_the_missing_days(spark):
+    """Union of emitted ranges == the set of days absent between each
+    type's first and last ingested day."""
+    import youtube_trending_data_pipeline_spark.catalog_analysis as ca
+    from youtube_trending_data_pipeline_spark.catalog import t as _t
+
+    present: dict[str, set] = {}
+    for r in (
+        _t(spark, SF, "events")
+        .where(F.col("user_id") % ca._BF_USER_MOD == 0)
+        .selectExpr("event_type", "(ts div 1000) div 86400000000 AS day")
+        .distinct()
+        .collect()
+    ):
+        present.setdefault(r["event_type"], set()).add(r["day"])
+    expected = set()
+    for ty, days in present.items():
+        for day in range(min(days), max(days) + 1):
+            if day not in days:
+                expected.add((ty, day))
+    got = set()
+    for r in QUERIES["backfill_gap_plan"].fn(spark, SF).collect():
+        assert r["n_missing_days"] == r["gap_end_day"] - r["gap_start_day"] + 1
+        for day in range(r["gap_start_day"], r["gap_end_day"] + 1):
+            got.add((r["event_type"], day))
+    assert got == expected and got
+
+
+def test_join_cardinality_exact_and_estimate(spark):
+    """exact_rows equals the true join count; the 1/16-key estimate is
+    within 3x (uniform-ish frequencies at gate scale)."""
+    from youtube_trending_data_pipeline_spark.catalog import t as _t
+
+    r = QUERIES["join_cardinality_estimate"].fn(spark, SF).collect()[0]
+    truth = (
+        _t(spark, SF, "lineitem")
+        .join(
+            _t(spark, SF, "supplier"),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .count()
+    )
+    assert r["exact_rows"] == truth
+    assert 0 <= r["sampled_keys"] <= r["join_keys"]
+    if r["sampled_keys"] == 0:
+        # tiny key domains can miss the 1/16 sample entirely — the
+        # estimator honestly reports 0 (and a real optimizer would fall
+        # back to full stats below a key-count floor)
+        assert r["est_rows"] == 0
+    else:
+        assert truth / 3 <= r["est_rows"] <= truth * 3

@@ -3703,3 +3703,140 @@ def select_greedy_max_coverage(spark, sf_dir):
         "n_new",
         F.sum("n_new").over(wc).cast("long").alias("total_covered"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Backfill gap planner
+# ---------------------------------------------------------------------------
+
+_BF_USER_MOD = 31  # the monitored slice (sparse enough to have real gaps)
+
+
+@register(
+    "backfill_gap_plan",
+    f"""
+    WITH d AS (
+      SELECT event_type, epoch_us(ts) // 86400000000 AS day
+      FROM events WHERE user_id % {_BF_USER_MOD} = 0
+      GROUP BY 1, 2
+    ), nxt AS (
+      SELECT event_type, day,
+             LEAD(day) OVER (PARTITION BY event_type ORDER BY day)
+               AS next_day
+      FROM d
+    )
+    SELECT event_type,
+           CAST(day + 1 AS BIGINT) AS gap_start_day,
+           CAST(next_day - 1 AS BIGINT) AS gap_end_day,
+           CAST(next_day - day - 1 AS BIGINT) AS n_missing_days
+    FROM nxt
+    WHERE next_day > day + 1
+    """,
+    "Backfill gap planner — the ops query every partitioned ingest "
+    "needs after an outage: per event type (on a monitored user "
+    "slice), the distinct ingested days are scanned with one LEAD "
+    "window, and every hole in the calendar becomes an explicit "
+    "(gap_start, gap_end, n_days) BACKFILL RANGE — the exact "
+    "arguments a replay job takes, not just a count of missing days. "
+    "The inverse of activity_islands (ranges of ABSENCE, not "
+    "presence), emitted as ranges so a 3-year outage is one row, not "
+    "a thousand. One distinct-day aggregate (partition-pruned on a "
+    "real lake) + one keyed window.",
+)
+def backfill_gap_plan(spark, sf_dir):
+    d = (
+        t(spark, sf_dir, "events")
+        .where(F.col("user_id") % _BF_USER_MOD == 0)
+        .select(
+            "event_type",
+            F.expr("(ts div 1000) div 86400000000").alias("day"),
+        )
+        .distinct()
+    )
+    wn = W.partitionBy("event_type").orderBy("day")
+    nxt = d.withColumn("next_day", F.lead("day").over(wn))
+    return nxt.where(F.col("next_day") > F.col("day") + 1).select(
+        "event_type",
+        (F.col("day") + 1).cast("long").alias("gap_start_day"),
+        (F.col("next_day") - 1).cast("long").alias("gap_end_day"),
+        (F.col("next_day") - F.col("day") - 1)
+        .cast("long")
+        .alias("n_missing_days"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join-cardinality estimation from a key sample
+# ---------------------------------------------------------------------------
+
+_JC_SAMPLE_MOD = 16
+
+
+@register(
+    "join_cardinality_estimate",
+    f"""
+    WITH fa AS (
+      SELECT l_suppkey AS k, CAST(COUNT(*) AS BIGINT) AS f
+      FROM lineitem GROUP BY 1
+    ), fb AS (
+      SELECT s_suppkey AS k, CAST(COUNT(*) AS BIGINT) AS f
+      FROM supplier GROUP BY 1
+    ), joined AS (
+      SELECT fa.k, fa.f AS f_a, fb.f AS f_b,
+             {_H32_DUCK.format(s="CAST(fa.k AS VARCHAR)")} AS h
+      FROM fa JOIN fb USING (k)
+    )
+    SELECT CAST(SUM(f_a * f_b) AS BIGINT) AS exact_rows,
+           CAST({_JC_SAMPLE_MOD} * SUM(CASE WHEN h % {_JC_SAMPLE_MOD} = 0
+                    THEN f_a * f_b ELSE 0 END) AS BIGINT) AS est_rows,
+           CAST(SUM(CASE WHEN h % {_JC_SAMPLE_MOD} = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS sampled_keys,
+           CAST(COUNT(*) AS BIGINT) AS join_keys
+    FROM joined
+    """,
+    "Join-cardinality estimation from a deterministic key sample — "
+    "what a cost-based optimizer does with sampled statistics before "
+    "choosing a join strategy, made auditable: the exact equi-join "
+    "output size is sum(f_a * f_b) over matching keys, the estimate "
+    "scales the same sum over a hash-chosen 1/16 key subset (the "
+    "HASH sample, not a row sample — per-key frequency pairs must "
+    "stay intact or the product is biased), and both land in one "
+    "result row for side-by-side error reading. At 100 TB the "
+    "frequency tables come from statistics collection, never the "
+    "fact scan; the estimate costs 1/16 of the stats join.",
+)
+def join_cardinality_estimate(spark, sf_dir):
+    fa = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_suppkey").alias("k"))
+        .agg(F.count(F.lit(1)).cast("long").alias("f_a"))
+    )
+    fb = (
+        t(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_suppkey").alias("k"))
+        .agg(F.count(F.lit(1)).cast("long").alias("f_b"))
+    )
+    joined = fa.join(fb, "k").select(
+        "k",
+        "f_a",
+        "f_b",
+        F.expr(_H32_SPARK.format(s="cast(k as string)")).alias("h"),
+    )
+    return joined.agg(
+        F.sum(F.col("f_a") * F.col("f_b")).cast("long").alias("exact_rows"),
+        (
+            _JC_SAMPLE_MOD
+            * F.sum(
+                F.when(
+                    F.col("h") % _JC_SAMPLE_MOD == 0,
+                    F.col("f_a") * F.col("f_b"),
+                ).otherwise(0)
+            )
+        )
+        .cast("long")
+        .alias("est_rows"),
+        F.sum(F.when(F.col("h") % _JC_SAMPLE_MOD == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("sampled_keys"),
+        F.count(F.lit(1)).cast("long").alias("join_keys"),
+    )
