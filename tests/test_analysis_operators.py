@@ -948,3 +948,29 @@ def test_join_cardinality_exact_and_estimate(spark):
         assert r["est_rows"] == 0
     else:
         assert truth / 3 <= r["est_rows"] <= truth * 3
+
+
+def test_seasonal_naive_perfect_on_periodic_series(spark):
+    """Crafted exactly-weekly-periodic series: the lag-7 prediction is
+    perfect (MAE 0); a deviating day scores exactly its deviation."""
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="snaive-")
+    DAY = 86400000000
+    rows, eid = [], 0
+    for day in range(21):  # 3 identical weeks, one event per day
+        eid += 1
+        v = [10.0, 20.0, 30.0, 40.0, 50.0, 60.0, 70.0][day % 7]
+        if day == 17:
+            v += 5.0  # one anomaly in week 3
+        rows.append((eid, 1, day * DAY, "view", v, "{}"))
+    spark.createDataFrame(
+        rows, "event_id long, user_id long, ts_us long, event_type string, "
+        "value double, props string"
+    ).selectExpr(
+        "event_id", "timestamp_micros(ts_us) AS ts", "user_id",
+        "event_type", "value", "props",
+    ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    r = QUERIES["forecast_seasonal_naive_mae"].fn(spark, d).collect()[0]
+    assert r["n_scored_days"] == 14  # days 7..20
+    assert r["total_abs_err_c"] == 500  # only day 17 deviates, by 5.00

@@ -3840,3 +3840,79 @@ def join_cardinality_estimate(spark, sf_dir):
         .alias("sampled_keys"),
         F.count(F.lit(1)).cast("long").alias("join_keys"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-naive forecast error audit
+# ---------------------------------------------------------------------------
+
+_SN_LAG_DAYS = 7
+
+
+@register(
+    "forecast_seasonal_naive_mae",
+    f"""
+    WITH daily AS (
+      SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS v
+      FROM events GROUP BY 1, 2
+    ), lagged AS (
+      SELECT event_type, day, v,
+             LAG(v, {_SN_LAG_DAYS}) OVER (PARTITION BY event_type
+                                          ORDER BY day) AS pred
+      FROM daily
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_scored_days,
+           CAST(SUM(abs(v - pred)) AS BIGINT) AS total_abs_err_c,
+           CAST(SUM(abs(v - pred)) // COUNT(*) AS BIGINT) AS mae_c,
+           CAST((1000000 * SUM(abs(v - pred))) // SUM(abs(v)) AS BIGINT)
+             AS wape_ppm
+    FROM lagged WHERE pred IS NOT NULL
+    GROUP BY event_type
+    """,
+    "Seasonal-naive forecast error audit — the baseline every demand "
+    "model must beat before it ships (M-competition doctrine): "
+    "predict each day's per-type cent volume by the SAME WEEKDAY "
+    "LAST WEEK (lag 7 on the daily series), score MAE in cents and "
+    "WAPE in ppm. Days with no 7-day-old counterpart are excluded, "
+    "not zero-filled (an honest scorecard doesn't invent a prior "
+    "week). NOTE: lag-7 on ROW position equals lag-7 on the calendar "
+    "only while the daily series is gap-free — true for the full "
+    "event stream here; a gappy series would first pass through "
+    "backfill_gap_plan's calendar spine. One daily aggregate + one "
+    "keyed window; the forecast-evaluation sibling of "
+    "holt_linear_fold's model side.",
+)
+def forecast_seasonal_naive_mae(spark, sf_dir):
+    from youtube_trending_data_pipeline_spark.catalog import cents
+
+    daily = (
+        t(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.expr("(ts div 1000) div 86400000000").alias("day"),
+            cents("value").alias("c"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("c").cast("long").alias("v"))
+    )
+    wl = W.partitionBy("event_type").orderBy("day")
+    lagged = daily.withColumn("pred", F.lag("v", _SN_LAG_DAYS).over(wl))
+    return (
+        lagged.where(F.col("pred").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_scored_days"),
+            F.sum(F.abs(F.col("v") - F.col("pred")))
+            .cast("long")
+            .alias("total_abs_err_c"),
+            F.expr(
+                "CAST(SUM(abs(v - pred)) div COUNT(*) AS BIGINT)"
+            ).alias("mae_c"),
+            F.expr(
+                "CAST((1000000 * SUM(abs(v - pred))) div SUM(abs(v)) "
+                "AS BIGINT)"
+            ).alias("wape_ppm"),
+        )
+    )
