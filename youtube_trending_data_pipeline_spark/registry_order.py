@@ -171,8 +171,14 @@ PRIORITY_UNCHECKED = [
 # late_event_audit, retrieval_threshold_algorithm,
 # skyline_pareto_frontier, holt_linear_fold, ivm_delta_aggregate,
 # exact_median_twopass, skew_diagnosis_report, consistent_hash_rebalance,
-# encoding_rle_audit, geo_grid_spatial_join, (d) then tier-3 regression
-# re-checks keep cycling the oldest verified entries.
+# encoding_rle_audit, geo_grid_spatial_join, graph_temporal_reachability,
+# range_partition_balance, privacy_l_diversity, regr_theil_sen,
+# quota_largest_remainder, hash_collision_audit, eval_kendall_tau,
+# dq_benford_digits, feature_quantile_normalize, token_shannon_code_audit,
+# index_phrase_query, sim_pq_recall_audit, pattern_match_recognize,
+# udaf_weighted_median, select_greedy_max_coverage, backfill_gap_plan,
+# join_cardinality_estimate, forecast_seasonal_naive_mae, (d) then tier-3
+# regression re-checks keep cycling the oldest verified entries.
 
 
 def order_for_driver(names: list[str]) -> list[str]:
