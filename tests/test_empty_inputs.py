@@ -137,3 +137,18 @@ def test_round6_operators_on_empty_inputs(spark):
     assert detect_scene_cuts(empty_media).count() == 0
     assert image_gray_histogram(empty_media).count() == 0
     assert audio_silence_trim(empty_media).count() == 0
+
+
+def test_peels_on_empty_edges(spark):
+    """kcore_peel / ktruss_peel on an empty edge list: empty result,
+    right schema, no crash across all fixed rounds."""
+    from youtube_trending_data_pipeline_spark.operators.graph import (
+        kcore_peel,
+        ktruss_peel,
+    )
+
+    edges = spark.createDataFrame([], "src long, dst long")
+    kc = kcore_peel(edges, k=3, rounds=4)
+    assert kc.columns == ["node", "core_deg"] and kc.count() == 0
+    kt = ktruss_peel(edges, k=3, rounds=3)
+    assert kt.columns == ["src", "dst", "support"] and kt.count() == 0
