@@ -974,3 +974,25 @@ def test_seasonal_naive_perfect_on_periodic_series(spark):
     r = QUERIES["forecast_seasonal_naive_mae"].fn(spark, d).collect()[0]
     assert r["n_scored_days"] == 14  # days 7..20
     assert r["total_abs_err_c"] == 500  # only day 17 deviates, by 5.00
+
+
+def test_rfm_quintiles_balanced_and_coded(spark):
+    """Each score dimension splits users into near-equal quintiles;
+    segment code decomposes; score 1 holds the best values."""
+    rows = QUERIES["rfm_segmentation"].fn(spark, SF).collect()
+    n = len(rows)
+    assert n == 15
+    for dim in ("r_score", "f_score", "m_score"):
+        counts: dict[int, int] = {}
+        for r in rows:
+            counts[r[dim]] = counts.get(r[dim], 0) + 1
+        assert set(counts) == {1, 2, 3, 4, 5}
+        assert max(counts.values()) - min(counts.values()) <= 1
+    for r in rows:
+        assert r["rfm_segment"] == (
+            100 * r["r_score"] + 10 * r["f_score"] + r["m_score"]
+        )
+    best_f = max(rows, key=lambda r: r["frequency"])
+    assert best_f["f_score"] == 1
+    best_m = max(rows, key=lambda r: r["monetary_c"])
+    assert best_m["m_score"] == 1

@@ -3916,3 +3916,87 @@ def forecast_seasonal_naive_mae(spark, sf_dir):
             ).alias("wape_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation
+# ---------------------------------------------------------------------------
+
+_RFM_Q = 5
+
+
+@register(
+    "rfm_segmentation",
+    f"""
+    WITH per_user AS (
+      SELECT user_id,
+             MAX(epoch_us(ts)) AS last_us,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+               AS monetary_c
+      FROM events GROUP BY user_id
+    ), anchor AS (SELECT MAX(last_us) AS now_us FROM per_user),
+    rfm AS (
+      SELECT u.user_id,
+             CAST((a.now_us - u.last_us) // 86400000000 AS BIGINT)
+               AS recency_days,
+             u.frequency, u.monetary_c,
+             NTILE({_RFM_Q}) OVER (ORDER BY a.now_us - u.last_us,
+                                   u.user_id) AS r_score,
+             NTILE({_RFM_Q}) OVER (ORDER BY u.frequency DESC, u.user_id)
+               AS f_score,
+             NTILE({_RFM_Q}) OVER (ORDER BY u.monetary_c DESC, u.user_id)
+               AS m_score
+      FROM per_user u, anchor a
+    )
+    SELECT user_id, recency_days, frequency, monetary_c,
+           CAST(r_score AS BIGINT) AS r_score,
+           CAST(f_score AS BIGINT) AS f_score,
+           CAST(m_score AS BIGINT) AS m_score,
+           CAST(100 * r_score + 10 * f_score + m_score AS BIGINT)
+             AS rfm_segment
+    FROM rfm
+    """,
+    "RFM segmentation (Hughes 1994, the recency/frequency/monetary "
+    "quintile scoring CRM pipelines still run): per user, days since "
+    "last event (anchored to the CORPUS max — no wall clock, so the "
+    "result is a pure function of the data), event count, and cent "
+    "volume, each cut into quintiles by NTILE with deterministic "
+    "user_id tie-breaks (score 1 = best: most recent / most frequent "
+    "/ highest spend), concatenated into the classic 3-digit segment "
+    "code. One user aggregate + three dimension-table windows; the "
+    "1-row anchor is a broadcast constant-append. The analytics "
+    "sibling of retention_cohorts.",
+)
+def rfm_segmentation(spark, sf_dir):
+    from youtube_trending_data_pipeline_spark.catalog import cents
+
+    per_user = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.max(F.expr("ts div 1000")).alias("last_us"),
+            F.count(F.lit(1)).cast("long").alias("frequency"),
+            F.sum(cents("value")).cast("long").alias("monetary_c"),
+        )
+    )
+    anchor = per_user.agg(F.max("last_us").alias("now_us"))
+    base = per_user.crossJoin(F.broadcast(anchor))
+    wr = W.orderBy(F.expr("now_us - last_us"), F.asc("user_id"))
+    wf = W.orderBy(F.desc("frequency"), F.asc("user_id"))
+    wm = W.orderBy(F.desc("monetary_c"), F.asc("user_id"))
+    rfm = base.select(
+        "user_id",
+        F.expr("(now_us - last_us) div 86400000000").alias("recency_days"),
+        "frequency",
+        "monetary_c",
+        F.ntile(_RFM_Q).over(wr).cast("long").alias("r_score"),
+        F.ntile(_RFM_Q).over(wf).cast("long").alias("f_score"),
+        F.ntile(_RFM_Q).over(wm).cast("long").alias("m_score"),
+    )
+    return rfm.withColumn(
+        "rfm_segment",
+        (
+            100 * F.col("r_score") + 10 * F.col("f_score") + F.col("m_score")
+        ).cast("long"),
+    )
