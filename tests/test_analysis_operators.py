@@ -996,3 +996,39 @@ def test_rfm_quintiles_balanced_and_coded(spark):
     assert best_f["f_score"] == 1
     best_m = max(rows, key=lambda r: r["monetary_c"])
     assert best_m["m_score"] == 1
+
+
+def test_overdispersion_vmr_reference(spark):
+    """VMR matches a Python moment computation; crafted constant series
+    has VMR exactly 0, a bursty one far above 1e6."""
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="vmr-")
+    DAY = 86400000000
+    rows, eid = [], 0
+    # 'steady': exactly 3 events every day for 10 days -> variance 0
+    for day in range(10):
+        for _ in range(3):
+            eid += 1
+            rows.append((eid, 1, day * DAY, "steady", 0.0, "{}"))
+    # 'bursty': 20 events on day 0, 1 event on days 1..9
+    for day in range(10):
+        for _ in range(20 if day == 0 else 1):
+            eid += 1
+            rows.append((eid, 1, day * DAY, "bursty", 0.0, "{}"))
+    spark.createDataFrame(
+        rows, "event_id long, user_id long, ts_us long, event_type string, "
+        "value double, props string"
+    ).selectExpr(
+        "event_id", "timestamp_micros(ts_us) AS ts", "user_id",
+        "event_type", "value", "props",
+    ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    got = {
+        r["event_type"]: r
+        for r in QUERIES["dq_overdispersion_vmr"].fn(spark, d).collect()
+    }
+    assert got["steady"]["vmr_ppm"] == 0
+    # bursty: counts [20,1x9]: n=10, S1=29, S2=409 -> VMR = 3249/261 ~ 12.4
+    assert got["bursty"]["var_num_scaled"] == 10 * 409 - 29 * 29
+    assert got["bursty"]["vmr_ppm"] == (1000000 * 3249) // (9 * 29)
+    assert got["bursty"]["vmr_ppm"] > 10000000

@@ -4000,3 +4000,68 @@ def rfm_segmentation(spark, sf_dir):
             100 * F.col("r_score") + 10 * F.col("f_score") + F.col("m_score")
         ).cast("long"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Overdispersion (variance-to-mean) audit of daily counts
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dq_overdispersion_vmr",
+    """
+    WITH daily AS (
+      SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ), m AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS s1,
+             CAST(SUM(x * x) AS BIGINT) AS s2
+      FROM daily GROUP BY event_type
+    )
+    SELECT event_type, n, s1 AS total_events,
+           CAST((n * s2 - s1 * s1) AS BIGINT) AS var_num_scaled,
+           CAST((1000000 * (n * s2 - s1 * s1)) // ((n - 1) * s1) AS BIGINT)
+             AS vmr_ppm
+    FROM m WHERE n > 1
+    """,
+    "Overdispersion audit — the Poisson-assumption check run before "
+    "anyone fits a count model or sets a rate alert: per event type, "
+    "the variance-to-mean ratio of DAILY counts as exact integers "
+    "(VMR = (n*S2 - S1^2) / ((n-1)*S1), every term a BIGINT moment "
+    "sum, no float variance), in ppm: ~1e6 means Poisson-like, far "
+    "above means bursty/clumped days (alerts need wider bands), far "
+    "below means suspiciously uniform (synthetic or throttled data — "
+    "which is exactly what this corpus' generator produces, and the "
+    "behavioral test pins). One daily aggregate + one moment "
+    "aggregate; the count-model sibling of dq_benford_digits.",
+)
+def dq_overdispersion_vmr(spark, sf_dir):
+    daily = (
+        t(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.expr("(ts div 1000) div 86400000000").alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    m = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("s2"),
+    )
+    return m.where(F.col("n") > 1).select(
+        "event_type",
+        "n",
+        F.col("s1").alias("total_events"),
+        (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1"))
+        .cast("long")
+        .alias("var_num_scaled"),
+        F.expr(
+            "CAST((1000000 * (n * s2 - s1 * s1)) div ((n - 1) * s1) "
+            "AS BIGINT)"
+        ).alias("vmr_ppm"),
+    )
