@@ -1032,3 +1032,28 @@ def test_overdispersion_vmr_reference(spark):
     assert got["bursty"]["var_num_scaled"] == 10 * 409 - 29 * 29
     assert got["bursty"]["vmr_ppm"] == (1000000 * 3249) // (9 * 29)
     assert got["bursty"]["vmr_ppm"] > 10000000
+
+
+def test_apriori_downward_closure(spark):
+    """Every reported triple's three face-pairs are themselves frequent
+    (downward closure), and support never exceeds any face support."""
+    import youtube_trending_data_pipeline_spark.catalog_analysis as ca
+    from youtube_trending_data_pipeline_spark.catalog import t as _t
+
+    docs = [
+        set(w for w in r["text"].lower().split(" ") if w)
+        for r in _t(spark, SF, "documents").collect()
+    ]
+
+    def supp(items):
+        return sum(1 for d in docs if all(i in d for i in items))
+
+    rows = QUERIES["apriori_triple_itemsets"].fn(spark, SF).collect()
+    assert rows
+    for r in rows[:50]:  # spot-check a prefix; full check is O(n_docs) each
+        tri = (r["w1"], r["w2"], r["w3"])
+        assert r["w1"] < r["w2"] < r["w3"]
+        assert r["support"] == supp(tri) >= ca._AP_TRIPLE_MIN
+        for face in ((tri[0], tri[1]), (tri[0], tri[2]), (tri[1], tri[2])):
+            assert supp(face) >= ca._AP_PAIR_MIN
+            assert supp(face) >= r["support"]

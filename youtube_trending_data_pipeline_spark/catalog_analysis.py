@@ -4065,3 +4065,115 @@ def dq_overdispersion_vmr(spark, sf_dir):
             "AS BIGINT)"
         ).alias("vmr_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A-priori level-wise 3-itemset mining
+# ---------------------------------------------------------------------------
+
+_AP_PAIR_MIN = 300
+_AP_TRIPLE_MIN = 270
+
+
+@register(
+    "apriori_triple_itemsets",
+    f"""
+    WITH dt AS (
+      SELECT doc_id, list_distinct({_TOKS_SQL}) AS v FROM documents
+    ), item AS (
+      SELECT doc_id, unnest(v) AS tok FROM dt
+    ), pairs AS (
+      SELECT a.doc_id, a.tok AS w1, b.tok AS w2
+      FROM item a JOIN item b
+        ON a.doc_id = b.doc_id AND a.tok < b.tok
+    ), fp AS (
+      SELECT w1, w2 FROM pairs GROUP BY 1, 2
+      HAVING COUNT(*) >= {_AP_PAIR_MIN}
+    ), cand AS (
+      SELECT p1.w1 AS a, p1.w2 AS b, p2.w2 AS c3
+      FROM fp p1 JOIN fp p2 ON p1.w1 = p2.w1 AND p1.w2 < p2.w2
+    ), pruned AS (
+      SELECT cand.a, cand.b, cand.c3
+      FROM cand JOIN fp ON fp.w1 = cand.b AND fp.w2 = cand.c3
+    ), tri AS (
+      SELECT i1.doc_id, p.a, p.b, p.c3
+      FROM pruned p
+      JOIN item i1 ON i1.tok = p.a
+      JOIN item i2 ON i2.doc_id = i1.doc_id AND i2.tok = p.b
+      JOIN item i3 ON i3.doc_id = i1.doc_id AND i3.tok = p.c3
+    )
+    SELECT a AS w1, b AS w2, c3 AS w3,
+           CAST(COUNT(*) AS BIGINT) AS support
+    FROM tri GROUP BY 1, 2, 3
+    HAVING COUNT(*) >= {_AP_TRIPLE_MIN}
+    """,
+    "A-priori level-wise 3-itemset mining (Agrawal & Srikant 1994): "
+    "frequent pairs (support >= 300 docs) SELF-JOIN on a shared "
+    "prefix to generate candidate triples, the downward-closure "
+    "prune drops any candidate whose third face-pair is infrequent "
+    "(the step that makes A-priori feasible — candidates fall from "
+    "C(V,3) to only those with all three frequent faces), and "
+    "survivors are counted against the corpus with support >= 270. "
+    "This is the LEVEL-WISE join shape token_cooccurrence_pairs "
+    "(level 2) feeds: candidate generation and pruning touch only "
+    "the dimension-sized frequent-pair table; the support count is "
+    "a 3-way equi-join on doc_id bounded by pruned candidates. "
+    "Basket analysis' step beyond pairwise lift "
+    "(basket_brand_lift).",
+)
+def apriori_triple_itemsets(spark, sf_dir):
+    item = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.array_distinct(_toks_a())).alias("tok"))
+        .localCheckpoint(eager=False)
+    )
+    a, b = item.alias("a"), item.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.doc_id") == F.col("b.doc_id"))
+        & (F.col("a.tok") < F.col("b.tok")),
+    ).select(
+        F.col("a.doc_id").alias("doc_id"),
+        F.col("a.tok").alias("w1"),
+        F.col("b.tok").alias("w2"),
+    )
+    fp = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= _AP_PAIR_MIN)
+        .select("w1", "w2")
+        .localCheckpoint(eager=False)
+    )
+    p1, p2 = fp.alias("p1"), fp.alias("p2")
+    cand = p1.join(
+        p2,
+        (F.col("p1.w1") == F.col("p2.w1"))
+        & (F.col("p1.w2") < F.col("p2.w2")),
+    ).select(
+        F.col("p1.w1").alias("a"),
+        F.col("p1.w2").alias("b"),
+        F.col("p2.w2").alias("c3"),
+    )
+    face = fp.select(F.col("w1").alias("fb"), F.col("w2").alias("fc"))
+    pruned = cand.join(
+        face,
+        (F.col("b") == F.col("fb")) & (F.col("c3") == F.col("fc")),
+        "left_semi",
+    )
+    i1 = item.select(F.col("doc_id").alias("d"), F.col("tok").alias("t1"))
+    i2 = item.select(F.col("doc_id").alias("d2"), F.col("tok").alias("t2"))
+    i3 = item.select(F.col("doc_id").alias("d3"), F.col("tok").alias("t3"))
+    tri = (
+        pruned.join(i1, F.col("a") == F.col("t1"))
+        .join(i2, (F.col("d2") == F.col("d")) & (F.col("b") == F.col("t2")))
+        .join(i3, (F.col("d3") == F.col("d")) & (F.col("c3") == F.col("t3")))
+    )
+    return (
+        tri.groupBy(
+            F.col("a").alias("w1"),
+            F.col("b").alias("w2"),
+            F.col("c3").alias("w3"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+        .where(F.col("support") >= _AP_TRIPLE_MIN)
+    )
