@@ -1057,3 +1057,55 @@ def test_apriori_downward_closure(spark):
         for face in ((tri[0], tri[1]), (tri[0], tri[2]), (tri[1], tri[2])):
             assert supp(face) >= ca._AP_PAIR_MIN
             assert supp(face) >= r["support"]
+
+
+def test_dbscan_labels_consistent_with_spatial_pairs(spark):
+    """Labels agree with a Python recount over the hash points: core
+    iff >= minPts neighbors; border iff non-core within a core's
+    radius; everything else noise."""
+    import hashlib
+
+    import youtube_trending_data_pipeline_spark.catalog_analysis as ca
+    from youtube_trending_data_pipeline_spark.catalog import t as _t
+
+    SF01 = "/root/testdata/sf0.01"
+    users = [
+        r["user_id"]
+        for r in _t(spark, SF01, "events").select("user_id").distinct().collect()
+    ]
+
+    def h32(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    pts = {
+        u: (h32(f"x:{u}") % ca._GEO_SPAN, h32(f"y:{u}") % ca._GEO_SPAN)
+        for u in users
+    }
+
+    def close(a, b):
+        dx, dy = pts[a][0] - pts[b][0], pts[a][1] - pts[b][1]
+        return dx * dx + dy * dy <= ca._GEO_R2
+
+    nb = {u: sum(1 for v in users if v != u and close(u, v)) for u in users}
+    cores = {u for u in users if nb[u] >= ca._DB_MIN_PTS}
+    border = {
+        u
+        for u in users
+        if u not in cores and any(close(u, c) for c in cores if c != u)
+    }
+    got = {
+        r["user_id"]: r
+        for r in QUERIES["geo_dbscan_core_points"].fn(spark, SF01).collect()
+    }
+    assert len(got) == len(users)
+    labels = {"core", "border", "noise"}
+    seen = set()
+    for u in users:
+        r = got[u]
+        assert r["n_neighbors"] == nb[u]
+        expect = (
+            "core" if u in cores else "border" if u in border else "noise"
+        )
+        assert r["label"] == expect
+        seen.add(r["label"])
+    assert seen == labels  # all three classes actually occur at sf0.01

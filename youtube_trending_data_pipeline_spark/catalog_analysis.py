@@ -4177,3 +4177,141 @@ def apriori_triple_itemsets(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("long").alias("support"))
         .where(F.col("support") >= _AP_TRIPLE_MIN)
     )
+
+
+# ---------------------------------------------------------------------------
+# DBSCAN point classification on the spatial grid
+# ---------------------------------------------------------------------------
+
+_DB_MIN_PTS = 3  # neighbors (excluding self) required for a core point
+
+
+@register(
+    "geo_dbscan_core_points",
+    f"""
+    WITH pts AS (
+      SELECT user_id,
+             {_H32_DUCK.format(s="'x:' || CAST(user_id AS VARCHAR)")}
+               % {_GEO_SPAN} AS x,
+             {_H32_DUCK.format(s="'y:' || CAST(user_id AS VARCHAR)")}
+               % {_GEO_SPAN} AS y
+      FROM (SELECT DISTINCT user_id FROM events)
+    ), nb AS (
+      SELECT a.user_id, CAST(COUNT(*) AS BIGINT) AS n_neighbors
+      FROM pts a JOIN pts b
+        ON a.user_id <> b.user_id
+       AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+           <= {_GEO_R2}
+      GROUP BY a.user_id
+    ), lab AS (
+      SELECT p.user_id, COALESCE(nb.n_neighbors, 0) AS n_neighbors,
+             CASE WHEN COALESCE(nb.n_neighbors, 0) >= {_DB_MIN_PTS}
+                  THEN 'core' ELSE NULL END AS is_core
+      FROM pts p LEFT JOIN nb ON nb.user_id = p.user_id
+    ), border AS (
+      SELECT DISTINCT a.user_id
+      FROM pts a
+      JOIN lab c ON c.is_core = 'core' AND c.user_id <> a.user_id
+      JOIN pts cp ON cp.user_id = c.user_id
+      WHERE (a.x - cp.x) * (a.x - cp.x) + (a.y - cp.y) * (a.y - cp.y)
+            <= {_GEO_R2}
+    )
+    SELECT l.user_id, l.n_neighbors,
+           CASE WHEN l.is_core = 'core' THEN 'core'
+                WHEN b.user_id IS NOT NULL THEN 'border'
+                ELSE 'noise' END AS label
+    FROM lab l LEFT JOIN border b ON b.user_id = l.user_id
+    """,
+    "DBSCAN point classification (Ester et al. 1996, step 1 of "
+    "density clustering) over the same hash-derived plane as "
+    "geo_grid_spatial_join: a point is CORE with >= 3 in-radius "
+    "neighbors, BORDER if in some core point's radius without being "
+    "core itself, NOISE otherwise — the density labels that feed the "
+    "cluster-expansion step (which is connected components over core "
+    "points: operators/components.py, already in the engine). The "
+    "Spark side reuses the grid 3x3 neighborhood probe for BOTH the "
+    "neighbor count and the border test, so nothing is all-pairs; "
+    "the oracle replays the quadratic definition. Together the three "
+    "entries are a full distributed DBSCAN: grid join -> labels -> "
+    "CC expansion.",
+)
+def geo_dbscan_core_points(spark, sf_dir):
+    users = t(spark, sf_dir, "events").select("user_id").distinct()
+    pts = users.select(
+        "user_id",
+        (
+            F.expr(
+                _H32_SPARK.format(s="concat('x:', cast(user_id as string))")
+            )
+            % _GEO_SPAN
+        ).alias("x"),
+        (
+            F.expr(
+                _H32_SPARK.format(s="concat('y:', cast(user_id as string))")
+            )
+            % _GEO_SPAN
+        ).alias("y"),
+    ).localCheckpoint(eager=False)
+    home = pts.select(
+        F.col("user_id").alias("ub"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+        F.expr(f"x div {_GEO_CELL}").alias("cx"),
+        F.expr(f"y div {_GEO_CELL}").alias("cy"),
+    )
+    probes = pts.select(
+        F.col("user_id").alias("ua"),
+        F.col("x").alias("xa"),
+        F.col("y").alias("ya"),
+        F.explode(
+            F.expr(
+                f"""flatten(transform(sequence(-1, 1), i ->
+                      transform(sequence(-1, 1), j ->
+                        struct(x div {_GEO_CELL} + i AS cx,
+                               y div {_GEO_CELL} + j AS cy))))"""
+            )
+        ).alias("c"),
+    ).select(
+        "ua", "xa", "ya", F.col("c.cx").alias("cx"), F.col("c.cy").alias("cy")
+    )
+    in_radius = (
+        probes.join(home, ["cx", "cy"])
+        .where(F.col("ua") != F.col("ub"))
+        .where(
+            (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb"))
+            + (F.col("ya") - F.col("yb")) * (F.col("ya") - F.col("yb"))
+            <= _GEO_R2
+        )
+        .select("ua", "ub")
+        .localCheckpoint(eager=False)
+    )
+    nb = in_radius.groupBy("ua").agg(
+        F.count(F.lit(1)).cast("long").alias("n_neighbors")
+    )
+    lab = pts.select("user_id").join(
+        nb, pts["user_id"] == nb["ua"], "left"
+    ).select(
+        "user_id",
+        F.coalesce("n_neighbors", F.lit(0)).cast("long").alias("n_neighbors"),
+    )
+    cores = lab.where(F.col("n_neighbors") >= _DB_MIN_PTS).select(
+        F.col("user_id").alias("core_id")
+    )
+    # border = any point in a core's radius (pairs already computed)
+    border = (
+        in_radius.join(
+            cores, in_radius["ub"] == cores["core_id"], "left_semi"
+        )
+        .select(F.col("ua").alias("b_id"))
+        .distinct()
+    )
+    return lab.join(
+        border, lab["user_id"] == border["b_id"], "left"
+    ).select(
+        "user_id",
+        "n_neighbors",
+        F.when(F.col("n_neighbors") >= _DB_MIN_PTS, "core")
+        .when(F.col("b_id").isNotNull(), "border")
+        .otherwise("noise")
+        .alias("label"),
+    )
