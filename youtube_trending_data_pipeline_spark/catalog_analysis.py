@@ -2033,7 +2033,7 @@ def _ch_ring_sql(n_shards: int) -> str:
     """
 
 
-def _ch_assign_sql(ring: str, tag: str) -> str:
+def _ch_assign_sql(ring: str) -> str:
     return f"""
       SELECT d.doc_id,
              COALESCE(
@@ -2053,8 +2053,8 @@ def _ch_assign_sql(ring: str, tag: str) -> str:
       FROM documents
     ), ring_a AS ({_ch_ring_sql(_CH_SHARDS_BEFORE)}),
     ring_b AS ({_ch_ring_sql(_CH_SHARDS_BEFORE + 1)}),
-    ch_a AS ({_ch_assign_sql('SELECT * FROM ring_a', 'a')}),
-    ch_b AS ({_ch_assign_sql('SELECT * FROM ring_b', 'b')}),
+    ch_a AS ({_ch_assign_sql('SELECT * FROM ring_a')}),
+    ch_b AS ({_ch_assign_sql('SELECT * FROM ring_b')}),
     consistent AS (
       SELECT 'consistent' AS strategy,
              CAST(COUNT(*) AS BIGINT) AS n_docs,
