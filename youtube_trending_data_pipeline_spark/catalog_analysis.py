@@ -3338,7 +3338,7 @@ def index_phrase_query(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-def _pq_recall_oracle() -> str:
+def _pq_recall_oracle(sf_dir: str | None = None) -> str:
     """Composes the two REGISTERED pipeline oracles (sim_pq_adc_topk and
     sim_bruteforce_topk) as subqueries — the audit replays both full
     candidate pipelines, not a simplification of either."""
