@@ -1109,3 +1109,42 @@ def test_dbscan_labels_consistent_with_spatial_pairs(spark):
         assert r["label"] == expect
         seen.add(r["label"])
     assert seen == labels  # all three classes actually occur at sf0.01
+
+
+def test_carried_state_folds_partition_invariant(spark):
+    """The Arrow carried-state kernels (holt_linear_fold) must produce
+    BIT-IDENTICAL results regardless of the input's physical layout —
+    the repartition("user_id") + sortWithinPartitions contract is what
+    guarantees it; this drives the same entry through pathological
+    layouts (1 partition, 13 partitions, reverse-sorted input) and
+    diffs."""
+    import tempfile
+
+    from youtube_trending_data_pipeline_spark.catalog import t as _t
+
+    base = sorted(
+        (r["user_id"], r["n_events"], r["level_c"], r["trend_c"])
+        for r in QUERIES["holt_linear_fold"].fn(spark, SF).collect()
+    )
+    # rewrite the same events with hostile layouts, rerun the ENTRY
+    src = _t(spark, SF, "events")
+    for layout in ("one", "many", "reversed"):
+        d = tempfile.mkdtemp(prefix=f"fold-{layout}-")
+        df = src
+        if layout == "one":
+            df = df.coalesce(1)
+        elif layout == "many":
+            df = df.repartition(13)
+        else:
+            df = df.orderBy(F.desc("ts"), F.desc("event_id"))
+        # write as micros timestamps (what t() sniffs back in)
+        df.selectExpr(
+            "event_id",
+            "timestamp_micros(cast(ts div 1000 as long)) AS ts",
+            "user_id", "event_type", "value", "props",
+        ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+        got = sorted(
+            (r["user_id"], r["n_events"], r["level_c"], r["trend_c"])
+            for r in QUERIES["holt_linear_fold"].fn(spark, d).collect()
+        )
+        assert got == base, layout
