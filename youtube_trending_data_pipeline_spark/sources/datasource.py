@@ -297,3 +297,108 @@ class ReportSenderDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool) -> ReportSenderWriter:
         return ReportSenderWriter(self.options)
+
+
+# ---------------------------------------------------------------------------
+# Streaming alert sink (DataSourceStreamWriter) — completes the Python
+# DataSource quartet: batch read (trending_videos), stream read
+# (trending_days), batch write (report_sender), stream write (this).
+# ---------------------------------------------------------------------------
+
+from pyspark.sql.datasource import DataSourceStreamWriter  # noqa: E402
+
+
+@dataclass
+class _AlertBatchCommit(WriterCommitMessage):
+    part_file: str
+    n_rows: int
+
+
+class AlertStreamWriter(DataSourceStreamWriter):
+    """Two-phase streaming sink with EXACTLY-ONCE batch visibility.
+
+    ``write`` stages each partition's rows as JSON lines under
+    ``_staging/<epoch>-<uuid>`` (never visible to readers); ``commit``
+    atomically publishes the batch by writing a ``batch-<id>.manifest``
+    listing the staged files — readers only trust manifested files, so
+    a re-delivered microbatch (restart between stage and manifest)
+    re-stages under a fresh name and the manifest written once wins:
+    the standard transactional-sink recipe (the file-sink/Delta commit
+    protocol, miniaturized). ``abort`` removes staged files. State
+    lives entirely in the sink directory — no driver memory, so the
+    contract survives restarts (tests drive a kill-and-rerun)."""
+
+    def __init__(self, options) -> None:
+        self._dir = options.get("path")
+        if not self._dir:
+            raise ValueError("alert_sink requires .option('path', ...)")
+
+    def write(self, iterator):
+        import uuid
+
+        os.makedirs(os.path.join(self._dir, "_staging"), exist_ok=True)
+        name = f"part-{uuid.uuid4().hex}.jsonl"
+        staged = os.path.join(self._dir, "_staging", name)
+        n = 0
+        with open(staged, "w", encoding="utf-8") as fh:
+            for row in iterator:
+                fh.write(json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _AlertBatchCommit(part_file=name, n_rows=n)
+
+    def commit(self, messages, batchId) -> None:
+        manifest = os.path.join(self._dir, f"batch-{batchId}.manifest")
+        if os.path.exists(manifest):
+            return  # batch already published: re-commit is a no-op
+        entries = [
+            {"file": m.part_file, "n_rows": m.n_rows}
+            for m in messages
+            if m is not None
+        ]
+        tmp = manifest + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump({"batch_id": batchId, "files": entries}, fh)
+        os.replace(tmp, manifest)  # atomic publish
+
+    def abort(self, messages, batchId) -> None:
+        for m in messages:
+            if m is None:
+                continue
+            staged = os.path.join(self._dir, "_staging", m.part_file)
+            if os.path.exists(staged):
+                os.remove(staged)
+
+
+class AlertSinkDataSource(DataSource):
+    """``df.writeStream.format("alert_sink").option("path", dir)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "alert_sink"
+
+    def schema(self) -> str:
+        return "subject string, body string"
+
+    def streamWriter(self, schema, overwrite: bool) -> AlertStreamWriter:
+        return AlertStreamWriter(self.options)
+
+
+def read_alert_sink(sink_dir: str) -> list[dict]:
+    """Reader honoring the manifest contract: only rows from staged
+    files listed in a published batch manifest are visible."""
+    out: list[dict] = []
+    if not os.path.isdir(sink_dir):
+        return out
+    for entry in sorted(os.listdir(sink_dir)):
+        if not entry.endswith(".manifest"):
+            continue
+        with open(os.path.join(sink_dir, entry), encoding="utf-8") as fh:
+            manifest = json.load(fh)
+        for f in manifest["files"]:
+            path = os.path.join(sink_dir, "_staging", f["file"])
+            with open(path, encoding="utf-8") as fh:
+                for line in fh:
+                    rec = json.loads(line)
+                    rec["_batch_id"] = manifest["batch_id"]
+                    out.append(rec)
+    return out
