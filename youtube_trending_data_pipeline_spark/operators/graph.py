@@ -362,6 +362,7 @@ def kcore_peel(
     src: str = "src",
     dst: str = "dst",
     checkpoint: bool = True,
+    checkpoint_every: int = 2,
 ) -> DataFrame:
     """Fixed-round synchronous k-core peeling (Seidman 1983): each round
     removes EVERY vertex whose current degree is below ``k``, plus all
@@ -382,18 +383,23 @@ def kcore_peel(
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     if checkpoint:
         e = e.localCheckpoint(eager=False)
-    for _ in range(rounds):
+    for i in range(rounds):
+        # lineage cut every OTHER round: per-round cuts pay one extra
+        # materialization per round for nothing (A/B at sf0.1: 4.5 s ->
+        # 2.8 s for 16 rounds at every=2; every=4 regresses to 3.3 s as
+        # the doubled-plan growth starts to bite — PERF.md round 6)
+        cut = checkpoint and (i % checkpoint_every == checkpoint_every - 1)
         surv = (
             e.groupBy("src")
             .agg(F.count(F.lit(1)).alias("d"))
             .where(F.col("d") >= k)
             .select(F.col("src").alias("node"))
         )
-        if checkpoint:
+        if cut:
             surv = surv.localCheckpoint(eager=False)
         e = e.join(surv, e["src"] == surv["node"], "left_semi")
         e = e.join(surv, e["dst"] == surv["node"], "left_semi")
-        if checkpoint:
+        if cut:
             e = e.localCheckpoint(eager=False)
     return e.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).cast("long").alias("core_deg")
