@@ -1148,3 +1148,52 @@ def test_carried_state_folds_partition_invariant(spark):
             for r in QUERIES["holt_linear_fold"].fn(spark, d).collect()
         )
         assert got == base, layout
+
+
+def test_sobel_flat_vs_edge_images(spark):
+    """Crafted assets: a perfectly flat image has edge energy 0; a
+    hard vertical step has the textbook Sobel response (|gx| = 4*step
+    at every interior pixel, gy = 0); corrupt bytes quarantine."""
+    from youtube_trending_data_pipeline_spark.operators.multimodal import (
+        image_sobel_energy,
+    )
+
+    def ppm(pixels):
+        head = b"P6\n4 4\n255\n"
+        return head + bytes(b for px in pixels for b in px)
+
+    flat = ppm([(100, 100, 100)] * 16)
+    # vertical step: left two columns 0, right two columns 200
+    step = ppm(
+        [(0, 0, 0) if x < 2 else (200, 200, 200)
+         for y in range(4) for x in range(4)]
+    )
+    media = spark.createDataFrame(
+        [
+            ("flat", "image", bytearray(flat)),
+            ("step", "image", bytearray(step)),
+            ("corrupt", "image", bytearray(b"NOTPPM")),
+        ],
+        "asset_id string, media_type string, content binary",
+    )
+    got = {r["asset_id"]: r for r in image_sobel_energy(media).collect()}
+    assert got["flat"]["edge_energy"] == 0
+    assert got["flat"]["n_interior"] == 4
+    # step column boundary runs between x=1 and x=2: each interior pixel
+    # sees gx = 4*200 or 4*200 depending on position; verify against a
+    # direct Python conv
+    gray = [0 if x < 2 else 200 for y in range(4) for x in range(4)]
+
+    def g(x, y):
+        return gray[y * 4 + x]
+
+    expect_energy = 0
+    for y in (1, 2):
+        for x in (1, 2):
+            gx = (-g(x-1,y-1) + g(x+1,y-1) - 2*g(x-1,y) + 2*g(x+1,y)
+                  - g(x-1,y+1) + g(x+1,y+1))
+            gy = (-g(x-1,y-1) - 2*g(x,y-1) - g(x+1,y-1)
+                  + g(x-1,y+1) + 2*g(x,y+1) + g(x+1,y+1))
+            expect_energy += abs(gx) + abs(gy)
+    assert got["step"]["edge_energy"] == expect_energy > 0
+    assert got["corrupt"]["edge_energy"] is None  # quarantined

@@ -4315,3 +4315,93 @@ def geo_dbscan_core_points(spark, sf_dir):
         .otherwise("noise")
         .alias("label"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal: integer Sobel edge energy over synthetic 4x4 PPM assets
+# ---------------------------------------------------------------------------
+
+_SOBEL_W = 4
+
+
+def _sobel_oracle() -> str:
+    """Replays the 4x4 decode + every Sobel tap in pure SQL: the pixel
+    bytes are the same (doc_id*7 + i*13) % 256 formula the Spark side
+    encodes into the P6 payload."""
+    W = _SOBEL_W
+
+    def byte(i: int) -> str:
+        return f"((doc_id * 7 + {i} * 13) % 256)"
+
+    def gray(p: int) -> str:
+        return (
+            f"(({byte(3 * p)} + {byte(3 * p + 1)} + {byte(3 * p + 2)})"
+            " // 3)"
+        )
+
+    def g(x: int, y: int) -> str:
+        return f"g{y * W + x}"
+
+    gdefs = ", ".join(f"{gray(p)} AS g{p}" for p in range(W * W))
+    taps = []
+    for y in range(1, W - 1):
+        for x in range(1, W - 1):
+            gx = (
+                f"(-{g(x-1,y-1)} + {g(x+1,y-1)} - 2*{g(x-1,y)}"
+                f" + 2*{g(x+1,y)} - {g(x-1,y+1)} + {g(x+1,y+1)})"
+            )
+            gy = (
+                f"(-{g(x-1,y-1)} - 2*{g(x,y-1)} - {g(x+1,y-1)}"
+                f" + {g(x-1,y+1)} + 2*{g(x,y+1)} + {g(x+1,y+1)})"
+            )
+            taps.append(f"(abs({gx}) + abs({gy}))")
+    energy = " + ".join(taps)
+    maxg = f"GREATEST({', '.join(taps)})"
+    return f"""
+    WITH px AS (
+      SELECT CAST(doc_id AS VARCHAR) AS asset_id, {gdefs}
+      FROM documents
+    )
+    SELECT asset_id,
+           CAST({(W - 2) * (W - 2)} AS BIGINT) AS n_interior,
+           CAST({energy} AS BIGINT) AS edge_energy,
+           CAST({maxg} AS BIGINT) AS max_grad
+    FROM px
+    """
+
+
+@register(
+    "multimodal_image_sobel",
+    _sobel_oracle(),
+    "Multimodal integer Sobel edge energy: synthetic 4x4 P6 assets "
+    "(deterministic byte formula), decoded by the REAL pure-Python "
+    "PPM parser, convolved with the 3x3 Sobel Gx/Gy kernels over the "
+    "valid interior — energy = sum(|gx|+|gy|), plus the max "
+    "single-pixel gradient. The blur/structure screen run before the "
+    "embedding pass (near-zero energy = flat or defocused asset). "
+    "All-integer taps, so the oracle replays the ENTIRE convolution "
+    "pixel-for-pixel; Arrow mapInPandas with the module's shared "
+    "corrupt-asset quarantine policy. Scale shape: one pass over the "
+    "binary column, per-asset O(pixels) work, no shuffle.",
+)
+def multimodal_image_sobel(spark, sf_dir):
+    from youtube_trending_data_pipeline_spark.operators.multimodal import (
+        image_sobel_energy,
+    )
+
+    W = _SOBEL_W
+    pixel_hex = F.concat(
+        *[
+            F.lpad(F.hex((F.col("doc_id") * 7 + i * 13) % 256), 2, "0")
+            for i in range(3 * W * W)
+        ]
+    )
+    media = t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("asset_id"),
+        F.lit("image").alias("media_type"),
+        F.concat(
+            F.encode(F.lit(f"P6\n{W} {W}\n255\n"), "utf-8"),
+            F.unhex(pixel_hex),
+        ).alias("content"),
+    )
+    return image_sobel_energy(media)

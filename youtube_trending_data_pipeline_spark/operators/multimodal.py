@@ -929,3 +929,89 @@ def transcode_ppm_to_bmp(media: DataFrame) -> DataFrame:
         "asset_id", "content"
     )
     return images.mapInPandas(kernel, schema=TRANSCODE_SCHEMA)
+
+
+SOBEL_SCHEMA = StructType(
+    [
+        StructField("asset_id", StringType()),
+        StructField("n_interior", LongType()),
+        StructField("edge_energy", LongType()),
+        StructField("max_grad", LongType()),
+    ]
+)
+
+
+def image_sobel_energy(media: DataFrame) -> DataFrame:
+    """Per-image integer Sobel edge energy from a REAL decode: gray =
+    (r+g+b)//3 per pixel, the 3x3 Sobel Gx/Gy kernels convolved over
+    the VALID interior (no padding — border policy is part of the
+    contract), energy = sum(|gx| + |gy|), plus the max single-pixel
+    gradient. All integer, so the SQL oracle replays every tap of the
+    convolution. The blur/structure screen an image-training pipeline
+    runs before the embedding pass (near-zero energy = flat or
+    defocused asset); corrupt bytes quarantine as a NULL row, the
+    decode-failure policy shared by every kernel in this module."""
+
+    def rows_for(asset_id: str, content: bytes):
+        if content is None:
+            raise NotImplementedError(
+                "URI-only assets need an object-store fetch step"
+            )
+        try:
+            w, h, rgb = _decode_image_impl_raw(content)
+        except Exception:
+            yield {
+                "asset_id": asset_id,
+                "n_interior": None,
+                "edge_energy": None,
+                "max_grad": None,
+            }
+            return
+        gray = [
+            (rgb[p] + rgb[p + 1] + rgb[p + 2]) // 3
+            for p in range(0, len(rgb), 3)
+        ]
+
+        def g(x: int, y: int) -> int:
+            return gray[y * w + x]
+
+        energy = 0
+        max_grad = 0
+        n = 0
+        for y in range(1, h - 1):
+            for x in range(1, w - 1):
+                gx = (
+                    -g(x - 1, y - 1) + g(x + 1, y - 1)
+                    - 2 * g(x - 1, y) + 2 * g(x + 1, y)
+                    - g(x - 1, y + 1) + g(x + 1, y + 1)
+                )
+                gy = (
+                    -g(x - 1, y - 1) - 2 * g(x, y - 1) - g(x + 1, y - 1)
+                    + g(x - 1, y + 1) + 2 * g(x, y + 1) + g(x + 1, y + 1)
+                )
+                grad = abs(gx) + abs(gy)
+                energy += grad
+                max_grad = max(max_grad, grad)
+                n += 1
+        yield {
+            "asset_id": asset_id,
+            "n_interior": n,
+            "edge_energy": energy,
+            "max_grad": max_grad,
+        }
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                row
+                for aid, content in zip(pdf["asset_id"], pdf["content"])
+                for row in rows_for(aid, content)
+            ]
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in SOBEL_SCHEMA.fields]
+            )
+
+    images = media.where(F.col("media_type") == "image").select(
+        "asset_id", "content"
+    )
+    return images.mapInPandas(kernel, schema=SOBEL_SCHEMA)
