@@ -1197,3 +1197,40 @@ def test_sobel_flat_vs_edge_images(spark):
             expect_energy += abs(gx) + abs(gy)
     assert got["step"]["edge_energy"] == expect_energy > 0
     assert got["corrupt"]["edge_energy"] is None  # quarantined
+
+
+def test_audio_zcr_crafted_waveforms(spark):
+    """Crafted WAVs: an alternating-sign square wave crosses at every
+    step; a constant-sign ramp never crosses; corrupt bytes
+    quarantine."""
+    import struct
+
+    from youtube_trending_data_pipeline_spark.operators.multimodal import (
+        audio_zero_crossings,
+    )
+
+    def wav(samples):
+        hdr = (
+            b"RIFF" + struct.pack("<I", 36 + 2 * len(samples)) + b"WAVE"
+            + b"fmt " + struct.pack("<I", 16)
+            + struct.pack("<HHIIHH", 1, 1, 1000, 2000, 2, 16)
+            + b"data" + struct.pack("<I", 2 * len(samples))
+        )
+        return hdr + b"".join(struct.pack("<h", s) for s in samples)
+
+    media = spark.createDataFrame(
+        [
+            ("alt", "audio", bytearray(wav([500, -500, 500, -500, 500]))),
+            ("ramp", "audio", bytearray(wav([10, 20, 30, 40]))),
+            ("zero_edge", "audio", bytearray(wav([0, -1, 0, 1]))),
+            ("corrupt", "audio", bytearray(b"NOTWAV")),
+        ],
+        "asset_id string, media_type string, content binary",
+    )
+    got = {r["asset_id"]: r for r in audio_zero_crossings(media).collect()}
+    assert got["alt"]["zero_crossings"] == 4
+    assert got["alt"]["abs_energy"] == 2500
+    assert got["ramp"]["zero_crossings"] == 0
+    # sign(0) is non-negative: 0->-1 crosses, -1->0 crosses, 0->1 doesn't
+    assert got["zero_edge"]["zero_crossings"] == 2
+    assert got["corrupt"]["zero_crossings"] is None

@@ -4405,3 +4405,70 @@ def multimodal_image_sobel(spark, sf_dir):
         ).alias("content"),
     )
     return image_sobel_energy(media)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal: audio zero-crossing rate
+# ---------------------------------------------------------------------------
+
+
+def _zcr_oracle() -> str:
+    """Replays the 4 synthetic PCM16 samples and the sign-flip count."""
+
+    def s(i: int) -> str:
+        return f"((doc_id * 13 + {i} * 37) % 2048 - 1024)"
+
+    def sgn(expr: str) -> str:
+        return f"(CASE WHEN {expr} >= 0 THEN 1 ELSE -1 END)"
+
+    flips = " + ".join(
+        f"(CASE WHEN {sgn(s(i))} <> {sgn(s(i + 1))} THEN 1 ELSE 0 END)"
+        for i in range(3)
+    )
+    energy = " + ".join(f"abs({s(i)})" for i in range(4))
+    return f"""
+    SELECT CAST(doc_id AS VARCHAR) AS asset_id,
+           CAST(4 AS BIGINT) AS n_samples,
+           CAST({flips} AS BIGINT) AS zero_crossings,
+           CAST({energy} AS BIGINT) AS abs_energy
+    FROM documents
+    """
+
+
+@register(
+    "multimodal_audio_zcr",
+    _zcr_oracle(),
+    "Multimodal audio zero-crossing rate + integer absolute energy: "
+    "the same synthetic PCM16 WAV assets as the silence trim, decoded "
+    "by the REAL chunk-walking WAV parser, reduced to the sign-flip "
+    "count (sign(0) counted non-negative — the convention is stated "
+    "and replayed) and sum(|s|) — the voiced/unvoiced + silence "
+    "screen of speech preprocessing, in exact integers. One Arrow "
+    "pass over the binary column, shared quarantine policy, no "
+    "shuffle.",
+)
+def multimodal_audio_zcr(spark, sf_dir):
+    from youtube_trending_data_pipeline_spark.catalog_ext import (
+        _wav_header_hex,
+    )
+    from youtube_trending_data_pipeline_spark.operators.multimodal import (
+        audio_zero_crossings,
+    )
+
+    def sample_hex(i: int):
+        v = (F.col("doc_id") * 13 + i * 37) % 2048 - 1024
+        u = F.pmod(v, F.lit(65536))
+        return F.concat(
+            F.lpad(F.hex(u % 256), 2, "0"),
+            F.lpad(F.hex(F.floor(u / 256).cast("long")), 2, "0"),
+        )
+
+    data_hex = F.concat(*[sample_hex(i) for i in range(4)])
+    media = t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("asset_id"),
+        F.lit("audio").alias("media_type"),
+        F.concat(
+            F.unhex(F.lit(_wav_header_hex())), F.unhex(data_hex)
+        ).alias("content"),
+    )
+    return audio_zero_crossings(media)
