@@ -177,7 +177,10 @@ PRIORITY_UNCHECKED = [
 # dq_benford_digits, feature_quantile_normalize, token_shannon_code_audit,
 # index_phrase_query, sim_pq_recall_audit, pattern_match_recognize,
 # udaf_weighted_median, select_greedy_max_coverage, backfill_gap_plan,
-# join_cardinality_estimate, forecast_seasonal_naive_mae, (d) then tier-3
+# join_cardinality_estimate, forecast_seasonal_naive_mae,
+# rfm_segmentation, dq_overdispersion_vmr, apriori_triple_itemsets,
+# geo_dbscan_core_points, multimodal_image_sobel, multimodal_audio_zcr,
+# select_greedy_max_coverage is listed above — (d) then tier-3
 # regression re-checks keep cycling the oldest verified entries.
 
 
