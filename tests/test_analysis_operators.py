@@ -1234,3 +1234,34 @@ def test_audio_zcr_crafted_waveforms(spark):
     # sign(0) is non-negative: 0->-1 crosses, -1->0 crosses, 0->1 doesn't
     assert got["zero_edge"]["zero_crossings"] == 2
     assert got["corrupt"]["zero_crossings"] is None
+
+
+def test_sequence_audit_detects_planted_defects(spark):
+    """Crafted ids with one duplicate and one hole: both counted
+    exactly, gap-free flag off; a clean run flags on."""
+    import tempfile
+
+    def mk(ids):
+        d = tempfile.mkdtemp(prefix="seq-")
+        rows = [(i, 1, n * 1000000, "view", 0.0, "{}")
+                for n, i in enumerate(ids)]
+        spark.createDataFrame(
+            rows, "event_id long, user_id long, ts_us long, "
+            "event_type string, value double, props string"
+        ).selectExpr(
+            "event_id", "timestamp_micros(ts_us) AS ts", "user_id",
+            "event_type", "value", "props",
+        ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+        return d
+
+    bad = QUERIES["dq_sequence_audit"].fn(
+        spark, mk([10, 11, 11, 13, 14])  # dup 11, missing 12
+    ).collect()[0]
+    assert bad["n_duplicate_rows"] == 1
+    assert bad["n_missing_ids"] == 1
+    assert bad["is_gap_free"] == 0
+    good = QUERIES["dq_sequence_audit"].fn(
+        spark, mk([5, 6, 7, 8])
+    ).collect()[0]
+    assert good["is_gap_free"] == 1
+    assert good["n_duplicate_rows"] == good["n_missing_ids"] == 0

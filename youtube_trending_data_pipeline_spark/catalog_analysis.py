@@ -4472,3 +4472,64 @@ def multimodal_audio_zcr(spark, sf_dir):
         ).alias("content"),
     )
     return audio_zero_crossings(media)
+
+
+# ---------------------------------------------------------------------------
+# Sequence-completeness audit (dup / missing surrogate keys)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dq_sequence_audit",
+    """
+    WITH b AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_ids,
+             CAST(MIN(event_id) AS BIGINT) AS min_id,
+             CAST(MAX(event_id) AS BIGINT) AS max_id
+      FROM events
+    )
+    SELECT n_rows, n_ids, min_id, max_id,
+           CAST(n_rows - n_ids AS BIGINT) AS n_duplicate_rows,
+           CAST((max_id - min_id + 1) - n_ids AS BIGINT) AS n_missing_ids,
+           CAST(CASE WHEN n_rows = n_ids
+                      AND n_ids = max_id - min_id + 1
+                THEN 1 ELSE 0 END AS BIGINT) AS is_gap_free
+    FROM b
+    """,
+    "Sequence-completeness audit over the event surrogate key — the "
+    "first DQ check any CDC/ingest reconciliation runs: duplicate "
+    "rows (rows minus distinct ids) and missing ids (span minus "
+    "distinct) from ONE aggregate, no join against a generated "
+    "spine — at 100 TB you cannot materialize a sequence table to "
+    "anti-join, but min/max/count/distinct are one scan. A gap-free "
+    "flag summarizes; the per-range remediation list is "
+    "backfill_gap_plan's job once this flag trips.",
+)
+def dq_sequence_audit(spark, sf_dir):
+    b = t(spark, sf_dir, "events").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.countDistinct("event_id").cast("long").alias("n_ids"),
+        F.min("event_id").cast("long").alias("min_id"),
+        F.max("event_id").cast("long").alias("max_id"),
+    )
+    return b.select(
+        "n_rows",
+        "n_ids",
+        "min_id",
+        "max_id",
+        (F.col("n_rows") - F.col("n_ids")).cast("long").alias(
+            "n_duplicate_rows"
+        ),
+        (F.col("max_id") - F.col("min_id") + 1 - F.col("n_ids"))
+        .cast("long")
+        .alias("n_missing_ids"),
+        F.when(
+            (F.col("n_rows") == F.col("n_ids"))
+            & (F.col("n_ids") == F.col("max_id") - F.col("min_id") + 1),
+            1,
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("is_gap_free"),
+    )
