@@ -267,6 +267,9 @@ def test_no_accidental_cartesian_anywhere(spark):
         # pivot-seed broadcast is itself whitelisted) and the 5-row
         # brute-force query-side broadcast.
         "sim_pq_recall_audit",
+        # rfm_segmentation: 1-row corpus-max-timestamp anchor broadcast
+        # onto the per-user aggregate — constant-append.
+        "rfm_segmentation",
     }
     for name, spec in QUERIES.items():
         if name in allowed_cross:
