@@ -1265,3 +1265,34 @@ def test_sequence_audit_detects_planted_defects(spark):
     ).collect()[0]
     assert good["is_gap_free"] == 1
     assert good["n_duplicate_rows"] == good["n_missing_ids"] == 0
+
+
+def test_video_motion_translation_invisible_to_mean(spark):
+    """Crafted 2x2 clip: frame 1 is frame 0 with two pixel values
+    SWAPPED (an object 'moving') — the frame mean is identical
+    (mean_abs_delta == 0) while per-pixel SAD fires. The case that
+    justifies SAD over mean-delta scene detection."""
+    from youtube_trending_data_pipeline_spark.operators.multimodal import (
+        video_motion_sad,
+    )
+
+    def y4m(frames):
+        head = b"YUV4MPEG2 W2 H2 F10:1 Ip A1:1 C420\n"
+        body = b""
+        for luma in frames:
+            body += b"FRAME\n" + bytes(luma) + bytes([128, 128])
+        return head + body
+
+    moving = y4m([[200, 10, 10, 10], [10, 10, 200, 10]])  # swap: same sum
+    static = y4m([[50, 50, 50, 50], [50, 50, 50, 50]])
+    media = spark.createDataFrame(
+        [
+            ("moving", "video", bytearray(moving)),
+            ("static", "video", bytearray(static)),
+        ],
+        "asset_id string, media_type string, content binary",
+    )
+    got = {r["asset_id"]: r for r in video_motion_sad(media).collect()}
+    assert got["moving"]["mean_abs_delta"] == 0
+    assert got["moving"]["sad"] == 380  # |10-200| + |200-10|
+    assert got["static"]["sad"] == 0

@@ -4533,3 +4533,81 @@ def dq_sequence_audit(spark, sf_dir):
         .cast("long")
         .alias("is_gap_free"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal: per-pixel video motion (SAD)
+# ---------------------------------------------------------------------------
+
+
+def _motion_oracle() -> str:
+    """Replays the 2-frame synthetic Y4M luma formulas and the per-pixel
+    SAD between them."""
+
+    def y(f: int, i: int) -> str:
+        return f"((doc_id * 11 + {f} * 29 + {i} * 17) % 256)"
+
+    sad = " + ".join(f"abs({y(1, i)} - {y(0, i)})" for i in range(4))
+    mean_delta = (
+        "abs(("
+        + " + ".join(y(1, i) for i in range(4))
+        + ") - ("
+        + " + ".join(y(0, i) for i in range(4))
+        + "))"
+    )
+    return f"""
+    SELECT CAST(doc_id AS VARCHAR) AS asset_id,
+           CAST(1 AS BIGINT) AS frame_idx,
+           CAST({sad} AS BIGINT) AS sad,
+           CAST({mean_delta} AS BIGINT) AS mean_abs_delta
+    FROM documents
+    """
+
+
+@register(
+    "multimodal_video_motion",
+    _motion_oracle(),
+    "Multimodal per-pixel video motion: the same synthetic 2-frame "
+    "Y4M clips as multimodal_video_frames, decoded by the REAL Y4M "
+    "parser, reduced to the luma-plane SAD between adjacent frames "
+    "next to the |mean delta| the scene-cut detector uses — SAD "
+    "catches translation motion that leaves the frame mean unchanged "
+    "(pinned by a crafted behavioral test), which is why codecs and "
+    "sampling heuristics estimate motion per-pixel, not per-mean. "
+    "Oracle replays every |y1_i - y0_i| tap. One Arrow pass, shared "
+    "quarantine policy, no shuffle.",
+)
+def multimodal_video_motion(spark, sf_dir):
+    from youtube_trending_data_pipeline_spark.operators.multimodal import (
+        video_motion_sad,
+    )
+
+    frame_parts = []
+    for f in (0, 1):
+        luma_hex = F.concat(
+            *[
+                F.lpad(
+                    F.hex((F.col("doc_id") * 11 + f * 29 + i * 17) % 256),
+                    2,
+                    "0",
+                )
+                for i in range(4)
+            ]
+        )
+        chroma_hex = F.concat(
+            F.lpad(F.hex((F.col("doc_id") * 5 + f * 3) % 256), 2, "0"),
+            F.lpad(F.hex((F.col("doc_id") * 3 + f * 7) % 256), 2, "0"),
+        )
+        frame_parts.append(F.encode(F.lit("FRAME\n"), "utf-8"))
+        frame_parts.append(F.unhex(F.concat(luma_hex, chroma_hex)))
+    media = t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("asset_id"),
+        F.lit("video").alias("media_type"),
+        F.concat(
+            F.encode(
+                F.lit("YUV4MPEG2 W2 H2 F10:1 Ip A1:1 C420\n"), "utf-8"
+            ),
+            *frame_parts,
+        ).alias("content"),
+    )
+    return video_motion_sad(media)

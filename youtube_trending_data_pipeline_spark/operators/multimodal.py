@@ -1081,3 +1081,65 @@ def audio_zero_crossings(media: DataFrame) -> DataFrame:
         "asset_id", "content"
     )
     return audio.mapInPandas(kernel, schema=ZCR_SCHEMA)
+
+
+MOTION_SCHEMA = StructType(
+    [
+        StructField("asset_id", StringType()),
+        StructField("frame_idx", LongType()),
+        StructField("sad", LongType()),
+        StructField("mean_abs_delta", LongType()),
+    ]
+)
+
+
+def video_motion_sad(media: DataFrame) -> DataFrame:
+    """Per-pixel sum-of-absolute-differences motion between adjacent
+    Y4M frames — the estimate scene-cut mean-luma deltas CANNOT give
+    you: an object translating across a constant background keeps the
+    frame MEAN unchanged while SAD fires (the behavioral test crafts
+    exactly that). Emits, per frame transition, the integer SAD over
+    the luma plane next to |mean delta| (scaled by pixel count to stay
+    integer: |sum_f - sum_(f-1)|), so the two signals are directly
+    comparable. Corrupt bytes quarantine as one NULL row."""
+
+    def rows_for(asset_id: str, content: bytes):
+        if content is None:
+            raise NotImplementedError(
+                "URI-only assets need an object-store fetch step"
+            )
+        try:
+            _w, _h, _fn, _fd, frames = decode_y4m(content)
+        except Exception:
+            yield {
+                "asset_id": asset_id,
+                "frame_idx": None,
+                "sad": None,
+                "mean_abs_delta": None,
+            }
+            return
+        for i in range(1, len(frames)):
+            prev, cur = frames[i - 1], frames[i]
+            sad = sum(abs(a - b) for a, b in zip(prev, cur))
+            yield {
+                "asset_id": asset_id,
+                "frame_idx": i,
+                "sad": sad,
+                "mean_abs_delta": abs(sum(cur) - sum(prev)),
+            }
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                row
+                for aid, content in zip(pdf["asset_id"], pdf["content"])
+                for row in rows_for(aid, content)
+            ]
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in MOTION_SCHEMA.fields]
+            )
+
+    video = media.where(F.col("media_type") == "video").select(
+        "asset_id", "content"
+    )
+    return video.mapInPandas(kernel, schema=MOTION_SCHEMA)
