@@ -1296,3 +1296,19 @@ def test_video_motion_translation_invisible_to_mean(spark):
     assert got["moving"]["mean_abs_delta"] == 0
     assert got["moving"]["sad"] == 380  # |10-200| + |200-10|
     assert got["static"]["sad"] == 0
+
+
+def test_scd2_asof_exactly_one_version_per_probe(spark):
+    """For every probe instant, each user with history started by then
+    resolves to EXACTLY ONE version (interval partitioning), and the
+    resolved version is the latest change at-or-before the probe."""
+    rows = QUERIES["scd2_asof_lookup"].fn(spark, SF).collect()
+    seen: dict[tuple, int] = {}
+    for r in rows:
+        key = (r["probe_ppm"], r["user_id"])
+        seen[key] = seen.get(key, 0) + 1
+    assert seen and all(v == 1 for v in seen.values())
+    # at the latest probe, every user resolves (all histories started)
+    n_users = len({u for (_, u) in seen})
+    last = max(p for (p, _) in seen)
+    assert sum(1 for (p, _) in seen if p == last) == n_users

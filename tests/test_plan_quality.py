@@ -270,6 +270,10 @@ def test_no_accidental_cartesian_anywhere(spark):
         # rfm_segmentation: 1-row corpus-max-timestamp anchor broadcast
         # onto the per-user aggregate — constant-append.
         "rfm_segmentation",
+        # scd2_asof_lookup: the 3-row probe spine (1-row span append +
+        # interval-containment theta join against the dimension) — the
+        # j6_asof_join family's deliberate bounded pattern.
+        "scd2_asof_lookup",
     }
     for name, spec in QUERIES.items():
         if name in allowed_cross:

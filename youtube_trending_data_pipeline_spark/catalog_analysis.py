@@ -4611,3 +4611,92 @@ def multimodal_video_motion(spark, sf_dir):
         ).alias("content"),
     )
     return video_motion_sad(media)
+
+
+# ---------------------------------------------------------------------------
+# SCD2 as-of lookup (time travel against the versioned dimension)
+# ---------------------------------------------------------------------------
+
+# probe instants as fractions of the corpus time span (ppm), resolved
+# against min/max event time so the entry is scale-free
+_SCD2_PROBE_PPM = (250000, 500000, 750000)
+_SCD2_PROBE_VALUES = ", ".join(f"({p})" for p in _SCD2_PROBE_PPM)
+
+
+@register(
+    "scd2_asof_lookup",
+    f"""
+    WITH dim AS (
+      SELECT user_id, event_id, event_type,
+             CAST(epoch_us(ts) AS BIGINT) AS valid_from_us,
+             LEAD(CAST(epoch_us(ts) AS BIGINT)) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ) AS valid_to_us
+      FROM events
+    ), span AS (
+      SELECT CAST(MIN(epoch_us(ts)) AS BIGINT) AS lo,
+             CAST(MAX(epoch_us(ts)) AS BIGINT) AS hi
+      FROM events
+    ), probes AS (
+      SELECT p.ppm,
+             s.lo + ((s.hi - s.lo) * p.ppm) // 1000000 AS at_us
+      FROM (SELECT * FROM (VALUES {_SCD2_PROBE_VALUES}) v(ppm)) p, span s
+    )
+    SELECT p.ppm AS probe_ppm, d.user_id, d.event_id AS version_event_id,
+           d.event_type AS state_at_probe
+    FROM probes p
+    JOIN dim d
+      ON d.valid_from_us <= p.at_us
+     AND (d.valid_to_us IS NULL OR d.valid_to_us > p.at_us)
+    """,
+    "Time travel against the SCD2 dimension scd2_build produces: for "
+    "three probe instants placed at fixed fractions of the corpus "
+    "time span (scale-free — no literal timestamps to rot when "
+    "testdata regenerates), resolve every user's version valid AT "
+    "that instant via the half-open [valid_from, valid_to) interval "
+    "predicate — the point-in-time dimension lookup every "
+    "fact-to-history join runs. The open-ended current version "
+    "(NULL valid_to) matches any probe after its start. Interval "
+    "containment on a versioned dimension is the j6_asof_join "
+    "family restated as SCD2 time travel; the 3-row probe spine is "
+    "a broadcast constant.",
+)
+def scd2_asof_lookup(spark, sf_dir):
+    ev = t(spark, sf_dir, "events").withColumn(
+        "ts_us", F.expr("ts div 1000")
+    )
+    wv = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    dim = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.col("ts_us").alias("valid_from_us"),
+        F.lead("ts_us").over(wv).alias("valid_to_us"),
+    )
+    span = ev.agg(
+        F.min("ts_us").cast("long").alias("lo"),
+        F.max("ts_us").cast("long").alias("hi"),
+    )
+    probes = (
+        spark.createDataFrame(
+            [(p,) for p in _SCD2_PROBE_PPM], "ppm long"
+        )
+        .crossJoin(F.broadcast(span))
+        .select(
+            "ppm",
+            F.expr("lo + ((hi - lo) * ppm) div 1000000").alias("at_us"),
+        )
+    )
+    return dim.join(
+        F.broadcast(probes),
+        (F.col("valid_from_us") <= F.col("at_us"))
+        & (
+            F.col("valid_to_us").isNull()
+            | (F.col("valid_to_us") > F.col("at_us"))
+        ),
+    ).select(
+        F.col("ppm").alias("probe_ppm"),
+        "user_id",
+        F.col("event_id").alias("version_event_id"),
+        F.col("event_type").alias("state_at_probe"),
+    )
