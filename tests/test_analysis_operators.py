@@ -1312,3 +1312,24 @@ def test_scd2_asof_exactly_one_version_per_probe(spark):
     n_users = len({u for (_, u) in seen})
     last = max(p for (p, _) in seen)
     assert sum(1 for (p, _) in seen if p == last) == n_users
+
+
+def test_kwic_crafted_contexts(spark):
+    """Crafted doc: term at start, middle, and end — context windows
+    clamp correctly and reconstruct the original neighborhoods."""
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="kwic-")
+    docs = [(1, "spark a b spark c d spark", "en", "s", 1)]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    rows = sorted(
+        QUERIES["text_kwic_concordance"].fn(spark, d).collect(),
+        key=lambda r: r["pos"],
+    )
+    assert [(r["pos"], r["left_ctx"], r["right_ctx"]) for r in rows] == [
+        (1, "", "a b"),
+        (4, "a b", "c d"),
+        (7, "c d", ""),
+    ]

@@ -4700,3 +4700,73 @@ def scd2_asof_lookup(spark, sf_dir):
         F.col("event_id").alias("version_event_id"),
         F.col("event_type").alias("state_at_probe"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Keyword-in-context (KWIC) concordance
+# ---------------------------------------------------------------------------
+
+_KWIC_TERM = "spark"
+_KWIC_CTX = 2
+
+
+@register(
+    "text_kwic_concordance",
+    f"""
+    WITH tk AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ), hits AS (
+      SELECT doc_id, toks, i AS pos
+      FROM tk, unnest(range(1, len(toks) + 1)) AS u(i)
+      WHERE toks[i] = '{_KWIC_TERM}'
+    )
+    SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+           -- COALESCE: an edge-of-document slice is NULL in DuckDB but
+           -- an empty array (-> '') in Spark
+           COALESCE(array_to_string(
+             toks[GREATEST(1, pos - {_KWIC_CTX}):pos - 1], ' '), '')
+             AS left_ctx,
+           COALESCE(array_to_string(
+             toks[pos + 1:LEAST(len(toks), pos + {_KWIC_CTX})], ' '), '')
+             AS right_ctx
+    FROM hits
+    """,
+    "Keyword-in-context concordance (the corpus linguist's KWIC view, "
+    "and the snippet generator behind search-result highlighting): "
+    "every occurrence of the term with its +-2-token context windows, "
+    "clamped at document edges. Spark keeps the token array and "
+    "slices it per hit (posexplode for positions, slice for context "
+    "— no self-join back to the text); the oracle replays the same "
+    "1-based slices with DuckDB list ranges. One scan, per-doc "
+    "fan-out bounded by term frequency.",
+)
+def text_kwic_concordance(spark, sf_dir):
+    hits = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", _toks_a().alias("toks"))
+        .select(
+            "doc_id",
+            "toks",
+            F.posexplode("toks").alias("pos0", "tok"),
+        )
+        .where(F.col("tok") == _KWIC_TERM)
+        .select("doc_id", "toks", (F.col("pos0") + 1).alias("pos"))
+    )
+    return hits.select(
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+        F.array_join(
+            F.expr(
+                f"slice(toks, GREATEST(1, pos - {_KWIC_CTX}), "
+                f"pos - GREATEST(1, pos - {_KWIC_CTX}))"
+            ),
+            " ",
+        ).alias("left_ctx"),
+        F.array_join(
+            F.expr(
+                f"slice(toks, pos + 1, "
+                f"LEAST(size(toks), pos + {_KWIC_CTX}) - pos)"
+            ),
+            " ",
+        ).alias("right_ctx"),
+    )
