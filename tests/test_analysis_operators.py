@@ -1333,3 +1333,44 @@ def test_kwic_crafted_contexts(spark):
         (4, "a b", "c d"),
         (7, "c d", ""),
     ]
+
+
+def test_seasonal_anomaly_flags_planted_spike(spark):
+    """Crafted weekly-periodic series with one violent spike: exactly
+    that day is flagged, nothing else."""
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="anom-")
+    DAY = 86400000000
+    rows, eid = [], 0
+    for day in range(28):  # 4 identical weeks
+        v = [10.0, 20.0, 30.0, 40.0, 50.0, 60.0, 70.0][day % 7]
+        if day == 20:
+            v += 500.0  # violent spike in week 3
+        eid += 1
+        rows.append((eid, 1, day * DAY, "view", v, "{}"))
+    spark.createDataFrame(
+        rows, "event_id long, user_id long, ts_us long, event_type string, "
+        "value double, props string"
+    ).selectExpr(
+        "event_id", "timestamp_micros(ts_us) AS ts", "user_id",
+        "event_type", "value", "props",
+    ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    got = QUERIES["anomaly_seasonal_residual"].fn(spark, d).collect()
+    # the spike day AND its echo a week later (residual = -500) flag
+    days = sorted(r["day"] for r in got)
+    assert days == [20, 27]
+    by = {r["day"]: r for r in got}
+    assert by[20]["residual_c"] == 50000
+    assert by[27]["residual_c"] == -50000
+
+
+def test_markov_stationary_mass_and_positivity(spark):
+    """The iterated vector keeps (almost) full ppm mass — truncating
+    division can only leak a few ppm per round — and every state stays
+    positive on this fully-connected chain."""
+    rows = QUERIES["markov_stationary_iter"].fn(spark, SF).collect()
+    assert len(rows) == 5
+    total = sum(r["pi_ppm"] for r in rows)
+    assert 990000 <= total <= 1000000
+    assert all(r["pi_ppm"] > 0 for r in rows)

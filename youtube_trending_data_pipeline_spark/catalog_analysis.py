@@ -4770,3 +4770,213 @@ def text_kwic_concordance(spark, sf_dir):
             " ",
         ).alias("right_ctx"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-residual anomaly detection (seasonal-naive + MAD)
+# ---------------------------------------------------------------------------
+
+_AR_MAD_K = 3
+
+
+@register(
+    "anomaly_seasonal_residual",
+    f"""
+    WITH daily AS (
+      SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS v
+      FROM events GROUP BY 1, 2
+    ), resid AS (
+      SELECT event_type, day, v,
+             v - LAG(v, 7) OVER (PARTITION BY event_type ORDER BY day)
+               AS r
+      FROM daily
+    ), scored AS (
+      SELECT event_type, day, v, r, abs(r) AS ar,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY abs(r), day) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS nr
+      FROM resid WHERE r IS NOT NULL
+    ), mad AS (
+      SELECT event_type,
+             MAX(CASE WHEN rn = (nr + 1) // 2 THEN ar END) AS mad_c
+      FROM scored GROUP BY event_type
+    )
+    SELECT s.event_type, CAST(s.day AS BIGINT) AS day, s.v, s.r AS residual_c,
+           m.mad_c,
+           CAST(CASE WHEN abs(s.r) > {_AR_MAD_K} * m.mad_c
+                THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+    FROM scored s JOIN mad m USING (event_type)
+    WHERE abs(s.r) > {_AR_MAD_K} * m.mad_c
+    """,
+    "Seasonal-residual anomaly detection — the composition every "
+    "monitoring stack runs: deseasonalize by the seasonal-naive "
+    "forecast (value minus same-weekday-last-week), then flag days "
+    "whose |residual| exceeds 3x the MAD of residuals — the robust "
+    "band that raw-value z-scores (grouped_zscore) and raw-value MAD "
+    "(events_anomaly_mad) both get wrong on strongly weekly data, "
+    "because the seasonal swing IS their 'anomaly'. MAD as the lower "
+    "median of |residuals| (exact order statistic, deterministic "
+    "ties); emits only the flagged days — the page-the-oncall list, "
+    "not a scored firehose. One daily aggregate + lag window + one "
+    "per-type order statistic.",
+)
+def anomaly_seasonal_residual(spark, sf_dir):
+    from youtube_trending_data_pipeline_spark.catalog import cents
+
+    daily = (
+        t(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.expr("(ts div 1000) div 86400000000").alias("day"),
+            cents("value").alias("c"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("c").cast("long").alias("v"))
+    )
+    wl = W.partitionBy("event_type").orderBy("day")
+    resid = daily.withColumn(
+        "r", F.col("v") - F.lag("v", 7).over(wl)
+    ).where(F.col("r").isNotNull())
+    ws = W.partitionBy("event_type").orderBy(F.abs(F.col("r")), F.col("day"))
+    scored = resid.select(
+        "event_type",
+        "day",
+        "v",
+        "r",
+        F.abs("r").alias("ar"),
+        F.row_number().over(ws).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("event_type")).alias("nr"),
+    )
+    mad = scored.groupBy("event_type").agg(
+        F.max(
+            F.when(F.col("rn") == F.expr("(nr + 1) div 2"), F.col("ar"))
+        ).alias("mad_c")
+    )
+    return (
+        scored.join(mad, "event_type")
+        .where(F.abs(F.col("r")) > _AR_MAD_K * F.col("mad_c"))
+        .select(
+            "event_type",
+            F.col("day").cast("long").alias("day"),
+            "v",
+            F.col("r").alias("residual_c"),
+            "mad_c",
+            F.lit(1).cast("long").alias("is_anomaly"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Markov stationary distribution (unrolled power iteration)
+# ---------------------------------------------------------------------------
+
+_MK_ITERS = 4
+_MK_SCALE = 1000000
+
+
+def _markov_oracle() -> str:
+    """Unrolled power iteration over the event-type transition matrix:
+    pi_{t+1}(j) = sum_i pi_t(i) * c_ij // r_i, integer ppm with
+    truncating division (the deterministic approximation both engines
+    replay identically). MATERIALIZED rounds: each reads the previous
+    vector once and the static matrix once."""
+    steps = []
+    for i in range(1, _MK_ITERS + 1):
+        steps.append(f"""
+    p{i} AS MATERIALIZED (
+      SELECT m.dst AS state,
+             CAST(SUM((p.pi * m.c) // m.r) AS BIGINT) AS pi
+      FROM p{i - 1} p JOIN m ON m.src = p.state
+      GROUP BY m.dst
+    )""")
+    return f"""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY epoch_ns(ts), event_id) AS rn
+      FROM events
+    ), trans AS (
+      SELECT a.event_type AS src, b.event_type AS dst
+      FROM seq a JOIN seq b
+        ON a.user_id = b.user_id AND b.rn = a.rn + 1
+    ), m AS MATERIALIZED (
+      SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS c,
+             CAST(SUM(COUNT(*)) OVER (PARTITION BY src) AS BIGINT) AS r
+      FROM trans GROUP BY src, dst
+    ), states AS (
+      SELECT DISTINCT src AS state FROM m
+    ), p0 AS MATERIALIZED (
+      SELECT state,
+             CAST({_MK_SCALE} // (SELECT COUNT(*) FROM states) AS BIGINT)
+               AS pi
+      FROM states
+    ),
+    {','.join(steps)}
+    SELECT state AS event_type, pi AS pi_ppm FROM p{_MK_ITERS}
+    """
+
+
+@register(
+    "markov_stationary_iter",
+    _markov_oracle(),
+    "Markov stationary distribution by power iteration over the "
+    "event-type transition matrix event_transition_matrix builds: "
+    "four unrolled rounds of pi*P in integer ppm (counts over row "
+    "totals, truncating division — a deterministic approximation "
+    "both engines replay bit-for-bit; exact rational iteration would "
+    "blow past int64 by round 2), starting uniform. The steady-state "
+    "view of user behavior that a raw frequency count ONLY matches "
+    "when the chain is already mixed — on real funnels they differ, "
+    "which is the point of computing it. Per round: one join of the "
+    "5-vector onto the dimension-sized matrix + one aggregate; the "
+    "states^2 matrix never grows with data.",
+)
+def markov_stationary_iter(spark, sf_dir):
+    seq = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.row_number()
+        .over(W.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("rn"),
+    )
+    a, b = seq.alias("a"), seq.alias("b")
+    trans = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("b.rn") == F.col("a.rn") + 1),
+    ).select(
+        F.col("a.event_type").alias("src"),
+        F.col("b.event_type").alias("dst"),
+    )
+    m = (
+        trans.groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .withColumn(
+            "r", F.sum("c").over(W.partitionBy("src")).cast("long")
+        )
+        .localCheckpoint(eager=False)
+    )
+    states = m.select(F.col("src").alias("state")).distinct()
+    n_states = states.agg(F.count(F.lit(1)).alias("ns"))
+    pi = (
+        states.crossJoin(F.broadcast(n_states))
+        .select(
+            "state",
+            F.expr(f"CAST({_MK_SCALE} div ns AS BIGINT)").alias("pi"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(_MK_ITERS):
+        pi = (
+            m.join(pi, m["src"] == pi["state"])
+            .groupBy(F.col("dst").alias("state2"))
+            .agg(
+                F.sum(F.expr("(pi * c) div r")).cast("long").alias("pi")
+            )
+            .select(F.col("state2").alias("state"), "pi")
+            .localCheckpoint(eager=False)
+        )
+    return pi.select(
+        F.col("state").alias("event_type"), F.col("pi").alias("pi_ppm")
+    )
