@@ -1374,3 +1374,49 @@ def test_markov_stationary_mass_and_positivity(spark):
     total = sum(r["pi_ppm"] for r in rows)
     assert 990000 <= total <= 1000000
     assert all(r["pi_ppm"] > 0 for r in rows)
+
+
+def test_haar_invertibility(spark):
+    """The unnormalized Haar pyramid is invertible: reconstructing the
+    8 daily values from (a3, d3, d2_*, d1_*) recovers the original
+    series exactly (integer arithmetic round-trips)."""
+    from youtube_trending_data_pipeline_spark.catalog import cents, t as _t
+
+    daily = (
+        _t(spark, SF, "events")
+        .selectExpr(
+            "event_type",
+            "(ts div 1000) div 86400000000 AS day",
+            "CAST(ROUND(value * 100) AS BIGINT) AS c",
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("c").alias("v"))
+        .orderBy("event_type", "day")
+        .collect()
+    )
+    series: dict[str, list] = {}
+    for r in daily:
+        series.setdefault(r["event_type"], []).append(r["v"])
+    coefs: dict[str, dict] = {}
+    for r in QUERIES["haar_transform_daily"].fn(spark, SF).collect():
+        coefs.setdefault(r["event_type"], {})[(r["coef"], r["idx"])] = r[
+            "value_c"
+        ]
+    for ty, c in coefs.items():
+        a2 = [
+            (c[("a3", 0)] + c[("d3", 0)]) // 2,
+            (c[("a3", 0)] - c[("d3", 0)]) // 2,
+        ]
+        a1 = []
+        for i in range(2):
+            a1 += [
+                (a2[i] + c[("d2", i)]) // 2,
+                (a2[i] - c[("d2", i)]) // 2,
+            ]
+        x = []
+        for i in range(4):
+            x += [
+                (a1[i] + c[("d1", i)]) // 2,
+                (a1[i] - c[("d1", i)]) // 2,
+            ]
+        assert x == series[ty][:8]

@@ -4980,3 +4980,136 @@ def markov_stationary_iter(spark, sf_dir):
     return pi.select(
         F.col("state").alias("event_type"), F.col("pi").alias("pi_ppm")
     )
+
+
+# ---------------------------------------------------------------------------
+# Unnormalized Haar wavelet decomposition of the daily series
+# ---------------------------------------------------------------------------
+
+_HAAR_N = 8  # first 8 days -> 3 levels
+
+
+def _haar_oracle() -> str:
+    """Replays the 3-level unnormalized Haar pyramid over the first 8
+    daily totals: level sums/differences only — no division, fully
+    integer-exact."""
+    # x0..x7 columns, then 3 unrolled levels
+    xs = ", ".join(
+        f"MAX(CASE WHEN rn = {i + 1} THEN v END) AS x{i}"
+        for i in range(_HAAR_N)
+    )
+    l1 = ", ".join(
+        [f"(x{2*i} + x{2*i+1}) AS a1_{i}" for i in range(4)]
+        + [f"(x{2*i} - x{2*i+1}) AS d1_{i}" for i in range(4)]
+    )
+    l2 = ", ".join(
+        [f"(a1_{2*i} + a1_{2*i+1}) AS a2_{i}" for i in range(2)]
+        + [f"(a1_{2*i} - a1_{2*i+1}) AS d2_{i}" for i in range(2)]
+    )
+    l3 = "(a2_0 + a2_1) AS a3_0, (a2_0 - a2_1) AS d3_0"
+    outs = (
+        ["('a3', 0, a3_0)", "('d3', 0, d3_0)"]
+        + [f"('d2', {i}, d2_{i})" for i in range(2)]
+        + [f"('d1', {i}, d1_{i})" for i in range(4)]
+    )
+    unions = " UNION ALL ".join(
+        f"SELECT event_type, {o[1:-1].split(',')[0]} AS coef, "
+        f"CAST({o[1:-1].split(',')[1]} AS BIGINT) AS idx, "
+        f"CAST({o[1:-1].split(',')[2]} AS BIGINT) AS value_c FROM lvl3"
+        for o in outs
+    )
+    return f"""
+    WITH daily AS (
+      SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS v
+      FROM events GROUP BY 1, 2
+    ), ranked AS (
+      SELECT event_type, v,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day)
+               AS rn
+      FROM daily
+    ), wide AS (
+      SELECT event_type, {xs}
+      FROM ranked WHERE rn <= {_HAAR_N} GROUP BY event_type
+    ), lvl1 AS (SELECT event_type, {l1} FROM wide),
+    lvl2 AS (SELECT event_type, d1_0, d1_1, d1_2, d1_3, {l2} FROM lvl1),
+    lvl3 AS (SELECT event_type, d1_0, d1_1, d1_2, d1_3, d2_0, d2_1, {l3}
+             FROM lvl2)
+    {unions}
+    """
+
+
+@register(
+    "haar_transform_daily",
+    _haar_oracle(),
+    "Unnormalized Haar wavelet pyramid over each type's first 8 daily "
+    "cent totals: pairwise sums (approximation) and differences "
+    "(detail) across 3 levels — NO division anywhere, so the "
+    "multiresolution coefficients are fully integer-exact in both "
+    "engines (the normalized transform's sqrt(2) factors are exactly "
+    "what cross-engine float math cannot replay). a3_0 is the total "
+    "over the window, d3_0 the half-vs-half contrast, d2_* the "
+    "2-day-block contrasts, d1_* the day-pair contrasts — the "
+    "wavelet synopsis classic histogram/approximate-query papers "
+    "(Matias-Vitter-Wang) build on, and the energy-by-level readout "
+    "that separates trend from daily noise. One daily aggregate + a "
+    "per-type 8-slot pivot + pure column arithmetic.",
+)
+def haar_transform_daily(spark, sf_dir):
+    from youtube_trending_data_pipeline_spark.catalog import cents
+
+    daily = (
+        t(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.expr("(ts div 1000) div 86400000000").alias("day"),
+            cents("value").alias("c"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("c").cast("long").alias("v"))
+    )
+    wr = W.partitionBy("event_type").orderBy("day")
+    wide = (
+        daily.withColumn("rn", F.row_number().over(wr))
+        .where(F.col("rn") <= _HAAR_N)
+        .groupBy("event_type")
+        .agg(
+            *[
+                F.max(
+                    F.when(F.col("rn") == i + 1, F.col("v"))
+                ).alias(f"x{i}")
+                for i in range(_HAAR_N)
+            ]
+        )
+    )
+    lvl = wide
+    for i in range(4):
+        lvl = lvl.withColumn(f"a1_{i}", F.col(f"x{2*i}") + F.col(f"x{2*i+1}"))
+        lvl = lvl.withColumn(f"d1_{i}", F.col(f"x{2*i}") - F.col(f"x{2*i+1}"))
+    for i in range(2):
+        lvl = lvl.withColumn(
+            f"a2_{i}", F.col(f"a1_{2*i}") + F.col(f"a1_{2*i+1}")
+        )
+        lvl = lvl.withColumn(
+            f"d2_{i}", F.col(f"a1_{2*i}") - F.col(f"a1_{2*i+1}")
+        )
+    lvl = lvl.withColumn("a3_0", F.col("a2_0") + F.col("a2_1"))
+    lvl = lvl.withColumn("d3_0", F.col("a2_0") - F.col("a2_1"))
+    outs = (
+        [("a3", 0, "a3_0"), ("d3", 0, "d3_0")]
+        + [("d2", i, f"d2_{i}") for i in range(2)]
+        + [("d1", i, f"d1_{i}") for i in range(4)]
+    )
+    frames = [
+        lvl.select(
+            "event_type",
+            F.lit(name).alias("coef"),
+            F.lit(idx).cast("long").alias("idx"),
+            F.col(col).cast("long").alias("value_c"),
+        )
+        for name, idx, col in outs
+    ]
+    out = frames[0]
+    for fdf in frames[1:]:
+        out = out.unionAll(fdf)
+    return out
