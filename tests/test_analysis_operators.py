@@ -1420,3 +1420,23 @@ def test_haar_invertibility(spark):
                 (a1[i] - c[("d1", i)]) // 2,
             ]
         assert x == series[ty][:8]
+
+
+def test_ams_f2_estimator_sanity(spark):
+    """The 8-estimator mean lands within a factor of ~4 of exact F2 at
+    gate scale (AMS variance is 2*F2^2/k; this corpus' flat counts are
+    the friendly case), and the exact side matches a Python recount."""
+    from youtube_trending_data_pipeline_spark.catalog import t as _t
+
+    r = QUERIES["sketch_ams_f2"].fn(spark, SF).collect()[0]
+    from collections import Counter
+
+    counts = Counter(
+        w
+        for row in _t(spark, SF, "documents").collect()
+        for w in row["text"].lower().split(" ")
+        if w
+    )
+    assert r["f2_exact"] == sum(c * c for c in counts.values())
+    assert r["f2_exact"] // 4 <= r["f2_est"] <= r["f2_exact"] * 4
+    assert r["ratio_ppm"] == (1000000 * r["f2_est"]) // r["f2_exact"]

@@ -5113,3 +5113,81 @@ def haar_transform_daily(spark, sf_dir):
     for fdf in frames[1:]:
         out = out.unionAll(fdf)
     return out
+
+
+# ---------------------------------------------------------------------------
+# AMS second-frequency-moment (F2) sketch
+# ---------------------------------------------------------------------------
+
+_AMS_ESTIMATORS = 8
+
+
+@register(
+    "sketch_ams_f2",
+    f"""
+    WITH tk AS (
+      SELECT unnest({_TOKS_SQL}) AS tok FROM documents
+    ), cnt AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM tk GROUP BY tok
+    ), est AS (
+      SELECT j.j,
+             CAST(SUM(CASE WHEN
+               {_H32_DUCK.format(s="cnt.tok || '#' || CAST(j.j AS VARCHAR)")}
+               % 2 = 0 THEN cnt.c ELSE -cnt.c END) AS BIGINT) AS s
+      FROM cnt, (SELECT unnest(range({_AMS_ESTIMATORS})) AS j) j
+      GROUP BY j.j
+    ), agg AS (
+      SELECT CAST(SUM(s * s) // {_AMS_ESTIMATORS} AS BIGINT) AS f2_est
+      FROM est
+    ), ex AS (
+      SELECT CAST(SUM(c * c) AS BIGINT) AS f2_exact FROM cnt
+    )
+    SELECT agg.f2_est, ex.f2_exact,
+           CAST((1000000 * agg.f2_est) // ex.f2_exact AS BIGINT)
+             AS ratio_ppm
+    FROM agg, ex
+    """,
+    "AMS second-frequency-moment sketch (Alon-Matias-Szegedy 1996, "
+    "the Godel-prize streaming estimator): eight +-1 hash estimators "
+    "each fold the token counts into one signed sum, F2_est = "
+    "mean(s^2) against the exact sum(c^2) audit — self-join sizing "
+    "and skew detection from CONSTANT state per estimator, the "
+    "theoretical ancestor of every sketch in this engine's kmv/theta/"
+    "cms family. Deterministic md5 parities replace the 4-wise "
+    "independent seeds, so both engines replay the identical "
+    "estimate; the vocabulary aggregate is the only shuffle and the "
+    "8-way estimator spine collapses map-side.",
+)
+def sketch_ams_f2(spark, sf_dir):
+    cnt = (
+        t(spark, sf_dir, "documents")
+        .select(F.explode(_toks_a()).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    js = spark.range(0, _AMS_ESTIMATORS).select(F.col("id").alias("j"))
+    sign_h = _H32_SPARK.format(s="concat(tok, '#', cast(j as string))")
+    est = (
+        cnt.crossJoin(F.broadcast(js))
+        .select(
+            "j",
+            F.expr(
+                f"CASE WHEN {sign_h} % 2 = 0 THEN c ELSE -c END"
+            ).alias("sc"),
+        )
+        .groupBy("j")
+        .agg(F.sum("sc").cast("long").alias("s"))
+    )
+    agg = est.agg(
+        F.expr(
+            f"CAST(SUM(s * s) div {_AMS_ESTIMATORS} AS BIGINT)"
+        ).alias("f2_est")
+    )
+    ex = cnt.agg(F.sum(F.col("c") * F.col("c")).cast("long").alias("f2_exact"))
+    return agg.crossJoin(F.broadcast(ex)).select(
+        "f2_est",
+        "f2_exact",
+        F.expr(
+            "CAST((1000000 * f2_est) div f2_exact AS BIGINT)"
+        ).alias("ratio_ppm"),
+    )
