@@ -1440,3 +1440,41 @@ def test_ams_f2_estimator_sanity(spark):
     assert r["f2_exact"] == sum(c * c for c in counts.values())
     assert r["f2_exact"] // 4 <= r["f2_est"] <= r["f2_exact"] * 4
     assert r["ratio_ppm"] == (1000000 * r["f2_est"]) // r["f2_exact"]
+
+
+def test_lis_matches_patience_reference(spark):
+    """Per-user LIS equals the O(n log n) patience-sorting reference
+    over the same capped series."""
+    import bisect
+
+    import youtube_trending_data_pipeline_spark.catalog_analysis as ca
+    from youtube_trending_data_pipeline_spark.catalog import t as _t
+
+    rows = (
+        _t(spark, SF, "events")
+        .selectExpr(
+            "user_id", "event_id", "ts",
+            "CAST(ROUND(value * 100) AS BIGINT) AS val",
+        )
+        .collect()
+    )
+    series: dict[int, list] = {}
+    for r in sorted(rows, key=lambda r: (r["user_id"], r["ts"], r["event_id"])):
+        series.setdefault(r["user_id"], []).append(r["val"])
+
+    def lis(vals):
+        tails: list[int] = []
+        for v in vals:
+            i = bisect.bisect_left(tails, v)
+            if i == len(tails):
+                tails.append(v)
+            else:
+                tails[i] = v
+        return len(tails)
+
+    got = {
+        r["user_id"]: r["lis_len"]
+        for r in QUERIES["seq_lis_length"].fn(spark, SF).collect()
+    }
+    for u, vals in series.items():
+        assert got[u] == lis(vals[: ca._LIS_CAP]), u

@@ -5191,3 +5191,115 @@ def sketch_ams_f2(spark, sf_dir):
             "CAST((1000000 * f2_est) div f2_exact AS BIGINT)"
         ).alias("ratio_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Longest increasing subsequence (per user, capped, unrolled DP)
+# ---------------------------------------------------------------------------
+
+_LIS_CAP = 12     # first N events per user
+_LIS_ROUNDS = 12  # LIS length <= cap, so cap rounds always reach fixpoint
+
+
+def _lis_oracle() -> str:
+    """Unrolled DP: lis_r(j) = max(lis_{r-1}(j), 1 + max over
+    precedence edges (i -> j)). MATERIALIZED rounds: each reads the
+    previous vector twice (carry + relax) plus the static edge set."""
+    steps = []
+    for r in range(1, _LIS_ROUNDS + 1):
+        steps.append(f"""
+    l{r} AS MATERIALIZED (
+      SELECT user_id, j, MAX(v) AS v FROM (
+        SELECT user_id, j, v FROM l{r - 1}
+        UNION ALL
+        SELECT e.user_id, e.j, p.v + 1
+        FROM prec e JOIN l{r - 1} p
+          ON p.user_id = e.user_id AND p.j = e.i
+      ) GROUP BY user_id, j
+    )""")
+    return f"""
+    WITH w AS (
+      SELECT user_id,
+             CAST(ROUND(value * 100) AS BIGINT) AS val,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY epoch_ns(ts), event_id) AS rn
+      FROM events
+    ), cap AS MATERIALIZED (
+      SELECT user_id, val, rn FROM w WHERE rn <= {_LIS_CAP}
+    ), prec AS MATERIALIZED (
+      SELECT a.user_id, a.rn AS i, b.rn AS j
+      FROM cap a JOIN cap b
+        ON a.user_id = b.user_id AND a.rn < b.rn AND a.val < b.val
+    ), l0 AS MATERIALIZED (
+      SELECT user_id, rn AS j, CAST(1 AS BIGINT) AS v FROM cap
+    ),
+    {','.join(steps)}
+    SELECT user_id, CAST(MAX(v) AS BIGINT) AS lis_len
+    FROM l{_LIS_ROUNDS} GROUP BY user_id
+    """
+
+
+@register(
+    "seq_lis_length",
+    _lis_oracle(),
+    "Longest strictly-increasing subsequence of each user's value "
+    "series (first 12 events — the pass@k capping discipline bounds "
+    "both the precedence pairs at 66/user and the DP rounds): the "
+    "classic sequence-analytics measure of monotone structure vs "
+    "churn (LIS near n = steady growth; near 1 = no persistent "
+    "trend), computed as an unrolled DP fixpoint — lis(j) relaxes "
+    "over the strict (earlier, smaller) precedence edges one "
+    "extension per round, monotone nondecreasing, so 12 rounds "
+    "provably reach the fixpoint and the unrolled-CTE oracle "
+    "replays the exact prefix. Per round: one equi-join of the DP "
+    "vector onto the static capped edge set + one max aggregate "
+    "(the pagerank doctrine on a DAG).",
+)
+def seq_lis_length(spark, sf_dir):
+    from youtube_trending_data_pipeline_spark.catalog import cents
+
+    w = t(spark, sf_dir, "events").select(
+        "user_id",
+        cents("value").alias("val"),
+        F.row_number()
+        .over(W.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("rn"),
+    )
+    cap = w.where(F.col("rn") <= _LIS_CAP).localCheckpoint(eager=False)
+    a, b = cap.alias("a"), cap.alias("b")
+    prec = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.rn") < F.col("b.rn"))
+            & (F.col("a.val") < F.col("b.val")),
+        )
+        .select(
+            F.col("a.user_id").alias("user_id"),
+            F.col("a.rn").alias("i"),
+            F.col("b.rn").alias("j"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    lis = cap.select(
+        "user_id", F.col("rn").alias("j"), F.lit(1).cast("long").alias("v")
+    ).localCheckpoint(eager=False)
+    for r in range(_LIS_ROUNDS):
+        relaxed = prec.join(
+            lis,
+            (prec["user_id"] == lis["user_id"]) & (prec["i"] == lis["j"]),
+        ).select(
+            prec["user_id"].alias("user_id"),
+            prec["j"].alias("j"),
+            (lis["v"] + 1).alias("v"),
+        )
+        lis = (
+            lis.unionAll(relaxed)
+            .groupBy("user_id", "j")
+            .agg(F.max("v").alias("v"))
+        )
+        if r % 2 == 1:
+            lis = lis.localCheckpoint(eager=False)
+    return lis.groupBy("user_id").agg(
+        F.max("v").cast("long").alias("lis_len")
+    )
