@@ -1478,3 +1478,30 @@ def test_lis_matches_patience_reference(spark):
     }
     for u, vals in series.items():
         assert got[u] == lis(vals[: ca._LIS_CAP]), u
+
+
+def test_knapsack_optimal_dominates_greedy_and_matches_bruteforce(spark):
+    """optimal >= greedy, and optimal equals the 2^12 brute force over
+    the same items."""
+    from itertools import combinations
+
+    import youtube_trending_data_pipeline_spark.catalog_analysis as ca
+    from youtube_trending_data_pipeline_spark.catalog import t as _t
+
+    docs = sorted(
+        (
+            (r["doc_id"],
+             len(set(w for w in r["text"].lower().split(" ") if w)),
+             len([w for w in r["text"].lower().split(" ") if w]) // 8 + 1)
+            for r in _t(spark, SF, "documents").collect()
+        ),
+    )[: ca._KS_ITEMS]
+    best = 0
+    items = [(v, w) for (_, v, w) in docs]
+    for k in range(len(items) + 1):
+        for combo in combinations(items, k):
+            if sum(w for _, w in combo) <= ca._KS_CAP:
+                best = max(best, sum(v for v, _ in combo))
+    r = QUERIES["budget_knapsack_optimal"].fn(spark, SF).collect()[0]
+    assert r["optimal_value"] == best
+    assert r["greedy_value"] <= r["optimal_value"]

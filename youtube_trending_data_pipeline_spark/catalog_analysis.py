@@ -5303,3 +5303,132 @@ def seq_lis_length(spark, sf_dir):
     return lis.groupBy("user_id").agg(
         F.max("v").cast("long").alias("lis_len")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact 0/1 knapsack (unrolled DP) vs density-greedy budget selection
+# ---------------------------------------------------------------------------
+
+_KS_ITEMS = 12
+_KS_CAP = 24
+
+
+def _knapsack_oracle() -> str:
+    """Unrolled item rounds over the capacity-indexed DP vector:
+    best_i(c) = max(best_{i-1}(c), best_{i-1}(c - w_i) + v_i)."""
+    steps = []
+    for r in range(1, _KS_ITEMS + 1):
+        steps.append(f"""
+    b{r} AS MATERIALIZED (
+      SELECT c, MAX(v) AS v FROM (
+        SELECT c, v FROM b{r - 1}
+        UNION ALL
+        SELECT p.c + it.w AS c, p.v + it.val AS v
+        FROM b{r - 1} p JOIN items it ON it.rn = {r}
+        WHERE p.c + it.w <= {_KS_CAP}
+      ) GROUP BY c
+    )""")
+    return f"""
+    WITH docs12 AS (
+      SELECT doc_id,
+             CAST(len(list_distinct({_TOKS_SQL})) AS BIGINT) AS val,
+             CAST(len({_TOKS_SQL}) // 8 + 1 AS BIGINT) AS w
+      FROM documents ORDER BY doc_id LIMIT {_KS_ITEMS}
+    ), items AS MATERIALIZED (
+      SELECT doc_id, val, w,
+             ROW_NUMBER() OVER (ORDER BY doc_id) AS rn
+      FROM docs12
+    ), b0 AS MATERIALIZED (
+      SELECT CAST(0 AS BIGINT) AS c, CAST(0 AS BIGINT) AS v
+    ),
+    {','.join(steps)},
+    greedy AS (
+      SELECT COALESCE(SUM(val), 0) AS gv FROM (
+        SELECT val,
+               SUM(w) OVER (ORDER BY (1000 * val) // w DESC, doc_id
+                            ROWS UNBOUNDED PRECEDING) AS run_w
+        FROM items
+      ) WHERE run_w <= {_KS_CAP}
+    )
+    SELECT CAST({_KS_CAP} AS BIGINT) AS capacity,
+           CAST({_KS_ITEMS} AS BIGINT) AS n_items,
+           (SELECT CAST(MAX(v) AS BIGINT) FROM b{_KS_ITEMS})
+             AS optimal_value,
+           (SELECT CAST(gv AS BIGINT) FROM greedy) AS greedy_value
+    """
+
+
+@register(
+    "budget_knapsack_optimal",
+    _knapsack_oracle(),
+    "EXACT 0/1 knapsack vs the density-greedy heuristic "
+    "corpus_budget_select uses — the audit that quantifies what the "
+    "greedy budget selection leaves on the table: 12 candidate "
+    "documents (value = distinct tokens, weight = token-count band) "
+    "against capacity 24, solved by the unrolled capacity-indexed DP "
+    "(one relax round per item — the Bellman recurrence as 12 "
+    "MATERIALIZED CTE rounds, DP vector never exceeding capacity+1 "
+    "rows) next to the prefix-density greedy (take in value/weight "
+    "order while the running weight fits; the prefix rule, not "
+    "skip-and-continue, so it stays window-expressible — stated "
+    "contract). optimal >= greedy always; the gap is the price of "
+    "the heuristic. The item cap bounds DP work at any corpus "
+    "scale; selecting WHICH 12 candidates is the upstream sampler's "
+    "job.",
+)
+def budget_knapsack_optimal(spark, sf_dir):
+    toks = _toks_a()
+    docs12 = (
+        t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.size(F.array_distinct(toks)).cast("long").alias("val"),
+            (F.size(toks) / 8).cast("long").alias("_wb"),
+        )
+        .select("doc_id", "val", (F.col("_wb") + 1).alias("w"))
+        .orderBy("doc_id")
+        .limit(_KS_ITEMS)
+    )
+    items = docs12.withColumn(
+        "rn", F.row_number().over(W.orderBy("doc_id"))
+    ).localCheckpoint(eager=False)
+    best = spark.createDataFrame([(0, 0)], "c long, v long")
+    for r in range(1, _KS_ITEMS + 1):
+        it = items.where(F.col("rn") == r).select("w", "val")
+        shifted = (
+            best.crossJoin(F.broadcast(it))
+            .where(F.col("c") + F.col("w") <= _KS_CAP)
+            .select(
+                (F.col("c") + F.col("w")).alias("c"),
+                (F.col("v") + F.col("val")).alias("v"),
+            )
+        )
+        best = (
+            best.unionAll(shifted)
+            .groupBy("c")
+            .agg(F.max("v").alias("v"))
+        )
+        if r % 3 == 0:
+            best = best.localCheckpoint(eager=False)
+    optimal = best.agg(F.max("v").cast("long").alias("optimal_value"))
+    wg = W.orderBy(
+        F.desc(F.expr("(1000 * val) div w")), F.asc("doc_id")
+    ).rowsBetween(W.unboundedPreceding, 0)
+    greedy = (
+        items.withColumn("run_w", F.sum("w").over(wg))
+        .where(F.col("run_w") <= _KS_CAP)
+        .agg(
+            F.coalesce(F.sum("val"), F.lit(0))
+            .cast("long")
+            .alias("greedy_value")
+        )
+    )
+    return (
+        optimal.crossJoin(F.broadcast(greedy))
+        .select(
+            F.lit(_KS_CAP).cast("long").alias("capacity"),
+            F.lit(_KS_ITEMS).cast("long").alias("n_items"),
+            "optimal_value",
+            "greedy_value",
+        )
+    )
