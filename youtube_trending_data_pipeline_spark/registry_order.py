@@ -180,7 +180,10 @@ PRIORITY_UNCHECKED = [
 # join_cardinality_estimate, forecast_seasonal_naive_mae,
 # rfm_segmentation, dq_overdispersion_vmr, apriori_triple_itemsets,
 # geo_dbscan_core_points, multimodal_image_sobel, multimodal_audio_zcr,
-# select_greedy_max_coverage is listed above — (d) then tier-3
+# dq_sequence_audit, multimodal_video_motion, scd2_asof_lookup,
+# text_kwic_concordance, anomaly_seasonal_residual,
+# markov_stationary_iter, haar_transform_daily, sketch_ams_f2,
+# seq_lis_length, budget_knapsack_optimal — (d) then tier-3
 # regression re-checks keep cycling the oldest verified entries.
 
 
