@@ -1505,3 +1505,12 @@ def test_knapsack_optimal_dominates_greedy_and_matches_bruteforce(spark):
     r = QUERIES["budget_knapsack_optimal"].fn(spark, SF).collect()[0]
     assert r["optimal_value"] == best
     assert r["greedy_value"] <= r["optimal_value"]
+
+
+def test_rich_club_bounds(spark):
+    """0 <= internal <= possible; phi arithmetic exact; possible is
+    C(20,2)."""
+    r = QUERIES["graph_rich_club"].fn(spark, SF).collect()[0]
+    assert r["possible_edges"] == 190
+    assert 0 <= r["internal_edges"] <= r["possible_edges"]
+    assert r["phi_ppm"] == (1000000 * r["internal_edges"]) // 190

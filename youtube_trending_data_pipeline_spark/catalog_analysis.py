@@ -5432,3 +5432,95 @@ def budget_knapsack_optimal(spark, sf_dir):
             "greedy_value",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Rich-club coefficient of the mutual-kNN graph
+# ---------------------------------------------------------------------------
+
+_RC_TOP = 20
+
+
+def _rich_club_oracle() -> str:
+    return f"""
+    WITH q AS MATERIALIZED (
+      SELECT vec_id, {_QV_SQL} AS qv FROM embeddings
+    ), scored AS (
+      SELECT a.vec_id AS u, b.vec_id AS v,
+             ROW_NUMBER() OVER (PARTITION BY a.vec_id
+               ORDER BY list_sum(list_transform(range(1, 65),
+                                 i -> a.qv[i] * b.qv[i])) DESC,
+                        b.vec_id) AS rn
+      FROM q a JOIN q b ON a.vec_id <> b.vec_id
+    ), knn AS MATERIALIZED (SELECT u, v FROM scored WHERE rn <= {_KNN_K}),
+    mut AS MATERIALIZED (
+      SELECT a.u AS src, a.v AS dst
+      FROM knn a JOIN knn b ON a.u = b.v AND a.v = b.u
+    ), deg AS (
+      SELECT src AS node, COUNT(*) AS d FROM mut GROUP BY 1
+    ), club AS MATERIALIZED (
+      SELECT node FROM deg ORDER BY d DESC, node LIMIT {_RC_TOP}
+    ), internal AS (
+      SELECT COUNT(*) AS e2  -- symmetric edges: 2x undirected count
+      FROM mut
+      JOIN club ca ON ca.node = mut.src
+      JOIN club cb ON cb.node = mut.dst
+    )
+    SELECT CAST({_RC_TOP} AS BIGINT) AS club_size,
+           CAST(e2 // 2 AS BIGINT) AS internal_edges,
+           CAST({_RC_TOP * (_RC_TOP - 1) // 2} AS BIGINT)
+             AS possible_edges,
+           -- all-integer: DOUBLE // rounds differently than BIGINT div
+           CAST((1000000 * CAST(e2 // 2 AS BIGINT))
+                // {_RC_TOP * (_RC_TOP - 1) // 2} AS BIGINT) AS phi_ppm
+    FROM internal
+    """
+
+
+@register(
+    "graph_rich_club",
+    _rich_club_oracle(),
+    "Rich-club coefficient (Zhou & Mondragon 2004) of the mutual-kNN "
+    "embedding graph: take the 20 highest-degree vertices (ties to "
+    "the smaller id), count the edges they keep among THEMSELVES, "
+    "and report phi = internal / possible in ppm — do the hubs form "
+    "their own dense club (hub-and-spoke redundancy, a structural "
+    "health read on the manifold) or spread their links outward? "
+    "One degree aggregate + a 20-row broadcast club + two semi-join "
+    "legs; symmetric edges counted once by halving. Completes the "
+    "structural family with kcore (vertex peel) and ktruss (edge "
+    "peel) on the same graph.",
+)
+def graph_rich_club(spark, sf_dir):
+    mutual = _mutual_knn_edges(spark, sf_dir).localCheckpoint(eager=False)
+    deg = mutual.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    club = (
+        deg.orderBy(F.desc("d"), F.asc("node"))
+        .limit(_RC_TOP)
+        .select("node")
+        .localCheckpoint(eager=False)
+    )
+    internal = (
+        mutual.join(
+            club.withColumnRenamed("node", "ca"),
+            F.col("src") == F.col("ca"),
+            "left_semi",
+        )
+        .join(
+            club.withColumnRenamed("node", "cb"),
+            F.col("dst") == F.col("cb"),
+            "left_semi",
+        )
+        .agg(F.count(F.lit(1)).alias("e2"))
+    )
+    possible = _RC_TOP * (_RC_TOP - 1) // 2
+    return internal.select(
+        F.lit(_RC_TOP).cast("long").alias("club_size"),
+        F.expr("CAST(e2 / 2 AS BIGINT)").alias("internal_edges"),
+        F.lit(possible).cast("long").alias("possible_edges"),
+        F.expr(
+            f"CAST((1000000 * (e2 div 2)) div {possible} AS BIGINT)"
+        ).alias("phi_ppm"),
+    )
