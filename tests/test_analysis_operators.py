@@ -1514,3 +1514,29 @@ def test_rich_club_bounds(spark):
     assert r["possible_edges"] == 190
     assert 0 <= r["internal_edges"] <= r["possible_edges"]
     assert r["phi_ppm"] == (1000000 * r["internal_edges"]) // 190
+
+
+def test_fm_rho_reference(spark):
+    """max_rho matches a Python recount of lowest-set-bit positions and
+    the raw estimate is exactly 2^max_rho."""
+    import hashlib
+
+    from youtube_trending_data_pipeline_spark.catalog import t as _t
+
+    elems = {
+        f"{r['user_id']}:{r['day']}"
+        for r in _t(spark, SF, "events")
+        .selectExpr("user_id", "(ts div 1000) div 86400000000 AS day")
+        .distinct()
+        .collect()
+    }
+
+    def rho(s):
+        h = int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+        return 33 if h == 0 else (h & -h).bit_length()
+
+    expect = max(rho(s) for s in elems)
+    r = QUERIES["sketch_fm_rho_max"].fn(spark, SF).collect()[0]
+    assert r["max_rho"] == expect
+    assert r["fm_raw_estimate"] == 1 << expect
+    assert r["exact_distinct"] == len(elems)

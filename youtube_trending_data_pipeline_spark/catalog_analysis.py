@@ -5524,3 +5524,76 @@ def graph_rich_club(spark, sf_dir):
             f"CAST((1000000 * (e2 div 2)) div {possible} AS BIGINT)"
         ).alias("phi_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Flajolet-Martin rho-max distinct sketch (the HLL ancestor)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sketch_fm_rho_max",
+    f"""
+    WITH e AS (
+      SELECT DISTINCT CAST(user_id AS VARCHAR) || ':' ||
+             CAST(epoch_us(ts) // 86400000000 AS VARCHAR) AS s
+      FROM events
+    ), hv AS (
+      SELECT {_H32_DUCK.format(s="s")} AS h FROM e
+    ), rho AS (
+      -- rho = 1-based position of the lowest set bit: h & -h isolates
+      -- it, length(bin(.)) reads its position; h = 0 cannot occur for
+      -- md5-32 of distinct nonempty strings but is guarded anyway
+      SELECT CASE WHEN h = 0 THEN 33
+                  ELSE length(bin(h & (-h))) END AS rho
+      FROM hv
+    ), agg AS (
+      SELECT CAST(MAX(rho) AS BIGINT) AS max_rho FROM rho
+    ), ex AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS exact_distinct FROM e
+    )
+    SELECT agg.max_rho,
+           CAST(1 AS BIGINT) << agg.max_rho AS fm_raw_estimate,
+           ex.exact_distinct
+    FROM agg, ex
+    """,
+    "Flajolet-Martin rho-max distinct sketch (1985 — the ancestor "
+    "HyperLogLog refined): the maximum 1-based position of the lowest "
+    "set hash bit over the user-day set, with 2^max_rho as the raw "
+    "estimate next to the exact count — a SINGLE MAX is the whole "
+    "sketch state, the most mergeable summary there is, and exactly "
+    "why the family scales (a14_approx_distinct is the production "
+    "HLL; kmv/theta are the order-statistics cousins; this entry is "
+    "the lineage's root, bias and all — raw FM is expected ~2^rho/"
+    "0.775, so the estimate reads high by design). Bit position via "
+    "h & -h then length(bin(.)) — identical integer semantics in "
+    "both engines, no float log2.",
+)
+def sketch_fm_rho_max(spark, sf_dir):
+    e = (
+        t(spark, sf_dir, "events")
+        .select(
+            F.concat_ws(
+                ":",
+                F.col("user_id").cast("string"),
+                F.expr("(ts div 1000) div 86400000000").cast("string"),
+            ).alias("s")
+        )
+        .distinct()
+    )
+    hv = e.select(F.expr(_H32_SPARK.format(s="s")).alias("h"))
+    rho = hv.select(
+        F.expr(
+            "CASE WHEN h = 0 THEN 33 "
+            "ELSE length(bin(h & (-h))) END"
+        ).alias("rho")
+    )
+    agg = rho.agg(F.max("rho").cast("long").alias("max_rho"))
+    ex = e.agg(F.count(F.lit(1)).cast("long").alias("exact_distinct"))
+    return agg.crossJoin(F.broadcast(ex)).select(
+        "max_rho",
+        F.expr("CAST(shiftleft(1L, cast(max_rho as int)) AS BIGINT)").alias(
+            "fm_raw_estimate"
+        ),
+        "exact_distinct",
+    )
