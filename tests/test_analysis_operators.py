@@ -1540,3 +1540,31 @@ def test_fm_rho_reference(spark):
     assert r["max_rho"] == expect
     assert r["fm_raw_estimate"] == 1 << expect
     assert r["exact_distinct"] == len(elems)
+
+
+def test_weekday_profile_shares_sum_and_calendar(spark):
+    """Per type, weekday shares sum to ~1e6, all 7 weekdays present,
+    and the epoch-day weekday arithmetic matches Python's calendar."""
+    import datetime as dt
+
+    from youtube_trending_data_pipeline_spark.catalog import t as _t
+
+    rows = QUERIES["weekday_profile"].fn(spark, SF).collect()
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    for ty, rs in by_type.items():
+        assert len(rs) == 7
+        total = sum(r["share_ppm"] for r in rs)
+        assert 999990 <= total <= 1000000
+    # spot-check the (day + 4) % 7 convention: epoch day 0 = Thursday
+    sample = (
+        _t(spark, SF, "events")
+        .selectExpr("(ts div 1000) div 86400000000 AS day")
+        .limit(5)
+        .collect()
+    )
+    for r in sample:
+        d = dt.date(1970, 1, 1) + dt.timedelta(days=r["day"])
+        # Python: Monday=0..Sunday=6; ours: Sunday=0..Saturday=6
+        assert (r["day"] + 4) % 7 == (d.weekday() + 1) % 7

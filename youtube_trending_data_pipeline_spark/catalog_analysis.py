@@ -5597,3 +5597,63 @@ def sketch_fm_rho_max(spark, sf_dir):
         ),
         "exact_distinct",
     )
+
+
+# ---------------------------------------------------------------------------
+# Weekday seasonality profile
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "weekday_profile",
+    """
+    WITH d AS (
+      SELECT event_type,
+             (epoch_us(ts) // 86400000000 + 4) % 7 AS weekday,
+             CAST(ROUND(value * 100) AS BIGINT) AS c
+      FROM events
+    ), agg AS (
+      SELECT event_type, weekday,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(c) AS BIGINT) AS total_c
+      FROM d GROUP BY 1, 2
+    )
+    SELECT event_type, CAST(weekday AS BIGINT) AS weekday, n_events,
+           total_c,
+           CAST((1000000 * total_c)
+                // SUM(total_c) OVER (PARTITION BY event_type) AS BIGINT)
+             AS share_ppm
+    FROM agg
+    """,
+    "Weekday seasonality profile: per (type, weekday) event counts "
+    "and cent totals with each weekday's ppm share of its type — the "
+    "profile that justifies (or kills) the lag-7 seasonal-naive "
+    "baseline forecast_seasonal_naive_mae scores against. Weekday "
+    "from pure epoch-day arithmetic ((day + 4) % 7, Thursday-epoch "
+    "corrected so 0 = Sunday) — no calendar/timezone functions, so "
+    "both engines agree on every boundary. One aggregate + one "
+    "dimension-sized share window.",
+)
+def weekday_profile(spark, sf_dir):
+    from youtube_trending_data_pipeline_spark.catalog import cents
+
+    d = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("((ts div 1000) div 86400000000 + 4) % 7").alias("weekday"),
+        cents("value").alias("c"),
+    )
+    agg = d.groupBy("event_type", "weekday").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("c").cast("long").alias("total_c"),
+    )
+    wt = W.partitionBy("event_type")
+    return agg.select(
+        "event_type",
+        F.col("weekday").cast("long").alias("weekday"),
+        "n_events",
+        "total_c",
+        F.expr(
+            "CAST((1000000 * total_c) div "
+            "SUM(total_c) OVER (PARTITION BY event_type) AS BIGINT)"
+        ).alias("share_ppm"),
+    )
