@@ -1568,3 +1568,14 @@ def test_weekday_profile_shares_sum_and_calendar(spark):
         d = dt.date(1970, 1, 1) + dt.timedelta(days=r["day"])
         # Python: Monday=0..Sunday=6; ours: Sunday=0..Saturday=6
         assert (r["day"] + 4) % 7 == (d.weekday() + 1) % 7
+
+
+def test_source_jaccard_bounds_and_symmetric_coverage(spark):
+    """C(20,2) = 190 pairs, canonical order, 0 < jaccard <= 1e6, and
+    intersection never exceeds either side."""
+    rows = QUERIES["source_token_jaccard"].fn(spark, SF).collect()
+    assert len(rows) == 190
+    for r in rows:
+        assert r["src_a"] < r["src_b"]
+        assert 0 <= r["n_common"] <= min(r["n_a"], r["n_b"])
+        assert 0 <= r["jaccard_ppm"] <= 1000000

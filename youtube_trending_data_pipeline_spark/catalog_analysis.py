@@ -5657,3 +5657,87 @@ def weekday_profile(spark, sf_dir):
             "SUM(total_c) OVER (PARTITION BY event_type) AS BIGINT)"
         ).alias("share_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Source-level vocabulary Jaccard matrix
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "source_token_jaccard",
+    f"""
+    WITH st AS (
+      SELECT DISTINCT source, tok
+      FROM (SELECT source, unnest({_TOKS_SQL}) AS tok FROM documents)
+    ), sz AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM st GROUP BY 1
+    ), inter AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM st a JOIN st b ON a.tok = b.tok AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT i.src_a, i.src_b, i.n_common,
+           sa.n AS n_a, sb.n AS n_b,
+           CAST((1000000 * i.n_common)
+                // (sa.n + sb.n - i.n_common) AS BIGINT) AS jaccard_ppm
+    FROM inter i
+    JOIN sz sa ON sa.source = i.src_a
+    JOIN sz sb ON sb.source = i.src_b
+    """,
+    "Source-level vocabulary overlap: pairwise Jaccard (ppm) between "
+    "every two sources' DISTINCT token sets — the corpus-comparison "
+    "grain above document dedup (dedup_* compare documents; this "
+    "compares COLLECTIONS), the first read when deciding whether two "
+    "feeds are redundant mirrors or complementary. The intersection "
+    "is a token-keyed self-join of the source-token incidence (never "
+    "source x source x docs), sizes join back by key — "
+    "dimension-bounded end to end: |sources|^2 output no matter the "
+    "corpus size.",
+)
+def source_token_jaccard(spark, sf_dir):
+    st = (
+        t(spark, sf_dir, "documents")
+        .select("source", F.explode(_toks_a()).alias("tok"))
+        .distinct()
+    )
+    sz = st.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a, b = st.alias("a"), st.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"),
+            F.col("b.source").alias("src_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    return (
+        inter.join(
+            sz.withColumnRenamed("source", "src_a").withColumnRenamed(
+                "n", "n_a"
+            ),
+            "src_a",
+        )
+        .join(
+            sz.withColumnRenamed("source", "src_b").withColumnRenamed(
+                "n", "n_b"
+            ),
+            "src_b",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            "n_common",
+            "n_a",
+            "n_b",
+            F.expr(
+                "CAST((1000000 * n_common) div (n_a + n_b - n_common) "
+                "AS BIGINT)"
+            ).alias("jaccard_ppm"),
+        )
+    )
