@@ -1579,3 +1579,25 @@ def test_source_jaccard_bounds_and_symmetric_coverage(spark):
         assert r["src_a"] < r["src_b"]
         assert 0 <= r["n_common"] <= min(r["n_a"], r["n_b"])
         assert 0 <= r["jaccard_ppm"] <= 1000000
+
+
+def test_er_clusters_transitivity_and_canonical_ids(spark):
+    """Every cluster's entity_id is its minimum member key; every
+    matched pair lands in the same entity (transitivity holds)."""
+    pairs = {
+        (r["a_key"], r["b_key"])
+        for r in QUERIES["er_blocked_match_score"].fn(spark, SF).collect()
+    }
+    rows = QUERIES["er_entity_clusters"].fn(spark, SF).collect()
+    ent = {r["c_custkey"]: r["entity_id"] for r in rows}
+    by_entity: dict[int, set] = {}
+    for r in rows:
+        by_entity.setdefault(r["entity_id"], set()).add(r["c_custkey"])
+    for eid, members in by_entity.items():
+        assert eid == min(members)
+    for a, b in pairs:
+        assert ent[a] == ent[b]
+    sizes = {r["c_custkey"]: r["cluster_size"] for r in rows}
+    for eid, members in by_entity.items():
+        for m in members:
+            assert sizes[m] == len(members)

@@ -5741,3 +5741,73 @@ def source_token_jaccard(spark, sf_dir):
             ).alias("jaccard_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Entity clusters: ER match pairs closed into components
+# ---------------------------------------------------------------------------
+
+
+def _er_clusters_oracle() -> str:
+    """Composes the registered ER-scoring oracle with a recursive
+    transitive closure (the dedup_components doctrine)."""
+    from youtube_trending_data_pipeline_spark.catalog import QUERIES
+
+    er = QUERIES["er_blocked_match_score"].oracle
+    return f"""
+    WITH RECURSIVE matches AS (
+      SELECT a_key, b_key FROM ({er}) m
+    ),
+    edges AS (
+      SELECT a_key AS src, b_key AS dst FROM matches
+      UNION
+      SELECT b_key, a_key FROM matches
+    ),
+    reach(node, root) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    comp AS (
+      SELECT node, MIN(root) AS entity_id FROM reach GROUP BY node
+    )
+    SELECT CAST(node AS BIGINT) AS c_custkey,
+           CAST(entity_id AS BIGINT) AS entity_id,
+           CAST(COUNT(*) OVER (PARTITION BY entity_id) AS BIGINT)
+             AS cluster_size
+    FROM comp
+    """
+
+
+@register(
+    "er_entity_clusters",
+    _er_clusters_oracle,
+    "End-to-end record linkage: the Fellegi-Sunter match pairs from "
+    "er_blocked_match_score closed into ENTITIES by connected "
+    "components (if A matches B and B matches C, all three are one "
+    "entity even when A-C never scored above threshold — the "
+    "transitive step every MDM/golden-record system runs after "
+    "scoring). Spark composes the registered scoring entry with the "
+    "large-star/small-star CC operator (operators/components.py, "
+    "O(log n) rounds); the oracle composes the registered scoring "
+    "SQL with a recursive-CTE closure — both sides reuse the exact "
+    "artifacts they are built from, the sim_pq_recall_audit "
+    "composition doctrine. Output: every matched customer with its "
+    "canonical entity id (min member key) and cluster size.",
+)
+def er_entity_clusters(spark, sf_dir):
+    from youtube_trending_data_pipeline_spark.catalog import QUERIES
+    from youtube_trending_data_pipeline_spark.operators.components import (
+        connected_components,
+    )
+
+    pairs = QUERIES["er_blocked_match_score"].fn(spark, sf_dir).select(
+        F.col("a_key").alias("src"), F.col("b_key").alias("dst")
+    )
+    comp = connected_components(pairs)
+    wc = W.partitionBy("component")
+    return comp.select(
+        F.col("node").cast("long").alias("c_custkey"),
+        F.col("component").cast("long").alias("entity_id"),
+        F.count(F.lit(1)).over(wc).cast("long").alias("cluster_size"),
+    )
