@@ -1601,3 +1601,18 @@ def test_er_clusters_transitivity_and_canonical_ids(spark):
     for eid, members in by_entity.items():
         for m in members:
             assert sizes[m] == len(members)
+
+
+def test_huffman_kraft_equality_and_optimality(spark):
+    """Huffman satisfies Kraft with EQUALITY (sum 2^-L == 1) and its
+    total weighted bits never exceed the Shannon audit's."""
+    h = QUERIES["token_huffman_code_audit"].fn(spark, SF).collect()
+    assert h
+    kraft = sum(2.0 ** -r["code_bits"] for r in h)
+    assert abs(kraft - 1.0) < 1e-9
+    s = QUERIES["token_shannon_code_audit"].fn(spark, SF).collect()
+    assert sum(r["weighted_bits"] for r in h) <= sum(
+        r["weighted_bits"] for r in s
+    )
+    # same vocabulary on both sides
+    assert {r["tok"] for r in h} == {r["tok"] for r in s}

@@ -5811,3 +5811,99 @@ def er_entity_clusters(spark, sf_dir):
         F.col("component").cast("long").alias("entity_id"),
         F.count(F.lit(1)).over(wc).cast("long").alias("cluster_size"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Optimal Huffman code lengths (bounded vocabulary dimension)
+# ---------------------------------------------------------------------------
+
+
+def _huffman_lengths(counts: list[tuple[str, int]]) -> dict[str, int]:
+    """Reference Huffman with total deterministic tie-breaking: the heap
+    orders by (weight, min-member-token), so equal-weight merges are a
+    pure function of the data. Returns token -> code length."""
+    import heapq
+
+    if len(counts) == 1:
+        return {counts[0][0]: 1}
+    heap = [(c, tok, {tok: 0}) for tok, c in counts]
+    heapq.heapify(heap)
+    while len(heap) > 1:
+        c1, k1, m1 = heapq.heappop(heap)
+        c2, k2, m2 = heapq.heappop(heap)
+        merged = {t: d + 1 for t, d in m1.items()}
+        merged.update({t: d + 1 for t, d in m2.items()})
+        heapq.heappush(heap, (c1 + c2, min(k1, k2), merged))
+    return heap[0][2]
+
+
+def _huffman_oracle(sf_dir: str | None = None) -> str:
+    """GENERATED oracle (the _pca_oracle_sql doctrine): DuckDB reads the
+    same parquet, the reference Huffman (deterministic tie-breaks) runs
+    outside Spark, and the emitted SQL verifies BOTH the recomputed
+    token counts and the embedded optimal lengths — count drift or any
+    Spark-side plumbing error breaks the join."""
+    import os
+
+    import duckdb
+
+    sf = sf_dir or os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM (
+          SELECT unnest({_TOKS_SQL}) AS tok
+          FROM '{sf}/documents.parquet'
+        ) GROUP BY tok
+        """
+    ).fetchall()
+    lengths = _huffman_lengths([(t, c) for t, c in rows])
+    values = ", ".join(f"('{t}', {l})" for t, l in sorted(lengths.items()))
+    return f"""
+    WITH cnt AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM (
+        SELECT unnest({_TOKS_SQL}) AS tok FROM documents
+      ) GROUP BY tok
+    ), hl(tok, code_bits) AS (VALUES {values})
+    SELECT cnt.tok, cnt.c, CAST(hl.code_bits AS BIGINT) AS code_bits,
+           CAST(cnt.c * hl.code_bits AS BIGINT) AS weighted_bits
+    FROM cnt JOIN hl USING (tok)
+    """
+
+
+@register(
+    "token_huffman_code_audit",
+    _huffman_oracle,
+    "OPTIMAL Huffman code lengths for the token vocabulary — the "
+    "exact answer token_shannon_code_audit upper-bounds: the "
+    "vocabulary is a BOUNDED DIMENSION (the PCA d-by-d doctrine), so "
+    "the counts aggregate distributes, the 31-symbol Huffman build "
+    "runs driver-side with total deterministic tie-breaking (heap "
+    "ordered by (weight, min member token) — equal-weight merges are "
+    "a pure function of the data), and the lengths broadcast-join "
+    "back. The generated oracle re-derives counts AND the reference "
+    "Huffman outside Spark (the _pca_oracle_sql pattern) and verifies "
+    "both. Behavioral tests pin the Kraft EQUALITY (sum 2^-L == 1, "
+    "which Shannon codes only bound) and optimality <= the Shannon "
+    "audit's weighted bits.",
+)
+def token_huffman_code_audit(spark, sf_dir):
+    cnt = (
+        t(spark, sf_dir, "documents")
+        .select(F.explode(_toks_a()).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    counts = [(r["tok"], r["c"]) for r in cnt.collect()]
+    lengths = _huffman_lengths(counts)
+    hl = spark.createDataFrame(
+        sorted(lengths.items()), "tok string, code_bits long"
+    )
+    return cnt.join(F.broadcast(hl), "tok").select(
+        "tok",
+        "c",
+        "code_bits",
+        (F.col("c") * F.col("code_bits")).cast("long").alias("weighted_bits"),
+    )
