@@ -1616,3 +1616,37 @@ def test_huffman_kraft_equality_and_optimality(spark):
     )
     # same vocabulary on both sides
     assert {r["tok"] for r in h} == {r["tok"] for r in s}
+
+
+def test_kappa_perfect_and_chance_extremes(spark):
+    """Crafted corpora: identical labelers give kappa = 1e6; a labeler
+    pair whose agreement exactly equals chance gives kappa ~ 0."""
+    import tempfile
+
+    def mk(rows):
+        d = tempfile.mkdtemp(prefix="kappa-")
+        spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        return d
+
+    # perfect: n_chars and distinct-token bands always align
+    # (>=28 distinct toks <-> >=300 chars; <20 <-> <150)
+    long_text = " ".join(f"w{i}" for i in range(30))
+    short_text = "a b c"
+    perfect = mk(
+        [(i, long_text, "en", "s", 400) for i in range(10)]
+        + [(i + 10, short_text, "en", "s", 50) for i in range(10)]
+    )
+    r = QUERIES["eval_cohens_kappa"].fn(spark, perfect).collect()[0]
+    assert r["kappa_ppm"] == 1000000 and r["po_ppm"] == 1000000
+    # anti-correlated on a 2x2 balanced grid: agreement = 50% = chance
+    anti = mk(
+        [(i, long_text, "en", "s", 400) for i in range(5)]       # agree long
+        + [(i + 5, long_text, "en", "s", 50) for i in range(5)]  # b=long a=short
+        + [(i + 10, short_text, "en", "s", 400) for i in range(5)]
+        + [(i + 15, short_text, "en", "s", 50) for i in range(5)]
+    )
+    r = QUERIES["eval_cohens_kappa"].fn(spark, anti).collect()[0]
+    assert abs(r["kappa_ppm"]) < 10000  # ~0: no better than chance

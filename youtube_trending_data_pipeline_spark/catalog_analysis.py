@@ -5907,3 +5907,102 @@ def token_huffman_code_audit(spark, sf_dir):
         "code_bits",
         (F.col("c") * F.col("code_bits")).cast("long").alias("weighted_bits"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohen's kappa between two annotation heuristics
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "eval_cohens_kappa",
+    f"""
+    WITH lab AS (
+      SELECT doc_id,
+             CASE WHEN n_chars >= 300 THEN 'long'
+                  WHEN n_chars >= 150 THEN 'mid' ELSE 'short' END AS a,
+             CASE WHEN len(list_distinct({_TOKS_SQL})) >= 28 THEN 'long'
+                  WHEN len(list_distinct({_TOKS_SQL})) >= 20 THEN 'mid'
+                  ELSE 'short' END AS b
+      FROM documents
+    ), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lab),
+    agree AS (
+      SELECT CAST(SUM(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT) AS po
+      FROM lab
+    ), marg AS (
+      SELECT CAST(SUM(na * nb) AS BIGINT) AS pe_num FROM (
+        SELECT COALESCE(ma.c, 0) AS na, COALESCE(mb.c, 0) AS nb
+        FROM (SELECT a AS k, COUNT(*) AS c FROM lab GROUP BY 1) ma
+        FULL OUTER JOIN (SELECT b AS k, COUNT(*) AS c FROM lab GROUP BY 1) mb
+          USING (k)
+      )
+    )
+    SELECT n.n, agree.po AS n_agree,
+           CAST((1000000 * agree.po) // n.n AS BIGINT) AS po_ppm,
+           CAST((1000000 * marg.pe_num) // (n.n * n.n) AS BIGINT) AS pe_ppm,
+           CAST((1000000 * (agree.po * n.n - marg.pe_num))
+                // (n.n * n.n - marg.pe_num) AS BIGINT) AS kappa_ppm
+    FROM n, agree, marg
+    """,
+    "Cohen's kappa (1960) between two annotation heuristics — the "
+    "inter-annotator-agreement number every labeling pipeline "
+    "reports before trusting its labels: a char-length bander and a "
+    "vocabulary-richness bander each assign short/mid/long, observed "
+    "agreement is corrected by the chance agreement the marginals "
+    "imply, all in EXACT integer arithmetic (kappa = (po*n - pe_num)"
+    " / (n^2 - pe_num) scaled to ppm — no float probabilities, both "
+    "engines agree to the last ppm). Full-outer marginal join keeps "
+    "labels one annotator never uses. One scan + two tiny "
+    "aggregates; chance-corrected agreement is what separates a "
+    "real rubric from two heuristics that agree by accident.",
+)
+def eval_cohens_kappa(spark, sf_dir):
+    toks = _toks_a()
+    lab = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("n_chars") >= 300, "long")
+        .when(F.col("n_chars") >= 150, "mid")
+        .otherwise("short")
+        .alias("a"),
+        F.when(F.size(F.array_distinct(toks)) >= 28, "long")
+        .when(F.size(F.array_distinct(toks)) >= 20, "mid")
+        .otherwise("short")
+        .alias("b"),
+    )
+    n = lab.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    agree = lab.agg(
+        F.sum(F.when(F.col("a") == F.col("b"), 1).otherwise(0))
+        .cast("long")
+        .alias("po")
+    )
+    ma = lab.groupBy(F.col("a").alias("k")).agg(
+        F.count(F.lit(1)).alias("na")
+    )
+    mb = lab.groupBy(F.col("b").alias("k")).agg(
+        F.count(F.lit(1)).alias("nb")
+    )
+    marg = (
+        ma.join(mb, "k", "full_outer")
+        .select(
+            (
+                F.coalesce("na", F.lit(0)) * F.coalesce("nb", F.lit(0))
+            ).alias("prod")
+        )
+        .agg(F.sum("prod").cast("long").alias("pe_num"))
+    )
+    return (
+        n.crossJoin(F.broadcast(agree))
+        .crossJoin(F.broadcast(marg))
+        .select(
+            "n",
+            F.col("po").alias("n_agree"),
+            F.expr("CAST((1000000 * po) div n AS BIGINT)").alias("po_ppm"),
+            F.expr(
+                "CAST((1000000 * pe_num) div (n * n) AS BIGINT)"
+            ).alias("pe_ppm"),
+            F.expr(
+                "CAST((1000000 * (po * n - pe_num)) div (n * n - pe_num) "
+                "AS BIGINT)"
+            ).alias("kappa_ppm"),
+        )
+    )
