@@ -1650,3 +1650,35 @@ def test_kappa_perfect_and_chance_extremes(spark):
     )
     r = QUERIES["eval_cohens_kappa"].fn(spark, anti).collect()[0]
     assert abs(r["kappa_ppm"]) < 10000  # ~0: no better than chance
+
+
+def test_tv_distance_extremes(spark):
+    """Identical halves -> TV 0; disjoint type sets -> TV = 1e6."""
+    import tempfile
+
+    DAY = 86400000000
+
+    def mk(rows):
+        d = tempfile.mkdtemp(prefix="tv-")
+        spark.createDataFrame(
+            rows, "event_id long, user_id long, ts_us long, "
+            "event_type string, value double, props string"
+        ).selectExpr(
+            "event_id", "timestamp_micros(ts_us) AS ts", "user_id",
+            "event_type", "value", "props",
+        ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+        return d
+
+    same = mk(
+        [(i, 1, 0 * DAY + i, ["a", "b"][i % 2], 0.0, "{}") for i in range(10)]
+        + [(i + 10, 1, 10 * DAY + i, ["a", "b"][i % 2], 0.0, "{}")
+           for i in range(10)]
+    )
+    r = QUERIES["drift_tv_distance"].fn(spark, same).collect()[0]
+    assert r["tv_ppm"] == 0
+    disjoint = mk(
+        [(i, 1, 0 * DAY + i, "a", 0.0, "{}") for i in range(10)]
+        + [(i + 10, 1, 10 * DAY + i, "b", 0.0, "{}") for i in range(10)]
+    )
+    r = QUERIES["drift_tv_distance"].fn(spark, disjoint).collect()[0]
+    assert r["tv_ppm"] == 1000000

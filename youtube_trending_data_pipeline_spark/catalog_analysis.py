@@ -6006,3 +6006,86 @@ def eval_cohens_kappa(spark, sf_dir):
             ).alias("kappa_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Total-variation drift distance between time halves
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "drift_tv_distance",
+    """
+    WITH b AS (
+      SELECT event_type,
+             CASE WHEN epoch_us(ts) <= (SELECT (MIN(epoch_us(ts))
+                    + MAX(epoch_us(ts))) // 2 FROM events)
+                  THEN 'h1' ELSE 'h2' END AS half
+      FROM events
+    ), cnt AS (
+      SELECT event_type,
+             CAST(SUM(CASE WHEN half = 'h1' THEN 1 ELSE 0 END) AS BIGINT)
+               AS na,
+             CAST(SUM(CASE WHEN half = 'h2' THEN 1 ELSE 0 END) AS BIGINT)
+               AS nb
+      FROM b GROUP BY event_type
+    ), tot AS (
+      SELECT CAST(SUM(na) AS BIGINT) AS ta, CAST(SUM(nb) AS BIGINT) AS tb
+      FROM cnt
+    )
+    SELECT tot.ta AS n_first_half, tot.tb AS n_second_half,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST((1000000 * SUM(abs(cnt.na * tot.tb - cnt.nb * tot.ta)))
+                // (2 * tot.ta * tot.tb) AS BIGINT) AS tv_ppm
+    FROM cnt, tot
+    GROUP BY tot.ta, tot.tb
+    """,
+    "Total-variation drift distance between the corpus' first and "
+    "second time halves' event-type distributions — the "
+    "distribution-shift number behind every training/serving skew "
+    "monitor, computed without a single float probability: TV = "
+    "(1/2) sum |p_i - q_i| becomes sum |na_i*Tb - nb_i*Ta| over "
+    "2*Ta*Tb in exact integers (cross-multiplied proportions — the "
+    "same trick the ER and kappa entries use). The midpoint split is "
+    "derived from the data's own time span (scale-free); TV's "
+    "[0, 1e6] range reads directly as 'what fraction of mass would "
+    "have to move'. Complements drift_snapshot_stats (level drift) "
+    "with DISTRIBUTION drift.",
+)
+def drift_tv_distance(spark, sf_dir):
+    ev = t(spark, sf_dir, "events").select(
+        "event_type", F.expr("ts div 1000").alias("us")
+    )
+    mid = ev.agg(
+        F.expr("CAST((MIN(us) + MAX(us)) div 2 AS BIGINT)").alias("mid")
+    )
+    b = ev.crossJoin(F.broadcast(mid)).select(
+        "event_type",
+        F.when(F.col("us") <= F.col("mid"), "h1").otherwise("h2").alias(
+            "half"
+        ),
+    )
+    cnt = b.groupBy("event_type").agg(
+        F.sum(F.when(F.col("half") == "h1", 1).otherwise(0))
+        .cast("long")
+        .alias("na"),
+        F.sum(F.when(F.col("half") == "h2", 1).otherwise(0))
+        .cast("long")
+        .alias("nb"),
+    )
+    tot = cnt.agg(
+        F.sum("na").cast("long").alias("ta"),
+        F.sum("nb").cast("long").alias("tb"),
+    )
+    return (
+        cnt.crossJoin(F.broadcast(tot))
+        .agg(
+            F.max("ta").cast("long").alias("n_first_half"),
+            F.max("tb").cast("long").alias("n_second_half"),
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+            F.expr(
+                "CAST((1000000 * SUM(abs(na * tb - nb * ta))) "
+                "div (2 * MAX(ta) * MAX(tb)) AS BIGINT)"
+            ).alias("tv_ppm"),
+        )
+    )
