@@ -274,6 +274,22 @@ def test_no_accidental_cartesian_anywhere(spark):
         # interval-containment theta join against the dimension) — the
         # j6_asof_join family's deliberate bounded pattern.
         "scd2_asof_lookup",
+        # sketch_ams_f2: 8-row estimator spine onto the vocabulary
+        # aggregate + 1-row exact-F2 append.
+        "sketch_ams_f2",
+        # sketch_fm_rho_max: 1-row exact-count append onto the 1-row
+        # max-rho aggregate.
+        "sketch_fm_rho_max",
+        # eval_cohens_kappa: three 1-row statistics (n, agreement,
+        # marginal product) crossed into the single result row.
+        "eval_cohens_kappa",
+        # drift_tv_distance: 1-row midpoint and 1-row half-totals
+        # appends onto the per-type count table.
+        "drift_tv_distance",
+        # budget_knapsack_optimal: each unrolled Bellman round appends a
+        # 1-row item frame onto the <=25-row capacity vector; greedy and
+        # optimal 1-row results crossed at the end.
+        "budget_knapsack_optimal",
     }
     for name, spec in QUERIES.items():
         if name in allowed_cross:
