@@ -5748,7 +5748,7 @@ def source_token_jaccard(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-def _er_clusters_oracle() -> str:
+def _er_clusters_oracle(sf_dir: str | None = None) -> str:
     """Composes the registered ER-scoring oracle with a recursive
     transitive closure (the dedup_components doctrine)."""
     from youtube_trending_data_pipeline_spark.catalog import QUERIES
