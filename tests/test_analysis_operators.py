@@ -1682,3 +1682,16 @@ def test_tv_distance_extremes(spark):
     )
     r = QUERIES["drift_tv_distance"].fn(spark, disjoint).collect()[0]
     assert r["tv_ppm"] == 1000000
+
+
+def test_sorted_neighborhood_candidate_bound(spark):
+    """Candidate count is exactly sum over i of min(w-1, n-i) — linear
+    in n — and hash-overlap matches are a subset of window matches."""
+    import youtube_trending_data_pipeline_spark.catalog_analysis as ca
+
+    r = QUERIES["er_sorted_neighborhood"].fn(spark, SF).collect()[0]
+    n = 150  # customers at sf0.001
+    w = ca._SN_WINDOW
+    expected_cands = sum(min(w - 1, n - i) for i in range(1, n + 1))
+    assert r["n_candidates"] == expected_cands
+    assert 0 <= r["n_matches_also_in_hash_block"] <= r["n_matches"]

@@ -290,6 +290,11 @@ def test_no_accidental_cartesian_anywhere(spark):
         # 1-row item frame onto the <=25-row capacity vector; greedy and
         # optimal 1-row results crossed at the end.
         "budget_knapsack_optimal",
+        # er_sorted_neighborhood: the rank-band theta join (each record
+        # to its next w-1 rank neighbors — window-shaped, linear in n;
+        # a production run range-partitions and band-joins with
+        # boundary ghosts, per the docstring).
+        "er_sorted_neighborhood",
     }
     for name, spec in QUERIES.items():
         if name in allowed_cross:

@@ -6089,3 +6089,106 @@ def drift_tv_distance(spark, sf_dir):
             ).alias("tv_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Sorted-neighborhood ER blocking vs hash blocking
+# ---------------------------------------------------------------------------
+
+_SN_WINDOW = 5
+
+
+@register(
+    "er_sorted_neighborhood",
+    f"""
+    WITH c AS (
+      SELECT c_custkey AS k, c_nationkey AS n, c_mktsegment AS seg,
+             CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal
+      FROM customer
+    ), ranked AS (
+      SELECT k, n, seg, bal,
+             ROW_NUMBER() OVER (ORDER BY bal, k) AS rk
+      FROM c
+    ), cand AS (
+      SELECT a.k AS a_key, b.k AS b_key,
+             a.n = b.n AS same_block,
+             CASE WHEN a.seg = b.seg THEN {_ER_W_SEG}
+                  ELSE -{_ER_U_SEG} END
+             + CASE WHEN (a.bal + {_ER_SHIFT_C}) // {_ER_BAND_C}
+                       = (b.bal + {_ER_SHIFT_C}) // {_ER_BAND_C}
+                    THEN {_ER_W_BAND} ELSE -{_ER_U_BAND} END
+             + CASE WHEN abs(a.bal - b.bal) <= {_ER_CLOSE_C}
+                    THEN {_ER_W_CLOSE} ELSE -{_ER_U_CLOSE} END AS score
+      FROM ranked a JOIN ranked b
+        ON b.rk > a.rk AND b.rk <= a.rk + {_SN_WINDOW - 1}
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates,
+           CAST(SUM(CASE WHEN score >= {_ER_THRESHOLD}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_matches,
+           CAST(SUM(CASE WHEN score >= {_ER_THRESHOLD} AND same_block
+                    THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_matches_also_in_hash_block
+    FROM cand
+    """,
+    "Sorted-neighborhood ER blocking (Hernandez & Stolfo 1995) — the "
+    "OTHER classic blocking strategy, run against the same "
+    "Fellegi-Sunter scorer as er_blocked_match_score: records sort by "
+    "balance and only rank-window-of-5 neighbors become candidates "
+    "(candidate count is linear in n by construction — the guarantee "
+    "hash blocking cannot give when a block is skewed), then the "
+    "summary counts how many matches the window recovers and how "
+    "many of those the nation-hash blocking would ALSO have seen — "
+    "the blocking-strategy comparison every ER deployment runs "
+    "before choosing. The rank-band join is a theta join on "
+    "consecutive ranks (window-shaped, never quadratic); at 100 TB "
+    "the sort is a repartitionByRange and the band join is "
+    "within-partition with boundary ghosts.",
+)
+def er_sorted_neighborhood(spark, sf_dir):
+    from youtube_trending_data_pipeline_spark.catalog import cents
+
+    c = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_nationkey").alias("n"),
+        F.col("c_mktsegment").alias("seg"),
+        cents("c_acctbal").alias("bal"),
+    )
+    ranked = c.withColumn(
+        "rk", F.row_number().over(W.orderBy("bal", "k"))
+    )
+    a, b = ranked.alias("a"), ranked.alias("b")
+    band = lambda side: F.expr(  # noqa: E731
+        f"({side}.bal + {_ER_SHIFT_C}) div {_ER_BAND_C}"
+    )
+    cand = a.join(
+        b,
+        (F.col("b.rk") > F.col("a.rk"))
+        & (F.col("b.rk") <= F.col("a.rk") + _SN_WINDOW - 1),
+    ).select(
+        (F.col("a.n") == F.col("b.n")).alias("same_block"),
+        (
+            F.when(F.col("a.seg") == F.col("b.seg"), _ER_W_SEG).otherwise(
+                -_ER_U_SEG
+            )
+            + F.when(band("a") == band("b"), _ER_W_BAND).otherwise(
+                -_ER_U_BAND
+            )
+            + F.when(
+                F.abs(F.col("a.bal") - F.col("b.bal")) <= _ER_CLOSE_C,
+                _ER_W_CLOSE,
+            ).otherwise(-_ER_U_CLOSE)
+        ).alias("score"),
+    )
+    return cand.agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidates"),
+        F.sum(F.when(F.col("score") >= _ER_THRESHOLD, 1).otherwise(0))
+        .cast("long")
+        .alias("n_matches"),
+        F.sum(
+            F.when(
+                (F.col("score") >= _ER_THRESHOLD) & F.col("same_block"), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_matches_also_in_hash_block"),
+    )
