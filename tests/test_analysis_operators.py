@@ -1695,3 +1695,29 @@ def test_sorted_neighborhood_candidate_bound(spark):
     expected_cands = sum(min(w - 1, n - i) for i in range(1, n + 1))
     assert r["n_candidates"] == expected_cands
     assert 0 <= r["n_matches_also_in_hash_block"] <= r["n_matches"]
+
+
+def test_dorfman_extremes(spark):
+    """All-clean corpus: pooled cost = pools only (huge win). All-dirty:
+    pooled cost = pools + everything (pooling LOSES) — the audit
+    separates both regimes."""
+    import tempfile
+
+    def mk(texts):
+        d = tempfile.mkdtemp(prefix="dorf-")
+        spark.createDataFrame(
+            [(i, t_, "en", "s", len(t_)) for i, t_ in enumerate(texts)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        return d
+
+    long_text = " ".join(f"w{i}" for i in range(40))  # passes (>= 30 toks)
+    clean = mk([long_text] * 64)
+    r = QUERIES["pooled_screening_dorfman"].fn(spark, clean).collect()[0]
+    assert r["n_positive_pools"] == 0
+    assert r["tests_pooled"] == r["n_pools"] < r["tests_individual"]
+    dirty = mk(["a b"] * 64)  # every doc fails the screen
+    r = QUERIES["pooled_screening_dorfman"].fn(spark, dirty).collect()[0]
+    assert r["n_positive_pools"] == r["n_pools"]
+    assert r["tests_pooled"] == r["n_pools"] + r["tests_individual"]
+    assert r["cost_ratio_ppm"] > 1000000  # pooling loses when all dirty

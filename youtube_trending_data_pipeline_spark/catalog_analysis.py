@@ -6192,3 +6192,83 @@ def er_sorted_neighborhood(spark, sf_dir):
         .cast("long")
         .alias("n_matches_also_in_hash_block"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Dorfman pooled screening efficiency audit
+# ---------------------------------------------------------------------------
+
+_POOL_SIZE = 8
+
+
+@register(
+    "pooled_screening_dorfman",
+    f"""
+    WITH d AS (
+      SELECT doc_id,
+             CASE WHEN len({_TOKS_SQL}) < {_ABL_MIN_TOK}
+                  THEN 1 ELSE 0 END AS positive,
+             {_H32_DUCK.format(s="CAST(doc_id AS VARCHAR)")}
+               % ((SELECT COUNT(*) FROM documents) // {_POOL_SIZE})
+               AS pool
+      FROM documents
+    ), pools AS (
+      SELECT pool, CAST(COUNT(*) AS BIGINT) AS n_members,
+             CAST(MAX(positive) AS BIGINT) AS pool_positive
+      FROM d GROUP BY pool
+    )
+    SELECT CAST(SUM(n_members) AS BIGINT) AS n_items,
+           CAST(COUNT(*) AS BIGINT) AS n_pools,
+           CAST(SUM(pool_positive) AS BIGINT) AS n_positive_pools,
+           CAST(COUNT(*) + SUM(pool_positive * n_members) AS BIGINT)
+             AS tests_pooled,
+           CAST(SUM(n_members) AS BIGINT) AS tests_individual,
+           CAST((1000000 * (COUNT(*) + SUM(pool_positive * n_members)))
+                // SUM(n_members) AS BIGINT) AS cost_ratio_ppm
+    FROM pools
+    """,
+    "Dorfman pooled screening (1943 — the group-testing scheme "
+    "behind every batched expensive-check pipeline, from blood tests "
+    "to LLM-judge batch calls): documents hash into pools of ~8, a "
+    "pool 'tests positive' if ANY member fails the length screen, "
+    "and only positive pools pay for member-by-member retesting — "
+    "tests = pools + positives*size against one-test-per-item, with "
+    "the cost ratio in ppm (below 1e6 = pooling pays; it flips past "
+    "~30% prevalence, which is exactly the call this audit decides). "
+    "One hash-pool aggregate; the MAX(positive) OR-fold is the "
+    "pooled test. Deterministic pools (hash, not round-robin) so "
+    "both engines replay identically.",
+)
+def pooled_screening_dorfman(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    n_docs = docs.count()  # dimension scalar for the pool modulus
+    n_pools = max(1, n_docs // _POOL_SIZE)
+    d = docs.select(
+        "doc_id",
+        F.when(F.size(_toks_a()) < _ABL_MIN_TOK, 1)
+        .otherwise(0)
+        .alias("positive"),
+        (
+            F.expr(_H32_SPARK.format(s="cast(doc_id as string)")) % n_pools
+        ).alias("pool"),
+    )
+    pools = d.groupBy("pool").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.max("positive").cast("long").alias("pool_positive"),
+    )
+    return pools.agg(
+        F.sum("n_members").cast("long").alias("n_items"),
+        F.count(F.lit(1)).cast("long").alias("n_pools"),
+        F.sum("pool_positive").cast("long").alias("n_positive_pools"),
+        (
+            F.count(F.lit(1))
+            + F.sum(F.col("pool_positive") * F.col("n_members"))
+        )
+        .cast("long")
+        .alias("tests_pooled"),
+        F.sum("n_members").cast("long").alias("tests_individual"),
+        F.expr(
+            "CAST((1000000 * (COUNT(*) + SUM(pool_positive * n_members)))"
+            " div SUM(n_members) AS BIGINT)"
+        ).alias("cost_ratio_ppm"),
+    )
