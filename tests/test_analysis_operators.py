@@ -1721,3 +1721,19 @@ def test_dorfman_extremes(spark):
     assert r["n_positive_pools"] == r["n_pools"]
     assert r["tests_pooled"] == r["n_pools"] + r["tests_individual"]
     assert r["cost_ratio_ppm"] > 1000000  # pooling loses when all dirty
+
+
+def test_cache_curve_monotone(spark):
+    """Bigger cache never hits less; hit_ppm is exact arithmetic; the
+    32-key cache on a 100-key uniform-ish domain stays below 1e6."""
+    rows = sorted(
+        QUERIES["cache_static_hitrate_curve"].fn(spark, SF).collect(),
+        key=lambda r: r["cache_size"],
+    )
+    assert [r["cache_size"] for r in rows] == [8, 16, 32]
+    for a, b in zip(rows, rows[1:]):
+        assert b["n_hits"] >= a["n_hits"]
+        assert a["n_accesses"] == b["n_accesses"]
+    for r in rows:
+        assert r["hit_ppm"] == (1000000 * r["n_hits"]) // r["n_accesses"]
+    assert rows[-1]["hit_ppm"] < 1000000

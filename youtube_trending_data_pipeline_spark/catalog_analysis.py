@@ -6272,3 +6272,85 @@ def pooled_screening_dorfman(spark, sf_dir):
             " div SUM(n_members) AS BIGINT)"
         ).alias("cost_ratio_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Static working-set cache hit-rate curve
+# ---------------------------------------------------------------------------
+
+_CACHE_SIZES = (8, 16, 32)
+_CACHE_VALUES = ", ".join(f"({s})" for s in _CACHE_SIZES)
+
+
+@register(
+    "cache_static_hitrate_curve",
+    f"""
+    WITH acc AS (
+      SELECT json_extract(props, '$.k') AS key FROM events
+      WHERE json_extract(props, '$.k') IS NOT NULL
+    ), freq AS (
+      SELECT key, CAST(COUNT(*) AS BIGINT) AS c,
+             ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, key) AS rk
+      FROM acc GROUP BY key
+    ), tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM freq),
+    sz(cache_size) AS (VALUES {_CACHE_VALUES})
+    SELECT CAST(sz.cache_size AS BIGINT) AS cache_size,
+           CAST(SUM(CASE WHEN f.rk <= sz.cache_size THEN f.c ELSE 0 END)
+                AS BIGINT) AS n_hits,
+           tot.n AS n_accesses,
+           CAST((1000000 * SUM(CASE WHEN f.rk <= sz.cache_size
+                               THEN f.c ELSE 0 END)) // tot.n AS BIGINT)
+             AS hit_ppm
+    FROM freq f CROSS JOIN sz, tot
+    GROUP BY sz.cache_size, tot.n
+    """,
+    "Static working-set cache curve: for cache sizes 8/16/32, the "
+    "share of event accesses (by the props.k key) that hit a cache "
+    "holding the top-k most frequent keys — the UPPER BOUND any "
+    "static cache policy can reach, and the first number a cache-"
+    "sizing decision reads (a dynamic LRU simulation is a sequential "
+    "fold; the static bound is one aggregate and usually answers the "
+    "question). Frequency ties break by key so the curve is a pure "
+    "function of the data; the 3-row size spine collapses map-side. "
+    "Reads the key from the JSON props column (the f_json family's "
+    "extraction path) — a real access log's cache key is always "
+    "buried in a payload.",
+)
+def cache_static_hitrate_curve(spark, sf_dir):
+    acc = (
+        t(spark, sf_dir, "events")
+        .select(F.get_json_object("props", "$.k").alias("key"))
+        .where(F.col("key").isNotNull())
+    )
+    freq = (
+        acc.groupBy("key")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .withColumn(
+            "rk", F.row_number().over(W.orderBy(F.desc("c"), F.asc("key")))
+        )
+    )
+    tot = freq.agg(F.sum("c").cast("long").alias("n"))
+    sz = spark.createDataFrame(
+        [(s,) for s in _CACHE_SIZES], "cache_size long"
+    )
+    return (
+        freq.crossJoin(F.broadcast(sz))
+        .crossJoin(F.broadcast(tot))
+        .groupBy("cache_size", "n")
+        .agg(
+            F.sum(
+                F.when(F.col("rk") <= F.col("cache_size"), F.col("c"))
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("n_hits"),
+        )
+        .select(
+            "cache_size",
+            "n_hits",
+            F.col("n").alias("n_accesses"),
+            F.expr("CAST((1000000 * n_hits) div n AS BIGINT)").alias(
+                "hit_ppm"
+            ),
+        )
+    )
