@@ -295,6 +295,9 @@ def test_no_accidental_cartesian_anywhere(spark):
         # a production run range-partitions and band-joins with
         # boundary ghosts, per the docstring).
         "er_sorted_neighborhood",
+        # cache_static_hitrate_curve: 3-row cache-size spine + 1-row
+        # access total onto the key-frequency dimension.
+        "cache_static_hitrate_curve",
     }
     for name, spec in QUERIES.items():
         if name in allowed_cross:
