@@ -1737,3 +1737,36 @@ def test_cache_curve_monotone(spark):
     for r in rows:
         assert r["hit_ppm"] == (1000000 * r["n_hits"]) // r["n_accesses"]
     assert rows[-1]["hit_ppm"] < 1000000
+
+
+def test_optimal_stopping_crafted_sequences(spark):
+    """Crafted arrivals: best-in-sample-phase -> forced last pick; best
+    right after cutoff -> picked and optimal; rising sequence -> first
+    post-cutoff new-max is picked (rule fires early, possibly
+    suboptimal) — the rule's exact semantics, not just win rates."""
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="secretary-")
+    rows, eid = [], 0
+
+    def add(u, vals):
+        nonlocal eid
+        for i, v in enumerate(vals):
+            eid += 1
+            rows.append((eid, u, i * 1000000, "view", float(v), "{}"))
+
+    add(1, [90, 1, 2, 3, 4, 5, 6, 7])        # best in sample -> forced last (7)
+    add(2, [1, 2, 3, 4, 90, 5, 6, 7])        # best right after cutoff -> 90
+    add(3, [1, 2, 3, 4, 5, 6, 7, 8])         # rising: picks 5 (first>4), best 8
+    spark.createDataFrame(
+        rows, "event_id long, user_id long, ts_us long, event_type string, "
+        "value double, props string"
+    ).selectExpr(
+        "event_id", "timestamp_micros(ts_us) AS ts", "user_id",
+        "event_type", "value", "props",
+    ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    got = {r["user_id"]: r for r in
+           QUERIES["optimal_stopping_audit"].fn(spark, d).collect()}
+    assert got[1]["picked_c"] == 700 and got[1]["got_best"] == 0
+    assert got[2]["picked_c"] == 9000 and got[2]["got_best"] == 1
+    assert got[3]["picked_c"] == 500 and got[3]["got_best"] == 0

@@ -6354,3 +6354,139 @@ def cache_static_hitrate_curve(spark, sf_dir):
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Optimal-stopping (secretary rule) audit
+# ---------------------------------------------------------------------------
+
+_OS_CAP = 12
+_OS_CUTOFF = 4  # ~ n/e for n = 12
+
+
+@register(
+    "optimal_stopping_audit",
+    f"""
+    WITH w AS (
+      SELECT user_id,
+             CAST(ROUND(value * 100) AS BIGINT) AS v,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY epoch_ns(ts), event_id) AS rn
+      FROM events
+    ), cap AS (
+      SELECT user_id, v, rn FROM w WHERE rn <= {_OS_CAP}
+    ), stats AS (
+      SELECT user_id, v, rn,
+             MAX(v) OVER (PARTITION BY user_id
+                          ORDER BY rn ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS best_before,
+             MAX(v) OVER (PARTITION BY user_id) AS true_best,
+             MAX(CASE WHEN rn <= {_OS_CUTOFF} THEN v END)
+               OVER (PARTITION BY user_id) AS sample_best,
+             COUNT(*) OVER (PARTITION BY user_id) AS n
+      FROM cap
+    ), picks AS (
+      SELECT user_id, v AS picked, true_best, n,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY rn) AS prn
+      FROM stats
+      WHERE rn > {_OS_CUTOFF} AND v > COALESCE(sample_best, -1)
+        AND (best_before IS NULL OR v > best_before)
+    ), chosen AS (
+      SELECT s.user_id, MAX(s.n) AS n, MAX(s.true_best) AS true_best,
+             MAX(p.picked) AS picked
+      FROM stats s LEFT JOIN picks p
+        ON p.user_id = s.user_id AND p.prn = 1
+      GROUP BY s.user_id
+    )
+    SELECT user_id, CAST(n AS BIGINT) AS n_candidates,
+           CAST(COALESCE(picked,
+                (SELECT MAX(c2.v) FROM cap c2
+                 WHERE c2.user_id = chosen.user_id
+                   AND c2.rn = chosen.n)) AS BIGINT) AS picked_c,
+           CAST(true_best AS BIGINT) AS best_c,
+           CAST(CASE WHEN COALESCE(picked,
+                (SELECT MAX(c2.v) FROM cap c2
+                 WHERE c2.user_id = chosen.user_id
+                   AND c2.rn = chosen.n)) = true_best
+                THEN 1 ELSE 0 END AS BIGINT) AS got_best
+    FROM chosen
+    """,
+    "Optimal stopping (the secretary 1/e rule) audited per user: "
+    "observe the first 4 of up to 12 time-ordered values without "
+    "committing, then take the FIRST later value beating everything "
+    "seen so far; if none ever does, the last candidate is forced — "
+    "the irrevocable-choice discipline behind early-stopping "
+    "hyperparameter triage and streaming best-candidate selection, "
+    "replayed deterministically (no RNG: the event order IS the "
+    "arrival order). Everything is running-max windows: best-before "
+    "prefix max, sample-phase max, first qualifying pick by rank — "
+    "no fold, no driver loop. got_best against the true max reads "
+    "off the rule's empirical success rate (~37% is the theoretical "
+    "optimum under random arrivals).",
+)
+def optimal_stopping_audit(spark, sf_dir):
+    from youtube_trending_data_pipeline_spark.catalog import cents
+
+    w = t(spark, sf_dir, "events").select(
+        "user_id",
+        cents("value").alias("v"),
+        F.row_number()
+        .over(W.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("rn"),
+    )
+    cap = w.where(F.col("rn") <= _OS_CAP)
+    wp = W.partitionBy("user_id")
+    wo = W.partitionBy("user_id").orderBy("rn")
+    stats = cap.select(
+        "user_id",
+        "v",
+        "rn",
+        F.max("v").over(wo.rowsBetween(W.unboundedPreceding, -1)).alias(
+            "best_before"
+        ),
+        F.max("v").over(wp).alias("true_best"),
+        F.max(F.when(F.col("rn") <= _OS_CUTOFF, F.col("v"))).over(wp).alias(
+            "sample_best"
+        ),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    picks = (
+        stats.where(
+            (F.col("rn") > _OS_CUTOFF)
+            & (F.col("v") > F.coalesce("sample_best", F.lit(-1)))
+            & (
+                F.col("best_before").isNull()
+                | (F.col("v") > F.col("best_before"))
+            )
+        )
+        .withColumn("prn", F.row_number().over(wo))
+        .where(F.col("prn") == 1)
+        .select(
+            F.col("user_id").alias("pu"), F.col("v").alias("picked")
+        )
+    )
+    last = cap.withColumn(
+        "lrn", F.row_number().over(W.partitionBy("user_id").orderBy(F.desc("rn")))
+    ).where(F.col("lrn") == 1).select(
+        F.col("user_id").alias("lu"), F.col("v").alias("last_v")
+    )
+    per_user = stats.groupBy("user_id").agg(
+        F.max("n").cast("long").alias("n_candidates"),
+        F.max("true_best").cast("long").alias("best_c"),
+    )
+    return (
+        per_user.join(picks, per_user["user_id"] == picks["pu"], "left")
+        .join(last, per_user["user_id"] == last["lu"])
+        .select(
+            "user_id",
+            "n_candidates",
+            F.coalesce("picked", "last_v").cast("long").alias("picked_c"),
+            "best_c",
+            F.when(
+                F.coalesce("picked", "last_v") == F.col("best_c"), 1
+            )
+            .otherwise(0)
+            .cast("long")
+            .alias("got_best"),
+        )
+    )
