@@ -1770,3 +1770,35 @@ def test_optimal_stopping_crafted_sequences(spark):
     assert got[1]["picked_c"] == 700 and got[1]["got_best"] == 0
     assert got[2]["picked_c"] == 9000 and got[2]["got_best"] == 1
     assert got[3]["picked_c"] == 500 and got[3]["got_best"] == 0
+
+
+def test_simpson_crafted_reversal(spark):
+    """Crafted two-group data where every group trends DOWN but the
+    pooled trend is UP (groups shift level across time) — the audit
+    must flag the reversal."""
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="simpson-")
+    DAY = 86400000000
+    rows, eid = [], 0
+    # group 'a': early days, high level, falling (10, 9, 8...)
+    for i in range(5):
+        eid += 1
+        rows.append((eid, 1, i * DAY, "a", float(10 - i), "{}"))
+    # group 'b': later days, MUCH higher level, falling (100, 99, ...)
+    for i in range(5):
+        eid += 1
+        rows.append((eid, 1, (i + 10) * DAY, "b", float(100 - i), "{}"))
+    spark.createDataFrame(
+        rows, "event_id long, user_id long, ts_us long, event_type string, "
+        "value double, props string"
+    ).selectExpr(
+        "event_id", "timestamp_micros(ts_us) AS ts", "user_id",
+        "event_type", "value", "props",
+    ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    got = {r["grp"]: r for r in
+           QUERIES["simpson_paradox_audit"].fn(spark, d).collect()}
+    assert got["a"]["group_trend_sign"] == -1
+    assert got["b"]["group_trend_sign"] == -1
+    assert got["a"]["pooled_trend_sign"] == 1  # level shift wins pooled
+    assert got["a"]["sign_reversed"] == 1 and got["b"]["sign_reversed"] == 1

@@ -6490,3 +6490,102 @@ def optimal_stopping_audit(spark, sf_dir):
             .alias("got_best"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Simpson's paradox audit: pooled vs per-group trend signs
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "simpson_paradox_audit",
+    """
+    WITH d AS (
+      SELECT event_type AS grp,
+             epoch_us(ts) // 86400000000
+               - (SELECT MIN(epoch_us(ts) // 86400000000) FROM events)
+               AS x,
+             CAST(ROUND(value * 100) AS BIGINT) AS y
+      FROM events
+    ), per_group AS (
+      SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(*) * SUM(x * y) - SUM(x) * SUM(y) AS BIGINT)
+               AS cov_num
+      FROM d GROUP BY grp
+    ), pooled AS (
+      SELECT CAST(COUNT(*) * SUM(x * y) - SUM(x) * SUM(y) AS BIGINT)
+               AS cov_num
+      FROM d
+    )
+    SELECT g.grp, g.n,
+           CAST(CASE WHEN g.cov_num > 0 THEN 1
+                     WHEN g.cov_num < 0 THEN -1 ELSE 0 END AS BIGINT)
+             AS group_trend_sign,
+           CAST(CASE WHEN p.cov_num > 0 THEN 1
+                     WHEN p.cov_num < 0 THEN -1 ELSE 0 END AS BIGINT)
+             AS pooled_trend_sign,
+           CAST(CASE WHEN (g.cov_num > 0) <> (p.cov_num > 0)
+                      AND g.cov_num <> 0 AND p.cov_num <> 0
+                THEN 1 ELSE 0 END AS BIGINT) AS sign_reversed
+    FROM per_group g, pooled p
+    """,
+    "Simpson's-paradox audit: the SIGN of the value-over-day trend "
+    "per event type against the pooled sign, via exact integer "
+    "covariance numerators (n*sum(xy) - sum(x)*sum(y) — day indices "
+    "are span-relative so the products stay far inside int64, and "
+    "sign comparison needs no division at all). A reversal row "
+    "(group trend up while pooled is down, or vice versa) is the "
+    "aggregation trap every cohort metric review must check before "
+    "reading a pooled trend — the diagnosis is dimension-sized: one "
+    "moment aggregate per group + one pooled, signs joined.",
+)
+def simpson_paradox_audit(spark, sf_dir):
+    from youtube_trending_data_pipeline_spark.catalog import cents
+
+    base = t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("grp"),
+        F.expr("(ts div 1000) div 86400000000").alias("day"),
+        cents("value").alias("y"),
+    )
+    d0 = base.agg(F.min("day").alias("d0"))
+    d = base.crossJoin(F.broadcast(d0)).select(
+        "grp", (F.col("day") - F.col("d0")).alias("x"), "y"
+    )
+    per_group = d.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (
+            F.count(F.lit(1)) * F.sum(F.col("x") * F.col("y"))
+            - F.sum("x") * F.sum("y")
+        )
+        .cast("long")
+        .alias("cov_num"),
+    )
+    pooled = d.agg(
+        (
+            F.count(F.lit(1)) * F.sum(F.col("x") * F.col("y"))
+            - F.sum("x") * F.sum("y")
+        )
+        .cast("long")
+        .alias("p_cov")
+    )
+    sign = lambda c: (  # noqa: E731
+        F.when(F.col(c) > 0, 1).when(F.col(c) < 0, -1).otherwise(0)
+    )
+    return (
+        per_group.crossJoin(F.broadcast(pooled))
+        .select(
+            "grp",
+            "n",
+            sign("cov_num").cast("long").alias("group_trend_sign"),
+            sign("p_cov").cast("long").alias("pooled_trend_sign"),
+            F.when(
+                ((F.col("cov_num") > 0) != (F.col("p_cov") > 0))
+                & (F.col("cov_num") != 0)
+                & (F.col("p_cov") != 0),
+                1,
+            )
+            .otherwise(0)
+            .cast("long")
+            .alias("sign_reversed"),
+        )
+    )
