@@ -298,6 +298,9 @@ def test_no_accidental_cartesian_anywhere(spark):
         # cache_static_hitrate_curve: 3-row cache-size spine + 1-row
         # access total onto the key-frequency dimension.
         "cache_static_hitrate_curve",
+        # simpson_paradox_audit: 1-row min-day anchor and 1-row pooled
+        # covariance appends onto the per-group moment table.
+        "simpson_paradox_audit",
     }
     for name, spec in QUERIES.items():
         if name in allowed_cross:
