@@ -183,7 +183,12 @@ PRIORITY_UNCHECKED = [
 # dq_sequence_audit, multimodal_video_motion, scd2_asof_lookup,
 # text_kwic_concordance, anomaly_seasonal_residual,
 # markov_stationary_iter, haar_transform_daily, sketch_ams_f2,
-# seq_lis_length, budget_knapsack_optimal — (d) then tier-3
+# seq_lis_length, budget_knapsack_optimal, graph_rich_club,
+# sketch_fm_rho_max, weekday_profile, source_token_jaccard,
+# er_entity_clusters, token_huffman_code_audit, eval_cohens_kappa,
+# drift_tv_distance, er_sorted_neighborhood, pooled_screening_dorfman,
+# cache_static_hitrate_curve, optimal_stopping_audit,
+# simpson_paradox_audit — (d) then tier-3
 # regression re-checks keep cycling the oldest verified entries.
 
 
