@@ -1802,3 +1802,28 @@ def test_simpson_crafted_reversal(spark):
     assert got["b"]["group_trend_sign"] == -1
     assert got["a"]["pooled_trend_sign"] == 1  # level shift wins pooled
     assert got["a"]["sign_reversed"] == 1 and got["b"]["sign_reversed"] == 1
+
+
+def test_decayed_sum_halving_semantics(spark):
+    """Crafted ages: same-day events count fully, one-half-life events
+    halve (integer shift), ancient events contribute zero."""
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="decay-")
+    DAY = 86400000000
+    rows = [
+        (1, 1, 100 * DAY, "view", 8.0, "{}"),   # age 0 -> 800
+        (2, 1, 93 * DAY, "view", 8.0, "{}"),    # age 7 -> 400
+        (3, 1, 86 * DAY, "view", 8.0, "{}"),    # age 14 -> 200
+        (4, 1, 0 * DAY, "view", 8.0, "{}"),     # age 100 -> 800 >> 14 = 0
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, user_id long, ts_us long, event_type string, "
+        "value double, props string"
+    ).selectExpr(
+        "event_id", "timestamp_micros(ts_us) AS ts", "user_id",
+        "event_type", "value", "props",
+    ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    r = QUERIES["decayed_value_sum"].fn(spark, d).collect()[0]
+    assert r["raw_sum_c"] == 3200
+    assert r["decayed_sum_c"] == 800 + 400 + 200 + 0

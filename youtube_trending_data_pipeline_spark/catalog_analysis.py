@@ -6589,3 +6589,69 @@ def simpson_paradox_audit(spark, sf_dir):
             .alias("sign_reversed"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Recency-decayed value sums via integer halving
+# ---------------------------------------------------------------------------
+
+_DECAY_HALFLIFE_DAYS = 7
+
+
+@register(
+    "decayed_value_sum",
+    f"""
+    WITH d AS (
+      SELECT user_id,
+             CAST(ROUND(value * 100) AS BIGINT) AS c,
+             ((SELECT MAX(epoch_us(ts) // 86400000000) FROM events)
+              - epoch_us(ts) // 86400000000) AS age_days
+      FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(c) AS BIGINT) AS raw_sum_c,
+           CAST(SUM(c >> CAST(LEAST(age_days // {_DECAY_HALFLIFE_DAYS}, 62)
+                              AS INT)) AS BIGINT) AS decayed_sum_c
+    FROM d GROUP BY user_id
+    """,
+    "Recency-decayed engagement sums with INTEGER half-life decay: "
+    "each cent value is right-shifted once per elapsed 7-day "
+    "half-life (v >> (age/7) IS v * 2^-k — the exponential-decay "
+    "weighting of every recency-biased engagement score, with the "
+    "float pow() replaced by a bit shift both engines evaluate "
+    "identically; shift clamped at 62 so ancient events contribute "
+    "0, never wrap). Age anchors to the corpus max day (pure "
+    "function of the data). The algebraic-aggregate counterpart to "
+    "ewma_user_value's order-dependent fold: this decay DOES "
+    "distribute, so it needs no Arrow kernel — one hash aggregate, "
+    "map-side combine, done; choosing between the two forms is "
+    "exactly the distributivity question the engine's fold doctrine "
+    "documents.",
+)
+def decayed_value_sum(spark, sf_dir):
+    from youtube_trending_data_pipeline_spark.catalog import cents
+
+    base = t(spark, sf_dir, "events").select(
+        "user_id",
+        cents("value").alias("c"),
+        F.expr("(ts div 1000) div 86400000000").alias("day"),
+    )
+    mx = base.agg(F.max("day").alias("mx"))
+    d = base.crossJoin(F.broadcast(mx)).select(
+        "user_id",
+        "c",
+        (F.col("mx") - F.col("day")).alias("age_days"),
+    )
+    return d.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("c").cast("long").alias("raw_sum_c"),
+        F.sum(
+            F.expr(
+                f"shiftright(c, CAST(LEAST(age_days div "
+                f"{_DECAY_HALFLIFE_DAYS}, 62) AS INT))"
+            )
+        )
+        .cast("long")
+        .alias("decayed_sum_c"),
+    )
