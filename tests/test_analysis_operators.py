@@ -1827,3 +1827,18 @@ def test_decayed_sum_halving_semantics(spark):
     r = QUERIES["decayed_value_sum"].fn(spark, d).collect()[0]
     assert r["raw_sum_c"] == 3200
     assert r["decayed_sum_c"] == 800 + 400 + 200 + 0
+
+
+def test_interarrival_percentile_ordering(spark):
+    """p50 <= p90 <= p99 <= max per type; gap counts = events - 1."""
+    from youtube_trending_data_pipeline_spark.catalog import t as _t
+
+    counts = {
+        r["event_type"]: r["count"]
+        for r in _t(spark, SF, "events").groupBy("event_type").count().collect()
+    }
+    rows = QUERIES["interarrival_percentiles"].fn(spark, SF).collect()
+    assert len(rows) == len(counts)
+    for r in rows:
+        assert r["n_gaps"] == counts[r["event_type"]] - 1
+        assert r["p50_us"] <= r["p90_us"] <= r["p99_us"] <= r["max_us"]

@@ -6655,3 +6655,86 @@ def decayed_value_sum(spark, sf_dir):
         .cast("long")
         .alias("decayed_sum_c"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Inter-arrival time percentiles per event type
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "interarrival_percentiles",
+    """
+    WITH gaps AS (
+      SELECT event_type,
+             epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+               PARTITION BY event_type ORDER BY epoch_us(ts), event_id
+             ) AS gap_us
+      FROM events
+    ), g AS (
+      SELECT event_type, gap_us,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY gap_us, gap_us) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM gaps WHERE gap_us IS NOT NULL
+    )
+    SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_gaps,
+           CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN gap_us END)
+                AS BIGINT) AS p50_us,
+           CAST(MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN gap_us END)
+                AS BIGINT) AS p90_us,
+           CAST(MAX(CASE WHEN rn = (99 * n + 99) // 100 THEN gap_us END)
+                AS BIGINT) AS p99_us,
+           CAST(MAX(gap_us) AS BIGINT) AS max_us
+    FROM g GROUP BY event_type
+    """,
+    "Inter-arrival time percentiles per event type (exact order "
+    "statistics at ceil-rank positions — the p50/p90/p99/max every "
+    "capacity plan and timeout budget reads off an arrival process): "
+    "one LAG window per type over the time-ordered stream, then one "
+    "rank window over the GAP table. The arrival-process companion "
+    "to sessionize (which thresholds these gaps) and "
+    "late_event_audit (which delays them); reading all three is how "
+    "a streaming deployment picks its session gap and watermark in "
+    "one sitting.",
+)
+def interarrival_percentiles(spark, sf_dir):
+    ev = t(spark, sf_dir, "events").select(
+        "event_type", F.expr("ts div 1000").alias("us"), "event_id"
+    )
+    wt = W.partitionBy("event_type").orderBy("us", "event_id")
+    gaps = ev.select(
+        "event_type",
+        (F.col("us") - F.lag("us").over(wt)).alias("gap_us"),
+    ).where(F.col("gap_us").isNotNull())
+    wr = W.partitionBy("event_type").orderBy("gap_us")
+    g = gaps.select(
+        "event_type",
+        "gap_us",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("event_type")).alias("n"),
+    )
+    return g.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n_gaps"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("gap_us"))
+        )
+        .cast("long")
+        .alias("p50_us"),
+        F.max(
+            F.when(
+                F.col("rn") == F.expr("(9 * n + 9) div 10"), F.col("gap_us")
+            )
+        )
+        .cast("long")
+        .alias("p90_us"),
+        F.max(
+            F.when(
+                F.col("rn") == F.expr("(99 * n + 99) div 100"),
+                F.col("gap_us"),
+            )
+        )
+        .cast("long")
+        .alias("p99_us"),
+        F.max("gap_us").cast("long").alias("max_us"),
+    )
