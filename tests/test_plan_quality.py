@@ -301,6 +301,8 @@ def test_no_accidental_cartesian_anywhere(spark):
         # simpson_paradox_audit: 1-row min-day anchor and 1-row pooled
         # covariance appends onto the per-group moment table.
         "simpson_paradox_audit",
+        # decayed_value_sum: 1-row corpus-max-day anchor append.
+        "decayed_value_sum",
     }
     for name, spec in QUERIES.items():
         if name in allowed_cross:
