@@ -1842,3 +1842,15 @@ def test_interarrival_percentile_ordering(spark):
     for r in rows:
         assert r["n_gaps"] == counts[r["event_type"]] - 1
         assert r["p50_us"] <= r["p90_us"] <= r["p99_us"] <= r["max_us"]
+
+
+def test_jackknife_influence_signs(spark):
+    """Dropping a below-average cohort RAISES the mean (positive
+    influence) and vice versa; all cohorts present; overall mean
+    constant across rows."""
+    rows = QUERIES["metric_jackknife_cohorts"].fn(spark, SF).collect()
+    assert len(rows) == 10
+    overall = {r["overall_mean_c"] for r in rows}
+    assert len(overall) == 1
+    for r in rows:
+        assert r["influence_c"] == r["loo_mean_c"] - r["overall_mean_c"]

@@ -303,6 +303,9 @@ def test_no_accidental_cartesian_anywhere(spark):
         "simpson_paradox_audit",
         # decayed_value_sum: 1-row corpus-max-day anchor append.
         "decayed_value_sum",
+        # metric_jackknife_cohorts: 1-row grand-total append onto the
+        # 10-row cohort aggregate (complement subtraction, no rescan).
+        "metric_jackknife_cohorts",
     }
     for name, spec in QUERIES.items():
         if name in allowed_cross:

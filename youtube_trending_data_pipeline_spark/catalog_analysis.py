@@ -6738,3 +6738,73 @@ def interarrival_percentiles(spark, sf_dir):
         .alias("p99_us"),
         F.max("gap_us").cast("long").alias("max_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Leave-one-cohort-out metric sensitivity (jackknife influence)
+# ---------------------------------------------------------------------------
+
+_JK_COHORTS = 10
+
+
+@register(
+    "metric_jackknife_cohorts",
+    f"""
+    WITH d AS (
+      SELECT user_id % {_JK_COHORTS} AS cohort,
+             CAST(ROUND(value * 100) AS BIGINT) AS c
+      FROM events
+    ), per AS (
+      SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(c) AS BIGINT) AS s
+      FROM d GROUP BY cohort
+    ), tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS tn, CAST(SUM(s) AS BIGINT) AS ts
+      FROM per
+    )
+    SELECT per.cohort, per.n AS cohort_events,
+           CAST((100 * tot.ts) // tot.tn AS BIGINT) AS overall_mean_c,
+           CAST((100 * (tot.ts - per.s)) // (tot.tn - per.n) AS BIGINT)
+             AS loo_mean_c,
+           CAST((100 * (tot.ts - per.s)) // (tot.tn - per.n)
+                - (100 * tot.ts) // tot.tn AS BIGINT) AS influence_c
+    FROM per, tot
+    """,
+    "Leave-one-cohort-out sensitivity of the mean event value — the "
+    "jackknife influence read that tells you whether a headline "
+    "metric is carried by one user cohort (drop each of the 10 "
+    "user-mod cohorts, recompute the mean from the COMPLEMENT totals "
+    "— no second scan, pure subtraction on the per-cohort "
+    "aggregates): a large |influence| row is the cohort whose outage "
+    "or exclusion would move the metric, the robustness check run "
+    "before anyone ships a topline number. Mean reported in "
+    "hundredth-cents ((100*sum) div n) so the integer division "
+    "keeps two digits past the cent, identical in both engines.",
+)
+def metric_jackknife_cohorts(spark, sf_dir):
+    from youtube_trending_data_pipeline_spark.catalog import cents
+
+    d = t(spark, sf_dir, "events").select(
+        (F.col("user_id") % _JK_COHORTS).alias("cohort"),
+        cents("value").alias("c"),
+    )
+    per = d.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("c").cast("long").alias("s"),
+    )
+    tot = per.agg(
+        F.sum("n").cast("long").alias("tn"),
+        F.sum("s").cast("long").alias("ts"),
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "cohort",
+        F.col("n").alias("cohort_events"),
+        F.expr("CAST((100 * ts) div tn AS BIGINT)").alias("overall_mean_c"),
+        F.expr(
+            "CAST((100 * (ts - s)) div (tn - n) AS BIGINT)"
+        ).alias("loo_mean_c"),
+        F.expr(
+            "CAST((100 * (ts - s)) div (tn - n) - (100 * ts) div tn "
+            "AS BIGINT)"
+        ).alias("influence_c"),
+    )
