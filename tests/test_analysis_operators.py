@@ -1854,3 +1854,32 @@ def test_jackknife_influence_signs(spark):
     assert len(overall) == 1
     for r in rows:
         assert r["influence_c"] == r["loo_mean_c"] - r["overall_mean_c"]
+
+
+def test_time_to_convert_strictness(spark):
+    """Crafted users: purchase BEFORE first view never converts; exact
+    durations rank correctly."""
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="ttc-")
+    MIN = 60000000
+    rows = [
+        (1, 1, 0 * MIN, "view", 0.0, "{}"),
+        (2, 1, 10 * MIN, "purchase", 0.0, "{}"),   # converts in 10 min
+        (3, 2, 5 * MIN, "purchase", 0.0, "{}"),    # purchase BEFORE view
+        (4, 2, 6 * MIN, "view", 0.0, "{}"),
+        (5, 3, 0 * MIN, "view", 0.0, "{}"),
+        (6, 3, 30 * MIN, "purchase", 0.0, "{}"),   # converts in 30 min
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, user_id long, ts_us long, event_type string, "
+        "value double, props string"
+    ).selectExpr(
+        "event_id", "timestamp_micros(ts_us) AS ts", "user_id",
+        "event_type", "value", "props",
+    ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    r = QUERIES["funnel_time_to_convert"].fn(spark, d).collect()[0]
+    assert r["n_entered"] == 3
+    assert r["n_converted"] == 2  # user 2 excluded: strict ordering
+    assert r["p50_us"] == 10 * MIN
+    assert r["max_us"] == 30 * MIN

@@ -306,6 +306,9 @@ def test_no_accidental_cartesian_anywhere(spark):
         # metric_jackknife_cohorts: 1-row grand-total append onto the
         # 10-row cohort aggregate (complement subtraction, no rescan).
         "metric_jackknife_cohorts",
+        # funnel_time_to_convert: 1-row entered-count append onto the
+        # 1-row percentile aggregate.
+        "funnel_time_to_convert",
     }
     for name, spec in QUERIES.items():
         if name in allowed_cross:

@@ -6808,3 +6808,97 @@ def metric_jackknife_cohorts(spark, sf_dir):
             "AS BIGINT)"
         ).alias("influence_c"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Funnel time-to-convert percentiles
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "funnel_time_to_convert",
+    """
+    WITH fv AS (
+      SELECT user_id, MIN(epoch_us(ts)) AS first_view
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), fp AS (
+      SELECT e.user_id, MIN(epoch_us(e.ts)) AS first_purchase
+      FROM events e JOIN fv ON fv.user_id = e.user_id
+      WHERE e.event_type = 'purchase'
+        AND epoch_us(e.ts) > fv.first_view
+      GROUP BY e.user_id
+    ), dur AS (
+      SELECT fp.user_id,
+             fp.first_purchase - fv.first_view AS d_us,
+             ROW_NUMBER() OVER (ORDER BY fp.first_purchase - fv.first_view,
+                                fp.user_id) AS rn,
+             COUNT(*) OVER () AS n
+      FROM fp JOIN fv ON fv.user_id = fp.user_id
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_converted,
+           CAST((SELECT COUNT(*) FROM fv) AS BIGINT) AS n_entered,
+           CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN d_us END) AS BIGINT)
+             AS p50_us,
+           CAST(MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN d_us END)
+                AS BIGINT) AS p90_us,
+           CAST(MAX(d_us) AS BIGINT) AS max_us
+    FROM dur
+    """,
+    "Funnel time-to-convert: for every user whose first purchase "
+    "STRICTLY FOLLOWS their first view, the conversion latency's "
+    "exact p50/p90/max (ceil-rank order statistics) next to the "
+    "entered/converted counts — the DURATION companion to "
+    "funnel_view_click_purchase's conversion counts, and the number "
+    "a re-marketing window is actually set from. Strict ordering "
+    "(purchase after view, not merely same user) is the semantics "
+    "attribution requires; two per-user MIN aggregates + one global "
+    "rank over the CONVERTED-user table (converted users, not "
+    "events, bound the window).",
+)
+def funnel_time_to_convert(spark, sf_dir):
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.expr("ts div 1000").alias("us")
+    )
+    fv = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("first_view"))
+    )
+    fp = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(fv, "user_id")
+        .where(F.col("us") > F.col("first_view"))
+        .groupBy("user_id", "first_view")
+        .agg(F.min("us").alias("first_purchase"))
+    )
+    dur = fp.select(
+        "user_id",
+        (F.col("first_purchase") - F.col("first_view")).alias("d_us"),
+    )
+    wr = W.orderBy("d_us", "user_id")
+    ranked = dur.select(
+        "d_us",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("n"),
+    )
+    entered = fv.agg(F.count(F.lit(1)).cast("long").alias("n_entered"))
+    return (
+        ranked.agg(
+            F.max("n").cast("long").alias("n_converted"),
+            F.max(
+                F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("d_us"))
+            )
+            .cast("long")
+            .alias("p50_us"),
+            F.max(
+                F.when(
+                    F.col("rn") == F.expr("(9 * n + 9) div 10"), F.col("d_us")
+                )
+            )
+            .cast("long")
+            .alias("p90_us"),
+            F.max("d_us").cast("long").alias("max_us"),
+        )
+        .crossJoin(F.broadcast(entered))
+        .select("n_converted", "n_entered", "p50_us", "p90_us", "max_us")
+    )
