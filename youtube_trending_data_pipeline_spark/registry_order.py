@@ -188,7 +188,8 @@ PRIORITY_UNCHECKED = [
 # er_entity_clusters, token_huffman_code_audit, eval_cohens_kappa,
 # drift_tv_distance, er_sorted_neighborhood, pooled_screening_dorfman,
 # cache_static_hitrate_curve, optimal_stopping_audit,
-# simpson_paradox_audit — (d) then tier-3
+# simpson_paradox_audit, decayed_value_sum, interarrival_percentiles,
+# metric_jackknife_cohorts, funnel_time_to_convert — (d) then tier-3
 # regression re-checks keep cycling the oldest verified entries.
 
 
