@@ -1883,3 +1883,33 @@ def test_time_to_convert_strictness(spark):
     assert r["n_converted"] == 2  # user 2 excluded: strict ordering
     assert r["p50_us"] == 10 * MIN
     assert r["max_us"] == 30 * MIN
+
+
+def test_luhn_catches_every_planted_corruption(spark):
+    """All clean ids validate; every corrupted id fails (single-digit
+    errors are Luhn's guarantee): n_valid = n_ids - n_corrupted and
+    n_missed = 0. Cross-checked against Python's Luhn."""
+    from youtube_trending_data_pipeline_spark.catalog import t as _t
+
+    r = QUERIES["dq_luhn_checksum"].fn(spark, SF).collect()[0]
+    assert r["n_missed"] == 0
+    assert r["n_valid"] == r["n_ids"] - r["n_corrupted"]
+    assert r["n_corrupted"] > 0
+
+    def luhn_check_digit(b):
+        digs = [(b // 10**i) % 10 for i in range(7)]
+        s = 0
+        for i, d in enumerate(digs):
+            if i % 2 == 0:
+                dd = 2 * d
+                s += dd - 9 if dd > 9 else dd
+            else:
+                s += d
+        return (10 - s % 10) % 10
+
+    eids = [x["event_id"] for x in
+            _t(spark, SF, "events").select("event_id").limit(20).collect()]
+    for e in eids:
+        b = (e * 7919 + 12345) % 10000000
+        cid = b * 10 + luhn_check_digit(b)
+        assert luhn_check_digit(cid // 10) == cid % 10

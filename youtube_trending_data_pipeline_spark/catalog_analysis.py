@@ -6902,3 +6902,108 @@ def funnel_time_to_convert(spark, sf_dir):
         .crossJoin(F.broadcast(entered))
         .select("n_converted", "n_entered", "p50_us", "p90_us", "max_us")
     )
+
+
+# ---------------------------------------------------------------------------
+# Luhn checksum validation audit
+# ---------------------------------------------------------------------------
+
+
+def _luhn_sql(base: str, engine: str) -> tuple[str, str]:
+    """(check_digit_expr, id_expr) for a 7-digit base number: Luhn
+    doubles every second digit from the right (positions 1,3,5,7 of the
+    7-digit base when the check digit sits at position 0), caps with
+    digit-sum (2d -> 2d - 9 when 2d > 9). Pure integer column math,
+    identical strings valid in Spark SQL and DuckDB."""
+    div = "div" if engine == "spark" else "//"
+    digs = [f"(({base}) {div} {10 ** i}) % 10" for i in range(7)]
+    # from the right of the FULL id (check digit at 10^0), base digit i
+    # sits at position i+1 -> doubled when (i+1) is odd -> i even
+    terms = []
+    for i, d in enumerate(digs):
+        if i % 2 == 0:
+            terms.append(f"(CASE WHEN 2 * ({d}) > 9 THEN 2 * ({d}) - 9 "
+                         f"ELSE 2 * ({d}) END)")
+        else:
+            terms.append(f"({d})")
+    s = " + ".join(terms)
+    check = f"((10 - (({s}) % 10)) % 10)"
+    full_id = f"(({base}) * 10 + {check})"
+    return check, full_id
+
+
+@register(
+    "dq_luhn_checksum",
+    f"""
+    WITH base AS (
+      SELECT event_id, (event_id * 7919 + 12345) % 10000000 AS b,
+             event_id % 97 = 0 AS corrupted
+      FROM events
+    ), ids AS (
+      SELECT event_id, corrupted,
+             CASE WHEN corrupted
+                  THEN ({_luhn_sql('b', 'duck')[1]} + 1) % 100000000
+                  ELSE {_luhn_sql('b', 'duck')[1]} END AS card_id
+      FROM base
+    ), checked AS (
+      SELECT event_id, corrupted, card_id,
+             {_luhn_sql('card_id // 10', 'duck')[0]}
+               = card_id % 10 AS luhn_valid
+      FROM ids
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_ids,
+           CAST(SUM(CASE WHEN corrupted THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_corrupted,
+           CAST(SUM(CASE WHEN luhn_valid THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_valid,
+           CAST(SUM(CASE WHEN corrupted AND luhn_valid
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_missed
+    FROM checked
+    """,
+    "Luhn checksum validation audit (ISO/IEC 7812 — the mod-10 "
+    "check behind card numbers, IMEIs and national ids): synthetic "
+    "8-digit identifiers carry a genuine Luhn check digit, a "
+    "deterministic 1-in-97 subset is corrupted by a single-digit "
+    "increment, and the audit counts how many corruptions the "
+    "checksum catches — by construction a +1 on the check digit "
+    "ALWAYS fails validation, so n_missed = 0 (pinned by test; "
+    "single-digit errors are exactly what Luhn guarantees to "
+    "detect). The double-and-cap digit arithmetic is generated once "
+    "and emitted for BOTH engines — pure integer column math, no "
+    "UDF, one scan. The id-integrity companion to "
+    "dq_sequence_audit's completeness check.",
+)
+def dq_luhn_checksum(spark, sf_dir):
+    check_b, full_b = _luhn_sql("b", "spark")
+    check_v, _ = _luhn_sql("card_id div 10", "spark")
+    base = t(spark, sf_dir, "events").select(
+        "event_id",
+        F.expr("(event_id * 7919 + 12345) % 10000000").alias("b"),
+        (F.col("event_id") % 97 == 0).alias("corrupted"),
+    )
+    ids = base.select(
+        "event_id",
+        "corrupted",
+        F.expr(
+            f"CASE WHEN corrupted THEN ({full_b} + 1) % 100000000 "
+            f"ELSE {full_b} END"
+        ).alias("card_id"),
+    )
+    checked = ids.select(
+        "corrupted",
+        F.expr(f"{check_v} = card_id % 10").alias("luhn_valid"),
+    )
+    return checked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_ids"),
+        F.sum(F.when(F.col("corrupted"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_corrupted"),
+        F.sum(F.when(F.col("luhn_valid"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_valid"),
+        F.sum(
+            F.when(F.col("corrupted") & F.col("luhn_valid"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_missed"),
+    )
