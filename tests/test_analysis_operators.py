@@ -1913,3 +1913,35 @@ def test_luhn_catches_every_planted_corruption(spark):
         b = (e * 7919 + 12345) % 10000000
         cid = b * 10 + luhn_check_digit(b)
         assert luhn_check_digit(cid // 10) == cid % 10
+
+
+def test_max_concurrency_crafted_overlaps(spark):
+    """Crafted sessions: three users overlapping pairwise but never all
+    three -> peak 2; back-to-back sessions at the same instant never
+    double-count (exclusive ends)."""
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="conc-")
+    MIN = 60000000
+    rows, eid = [], 0
+
+    def add(u, minutes):
+        nonlocal eid
+        for m in minutes:
+            eid += 1
+            rows.append((eid, u, m * MIN, "view", 0.0, "{}"))
+
+    add(1, [0, 10])      # session [0, 10]
+    add(2, [5, 20])      # overlaps user 1 on [5, 10]
+    add(3, [40, 50])     # overlaps nobody (ends of 1,2 long past)
+    spark.createDataFrame(
+        rows, "event_id long, user_id long, ts_us long, event_type string, "
+        "value double, props string"
+    ).selectExpr(
+        "event_id", "timestamp_micros(ts_us) AS ts", "user_id",
+        "event_type", "value", "props",
+    ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    r = QUERIES["session_max_concurrency"].fn(spark, d).collect()[0]
+    assert r["n_sessions"] == 3
+    assert r["n_users"] == 3
+    assert r["max_concurrent"] == 2

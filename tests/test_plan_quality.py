@@ -309,6 +309,9 @@ def test_no_accidental_cartesian_anywhere(spark):
         # funnel_time_to_convert: 1-row entered-count append onto the
         # 1-row percentile aggregate.
         "funnel_time_to_convert",
+        # session_max_concurrency: two 1-row count appends onto the
+        # 1-row sweep maximum.
+        "session_max_concurrency",
     }
     for name, spec in QUERIES.items():
         if name in allowed_cross:

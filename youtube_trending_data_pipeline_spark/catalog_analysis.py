@@ -7007,3 +7007,105 @@ def dq_luhn_checksum(spark, sf_dir):
         .cast("long")
         .alias("n_missed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Session max-concurrency via sweep line
+# ---------------------------------------------------------------------------
+
+_SC_GAP_US = 1800000000  # 30-minute session gap
+
+
+@register(
+    "session_max_concurrency",
+    f"""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS us,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w
+                       > {_SC_GAP_US}
+                   OR LAG(epoch_us(ts)) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events WINDOW w AS (PARTITION BY user_id
+                               ORDER BY epoch_us(ts), event_id)
+    ), sess AS (
+      SELECT user_id, MIN(us) AS s_start, MAX(us) AS s_end
+      FROM (
+        SELECT user_id, us,
+               SUM(is_start) OVER (PARTITION BY user_id
+                                   ORDER BY us
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM e
+      ) GROUP BY user_id, sid
+    ), bounds AS (
+      -- end is EXCLUSIVE at s_end + 1us: a session ending exactly when
+      -- another starts does not overlap it (deterministic tie rule:
+      -- -1 deltas sort before +1 at the same instant)
+      SELECT s_start AS at_us, 1 AS delta FROM sess
+      UNION ALL
+      SELECT s_end + 1, -1 FROM sess
+    ), sweep AS (
+      SELECT at_us,
+             SUM(delta) OVER (ORDER BY at_us, delta
+                              ROWS UNBOUNDED PRECEDING) AS live
+      FROM bounds
+    )
+    SELECT CAST((SELECT COUNT(*) FROM sess) AS BIGINT) AS n_sessions,
+           CAST(MAX(live) AS BIGINT) AS max_concurrent,
+           CAST((SELECT COUNT(DISTINCT user_id) FROM sess) AS BIGINT)
+             AS n_users
+    FROM sweep
+    """,
+    "Peak session concurrency via the classic sweep line: sessions "
+    "come from the 30-minute-gap rule (the sessionize semantics), "
+    "each contributes +1 at its start and -1 just past its end "
+    "(exclusive end with a deterministic -1-before-+1 tie order, so "
+    "back-to-back sessions never double-count), and the running sum's "
+    "maximum IS the peak simultaneous load — the number capacity "
+    "planning and license sizing actually need, which no windowed "
+    "count approximates exactly (a session spans many windows). One "
+    "keyed session build + one global boundary sort of 2 rows per "
+    "SESSION (not per event) — the sweep input is session-bounded at "
+    "any event volume.",
+)
+def session_max_concurrency(spark, sf_dir):
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", F.expr("ts div 1000").alias("us"), "event_id"
+    )
+    wu = W.partitionBy("user_id").orderBy("us", "event_id")
+    e = ev.withColumn(
+        "is_start",
+        F.when(
+            (F.col("us") - F.lag("us").over(wu) > _SC_GAP_US)
+            | F.lag("us").over(wu).isNull(),
+            1,
+        ).otherwise(0),
+    )
+    sess = (
+        e.withColumn(
+            "sid",
+            F.sum("is_start").over(
+                W.partitionBy("user_id")
+                .orderBy("us")
+                .rowsBetween(W.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy("user_id", "sid")
+        .agg(F.min("us").alias("s_start"), F.max("us").alias("s_end"))
+    )
+    bounds = sess.select(
+        F.col("s_start").alias("at_us"), F.lit(1).alias("delta")
+    ).unionAll(
+        sess.select((F.col("s_end") + 1).alias("at_us"), F.lit(-1))
+    )
+    ws = W.orderBy("at_us", "delta").rowsBetween(W.unboundedPreceding, 0)
+    sweep = bounds.select(F.sum("delta").over(ws).alias("live"))
+    n_sessions = sess.agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
+    n_users = sess.agg(
+        F.countDistinct("user_id").cast("long").alias("n_users")
+    )
+    return (
+        sweep.agg(F.max("live").cast("long").alias("max_concurrent"))
+        .crossJoin(F.broadcast(n_sessions))
+        .crossJoin(F.broadcast(n_users))
+        .select("n_sessions", "max_concurrent", "n_users")
+    )
