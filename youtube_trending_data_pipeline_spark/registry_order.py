@@ -189,8 +189,8 @@ PRIORITY_UNCHECKED = [
 # drift_tv_distance, er_sorted_neighborhood, pooled_screening_dorfman,
 # cache_static_hitrate_curve, optimal_stopping_audit,
 # simpson_paradox_audit, decayed_value_sum, interarrival_percentiles,
-# metric_jackknife_cohorts, funnel_time_to_convert, dq_luhn_checksum
-# — (d) then tier-3
+# metric_jackknife_cohorts, funnel_time_to_convert, dq_luhn_checksum,
+# session_max_concurrency — (d) then tier-3
 # regression re-checks keep cycling the oldest verified entries.
 
 
