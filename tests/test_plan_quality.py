@@ -155,6 +155,14 @@ def test_no_accidental_cartesian_anywhere(spark):
         # date spine (the entry docstring records the bucketed-cell
         # prefilter as the 100 TB path).
         "j11_interval_overlap_join",
+        # graph_mutual_knn_recall_audit: deliberately composes the
+        # RETIRED all-pairs exact build (1-row quantized-corpus block
+        # crossJoin feeding the mapInPandas matmul — the labeled
+        # brute-force baseline) to audit the bucketed production
+        # build's recall, plus three 1-row count appends. The three
+        # graph-structure entries themselves run on the bounded
+        # IVF-pivot build and stay out of this whitelist.
+        "graph_mutual_knn_recall_audit",
     }
     # Scalar-subquery shapes: crossJoin against a broadcast single-row
     # aggregate ("compare every row to the global total/average"). Spark

@@ -28,7 +28,19 @@ from youtube_trending_data_pipeline_spark.catalog import register, t
 
 _KNN_K = 5          # neighbors per vector (quantized-dot, ties by id)
 _CORE_K = 3         # peel threshold
-_PEEL_ROUNDS = 16   # fixpoint at sf0.01 is round 10; monotone no-op after
+# Measured fixpoints on the bucketed build: round 12 (sf0.001), 7 (sf0.01),
+# 17 (sf0.1); peeling is monotone, so the headroom rounds are no-ops.
+_PEEL_ROUNDS = 20
+_MKNN_CELLS = 8     # IVF pivot cells for the bucketed candidate build
+_MKNN_PROBE = 5     # probe cells per vector (multi-probe recall knob)
+# Each vector is a MEMBER of its top-2 cells (multi-assignment): with
+# single assignment the candidate relation is asymmetric (u sees v but v
+# never sees u), which systematically destroys MUTUAL edges — measured
+# recall jumps 0.69 -> 0.95 at sf0.01 going (probe=5, member=1) ->
+# (probe=5, member=2) on the near-random synthetic embeddings (the
+# adversarial case for any ANN bucketing; clustered production corpora
+# need smaller knobs).
+_MKNN_MEMBER = 2
 
 _QV_SQL = (
     "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000"
@@ -40,19 +52,21 @@ _QV_SPARK = (
 )
 
 
-def _mutual_knn_edges(spark, sf_dir):
-    """Mutual-kNN edge list via ONE Arrow pass: the quantized corpus
-    rides along as a single-row block (1-row crossJoin — never a
-    driver collect), and a mapInPandas kernel computes every batch's
-    integer dot products as one numpy int64 matmul, taking each row's
-    top-_KNN_K by (-dot, neighbor id) with lexsort — bit-exact the
-    same ranking as the SQL window form, but BLAS instead of 256M
-    interpreted HOF lambda steps (measured 26 s -> ~3 s at sf0.1,
-    PERF.md round 6; the same measured tradeoff as the minhash
-    signature stage). The mutual filter and everything downstream
-    stay relational. At 100 TB the all-pairs block swaps for LSH/IVF
-    candidate generation (sim_lsh_topk / sim_ivf_pivot_topk) feeding
-    the same mutual filter + peel."""
+def _mutual_knn_edges_exact(spark, sf_dir):
+    """EXACT all-pairs mutual-kNN edge list — the labeled correctness
+    baseline (the sim_bruteforce_topk doctrine), kept ONLY to audit the
+    bucketed production build's recall (graph_mutual_knn_recall_audit).
+    The graph-structure entries themselves run on the bounded
+    _mutual_knn_edges candidate build below.
+
+    One Arrow pass: the quantized corpus rides along as a single-row
+    block (1-row crossJoin — never a driver collect), and a mapInPandas
+    kernel computes every batch's integer dot products as one numpy
+    int64 matmul, taking each row's top-_KNN_K by (-dot, neighbor id)
+    with lexsort — bit-exact the same ranking as the SQL window form,
+    but BLAS instead of 256M interpreted HOF lambda steps (measured
+    26 s -> ~3 s at sf0.1, PERF.md round 6). Quadratic by definition:
+    fine as an audit at bench scale, never the 100 TB path."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import LongType, StructField, StructType
@@ -102,8 +116,175 @@ def _mutual_knn_edges(spark, sf_dir):
     ).select(F.col("u").alias("src"), F.col("v").alias("dst"))
 
 
+def _mutual_knn_edges(spark, sf_dir):
+    """Mutual-kNN edge list via BOUNDED candidate generation — the
+    production build the graph-structure entries run on (kcore / ktruss
+    / rich-club), replacing the round-6 all-pairs block (kept as
+    _mutual_knn_edges_exact for the recall audit only).
+
+    IVF-pivot architecture (the sim_ivf_pivot_topk doctrine, so the
+    whole build is a pure function of the data — deterministic across
+    engines, partitionings, and reruns):
+
+    * the first _MKNN_CELLS corpus vectors by id are the pivot cells;
+    * every vector ranks the pivots by exact quantized int64 dot
+      (ties to the smaller pivot id): ranks 1.._MKNN_MEMBER are its
+      MEMBER cells (multi-assignment — keeps the candidate relation
+      near-symmetric, which mutual filtering needs; see the knob
+      comment above), ranks 1.._MKNN_PROBE its PROBED cells
+      (multi-probe — the recall knob);
+    * candidates for u = members of u's probed cells; a (u, v) pair
+      can surface in up to _MKNN_MEMBER cells with the SAME exact
+      dot, so one distinct() collapses the duplicates;
+    * per cell, one applyInPandas numpy int64 matmul scores probers
+      against members (the semdedup within-cell BLAS doctrine) and
+      keeps each prober's per-cell top-_KNN_K by (-dot, neighbor id);
+    * a global per-u window reduces the <= _MKNN_PROBE * _KNN_K
+      survivors to the true candidate top-_KNN_K (top-k of a union is
+      the top-k of the per-group top-ks), and the mutual semi-join
+      filter is unchanged from the exact build.
+
+    Scale shape: pivot ranking is an 8-row broadcast constant-append;
+    the per-cell matmul is quadratic WITHIN cells only, so n_cells
+    scales with the corpus exactly like semdedup_keepers' measured
+    knob (scripts/semdedup_scale.py); the shuffle moves only
+    (u, v, dot) longs — vectors never travel past the cell stage."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    q = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr(_QV_SPARK).alias("qv")
+    )
+    seeds = F.broadcast(
+        q.orderBy("vec_id")
+        .limit(_MKNN_CELLS)
+        .select(
+            F.col("vec_id").alias("seed_id"), F.col("qv").alias("seed_qv")
+        )
+    )
+    w_cell = W.partitionBy("vec_id").orderBy(
+        F.desc("cdot"), F.asc("seed_id")
+    )
+    tagged = (
+        q.crossJoin(seeds)
+        .withColumn(
+            "cdot",
+            F.expr(
+                "aggregate(zip_with(qv, seed_qv, (x, y) -> x * y),"
+                " 0L, (a, x) -> a + x)"
+            ),
+        )
+        .withColumn("cr", F.row_number().over(w_cell))
+        .where(F.col("cr") <= _MKNN_PROBE)
+        .select(
+            F.col("seed_id").alias("cell"),
+            "vec_id",
+            "qv",
+            (F.col("cr") <= _MKNN_MEMBER).alias("is_m"),
+        )
+    )
+    schema = StructType(
+        [
+            StructField("u", LongType()),
+            StructField("v", LongType()),
+            StructField("dot", LongType()),
+        ]
+    )
+    sentinel = np.iinfo(np.int64).min // 2  # masks self-pairs; see exact build
+
+    def cell_topk(pdf):
+        mem = pdf[pdf["is_m"]]
+        if not len(mem):
+            return pd.DataFrame(
+                {"u": pd.Series(dtype="int64"),
+                 "v": pd.Series(dtype="int64"),
+                 "dot": pd.Series(dtype="int64")}
+            )
+        mids = mem["vec_id"].to_numpy(dtype=np.int64)
+        M = np.array(list(mem["qv"]), dtype=np.int64)
+        pids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        P = np.array(list(pdf["qv"]), dtype=np.int64)
+        D = P @ M.T  # exact int64 dots, probers x members
+        D[pids[:, None] == mids[None, :]] = sentinel
+        us, vs, ds = [], [], []
+        for r in range(len(pids)):
+            # ties: larger dot first, then smaller neighbor id
+            order = np.lexsort((mids, -D[r]))[:_KNN_K]
+            order = order[D[r, order] != sentinel]
+            us.extend([pids[r]] * len(order))
+            vs.extend(mids[order])
+            ds.extend(D[r, order])
+        return pd.DataFrame(
+            {"u": np.asarray(us, dtype=np.int64),
+             "v": np.asarray(vs, dtype=np.int64),
+             "dot": np.asarray(ds, dtype=np.int64)}
+        )
+
+    pairs = (
+        tagged.groupBy("cell")
+        .applyInPandas(cell_topk, schema=schema)
+        # a (u, v) pair surfaces once per shared member cell with the
+        # same exact dot — collapse before ranking so row_number never
+        # spends top-k slots on duplicates
+        .distinct()
+    )
+    w_knn = W.partitionBy("u").orderBy(F.desc("dot"), F.asc("v"))
+    knn = (
+        pairs.withColumn("rn", F.row_number().over(w_knn))
+        .where(F.col("rn") <= _KNN_K)
+        .select("u", "v")
+    )
+    rev = knn.select(F.col("v").alias("ru"), F.col("u").alias("rv"))
+    return knn.join(
+        rev,
+        (knn["u"] == rev["ru"]) & (knn["v"] == rev["rv"]),
+        "left_semi",
+    ).select(F.col("u").alias("src"), F.col("v").alias("dst"))
+
+
+def _mutual_cte_sql(edge_name: str = "e0", canonical: bool = False) -> str:
+    """CTE chain (sans leading WITH) replaying the BUCKETED mutual-kNN
+    build bit-exactly: pivot ranking, multi-probe candidates, exact
+    integer dot re-rank, mutual filter. Shared by the kcore / ktruss /
+    rich-club oracles and the recall audit."""
+    guard = "WHERE a.u < a.v" if canonical else ""
+    return f"""q AS MATERIALIZED (
+      SELECT vec_id, {_QV_SQL} AS qv FROM embeddings
+    ), seeds AS MATERIALIZED (
+      SELECT vec_id AS seed_id, qv AS seed_qv FROM q
+      ORDER BY vec_id LIMIT {_MKNN_CELLS}
+    ), cellrank AS MATERIALIZED (
+      SELECT a.vec_id, s.seed_id,
+             ROW_NUMBER() OVER (PARTITION BY a.vec_id
+               ORDER BY list_sum(list_transform(range(1, 65),
+                                 i -> a.qv[i] * s.seed_qv[i])) DESC,
+                        s.seed_id) AS cr
+      FROM q a CROSS JOIN seeds s
+    ), cand AS MATERIALIZED (
+      SELECT DISTINCT p.vec_id AS u, m.vec_id AS v
+      FROM cellrank p
+      JOIN cellrank m ON p.seed_id = m.seed_id
+       AND m.cr <= {_MKNN_MEMBER} AND p.cr <= {_MKNN_PROBE}
+      WHERE p.vec_id <> m.vec_id
+    ), scored AS (
+      SELECT c.u, c.v,
+             ROW_NUMBER() OVER (PARTITION BY c.u
+               ORDER BY list_sum(list_transform(range(1, 65),
+                                 i -> a.qv[i] * b.qv[i])) DESC,
+                        c.v) AS rn
+      FROM cand c JOIN q a ON c.u = a.vec_id JOIN q b ON c.v = b.vec_id
+    ), knn AS MATERIALIZED (SELECT u, v FROM scored WHERE rn <= {_KNN_K}),
+    {edge_name} AS MATERIALIZED (
+      SELECT a.u AS src, a.v AS dst
+      FROM knn a JOIN knn b ON a.u = b.v AND a.v = b.u
+      {guard}
+    )"""
+
+
 def _kcore_oracle() -> str:
-    """Unrolled replay: exact mutual-kNN build + _PEEL_ROUNDS peel rounds.
+    """Unrolled replay: bucketed mutual-kNN build + _PEEL_ROUNDS peel
+    rounds.
 
     Every round CTE is MATERIALIZED: each round references the previous
     one three times (degree filter + two survivor joins), so DuckDB's
@@ -119,20 +300,7 @@ def _kcore_oracle() -> str:
       JOIN s{i} a ON e.src = a.node JOIN s{i} b ON e.dst = b.node
     )""")
     return f"""
-    WITH q AS MATERIALIZED (
-      SELECT vec_id, {_QV_SQL} AS qv FROM embeddings
-    ), scored AS (
-      SELECT a.vec_id AS u, b.vec_id AS v,
-             ROW_NUMBER() OVER (PARTITION BY a.vec_id
-               ORDER BY list_sum(list_transform(range(1, 65),
-                                 i -> a.qv[i] * b.qv[i])) DESC,
-                        b.vec_id) AS rn
-      FROM q a JOIN q b ON a.vec_id <> b.vec_id
-    ), knn AS MATERIALIZED (SELECT u, v FROM scored WHERE rn <= {_KNN_K}),
-    e0 AS MATERIALIZED (
-      SELECT a.u AS src, a.v AS dst
-      FROM knn a JOIN knn b ON a.u = b.v AND a.v = b.u
-    ),
+    WITH {_mutual_cte_sql("e0")},
     {','.join(steps)}
     SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS core_deg
     FROM e{_PEEL_ROUNDS} GROUP BY 1
@@ -151,20 +319,103 @@ def _kcore_oracle() -> str:
     "PERIPHERY (vectors nobody links back to) from the dense CORE, "
     "the structural outlier filter curation pipelines run before "
     "semantic clustering. Fixed-round peel + unrolled-CTE oracle is "
-    "the pagerank/LPA doctrine: peeling is monotone, so the 6 rounds "
-    "of headroom past the measured sf0.01 fixpoint (round 10) are "
-    "no-ops, and the whole operator is a pure function of the data. "
-    "At 100 TB the quadratic exact-kNN build swaps for the engine's "
-    "LSH/IVF candidate generation (sim_lsh_topk / sim_ivf_pivot_topk) "
-    "feeding the SAME mutual filter and peel; per peel round: one "
-    "degree aggregate + two semi-joins, edge-side shuffle-free under "
-    "src bucketing (tests/test_bucketing.py).",
+    "the pagerank/LPA doctrine: peeling is monotone, so rounds past "
+    "the measured fixpoint are no-ops, and the whole operator is a "
+    "pure function of the data. Round 7: the kNN build is the BOUNDED "
+    "IVF-pivot candidate generation (_mutual_knn_edges — 8 "
+    "deterministic pivot cells, 5-probe, 2-member multi-assignment, "
+    "within-cell BLAS re-rank, measured recall 0.94-0.95 vs exact), "
+    "never all-pairs; the retired quadratic build survives only as "
+    "the recall audit's exact baseline "
+    "(graph_mutual_knn_recall_audit). Per peel round: one degree "
+    "aggregate + two semi-joins, edge-side shuffle-free under src "
+    "bucketing (tests/test_bucketing.py).",
 )
 def graph_kcore_mutual_knn(spark, sf_dir):
     from youtube_trending_data_pipeline_spark.operators.graph import kcore_peel
 
     mutual = _mutual_knn_edges(spark, sf_dir)
     return kcore_peel(mutual, k=_CORE_K, rounds=_PEEL_ROUNDS)
+
+
+def _mutual_recall_oracle() -> str:
+    return f"""
+    WITH {_mutual_cte_sql("bmut", canonical=True)},
+    exact_scored AS (
+      SELECT a.vec_id AS u, b.vec_id AS v,
+             ROW_NUMBER() OVER (PARTITION BY a.vec_id
+               ORDER BY list_sum(list_transform(range(1, 65),
+                                 i -> a.qv[i] * b.qv[i])) DESC,
+                        b.vec_id) AS rn
+      FROM q a JOIN q b ON a.vec_id <> b.vec_id
+    ), eknn AS MATERIALIZED (
+      SELECT u, v FROM exact_scored WHERE rn <= {_KNN_K}
+    ), emut AS MATERIALIZED (
+      SELECT a.u AS src, a.v AS dst
+      FROM eknn a JOIN eknn b ON a.u = b.v AND a.v = b.u
+      WHERE a.u < a.v
+    ), counts AS (
+      SELECT
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM emut) AS exact_edges,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM bmut) AS bucketed_edges,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM emut e
+          JOIN bmut b ON e.src = b.src AND e.dst = b.dst) AS common_edges
+    )
+    SELECT exact_edges, bucketed_edges, common_edges,
+           CAST((1000000 * common_edges)
+                // GREATEST(exact_edges, 1) AS BIGINT) AS recall_ppm
+    FROM counts
+    """
+
+
+@register(
+    "graph_mutual_knn_recall_audit",
+    _mutual_recall_oracle(),
+    "Recall audit of the BUCKETED mutual-kNN build the graph-structure "
+    "entries (kcore / ktruss / rich-club) run on, against the retired "
+    "all-pairs exact build — the sim_pq_recall_audit doctrine applied "
+    "to graph construction: canonical (src < dst) mutual edges from "
+    "both builds, edge counts, their intersection, and recall in exact "
+    "integer ppm. This is the ONLY entry that still executes the "
+    "quadratic all-pairs kernel, deliberately, as the labeled "
+    "correctness baseline; the production build it audits is the "
+    "IVF-pivot multi-probe candidate path whose cost is bounded "
+    "within cells (n_cells scales with the corpus, the semdedup "
+    "knob). A recall regression here is the early-warning signal "
+    "that the cell/probe knobs need retuning before the downstream "
+    "structure mining silently degrades.",
+)
+def graph_mutual_knn_recall_audit(spark, sf_dir):
+    exact = (
+        _mutual_knn_edges_exact(spark, sf_dir)
+        .where(F.col("src") < F.col("dst"))
+        .localCheckpoint(eager=False)
+    )
+    bucketed = (
+        _mutual_knn_edges(spark, sf_dir)
+        .where(F.col("src") < F.col("dst"))
+        .localCheckpoint(eager=False)
+    )
+    e = exact.agg(F.count(F.lit(1)).cast("long").alias("exact_edges"))
+    b = bucketed.agg(
+        F.count(F.lit(1)).cast("long").alias("bucketed_edges")
+    )
+    c = exact.join(bucketed, ["src", "dst"], "left_semi").agg(
+        F.count(F.lit(1)).cast("long").alias("common_edges")
+    )
+    return (
+        e.crossJoin(F.broadcast(b))
+        .crossJoin(F.broadcast(c))
+        .select(
+            "exact_edges",
+            "bucketed_edges",
+            "common_edges",
+            F.expr(
+                "CAST((1000000 * common_edges)"
+                " div GREATEST(exact_edges, 1) AS BIGINT)"
+            ).alias("recall_ppm"),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -896,21 +1147,7 @@ def _ktruss_oracle() -> str:
     )""")
     R = _TRUSS_ROUNDS
     return f"""
-    WITH q AS MATERIALIZED (
-      SELECT vec_id, {_QV_SQL} AS qv FROM embeddings
-    ), scored AS (
-      SELECT a.vec_id AS u, b.vec_id AS v,
-             ROW_NUMBER() OVER (PARTITION BY a.vec_id
-               ORDER BY list_sum(list_transform(range(1, 65),
-                                 i -> a.qv[i] * b.qv[i])) DESC,
-                        b.vec_id) AS rn
-      FROM q a JOIN q b ON a.vec_id <> b.vec_id
-    ), knn AS MATERIALIZED (SELECT u, v FROM scored WHERE rn <= {_KNN_K}),
-    e0 AS MATERIALIZED (
-      SELECT a.u AS src, a.v AS dst
-      FROM knn a JOIN knn b ON a.u = b.v AND a.v = b.u
-      WHERE a.u < a.v
-    ),
+    WITH {_mutual_cte_sql("e0", canonical=True)},
     {','.join(steps)},
     symf AS MATERIALIZED (
       SELECT src, dst FROM e{R} UNION ALL SELECT dst, src FROM e{R}
@@ -935,8 +1172,10 @@ def _ktruss_oracle() -> str:
     "Support is the wedge join of triangle counting, bounded by the "
     "kNN degree cap; fixed 6 peel rounds against a measured round-2 "
     "fixpoint, unrolled-CTE oracle with MATERIALIZED rounds (each "
-    "round reads the previous edge set four times). Output is the "
-    "surviving canonical edge list with fixpoint support.",
+    "round reads the previous edge set four times). Round 7: runs on "
+    "the BOUNDED IVF-pivot mutual-kNN build (_mutual_knn_edges), "
+    "never all-pairs — see graph_mutual_knn_recall_audit. Output is "
+    "the surviving canonical edge list with fixpoint support.",
 )
 def graph_ktruss_mutual_knn(spark, sf_dir):
     from youtube_trending_data_pipeline_spark.operators.graph import ktruss_peel
@@ -5443,20 +5682,7 @@ _RC_TOP = 20
 
 def _rich_club_oracle() -> str:
     return f"""
-    WITH q AS MATERIALIZED (
-      SELECT vec_id, {_QV_SQL} AS qv FROM embeddings
-    ), scored AS (
-      SELECT a.vec_id AS u, b.vec_id AS v,
-             ROW_NUMBER() OVER (PARTITION BY a.vec_id
-               ORDER BY list_sum(list_transform(range(1, 65),
-                                 i -> a.qv[i] * b.qv[i])) DESC,
-                        b.vec_id) AS rn
-      FROM q a JOIN q b ON a.vec_id <> b.vec_id
-    ), knn AS MATERIALIZED (SELECT u, v FROM scored WHERE rn <= {_KNN_K}),
-    mut AS MATERIALIZED (
-      SELECT a.u AS src, a.v AS dst
-      FROM knn a JOIN knn b ON a.u = b.v AND a.v = b.u
-    ), deg AS (
+    WITH {_mutual_cte_sql("mut")}, deg AS (
       SELECT src AS node, COUNT(*) AS d FROM mut GROUP BY 1
     ), club AS MATERIALIZED (
       SELECT node FROM deg ORDER BY d DESC, node LIMIT {_RC_TOP}
@@ -5487,9 +5713,10 @@ def _rich_club_oracle() -> str:
     "their own dense club (hub-and-spoke redundancy, a structural "
     "health read on the manifold) or spread their links outward? "
     "One degree aggregate + a 20-row broadcast club + two semi-join "
-    "legs; symmetric edges counted once by halving. Completes the "
-    "structural family with kcore (vertex peel) and ktruss (edge "
-    "peel) on the same graph.",
+    "legs; symmetric edges counted once by halving. Round 7: runs on "
+    "the BOUNDED IVF-pivot mutual-kNN build (_mutual_knn_edges), "
+    "never all-pairs. Completes the structural family with kcore "
+    "(vertex peel) and ktruss (edge peel) on the same graph.",
 )
 def graph_rich_club(spark, sf_dir):
     mutual = _mutual_knn_edges(spark, sf_dir).localCheckpoint(eager=False)
