@@ -950,6 +950,29 @@ def test_label_propagation_matches_reference_and_splits_communities(spark):
     assert {got[v] for v in a}.isdisjoint({got[v] for v in b})
 
 
+def test_label_propagation_keeps_source_only_nodes(spark):
+    """ADVICE r6: on a DIRECTED graph a node with no labeled in-neighbor
+    (source-only or isolated in-degree) must keep its own label and stay
+    in the output every round — not silently vanish."""
+    from youtube_trending_data_pipeline_spark.operators.graph import (
+        label_propagation_sync,
+    )
+
+    # 1 -> 2 -> 3 chain: node 1 has in-degree 0 on every round
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3)], "src long, dst long"
+    )
+    for iters in (1, 3):
+        got = {
+            r.node: r.label
+            for r in label_propagation_sync(edges, iterations=iters).collect()
+        }
+        assert set(got) == {1, 2, 3}, got
+        assert got[1] == 1  # keep-own-label fallback
+    # after 2+ rounds labels flow down the chain
+    assert got[2] == 1 and got[3] == 1
+
+
 def test_pq_adc_exact_on_codebook_members(spark):
     """ADC search degenerates to exact search for vectors that ARE
     codebook centroids: a query equal to centroid vector c gets

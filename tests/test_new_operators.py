@@ -35,6 +35,21 @@ def test_asof_join_semantics(spark):
     assert out.count() == 4  # every left row survives
 
 
+def test_asof_join_rejects_reserved_rts_payload(spark):
+    """ADVICE r6: '_rts' is the internal matched-timestamp field of the
+    carried payload struct — a payload column of that name would create
+    duplicate struct fields and silently resolve wrong, so it is
+    rejected loudly."""
+    import pytest as _pytest
+
+    left = spark.createDataFrame([("u1", 10)], "user string, ts long")
+    right = spark.createDataFrame(
+        [("u1", 5, 99)], "user string, ts long, _rts long"
+    )
+    with _pytest.raises(ValueError, match="_rts"):
+        as_of_join(left, right, ["user"], "ts", "ts", ["_rts"])
+
+
 def test_sessionize_gaps(spark):
     ev = spark.createDataFrame(
         [("u", 0, 1), ("u", 100, 2), ("u", 5000, 3), ("u", 5100, 4), ("v", 0, 5)],

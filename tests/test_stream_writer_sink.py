@@ -70,6 +70,11 @@ def test_recommit_is_noop_and_abort_cleans(spark):
     m1b = w.write(iter([Row("a", "1"), Row("b", "2")]))
     w.commit([m1b], batchId=0)
     assert read_alert_sink(sink) == first  # manifest written once wins
+    # the duplicate stage the re-delivery wrote is garbage-collected by
+    # the no-op re-commit (no unbounded _staging growth across restarts)
+    assert not os.path.exists(os.path.join(sink, "_staging", m1b.part_file))
+    # while the originally manifested file survives
+    assert os.path.exists(os.path.join(sink, "_staging", m1.part_file))
     # abort: staged file removed, nothing published
     m2 = w.write(iter([Row("z", "9")]))
     w.abort([m2], batchId=1)

@@ -46,11 +46,21 @@ def as_of_join(
 
     ``right`` must be unique per (keys, right_ts) — pre-aggregate if not,
     or the carried payload among equal timestamps is unspecified.
+
+    ``_rts`` is a RESERVED name: the payload struct carries the matched
+    right timestamp under it for the tolerance gap, so a payload column
+    of that name would create duplicate struct fields and silently
+    resolve to the wrong one — rejected loudly instead.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
     keys = list(keys)
     payload_cols = list(payload_cols)
+    if "_rts" in payload_cols:
+        raise ValueError(
+            "payload column name '_rts' is reserved (internal matched-"
+            "timestamp field); rename the column before the as-of join"
+        )
 
     # Sort position of right rows at equal ts decides inclusivity: before
     # left for backward (<=), after left for forward (>=).

@@ -231,7 +231,10 @@ def label_propagation_sync(
     """Synchronous label propagation (community detection; Raghavan et
     al. 2007) with DETERMINISTIC tie-break: every node starts labeled
     with its own id; each round, a node adopts the most frequent label
-    among its in-neighbors, ties broken by smallest label. The classic
+    among its in-neighbors, ties broken by smallest label; a node with
+    no labeled in-neighbor (in-degree 0 on a directed graph) KEEPS its
+    current label, so every node of the input graph appears in the
+    output every round. The classic
     async/random-order LPA is irreproducible by design; the synchronous
     + min-label variant is a pure function of the graph, so the oracle
     replays it as unrolled CTE rounds (same doctrine as
@@ -266,10 +269,15 @@ def label_propagation_sync(
             .groupBy(e["dst"].alias("node"), "label")
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
-        labels = (
+        adopted = (
             counted.withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") == 1)
-            .select("node", "label")
+            .select("node", F.col("label").alias("new_label"))
+        )
+        # keep-own-label fallback: nodes with no labeled in-neighbor
+        # (in-degree 0) would otherwise vanish from the result
+        labels = labels.join(adopted, "node", "left").select(
+            "node", F.coalesce("new_label", "label").alias("label")
         )
         if checkpoint:
             labels = labels.localCheckpoint(eager=False)

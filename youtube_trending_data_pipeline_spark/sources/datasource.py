@@ -139,10 +139,12 @@ class TrendingDaysStreamReader(SimpleDataSourceStreamReader):
 
     @staticmethod
     def _consumed_set(offset: dict) -> set[str]:
-        # compat shim for checkpoints written by the pre-round-6
-        # positional-index offset format: index n == "the first n files
-        # of the directory as currently sorted" (exactly what the old
-        # reader would have consumed in a churn-free dir)
+        # Checkpoints written by the pre-round-6 positional-index offset
+        # format ({'index': n}) are REJECTED, deliberately: translating
+        # index n to "the first n sorted basenames" is only safe if the
+        # directory never churned while the stream was down, which the
+        # reader cannot verify — so the chosen policy is a loud failure
+        # telling the operator to restart from a fresh checkpoint.
         if "index" in offset and "consumed" not in offset:
             raise ValueError(
                 "positional trending_days offset {'index': ...} is no "
@@ -349,7 +351,20 @@ class AlertStreamWriter(DataSourceStreamWriter):
     def commit(self, messages, batchId) -> None:
         manifest = os.path.join(self._dir, f"batch-{batchId}.manifest")
         if os.path.exists(manifest):
-            return  # batch already published: re-commit is a no-op
+            # Batch already published: the manifest (and the staged files
+            # it names) are the truth. This re-delivery staged a FRESH
+            # set of uuid-named duplicates that no manifest will ever
+            # reference — delete them so _staging doesn't grow unboundedly
+            # across restarts. (A partition that crashed mid-write still
+            # leaks its partial file: its commit message is None, so the
+            # name is unknowable here; read_alert_sink never sees it.)
+            for m in messages:
+                if m is None:
+                    continue
+                staged = os.path.join(self._dir, "_staging", m.part_file)
+                if os.path.exists(staged):
+                    os.remove(staged)
+            return
         entries = [
             {"file": m.part_file, "n_rows": m.n_rows}
             for m in messages
