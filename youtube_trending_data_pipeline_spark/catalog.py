@@ -1556,25 +1556,14 @@ def _silver_select(silver: DataFrame) -> DataFrame:
     )
 
 
-@register(
-    "s3_bronze_roundtrip",
-    _BRONZE_DAY_ORACLE,
-    "S3/S4/F10/P7 + P1/F1/F2/F3 end-to-end in the exact gate: a bronze "
-    "day is SYNTHESIZED from orders rows as nested videoListResponse "
-    "structs (stringified counts, ISO-8601 durations, Z-suffixed "
-    "timestamps, likeCount absent on odd keys), written through "
-    "write_bronze_day (reference day-file shape: one JSON object mapping "
-    "region -> response, ing:83-91), read back with read_bronze_day's "
-    "explicit schema (no inference, multiLine, region key-presence "
-    "guard), region-demultiplexed, and flattened by the production "
-    "flatten_videos — so the oracle checks the whole JSON ser/de + sink "
-    "+ scan + flatten path, with the missing-statistic default (ing:"
-    "170-172) observable in likes_count. Bounded: the synthetic day is "
-    "<= 60 items regardless of SF (orderkey filter), matching the "
-    "reference's 60-rows/day workload.",
-)
-def s3_bronze_roundtrip(spark, sf_dir):
+def _synthetic_silver(spark, sf_dir):
+    """Synthetic bronze day -> written day-file (S3 sink) -> read back
+    with the explicit schema (S4 scan) -> production flatten (P1) silver.
+    Returns (silver, part_file) so S1/S2 entries can also replay the
+    written day-file through their fetcher seams."""
     import datetime as dtmod
+    import glob
+    import os
     import tempfile
 
     from youtube_trending_data_pipeline_spark.operators.flatten import (
@@ -1593,6 +1582,29 @@ def s3_bronze_roundtrip(spark, sf_dir):
         region_items(read_bronze_day(spark, day_path, ["QA", "US", "DE"])),
         dtmod.date(2025, 10, 6),
     )
+    (part_file,) = glob.glob(os.path.join(day_path, "part-*"))
+    return silver, part_file
+
+
+@register(
+    "s3_bronze_roundtrip",
+    _BRONZE_DAY_ORACLE,
+    "S3/S4/F10/P7 + P1/F1/F2/F3 end-to-end in the exact gate: a bronze "
+    "day is SYNTHESIZED from orders rows as nested videoListResponse "
+    "structs (stringified counts, ISO-8601 durations, Z-suffixed "
+    "timestamps, likeCount absent on odd keys), written through "
+    "write_bronze_day (reference day-file shape: one JSON object mapping "
+    "region -> response, ing:83-91), read back with read_bronze_day's "
+    "explicit schema (no inference, multiLine, region key-presence "
+    "guard), region-demultiplexed, and flattened by the production "
+    "flatten_videos — so the oracle checks the whole JSON ser/de + sink "
+    "+ scan + flatten path, with the missing-statistic default (ing:"
+    "170-172) observable in likes_count. Bounded: the synthetic day is "
+    "<= 60 items regardless of SF (orderkey filter), matching the "
+    "reference's 60-rows/day workload.",
+)
+def s3_bronze_roundtrip(spark, sf_dir):
+    silver, _ = _synthetic_silver(spark, sf_dir)
     return _silver_select(silver)
 
 
@@ -1651,6 +1663,138 @@ def s1_datasource_roundtrip(spark, sf_dir):
     )
     silver = flatten_videos(region_items(via_ds), dtmod.date(2025, 10, 6))
     return _silver_select(silver)
+
+
+@register(
+    "s2_channels_roundtrip",
+    """
+    SELECT DISTINCT 'ch' || CAST(o_custkey AS VARCHAR) AS id,
+           'channel ch' || CAST(o_custkey AS VARCHAR) AS channel_name,
+           CAST(epoch_us(TIMESTAMP '2020-01-01 00:00:00') AS BIGINT)
+             AS creation_us
+    FROM orders WHERE o_orderkey <= 240
+    """,
+    "S2 in the exact gate (VERDICT r6 #3, the s1_datasource_roundtrip "
+    "treatment for the channel side): the synthesized bronze day is "
+    "flattened to silver, the distinct channel-id set streams through "
+    "channels_from_fetcher's executor-side batched mapInPandas fetch "
+    "(sources/fetchers.py — the seam a live channels().list REST "
+    "client plugs into; reference fetches one-by-one driver-side, "
+    "ing:94-97,135-138) against the DayFileFetcher replay "
+    "implementation, whose synthesized metadata ('channel <id>', "
+    "creation 2020-01-01) the oracle rebuilds from orders. Timestamp "
+    "projected to epoch micros with the tz-free NTZ diff so neither "
+    "engine's session timezone can perturb the compare.",
+)
+def s2_channels_roundtrip(spark, sf_dir):
+    from youtube_trending_data_pipeline_spark.sources.fetchers import (
+        DayFileFetcher,
+        channels_from_fetcher,
+    )
+
+    silver, part_file = _synthetic_silver(spark, sf_dir)
+    ids = silver.select("channel_id").distinct()
+    channels = channels_from_fetcher(ids, DayFileFetcher(part_file))
+    return channels.select(
+        "id",
+        "channel_name",
+        F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', "
+            "creation_date)"
+        ).alias("creation_us"),
+    )
+
+
+_REPORT_HTML_ORACLE = f"""
+    WITH silver AS ({_BRONZE_DAY_ORACLE}),
+    ins AS (
+      SELECT region,
+             CAST(SUM(views_count) AS BIGINT) AS total_views,
+             CAST(SUM(likes_count) AS BIGINT) AS total_likes,
+             CAST(SUM(comments_count) AS BIGINT) AS total_comments
+      FROM silver GROUP BY region
+    ), topcat AS (
+      SELECT region, CAST(category_id AS BIGINT) AS top_category FROM (
+        SELECT region, category_id,
+               ROW_NUMBER() OVER (PARTITION BY region
+                 ORDER BY COUNT(*) DESC, category_id ASC) AS rn
+        FROM silver GROUP BY region, category_id
+      ) WHERE rn = 1
+    ), rep AS (
+      SELECT i.region, t.top_category,
+             format('{{:,}}', i.total_views) AS views_s,
+             format('{{:,}}', i.total_likes) AS likes_s,
+             CASE WHEN i.total_views > 0 THEN ROUND(
+               (CAST(i.total_likes + 2 * i.total_comments AS DOUBLE)
+                / i.total_views) * 1000.0, 2)
+             ELSE 0.0 END AS avg_ratio
+      FROM ins i JOIN topcat t USING (region)
+    ), body AS (
+      SELECT string_agg(
+               '<tr><td>' || region || '</td><td>'
+               || CAST(top_category AS VARCHAR) || '</td><td>'
+               || views_s || '</td><td>' || likes_s || '</td><td>'
+               || CAST(avg_ratio AS VARCHAR) || '</td></tr>',
+               '' ORDER BY region) AS b,
+             CAST(COUNT(*) AS BIGINT) AS n_regions
+      FROM rep
+    ), page AS (
+      SELECT '<html><body><h2>Weekly Trending Report</h2>'
+             || '<table border=''1''>'
+             || '<tr><th>Region</th><th>Top Category</th>'
+             || '<th>Total Views</th><th>Total Likes</th>'
+             || '<th>Avg Engagement Ratio</th></tr>'
+             || b || '</table></body></html>' AS h,
+             n_regions
+      FROM body
+    )
+    SELECT n_regions, CAST(length(h) AS BIGINT) AS html_len,
+           md5(h) AS html_md5
+    FROM page
+    """
+
+
+@register(
+    "report_html_hash",
+    _REPORT_HTML_ORACLE,
+    "F12 + S11 presentation parity in the exact gate (VERDICT r6 #3): "
+    "the synthesized bronze day runs the WHOLE domain pipeline — "
+    "flatten silver, daily_insights gold, trailing-week "
+    "weekly_insights with the reference's thousands formatting "
+    "(wk:39-41) — and the rendered weekly HTML (report/html.py, the "
+    "byte string the reference POSTs to SendGrid, wk:90-109) is "
+    "hashed into a 1-row frame (region count, length, md5). The "
+    "oracle rebuilds the identical byte string in SQL: same mode "
+    "tie-break, same float-division order for the engagement ratio, "
+    "same format('{:,}') grouping, same tag layout — so any drift in "
+    "aggregation, rounding, ordering, or markup breaks the hash. The "
+    "driver-side render collects a bounded one-row-per-region frame "
+    "(3 regions), the documented presentation-layer exception.",
+)
+def report_html_hash(spark, sf_dir):
+    import datetime as dtmod
+    import hashlib
+
+    from youtube_trending_data_pipeline_spark.operators.insights import (
+        daily_insights,
+    )
+    from youtube_trending_data_pipeline_spark.operators.weekly import (
+        weekly_insights,
+    )
+    from youtube_trending_data_pipeline_spark.report.html import (
+        render_weekly_html,
+    )
+
+    silver, _ = _synthetic_silver(spark, sf_dir)
+    gold = daily_insights(silver)
+    report = weekly_insights(gold, dtmod.date(2025, 10, 6), formatted=True)
+    page = render_weekly_html(report)
+    digest = hashlib.md5(page.encode("utf-8")).hexdigest()
+    n_regions = page.count("<tr>") - 1  # header row
+    return spark.createDataFrame(
+        [(n_regions, len(page), digest)],
+        "n_regions long, html_len long, html_md5 string",
+    )
 
 
 @register(

@@ -106,14 +106,62 @@ DRIVER_VERIFIED_R05 = [
     "keyword_tag", "token_pmi",
 ]
 
+# Keys present in CORRECTNESS_r06.json (driver gate, round 6): 50/50 green
+# (rows + schema + hash, zero err).
+DRIVER_VERIFIED_R06 = [
+    "attribution_last_touch", "cdc_chunk_dedup",
+    "contrastive_triplet_mining", "conversation_render",
+    "corpus_merkle_tree", "dedup_cluster_size_histogram",
+    "dedup_minhash_jaccard_est", "domain_quota_sample",
+    "embedding_pca_project", "embedding_pq_encode", "eval_knn_confusion",
+    "eval_mrr", "eval_pr_curve", "ewma_user_value", "f_collation_compare",
+    "f_sql_pipe_syntax", "f_sql_udf_inline", "f_xml_funcs",
+    "fim_transform", "gdpr_delete_propagation", "graph_bfs_distances",
+    "graph_hits", "graph_label_propagation", "interleave_image_text",
+    "j11_interval_overlap_join", "j6c_asof_tolerance",
+    "lang_mismatch_audit", "multimodal_audio_silence_trim",
+    "multimodal_av_sync_audit", "multimodal_image_dhash_dedup",
+    "multimodal_image_histogram", "multimodal_image_resize",
+    "multimodal_video_scene_cuts", "pack_attention_spans",
+    "preference_pair_assembly", "retrieval_hybrid_rrf",
+    "s1_datasource_roundtrip", "sample_weighted_topk", "sft_render_masked",
+    "sim_ivfadc_topk", "sim_pq_adc_topk", "sketch_kmv_distinct",
+    "span_corruption_t5", "split_decontaminated_train",
+    "stream_sliding_window_counts", "text_winnow_fingerprints",
+    "token_cooccurrence_pairs", "token_gini_diversity",
+    "ts_resample_ohlc", "w_pattern_v_shape",
+]
+
 DRIVER_VERIFIED: set[str] = (
     set(DRIVER_VERIFIED_R01)
     | set(DRIVER_VERIFIED_R02_R03)
     | set(DRIVER_VERIFIED_R04)
     | set(DRIVER_VERIFIED_R05)
+    | set(DRIVER_VERIFIED_R06)
 )
 
-# Round-6 window (VERDICT r5 items 1, 2, 7):
+# Round-7 window (VERDICT r6 items 1, 2, 3):
+#   * the three NEW round-7 entries (S2 channel fetch + F12/S11 report
+#     HTML promoted into the exact gate, and the mutual-kNN recall
+#     audit) — new code leads;
+#   * the three graph-structure entries whose ORACLES CHANGED with the
+#     bucketed mutual-kNN build (they were also never driver-checked);
+#   * the remaining ~107 never-driver-checked round-6 additions need no
+#     pinning: tier 2 of order_for_driver already rotates them in
+#     registration order, which is exactly the (b)-then-(c) priority
+#     the r6 verdict prescribed. Window = 6 pinned + 44 tier-2; lag
+#     after round 7 ~ 63, cleared over rounds 8-9 at the same cadence.
+PRIORITY_UNCHECKED = [
+    "s2_channels_roundtrip",
+    "report_html_hash",
+    "graph_mutual_knn_recall_audit",
+    "graph_kcore_mutual_knn",
+    "graph_ktruss_mutual_knn",
+    "graph_rich_club",
+]
+
+# Round-6 window (VERDICT r5 items 1, 2, 7) — superseded by the round-7
+# list above, kept for the audit trail:
 #   * the 26 round-5 curation additions that have never held a driver row
 #     (all judge-verified EXACT at sf0.01 in the r5 review — this closes
 #     the driver-row gap so every registry entry has a driver row ever);
@@ -125,7 +173,7 @@ DRIVER_VERIFIED: set[str] = (
 # 26 + 1 + 1 = 28 pinned; the remaining 22 window slots fall to tier 3
 # (oldest driver-verified entries in registration order) — regression
 # re-checks of round-1 queries, useful coverage, not waste.
-PRIORITY_UNCHECKED = [
+PRIORITY_UNCHECKED_R06 = [
     # never driver-checked (round-5 curation additions)
     "cdc_chunk_dedup", "contrastive_triplet_mining", "conversation_render",
     "corpus_merkle_tree", "domain_quota_sample", "eval_knn_confusion",
