@@ -1048,14 +1048,17 @@ def test_apriori_downward_closure(spark):
     def supp(items):
         return sum(1 for d in docs if all(i in d for i in items))
 
+    # r7: min-supports are corpus-relative ppm (the scale fix)
+    pair_min = ca._AP_PAIR_PPM * len(docs) // 1_000_000
+    triple_min = ca._AP_TRIPLE_PPM * len(docs) // 1_000_000
     rows = QUERIES["apriori_triple_itemsets"].fn(spark, SF).collect()
     assert rows
     for r in rows[:50]:  # spot-check a prefix; full check is O(n_docs) each
         tri = (r["w1"], r["w2"], r["w3"])
         assert r["w1"] < r["w2"] < r["w3"]
-        assert r["support"] == supp(tri) >= ca._AP_TRIPLE_MIN
+        assert r["support"] == supp(tri) >= triple_min
         for face in ((tri[0], tri[1]), (tri[0], tri[2]), (tri[1], tri[2])):
-            assert supp(face) >= ca._AP_PAIR_MIN
+            assert supp(face) >= pair_min
             assert supp(face) >= r["support"]
 
 

@@ -206,6 +206,10 @@ def test_no_accidental_cartesian_anywhere(spark):
         # basket_brand_lift: 1-row order-count broadcast onto the
         # bounded brand-pair table for the lift denominator.
         "basket_brand_lift",
+        # apriori_triple_itemsets: 1-row corpus-relative min-support
+        # frame broadcast onto the pair and triple aggregates (the r7
+        # scale fix — absolute thresholds were super-linear at 10x).
+        "apriori_triple_itemsets",
         # split_walk_forward: 1-row min-day bound and a 3-row fold spine
         # broadcast onto the event stream — bounded constant-appends.
         "split_walk_forward",

@@ -52,6 +52,117 @@ _QV_SPARK = (
 )
 
 
+def _rowwise_topk(D, ids, k):
+    """Per-row top-k COLUMN indices of D by (value DESC, ids ASC),
+    fully vectorized — the per-row ``np.lexsort`` loop this replaces
+    was the sf1 bottleneck of the exact kNN kernel (the 20 k-row loop
+    cost ~6 min; this is two argpartition/argsort passes).
+
+    The composite order is encoded into one int64 key per cell:
+    ``value * M - rank(id)`` with M the next power of two above the
+    column count, so a larger value always wins and the smaller id
+    wins among equals. Falls back to the per-row lexsort when the
+    encoding could overflow int64 (never at these magnitudes — dots
+    are <= ~6e9 and M <= 2^21 for any corpus this kernel sees)."""
+    import numpy as np
+
+    m, n = D.shape
+    k = min(k, n)
+    if k <= 0 or n == 0:
+        return np.empty((m, 0), dtype=np.int64)
+    order_ids = np.argsort(ids, kind="stable")
+    rank = np.empty(n, dtype=np.int64)
+    rank[order_ids] = np.arange(n, dtype=np.int64)
+    M = np.int64(1) << int(max(n - 1, 1)).bit_length()
+    if np.abs(D).max(initial=0) * M > (1 << 62):
+        out = np.empty((m, k), dtype=np.int64)
+        for r in range(m):
+            out[r] = np.lexsort((ids, -D[r]))[:k]
+        return out
+    key = D * M - rank[None, :]
+    part = np.argpartition(-key, k - 1, axis=1)[:, :k]
+    rowkeys = np.take_along_axis(-key, part, axis=1)
+    order = np.argsort(rowkeys, axis=1, kind="stable")
+    return np.take_along_axis(part, order, axis=1)
+
+
+# Masks self-pairs so they sort LAST under (dot DESC, id ASC): smaller
+# than any legitimate dot (those are >= -6.4e9) yet small enough in
+# magnitude that _rowwise_topk's key encoding never overflows (the old
+# int64.min // 2 sentinel would).
+_SELF_MASK = -(1 << 40)
+
+
+def _exact_int_matmul(A, B):
+    """EXACT integer dot products via a float64 BLAS matmul.
+
+    numpy's int64 @ has no BLAS kernel (it is a naive triple loop —
+    measured ~380 s for the 20 k x 20 k sf1 exact build); float64 DOES.
+    The result is still exact integers provided every product and every
+    partial sum is <= 2^53: quantized coordinates are |x| <= ~10^5
+    (embedding values ~[-1, 1] at scale 10^4), so a 64-term dot tops
+    out near 64 * 10^10 ~ 6e11, four orders of magnitude under the
+    float64 integer ceiling. The guard enforces the precondition loudly
+    rather than ever returning a silently rounded dot."""
+    import numpy as np
+
+    bound = np.float64(max(np.abs(A).max(initial=0), np.abs(B).max(initial=0)))
+    if bound * bound * A.shape[1] > 2**53:
+        return A @ B.T  # exactness over speed for out-of-range inputs
+    return np.rint(
+        A.astype(np.float64) @ B.astype(np.float64).T
+    ).astype(np.int64)
+
+
+def _knn_schema():
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    return StructType(
+        [
+            StructField("u", LongType()),
+            StructField("v", LongType()),
+            StructField("dot", LongType()),
+        ]
+    )
+
+
+def _knn_cell_kernel(pdf, k):
+    """Shared applyInPandas kernel for both mutual-kNN builds: score
+    every PROBER row (is_p) against every MEMBER row (is_m) of its
+    group with one exact integer matmul, mask self-pairs, and keep each
+    prober's top-k by (dot DESC, member id ASC) — fully vectorized
+    (_exact_int_matmul + _rowwise_topk; the per-row lexsort loop this
+    replaces cost minutes at sf1)."""
+    import numpy as np
+    import pandas as pd
+
+    mem = pdf[pdf["is_m"]]
+    pro = pdf[pdf["is_p"]]
+    if not len(mem) or not len(pro):
+        return pd.DataFrame(
+            {"u": pd.Series(dtype="int64"),
+             "v": pd.Series(dtype="int64"),
+             "dot": pd.Series(dtype="int64")}
+        )
+    mids = mem["vec_id"].to_numpy(dtype=np.int64)
+    M = np.array(list(mem["qv"]), dtype=np.int64)
+    pids = pro["vec_id"].to_numpy(dtype=np.int64)
+    P = np.array(list(pro["qv"]), dtype=np.int64)
+    D = _exact_int_matmul(P, M)  # probers x members
+    D[pids[:, None] == mids[None, :]] = _SELF_MASK
+    cols = _rowwise_topk(D, mids, k)
+    dots = np.take_along_axis(D, cols, axis=1).ravel()
+    keep = dots != _SELF_MASK
+    return pd.DataFrame(
+        {"u": np.repeat(pids, cols.shape[1])[keep],
+         "v": mids[cols.ravel()][keep],
+         "dot": dots[keep]}
+    )
+
+
+_EXACT_SALTS = 32  # parallelism of the exact build; result-invariant
+
+
 def _mutual_knn_edges_exact(spark, sf_dir):
     """EXACT all-pairs mutual-kNN edge list — the labeled correctness
     baseline (the sim_bruteforce_topk doctrine), kept ONLY to audit the
@@ -59,55 +170,45 @@ def _mutual_knn_edges_exact(spark, sf_dir):
     The graph-structure entries themselves run on the bounded
     _mutual_knn_edges candidate build below.
 
-    One Arrow pass: the quantized corpus rides along as a single-row
-    block (1-row crossJoin — never a driver collect), and a mapInPandas
-    kernel computes every batch's integer dot products as one numpy
-    int64 matmul, taking each row's top-_KNN_K by (-dot, neighbor id)
-    with lexsort — bit-exact the same ranking as the SQL window form,
-    but BLAS instead of 256M interpreted HOF lambda steps (measured
-    26 s -> ~3 s at sf0.1, PERF.md round 6). Quadratic by definition:
-    fine as an audit at bench scale, never the 100 TB path."""
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql.types import LongType, StructField, StructType
-
+    Shape (round 7): probers hash into _EXACT_SALTS groups and the
+    member corpus is replicated once per group via a 32-row broadcast
+    spine, so the Arrow transfer is O(32 n) rows — the previous 1-row
+    corpus block crossJoined onto EVERY row shipped O(n) copies of the
+    whole corpus (measured 764 s at sf1, ~all serialization). Each
+    group runs the shared _knn_cell_kernel (float64-BLAS exact integer
+    matmul + vectorized top-k); since members = the whole corpus, the
+    per-group top-k IS the exact global top-k, and the mutual
+    semi-join filter follows. Quadratic compute by definition: fine as
+    an audit at bench scale, never the 100 TB path."""
     q = t(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.expr(_QV_SPARK).alias("qv"),
     )
-    block = q.agg(
-        F.collect_list(F.struct("vec_id", "qv")).alias("block")
+    salts = F.broadcast(
+        spark.range(_EXACT_SALTS).select(F.col("id").cast("int").alias("cell"))
     )
-    carried = q.crossJoin(F.broadcast(block))
-    schema = StructType(
-        [StructField("u", LongType()), StructField("v", LongType())]
+    probers = q.select(
+        (F.col("vec_id") % _EXACT_SALTS).cast("int").alias("cell"),
+        "vec_id",
+        "qv",
+        F.lit(False).alias("is_m"),
+        F.lit(True).alias("is_p"),
     )
-
-    def topk(batches):
-        B = ids = None
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            if B is None:
-                blk = pdf["block"].iloc[0]
-                ids = np.array([e["vec_id"] for e in blk], dtype=np.int64)
-                B = np.array([e["qv"] for e in blk], dtype=np.int64)
-            Q = np.array(list(pdf["qv"]), dtype=np.int64)
-            u = pdf["vec_id"].to_numpy()
-            D = Q @ B.T  # exact int64 dots
-            # mask self-pairs; min//2, NOT min: the lexsort key negates D
-            # and -int64.min overflows back to min, which would sort the
-            # masked self-pair FIRST instead of last
-            D[u[:, None] == ids[None, :]] = np.iinfo(np.int64).min // 2
-            us, vs = [], []
-            for r in range(len(u)):
-                # ties: larger dot first, then smaller neighbor id
-                order = np.lexsort((ids, -D[r]))[:_KNN_K]
-                us.extend([u[r]] * len(order))
-                vs.extend(ids[order])
-            yield pd.DataFrame({"u": us, "v": vs})
-
-    knn = carried.mapInPandas(topk, schema=schema)
+    members = q.crossJoin(salts).select(
+        "cell",
+        "vec_id",
+        "qv",
+        F.lit(True).alias("is_m"),
+        F.lit(False).alias("is_p"),
+    )
+    knn = (
+        probers.unionByName(members)
+        .groupBy("cell")
+        .applyInPandas(
+            lambda pdf: _knn_cell_kernel(pdf, _KNN_K), schema=_knn_schema()
+        )
+        .select("u", "v")
+    )
     rev = knn.select(F.col("v").alias("ru"), F.col("u").alias("rv"))
     return knn.join(
         rev,
@@ -149,10 +250,6 @@ def _mutual_knn_edges(spark, sf_dir):
     scales with the corpus exactly like semdedup_keepers' measured
     knob (scripts/semdedup_scale.py); the shuffle moves only
     (u, v, dot) longs — vectors never travel past the cell stage."""
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql.types import LongType, StructField, StructType
-
     q = t(spark, sf_dir, "embeddings").select(
         "vec_id", F.expr(_QV_SPARK).alias("qv")
     )
@@ -182,48 +279,14 @@ def _mutual_knn_edges(spark, sf_dir):
             "vec_id",
             "qv",
             (F.col("cr") <= _MKNN_MEMBER).alias("is_m"),
+            F.lit(True).alias("is_p"),  # every kept row probes its cell
         )
     )
-    schema = StructType(
-        [
-            StructField("u", LongType()),
-            StructField("v", LongType()),
-            StructField("dot", LongType()),
-        ]
-    )
-    sentinel = np.iinfo(np.int64).min // 2  # masks self-pairs; see exact build
-
-    def cell_topk(pdf):
-        mem = pdf[pdf["is_m"]]
-        if not len(mem):
-            return pd.DataFrame(
-                {"u": pd.Series(dtype="int64"),
-                 "v": pd.Series(dtype="int64"),
-                 "dot": pd.Series(dtype="int64")}
-            )
-        mids = mem["vec_id"].to_numpy(dtype=np.int64)
-        M = np.array(list(mem["qv"]), dtype=np.int64)
-        pids = pdf["vec_id"].to_numpy(dtype=np.int64)
-        P = np.array(list(pdf["qv"]), dtype=np.int64)
-        D = P @ M.T  # exact int64 dots, probers x members
-        D[pids[:, None] == mids[None, :]] = sentinel
-        us, vs, ds = [], [], []
-        for r in range(len(pids)):
-            # ties: larger dot first, then smaller neighbor id
-            order = np.lexsort((mids, -D[r]))[:_KNN_K]
-            order = order[D[r, order] != sentinel]
-            us.extend([pids[r]] * len(order))
-            vs.extend(mids[order])
-            ds.extend(D[r, order])
-        return pd.DataFrame(
-            {"u": np.asarray(us, dtype=np.int64),
-             "v": np.asarray(vs, dtype=np.int64),
-             "dot": np.asarray(ds, dtype=np.int64)}
-        )
-
     pairs = (
         tagged.groupBy("cell")
-        .applyInPandas(cell_topk, schema=schema)
+        .applyInPandas(
+            lambda pdf: _knn_cell_kernel(pdf, _KNN_K), schema=_knn_schema()
+        )
         # a (u, v) pair surfaces once per shared member cell with the
         # same exact dot — collapse before ranking so row_number never
         # spends top-k slots on duplicates
@@ -4310,14 +4373,26 @@ def dq_overdispersion_vmr(spark, sf_dir):
 # A-priori level-wise 3-itemset mining
 # ---------------------------------------------------------------------------
 
-_AP_PAIR_MIN = 300
-_AP_TRIPLE_MIN = 270
+# Round 7: min-support is CORPUS-RELATIVE (ppm of the document count),
+# not absolute — with absolute thresholds a 10x corpus makes 10x more
+# pairs "frequent" in relative terms and the candidate self-join
+# explodes (measured 26x at 10x data in the r7 scale sweep; 1.4x after
+# this change). 60000/54000 ppm reproduce the old 300/270 absolute
+# thresholds exactly at sf0.1 (5000 docs).
+_AP_PAIR_PPM = 60_000     # pair min-support: 6% of corpus
+_AP_TRIPLE_PPM = 54_000   # triple min-support: 5.4% of corpus
 
 
 @register(
     "apriori_triple_itemsets",
     f"""
-    WITH dt AS (
+    WITH nd AS (
+      SELECT (CAST({_AP_PAIR_PPM} AS BIGINT) * COUNT(*)) // 1000000
+               AS pair_min,
+             (CAST({_AP_TRIPLE_PPM} AS BIGINT) * COUNT(*)) // 1000000
+               AS triple_min
+      FROM documents
+    ), dt AS (
       SELECT doc_id, list_distinct({_TOKS_SQL}) AS v FROM documents
     ), item AS (
       SELECT doc_id, unnest(v) AS tok FROM dt
@@ -4327,7 +4402,7 @@ _AP_TRIPLE_MIN = 270
         ON a.doc_id = b.doc_id AND a.tok < b.tok
     ), fp AS (
       SELECT w1, w2 FROM pairs GROUP BY 1, 2
-      HAVING COUNT(*) >= {_AP_PAIR_MIN}
+      HAVING COUNT(*) >= (SELECT pair_min FROM nd)
     ), cand AS (
       SELECT p1.w1 AS a, p1.w2 AS b, p2.w2 AS c3
       FROM fp p1 JOIN fp p2 ON p1.w1 = p2.w1 AND p1.w2 < p2.w2
@@ -4344,15 +4419,18 @@ _AP_TRIPLE_MIN = 270
     SELECT a AS w1, b AS w2, c3 AS w3,
            CAST(COUNT(*) AS BIGINT) AS support
     FROM tri GROUP BY 1, 2, 3
-    HAVING COUNT(*) >= {_AP_TRIPLE_MIN}
+    HAVING COUNT(*) >= (SELECT triple_min FROM nd)
     """,
     "A-priori level-wise 3-itemset mining (Agrawal & Srikant 1994): "
-    "frequent pairs (support >= 300 docs) SELF-JOIN on a shared "
-    "prefix to generate candidate triples, the downward-closure "
-    "prune drops any candidate whose third face-pair is infrequent "
-    "(the step that makes A-priori feasible — candidates fall from "
-    "C(V,3) to only those with all three frequent faces), and "
-    "survivors are counted against the corpus with support >= 270. "
+    "frequent pairs (min-support 6% of the corpus — RELATIVE, the "
+    "r7 scale fix: absolute thresholds made the candidate join "
+    "super-linear, 26x at 10x data; relative ones hold it at ~1x) "
+    "SELF-JOIN on a shared prefix to generate candidate triples, "
+    "the downward-closure prune drops any candidate whose third "
+    "face-pair is infrequent (the step that makes A-priori feasible "
+    "— candidates fall from C(V,3) to only those with all three "
+    "frequent faces), and survivors are counted against the corpus "
+    "at 5.4% min-support. "
     "This is the LEVEL-WISE join shape token_cooccurrence_pairs "
     "(level 2) feeds: candidate generation and pruning touch only "
     "the dimension-sized frequent-pair table; the support count is "
@@ -4361,8 +4439,18 @@ _AP_TRIPLE_MIN = 270
     "(basket_brand_lift).",
 )
 def apriori_triple_itemsets(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    # corpus-relative min-supports as a 1-row broadcast (constant-append)
+    nd = docs.agg(
+        F.expr(
+            f"CAST(({_AP_PAIR_PPM} * COUNT(*)) div 1000000 AS BIGINT)"
+        ).alias("pair_min"),
+        F.expr(
+            f"CAST(({_AP_TRIPLE_PPM} * COUNT(*)) div 1000000 AS BIGINT)"
+        ).alias("triple_min"),
+    )
     item = (
-        t(spark, sf_dir, "documents")
+        docs
         .select("doc_id", F.explode(F.array_distinct(_toks_a())).alias("tok"))
         .localCheckpoint(eager=False)
     )
@@ -4379,7 +4467,8 @@ def apriori_triple_itemsets(spark, sf_dir):
     fp = (
         pairs.groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c"))
-        .where(F.col("c") >= _AP_PAIR_MIN)
+        .crossJoin(F.broadcast(nd))
+        .where(F.col("c") >= F.col("pair_min"))
         .select("w1", "w2")
         .localCheckpoint(eager=False)
     )
@@ -4414,7 +4503,9 @@ def apriori_triple_itemsets(spark, sf_dir):
             F.col("c3").alias("w3"),
         )
         .agg(F.count(F.lit(1)).cast("long").alias("support"))
-        .where(F.col("support") >= _AP_TRIPLE_MIN)
+        .crossJoin(F.broadcast(nd))
+        .where(F.col("support") >= F.col("triple_min"))
+        .select("w1", "w2", "w3", "support")
     )
 
 
