@@ -1948,3 +1948,70 @@ def test_max_concurrency_crafted_overlaps(spark):
     assert r["n_sessions"] == 3
     assert r["n_users"] == 3
     assert r["max_concurrent"] == 2
+
+
+def test_rowwise_topk_matches_lexsort_reference():
+    """The order-encoded argpartition top-k must equal the per-row
+    lexsort reference — values desc, column id asc on ties — including
+    duplicate values, k > n, and the overflow fallback path."""
+    import numpy as np
+
+    import youtube_trending_data_pipeline_spark.catalog_analysis as ca
+
+    rng = np.random.RandomState(11)
+    for m, n, k, hi in [(7, 13, 5, 50), (3, 4, 9, 3), (20, 64, 5, 10**9)]:
+        D = rng.randint(-hi, hi, size=(m, n)).astype(np.int64)
+        ids = rng.permutation(np.arange(100, 100 + n)).astype(np.int64)
+        got = ca._rowwise_topk(D, ids, k)
+        kk = min(k, n)
+        for r in range(m):
+            ref = np.lexsort((ids, -D[r]))[:kk]
+            assert list(got[r]) == list(ref), (r, D[r], ids)
+    # fallback: values so large the key encoding would overflow
+    D = np.array([[2**61, -(2**61), 5]], dtype=np.int64)
+    ids = np.array([3, 1, 2], dtype=np.int64)
+    got = ca._rowwise_topk(D, ids, 3)
+    assert list(got[0]) == list(np.lexsort((ids, -D[0])))
+
+
+def test_exact_int_matmul_bit_exact_and_guarded():
+    """float64-BLAS integer matmul is bit-exact against int64 @ for
+    in-range magnitudes and falls back to int64 @ past the guard."""
+    import numpy as np
+
+    import youtube_trending_data_pipeline_spark.catalog_analysis as ca
+
+    rng = np.random.RandomState(7)
+    A = rng.randint(-30000, 30000, size=(17, 64)).astype(np.int64)
+    B = rng.randint(-30000, 30000, size=(23, 64)).astype(np.int64)
+    assert (ca._exact_int_matmul(A, B) == A @ B.T).all()
+    # guard path: magnitudes whose squares exceed 2^53 / dim
+    A2 = np.full((2, 4), 2**31, dtype=np.int64)
+    assert (ca._exact_int_matmul(A2, A2) == A2 @ A2.T).all()
+
+
+def test_knn_cell_kernel_flags_and_self_exclusion():
+    """Probers score only members, self-pairs are excluded, ties break
+    to the smaller member id, and member rows that do not probe emit
+    nothing."""
+    import pandas as pd
+
+    import youtube_trending_data_pipeline_spark.catalog_analysis as ca
+
+    # vectors chosen so dots are obvious: e1-ish patterns
+    pdf = pd.DataFrame(
+        {
+            "vec_id": [1, 2, 3, 4],
+            "qv": [[10, 0], [10, 0], [10, 0], [0, 10]],
+            # members: 1, 2, 4; probers: 1, 3 (2 and 4 are member-only)
+            "is_m": [True, True, False, True],
+            "is_p": [True, False, True, False],
+        }
+    )
+    out = ca._knn_cell_kernel(pdf, k=2)
+    got = {(r.u, r.v): r.dot for r in out.itertuples()}
+    # prober 1: members {2, 4} after self-exclusion -> 2 (dot 100), 4 (0)
+    # prober 3: members {1, 2, 4} -> top-2 = 1 then 2 (tie 100 -> smaller id)
+    assert got == {(1, 2): 100, (1, 4): 0, (3, 1): 100, (3, 2): 100}
+    # no output rows for non-probers
+    assert {r.u for r in out.itertuples()} == {1, 3}

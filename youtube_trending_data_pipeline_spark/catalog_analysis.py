@@ -74,7 +74,8 @@ def _rowwise_topk(D, ids, k):
     rank = np.empty(n, dtype=np.int64)
     rank[order_ids] = np.arange(n, dtype=np.int64)
     M = np.int64(1) << int(max(n - 1, 1)).bit_length()
-    if np.abs(D).max(initial=0) * M > (1 << 62):
+    # guard computed in float: the int64 product itself could overflow
+    if float(np.abs(D).max(initial=0)) * float(M) > float(1 << 62):
         out = np.empty((m, k), dtype=np.int64)
         for r in range(m):
             out[r] = np.lexsort((ids, -D[r]))[:k]
