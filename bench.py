@@ -81,6 +81,13 @@ BENCH_QUERIES = [
     "graph_kcore_mutual_knn",
     "er_blocked_match_score",
     "late_event_audit",
+    # round-7 (VERDICT r6 #5): pin the bucketed mutual-kNN path's second
+    # consumer and the recall audit (exact-vs-bucketed edge agreement),
+    # plus the corpus-relative-threshold Apriori — the three entries whose
+    # scale behavior round 7 changed
+    "graph_ktruss_mutual_knn",
+    "graph_mutual_knn_recall_audit",
+    "apriori_triple_itemsets",
 ]
 
 
