@@ -1003,3 +1003,38 @@ def test_pq_adc_exact_on_codebook_members(spark):
     for c in range(4):
         nbr, dist = out[(100 + c, 1)]
         assert (nbr, dist) == (c, 0), (c, nbr, dist)
+
+
+def test_dsir_importance_steers_toward_target_vocabulary(spark, tmp_path):
+    """A planted corpus where target-domain (en) docs use a disjoint
+    vocabulary: every selected doc must be one that speaks the target
+    vocabulary, and target-vocab docs must outscore off-domain ones."""
+    import youtube_trending_data_pipeline_spark.catalog_curation as cc
+    from youtube_trending_data_pipeline_spark.catalog import QUERIES
+
+    d = str(tmp_path)
+    rows = []
+    # 40 en docs with vocabulary A; 40 de docs with vocabulary B;
+    # 10 unlabeled-lang docs speaking A (should be selected) and 10
+    # speaking B (should not)
+    for i in range(40):
+        rows.append((i, "alpha beta gamma delta", "en", "s", 4))
+    for i in range(40, 80):
+        rows.append((i, "omega sigma tau rho", "de", "s", 4))
+    for i in range(80, 90):
+        rows.append((i, "alpha beta gamma delta", "xx", "s", 4))
+    for i in range(90, 100):
+        rows.append((i, "omega sigma tau rho", "xx", "s", 4))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+        "n_chars long"
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    out = QUERIES["dsir_importance_select"].fn(spark, d).collect()
+    assert len(out) == cc._DSIR_TOP
+    by_id = {r["doc_id"]: r["score"] for r in out}
+    vocab_a = set(range(40)) | set(range(80, 90))
+    # every selected doc speaks the target vocabulary
+    assert set(by_id) <= vocab_a
+    # and the xx-lang A-speakers made the cut over every B-speaker
+    assert set(range(80, 90)) <= set(by_id)

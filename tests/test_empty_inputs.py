@@ -152,3 +152,31 @@ def test_peels_on_empty_edges(spark):
     assert kc.columns == ["node", "core_deg"] and kc.count() == 0
     kt = ktruss_peel(edges, k=3, rounds=3)
     assert kt.columns == ["src", "dst", "support"] and kt.count() == 0
+
+
+def test_mutual_knn_entries_on_empty_embeddings(spark, tmp_path):
+    """The bucketed mutual-kNN build (and its exact audit baseline) must
+    return empty frames with the right schema when the embedding corpus
+    is empty — pivot seeding, cell ranking, the Arrow kernels, the peel
+    rounds, and the three 1-row audit aggregates all see zero rows."""
+    from youtube_trending_data_pipeline_spark.catalog import (
+        QUERIES,
+        _load_extensions,
+    )
+
+    _load_extensions()
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [], "vec_id long, embedding array<double>, label string"
+    ).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+
+    kcore = QUERIES["graph_kcore_mutual_knn"].fn(spark, d)
+    assert kcore.count() == 0
+    assert set(kcore.columns) == {"node", "core_deg"}
+    truss = QUERIES["graph_ktruss_mutual_knn"].fn(spark, d)
+    assert truss.count() == 0
+    rows = QUERIES["graph_mutual_knn_recall_audit"].fn(spark, d).collect()
+    assert len(rows) == 1  # the audit row survives with zero counts
+    assert rows[0]["exact_edges"] == 0
+    assert rows[0]["bucketed_edges"] == 0
+    assert rows[0]["recall_ppm"] == 0

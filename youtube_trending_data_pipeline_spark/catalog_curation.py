@@ -4063,3 +4063,89 @@ def corpus_budget_select(spark, sf_dir):
         F.col("cum_tokens").cast("long").alias("cum_tokens"),
         (F.col("cum_tokens") <= 100000).alias("selected"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-flavored importance selection (hashed n-gram log-ratio scoring)
+# ---------------------------------------------------------------------------
+
+_DSIR_BUCKETS = 256   # hashed feature space (word unigrams -> buckets)
+_DSIR_TARGET = "en"   # the target domain the selection steers toward
+_DSIR_TOP = 50        # selected docs (deterministic top-k, ties by id)
+_DSIR_TOKS_SQL = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
+
+
+@register(
+    "dsir_importance_select",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, lang, unnest({_DSIR_TOKS_SQL}) AS tok FROM documents
+    ), feat AS (
+      SELECT doc_id, lang,
+             {_H32_DUCK.format(s="tok")} % {_DSIR_BUCKETS} AS b
+      FROM toks
+    ), bw AS (
+      SELECT b,
+             length(bin(CAST(SUM(CASE WHEN lang = '{_DSIR_TARGET}'
+                                      THEN 1 ELSE 0 END) + 1 AS BIGINT)))
+             - length(bin(CAST(COUNT(*) + 1 AS BIGINT))) AS w
+      FROM feat GROUP BY b
+    ), scored AS (
+      SELECT f.doc_id,
+             CAST(SUM(bw.w) AS BIGINT) AS score,
+             CAST(COUNT(*) AS BIGINT) AS n_tok
+      FROM feat f JOIN bw USING (b)
+      GROUP BY f.doc_id
+    )
+    SELECT doc_id, score, n_tok FROM scored
+    ORDER BY score DESC, doc_id LIMIT {_DSIR_TOP}
+    """,
+    "Data Selection via Importance Resampling (DSIR, Xie et al. 2023) "
+    "re-expressed with the engine's exact-integer discipline: word "
+    "unigrams hash into 256 feature buckets (the same md5-prefix hash "
+    "as the winnowing family), each bucket's importance weight is the "
+    "INTEGER log2-code-length ratio of Laplace-smoothed target-domain "
+    "(lang='en') vs raw-pool counts — length(bin(t+1)) - "
+    "length(bin(r+1)), the token_shannon_code_audit idiom, bit-exact "
+    "on both engines where true float log-likelihood ratios are not "
+    "(ln() differs in the last ulp cross-engine, MEMORY.md) — and each "
+    "document scores the sum of its tokens' bucket weights. Output is "
+    "the deterministic top-50 selection (score desc, doc_id ties). "
+    "Plan shape at 100 TB: one explode -> 256-bucket map-side "
+    "aggregate -> 256-row broadcast join back -> one doc_id shuffle -> "
+    "TakeOrderedAndProject; the published method's n-gram LM ratio "
+    "becomes a code-length ratio (+-1 bit of log2), a declared "
+    "deviation in exchange for oracle exactness.",
+)
+def dsir_importance_select(spark, sf_dir):
+    feat = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", "lang", F.explode(_toks()).alias("tok"))
+        .select(
+            "doc_id",
+            "lang",
+            (F.expr(_H32_SPARK.format(s="tok")) % _DSIR_BUCKETS).alias("b"),
+        )
+    )
+    bw = feat.groupBy("b").agg(
+        (
+            F.length(
+                F.bin(
+                    F.sum(
+                        F.when(F.col("lang") == _DSIR_TARGET, 1).otherwise(0)
+                    ).cast("long")
+                    + 1
+                )
+            )
+            - F.length(F.bin(F.count(F.lit(1)).cast("long") + 1))
+        ).alias("w")
+    )
+    scored = (
+        feat.join(F.broadcast(bw), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("w").cast("long").alias("score"),
+            F.count(F.lit(1)).cast("long").alias("n_tok"),
+        )
+    )
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(_DSIR_TOP)

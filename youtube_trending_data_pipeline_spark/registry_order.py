@@ -158,6 +158,7 @@ PRIORITY_UNCHECKED = [
     "graph_kcore_mutual_knn",
     "graph_ktruss_mutual_knn",
     "graph_rich_club",
+    "dsir_importance_select",
 ]
 
 # Round-6 window (VERDICT r5 items 1, 2, 7) — superseded by the round-7
