@@ -75,6 +75,11 @@ def test_recommit_is_noop_and_abort_cleans(spark):
     assert not os.path.exists(os.path.join(sink, "_staging", m1b.part_file))
     # while the originally manifested file survives
     assert os.path.exists(os.path.join(sink, "_staging", m1.part_file))
+    # a retried commit carrying the ORIGINAL messages must NOT delete
+    # the published file the manifest names
+    w.commit([m1], batchId=0)
+    assert os.path.exists(os.path.join(sink, "_staging", m1.part_file))
+    assert read_alert_sink(sink) == first
     # abort: staged file removed, nothing published
     m2 = w.write(iter([Row("z", "9")]))
     w.abort([m2], batchId=1)

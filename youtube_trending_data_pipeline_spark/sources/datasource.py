@@ -352,14 +352,19 @@ class AlertStreamWriter(DataSourceStreamWriter):
         manifest = os.path.join(self._dir, f"batch-{batchId}.manifest")
         if os.path.exists(manifest):
             # Batch already published: the manifest (and the staged files
-            # it names) are the truth. This re-delivery staged a FRESH
-            # set of uuid-named duplicates that no manifest will ever
-            # reference — delete them so _staging doesn't grow unboundedly
-            # across restarts. (A partition that crashed mid-write still
-            # leaks its partial file: its commit message is None, so the
-            # name is unknowable here; read_alert_sink never sees it.)
+            # it names) are the truth. A RE-DELIVERY staged a fresh set of
+            # uuid-named duplicates no manifest will ever reference —
+            # delete those so _staging doesn't grow unboundedly across
+            # restarts. Guard against the other replay shape: a retried
+            # commit() carrying the ORIGINAL messages must never delete
+            # files the manifest itself names. (A partition that crashed
+            # mid-write still leaks its partial file: its commit message
+            # is None, so the name is unknowable here; read_alert_sink
+            # never sees it.)
+            with open(manifest, encoding="utf-8") as fh:
+                published = {f["file"] for f in json.load(fh)["files"]}
             for m in messages:
-                if m is None:
+                if m is None or m.part_file in published:
                     continue
                 staged = os.path.join(self._dir, "_staging", m.part_file)
                 if os.path.exists(staged):
