@@ -180,47 +180,83 @@ def hyperplane_signatures(
 ) -> DataFrame:
     """(id, b0..b{tables-1}): one BIGINT sign-bit signature per table.
 
-    Shape: posexplode the vector to (id, pos, x) rows, look the plane
-    weight up from a literal array, quantize the product to an integer,
-    then ONE hash aggregate computes every (table, plane) dot as a
-    parallel SUM — whole-stage codegen with map-side partial aggregation,
-    never an interpreted per-row higher-order fold (the same restructure
-    that took minhash signatures 408 s -> 7 s; see
-    operators/dedup.py:minhash_signatures).
+    Shape (round 7): posexplode the vector to (id, pos, x) rows, join
+    the BROADCAST plane-weight table (tables x planes x dim rows of
+    seeded constants), quantize each product to an integer, hash-
+    aggregate the per-(table, plane) dots, then assemble sign bits with
+    one tables-arm conditional aggregate — whole-stage codegen with
+    map-side partial aggregation, never an interpreted per-row
+    higher-order fold (the minhash-signatures restructure). The
+    previous form baked tables*planes*dim weight LITERALS into the
+    plan as element_at(array(...)) lookups inside tables*planes
+    aggregate expressions; at 16 tables x 4 planes that is a 4096-
+    literal expression tree whose one-time Janino compile dominated
+    the entry's bench time (~2/3 of 8-9 s, PERF.md r6) and whose plan
+    size grows with the knob settings — the weight TABLE keeps codegen
+    constant-size at any (tables, planes, dim).
 
-    The random planes are fixed seeded constants baked into the plan, so
-    signatures are deterministic and need no broadcast state. Rows whose
-    vector is empty/NULL get signature 0 (left join + coalesce), matching
-    the previous per-row semantics.
+    The weights are the same seeded constants (same doubles, same
+    quantized products — oracle-verified bit-identical signatures);
+    they ship as a ~4096-row broadcast instead of plan literals. Rows
+    whose vector is empty/NULL get signature 0 (left join + coalesce),
+    matching the previous semantics; dimensions beyond ``dim`` drop at
+    the inner pos-join exactly as the old array lookup ignored them.
     """
     plane_sets = [_hyperplanes(dim, planes, seed + ti) for ti in range(tables)]
+    weights = F.broadcast(
+        df.sparkSession.createDataFrame(
+            [
+                (ti, pj, pos, float(wv))
+                for ti, hp in enumerate(plane_sets)
+                for pj, plane in enumerate(hp)
+                for pos, wv in enumerate(plane)
+            ],
+            "tbl int, plane int, pos int, w double",
+        )
+    )
     ids = df.select(F.col(id_col).alias("id"))
     exploded = df.select(
         F.col(id_col).alias("id"),
         F.posexplode(F.col(vec_col)).alias("pos", "x"),
     )
-    aggs = []
-    for ti, hp in enumerate(plane_sets):
-        for pj, plane in enumerate(hp):
-            w = F.element_at(
-                F.array(*[F.lit(float(wv)) for wv in plane]), F.col("pos") + 1
+    dots = (
+        exploded.join(weights, "pos")
+        .select(
+            "id",
+            "tbl",
+            "plane",
+            F.floor(
+                F.col("x").cast("double") * F.col("w") * F.lit(_QUANT)
+                + F.lit(0.5)
             )
-            quant = F.floor(
-                F.col("x").cast("double") * w * F.lit(_QUANT) + F.lit(0.5)
-            ).cast("long")
-            aggs.append(F.sum(quant).alias(f"_d{ti}_{pj}"))
-    dots = exploded.groupBy("id").agg(*aggs)
-    # NULL dots (empty/missing vectors, absent after the left join) fail
-    # the > 0 test, so every bit falls through to 0 — signature 0.
-    sig_cols = []
-    for ti in range(tables):
-        sig = F.lit(0).cast("long")
-        for pj in range(planes):
-            sig = sig + F.when(
-                F.col(f"_d{ti}_{pj}") > 0, F.lit(1 << pj)
-            ).otherwise(F.lit(0)).cast("long")
-        sig_cols.append(sig.alias(f"b{ti}"))
-    return ids.join(dots, "id", "left").select("id", *sig_cols)
+            .cast("long")
+            .alias("q"),
+        )
+        .groupBy("id", "tbl", "plane")
+        .agg(F.sum("q").alias("dot"))
+    )
+    sigs = dots.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(
+                    (F.col("tbl") == ti) & (F.col("dot") > 0),
+                    F.expr("shiftleft(CAST(1 AS BIGINT), plane)"),
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias(f"b{ti}")
+            for ti in range(tables)
+        ]
+    )
+    # NULL sigs (empty/missing vectors, absent after the left join)
+    # coalesce to 0 — signature 0, the previous per-row semantics.
+    return ids.join(sigs, "id", "left").select(
+        "id",
+        *[
+            F.coalesce(F.col(f"b{ti}"), F.lit(0)).cast("long").alias(f"b{ti}")
+            for ti in range(tables)
+        ],
+    )
 
 
 def brute_force_topk(
