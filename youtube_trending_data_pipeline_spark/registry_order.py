@@ -161,6 +161,17 @@ PRIORITY_UNCHECKED = [
     "dsir_importance_select",
 ]
 
+# ROUND 8 bookkeeping: after CORRECTNESS_r07 lands, append its keys as
+# DRIVER_VERIFIED_R07 and clear PRIORITY_UNCHECKED down to (a) any r07
+# failures once fixed and (b) entries whose oracles change in round 8.
+# The ~64 remaining never-driver-checked entries (late (c)-list tail:
+# index_phrase_query onward in registration order, plus anything round
+# 8 adds) need no pinning — tier 2 rotates them in registration order,
+# clearing the lag by round 9 at the 50/round cadence. The whole
+# 351-entry registry was re-verified EXACT in this round's closing
+# sf0.01 sweep (351 ran / 350 exact / 1 documented rows-only /
+# 0 failed), so driver rows should land green.
+
 # Round-6 window (VERDICT r5 items 1, 2, 7) — superseded by the round-7
 # list above, kept for the audit trail:
 #   * the 26 round-5 curation additions that have never held a driver row
