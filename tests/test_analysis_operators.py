@@ -2015,3 +2015,32 @@ def test_knn_cell_kernel_flags_and_self_exclusion():
     assert got == {(1, 2): 100, (1, 4): 0, (3, 1): 100, (3, 2): 100}
     # no output rows for non-probers
     assert {r.u for r in out.itertuples()} == {1, 3}
+
+
+def test_kmeans_lloyd_recovers_planted_blobs(spark, tmp_path):
+    """Eight zero-spread blobs, one seed vector in each (ids 0..7 lead):
+    Lloyd's must assign every member to its blob's center with zero
+    truncated inertia and the blob vector's exact L1 mass as centroid."""
+    from youtube_trending_data_pipeline_spark.catalog import QUERIES
+
+    d = str(tmp_path)
+    rows = []
+    for blob in range(8):
+        vec = [0.0] * 64
+        vec[blob] = 0.5  # qv 5000 at dim `blob`
+        rows.append((blob, vec, "s"))          # ids 0..7 = the seeds
+    for i in range(8, 80):
+        blob = i % 8
+        vec = [0.0] * 64
+        vec[blob] = 0.5
+        rows.append((i, vec, "s"))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    ).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+
+    out = {r["cid"]: r for r in QUERIES["kmeans_lloyd_integer"].fn(spark, d).collect()}
+    assert set(out) == set(range(8))
+    for cid, r in out.items():
+        assert r["n_members"] == 10
+        assert r["inertia_m"] == 0            # zero spread -> zero inertia
+        assert r["centroid_l1"] == 5000 * 1000  # exact fixed-point mass

@@ -7428,3 +7428,163 @@ def session_max_concurrency(spark, sf_dir):
         .crossJoin(F.broadcast(n_users))
         .select("n_sessions", "max_concurrent", "n_users")
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic integer Lloyd's k-means (fixed rounds, exact oracle)
+# ---------------------------------------------------------------------------
+
+_KM_K = 8        # clusters (seeded from the first K vectors by id)
+_KM_ROUNDS = 4   # fixed Lloyd iterations (pure function of the data)
+_KM_MILLI = 1000 # centroid fixed-point scale (milli-units of qv)
+
+
+def _kmeans_oracle() -> str:
+    """Unrolled replay of _KM_ROUNDS Lloyd iterations, all-integer:
+    distances in milli-units squared, centroid updates as truncating
+    integer division (Spark `div` == DuckDB `//`, both toward zero),
+    empty clusters keep their previous centroid via the LEFT JOIN."""
+    rounds = []
+    for r in range(1, _KM_ROUNDS + 1):
+        rounds.append(f"""
+    d{r} AS MATERIALIZED (
+      SELECT x.vec_id, c.cid,
+             SUM((x.xm - c.c) * (x.xm - c.c)) AS d2
+      FROM x JOIN cent{r - 1} c ON x.pos = c.pos
+      GROUP BY 1, 2
+    ),
+    a{r} AS MATERIALIZED (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY d2, cid) AS rn
+        FROM d{r}
+      ) WHERE rn = 1
+    ),
+    u{r} AS MATERIALIZED (
+      SELECT a.cid, x.pos,
+             ({_KM_MILLI} * SUM(x.xu)) // COUNT(*) AS uc
+      FROM a{r} a JOIN x ON x.vec_id = a.vec_id
+      GROUP BY 1, 2
+    ),
+    cent{r} AS MATERIALIZED (
+      SELECT p.cid, p.pos, COALESCE(u.uc, p.c) AS c
+      FROM cent{r - 1} p
+      LEFT JOIN u{r} u ON u.cid = p.cid AND u.pos = p.pos
+    )""")
+    R = _KM_ROUNDS
+    return f"""
+    WITH q AS MATERIALIZED (
+      SELECT vec_id, {_QV_SQL} AS qv FROM embeddings
+    ), x AS MATERIALIZED (
+      SELECT vec_id, i AS pos, qv[i] AS xu, qv[i] * {_KM_MILLI} AS xm
+      FROM q, range(1, 65) t(i)
+    ), seeds AS MATERIALIZED (
+      SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT {_KM_K}
+    ), cent0 AS MATERIALIZED (
+      SELECT vec_id AS cid, i AS pos, qv[i] * {_KM_MILLI} AS c
+      FROM seeds, range(1, 65) t(i)
+    ),
+    {','.join(rounds)},
+    final_d AS (
+      SELECT a.vec_id, a.cid, d.d2
+      FROM a{R} a JOIN d{R} d ON d.vec_id = a.vec_id AND d.cid = a.cid
+    ), sizes AS (
+      SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_members,
+             CAST(SUM(d2 // 1000000) AS BIGINT) AS inertia_m
+      FROM final_d GROUP BY cid
+    ), l1 AS (
+      SELECT cid, CAST(SUM(ABS(c)) AS BIGINT) AS centroid_l1
+      FROM cent{R} GROUP BY cid
+    )
+    SELECT s.cid, s.n_members, s.inertia_m, l1.centroid_l1
+    FROM sizes s JOIN l1 ON l1.cid = s.cid
+    """
+
+
+@register(
+    "kmeans_lloyd_integer",
+    _kmeans_oracle(),
+    "Deterministic distributed Lloyd's k-means under the EXACT gate — "
+    "the oracle-backed answer to sim_ivf_topk's documented caveat "
+    "(KMeans|| initialization samples per partition, so MLlib cells "
+    "shift with physical layout; this build is a pure function of the "
+    "data): centers seed from the first 8 vectors by id, 4 FIXED Lloyd "
+    "rounds (the pagerank/kcore fixed-budget doctrine, unrolled "
+    "MATERIALIZED-CTE replay), ALL-INTEGER arithmetic — squared L2 in "
+    "milli-unit fixed point, centroid updates as truncating integer "
+    "division (Spark div == DuckDB //), ties to the smaller center id, "
+    "empty clusters keep their previous centroid. Output per cluster: "
+    "size, truncated-sum inertia, centroid L1 mass. Scale shape per "
+    "round: one 512-row broadcast hash join onto the exploded "
+    "(vec, dim) frame + two hash aggregates — the exact shape MLlib "
+    "KMeans runs, minus the layout-dependent init; lineage cut per "
+    "round via localCheckpoint.",
+)
+def kmeans_lloyd_integer(spark, sf_dir):
+    q = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr(_QV_SPARK).alias("qv")
+    )
+    x = (
+        q.select("vec_id", F.posexplode("qv").alias("pos0", "xu"))
+        .select(
+            "vec_id",
+            (F.col("pos0") + 1).alias("pos"),
+            "xu",
+            (F.col("xu") * _KM_MILLI).alias("xm"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    cent = (
+        q.orderBy("vec_id")
+        .limit(_KM_K)
+        .select(F.col("vec_id").alias("cid"), "qv")
+        .select("cid", F.posexplode("qv").alias("pos0", "cu"))
+        .select(
+            "cid",
+            (F.col("pos0") + 1).alias("pos"),
+            (F.col("cu") * _KM_MILLI).alias("c"),
+        )
+    )
+    w = W.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cid"))
+    assign = dists = None
+    for _ in range(_KM_ROUNDS):
+        dists = (
+            x.join(F.broadcast(cent), "pos")
+            .groupBy("vec_id", "cid")
+            .agg(
+                F.sum(
+                    (F.col("xm") - F.col("c")) * (F.col("xm") - F.col("c"))
+                ).alias("d2")
+            )
+        )
+        assign = (
+            dists.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("vec_id", "cid")
+        )
+        upd = (
+            assign.join(x, "vec_id")
+            .groupBy("cid", "pos")
+            .agg(
+                F.expr(
+                    f"CAST(({_KM_MILLI} * SUM(xu)) div COUNT(*) AS BIGINT)"
+                ).alias("uc")
+            )
+        )
+        cent = (
+            cent.join(upd, ["cid", "pos"], "left")
+            .select("cid", "pos", F.coalesce("uc", "c").alias("c"))
+            .localCheckpoint(eager=False)
+        )
+    final_d = assign.join(dists, ["vec_id", "cid"])
+    sizes = final_d.groupBy("cid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.sum(F.expr("d2 div 1000000")).cast("long").alias("inertia_m"),
+    )
+    l1 = cent.groupBy("cid").agg(
+        F.sum(F.abs(F.col("c"))).cast("long").alias("centroid_l1")
+    )
+    return sizes.join(l1, "cid").select(
+        "cid", "n_members", "inertia_m", "centroid_l1"
+    )

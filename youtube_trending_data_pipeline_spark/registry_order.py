@@ -159,6 +159,7 @@ PRIORITY_UNCHECKED = [
     "graph_ktruss_mutual_knn",
     "graph_rich_club",
     "dsir_importance_select",
+    "kmeans_lloyd_integer",
 ]
 
 # ROUND 8 bookkeeping: after CORRECTNESS_r07 lands, append its keys as
