@@ -1038,3 +1038,35 @@ def test_dsir_importance_steers_toward_target_vocabulary(spark, tmp_path):
     assert set(by_id) <= vocab_a
     # and the xx-lang A-speakers made the cut over every B-speaker
     assert set(range(80, 90)) <= set(by_id)
+
+
+def test_boilerplate_shingle_marks_planted_template(spark, tmp_path):
+    """100 docs in one source; a 4-token template planted in 10 of them
+    (10% >= the 8% threshold) must be marked boilerplate, while each
+    doc's unique filler shingles (1 doc each, 1%) must not."""
+    from youtube_trending_data_pipeline_spark.catalog import QUERIES
+
+    d = str(tmp_path)
+    rows = []
+    template = "subscribe to our newsletter"
+    for i in range(100):
+        filler = f"u{i}a u{i}b u{i}c u{i}d u{i}e"
+        text = (filler + " " + template) if i < 10 else filler
+        rows.append((i, text, "en", "srcA", len(text)))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+        "n_chars long"
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    out = {r["doc_id"]: r for r in
+           QUERIES["boilerplate_shingle_mark"].fn(spark, d).collect()}
+    assert len(out) == 100
+    for i in range(100):
+        if i < 10:
+            # template docs: filler(5)+template(4) = 9 tokens -> 6
+            # shingles; the planted template contributes boilerplate
+            assert out[i]["n_boiler"] >= 1, i
+            assert out[i]["boiler_ppm"] > 0
+        else:
+            assert out[i]["n_boiler"] == 0, i
+            assert out[i]["boiler_ppm"] == 0

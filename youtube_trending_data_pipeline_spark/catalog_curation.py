@@ -4149,3 +4149,117 @@ def dsir_importance_select(spark, sf_dir):
         )
     )
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(_DSIR_TOP)
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate shingle marking (the RefinedWeb/CCNet line-dedup analog)
+# ---------------------------------------------------------------------------
+
+_BP_SHINGLE = 4        # tokens per shingle
+# Boilerplate at >= 8% of its source's docs — tuned so the synthetic
+# corpus' heaviest template shingles fire (max observed source fraction
+# is exactly 8%); web-line dedup production settings run far higher
+# (50%+ of a domain's pages). The fraction is the knob; the shape and
+# the exact-ppm audit are the point.
+_BP_FRAC_PPM = 80_000
+
+
+@register(
+    "boilerplate_shingle_mark",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, source, {_DSIR_TOKS_SQL} AS v FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, source,
+             array_to_string(list_slice(v, i, i + {_BP_SHINGLE - 1}), ' ')
+               AS shingle
+      FROM toks, LATERAL (
+        SELECT unnest(range(1, len(toks.v) - {_BP_SHINGLE - 2}))
+      ) t(i)
+    ), src_docs AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY source
+    ), bp AS (
+      SELECT sh.source, sh.shingle
+      FROM sh JOIN src_docs sd ON sd.source = sh.source
+      GROUP BY sh.source, sh.shingle, sd.n_docs
+      HAVING 1000000 * COUNT(*) >= {_BP_FRAC_PPM} * sd.n_docs
+    ), per_doc AS (
+      SELECT s.doc_id, s.source,
+             CAST(COUNT(*) AS BIGINT) AS n_shingles,
+             CAST(SUM(CASE WHEN bp.shingle IS NOT NULL
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler
+      FROM sh s
+      LEFT JOIN bp ON bp.source = s.source AND bp.shingle = s.shingle
+      GROUP BY s.doc_id, s.source
+    )
+    SELECT doc_id, source, n_shingles, n_boiler,
+           CAST((1000000 * n_boiler) // GREATEST(n_shingles, 1) AS BIGINT)
+             AS boiler_ppm
+    FROM per_doc
+    """,
+    "Boilerplate shingle marking — the RefinedWeb/CCNet per-domain "
+    "line-deduplication idea at shingle granularity (this corpus has "
+    "no newlines, so 4-token shingles stand in for lines): a DISTINCT "
+    "shingle that occurs in >= 8% of its SOURCE's documents is that "
+    "source's boilerplate (navigation chrome, footers, templates; the "
+    "fraction is a knob — web-line production settings run 50%+), "
+    "and every document reports its shingle count, boilerplate-"
+    "shingle count, and boilerplate fraction in exact ppm — the "
+    "upstream signal for stripping template text before training. "
+    "Scale shape: one explode -> per-(source, shingle) count with "
+    "map-side partial aggregation against a broadcast per-source doc "
+    "count, then a (source, shingle) equi-join back — the shuffle "
+    "carries (source, shingle) pairs only, never text bodies; at "
+    "100 TB the per-source shingle dimension is the bounded side "
+    "exactly as in passage_dedup.",
+)
+def boilerplate_shingle_mark(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    sh = (
+        docs.select(
+            "doc_id",
+            "source",
+            # guard: Spark sequence(1, 0) would generate DESCENDING
+            # [1, 0] — short docs must produce NO shingles instead
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(filter(split(lower(text), ' '), x -> x != ''))"
+                    f" >= {_BP_SHINGLE} THEN "
+                    "array_distinct(transform("
+                    f"sequence(1, size(filter(split(lower(text), ' '), x -> x != '')) - {_BP_SHINGLE - 1}), "
+                    f"i -> array_join(slice(filter(split(lower(text), ' '), x -> x != ''), i, {_BP_SHINGLE}), ' ')))"
+                    " ELSE array() END"
+                )
+            ).alias("shingle"),
+        )
+    ).localCheckpoint(eager=False)
+    src_docs = F.broadcast(
+        docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    bp = (
+        sh.groupBy("source", "shingle")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .join(src_docs, "source")
+        .where(F.lit(1_000_000) * F.col("c") >= F.lit(_BP_FRAC_PPM) * F.col("n_docs"))
+        .select("source", "shingle", F.lit(True).alias("is_bp"))
+    )
+    per_doc = (
+        sh.join(bp, ["source", "shingle"], "left")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum(F.when(F.col("is_bp"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_boiler"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "source",
+        "n_shingles",
+        "n_boiler",
+        F.expr(
+            "CAST((1000000 * n_boiler) div GREATEST(n_shingles, 1) AS BIGINT)"
+        ).alias("boiler_ppm"),
+    )

@@ -160,6 +160,7 @@ PRIORITY_UNCHECKED = [
     "graph_rich_club",
     "dsir_importance_select",
     "kmeans_lloyd_integer",
+    "boilerplate_shingle_mark",
 ]
 
 # ROUND 8 bookkeeping: after CORRECTNESS_r07 lands, append its keys as
