@@ -1976,8 +1976,10 @@ def test_rowwise_topk_matches_lexsort_reference():
 
 def test_exact_int_matmul_bit_exact_and_guarded():
     """float64-BLAS integer matmul is bit-exact against int64 @ for
-    in-range magnitudes and falls back to int64 @ past the guard."""
+    in-range magnitudes and raises loudly past the guard (an int64
+    fallback could silently wrap once bound^2*dim > 2^63)."""
     import numpy as np
+    import pytest
 
     import youtube_trending_data_pipeline_spark.catalog_analysis as ca
 
@@ -1987,7 +1989,8 @@ def test_exact_int_matmul_bit_exact_and_guarded():
     assert (ca._exact_int_matmul(A, B) == A @ B.T).all()
     # guard path: magnitudes whose squares exceed 2^53 / dim
     A2 = np.full((2, 4), 2**31, dtype=np.int64)
-    assert (ca._exact_int_matmul(A2, A2) == A2 @ A2.T).all()
+    with pytest.raises(ValueError, match="exact-dot"):
+        ca._exact_int_matmul(A2, A2)
 
 
 def test_knn_cell_kernel_flags_and_self_exclusion():

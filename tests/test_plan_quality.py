@@ -156,9 +156,10 @@ def test_no_accidental_cartesian_anywhere(spark):
         # prefilter as the 100 TB path).
         "j11_interval_overlap_join",
         # graph_mutual_knn_recall_audit: deliberately composes the
-        # RETIRED all-pairs exact build (1-row quantized-corpus block
-        # crossJoin feeding the mapInPandas matmul — the labeled
-        # brute-force baseline) to audit the bucketed production
+        # all-pairs exact baseline (a 32-row _EXACT_SALTS spine
+        # crossJoined onto the quantized corpus so each salt group's
+        # applyInPandas kernel sees all members at O(P*n) Arrow
+        # transfer, not O(n^2)) to audit the bucketed production
         # build's recall, plus three 1-row count appends. The three
         # graph-structure entries themselves run on the bounded
         # IVF-pivot build and stay out of this whitelist.

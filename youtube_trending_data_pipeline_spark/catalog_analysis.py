@@ -104,12 +104,18 @@ def _exact_int_matmul(A, B):
     (embedding values ~[-1, 1] at scale 10^4), so a 64-term dot tops
     out near 64 * 10^10 ~ 6e11, four orders of magnitude under the
     float64 integer ceiling. The guard enforces the precondition loudly
-    rather than ever returning a silently rounded dot."""
+    rather than ever returning a silently rounded dot: an int64 matmul
+    fallback would itself wrap silently once bound^2*dim > 2^63, so
+    out-of-range inputs raise instead of risking a wrong answer."""
     import numpy as np
 
     bound = np.float64(max(np.abs(A).max(initial=0), np.abs(B).max(initial=0)))
     if bound * bound * A.shape[1] > 2**53:
-        return A @ B.T  # exactness over speed for out-of-range inputs
+        raise ValueError(
+            "quantized embedding magnitude %s exceeds the exact-dot "
+            "precondition bound^2*dim <= 2^53; re-quantize at a lower "
+            "scale" % bound
+        )
     return np.rint(
         A.astype(np.float64) @ B.astype(np.float64).T
     ).astype(np.int64)

@@ -132,47 +132,62 @@ DRIVER_VERIFIED_R06 = [
     "ts_resample_ohlc", "w_pattern_v_shape",
 ]
 
+# Keys present in CORRECTNESS_r07.json (driver gate, round 7): 50/50 green
+# (rows + schema + hash, zero err).  Window was 9 pinned (6 new/changed
+# round-7 entries + 3 graph entries whose oracles changed with the
+# bounded mutual-kNN build) + 41 tier-2 never-checked entries.
+DRIVER_VERIFIED_R07 = [
+    "s2_channels_roundtrip", "report_html_hash",
+    "graph_mutual_knn_recall_audit", "graph_kcore_mutual_knn",
+    "graph_ktruss_mutual_knn", "graph_rich_club", "dsir_importance_select",
+    "kmeans_lloyd_integer", "boilerplate_shingle_mark",
+    "w_pareto_concentration", "basket_brand_lift",
+    "graph_personalized_pagerank", "embedding_health_audit",
+    "crawl_politeness_schedule", "multimodal_content_sniff",
+    "multimodal_transcode_roundtrip", "eval_bleu_components",
+    "sketch_bloom_probe", "detokenize_roundtrip",
+    "embedding_matryoshka_truncate", "tokenizer_fertility",
+    "chunk_stitch_detect", "privacy_k_anonymity", "corpus_datasheet",
+    "udtf_sentence_split", "dedup_url_exact", "split_kfold_assign",
+    "sketch_kmv_merge", "events_anomaly_mad", "export_jsonl_manifest",
+    "stats_partial_merge", "drift_snapshot_stats", "ab_test_metrics",
+    "graph_degree_distribution", "dedup_shingle_containment",
+    "split_walk_forward", "graph_link_prediction",
+    "feature_hashing_vectorize", "feature_target_encode_loo",
+    "labels_next_event", "dedup_tokenset_fingerprint",
+    "epoch_shuffle_audit", "index_postings_delta", "eval_calibration_bins",
+    "corpus_budget_select", "eval_pass_at_k", "ngram_nucleus_cutoff",
+    "er_blocked_match_score", "eval_pairwise_winrate",
+    "sketch_theta_intersect",
+]
+
 DRIVER_VERIFIED: set[str] = (
     set(DRIVER_VERIFIED_R01)
     | set(DRIVER_VERIFIED_R02_R03)
     | set(DRIVER_VERIFIED_R04)
     | set(DRIVER_VERIFIED_R05)
     | set(DRIVER_VERIFIED_R06)
+    | set(DRIVER_VERIFIED_R07)
 )
 
-# Round-7 window (VERDICT r6 items 1, 2, 3):
-#   * the three NEW round-7 entries (S2 channel fetch + F12/S11 report
-#     HTML promoted into the exact gate, and the mutual-kNN recall
-#     audit) — new code leads;
-#   * the three graph-structure entries whose ORACLES CHANGED with the
-#     bucketed mutual-kNN build (they were also never driver-checked);
-#   * the remaining ~107 never-driver-checked round-6 additions need no
-#     pinning: tier 2 of order_for_driver already rotates them in
-#     registration order, which is exactly the (b)-then-(c) priority
-#     the r6 verdict prescribed. Window = 6 pinned + 44 tier-2; lag
-#     after round 7 ~ 63, cleared over rounds 8-9 at the same cadence.
+# Round-8 window (VERDICT r7 items 1-5):
+#   * entries whose ORACLES / plans change in round 8 lead the window:
+#     apriori_triple_itemsets (r7 changed it to corpus-relative ppm
+#     thresholds without pinning — ADVICE flagged that — and round 8
+#     restructures its triple-support count), sim_ivf_topk (rebuilt
+#     oracle-backed on deterministic integer-Lloyd centroids), and the
+#     four mutual-kNN consumers (n_cells made corpus-relative in-code);
+#   * the remaining ~16 never-driver-checked entries
+#     (index_phrase_query onward) need no pinning: tier 2 rotates them
+#     in registration order, clearing the driver-row lag this round.
 PRIORITY_UNCHECKED = [
-    "s2_channels_roundtrip",
-    "report_html_hash",
+    "apriori_triple_itemsets",
+    "sim_ivf_topk",
     "graph_mutual_knn_recall_audit",
     "graph_kcore_mutual_knn",
     "graph_ktruss_mutual_knn",
     "graph_rich_club",
-    "dsir_importance_select",
-    "kmeans_lloyd_integer",
-    "boilerplate_shingle_mark",
 ]
-
-# ROUND 8 bookkeeping: after CORRECTNESS_r07 lands, append its keys as
-# DRIVER_VERIFIED_R07 and clear PRIORITY_UNCHECKED down to (a) any r07
-# failures once fixed and (b) entries whose oracles change in round 8.
-# The ~64 remaining never-driver-checked entries (late (c)-list tail:
-# index_phrase_query onward in registration order, plus anything round
-# 8 adds) need no pinning — tier 2 rotates them in registration order,
-# clearing the lag by round 9 at the 50/round cadence. The whole
-# 351-entry registry was re-verified EXACT in this round's closing
-# sf0.01 sweep (351 ran / 350 exact / 1 documented rows-only /
-# 0 failed), so driver rows should land green.
 
 # Round-6 window (VERDICT r5 items 1, 2, 7) — superseded by the round-7
 # list above, kept for the audit trail:
