@@ -209,7 +209,11 @@ def test_no_accidental_cartesian_anywhere(spark):
         "basket_brand_lift",
         # apriori_triple_itemsets: 1-row corpus-relative min-support
         # frame broadcast onto the pair and triple aggregates (the r7
-        # scale fix — absolute thresholds were super-linear at 10x).
+        # scale fix — absolute thresholds were super-linear at 10x),
+        # plus the 1-row frequent-token / candidate-token array frames
+        # broadcast onto the per-doc combo projections (the r8 fix:
+        # support counting by map-side combination explode instead of
+        # the 3-way item re-join, 16.3x -> 4.7x at 10x data).
         "apriori_triple_itemsets",
         # split_walk_forward: 1-row min-day bound and a 3-row fold spine
         # broadcast onto the event stream — bounded constant-appends.

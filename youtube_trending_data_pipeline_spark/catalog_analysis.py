@@ -601,6 +601,8 @@ def eval_pass_at_k(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 _TOKS_SQL = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
+# Spark-SQL spelling of _toks_a() for use inside F.expr lambdas
+_TOKS_A_SQL = "filter(split(lower(text), ' '), x -> x != '')"
 _NUCLEUS_P_PCT = 90
 _NUCLEUS_MIN_TOTAL = 5
 
@@ -4438,10 +4440,22 @@ _AP_TRIPLE_PPM = 54_000   # triple min-support: 5.4% of corpus
     "— candidates fall from C(V,3) to only those with all three "
     "frequent faces), and survivors are counted against the corpus "
     "at 5.4% min-support. "
-    "This is the LEVEL-WISE join shape token_cooccurrence_pairs "
+    "Round 8: support counting is per-doc COMBINATION GENERATION, "
+    "not an item-table join. Each doc's token list is intersected "
+    "with the frequent-token array (level 1) / candidate-token "
+    "array (level 3) — both dimension-sized 1-row broadcasts, "
+    "bounded by the 6% floor — and sorted C(f,2) / C(f,3) combos "
+    "are emitted map-side by nested transform/slice (JVM codegen, "
+    "zero joins on the exploded item table). The r7 shape joined "
+    "pruned candidates back to item THREE times; with a dense "
+    "vocabulary every candidate token matched ~every doc (~166M "
+    "intermediate rows at sf1) and the stage measured 10.1 s -> "
+    "165 s at 10x data. The combo explode is linear in docs "
+    "(measured in-round: see PERF.md). "
+    "This is the LEVEL-WISE shape token_cooccurrence_pairs "
     "(level 2) feeds: candidate generation and pruning touch only "
-    "the dimension-sized frequent-pair table; the support count is "
-    "a 3-way equi-join on doc_id bounded by pruned candidates. "
+    "the dimension-sized frequent-pair table; triple supports are "
+    "a broadcast semi-join + one partial-aggregated groupBy. "
     "Basket analysis' step beyond pairwise lift "
     "(basket_brand_lift).",
 )
@@ -4456,23 +4470,42 @@ def apriori_triple_itemsets(spark, sf_dir):
             f"CAST(({_AP_TRIPLE_PPM} * COUNT(*)) div 1000000 AS BIGINT)"
         ).alias("triple_min"),
     )
-    item = (
-        docs
-        .select("doc_id", F.explode(F.array_distinct(_toks_a())).alias("tok"))
-        .localCheckpoint(eager=False)
+    toks = F.array_distinct(_toks_a())
+    # Level 1: doc-frequency per token -> frequent singletons as ONE
+    # sorted array row (downward closure: a frequent pair's members are
+    # frequent, so pre-filtering docs to F1 tokens leaves fp unchanged).
+    f1row = (
+        docs.select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .crossJoin(F.broadcast(nd))
+        .where(F.col("c") >= F.col("pair_min"))
+        .agg(F.sort_array(F.collect_list("tok")).alias("f1arr"))
     )
-    a, b = item.alias("a"), item.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.doc_id") == F.col("b.doc_id"))
-        & (F.col("a.tok") < F.col("b.tok")),
-    ).select(
-        F.col("a.doc_id").alias("doc_id"),
-        F.col("a.tok").alias("w1"),
-        F.col("b.tok").alias("w2"),
+    # Level 2: per-doc sorted F1-token array -> map-side C(f,2) combos.
+    # The combo explode is the hot stage; the parquet scan may plan few
+    # input splits, so round-robin repartition the SLIM per-doc array
+    # projection (ints/short strings, never text) to spread generation
+    # across all cores — at 100 TB this shuffles only dimension-bounded
+    # arrays, one row per doc.
+    par = spark.sparkContext.defaultParallelism
+    pair_combos = (
+        docs.crossJoin(F.broadcast(f1row))
+        .select(F.sort_array(F.array_intersect(toks, "f1arr")).alias("v"))
+        .repartition(par)
+        .select(
+            F.explode(
+                F.expr(
+                    """flatten(transform(v, (x1, i) ->
+                         transform(slice(v, i + 2, size(v)), x2 ->
+                           named_struct('w1', x1, 'w2', x2))))"""
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
     )
     fp = (
-        pairs.groupBy("w1", "w2")
+        pair_combos.groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c"))
         .crossJoin(F.broadcast(nd))
         .where(F.col("c") >= F.col("pair_min"))
@@ -4494,22 +4527,63 @@ def apriori_triple_itemsets(spark, sf_dir):
         face,
         (F.col("b") == F.col("fb")) & (F.col("c3") == F.col("fc")),
         "left_semi",
+    ).localCheckpoint(eager=False)
+    # Level 3: candidate-token array (1 row); per-doc combos are packed
+    # LONG keys (token -> index in the sorted candidate array, triple ->
+    # (i*V + j)*V + k) so the 100M+-row combo stream is generated,
+    # probed, and aggregated as single longs, never 3-string structs
+    # (measured 2.4x on the whole entry at sf1). Broadcast semi-join to
+    # pruned-candidate keys BEFORE the aggregate so the hash table and
+    # shuffle carry only candidate triples.
+    candrow = pruned.agg(
+        F.sort_array(
+            F.array_distinct(
+                F.flatten(F.collect_list(F.array("a", "b", "c3")))
+            )
+        ).alias("candarr")
     )
-    i1 = item.select(F.col("doc_id").alias("d"), F.col("tok").alias("t1"))
-    i2 = item.select(F.col("doc_id").alias("d2"), F.col("tok").alias("t2"))
-    i3 = item.select(F.col("doc_id").alias("d3"), F.col("tok").alias("t3"))
-    tri = (
-        pruned.join(i1, F.col("a") == F.col("t1"))
-        .join(i2, (F.col("d2") == F.col("d")) & (F.col("b") == F.col("t2")))
-        .join(i3, (F.col("d3") == F.col("d")) & (F.col("c3") == F.col("t3")))
+    tri_keys = (
+        docs.crossJoin(F.broadcast(candrow))
+        .select(
+            F.expr(
+                # sorted candidate-token indices present in the doc
+                # (candarr order IS sorted token order)
+                """filter(
+                     transform(candarr, (x, i) ->
+                       IF(array_contains({toks}, x), i, -1)),
+                     y -> y >= 0)""".format(toks="array_distinct(" + _TOKS_A_SQL + ")")
+            ).alias("vi"),
+            F.size("candarr").cast("long").alias("nv"),
+        )
+        .repartition(par)
+        .select(
+            F.explode(
+                F.expr(
+                    """flatten(flatten(transform(vi, (a1, i) ->
+                         transform(slice(vi, i + 2, size(vi)), (a2, j) ->
+                           transform(slice(vi, i + j + 3, size(vi)), a3 ->
+                             (CAST(a1 AS BIGINT) * nv + a2) * nv + a3)))))"""
+                )
+            ).alias("k")
+        )
+    )
+    pruned_keys = pruned.crossJoin(F.broadcast(candrow)).select(
+        F.col("a").alias("w1"),
+        F.col("b").alias("w2"),
+        F.col("c3").alias("w3"),
+        F.expr(
+            """(CAST(array_position(candarr, a) - 1 AS BIGINT)
+                  * size(candarr) + (array_position(candarr, b) - 1))
+                  * size(candarr) + (array_position(candarr, c3) - 1)"""
+        ).alias("k"),
     )
     return (
-        tri.groupBy(
-            F.col("a").alias("w1"),
-            F.col("b").alias("w2"),
-            F.col("c3").alias("w3"),
+        tri_keys.join(
+            F.broadcast(pruned_keys.select("k")), ["k"], "left_semi"
         )
+        .groupBy("k")
         .agg(F.count(F.lit(1)).cast("long").alias("support"))
+        .join(F.broadcast(pruned_keys), ["k"])
         .crossJoin(F.broadcast(nd))
         .where(F.col("support") >= F.col("triple_min"))
         .select("w1", "w2", "w3", "support")
