@@ -2047,3 +2047,45 @@ def test_kmeans_lloyd_recovers_planted_blobs(spark, tmp_path):
         assert r["n_members"] == 10
         assert r["inertia_m"] == 0            # zero spread -> zero inertia
         assert r["centroid_l1"] == 5000 * 1000  # exact fixed-point mass
+
+
+def test_sim_ivf_lloyd_planted_blobs(spark, tmp_path):
+    """Queries (ids 0..4) planted exactly on five blob axes must
+    retrieve only corpus members of their own blob: the Lloyd cells
+    separate zero-spread blobs perfectly, each query probes its own
+    cell first, and the exact re-rank puts the identical-direction
+    members ahead with (cos DESC, id ASC) tie-break to the smallest
+    neighbor ids."""
+    from youtube_trending_data_pipeline_spark.catalog import QUERIES
+
+    d = str(tmp_path)
+    rows = []
+    # ids 0..4 = queries, one per blob axis 0..4
+    for q in range(5):
+        vec = [0.0] * 64
+        vec[q] = 0.5
+        rows.append((q, vec, "s"))
+    # corpus ids 5.. : 8 zero-spread blobs on axes 0..7, 10 members each
+    # (ids 5..12 seed the 8 Lloyd cells; axes (i-5) % 8 make the seeds
+    # cover all 8 blobs)
+    for i in range(5, 85):
+        vec = [0.0] * 64
+        vec[(i - 5) % 8] = 0.5
+        rows.append((i, vec, "s"))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    ).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+
+    out = QUERIES["sim_ivf_topk"].fn(spark, d).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == set(range(5))
+    for q, rs in by_q.items():
+        assert [r["rank"] for r in sorted(rs, key=lambda r: r["rank"])] == [1, 2, 3]
+        for r in rs:
+            # same-blob members only (corpus id axis == query axis),
+            # perfect cosine, smallest ids win the tie-break
+            assert (r["neighbor_id"] - 5) % 8 == q
+            assert r["cos"] == 1.0
+        assert sorted(r["neighbor_id"] for r in rs) == [5 + q, 13 + q, 21 + q]

@@ -7519,11 +7519,14 @@ _KM_ROUNDS = 4   # fixed Lloyd iterations (pure function of the data)
 _KM_MILLI = 1000 # centroid fixed-point scale (milli-units of qv)
 
 
-def _kmeans_oracle() -> str:
-    """Unrolled replay of _KM_ROUNDS Lloyd iterations, all-integer:
-    distances in milli-units squared, centroid updates as truncating
-    integer division (Spark `div` == DuckDB `//`, both toward zero),
-    empty clusters keep their previous centroid via the LEFT JOIN."""
+def _lloyd_rounds_sql() -> str:
+    """Shared unrolled-Lloyd round fragments (CTE names x / cent{r}),
+    all-integer: distances in milli-units squared, centroid updates as
+    truncating integer division (Spark `div` == DuckDB `//`, both
+    toward zero), empty clusters keep their previous centroid via the
+    LEFT JOIN. Used by the kmeans_lloyd_integer oracle (whole table)
+    and the sim_ivf_topk oracle (corpus subset) — the source only
+    changes what the `x` CTE selects."""
     rounds = []
     for r in range(1, _KM_ROUNDS + 1):
         rounds.append(f"""
@@ -7552,6 +7555,12 @@ def _kmeans_oracle() -> str:
       FROM cent{r - 1} p
       LEFT JOIN u{r} u ON u.cid = p.cid AND u.pos = p.pos
     )""")
+    return ",".join(rounds)
+
+
+def _kmeans_oracle() -> str:
+    """Unrolled replay of _KM_ROUNDS Lloyd iterations over the whole
+    embeddings table — see _lloyd_rounds_sql for the arithmetic."""
     R = _KM_ROUNDS
     return f"""
     WITH q AS MATERIALIZED (
@@ -7565,7 +7574,7 @@ def _kmeans_oracle() -> str:
       SELECT vec_id AS cid, i AS pos, qv[i] * {_KM_MILLI} AS c
       FROM seeds, range(1, 65) t(i)
     ),
-    {','.join(rounds)},
+    {_lloyd_rounds_sql()},
     final_d AS (
       SELECT a.vec_id, a.cid, d.d2
       FROM a{R} a JOIN d{R} d ON d.vec_id = a.vec_id AND d.cid = a.cid
@@ -7605,17 +7614,34 @@ def kmeans_lloyd_integer(spark, sf_dir):
     q = t(spark, sf_dir, "embeddings").select(
         "vec_id", F.expr(_QV_SPARK).alias("qv")
     )
-    x = (
-        q.select("vec_id", F.posexplode("qv").alias("pos0", "xu"))
-        .select(
-            "vec_id",
-            (F.col("pos0") + 1).alias("pos"),
-            "xu",
-            (F.col("xu") * _KM_MILLI).alias("xm"),
-        )
-        .localCheckpoint(eager=False)
+    x = _lloyd_explode(q).localCheckpoint(eager=False)
+    cent, assign, dists = _lloyd_fit(x, _lloyd_seed_cent(q))
+    final_d = assign.join(dists, ["vec_id", "cid"])
+    sizes = final_d.groupBy("cid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.sum(F.expr("d2 div 1000000")).cast("long").alias("inertia_m"),
     )
-    cent = (
+    l1 = cent.groupBy("cid").agg(
+        F.sum(F.abs(F.col("c"))).cast("long").alias("centroid_l1")
+    )
+    return sizes.join(l1, "cid").select(
+        "cid", "n_members", "inertia_m", "centroid_l1"
+    )
+
+
+def _lloyd_explode(q):
+    """(vec_id, qv) -> exploded (vec_id, pos, xu, xm) milli frame."""
+    return q.select("vec_id", F.posexplode("qv").alias("pos0", "xu")).select(
+        "vec_id",
+        (F.col("pos0") + 1).alias("pos"),
+        "xu",
+        (F.col("xu") * _KM_MILLI).alias("xm"),
+    )
+
+
+def _lloyd_seed_cent(q):
+    """Seed centroids from the first _KM_K vectors by id (milli units)."""
+    return (
         q.orderBy("vec_id")
         .limit(_KM_K)
         .select(F.col("vec_id").alias("cid"), "qv")
@@ -7626,18 +7652,30 @@ def kmeans_lloyd_integer(spark, sf_dir):
             (F.col("cu") * _KM_MILLI).alias("c"),
         )
     )
+
+
+def _lloyd_dists(x, cent):
+    """Integer squared-L2 of every vector to every centroid: one
+    broadcast hash join onto the exploded frame + one hash aggregate."""
+    return (
+        x.join(F.broadcast(cent), "pos")
+        .groupBy("vec_id", "cid")
+        .agg(
+            F.sum(
+                (F.col("xm") - F.col("c")) * (F.col("xm") - F.col("c"))
+            ).alias("d2")
+        )
+    )
+
+
+def _lloyd_fit(x, cent):
+    """_KM_ROUNDS fixed integer Lloyd iterations (the unrolled-CTE
+    oracle _lloyd_rounds_sql replays this bit-for-bit). Returns the
+    final (cent, assign, dists); lineage cut per round."""
     w = W.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cid"))
     assign = dists = None
     for _ in range(_KM_ROUNDS):
-        dists = (
-            x.join(F.broadcast(cent), "pos")
-            .groupBy("vec_id", "cid")
-            .agg(
-                F.sum(
-                    (F.col("xm") - F.col("c")) * (F.col("xm") - F.col("c"))
-                ).alias("d2")
-            )
-        )
+        dists = _lloyd_dists(x, cent)
         assign = (
             dists.withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") == 1)
@@ -7657,14 +7695,151 @@ def kmeans_lloyd_integer(spark, sf_dir):
             .select("cid", "pos", F.coalesce("uc", "c").alias("c"))
             .localCheckpoint(eager=False)
         )
-    final_d = assign.join(dists, ["vec_id", "cid"])
-    sizes = final_d.groupBy("cid").agg(
-        F.count(F.lit(1)).cast("long").alias("n_members"),
-        F.sum(F.expr("d2 div 1000000")).cast("long").alias("inertia_m"),
+    return cent, assign, dists
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN on deterministic integer-Lloyd cells (oracle-backed end-to-end)
+# ---------------------------------------------------------------------------
+
+_IVF_PROBE = 3  # cells probed per query
+_IVF_K = 3      # neighbors returned per query
+
+
+def _ivf_lloyd_oracle(n_probe: int = _IVF_PROBE, k: int = _IVF_K) -> str:
+    """Full-pipeline replay of sim_ivf_topk: the corpus-side Lloyd fit
+    (shared _lloyd_rounds_sql fragments), nearest-cell assignment from
+    the final round, integer-L2 query probing against the final
+    centroids, candidate union over probed cells, exact cosine re-rank
+    — the oracle replays which candidates were pruned, not just the
+    final ranking (same doctrine as _ivf_pivot_oracle)."""
+    from youtube_trending_data_pipeline_spark.catalog_ext import _COS_SQL
+
+    R = _KM_ROUNDS
+    rr = _COS_SQL.format(a="qr.embedding", b="co.embedding")
+    return f"""
+    WITH q AS MATERIALIZED (
+      SELECT vec_id, {_QV_SQL} AS qv, embedding
+      FROM embeddings WHERE vec_id >= 5
+    ), x AS MATERIALIZED (
+      SELECT vec_id, i AS pos, qv[i] AS xu, qv[i] * {_KM_MILLI} AS xm
+      FROM q, range(1, 65) t(i)
+    ), seeds AS MATERIALIZED (
+      SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT {_KM_K}
+    ), cent0 AS MATERIALIZED (
+      SELECT vec_id AS cid, i AS pos, qv[i] * {_KM_MILLI} AS c
+      FROM seeds, range(1, 65) t(i)
+    ),
+    {_lloyd_rounds_sql()},
+    qq AS MATERIALIZED (
+      SELECT vec_id AS query_id, {_QV_SQL} AS qv, embedding
+      FROM embeddings WHERE vec_id < 5
+    ), xq AS MATERIALIZED (
+      SELECT query_id, i AS pos, qv[i] * {_KM_MILLI} AS xm
+      FROM qq, range(1, 65) t(i)
+    ), dq AS MATERIALIZED (
+      SELECT xq.query_id, c.cid,
+             SUM((xq.xm - c.c) * (xq.xm - c.c)) AS d2
+      FROM xq JOIN cent{R} c ON xq.pos = c.pos
+      GROUP BY 1, 2
+    ), probes AS (
+      SELECT query_id, cid AS cell FROM (
+        SELECT query_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY d2, cid) AS rn
+        FROM dq
+      ) WHERE rn <= {n_probe}
+    ), cand AS (
+      SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+      FROM probes p JOIN a{R} a ON a.cid = p.cell
     )
-    l1 = cent.groupBy("cid").agg(
-        F.sum(F.abs(F.col("c"))).cast("long").alias("centroid_l1")
+    SELECT query_id, neighbor_id, cos, rank FROM (
+      SELECT cand.query_id, cand.neighbor_id, {rr} AS cos,
+             ROW_NUMBER() OVER (PARTITION BY cand.query_id
+                                ORDER BY {rr} DESC,
+                                         cand.neighbor_id ASC) AS rank
+      FROM cand
+      JOIN qq qr ON qr.query_id = cand.query_id
+      JOIN q co ON co.vec_id = cand.neighbor_id
+    ) WHERE rank <= {k}
+    """
+
+
+@register(
+    "sim_ivf_topk",
+    _ivf_lloyd_oracle(),
+    "IVF ANN (learned cells + n_probe search + exact re-rank), "
+    "end-to-end in the EXACT gate — round 8 retires the registry's "
+    "one rows-only entry: the cell builder is now the deterministic "
+    "integer-Lloyd kernel (seeded from the first 8 corpus vectors by "
+    "id, 4 fixed all-integer rounds — a pure function of the data, "
+    "where MLlib's KMeans|| init samples per partition and shifts "
+    "with physical layout). Corpus vectors assign to their final "
+    "nearest centroid (integer milli-L2, ties to the smaller cid), "
+    "queries probe the 3 nearest cells the same way, and candidates "
+    "get an exact cosine re-rank with (cos DESC, id ASC) tie-break. "
+    "The unrolled-CTE oracle replays the ENTIRE index pipeline — "
+    "including which candidates were pruned. Scale shape: per-round "
+    "512-row broadcast joins + hash aggregates (the MLlib KMeans "
+    "shape minus the layout-dependent init), cell-bucketed candidate "
+    "equi-join, never all-pairs. The MLlib-cells variant remains the "
+    "quality path as operators/similarity.py ivf_topk, recall-tested "
+    "in tests/test_extensions.py.",
+)
+def sim_ivf_topk(spark, sf_dir):
+    from youtube_trending_data_pipeline_spark.functions.vectors import (
+        cosine_similarity,
     )
-    return sizes.join(l1, "cid").select(
-        "cid", "n_members", "inertia_m", "centroid_l1"
+
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr(_QV_SPARK).alias("qv"), "embedding"
+    )
+    corpus = emb.where(F.col("vec_id") >= 5)
+    queries = emb.where(F.col("vec_id") < 5)
+    x = _lloyd_explode(corpus).localCheckpoint(eager=False)
+    cent, assign, _ = _lloyd_fit(x, _lloyd_seed_cent(corpus))
+    cells = assign.select("vec_id", F.col("cid").alias("cell"))
+    wq = W.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cid"))
+    probes = (
+        _lloyd_dists(_lloyd_explode(queries), cent)
+        .withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= _IVF_PROBE)
+        .select(
+            F.col("vec_id").alias("query_id"), F.col("cid").alias("cell")
+        )
+    )
+    cand = (
+        probes.join(cells, "cell")
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    scored = (
+        cand.join(
+            queries.select(
+                F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("query_vec"),
+            ),
+            "query_id",
+        )
+        .join(
+            corpus.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("embedding").alias("cand_vec"),
+            ),
+            "neighbor_id",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_similarity("query_vec", "cand_vec").alias("cos"),
+        )
+    )
+    wr = W.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(wr))
+        .where(F.col("rank") <= _IVF_K)
+        .select("query_id", "neighbor_id", "cos", "rank")
+        .orderBy("query_id", "rank")
     )

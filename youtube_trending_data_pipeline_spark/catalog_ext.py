@@ -477,21 +477,13 @@ def sim_lsh_topk(spark, sf_dir):
     ).orderBy("query_id", "rank")
 
 
-@register(
-    "sim_ivf_topk",
-    None,  # KMeans cells not reproducible in SQL; recall asserted in tests
-    "IVF ANN (KMeans cells + n_probe search + exact re-rank) — the "
-    "bucketed-index scale path (extension; rows-only check)",
-)
-def sim_ivf_topk(spark, sf_dir):
-    emb = t(spark, sf_dir, "embeddings")
-    queries = emb.where(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
-    corpus = emb.where(F.col("vec_id") >= 5)
-    return sim.ivf_topk(corpus, queries, k=3, n_clusters=8, n_probe=3).orderBy(
-        "query_id", "rank"
-    )
+# sim_ivf_topk is registered in catalog_analysis.py (round 8): its cell
+# builder moved from MLlib KMeans (KMeans|| init samples per partition,
+# so cells shift with physical layout — the registry's one rows-only
+# entry through r7) to the deterministic integer-Lloyd kernel, which an
+# unrolled-CTE oracle replays end-to-end. The MLlib operator
+# (operators/similarity.py ivf_topk) remains the quality path, recall-
+# tested in tests/test_extensions.py.
 
 
 def _ivf_pivot_oracle(n_cells: int = 8, n_probe: int = 3, k: int = 3) -> str:
