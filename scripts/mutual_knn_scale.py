@@ -1,15 +1,15 @@
-"""Round-7 scale measurement of the BUCKETED mutual-kNN build
+"""Scale measurement of the BUCKETED mutual-kNN build
 (catalog_analysis._mutual_knn_edges) — the semdedup_scale.py doctrine
 applied to the graph-structure family's candidate generation.
 
-The build is quadratic WITHIN cells only, so the documented 100 TB knob
-is n_cells scaling with the corpus (constant expected cell size). This
-script measures the build at sf0.1 (2 k vectors) and at the 10x replica
-/tmp/sf1 (20 k vectors, scripts/gen_scale_data.py) twice: once with the
-entry's fixed gate constants (8 cells — worst case, cell size grows
-10x), once with cells scaled 10x (80 cells — the knob applied). The
-fixed-knob ratio is expected super-linear BY DESIGN; the scaled-knob
-ratio is the honest scale number.
+The build is quadratic WITHIN cells only. Since round 8 the cell count
+is CORPUS-RELATIVE in-code (n_cells = GREATEST(_MKNN_CELLS_MIN,
+n // _MKNN_CELL_SIZE), both engines deriving it from COUNT(*)), so the
+honest scale number is just the build at sf0.1 (2 k vectors -> 8
+cells) vs the 10x replica /tmp/sf1 (20 k vectors -> 80 cells). A
+fixed-8-cells worst-case row (cell size forced huge so the floor
+binds) is kept for contrast — that was the r7 gate configuration whose
+super-linearity motivated the in-code knob.
 
 Usage: python scripts/mutual_knn_scale.py
 """
@@ -27,9 +27,8 @@ import youtube_trending_data_pipeline_spark.catalog_analysis as ca
 from youtube_trending_data_pipeline_spark.session import get_spark
 
 
-def timed_build(spark, sf_dir: str, cells: int, probe: int) -> tuple[float, int]:
-    ca._MKNN_CELLS = cells
-    ca._MKNN_PROBE = probe
+def timed_build(spark, sf_dir: str, cell_size: int) -> tuple[float, int]:
+    ca._MKNN_CELL_SIZE = cell_size
     best, edges = None, None
     for _ in range(2):
         t0 = time.perf_counter()
@@ -42,23 +41,22 @@ def timed_build(spark, sf_dir: str, cells: int, probe: int) -> tuple[float, int]
 def main() -> None:
     spark = get_spark(app_name="mutual-knn-scale")
     spark.sparkContext.setLogLevel("ERROR")
-    base_cells, base_probe = ca._MKNN_CELLS, ca._MKNN_PROBE
+    base_size = ca._MKNN_CELL_SIZE
     runs = [
-        ("/root/testdata/sf0.1", base_cells, base_probe, "gate knobs"),
-        ("/tmp/sf1", base_cells, base_probe, "fixed knobs (worst case)"),
-        ("/tmp/sf1", base_cells * 10, base_probe, "cells scaled 10x (the knob)"),
+        ("/root/testdata/sf0.1", base_size, "gate (corpus-relative cells)"),
+        ("/tmp/sf1", base_size, "10x data (corpus-relative cells)"),
+        ("/tmp/sf1", 1 << 30, "10x data, cells pinned at the floor (old r7 worst case)"),
     ]
     results = []
     try:
-        for sf_dir, cells, probe, label in runs:
-            sec, edges = timed_build(spark, sf_dir, cells, probe)
-            results.append((sf_dir, cells, label, sec, edges))
+        for sf_dir, cell_size, label in runs:
+            sec, edges = timed_build(spark, sf_dir, cell_size)
+            results.append((sf_dir, label, sec, edges))
             print(
                 json.dumps(
                     {
                         "sf_dir": sf_dir,
-                        "cells": cells,
-                        "probe": probe,
+                        "cell_size": cell_size,
                         "label": label,
                         "sec": round(sec, 2),
                         "mutual_edges": edges,
@@ -67,13 +65,13 @@ def main() -> None:
                 flush=True,
             )
     finally:
-        ca._MKNN_CELLS, ca._MKNN_PROBE = base_cells, base_probe
-    base = results[0][3]
+        ca._MKNN_CELL_SIZE = base_size
+    base = results[0][2]
     print()
-    print("| run | cells | sec | vs sf0.1 |")
-    print("|---|---|---|---|")
-    for sf_dir, cells, label, sec, _ in results:
-        print(f"| {label} | {cells} | {sec:.2f} | {sec / base:.1f}x |")
+    print("| run | sec | vs sf0.1 |")
+    print("|---|---|---|")
+    for sf_dir, label, sec, _ in results:
+        print(f"| {label} | {sec:.2f} | {sec / base:.1f}x |")
     spark.stop()
 
 

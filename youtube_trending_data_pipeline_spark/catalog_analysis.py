@@ -31,7 +31,17 @@ _CORE_K = 3         # peel threshold
 # Measured fixpoints on the bucketed build: round 12 (sf0.001), 7 (sf0.01),
 # 17 (sf0.1); peeling is monotone, so the headroom rounds are no-ops.
 _PEEL_ROUNDS = 20
-_MKNN_CELLS = 8     # IVF pivot cells for the bucketed candidate build
+# IVF pivot cells for the bucketed candidate build are CORPUS-RELATIVE
+# (round 8, the apriori ppm doctrine applied to the cell knob): the
+# within-cell matmul is quadratic in cell size, so a fixed cell count
+# grows super-linear with the corpus — n_cells = GREATEST(8, n // 250)
+# holds expected cell size at ~250 vectors. The rule reproduces the old
+# fixed 8 cells at every gate SF (2 k vectors at sf0.1 -> 2000//250 =
+# 8), and gives 80 at the 10x replica — the exact "cells scaled 10x"
+# configuration scripts/mutual_knn_scale.py measured at 4.6x/10x in r7.
+# Both engines derive it from COUNT(*), so the oracle replays it.
+_MKNN_CELLS_MIN = 8
+_MKNN_CELL_SIZE = 250
 _MKNN_PROBE = 5     # probe cells per vector (multi-probe recall knob)
 # Each vector is a MEMBER of its top-2 cells (multi-assignment): with
 # single assignment the candidate relation is asymmetric (u sees v but v
@@ -234,7 +244,9 @@ def _mutual_knn_edges(spark, sf_dir):
     whole build is a pure function of the data — deterministic across
     engines, partitionings, and reruns):
 
-    * the first _MKNN_CELLS corpus vectors by id are the pivot cells;
+    * the first GREATEST(_MKNN_CELLS_MIN, n // _MKNN_CELL_SIZE) corpus
+      vectors by id are the pivot cells (corpus-relative, round 8 —
+      see the knob comment above);
     * every vector ranks the pivots by exact quantized int64 dot
       (ties to the smaller pivot id): ranks 1.._MKNN_MEMBER are its
       MEMBER cells (multi-assignment — keeps the candidate relation
@@ -260,9 +272,17 @@ def _mutual_knn_edges(spark, sf_dir):
     q = t(spark, sf_dir, "embeddings").select(
         "vec_id", F.expr(_QV_SPARK).alias("qv")
     )
+    # corpus-relative cell count (see the knob comment above): one
+    # bounded count() action so the seed take stays a
+    # TakeOrderedAndProject (a dynamic LIMIT column would force a
+    # global sort); the oracle derives the same number from COUNT(*).
+    n_cells = max(
+        _MKNN_CELLS_MIN,
+        t(spark, sf_dir, "embeddings").count() // _MKNN_CELL_SIZE,
+    )
     seeds = F.broadcast(
         q.orderBy("vec_id")
-        .limit(_MKNN_CELLS)
+        .limit(n_cells)
         .select(
             F.col("vec_id").alias("seed_id"), F.col("qv").alias("seed_qv")
         )
@@ -321,9 +341,16 @@ def _mutual_cte_sql(edge_name: str = "e0", canonical: bool = False) -> str:
     guard = "WHERE a.u < a.v" if canonical else ""
     return f"""q AS MATERIALIZED (
       SELECT vec_id, {_QV_SQL} AS qv FROM embeddings
+    ), nc AS MATERIALIZED (
+      SELECT GREATEST({_MKNN_CELLS_MIN},
+                      COUNT(*) // {_MKNN_CELL_SIZE}) AS n_cells
+      FROM q
     ), seeds AS MATERIALIZED (
-      SELECT vec_id AS seed_id, qv AS seed_qv FROM q
-      ORDER BY vec_id LIMIT {_MKNN_CELLS}
+      SELECT vec_id AS seed_id, qv AS seed_qv FROM (
+        SELECT vec_id, qv,
+               ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
+        FROM q
+      ) r, nc WHERE r.rn <= nc.n_cells
     ), cellrank AS MATERIALIZED (
       SELECT a.vec_id, s.seed_id,
              ROW_NUMBER() OVER (PARTITION BY a.vec_id
@@ -392,14 +419,18 @@ def _kcore_oracle() -> str:
     "the pagerank/LPA doctrine: peeling is monotone, so rounds past "
     "the measured fixpoint are no-ops, and the whole operator is a "
     "pure function of the data. Round 7: the kNN build is the BOUNDED "
-    "IVF-pivot candidate generation (_mutual_knn_edges — 8 "
+    "IVF-pivot candidate generation (_mutual_knn_edges — "
     "deterministic pivot cells, 5-probe, 2-member multi-assignment, "
-    "within-cell BLAS re-rank, measured recall 0.94-0.95 vs exact), "
-    "never all-pairs; the retired quadratic build survives only as "
-    "the recall audit's exact baseline "
-    "(graph_mutual_knn_recall_audit). Per peel round: one degree "
-    "aggregate + two semi-joins, edge-side shuffle-free under src "
-    "bucketing (tests/test_bucketing.py).",
+    "within-cell BLAS re-rank, measured recall 0.94-0.95 vs exact at "
+    "the gate SFs); round 8 makes the cell count corpus-relative "
+    "in-code (GREATEST(8, n // 250), oracle-replayed from COUNT(*)) "
+    "so the within-cell quadratic never outgrows the corpus — the "
+    "recall/cost dial this moves is measured and documented in "
+    "PERF.md, and graph_mutual_knn_recall_audit is the in-gate "
+    "regression signal for it. The retired quadratic build survives "
+    "only as the recall audit's exact baseline. Per peel round: one "
+    "degree aggregate + two semi-joins, edge-side shuffle-free under "
+    "src bucketing (tests/test_bucketing.py).",
 )
 def graph_kcore_mutual_knn(spark, sf_dir):
     from youtube_trending_data_pipeline_spark.operators.graph import kcore_peel
