@@ -164,6 +164,11 @@ def test_no_accidental_cartesian_anywhere(spark):
         # graph-structure entries themselves run on the bounded
         # IVF-pivot build and stay out of this whitelist.
         "graph_mutual_knn_recall_audit",
+        # privacy_t_closeness: bounded quasi-identifier-groups x
+        # sensitive-segments spine (25 x 5 dimension rows) so every
+        # group gets a full cumulative distribution including
+        # zero-count segments, plus a 1-row (n_all, m) totals append.
+        "privacy_t_closeness",
     }
     # Scalar-subquery shapes: crossJoin against a broadcast single-row
     # aggregate ("compare every row to the global total/average"). Spark
@@ -172,6 +177,14 @@ def test_no_accidental_cartesian_anywhere(spark):
     allowed_scalar_bnlj = {
         "q22_dormant_customers",
         "q11_important_parts",
+        # eval_auc_exact: 1-row (n_pos, n_neg) totals broadcast onto the
+        # 1-row pairs-won aggregate — constant-append.
+        "eval_auc_exact",
+        # eval_bootstrap_ci: fixed 64-row resample spine broadcast onto
+        # the event scan (the Poisson-bootstrap replicate dimension —
+        # the output IS per-replicate means) plus two 1-row order-
+        # statistic appends onto the 1-row point estimate.
+        "eval_bootstrap_ci",
         # corpus_mix_resample: 1-row (n_total, sum_w) stats broadcast onto
         # the per-doc acceptance filter — constant-append, O(n).
         "corpus_mix_resample",

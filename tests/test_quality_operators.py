@@ -1,0 +1,216 @@
+"""Behavioral tests for catalog_quality.py entries (round 8) — crafted
+corpora with hand-computable answers, the catalog-module doctrine."""
+
+from __future__ import annotations
+
+from youtube_trending_data_pipeline_spark.catalog import (
+    QUERIES,
+    _load_extensions,
+)
+
+_load_extensions()
+
+
+def _write_events(spark, d, rows):
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+
+
+def _write_docs(spark, d, rows):
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+
+def test_auc_perfect_random_and_ties(spark, tmp_path):
+    """Separable scores give AUC 1.0; one tied pos/neg pair costs half a
+    win; hand-check 2 pos x 2 neg grids."""
+    import datetime
+
+    ts = datetime.datetime(2024, 1, 1)
+    d = str(tmp_path)
+    # perfect separation: positives (purchase) score above all negatives
+    rows = [
+        (0, ts, 1, "purchase", 10.0, "{}"),
+        (1, ts, 1, "purchase", 9.0, "{}"),
+        (2, ts, 1, "click", 2.0, "{}"),
+        (3, ts, 1, "click", 1.0, "{}"),
+    ]
+    _write_events(spark, d, rows)
+    r = QUERIES["eval_auc_exact"].fn(spark, d).collect()[0]
+    assert (r["n_pos"], r["n_neg"], r["auc_ppm"]) == (2, 2, 1_000_000)
+
+    # one tie across classes: wins = 1*2 (pos 10 beats both) + 1 (pos 2.0
+    # beats neg 1.0) + 0.5 (tie at 2.0) = 3.5 of 4 -> 875000 ppm
+    rows[1] = (1, ts, 1, "purchase", 2.0, "{}")
+    _write_events(spark, d, rows)
+    r = QUERIES["eval_auc_exact"].fn(spark, d).collect()[0]
+    assert r["auc_ppm"] == 875_000
+
+    # reversed separation: AUC 0
+    rows = [
+        (0, ts, 1, "purchase", 1.0, "{}"),
+        (1, ts, 1, "click", 2.0, "{}"),
+    ]
+    _write_events(spark, d, rows)
+    r = QUERIES["eval_auc_exact"].fn(spark, d).collect()[0]
+    assert (r["n_pos"], r["n_neg"], r["auc_ppm"]) == (1, 1, 0)
+
+
+def test_t_closeness_identical_and_disjoint_groups(spark, tmp_path):
+    """A group matching the global mix has EMD 0; a group concentrated on
+    the lexically-first segment of two has EMD = its cum gap."""
+    d = str(tmp_path)
+    # two segments A, B; nation 0 = 1xA 1xB; nation 1 = 2xA -> global
+    # mix 3A 1B, N=4, m=2.
+    rows = [
+        (0, "c0", 0, 0.0, "A"),
+        (1, "c1", 0, 0.0, "B"),
+        (2, "c2", 1, 0.0, "A"),
+        (3, "c3", 1, 0.0, "A"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double,"
+        " c_mktsegment string",
+    ).write.mode("overwrite").parquet(f"{d}/customer.parquet")
+    out = {
+        r["c_nationkey"]: r
+        for r in QUERIES["privacy_t_closeness"].fn(spark, d).collect()
+    }
+    # nation 0: cum_g(A)=1, n_g=2; |1*4 - 3*2| = 2; ppm = 1e6*2 // (2*4*1)
+    assert out[0]["n_g"] == 2 and out[0]["emd_ppm"] == 250_000
+    # nation 1: cum_g(A)=2, n_g=2; |2*4 - 3*2| = 2; same gap
+    assert out[1]["n_g"] == 2 and out[1]["emd_ppm"] == 250_000
+
+
+def test_blocklist_hits_and_clean_docs(spark, tmp_path):
+    """Only docs containing blocklist tokens appear; counts are
+    token-exact (no substring matches)."""
+    d = str(tmp_path)
+    _write_docs(
+        spark,
+        d,
+        [
+            (0, "spark hash spark", "en", "s", 17),      # 3 hits, 2 terms
+            (1, "sparkle hashing none", "en", "s", 20),  # substrings only
+            (2, "sort merge sort window", "en", "s", 22),  # 4 hits, 3 terms
+        ],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in QUERIES["blocklist_term_audit"].fn(spark, d).collect()
+    }
+    assert set(out) == {0, 2}
+    assert (out[0]["n_hits"], out[0]["n_terms"]) == (3, 2)
+    assert (out[2]["n_hits"], out[2]["n_terms"]) == (4, 3)
+
+
+def test_longest_repeated_ngram_planted(spark, tmp_path):
+    """A doc with a repeated 4-token clause reports max_rep_n 4 (its
+    nested repeated 2/3-grams don't win); a no-repeat doc is absent."""
+    d = str(tmp_path)
+    _write_docs(
+        spark,
+        d,
+        [
+            # "a b c d" repeats (positions 1 and 6); no 5-gram repeats
+            (0, "a b c d x a b c d", "en", "s", 17),
+            (1, "u v w x y z", "en", "s", 11),  # all tokens distinct
+            # two distinct repeated 2-grams, nothing longer:
+            # "p q" x2 and "r s" x2 (interleaved so no 3-gram repeats)
+            (2, "p q r s z p q y r s", "en", "s", 19),
+        ],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in
+        QUERIES["text_longest_repeated_ngram"].fn(spark, d).collect()
+    }
+    assert set(out) == {0, 2}
+    assert (out[0]["max_rep_n"], out[0]["reps_at_max"]) == (4, 1)
+    assert (out[2]["max_rep_n"], out[2]["reps_at_max"]) == (2, 2)
+
+
+def test_rouge_recall_hand_computed(spark, tmp_path):
+    """ROUGE-1/2 recall against a hand-built pair: ref tokens counted
+    with clipping at the candidate's counts, denominator on the ref."""
+    d = str(tmp_path)
+    _write_docs(
+        spark,
+        d,
+        [
+            # pair (ref 10, cand 11): ref = "a b c a", cand = "a b x"
+            # R1: ref counts {a:2,b:1,c:1}; clipped at cand {a:1,b:1,x:1}
+            #   -> ov = min(2,1)+min(1,1)+0 = 2 of 4 -> 500000
+            # R2: ref bigrams {a b, b c, c a}; cand {a b, b x}
+            #   -> ov = 1 of 3 -> 333333
+            (10, "a b c a", "en", "s", 7),
+            (11, "a b x", "en", "s", 5),
+            # ref 12 has no candidate 13 -> absent from output
+            (12, "z z", "en", "s", 3),
+        ],
+    )
+    out = {
+        r["pair_id"]: r for r in QUERIES["eval_rouge_n"].fn(spark, d).collect()
+    }
+    assert set(out) == {11}
+    r = out[11]
+    assert (r["n_ref_tokens"], r["r1_ppm"], r["r2_ppm"]) == (4, 500_000, 333_333)
+
+
+def test_bootstrap_ci_constant_and_ordering(spark, tmp_path):
+    """A constant-valued corpus bootstraps to a zero-width CI at the
+    point estimate, whatever the weights drawn."""
+    import datetime
+
+    ts = datetime.datetime(2024, 1, 1)
+    d = str(tmp_path)
+    _write_events(
+        spark, d, [(i, ts, 1, "click", 7.5, "{}") for i in range(50)]
+    )
+    r = QUERIES["eval_bootstrap_ci"].fn(spark, d).collect()[0]
+    assert (r["point_cents"], r["lo_cents"], r["hi_cents"]) == (750, 750, 750)
+
+    # two-valued corpus: CI bounds must bracket the point estimate
+    _write_events(
+        spark,
+        d,
+        [(i, ts, 1, "click", 1.0 if i % 2 else 9.0, "{}") for i in range(200)],
+    )
+    r = QUERIES["eval_bootstrap_ci"].fn(spark, d).collect()[0]
+    assert r["lo_cents"] <= r["point_cents"] <= r["hi_cents"]
+    assert r["lo_cents"] < r["hi_cents"]
+
+
+def test_margin_demotes_hub(spark, tmp_path):
+    """A hub vector close to everything loses to a reciprocal pair
+    under margin scoring: the pair's members pick each other, not the
+    hub, because the hub's own neighborhood sum is high."""
+    import math
+
+    d = str(tmp_path)
+    rows = []
+    # two tight pairs on orthogonal axes + one hub mixing both axes
+    def vec(axes):
+        v = [0.0] * 64
+        for a, x in axes:
+            v[a] = x
+        return v
+
+    rows.append((0, vec([(0, 1.0)]), 0))        # pair A
+    rows.append((1, vec([(0, 0.9), (5, 0.1)]), 0))
+    rows.append((2, vec([(1, 1.0)]), 1))        # pair B
+    rows.append((3, vec([(1, 0.9), (6, 0.1)]), 1))
+    rows.append((4, vec([(0, 0.7), (1, 0.7)]), 2))  # hub
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    ).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+    out = {r["u"]: r["v"] for r in QUERIES["sim_margin_topk"].fn(spark, d).collect()}
+    # margin's winner for each pair member is its partner, not the hub
+    assert out[0] == 1 and out[1] == 0
+    assert out[2] == 3 and out[3] == 2

@@ -1916,6 +1916,7 @@ def _load_extensions() -> None:
     from youtube_trending_data_pipeline_spark import catalog_corpus  # noqa: F401
     from youtube_trending_data_pipeline_spark import catalog_curation  # noqa: F401
     from youtube_trending_data_pipeline_spark import catalog_analysis  # noqa: F401
+    from youtube_trending_data_pipeline_spark import catalog_quality  # noqa: F401
 
 
 def all_oracles() -> dict[str, str]:

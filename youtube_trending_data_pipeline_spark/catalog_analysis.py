@@ -234,8 +234,11 @@ def _mutual_knn_edges_exact(spark, sf_dir):
     ).select(F.col("u").alias("src"), F.col("v").alias("dst"))
 
 
-def _mutual_knn_edges(spark, sf_dir):
-    """Mutual-kNN edge list via BOUNDED candidate generation — the
+def _mutual_knn_scored(spark, sf_dir):
+    """Deduped scored candidate pairs (u, v, dot) of the BOUNDED
+    mutual-kNN candidate generation — the stage _mutual_knn_edges
+    ranks and mutual-filters (split out in round 8 so margin mining,
+    catalog_quality.sim_margin_topk, reuses the candidate build) — the
     production build the graph-structure entries run on (kcore / ktruss
     / rich-club), replacing the round-6 all-pairs block (kept as
     _mutual_knn_edges_exact for the recall audit only).
@@ -309,7 +312,7 @@ def _mutual_knn_edges(spark, sf_dir):
             F.lit(True).alias("is_p"),  # every kept row probes its cell
         )
     )
-    pairs = (
+    return (
         tagged.groupBy("cell")
         .applyInPandas(
             lambda pdf: _knn_cell_kernel(pdf, _KNN_K), schema=_knn_schema()
@@ -319,6 +322,13 @@ def _mutual_knn_edges(spark, sf_dir):
         # spends top-k slots on duplicates
         .distinct()
     )
+
+
+def _mutual_knn_edges(spark, sf_dir):
+    """Mutual-kNN edge list: rank _mutual_knn_scored's candidate pairs
+    per u (dot DESC, v ASC), keep top-_KNN_K, keep only reciprocal
+    edges — the production build the graph-structure entries run on."""
+    pairs = _mutual_knn_scored(spark, sf_dir)
     w_knn = W.partitionBy("u").orderBy(F.desc("dot"), F.asc("v"))
     knn = (
         pairs.withColumn("rn", F.row_number().over(w_knn))
@@ -333,12 +343,40 @@ def _mutual_knn_edges(spark, sf_dir):
     ).select(F.col("u").alias("src"), F.col("v").alias("dst"))
 
 
-def _mutual_cte_sql(edge_name: str = "e0", canonical: bool = False) -> str:
+def _mutual_cte_sql(
+    edge_name: str = "e0",
+    canonical: bool = False,
+    with_dots: bool = False,
+) -> str:
     """CTE chain (sans leading WITH) replaying the BUCKETED mutual-kNN
     build bit-exactly: pivot ranking, multi-probe candidates, exact
     integer dot re-rank, mutual filter. Shared by the kcore / ktruss /
-    rich-club oracles and the recall audit."""
+    rich-club oracles and the recall audit; ``with_dots`` keeps the dot
+    value on the scored/knn CTEs (same ranking) for the margin-mining
+    oracle (catalog_quality.sim_margin_topk)."""
     guard = "WHERE a.u < a.v" if canonical else ""
+    if with_dots:
+        scored = f"""scored AS (
+      SELECT u, v, dot,
+             ROW_NUMBER() OVER (PARTITION BY u
+               ORDER BY dot DESC, v) AS rn
+      FROM (
+        SELECT c.u, c.v,
+               list_sum(list_transform(range(1, 65),
+                        i -> a.qv[i] * b.qv[i])) AS dot
+        FROM cand c JOIN q a ON c.u = a.vec_id JOIN q b ON c.v = b.vec_id
+      )
+    ), knn AS MATERIALIZED (
+      SELECT u, v, dot FROM scored WHERE rn <= {_KNN_K}),"""
+    else:
+        scored = f"""scored AS (
+      SELECT c.u, c.v,
+             ROW_NUMBER() OVER (PARTITION BY c.u
+               ORDER BY list_sum(list_transform(range(1, 65),
+                                 i -> a.qv[i] * b.qv[i])) DESC,
+                        c.v) AS rn
+      FROM cand c JOIN q a ON c.u = a.vec_id JOIN q b ON c.v = b.vec_id
+    ), knn AS MATERIALIZED (SELECT u, v FROM scored WHERE rn <= {_KNN_K}),"""
     return f"""q AS MATERIALIZED (
       SELECT vec_id, {_QV_SQL} AS qv FROM embeddings
     ), nc AS MATERIALIZED (
@@ -364,14 +402,7 @@ def _mutual_cte_sql(edge_name: str = "e0", canonical: bool = False) -> str:
       JOIN cellrank m ON p.seed_id = m.seed_id
        AND m.cr <= {_MKNN_MEMBER} AND p.cr <= {_MKNN_PROBE}
       WHERE p.vec_id <> m.vec_id
-    ), scored AS (
-      SELECT c.u, c.v,
-             ROW_NUMBER() OVER (PARTITION BY c.u
-               ORDER BY list_sum(list_transform(range(1, 65),
-                                 i -> a.qv[i] * b.qv[i])) DESC,
-                        c.v) AS rn
-      FROM cand c JOIN q a ON c.u = a.vec_id JOIN q b ON c.v = b.vec_id
-    ), knn AS MATERIALIZED (SELECT u, v FROM scored WHERE rn <= {_KNN_K}),
+    ), {scored}
     {edge_name} AS MATERIALIZED (
       SELECT a.u AS src, a.v AS dst
       FROM knn a JOIN knn b ON a.u = b.v AND a.v = b.u

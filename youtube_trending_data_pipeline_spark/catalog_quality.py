@@ -1,0 +1,685 @@
+"""Catalog extensions, round 8: evaluation statistics and curation
+audits that round out the quality layer —
+
+* exact ROC-AUC (Mann-Whitney with tie handling, integer ppm);
+* t-closeness (the k-anonymity / l-diversity privacy family's third
+  member: ordered-EMD distance of each group's sensitive-attribute
+  distribution from the global one);
+* blocklist term audit (broadcast multi-term matching — the badword /
+  policy filter every curation pipeline fronts);
+* longest repeated n-gram per document (internal boilerplate beyond
+  text_repetition_score's fixed-n signal);
+* ROUGE-n recall components between paired documents (the recall
+  mirror of eval_bleu_components' clipped precision);
+* deterministic Poisson-bootstrap confidence interval (hash-derived
+  weights — the scalable one-pass bootstrap);
+* margin-normalized similarity mining (Artetxe & Schwenk 2019 — the
+  CCMatrix bitext-mining score) over the bounded mutual-kNN build.
+
+Same doctrine as the sibling catalog modules: exact-integer outputs,
+bit-exact DuckDB oracle replays, plans that survive 100 TB — bounded
+spines, broadcast dims, map-side HOFs, no driver loops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from youtube_trending_data_pipeline_spark.catalog import register, t
+
+_TOKS_SQL = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
+
+
+def _toks():
+    # built lazily: Column construction needs an active SparkContext
+    return F.filter(F.split(F.lower("text"), " "), lambda x: x != F.lit(""))
+
+
+# ---------------------------------------------------------------------------
+# Exact ROC-AUC (Mann-Whitney U with ties)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "eval_auc_exact",
+    """
+    WITH per_s AS (
+      SELECT value AS s,
+             SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS np,
+             SUM(CASE WHEN event_type <> 'purchase' THEN 1 ELSE 0 END) AS nn
+      FROM events
+      WHERE value IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY 1
+    ), c AS (
+      SELECT np, nn,
+             COALESCE(SUM(nn) OVER (ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_nn
+      FROM per_s
+    )
+    SELECT CAST((SELECT SUM(np) FROM per_s) AS BIGINT) AS n_pos,
+           CAST((SELECT SUM(nn) FROM per_s) AS BIGINT) AS n_neg,
+           CAST((1000000 * SUM(2 * np * cum_nn + np * nn))
+                // (2 * (SELECT SUM(np) FROM per_s)
+                      * (SELECT SUM(nn) FROM per_s)) AS BIGINT) AS auc_ppm
+    FROM c
+    """,
+    "Evaluation: EXACT ROC-AUC as the Mann-Whitney U statistic with "
+    "standard tie handling (tied scores contribute half a win), in "
+    "integer ppm — positives are purchase events scored by `value`. "
+    "Computed distributionally: one aggregate per DISTINCT score "
+    "(np, nn), a prefix sum of negatives over the score order, and "
+    "pairs-won = 2*np*cum_nn + np*nn (doubled so tie half-credit "
+    "stays integer). Plan: the heavy reduction is the per-score "
+    "aggregate (map-side partial over raw events); the window runs "
+    "over DISTINCT scores only — bounded by score cardinality "
+    "(2-decimal values here; at 100 TB, pre-bucket scores to fixed "
+    "precision first, which leaves AUC exact for the bucketed "
+    "scores). The closing totals are a 1-row broadcast "
+    "constant-append.",
+)
+def eval_auc_exact(spark, sf_dir):
+    ev = t(spark, sf_dir, "events").where(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    )
+    per_s = ev.groupBy(F.col("value").alias("s")).agg(
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("np"),
+        F.sum(
+            F.when(F.col("event_type") != "purchase", 1).otherwise(0)
+        ).alias("nn"),
+    )
+    w = W.orderBy("s").rowsBetween(W.unboundedPreceding, -1)
+    c = per_s.select(
+        "np",
+        "nn",
+        F.coalesce(F.sum("nn").over(w), F.lit(0)).alias("cum_nn"),
+    )
+    totals = per_s.agg(
+        F.sum("np").cast("long").alias("n_pos"),
+        F.sum("nn").cast("long").alias("n_neg"),
+    )
+    return (
+        c.agg(
+            F.sum(
+                2 * F.col("np") * F.col("cum_nn") + F.col("np") * F.col("nn")
+            ).alias("won2")
+        )
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "n_pos",
+            "n_neg",
+            F.expr(
+                "CAST((1000000 * won2) div (2 * n_pos * n_neg) AS BIGINT)"
+            ).alias("auc_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# t-closeness (ordered EMD per quasi-identifier group)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "privacy_t_closeness",
+    """
+    WITH base AS (
+      SELECT c_nationkey AS grp, c_mktsegment AS sens FROM customer
+    ), segs AS (
+      SELECT DISTINCT sens FROM base
+    ), grps AS (
+      SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_g FROM base GROUP BY 1
+    ), tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_all,
+             CAST((SELECT COUNT(*) FROM segs) AS BIGINT) AS m
+      FROM base
+    ), gc AS (
+      SELECT grp, sens, CAST(COUNT(*) AS BIGINT) AS c
+      FROM base GROUP BY 1, 2
+    ), gcum AS (
+      SELECT sens,
+             SUM(CAST(c AS BIGINT)) OVER (ORDER BY sens
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_all
+      FROM (SELECT sens, COUNT(*) AS c FROM base GROUP BY 1)
+    ), spine AS (
+      SELECT g.grp, g.n_g, s.sens FROM grps g, segs s
+    ), cums AS (
+      SELECT sp.grp, sp.n_g, sp.sens,
+             SUM(COALESCE(gc.c, 0)) OVER (PARTITION BY sp.grp
+               ORDER BY sp.sens
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_g,
+             gl.cum_all
+      FROM spine sp
+      LEFT JOIN gc ON gc.grp = sp.grp AND gc.sens = sp.sens
+      JOIN gcum gl ON gl.sens = sp.sens
+    )
+    SELECT grp AS c_nationkey, n_g,
+           CAST((1000000 * SUM(ABS(cum_g * (SELECT n_all FROM tot)
+                                   - cum_all * n_g)))
+                // (n_g * (SELECT n_all FROM tot)
+                        * ((SELECT m FROM tot) - 1)) AS BIGINT)
+             AS emd_ppm
+    FROM cums GROUP BY 1, 2
+    """,
+    "Privacy: t-closeness (Li, Li & Venkatasubramanian 2007) — the "
+    "third member of the k-anonymity (privacy_k_anonymity) / "
+    "l-diversity (privacy_l_diversity) family: for each "
+    "quasi-identifier group (nation), the Earth Mover's Distance "
+    "between its sensitive-attribute distribution (market segment, "
+    "ordered lexically) and the global distribution, as exact integer "
+    "ppm. EMD over ordered categories is the mean absolute "
+    "cumulative-distribution gap; fractions clear to integers on the "
+    "common denominator n_g * N, so the whole statistic is one "
+    "integer expression (the same rational-arithmetic trick as the "
+    "ppm thresholds elsewhere). Plan: two small aggregates, a "
+    "bounded groups x segments spine (dimension-sized crossJoin, "
+    "whitelisted), per-group prefix sums over the tiny segment "
+    "order, a 1-row totals broadcast. At 100 TB the only large scan "
+    "is the base aggregate; everything after is dimension-sized.",
+)
+def privacy_t_closeness(spark, sf_dir):
+    base = t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("grp"), F.col("c_mktsegment").alias("sens")
+    )
+    segs = base.select("sens").distinct()
+    grps = base.groupBy("grp").agg(F.count(F.lit(1)).cast("long").alias("n_g"))
+    tot = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_all")
+    ).crossJoin(
+        F.broadcast(
+            segs.agg(F.count(F.lit(1)).cast("long").alias("m"))
+        )
+    )
+    gc = base.groupBy("grp", "sens").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    wg = (
+        W.orderBy("sens").rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    glob = (
+        base.groupBy("sens")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select("sens", F.sum("c").over(wg).cast("long").alias("cum_all"))
+    )
+    spine = grps.crossJoin(F.broadcast(segs))
+    wc = (
+        W.partitionBy("grp")
+        .orderBy("sens")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cums = (
+        spine.join(gc, ["grp", "sens"], "left")
+        .select(
+            "grp",
+            "n_g",
+            "sens",
+            F.sum(F.coalesce(F.col("c"), F.lit(0))).over(wc).alias("cum_g"),
+        )
+        .join(F.broadcast(glob), "sens")
+    )
+    return (
+        cums.crossJoin(F.broadcast(tot))
+        .groupBy(F.col("grp").alias("c_nationkey"), "n_g")
+        .agg(
+            F.expr(
+                "CAST((1000000 * SUM(ABS(cum_g * n_all - cum_all * n_g)))"
+                " div (n_g * ANY_VALUE(n_all) * (ANY_VALUE(m) - 1))"
+                " AS BIGINT)"
+            ).alias("emd_ppm")
+        )
+        .select("c_nationkey", "n_g", "emd_ppm")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Blocklist term audit
+# ---------------------------------------------------------------------------
+
+_BLOCK_TERMS = ["spark", "hash", "merge", "sort", "window"]
+
+
+@register(
+    "blocklist_term_audit",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_hits,
+           CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_terms
+    FROM tok
+    WHERE tok IN ({", ".join("'" + t_ + "'" for t_ in _BLOCK_TERMS)})
+    GROUP BY 1
+    """,
+    "Curation: blocklist term audit — the badword / policy filter "
+    "stage every training-data pipeline fronts (C4's badwords list, "
+    "Dolma's fast-text filters): per document, total hits and "
+    "distinct blocklist terms matched, token-exact (no substring "
+    "false positives). Plan: explode tokens map-side, probe a "
+    "broadcast term table (equi-join — at a 100 TB corpus with a "
+    "100 k-term list this stays one broadcast hash probe per token, "
+    "zero shuffle before the per-doc aggregate, map-side partial "
+    "counts).",
+)
+def blocklist_term_audit(spark, sf_dir):
+    terms = F.broadcast(
+        t(spark, sf_dir, "documents")
+        .sparkSession.createDataFrame(
+            [(term,) for term in _BLOCK_TERMS], "tok string"
+        )
+    )
+    tok = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(_toks()).alias("tok"))
+    )
+    return (
+        tok.join(terms, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hits"),
+            F.countDistinct("tok").cast("long").alias("n_terms"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Longest repeated n-gram per document
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_longest_repeated_ngram",
+    f"""
+    WITH dt AS (
+      SELECT doc_id, {_TOKS_SQL} AS v FROM documents
+    ), ns AS (
+      SELECT unnest(range(2, 9)) AS n
+    ), grams AS (
+      SELECT doc_id, n,
+             unnest(list_transform(range(1, len(v) - n + 2),
+                    i -> array_to_string(v[i : i + n - 1], ' '))) AS g
+      FROM dt, ns
+      WHERE len(v) >= n
+    ), rep AS (
+      SELECT doc_id, n, g FROM grams
+      GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2
+    ), mx AS (
+      SELECT doc_id, MAX(n) AS max_rep_n FROM rep GROUP BY 1
+    )
+    SELECT r.doc_id, CAST(m.max_rep_n AS BIGINT) AS max_rep_n,
+           CAST(COUNT(*) AS BIGINT) AS reps_at_max
+    FROM rep r JOIN mx m ON m.doc_id = r.doc_id AND r.n = m.max_rep_n
+    GROUP BY 1, 2
+    """,
+    "Curation: longest repeated token n-gram per document (n in "
+    "2..8) plus how many distinct n-grams repeat at that length — "
+    "the internal-boilerplate signal text_repetition_score's fixed-n "
+    "ratio misses (a doc can score low on 2-gram repetition while a "
+    "whole 8-token clause repeats). Docs with no repeated n-gram are "
+    "absent (clean). Plan: the n-gram stream is generated map-side "
+    "by one nested transform over the token array (bounded 7x "
+    "explode), one (doc, n, gram) aggregate with map-side partials, "
+    "then dimension-sized reductions — the shuffle carries hashed "
+    "gram keys, never text bodies, the eval_bleu_components cost "
+    "shape.",
+)
+def text_longest_repeated_ngram(spark, sf_dir):
+    dt = t(spark, sf_dir, "documents").select(
+        "doc_id", _toks().alias("v")
+    )
+    grams = dt.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                """flatten(transform(filter(sequence(2, 8),
+                                            n -> size(v) >= n), n ->
+                     transform(sequence(1, size(v) - n + 1), i ->
+                       named_struct('n', n,
+                                    'g', array_join(slice(v, i, n),
+                                                    ' ')))))"""
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.n", "p.g")
+    rep = (
+        grams.groupBy("doc_id", "n", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= 2)
+        .select("doc_id", "n", "g")
+    )
+    mx = rep.groupBy("doc_id").agg(F.max("n").alias("max_rep_n"))
+    return (
+        rep.join(mx, "doc_id")
+        .where(F.col("n") == F.col("max_rep_n"))
+        .groupBy("doc_id", F.col("max_rep_n").cast("long").alias("max_rep_n"))
+        .agg(F.count(F.lit(1)).cast("long").alias("reps_at_max"))
+        .select("doc_id", "max_rep_n", "reps_at_max")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ROUGE-n recall components between paired documents
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "eval_rouge_n",
+    f"""
+    WITH tk AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ), grams AS (
+      SELECT doc_id, 1 AS n, unnest(toks) AS g FROM tk
+      UNION ALL
+      SELECT doc_id, 2 AS n,
+             unnest(list_transform(range(1, len(toks)),
+               i -> toks[i] || ' ' || toks[i + 1])) AS g
+      FROM tk WHERE len(toks) >= 2
+    ), counts AS (
+      SELECT doc_id, n, g, COUNT(*) AS cnt FROM grams GROUP BY 1, 2, 3
+    ), ref AS (
+      SELECT doc_id, n, g, cnt FROM counts WHERE doc_id % 2 = 0
+    ), cand AS (
+      SELECT doc_id - 1 AS ref_id, n, g, cnt FROM counts WHERE doc_id % 2 = 1
+    ), overl AS (
+      SELECT r.doc_id + 1 AS pair_id, r.n,
+             SUM(least(r.cnt, COALESCE(c.cnt, 0))) AS ov,
+             SUM(r.cnt) AS tot
+      FROM ref r
+      LEFT JOIN cand c ON c.ref_id = r.doc_id AND c.n = r.n AND c.g = r.g
+      WHERE r.doc_id + 1 IN (SELECT ref_id + 1 FROM cand)
+      GROUP BY 1, 2
+    )
+    SELECT pair_id,
+           CAST(MAX(CASE WHEN n = 1 THEN tot END) AS BIGINT)
+             AS n_ref_tokens,
+           CAST(MAX(CASE WHEN n = 1 THEN (1000000 * ov) // tot END)
+                AS BIGINT) AS r1_ppm,
+           CAST(MAX(CASE WHEN n = 2 THEN (1000000 * ov) // tot END)
+                AS BIGINT) AS r2_ppm
+    FROM overl GROUP BY pair_id
+    """,
+    "Evaluation: ROUGE-n RECALL components between paired documents "
+    "(candidate = odd doc_id, reference = the preceding even doc_id — "
+    "the eval_bleu_components pairing): for n in (1, 2), sum over "
+    "REFERENCE grams of count clipped at the candidate count, over "
+    "total reference grams, as exact ppm integers — the recall mirror "
+    "of BLEU's clipped precision (together they bracket "
+    "summarization/overlap quality; the F-measure is a driver-side "
+    "division over these exact components, kept out so the gate stays "
+    "integer-exact). Plan: identical cost shape to "
+    "eval_bleu_components — one gram-count aggregate, one equi-join "
+    "per n on (pair, gram), one pair reduce; the join direction flips "
+    "to reference-side so recall denominators are complete even when "
+    "the candidate lacks the gram.",
+)
+def eval_rouge_n(spark, sf_dir):
+    tk = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", _toks().alias("toks"))
+    )
+    one = tk.select(
+        "doc_id", F.lit(1).alias("n"), F.explode("toks").alias("g")
+    )
+    two = tk.where(F.size("toks") >= 2).select(
+        "doc_id",
+        F.lit(2).alias("n"),
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1), "
+                "i -> concat(element_at(toks, i), ' ', "
+                "element_at(toks, i + 1)))"
+            )
+        ).alias("g"),
+    )
+    counts = (
+        one.unionByName(two)
+        .groupBy("doc_id", "n", "g")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    ref = counts.where(F.col("doc_id") % 2 == 0)
+    cand = counts.where(F.col("doc_id") % 2 == 1).select(
+        (F.col("doc_id") - 1).alias("ref_id"),
+        F.col("n").alias("cn"),
+        F.col("g").alias("cg"),
+        F.col("cnt").alias("ccnt"),
+    )
+    overl = (
+        ref.join(
+            cand.select("ref_id").distinct(),
+            ref["doc_id"] == F.col("ref_id"),
+            "left_semi",
+        )
+        .join(
+            cand,
+            (ref["doc_id"] == cand["ref_id"])
+            & (ref["n"] == cand["cn"])
+            & (ref["g"] == cand["cg"]),
+            "left",
+        )
+        .groupBy((ref["doc_id"] + 1).alias("pair_id"), "n")
+        .agg(
+            F.sum(F.least("cnt", F.coalesce("ccnt", F.lit(0)))).alias("ov"),
+            F.sum("cnt").alias("tot"),
+        )
+    )
+    return overl.groupBy("pair_id").agg(
+        F.max(F.when(F.col("n") == 1, F.col("tot")))
+        .cast("long")
+        .alias("n_ref_tokens"),
+        F.max(
+            F.when(F.col("n") == 1, F.expr("(1000000 * ov) div tot"))
+        )
+        .cast("long")
+        .alias("r1_ppm"),
+        F.max(
+            F.when(F.col("n") == 2, F.expr("(1000000 * ov) div tot"))
+        )
+        .cast("long")
+        .alias("r2_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic Poisson-bootstrap confidence interval
+# ---------------------------------------------------------------------------
+
+_BOOT_B = 64  # resamples (fixed spine)
+# Cumulative ppm thresholds of Poisson(1): P(X <= k) for k = 0..6,
+# floored to ppm — INTEGER LITERALS (ln/exp are not bit-stable across
+# engines; these are data constants of the method, like Benford's).
+_POIS_CUM_PPM = (367879, 735758, 919698, 981011, 996340, 999405, 999916)
+
+_H32_SPARK = "cast(conv(substring(md5({s}), 1, 8), 16, 10) AS BIGINT)"
+_H32_DUCK = "(('0x' || substr(md5({s}), 1, 8))::BIGINT)"
+
+
+def _pois_case(u: str) -> str:
+    """CASE expression mapping a ppm-uniform draw to a Poisson(1)
+    weight via the inverse CDF (shared SQL text for both engines)."""
+    arms = " ".join(
+        f"WHEN {u} < {c} THEN {k}" for k, c in enumerate(_POIS_CUM_PPM)
+    )
+    return f"CASE {arms} ELSE 7 END"
+
+
+@register(
+    "eval_bootstrap_ci",
+    f"""
+    WITH ev AS (
+      SELECT event_id, CAST(ROUND(value * 100) AS BIGINT) AS c
+      FROM events WHERE value IS NOT NULL
+    ), bs AS (
+      SELECT unnest(range(0, {_BOOT_B})) AS rb
+    ), wts AS (
+      SELECT rb, c,
+             {_pois_case(_H32_DUCK.format(
+                 s="CAST(event_id AS VARCHAR) || ':' || CAST(rb AS VARCHAR)")
+                 + " % 1000000")} AS w
+      FROM ev, bs
+    ), rs AS (
+      SELECT rb, SUM(w * c) // GREATEST(SUM(w), 1) AS mean_c
+      FROM wts GROUP BY 1
+    ), o AS (
+      SELECT mean_c, ROW_NUMBER() OVER (ORDER BY mean_c) AS rn FROM rs
+    )
+    SELECT CAST((SELECT SUM(c) // COUNT(*) FROM ev) AS BIGINT)
+             AS point_cents,
+           CAST((SELECT mean_c FROM o WHERE rn = 4) AS BIGINT)
+             AS lo_cents,
+           CAST((SELECT mean_c FROM o WHERE rn = 61) AS BIGINT)
+             AS hi_cents
+    """,
+    "Evaluation: deterministic POISSON-BOOTSTRAP 90% confidence "
+    "interval for the mean event value (cents) — the scalable "
+    "one-pass bootstrap (Chamandy et al. 2012): instead of B "
+    "materialized resamples, every row draws a Poisson(1) resample "
+    "weight per replicate, here DERIVED FROM md5(event_id:b) through "
+    "the integer inverse-CDF thresholds (ppm literals — ln/exp never "
+    "enter the gate), so both engines replay the exact same "
+    "'randomness'. Resample means are exact integer cents; the CI "
+    "bounds are order statistics 4 and 61 of the 64 sorted means "
+    "(~5th/95th percentile). Plan: one bounded 64-row spine "
+    "constant-append onto the event scan (whitelisted), one "
+    "(replicate) aggregate with map-side partials, then a 64-row "
+    "sort — at 100 TB the only large stage is the weighted "
+    "aggregate, embarrassingly parallel.",
+)
+def eval_bootstrap_ci(spark, sf_dir):
+    ev = (
+        t(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select(
+            "event_id",
+            F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("c"),
+        )
+    )
+    bs = F.broadcast(
+        ev.sparkSession.range(_BOOT_B).select(F.col("id").alias("rb"))
+    )
+    u = (
+        _H32_SPARK.format(
+            s="concat(cast(event_id as string), ':', cast(rb as string))"
+        )
+        + " % 1000000"
+    )
+    wts = ev.crossJoin(bs).select(
+        "rb", "c", F.expr(_pois_case(u)).alias("w")
+    )
+    rs = wts.groupBy("rb").agg(
+        F.expr(
+            "CAST(SUM(w * c) div GREATEST(SUM(w), 1) AS BIGINT)"
+        ).alias("mean_c")
+    )
+    o = rs.select(
+        "mean_c",
+        F.row_number().over(W.orderBy("mean_c")).alias("rn"),
+    )
+    point = ev.agg(
+        F.expr("CAST(SUM(c) div COUNT(*) AS BIGINT)").alias("point_cents")
+    )
+    lo = o.where(F.col("rn") == 4).select(
+        F.col("mean_c").cast("long").alias("lo_cents")
+    )
+    hi = o.where(F.col("rn") == 61).select(
+        F.col("mean_c").cast("long").alias("hi_cents")
+    )
+    return (
+        point.crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .select("point_cents", "lo_cents", "hi_cents")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Margin-normalized similarity mining (bitext-mining score)
+# ---------------------------------------------------------------------------
+
+
+def _margin_oracle() -> str:
+    from youtube_trending_data_pipeline_spark.catalog_analysis import (
+        _KNN_K,
+        _mutual_cte_sql,
+    )
+
+    return f"""
+    WITH {_mutual_cte_sql("e0", with_dots=True)},
+    sums AS MATERIALIZED (
+      SELECT u, SUM(dot) AS sumk FROM knn GROUP BY 1
+    ), m AS (
+      SELECT k.u, k.v,
+             2 * {_KNN_K} * k.dot - su.sumk - sv.sumk AS margin2k
+      FROM knn k
+      JOIN sums su ON su.u = k.u
+      JOIN sums sv ON sv.u = k.v
+    )
+    SELECT u, v, CAST(margin2k AS BIGINT) AS margin2k FROM (
+      SELECT u, v, margin2k,
+             ROW_NUMBER() OVER (PARTITION BY u
+               ORDER BY margin2k DESC, v) AS rn
+      FROM m
+    ) WHERE rn = 1
+    """
+
+
+@register(
+    "sim_margin_topk",
+    _margin_oracle(),
+    "Similarity mining: MARGIN-normalized best match per vector "
+    "(Artetxe & Schwenk 2019, the CCMatrix/LASER bitext-mining "
+    "score, difference flavor): a neighbor only wins if its "
+    "similarity stands out from both endpoints' kNN neighborhoods — "
+    "margin2k = 2k*dot(u,v) - sum_topk(u) - sum_topk(v), all exact "
+    "quantized-integer dots, ranked (margin DESC, v ASC). Absolute-"
+    "cosine top-1 retrieval mines hubs (vectors close to everything); "
+    "the margin subtracts each side's neighborhood level, the "
+    "established fix for hubness in parallel-corpus mining. Runs on "
+    "the BOUNDED mutual-kNN candidate build (_mutual_knn_scored — "
+    "IVF-pivot cells, corpus-relative cell count, within-cell BLAS), "
+    "never all-pairs; the oracle replays the entire candidate "
+    "pipeline via the shared CTE chain with dots kept. Plan beyond "
+    "the shared build: one per-u sum over k rows, two broadcast-"
+    "sized equi-joins, one per-u top-1 window.",
+)
+def sim_margin_topk(spark, sf_dir):
+    from youtube_trending_data_pipeline_spark.catalog_analysis import (
+        _KNN_K,
+        _mutual_knn_scored,
+    )
+
+    pairs = _mutual_knn_scored(spark, sf_dir)
+    w_knn = W.partitionBy("u").orderBy(F.desc("dot"), F.asc("v"))
+    knn = (
+        pairs.withColumn("rn", F.row_number().over(w_knn))
+        .where(F.col("rn") <= _KNN_K)
+        .select("u", "v", "dot")
+        .localCheckpoint(eager=False)
+    )
+    sums = knn.groupBy("u").agg(F.sum("dot").alias("sumk"))
+    m = (
+        knn.join(sums, "u")
+        .join(
+            sums.select(
+                F.col("u").alias("v"), F.col("sumk").alias("sumk_v")
+            ),
+            "v",
+        )
+        .select(
+            "u",
+            "v",
+            (
+                2 * _KNN_K * F.col("dot")
+                - F.col("sumk")
+                - F.col("sumk_v")
+            ).alias("margin2k"),
+        )
+    )
+    w_top = W.partitionBy("u").orderBy(F.desc("margin2k"), F.asc("v"))
+    return (
+        m.withColumn("rn", F.row_number().over(w_top))
+        .where(F.col("rn") == 1)
+        .select("u", "v", F.col("margin2k").cast("long").alias("margin2k"))
+    )

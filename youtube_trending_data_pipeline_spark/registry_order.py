@@ -177,9 +177,11 @@ DRIVER_VERIFIED: set[str] = (
 #     restructures its triple-support count), sim_ivf_topk (rebuilt
 #     oracle-backed on deterministic integer-Lloyd centroids), and the
 #     four mutual-kNN consumers (n_cells made corpus-relative in-code);
-#   * the remaining ~16 never-driver-checked entries
-#     (index_phrase_query onward) need no pinning: tier 2 rotates them
-#     in registration order, clearing the driver-row lag this round.
+#   * the remaining never-driver-checked entries (index_phrase_query
+#     onward, plus the 7 round-8 catalog_quality additions registered
+#     at the tail) need no pinning: tier 2 rotates them in
+#     registration order — the window covers the pre-r8 tail this
+#     round, the r8 additions land in round 9.
 PRIORITY_UNCHECKED = [
     "apriori_triple_itemsets",
     "sim_ivf_topk",
