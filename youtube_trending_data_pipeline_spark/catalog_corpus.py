@@ -511,31 +511,57 @@ def bpe_merge_step(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-def _semdedup_oracle(n_cells: int = 8, threshold: float = 0.25) -> str:
-    from youtube_trending_data_pipeline_spark.catalog_ext import _COS_SQL
+def _semdedup_oracle(threshold: float = 0.25) -> str:
+    """Replay of the round-8 all-integer SemDeDup: milli quantization,
+    argmin integer-L2 cells over corpus-relative seeds, the rational
+    q^2*dot^2 >= p^2*na2*nb2 pair predicate, recursive closure."""
+    from youtube_trending_data_pipeline_spark.operators.dedup import (
+        _SEMDEDUP_CELL_SIZE,
+        _SEMDEDUP_MILLI,
+        _semdedup_threshold_frac,
+    )
 
-    cs = _COS_SQL.format(a="c.embedding", b="s.seed_vec")
-    pc = _COS_SQL.format(a="a.embedding", b="b.embedding")
+    p, q = _semdedup_threshold_frac(threshold)
+    qmil = (
+        "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)"
+        f" * {_SEMDEDUP_MILLI} + 0.5) AS BIGINT))"
+    )
+    d2 = (
+        "list_sum(list_transform(list_zip(c.qv, s.seed_qv),"
+        " pr -> (pr[1] - pr[2]) * (pr[1] - pr[2])))"
+    )
     return f"""
-    WITH RECURSIVE seeds AS (
-      SELECT vec_id AS seed_id, embedding AS seed_vec
-      FROM embeddings ORDER BY vec_id LIMIT {n_cells}
-    ), corpus AS (
-      SELECT vec_id, embedding FROM embeddings
+    WITH RECURSIVE corpus AS (
+      SELECT vec_id, {qmil} AS qv FROM embeddings
+    ), ncs AS (
+      SELECT GREATEST(8, COUNT(*) // {_SEMDEDUP_CELL_SIZE}) AS n_cells
+      FROM corpus
+    ), seeds AS (
+      SELECT vec_id AS seed_id, qv AS seed_qv FROM (
+        SELECT vec_id, qv, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
+        FROM corpus
+      ) r, ncs WHERE r.rn <= ncs.n_cells
     ), cells AS (
       SELECT vec_id, cell FROM (
         SELECT c.vec_id, s.seed_id AS cell,
                ROW_NUMBER() OVER (PARTITION BY c.vec_id
-                                  ORDER BY {cs} DESC, s.seed_id ASC) AS rn
+                                  ORDER BY {d2} ASC, s.seed_id ASC) AS rn
         FROM corpus c, seeds s
       ) WHERE rn = 1
-    ), pairs AS (
-      SELECT ca.vec_id AS id_a, cb.vec_id AS id_b
+    ), scored AS (
+      SELECT ca.vec_id AS id_a, cb.vec_id AS id_b,
+             list_sum(list_transform(list_zip(a.qv, b.qv),
+                      pr -> pr[1] * pr[2])) AS dot,
+             list_sum(list_transform(a.qv, x -> x * x)) AS na2,
+             list_sum(list_transform(b.qv, x -> x * x)) AS nb2
       FROM cells ca
       JOIN cells cb ON ca.cell = cb.cell AND ca.vec_id < cb.vec_id
       JOIN corpus a ON a.vec_id = ca.vec_id
       JOIN corpus b ON b.vec_id = cb.vec_id
-      WHERE {pc} >= {threshold}
+    ), pairs AS (
+      SELECT id_a, id_b FROM scored
+      WHERE dot >= 0 AND na2 > 0 AND nb2 > 0
+        AND {q * q} * dot * dot >= {p * p} * na2 * nb2
     ), edges AS (
       SELECT id_a AS src, id_b AS dst FROM pairs
       UNION
@@ -558,24 +584,34 @@ def _semdedup_oracle(n_cells: int = 8, threshold: float = 0.25) -> str:
     "semdedup_keepers",
     _semdedup_oracle(),
     "SemDeDup (Abbas et al. 2023) — semantic dedup of an embedding "
-    "corpus by cluster-then-dedup-within-cluster: deterministic pivot "
-    "cells (argmax cosine against the first 8 vectors — the auditable "
-    "stand-in for the paper's KMeans clusters), exact cosine pairs "
-    "WITHIN each cell at >= 0.25, transitive closure into duplicate "
-    "groups, keep the min-id representative per group. One row per "
-    "vector: (vec_id, cell, rep_id, kept) — the pruned-corpus audit "
-    "table. The oracle replays the ENTIRE pipeline including the "
-    "recursive closure, so cell assignment, pair pruning and group "
-    "formation are all bit-checked. At 100 TB: n_cells scales up so "
-    "the within-cell quadratic stays bounded (the paper uses ~100k "
-    "clusters), candidates shuffle (id, cell) only, and the closure is "
-    "the O(log n) min-label rounds of operators/components.py. "
+    "corpus by cluster-then-dedup-within-cluster, ALL-INTEGER since "
+    "round 8: milli-quantized vectors, argmin integer-L2 cells over "
+    "the first GREATEST(8, n // 250) vectors by id (corpus-relative "
+    "like the mutual-kNN knob, derived from COUNT(*) on both "
+    "engines), within-cell pairs by the rational predicate "
+    "q^2*dot^2 >= p^2*|a|^2*|b|^2 (threshold 1/4 exactly), transitive "
+    "closure into duplicate groups, keep the min-id representative. "
+    "One row per vector: (vec_id, cell, rep_id, kept). The pair test "
+    "runs as ONE exact float64-BLAS Gram matrix per cell in an Arrow "
+    "kernel — replacing the per-pair interpreted HOF cosine that "
+    "dominated this entry's bench time (HOFs evaluate a closure per "
+    "element; measured in PERF.md round 8). The oracle replays the "
+    "ENTIRE pipeline including the recursive closure. At 100 TB: "
+    "cells stay ~250 vectors as the corpus grows, the kernel "
+    "shuffles (id, qv) once by cell, and the closure is the O(log n) "
+    "min-label rounds of operators/components.py. "
     "operators/dedup.py:semdedup_keepers.",
 )
 def semdedup_keepers(spark, sf_dir):
+    from youtube_trending_data_pipeline_spark.operators.dedup import (
+        _SEMDEDUP_CELL_SIZE,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    n_cells = max(8, emb.count() // _SEMDEDUP_CELL_SIZE)
     return dd.semdedup_keepers(
-        t(spark, sf_dir, "embeddings"), id_col="vec_id",
-        vec_col="embedding", n_cells=8, threshold=0.25,
+        emb, id_col="vec_id",
+        vec_col="embedding", n_cells=n_cells, threshold=0.25,
     )
 
 

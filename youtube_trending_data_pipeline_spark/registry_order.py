@@ -189,6 +189,9 @@ PRIORITY_UNCHECKED = [
     "graph_kcore_mutual_knn",
     "graph_ktruss_mutual_knn",
     "graph_rich_club",
+    # oracle rewritten in round 8 (all-integer SemDeDup, corpus-relative
+    # cells, BLAS pair kernel)
+    "semdedup_keepers",
 ]
 
 # Round-6 window (VERDICT r5 items 1, 2, 7) — superseded by the round-7
