@@ -88,6 +88,13 @@ BENCH_QUERIES = [
     "graph_ktruss_mutual_knn",
     "graph_mutual_knn_recall_audit",
     "apriori_triple_itemsets",
+    # round-8 (catalog_quality): margin mining composes the bounded
+    # mutual-kNN candidate build; the bootstrap pins the 64-replicate
+    # weighted-aggregate shape; the n-gram stream pins the nested-
+    # transform explode
+    "sim_margin_topk",
+    "eval_bootstrap_ci",
+    "text_longest_repeated_ngram",
 ]
 
 

@@ -185,6 +185,10 @@ def test_no_accidental_cartesian_anywhere(spark):
         # the output IS per-replicate means) plus two 1-row order-
         # statistic appends onto the 1-row point estimate.
         "eval_bootstrap_ci",
+        # dq_chi2_independence: bounded event-types x weekdays spine
+        # (the chi-squared definition includes zero cells) plus 1-row
+        # N / n_types / n_weekdays appends.
+        "dq_chi2_independence",
         # corpus_mix_resample: 1-row (n_total, sum_w) stats broadcast onto
         # the per-doc acceptance filter — constant-append, O(n).
         "corpus_mix_resample",

@@ -214,3 +214,41 @@ def test_margin_demotes_hub(spark, tmp_path):
     # margin's winner for each pair member is its partner, not the hub
     assert out[0] == 1 and out[1] == 0
     assert out[2] == 3 and out[3] == 2
+
+
+def test_chi2_independent_and_dependent(spark, tmp_path):
+    """A perfectly balanced type x weekday table scores chi2 0; a fully
+    type-determined weekday scores chi2 = N * (t-1) * 1000 milli
+    (the maximum for t = w categories)."""
+    import datetime
+
+    d = str(tmp_path)
+    base = datetime.datetime(2024, 1, 4)  # a Thursday -> wd 4 convention
+    # independent: 2 types x 2 weekdays, every cell count 5
+    rows = []
+    eid = 0
+    for ti, et in enumerate(["a", "b"]):
+        for day in range(2):
+            for _ in range(5):
+                rows.append(
+                    (eid, base + datetime.timedelta(days=day), 1, et, 1.0,
+                     "{}")
+                )
+                eid += 1
+    _write_events(spark, d, rows)
+    r = QUERIES["dq_chi2_independence"].fn(spark, d).collect()[0]
+    assert (r["n"], r["n_types"], r["n_weekdays"], r["dof"]) == (20, 2, 2, 1)
+    assert r["chi2_milli"] == 0
+
+    # dependent: type 'a' only day 0, type 'b' only day 1 -> chi2 = N
+    rows = []
+    eid = 0
+    for et, day in [("a", 0), ("b", 1)]:
+        for _ in range(10):
+            rows.append(
+                (eid, base + datetime.timedelta(days=day), 1, et, 1.0, "{}")
+            )
+            eid += 1
+    _write_events(spark, d, rows)
+    r = QUERIES["dq_chi2_independence"].fn(spark, d).collect()[0]
+    assert r["chi2_milli"] == 20 * 1000  # chi2 == N for a 2x2 full split

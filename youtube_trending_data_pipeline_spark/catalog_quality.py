@@ -329,8 +329,14 @@ def blocklist_term_audit(spark, sf_dir):
     "shape.",
 )
 def text_longest_repeated_ngram(spark, sf_dir):
-    dt = t(spark, sf_dir, "documents").select(
-        "doc_id", _toks().alias("v")
+    # round-robin repartition the slim (id, tokens) projection before
+    # the 7-level n-gram explode — parquet plans few input splits and
+    # the generation stage is the hot one (the apriori combo doctrine;
+    # at 100 TB this shuffles one token-array row per doc, never text)
+    dt = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", _toks().alias("v"))
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     grams = dt.select(
         "doc_id",
@@ -556,6 +562,9 @@ def eval_bootstrap_ci(spark, sf_dir):
             "event_id",
             F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("c"),
         )
+        # spread the 64x replicate expansion across all cores (the scan
+        # plans few input splits; this shuffles two longs per event)
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     bs = F.broadcast(
         ev.sparkSession.range(_BOOT_B).select(F.col("id").alias("rb"))
@@ -682,4 +691,114 @@ def sim_margin_topk(spark, sf_dir):
         m.withColumn("rn", F.row_number().over(w_top))
         .where(F.col("rn") == 1)
         .select("u", "v", F.col("margin2k").cast("long").alias("margin2k"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Chi-squared independence audit (categorical drift / DQ)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dq_chi2_independence",
+    """
+    WITH d AS (
+      SELECT event_type,
+             (epoch_us(ts) // 86400000000 + 4) % 7 AS wd
+      FROM events WHERE event_type IS NOT NULL
+    ), obs AS (
+      SELECT event_type, wd, CAST(COUNT(*) AS BIGINT) AS o
+      FROM d GROUP BY 1, 2
+    ), rt AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS r FROM d GROUP BY 1
+    ), ct AS (
+      SELECT wd, CAST(COUNT(*) AS BIGINT) AS c FROM d GROUP BY 1
+    ), tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d
+    ), cells AS (
+      SELECT sp.event_type, sp.wd, sp.r, sp.c,
+             COALESCE(obs.o, 0) AS o
+      FROM (SELECT rt.event_type, ct.wd, rt.r, ct.c FROM rt, ct) sp
+      LEFT JOIN obs ON obs.event_type = sp.event_type AND obs.wd = sp.wd
+    ), terms AS (
+      SELECT CAST(FLOOR(
+               ((1000.0 * CAST((SELECT n FROM tot) * o - r * c AS DOUBLE))
+                 * CAST((SELECT n FROM tot) * o - r * c AS DOUBLE))
+               / ((CAST((SELECT n FROM tot) AS DOUBLE) * CAST(r AS DOUBLE))
+                  * CAST(c AS DOUBLE))) AS BIGINT) AS cell_milli
+      FROM cells
+    )
+    SELECT (SELECT n FROM tot) AS n,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM rt) AS n_types,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM ct) AS n_weekdays,
+           ((SELECT COUNT(*) FROM rt) - 1)
+             * ((SELECT COUNT(*) FROM ct) - 1) AS dof,
+           CAST(SUM(cell_milli) AS BIGINT) AS chi2_milli
+    FROM terms
+    """,
+    "Data quality / drift: chi-squared independence statistic between "
+    "event type and weekday (epoch-day (d+4)%7 arithmetic — no "
+    "calendar functions, the weekday_profile convention), in exact "
+    "milli units: per cell, (N*O - r*c)^2 stays in int64 (N*O <= "
+    "2.5e11 at sf1), the single division runs in IEEE double with a "
+    "parenthesized evaluation order written identically in both "
+    "engines, and the FLOOR'd milli terms sum as integers — so the "
+    "statistic is bit-stable without ever summing doubles. Zero "
+    "cells are included via the bounded types x weekdays spine "
+    "(whitelisted crossJoin), as the definition requires. Output: "
+    "(n, n_types, n_weekdays, dof, chi2_milli) — the caller compares "
+    "chi2 against the critical value driver-side. Plan: one base "
+    "aggregate + dimension-sized joins; at 100 TB only the base "
+    "aggregate touches the corpus.",
+)
+def dq_chi2_independence(spark, sf_dir):
+    d = (
+        t(spark, sf_dir, "events")
+        .where(F.col("event_type").isNotNull())
+        .select(
+            "event_type",
+            F.expr("((ts div 1000) div 86400000000 + 4) % 7").alias("wd"),
+        )
+    )
+    obs = d.groupBy("event_type", "wd").agg(
+        F.count(F.lit(1)).cast("long").alias("o")
+    )
+    rt = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("r")
+    )
+    ct = d.groupBy("wd").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    tot = d.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    cells = (
+        rt.crossJoin(F.broadcast(ct))
+        .join(obs, ["event_type", "wd"], "left")
+        .select(
+            "r", "c", F.coalesce(F.col("o"), F.lit(0)).alias("o")
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    terms = cells.select(
+        "n",
+        F.expr(
+            "CAST(FLOOR(((1000.0 * CAST(n * o - r * c AS DOUBLE))"
+            " * CAST(n * o - r * c AS DOUBLE))"
+            " / ((CAST(n AS DOUBLE) * CAST(r AS DOUBLE))"
+            " * CAST(c AS DOUBLE))) AS BIGINT)"
+        ).alias("cell_milli"),
+    )
+    nt = rt.agg(F.count(F.lit(1)).cast("long").alias("n_types"))
+    nw = ct.agg(F.count(F.lit(1)).cast("long").alias("n_weekdays"))
+    return (
+        terms.groupBy("n")
+        .agg(F.sum("cell_milli").cast("long").alias("chi2_milli"))
+        .crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(nw))
+        .select(
+            "n",
+            "n_types",
+            "n_weekdays",
+            ((F.col("n_types") - 1) * (F.col("n_weekdays") - 1)).alias(
+                "dof"
+            ),
+            "chi2_milli",
+        )
     )
