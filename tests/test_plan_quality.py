@@ -189,6 +189,9 @@ def test_no_accidental_cartesian_anywhere(spark):
         # (the chi-squared definition includes zero cells) plus 1-row
         # N / n_types / n_weekdays appends.
         "dq_chi2_independence",
+        # corpus_temperature_mix: 1-row weight-total broadcast onto the
+        # dimension-sized per-source share arithmetic.
+        "corpus_temperature_mix",
         # corpus_mix_resample: 1-row (n_total, sum_w) stats broadcast onto
         # the per-doc acceptance filter — constant-append, O(n).
         "corpus_mix_resample",

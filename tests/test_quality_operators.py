@@ -252,3 +252,28 @@ def test_chi2_independent_and_dependent(spark, tmp_path):
     _write_events(spark, d, rows)
     r = QUERIES["dq_chi2_independence"].fn(spark, d).collect()[0]
     assert r["chi2_milli"] == 20 * 1000  # chi2 == N for a 2x2 full split
+
+
+def test_temperature_mix_flattens_shares(spark, tmp_path):
+    """alpha = 1/2 mixing: a 100x larger source gets only 10x the
+    weight; shares and quotas are exact integer floors."""
+    d = str(tmp_path)
+    rows = []
+    did = 0
+    for src, n in [("big", 400), ("small", 4)]:
+        for _ in range(n):
+            rows.append((did, "x y", "en", src, 3))
+            did += 1
+    _write_docs(spark, d, rows)
+    out = {
+        r["source"]: r
+        for r in QUERIES["corpus_temperature_mix"].fn(spark, d).collect()
+    }
+    # weights: sqrt(400)=20, sqrt(4)=2 -> shares 20/22, 2/22
+    assert out["big"]["w"] == 20 and out["small"]["w"] == 2
+    assert out["big"]["share_ppm"] == 1_000_000 * 20 // 22
+    assert out["small"]["share_ppm"] == 1_000_000 * 2 // 22
+    assert out["small"]["quota_docs"] == 100_000 * 2 // 22
+    # natural share of 'small' would be 4/404 ~ 9900 ppm; mixing lifts
+    # it to ~90909 ppm — the flattening the operator exists for
+    assert out["small"]["share_ppm"] > 9_900 * 5

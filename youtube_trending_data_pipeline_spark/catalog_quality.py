@@ -14,7 +14,12 @@ audits that round out the quality layer —
 * deterministic Poisson-bootstrap confidence interval (hash-derived
   weights — the scalable one-pass bootstrap);
 * margin-normalized similarity mining (Artetxe & Schwenk 2019 — the
-  CCMatrix bitext-mining score) over the bounded mutual-kNN build.
+  CCMatrix bitext-mining score) over the bounded mutual-kNN build;
+* chi-squared independence audit (bit-stable milli statistic via
+  int64 cross-products and one identically-parenthesized IEEE
+  division per cell);
+* temperature-scaled corpus mixing (T5 alpha = 1/2 source shares and
+  quotas via exact floor(sqrt(n)) weights).
 
 Same doctrine as the sibling catalog modules: exact-integer outputs,
 bit-exact DuckDB oracle replays, plans that survive 100 TB — bounded
@@ -800,5 +805,82 @@ def dq_chi2_independence(spark, sf_dir):
                 "dof"
             ),
             "chi2_milli",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled corpus mixing (T5/mT5 alpha = 1/2)
+# ---------------------------------------------------------------------------
+
+_MIX_BUDGET = 100_000  # total sampling budget the shares allocate
+
+
+@register(
+    "corpus_temperature_mix",
+    f"""
+    WITH src AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS n_chars
+      FROM documents GROUP BY 1
+    ), wts AS (
+      SELECT source, n_docs, n_chars,
+             CAST(FLOOR(SQRT(CAST(n_docs AS DOUBLE))) AS BIGINT) AS w
+      FROM src
+    )
+    SELECT source, n_docs, n_chars, w,
+           CAST((1000000 * w) // (SELECT SUM(w) FROM wts) AS BIGINT)
+             AS share_ppm,
+           CAST(({_MIX_BUDGET} * w) // (SELECT SUM(w) FROM wts) AS BIGINT)
+             AS quota_docs
+    FROM wts
+    """,
+    "Curation: temperature-scaled corpus mixing (T5/mT5, Raffel et "
+    "al. 2020: sample source i proportional to n_i^alpha with "
+    "alpha = 1/2, flattening the natural distribution so "
+    "low-resource sources are not drowned) — per source: doc/char "
+    "counts, the integer weight floor(sqrt(n)) (IEEE sqrt is "
+    "correctly rounded, so FLOOR agrees across engines; exact on "
+    "perfect squares), ppm mixture share, and the doc quota for a "
+    "100k budget via largest-floor allocation (the companion to "
+    "quota_largest_remainder's exact apportionment and "
+    "domain_quota_sample's per-domain caps — this entry computes "
+    "the TARGET mixture those operators execute). Plan: one "
+    "aggregate over the corpus, then dimension-sized arithmetic "
+    "with a 1-row weight-total broadcast.",
+)
+def corpus_temperature_mix(spark, sf_dir):
+    src = (
+        t(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.col("n_chars").cast("long")).cast("long").alias(
+                "n_chars"
+            ),
+        )
+    )
+    wts = src.select(
+        "source",
+        "n_docs",
+        "n_chars",
+        F.expr(
+            "CAST(FLOOR(SQRT(CAST(n_docs AS DOUBLE))) AS BIGINT)"
+        ).alias("w"),
+    )
+    tot = wts.agg(F.sum("w").cast("long").alias("wsum"))
+    return (
+        wts.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_chars",
+            "w",
+            F.expr("CAST((1000000 * w) div wsum AS BIGINT)").alias(
+                "share_ppm"
+            ),
+            F.expr(
+                f"CAST(({_MIX_BUDGET} * w) div wsum AS BIGINT)"
+            ).alias("quota_docs"),
         )
     )
