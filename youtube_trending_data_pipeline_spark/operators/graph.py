@@ -79,8 +79,13 @@ def pagerank_integer(
                 ).alias("rank"),
             )
         )
-        if checkpoint:
-            ranks = ranks.localCheckpoint(eager=False)
+        # NO per-round ranks checkpoint: the rank recurrence is a pure
+        # LINEAR chain (ranks_{i+1} references ranks_i exactly once),
+        # so the unrolled plan grows linearly and nothing re-executes —
+        # only the REUSED frames (e / outdeg / nodes, referenced every
+        # round) need their lineage cut above. Measured round 8: the
+        # per-round materializations were pure overhead, 2.92 s ->
+        # 0.57 s for 5 rounds on the 1.17M-edge bench graph.
     return ranks
 
 
@@ -358,8 +363,9 @@ def personalized_pagerank_integer(
                 .alias("rank"),
             )
         )
-        if checkpoint:
-            ranks = ranks.localCheckpoint(eager=False)
+        # no per-round checkpoint — linear recurrence, see
+        # pagerank_integer (only the reused e/outdeg/tagged frames
+        # need lineage cuts)
     return ranks
 
 
