@@ -296,3 +296,110 @@ def test_pq_assignment_matches_numpy_argmin(spark, seed):
             ]
             dist, code = min(dists)
             assert got[(i, sub)] == (code, dist), (i, sub)
+
+
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.integers(min_value=-1000, max_value=1000),
+            min_size=4, max_size=4,
+        ),
+        min_size=0, max_size=12,
+    ),
+    p=st.integers(min_value=0, max_value=19),
+    q=st.integers(min_value=1, max_value=20),
+)
+@settings(max_examples=60, deadline=None)
+def test_semdedup_kernel_matches_pairwise_reference(vecs, p, q):
+    """The BLAS Gram kernel emits exactly the pairs the per-pair
+    rational predicate admits (id_a < id_b, dot >= 0, both norms > 0,
+    q^2 dot^2 >= p^2 na2 nb2) — checked against a pure-Python O(n^2)
+    reference on arbitrary small integer vectors."""
+    import numpy as np
+    import pandas as pd
+
+    from youtube_trending_data_pipeline_spark.operators.dedup import (
+        _semdedup_cell_kernel,
+    )
+
+    if p > q:
+        p = q  # threshold <= 1 like a cosine
+    ids = list(range(100, 100 + len(vecs)))
+    pdf = pd.DataFrame(
+        {"_id": np.array(ids, dtype=np.int64),
+         "_qv": [np.array(v, dtype=np.int64) for v in vecs]}
+    )
+    got = set(
+        map(tuple, _semdedup_cell_kernel(pdf, p, q)[["id_a", "id_b"]].values)
+    )
+    want = set()
+    for i in range(len(vecs)):
+        for j in range(i + 1, len(vecs)):
+            dot = sum(a * b for a, b in zip(vecs[i], vecs[j]))
+            na2 = sum(a * a for a in vecs[i])
+            nb2 = sum(b * b for b in vecs[j])
+            if dot >= 0 and na2 > 0 and nb2 > 0 \
+                    and q * q * dot * dot >= p * p * na2 * nb2:
+                want.add((ids[i], ids[j]))
+    assert got == want
+
+
+@given(
+    toks=st.lists(
+        st.sampled_from(list("abcdefgh")), min_size=0, max_size=12
+    ),
+)
+@settings(max_examples=60, deadline=None)
+def test_apriori_combo_explode_matches_itertools(spark, toks):
+    """The nested transform/slice combo generator emits exactly the
+    sorted C(f,2) and C(f,3) combinations itertools produces."""
+    from itertools import combinations
+
+    from pyspark.sql import functions as F
+
+    v = sorted(set(toks))
+    df = spark.createDataFrame([(v,)], "v array<string>")
+    pair_sql = """flatten(transform(v, (x1, i) ->
+        transform(slice(v, i + 2, size(v)), x2 ->
+          named_struct('w1', x1, 'w2', x2))))"""
+    tri_sql = """flatten(flatten(transform(v, (x1, i) ->
+        transform(slice(v, i + 2, size(v)), (x2, j) ->
+          transform(slice(v, i + j + 3, size(v)), x3 ->
+            named_struct('w1', x1, 'w2', x2, 'w3', x3))))))"""
+    pairs = {
+        (r["p"]["w1"], r["p"]["w2"])
+        for r in df.select(F.explode(F.expr(pair_sql)).alias("p")).collect()
+    }
+    tris = {
+        (r["p"]["w1"], r["p"]["w2"], r["p"]["w3"])
+        for r in df.select(F.explode(F.expr(tri_sql)).alias("p")).collect()
+    }
+    assert pairs == set(combinations(v, 2))
+    assert tris == set(combinations(v, 3))
+
+
+@given(seed=st.integers(min_value=0, max_value=10_000))
+@settings(max_examples=10, deadline=None)
+def test_poisson_weights_sum_preserves_mean_bounds(seed):
+    """Hash-derived Poisson(1) weights: the inverse-CDF thresholds map
+    uniform ppm draws to weights in 0..7 whose expectation over the
+    ppm grid equals Poisson(1)'s truncated mean to within the grid's
+    resolution (the determinism contract — no RNG anywhere)."""
+    from youtube_trending_data_pipeline_spark.catalog_quality import (
+        _POIS_CUM_PPM,
+    )
+
+    # thresholds must be strictly increasing and under 1e6
+    assert list(_POIS_CUM_PPM) == sorted(set(_POIS_CUM_PPM))
+    assert _POIS_CUM_PPM[-1] < 1_000_000
+
+    def w(u):
+        for k, c in enumerate(_POIS_CUM_PPM):
+            if u < c:
+                return k
+        return 7
+
+    # exact expectation over the full ppm grid
+    total = sum(w(u) for u in range(0, 1_000_000, 997))  # stride sample
+    mean = total / len(range(0, 1_000_000, 997))
+    assert 0.95 < mean < 1.05  # Poisson(1) mean within grid tolerance

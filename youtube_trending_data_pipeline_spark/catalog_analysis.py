@@ -5441,6 +5441,9 @@ def markov_stationary_iter(spark, sf_dir):
         .localCheckpoint(eager=False)
     )
     for _ in range(_MK_ITERS):
+        # linear recurrence (pi referenced once per round) — no
+        # per-round lineage cut needed, the pagerank_integer doctrine;
+        # only the reused transition matrix m is checkpointed above
         pi = (
             m.join(pi, m["src"] == pi["state"])
             .groupBy(F.col("dst").alias("state2"))
@@ -5448,7 +5451,6 @@ def markov_stationary_iter(spark, sf_dir):
                 F.sum(F.expr("(pi * c) div r")).cast("long").alias("pi")
             )
             .select(F.col("state2").alias("state"), "pi")
-            .localCheckpoint(eager=False)
         )
     return pi.select(
         F.col("state").alias("event_type"), F.col("pi").alias("pi_ppm")
