@@ -1589,9 +1589,13 @@ def graph_pagerank(spark, sf_dir):
         )
         .distinct()
     )
+    # no distinct after the union: `pairs` is already distinct and the
+    # two directions cannot collide (customer ids are offset by 1e6 into
+    # a disjoint range), so the old trailing distinct was a provable
+    # no-op costing a full shuffle of the doubled edge list
     edges = pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")).union(
         pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
-    ).distinct()
+    )
     return pagerank_integer(edges, iterations=5)
 
 
@@ -6553,10 +6557,11 @@ def graph_personalized_pagerank(spark, sf_dir):
         )
         .distinct()
     )
+    # no distinct after the union — disjoint id ranges, see
+    # graph_pagerank above
     edges = (
         pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
         .union(pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")))
-        .distinct()
     )
     seeds = pairs.where(F.col("s") % 100 == 0).select(
         F.col("s").alias("node")
