@@ -192,6 +192,9 @@ def test_no_accidental_cartesian_anywhere(spark):
         # corpus_temperature_mix: 1-row weight-total broadcast onto the
         # dimension-sized per-source share arithmetic.
         "corpus_temperature_mix",
+        # eval_brier_ece: 1-row count / ECE appends onto the 1-row
+        # Brier aggregate.
+        "eval_brier_ece",
         # corpus_mix_resample: 1-row (n_total, sum_w) stats broadcast onto
         # the per-doc acceptance filter — constant-append, O(n).
         "corpus_mix_resample",

@@ -277,3 +277,25 @@ def test_temperature_mix_flattens_shares(spark, tmp_path):
     # natural share of 'small' would be 4/404 ~ 9900 ppm; mixing lifts
     # it to ~90909 ppm — the flattening the operator exists for
     assert out["small"]["share_ppm"] > 9_900 * 5
+
+
+def test_brier_ece_perfect_and_worst(spark, tmp_path):
+    """Perfectly calibrated confident predictions score Brier 0 / ECE 0;
+    maximally wrong confident predictions score both 1e6 ppm."""
+    import datetime
+
+    ts = datetime.datetime(2024, 1, 1)
+    d = str(tmp_path)
+    # p = 1.0 (value 100) on purchases, p = 0.0 on non-purchases
+    rows = [(i, ts, 1, "purchase", 100.0, "{}") for i in range(10)]
+    rows += [(10 + i, ts, 1, "click", 0.0, "{}") for i in range(10)]
+    _write_events(spark, d, rows)
+    r = QUERIES["eval_brier_ece"].fn(spark, d).collect()[0]
+    assert (r["n"], r["brier_ppm"], r["ece_ppm"]) == (20, 0, 0)
+
+    # inverted: confident 1.0 on non-purchases, 0.0 on purchases
+    rows = [(i, ts, 1, "click", 100.0, "{}") for i in range(10)]
+    rows += [(10 + i, ts, 1, "purchase", 0.0, "{}") for i in range(10)]
+    _write_events(spark, d, rows)
+    r = QUERIES["eval_brier_ece"].fn(spark, d).collect()[0]
+    assert (r["brier_ppm"], r["ece_ppm"]) == (1_000_000, 1_000_000)

@@ -884,3 +884,100 @@ def corpus_temperature_mix(spark, sf_dir):
             ).alias("quota_docs"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Brier score + expected calibration error
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "eval_brier_ece",
+    """
+    WITH d AS (
+      SELECT LEAST(1000000, CAST(ROUND(value * 10000) AS BIGINT)) AS p,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events
+      WHERE value IS NOT NULL AND event_type IS NOT NULL AND value >= 0
+    ), n1 AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d
+    ), bins AS (
+      SELECT LEAST(9, p // 100000) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS n_b,
+             SUM(p) // COUNT(*) AS conf_ppm,
+             (1000000 * SUM(y)) // COUNT(*) AS acc_ppm
+      FROM d GROUP BY 1
+    )
+    SELECT (SELECT n FROM n1) AS n,
+           (SELECT CAST(SUM((p - 1000000 * y) * (p - 1000000 * y))
+                        // (1000000 * (SELECT n FROM n1)) AS BIGINT)
+            FROM d) AS brier_ppm,
+           CAST(SUM(n_b * ABS(conf_ppm - acc_ppm))
+                // (SELECT n FROM n1) AS BIGINT) AS ece_ppm
+    FROM bins
+    """,
+    "Evaluation: Brier score and Expected Calibration Error of a "
+    "pseudo-probability (event value scaled to [0, 1] ppm, clipped) "
+    "against the purchase label — the two SCALAR calibration metrics "
+    "that complete eval_calibration_bins' per-bin reliability table "
+    "(Brier = mean squared probability error; ECE = bin-weighted "
+    "|confidence - accuracy| over 10 equal-width bins, Guo et al. "
+    "2017). All integer: ppm probabilities, squared errors in int64 "
+    "(<= 1e12 per row), truncating divisions identical on both "
+    "engines. Plan: one map-side projection, one 10-bin aggregate, "
+    "1-row appends — the corpus is touched once.",
+)
+def eval_brier_ece(spark, sf_dir):
+    d = (
+        t(spark, sf_dir, "events")
+        .where(
+            F.col("value").isNotNull()
+            & F.col("event_type").isNotNull()
+            & (F.col("value") >= 0)
+        )
+        .select(
+            F.expr(
+                "LEAST(1000000, CAST(ROUND(value * 10000) AS BIGINT))"
+            ).alias("p"),
+            F.when(F.col("event_type") == "purchase", 1)
+            .otherwise(0)
+            .alias("y"),
+        )
+    )
+    n1 = d.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    brier = (
+        d.agg(
+            F.sum(
+                (F.col("p") - 1000000 * F.col("y"))
+                * (F.col("p") - 1000000 * F.col("y"))
+            ).alias("se")
+        )
+        .crossJoin(F.broadcast(n1))
+        .select(
+            "n",
+            F.expr(
+                "CAST(se div (1000000 * n) AS BIGINT)"
+            ).alias("brier_ppm"),
+        )
+    )
+    bins = d.groupBy(
+        F.expr("LEAST(9, p div 100000)").alias("bin")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_b"),
+        F.expr("SUM(p) div COUNT(*)").alias("conf_ppm"),
+        F.expr("(1000000 * SUM(y)) div COUNT(*)").alias("acc_ppm"),
+    )
+    ece = (
+        bins.agg(
+            F.sum(
+                F.col("n_b")
+                * F.abs(F.col("conf_ppm") - F.col("acc_ppm"))
+            ).alias("werr")
+        )
+        .crossJoin(F.broadcast(n1.select(F.col("n").alias("n2"))))
+        .select(F.expr("CAST(werr div n2 AS BIGINT)").alias("ece_ppm"))
+    )
+    return (
+        brier.crossJoin(F.broadcast(ece))
+        .select("n", "brier_ppm", "ece_ppm")
+    )
