@@ -299,3 +299,33 @@ def test_brier_ece_perfect_and_worst(spark, tmp_path):
     _write_events(spark, d, rows)
     r = QUERIES["eval_brier_ece"].fn(spark, d).collect()[0]
     assert (r["brier_ppm"], r["ece_ppm"]) == (1_000_000, 1_000_000)
+
+
+def test_mcc_perfect_inverted_degenerate(spark, tmp_path):
+    """Perfect threshold classifier scores +1e6 ppm, a fully inverted
+    one -1e6 ppm, and a single-class corpus defines MCC = 0."""
+    import datetime
+
+    ts = datetime.datetime(2024, 1, 1)
+    d = str(tmp_path)
+    # perfect: purchases score 90 (>= 50), clicks score 10
+    rows = [(i, ts, 1, "purchase", 90.0, "{}") for i in range(5)]
+    rows += [(5 + i, ts, 1, "click", 10.0, "{}") for i in range(5)]
+    _write_events(spark, d, rows)
+    r = QUERIES["eval_mcc"].fn(spark, d).collect()[0]
+    assert (r["tp"], r["tn"], r["fp"], r["fn"]) == (5, 5, 0, 0)
+    assert r["mcc_ppm"] == 1_000_000
+
+    # inverted
+    rows = [(i, ts, 1, "purchase", 10.0, "{}") for i in range(5)]
+    rows += [(5 + i, ts, 1, "click", 90.0, "{}") for i in range(5)]
+    _write_events(spark, d, rows)
+    r = QUERIES["eval_mcc"].fn(spark, d).collect()[0]
+    assert r["mcc_ppm"] == -1_000_000
+
+    # degenerate: only one true class -> marginal product 0 -> MCC 0
+    rows = [(i, ts, 1, "click", 90.0 if i % 2 else 10.0, "{}")
+            for i in range(6)]
+    _write_events(spark, d, rows)
+    r = QUERIES["eval_mcc"].fn(spark, d).collect()[0]
+    assert r["mcc_ppm"] == 0

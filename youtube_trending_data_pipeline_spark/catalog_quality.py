@@ -981,3 +981,90 @@ def eval_brier_ece(spark, sf_dir):
         brier.crossJoin(F.broadcast(ece))
         .select("n", "brier_ppm", "ece_ppm")
     )
+
+
+# ---------------------------------------------------------------------------
+# Matthews correlation coefficient
+# ---------------------------------------------------------------------------
+
+_MCC_THRESH = 50  # value threshold for the positive prediction
+
+
+@register(
+    "eval_mcc",
+    f"""
+    WITH d AS (
+      SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+             CASE WHEN value >= {_MCC_THRESH} THEN 1 ELSE 0 END AS yh
+      FROM events
+      WHERE value IS NOT NULL AND event_type IS NOT NULL
+    ), c AS (
+      SELECT CAST(SUM(y * yh) AS BIGINT) AS tp,
+             CAST(SUM((1 - y) * yh) AS BIGINT) AS fp,
+             CAST(SUM(y * (1 - yh)) AS BIGINT) AS fn,
+             CAST(SUM((1 - y) * (1 - yh)) AS BIGINT) AS tn
+      FROM d
+    )
+    SELECT tp, fp, fn, tn,
+           CASE WHEN (tp + fp) * (tp + fn) * (tn + fp) * (tn + fn) = 0
+                THEN 0
+                ELSE CAST(FLOOR(1000000.0 *
+                  (CAST(tp * tn - fp * fn AS DOUBLE)
+                   / SQRT((CAST(tp + fp AS DOUBLE)
+                           * CAST(tp + fn AS DOUBLE))
+                          * (CAST(tn + fp AS DOUBLE)
+                             * CAST(tn + fn AS DOUBLE)))))
+                  AS BIGINT)
+           END AS mcc_ppm
+    FROM c
+    """,
+    "Evaluation: Matthews correlation coefficient of the "
+    "value-threshold classifier against the purchase label — the "
+    "single summary number robust to class imbalance, completing the "
+    "binary-classification suite (eval_auc_exact, eval_pr_curve, "
+    "eval_calibration_bins, eval_brier_ece, eval_cohens_kappa). "
+    "Confusion counts are exact int64; the numerator tp*tn - fp*fn "
+    "stays in int64; the one irrational step (sqrt of the marginal "
+    "product, which exceeds 2^53 and so lives in double) is a single "
+    "chain of IEEE ops written with identical parenthesization on "
+    "both engines, floored to ppm — the dq_chi2_independence "
+    "doctrine. Degenerate marginals define MCC = 0 (standard). "
+    "Plan: one map-side projection + one 1-row aggregate.",
+)
+def eval_mcc(spark, sf_dir):
+    d = (
+        t(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull() & F.col("event_type").isNotNull())
+        .select(
+            F.when(F.col("event_type") == "purchase", 1)
+            .otherwise(0)
+            .alias("y"),
+            F.when(F.col("value") >= _MCC_THRESH, 1)
+            .otherwise(0)
+            .alias("yh"),
+        )
+    )
+    c = d.agg(
+        F.sum(F.expr("y * yh")).cast("long").alias("tp"),
+        F.sum(F.expr("(1 - y) * yh")).cast("long").alias("fp"),
+        F.sum(F.expr("y * (1 - yh)")).cast("long").alias("fn"),
+        F.sum(F.expr("(1 - y) * (1 - yh)")).cast("long").alias("tn"),
+    )
+    return c.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.expr(
+            """CASE WHEN (tp + fp) * (tp + fn) * (tn + fp) * (tn + fn) = 0
+                    THEN 0L
+                    ELSE CAST(FLOOR(1000000.0 *
+                      (CAST(tp * tn - fp * fn AS DOUBLE)
+                       / SQRT((CAST(tp + fp AS DOUBLE)
+                               * CAST(tp + fn AS DOUBLE))
+                              * (CAST(tn + fp AS DOUBLE)
+                                 * CAST(tn + fn AS DOUBLE)))))
+                      AS BIGINT)
+               END"""
+        ).alias("mcc_ppm"),
+    )
