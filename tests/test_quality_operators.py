@@ -329,3 +329,35 @@ def test_mcc_perfect_inverted_degenerate(spark, tmp_path):
     _write_events(spark, d, rows)
     r = QUERIES["eval_mcc"].fn(spark, d).collect()[0]
     assert r["mcc_ppm"] == 0
+
+
+def test_cusum_accumulates_and_alarms(spark, tmp_path):
+    """Hand-walked CUSUM: k=3000, h=20000. A user drifting +5000 cents
+    over k accumulates 2000/step, alarms at step 10, resets, and ends
+    mid-accumulation; a below-reference user stays at 0 forever."""
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    d = str(tmp_path)
+    rows = []
+    # user 1: value 50.00 -> v=5000, pre_n = 2000*n; crosses 20000 at
+    # n=10 (alarm, reset), again at n=20; 25 events -> final 2000*5
+    for i in range(25):
+        rows.append((i, base + datetime.timedelta(seconds=i), 1,
+                     "click", 50.0, "{}"))
+    # user 2: value 10.00 -> v-k < 0 every step -> S pinned at 0
+    for i in range(5):
+        rows.append((100 + i, base + datetime.timedelta(seconds=i), 2,
+                     "click", 10.0, "{}"))
+    _write_events(spark, d, rows)
+    out = {
+        r["user_id"]: r
+        for r in QUERIES["events_cusum_drift"].fn(spark, d).collect()
+    }
+    u1 = out[1]
+    assert (u1["n_events"], u1["n_alarms"]) == (25, 2)
+    assert u1["final_s"] == 2000 * 5
+    assert u1["max_s"] == 20000
+    u2 = out[2]
+    assert (u2["n_events"], u2["n_alarms"], u2["final_s"], u2["max_s"]) \
+        == (5, 0, 0, 0)

@@ -1068,3 +1068,139 @@ def eval_mcc(spark, sf_dir):
                END"""
         ).alias("mcc_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM drift detection (per-user sequential fold)
+# ---------------------------------------------------------------------------
+
+_CUSUM_K = 3000   # reference value (cents) subtracted per step
+_CUSUM_H = 20000  # alarm threshold (cents); alarm resets the statistic
+
+
+@register(
+    "events_cusum_drift",
+    f"""
+    WITH RECURSIVE x AS (
+      SELECT user_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts), event_id) AS rn,
+             CAST(ROUND(value * 100) AS BIGINT) AS v
+      FROM events
+    ), r AS (
+      SELECT user_id, rn,
+             CASE WHEN GREATEST(0, v - {_CUSUM_K}) >= {_CUSUM_H}
+                  THEN 0 ELSE GREATEST(0, v - {_CUSUM_K}) END AS s,
+             CASE WHEN GREATEST(0, v - {_CUSUM_K}) >= {_CUSUM_H}
+                  THEN 1 ELSE 0 END AS n_alarms,
+             GREATEST(0, v - {_CUSUM_K}) AS max_s
+      FROM x WHERE rn = 1
+      UNION ALL
+      SELECT x.user_id, x.rn,
+             CASE WHEN GREATEST(0, r.s + x.v - {_CUSUM_K}) >= {_CUSUM_H}
+                  THEN 0
+                  ELSE GREATEST(0, r.s + x.v - {_CUSUM_K}) END,
+             r.n_alarms
+               + CASE WHEN GREATEST(0, r.s + x.v - {_CUSUM_K})
+                           >= {_CUSUM_H} THEN 1 ELSE 0 END,
+             GREATEST(r.max_s, GREATEST(0, r.s + x.v - {_CUSUM_K}))
+      FROM r JOIN x ON x.user_id = r.user_id AND x.rn = r.rn + 1
+    ), n AS (
+      SELECT user_id, CAST(MAX(rn) AS BIGINT) AS n_events
+      FROM x GROUP BY user_id
+    )
+    SELECT n.user_id, n.n_events, r.s AS final_s,
+           CAST(r.n_alarms AS BIGINT) AS n_alarms,
+           r.max_s
+    FROM n JOIN r ON r.user_id = n.user_id AND r.rn = n.n_events
+    """,
+    "Drift detection: one-sided CUSUM (Page 1954) per user over "
+    "time-ordered cent values — S_n = max(0, S_(n-1) + v_n - k), "
+    "alarm and reset when S crosses h; reports final statistic, "
+    "alarm count, and the maximum excursion. The classic ONLINE "
+    "changepoint detector completing the anomaly family "
+    "(events_anomaly_mad is point-wise, anomaly_seasonal_residual is "
+    "seasonal; CUSUM accumulates small persistent shifts neither "
+    "sees). The recurrence is order-dependent with a max-reset (no "
+    "window frame or algebraic aggregate expresses it), so it uses "
+    "the ewma_user_value Arrow shape: ONE shuffle on user_id + "
+    "sortWithinPartitions, a single-pass mapInPandas kernel carrying "
+    "per-user (s, alarms, max) state across batches in a segmented "
+    "fold — all integer compares, so any partitioning is "
+    "bit-identical, and the DuckDB recursive CTE replays the exact "
+    "fold. At 100 TB: state is O(keys-per-partition) ints, rows "
+    "stream through Arrow once.",
+)
+def events_cusum_drift(spark, sf_dir):
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.expr("ts div 1000").alias("ts_us"),
+        F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("v"),
+    )
+    schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("final_s", LongType()),
+            StructField("n_alarms", LongType()),
+            StructField("max_s", LongType()),
+        ]
+    )
+    k, h = _CUSUM_K, _CUSUM_H
+
+    def fold(batches):
+        # segmented fold, the ewma_user_value kernel shape: vectorized
+        # run-boundary detection, tight per-run Python loop, state
+        # carried across Arrow batches
+        state: dict[int, list[int]] = {}  # user -> [n, s, alarms, maxs]
+        for pdf in batches:
+            u = pdf["user_id"].to_numpy()
+            if not len(u):
+                continue
+            v = pdf["v"].to_numpy()
+            cuts = np.flatnonzero(u[1:] != u[:-1]) + 1
+            starts = np.concatenate(([0], cuts)).tolist()
+            ends = np.concatenate((cuts, [len(u)])).tolist()
+            for a, b in zip(starts, ends):
+                run = v[a:b].tolist()
+                st = state.get(int(u[a]))
+                if st is None:
+                    st = [0, 0, 0, 0]
+                    state[int(u[a])] = st
+                n, s, alarms, maxs = st
+                for x in run:
+                    pre = s + x - k
+                    if pre < 0:
+                        pre = 0
+                    if pre > maxs:
+                        maxs = pre
+                    if pre >= h:
+                        alarms += 1
+                        s = 0
+                    else:
+                        s = pre
+                st[0] = n + len(run)
+                st[1] = s
+                st[2] = alarms
+                st[3] = maxs
+        if state:
+            yield pd.DataFrame(
+                {
+                    "user_id": list(state.keys()),
+                    "n_events": [s[0] for s in state.values()],
+                    "final_s": [s[1] for s in state.values()],
+                    "n_alarms": [s[2] for s in state.values()],
+                    "max_s": [s[3] for s in state.values()],
+                }
+            )
+
+    return (
+        ev.repartition("user_id")
+        .sortWithinPartitions("user_id", "ts_us", "event_id")
+        .mapInPandas(fold, schema=schema)
+    )
