@@ -361,3 +361,26 @@ def test_cusum_accumulates_and_alarms(spark, tmp_path):
     u2 = out[2]
     assert (u2["n_events"], u2["n_alarms"], u2["final_s"], u2["max_s"]) \
         == (5, 0, 0, 0)
+
+
+def test_oov_audit_vocab_boundary(spark, tmp_path):
+    """With the vocab = top-24 tokens, docs made only of vocab tokens
+    are absent; a doc with rare tokens reports the exact OOV share."""
+    d = str(tmp_path)
+    rows = []
+    # 24 vocab tokens, each very frequent (appear in filler docs)
+    vocab_toks = [f"v{i:02d}" for i in range(24)]
+    for i in range(20):
+        rows.append((i, " ".join(vocab_toks), "en", "s", 100))
+    # doc 100: 3 vocab tokens + 1 rare token -> 250000 ppm OOV
+    rows.append((100, "v00 v01 v02 rareword", "en", "s", 20))
+    # doc 101: all vocab -> absent
+    rows.append((101, "v00 v01 v02 v03", "en", "s", 15))
+    _write_docs(spark, d, rows)
+    out = {
+        r["doc_id"]: r
+        for r in QUERIES["tokenizer_oov_audit"].fn(spark, d).collect()
+    }
+    assert set(out) == {100}
+    r = out[100]
+    assert (r["n_tok"], r["n_oov"], r["oov_ppm"]) == (4, 1, 250_000)

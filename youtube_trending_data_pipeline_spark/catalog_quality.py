@@ -1204,3 +1204,79 @@ def events_cusum_drift(spark, sf_dir):
         .sortWithinPartitions("user_id", "ts_us", "event_id")
         .mapInPandas(fold, schema=schema)
     )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer OOV audit (coverage against a bounded vocabulary)
+# ---------------------------------------------------------------------------
+
+_OOV_VOCAB = 24  # vocabulary size: top-K corpus tokens by (freq, token)
+
+
+@register(
+    "tokenizer_oov_audit",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKS_SQL}) AS tk FROM documents
+    ), vocab AS (
+      SELECT tk FROM (
+        SELECT tk, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tk) AS rn
+        FROM tok GROUP BY tk
+      ) WHERE rn <= {_OOV_VOCAB}
+    ), per_doc AS (
+      SELECT t.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_tok,
+             CAST(SUM(CASE WHEN v.tk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_oov
+      FROM tok t LEFT JOIN vocab v ON v.tk = t.tk
+      GROUP BY 1
+    )
+    SELECT doc_id, n_tok, n_oov,
+           CAST((1000000 * n_oov) // n_tok AS BIGINT) AS oov_ppm
+    FROM per_doc WHERE n_oov > 0
+    """,
+    "Tokenization: out-of-vocabulary audit — per document, token "
+    "count, OOV count, and OOV ppm against a bounded vocabulary (the "
+    "top-K corpus tokens by frequency with deterministic (freq DESC, "
+    "token ASC) ties — the stand-in for a fixed production vocab; "
+    "swap the vocab CTE for a broadcast vocab table in deployment). "
+    "Docs fully covered are absent (clean). The coverage signal that "
+    "decides whether a tokenizer/vocab fits a new corpus before "
+    "training (complements tokenizer_fertility's length ratio and "
+    "detokenize_roundtrip's losslessness gate). Plan: one token "
+    "aggregate for the vocab, one broadcast LEFT join probe on the "
+    "token stream, one per-doc aggregate — the blocklist_term_audit "
+    "cost shape.",
+)
+def tokenizer_oov_audit(spark, sf_dir):
+    tok = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(_toks()).alias("tk"))
+    )
+    wv = W.orderBy(F.desc("cnt"), F.asc("tk"))
+    vocab = (
+        tok.groupBy("tk")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("rn", F.row_number().over(wv))
+        .where(F.col("rn") <= _OOV_VOCAB)
+        .select("tk", F.lit(1).alias("in_v"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "tk", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tok"),
+            F.sum(F.when(F.col("in_v").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+        )
+        .where(F.col("n_oov") > 0)
+        .select(
+            "doc_id",
+            "n_tok",
+            "n_oov",
+            F.expr("CAST((1000000 * n_oov) div n_tok AS BIGINT)").alias(
+                "oov_ppm"
+            ),
+        )
+    )
