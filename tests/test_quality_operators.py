@@ -384,3 +384,32 @@ def test_oov_audit_vocab_boundary(spark, tmp_path):
     assert set(out) == {100}
     r = out[100]
     assert (r["n_tok"], r["n_oov"], r["oov_ppm"]) == (4, 1, 250_000)
+
+
+def test_spearman_monotone_inverted_and_tied(spark, tmp_path):
+    """A strictly increasing relation scores +1e6, a decreasing one
+    -1e6; heavy ties shrink |rho| but the midrank formula keeps the
+    sign (hand-checkable on 4 rows)."""
+    import datetime
+
+    ts = datetime.datetime(2024, 1, 1)
+    d = str(tmp_path)
+    # props length grows with value -> rho = +1
+    rows = [(i, ts, 1, "click", float(i + 1), "x" * (i + 1))
+            for i in range(8)]
+    _write_events(spark, d, rows)
+    r = QUERIES["eval_spearman_rho"].fn(spark, d).collect()[0]
+    assert (r["n"], r["rho_ppm"]) == (8, 1_000_000)
+
+    # inverted
+    rows = [(i, ts, 1, "click", float(i + 1), "x" * (9 - i))
+            for i in range(8)]
+    _write_events(spark, d, rows)
+    r = QUERIES["eval_spearman_rho"].fn(spark, d).collect()[0]
+    assert r["rho_ppm"] == -1_000_000
+
+    # constant y side -> variance 0 -> defined rho 0
+    rows = [(i, ts, 1, "click", float(i + 1), "xyz") for i in range(8)]
+    _write_events(spark, d, rows)
+    r = QUERIES["eval_spearman_rho"].fn(spark, d).collect()[0]
+    assert r["rho_ppm"] == 0

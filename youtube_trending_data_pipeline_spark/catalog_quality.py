@@ -1280,3 +1280,129 @@ def tokenizer_oov_audit(spark, sf_dir):
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation (tie midranks, exact integer moments)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "eval_spearman_rho",
+    """
+    WITH d AS (
+      SELECT CAST(ROUND(value * 100) AS BIGINT) AS x,
+             CAST(n_chars_like AS BIGINT) AS y
+      FROM (
+        SELECT value, LENGTH(props) AS n_chars_like FROM events
+        WHERE value IS NOT NULL AND props IS NOT NULL
+      )
+    ), rx AS (
+      SELECT x, CAST(2 * MIN(r) + COUNT(*) - 1 AS BIGINT) AS mr2
+      FROM (SELECT x, ROW_NUMBER() OVER (ORDER BY x) AS r FROM d)
+      GROUP BY x
+    ), ry AS (
+      SELECT y, CAST(2 * MIN(r) + COUNT(*) - 1 AS BIGINT) AS mr2
+      FROM (SELECT y, ROW_NUMBER() OVER (ORDER BY y) AS r FROM d)
+      GROUP BY y
+    ), ranked AS (
+      SELECT rx.mr2 AS a, ry.mr2 AS b
+      FROM d JOIN rx ON rx.x = d.x JOIN ry ON ry.y = d.y
+    ), m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(a) AS BIGINT) AS sa, CAST(SUM(b) AS BIGINT) AS sb,
+             CAST(SUM(a * b) AS BIGINT) AS sab,
+             CAST(SUM(a * a) AS BIGINT) AS saa,
+             CAST(SUM(b * b) AS BIGINT) AS sbb
+      FROM ranked
+    )
+    SELECT n,
+           CASE WHEN (CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+                      - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)) = 0
+                  OR (CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
+                      - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)) = 0
+                THEN 0
+                ELSE CAST(FLOOR(1000000.0 *
+                  ((CAST(n AS DOUBLE) * CAST(sab AS DOUBLE)
+                    - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+                   / SQRT((CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+                           - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+                          * (CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
+                             - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)))))
+                  AS BIGINT)
+           END AS rho_ppm
+    FROM m
+    """,
+    "Evaluation: Spearman rank correlation between event value and "
+    "props payload length, WITH tie handling — each side's ranks are "
+    "doubled midranks (2*min_rank + ties - 1, an exact integer), so "
+    "rho is Pearson over integer rank moments; the one irrational "
+    "step (sqrt of the variance product) is a single identically-"
+    "parenthesized IEEE chain floored to ppm (the eval_mcc / chi2 "
+    "doctrine). Completes the rank-correlation pair with "
+    "eval_kendall_tau (tau is O(n^2)-defined and capped there; "
+    "Spearman is one rank pass, usable at any scale). Plan: two "
+    "per-distinct-value rank windows (bounded by value cardinality), "
+    "two broadcast rank joins, one 1-row moment aggregate. "
+    "The moment sums stay in int64 (a*b <= 1e12 per row); their "
+    "COMBINATION (n*sab - sa*sb ~ 1e23 at sf1) exceeds int64 on both "
+    "engines, so it runs in doubles with identical parenthesization "
+    "- deterministic, and the  <2^53-exactness of each cast moment "
+    "is not required for cross-engine agreement, only identical "
+    "IEEE rounding. Degenerate (constant) sides define rho = 0.",
+)
+def eval_spearman_rho(spark, sf_dir):
+    d = (
+        t(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull() & F.col("props").isNotNull())
+        .select(
+            F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("x"),
+            F.length("props").cast("long").alias("y"),
+        )
+    )
+    def mid2(df, col):
+        w = W.orderBy(col)
+        return (
+            df.select(col, F.row_number().over(w).alias("r"))
+            .groupBy(col)
+            .agg(
+                (2 * F.min("r") + F.count(F.lit(1)) - 1)
+                .cast("long")
+                .alias("mr2")
+            )
+        )
+    rx = mid2(d, "x").select(F.col("x").alias("jx"), F.col("mr2").alias("a"))
+    ry = mid2(d, "y").select(F.col("y").alias("jy"), F.col("mr2").alias("b"))
+    ranked = (
+        d.join(F.broadcast(rx), d["x"] == F.col("jx"))
+        .join(F.broadcast(ry), d["y"] == F.col("jy"))
+        .select("a", "b")
+    )
+    m = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("a").cast("long").alias("sa"),
+        F.sum("b").cast("long").alias("sb"),
+        F.sum(F.expr("a * b")).cast("long").alias("sab"),
+        F.sum(F.expr("a * a")).cast("long").alias("saa"),
+        F.sum(F.expr("b * b")).cast("long").alias("sbb"),
+    )
+    return m.select(
+        "n",
+        F.expr(
+            """CASE WHEN (CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+                          - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)) = 0
+                      OR (CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
+                          - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)) = 0
+                    THEN 0L
+                    ELSE CAST(FLOOR(1000000.0 *
+                      ((CAST(n AS DOUBLE) * CAST(sab AS DOUBLE)
+                        - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+                       / SQRT((CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+                               - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+                              * (CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
+                                 - CAST(sb AS DOUBLE)
+                                   * CAST(sb AS DOUBLE)))))
+                      AS BIGINT)
+               END"""
+        ).alias("rho_ppm"),
+    )
