@@ -195,6 +195,10 @@ def test_no_accidental_cartesian_anywhere(spark):
         # eval_brier_ece: 1-row count / ECE appends onto the 1-row
         # Brier aggregate.
         "eval_brier_ece",
+        # sample_kcenter_coreset: one 1-row selected-center broadcast
+        # per greedy round (8 constant-appends) folding each point's
+        # distance-to-selected — the corpus itself never shuffles.
+        "sample_kcenter_coreset",
         # corpus_mix_resample: 1-row (n_total, sum_w) stats broadcast onto
         # the per-doc acceptance filter — constant-append, O(n).
         "corpus_mix_resample",

@@ -413,3 +413,38 @@ def test_spearman_monotone_inverted_and_tied(spark, tmp_path):
     _write_events(spark, d, rows)
     r = QUERIES["eval_spearman_rho"].fn(spark, d).collect()[0]
     assert r["rho_ppm"] == 0
+
+
+def test_kcenter_picks_planted_extremes(spark, tmp_path):
+    """Three tight blobs + the smallest-id seed: the traversal must
+    visit each blob before revisiting any (farthest-first), and
+    selection distances are non-increasing."""
+    d = str(tmp_path)
+    rows = []
+    def vec(axis, mag):
+        v = [0.0] * 64
+        v[axis] = mag
+        return v
+    # blob A near origin-axis 0 (ids 0..3, id 0 seeds)
+    for i in range(4):
+        rows.append((i, vec(0, 1.0 + 0.001 * i), 0))
+    # blob B far on axis 1 (ids 10..13)
+    for i in range(4):
+        rows.append((10 + i, vec(1, 9.0 + 0.001 * i), 1))
+    # blob C far on axis 2 (ids 20..23)
+    for i in range(4):
+        rows.append((20 + i, vec(2, 9.0 + 0.001 * i), 2))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    ).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+    out = sorted(
+        QUERIES["sample_kcenter_coreset"].fn(spark, d).collect(),
+        key=lambda r: r["center_rank"],
+    )
+    assert len(out) == 8 and out[0]["vec_id"] == 0
+    # first three picks cover all three blobs
+    blobs = [r["vec_id"] // 10 for r in out[:3]]
+    assert sorted(blobs) == [0, 1, 2]
+    # selection distances never increase after pick 2
+    dists = [r["sel_dist"] for r in out[1:]]
+    assert all(a >= b for a, b in zip(dists, dists[1:]))

@@ -1406,3 +1406,141 @@ def eval_spearman_rho(spark, sf_dir):
                END"""
         ).alias("rho_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Greedy k-center coreset (farthest-point diversity sampling)
+# ---------------------------------------------------------------------------
+
+_KC_K = 8  # coreset size (selection rounds)
+
+
+def _kcenter_oracle() -> str:
+    """Unrolled replay of the greedy farthest-point traversal: center 1
+    is the smallest vec_id; each next center is the point with the
+    MAXIMUM current distance-to-selected (ties to the smaller id);
+    distances are exact integer milli squared-L2, min-folded per
+    round. Every round CTE is MATERIALIZED (each is referenced by the
+    argmax AND the fold of the next round)."""
+    qmil = (
+        "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)"
+        " * 1000 + 0.5) AS BIGINT))"
+    )
+    steps = []
+    for r in range(2, _KC_K + 1):
+        steps.append(f"""
+    c{r} AS MATERIALIZED (
+      SELECT vec_id, qv, mind FROM (
+        SELECT vec_id, qv, mind,
+               ROW_NUMBER() OVER (ORDER BY mind DESC, vec_id) AS rn
+        FROM d{r - 1}
+      ) WHERE rn = 1
+    ),
+    d{r} AS MATERIALIZED (
+      SELECT d.vec_id, d.qv,
+             LEAST(d.mind,
+                   list_sum(list_transform(list_zip(d.qv, c.qv),
+                            pr -> (pr[1] - pr[2]) * (pr[1] - pr[2]))))
+               AS mind
+      FROM d{r - 1} d, c{r} c
+    )""")
+    sel = "\n      UNION ALL\n".join(
+        f"      SELECT {r} AS center_rank, vec_id, mind FROM c{r}"
+        for r in range(2, _KC_K + 1)
+    )
+    return f"""
+    WITH q AS MATERIALIZED (
+      SELECT vec_id, {qmil} AS qv FROM embeddings
+    ), c1 AS MATERIALIZED (
+      SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT 1
+    ), d1 AS MATERIALIZED (
+      SELECT q.vec_id, q.qv,
+             list_sum(list_transform(list_zip(q.qv, c.qv),
+                      pr -> (pr[1] - pr[2]) * (pr[1] - pr[2]))) AS mind
+      FROM q, c1 c
+    ),
+    {','.join(steps)}
+    SELECT center_rank, vec_id, mind AS sel_dist FROM (
+      SELECT 1 AS center_rank, vec_id, CAST(0 AS BIGINT) AS mind FROM c1
+      UNION ALL
+{sel}
+    ) ORDER BY center_rank
+    """
+
+
+@register(
+    "sample_kcenter_coreset",
+    _kcenter_oracle(),
+    "Data selection: greedy k-center coreset (Gonzalez 1985 "
+    "farthest-point traversal — the 2-approximation behind coreset "
+    "selection and diversity sampling for training-data pruning, "
+    "Sener & Savarese 2018): seed with the smallest vec_id, then 7 "
+    "rounds of pick-the-point-farthest-from-the-selected-set (integer "
+    "milli squared-L2, ties to the smaller id), min-folding each "
+    "point's distance-to-selected after every pick. Returns the 8 "
+    "centers with their selection distances — a monotonically "
+    "non-increasing sequence that IS the k-center radius profile. "
+    "All-integer, so the unrolled-CTE oracle replays every pick "
+    "including tie-breaks. Plan per round: one 1-row broadcast "
+    "(whitelisted constant-append) + a map-side min-fold + one "
+    "TakeOrderedAndProject argmax — the corpus is never shuffled; "
+    "state is one (id, qv, mind) frame refreshed per round "
+    "(branching recurrence -> per-round lineage cut, the HITS "
+    "doctrine). At 100 TB with k in the thousands you batch picks "
+    "per pass (k-center++ style); the per-pick shape stays as here.",
+)
+def sample_kcenter_coreset(spark, sf_dir):
+    q = t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)"
+            " * 1000 + 0.5) AS BIGINT))"
+        ).alias("qv"),
+    )
+    c1 = q.orderBy("vec_id").limit(1)
+    dist_to = (
+        "aggregate(zip_with(qv, cqv, (x, y) -> (x - y) * (x - y)),"
+        " 0L, (a, x) -> a + x)"
+    )
+    d = (
+        q.crossJoin(F.broadcast(c1.select(F.col("qv").alias("cqv"))))
+        .select("vec_id", "qv", F.expr(dist_to).alias("mind"))
+        .localCheckpoint(eager=False)
+    )
+    picks = [
+        c1.select(
+            F.lit(1).cast("long").alias("center_rank"),
+            "vec_id",
+            F.lit(0).cast("long").alias("sel_dist"),
+        )
+    ]
+    for r in range(2, _KC_K + 1):
+        c = (
+            d.orderBy(F.desc("mind"), F.asc("vec_id"))
+            .limit(1)
+            .select(
+                F.col("vec_id").alias("cid"),
+                F.col("qv").alias("cqv"),
+                F.col("mind").alias("cdist"),
+            )
+        )
+        picks.append(
+            c.select(
+                F.lit(r).cast("long").alias("center_rank"),
+                F.col("cid").alias("vec_id"),
+                F.col("cdist").alias("sel_dist"),
+            )
+        )
+        d = (
+            d.crossJoin(F.broadcast(c.select("cqv")))
+            .select(
+                "vec_id",
+                "qv",
+                F.least(F.col("mind"), F.expr(dist_to)).alias("mind"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionAll(p)
+    return out.orderBy("center_rank")
