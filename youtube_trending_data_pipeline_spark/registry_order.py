@@ -178,10 +178,13 @@ DRIVER_VERIFIED: set[str] = (
 #     oracle-backed on deterministic integer-Lloyd centroids), and the
 #     four mutual-kNN consumers (n_cells made corpus-relative in-code);
 #   * the remaining never-driver-checked entries (index_phrase_query
-#     onward, plus the 7 round-8 catalog_quality additions registered
+#     onward, plus the 14 round-8 catalog_quality additions registered
 #     at the tail) need no pinning: tier 2 rotates them in
 #     registration order — the window covers the pre-r8 tail this
-#     round, the r8 additions land in round 9.
+#     round, the r8 additions land in round 9. Every r8 addition was
+#     verified EXACT at BOTH gate SFs on a vanilla session as it
+#     landed, and the closing 367-entry sf0.01 sweep re-verified the
+#     whole registry.
 PRIORITY_UNCHECKED = [
     "apriori_triple_itemsets",
     "sim_ivf_topk",
