@@ -1006,7 +1006,8 @@ _MCC_THRESH = 50  # value threshold for the positive prediction
       FROM d
     )
     SELECT tp, fp, fn, tn,
-           CASE WHEN (tp + fp) * (tp + fn) * (tn + fp) * (tn + fn) = 0
+           CASE WHEN (tp + fp) = 0 OR (tp + fn) = 0
+                  OR (tn + fp) = 0 OR (tn + fn) = 0
                 THEN 0
                 ELSE CAST(FLOOR(1000000.0 *
                   (CAST(tp * tn - fp * fn AS DOUBLE)
@@ -1028,7 +1029,9 @@ _MCC_THRESH = 50  # value threshold for the positive prediction
     "product, which exceeds 2^53 and so lives in double) is a single "
     "chain of IEEE ops written with identical parenthesization on "
     "both engines, floored to ppm — the dq_chi2_independence "
-    "doctrine. Degenerate marginals define MCC = 0 (standard). "
+    "doctrine; the degenerate check tests each marginal separately "
+    "(their int64 PRODUCT overflows past ~2.5e5 rows per class). "
+    "Degenerate marginals define MCC = 0 (standard). "
     "Plan: one map-side projection + one 1-row aggregate.",
 )
 def eval_mcc(spark, sf_dir):
@@ -1056,7 +1059,8 @@ def eval_mcc(spark, sf_dir):
         "fn",
         "tn",
         F.expr(
-            """CASE WHEN (tp + fp) * (tp + fn) * (tn + fp) * (tn + fn) = 0
+            """CASE WHEN (tp + fp) = 0 OR (tp + fn) = 0
+                  OR (tn + fp) = 0 OR (tn + fn) = 0
                     THEN 0L
                     ELSE CAST(FLOOR(1000000.0 *
                       (CAST(tp * tn - fp * fn AS DOUBLE)
