@@ -448,3 +448,20 @@ def test_kcenter_picks_planted_extremes(spark, tmp_path):
     # selection distances never increase after pick 2
     dists = [r["sel_dist"] for r in out[1:]]
     assert all(a >= b for a, b in zip(dists, dists[1:]))
+
+
+def test_assortativity_star_is_minus_one(spark, tmp_path):
+    """A pure star (one supplier serving many customers) is maximally
+    disassortative: every edge pairs degree n with degree 1 -> r = -1
+    exactly (floor gives -1e6 ppm)."""
+    d = str(tmp_path)
+    # one supplier (1) x 6 customers via 6 orders
+    spark.createDataFrame(
+        [(i, 1) for i in range(6)], "l_orderkey long, l_suppkey long"
+    ).write.mode("overwrite").parquet(f"{d}/lineitem.parquet")
+    spark.createDataFrame(
+        [(i, 100 + i) for i in range(6)], "o_orderkey long, o_custkey long"
+    ).write.mode("overwrite").parquet(f"{d}/orders.parquet")
+    r = QUERIES["graph_degree_assortativity"].fn(spark, d).collect()[0]
+    assert r["n"] == 12  # 6 undirected edges, both directions
+    assert r["assortativity_ppm"] == -1_000_000

@@ -1548,3 +1548,120 @@ def sample_kcenter_coreset(spark, sf_dir):
     for p in picks[1:]:
         out = out.unionAll(p)
     return out.orderBy("center_rank")
+
+
+# ---------------------------------------------------------------------------
+# Degree assortativity (Pearson over directed-edge endpoint degrees)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "graph_degree_assortativity",
+    """
+    WITH pairs AS (
+      SELECT DISTINCT l_suppkey AS s, o_custkey + 1000000 AS c
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ), edges AS (
+      SELECT s AS src, c AS dst FROM pairs
+      UNION
+      SELECT c AS src, s AS dst FROM pairs
+    ), deg AS (
+      SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS degree
+      FROM edges GROUP BY src
+    ), ed AS (
+      SELECT du.degree AS a, dv.degree AS b
+      FROM edges e
+      JOIN deg du ON du.node = e.src
+      JOIN deg dv ON dv.node = e.dst
+    ), m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(a) AS BIGINT) AS sa, CAST(SUM(b) AS BIGINT) AS sb,
+             CAST(SUM(a * b) AS BIGINT) AS sab,
+             CAST(SUM(a * a) AS BIGINT) AS saa,
+             CAST(SUM(b * b) AS BIGINT) AS sbb
+      FROM ed
+    )
+    SELECT n,
+           CASE WHEN (CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+                      - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)) = 0
+                  OR (CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
+                      - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)) = 0
+                THEN 0
+                ELSE CAST(FLOOR(1000000.0 *
+                  ((CAST(n AS DOUBLE) * CAST(sab AS DOUBLE)
+                    - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+                   / SQRT((CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+                           - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+                          * (CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
+                             - CAST(sb AS DOUBLE)
+                               * CAST(sb AS DOUBLE)))))
+                  AS BIGINT)
+           END AS assortativity_ppm
+    FROM m
+    """,
+    "Graph: degree assortativity (Newman 2002) of the "
+    "supplier<->customer graph — Pearson correlation of the "
+    "(src degree, dst degree) pairs over every directed edge; "
+    "positive = hubs link hubs (social shape), negative = hubs link "
+    "leaves (the bipartite/disassortative shape this transaction "
+    "graph should show). The structural summary completing "
+    "graph_degree_distribution (first moment) and graph_rich_club "
+    "(tail connectivity). Integer moment sums (degree products fit "
+    "int64 comfortably); the moment COMBINATION runs in identically-"
+    "parenthesized IEEE doubles floored to ppm — the "
+    "eval_spearman_rho doctrine. Degenerate (regular-graph) sides "
+    "define 0. Plan: one degree aggregate, two broadcast-sized "
+    "degree joins onto the edge list, one 1-row moment aggregate.",
+)
+def graph_degree_assortativity(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.col("l_suppkey").alias("s"),
+            (F.col("o_custkey") + 1000000).alias("c"),
+        )
+        .distinct()
+    )
+    edges = (
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+        .union(
+            pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+        )
+        .localCheckpoint(eager=False)
+    )
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("degree")
+    )
+    du = deg.select(F.col("node").alias("src"), F.col("degree").alias("a"))
+    dv = deg.select(F.col("node").alias("dst"), F.col("degree").alias("b"))
+    ed = edges.join(du, "src").join(dv, "dst").select("a", "b")
+    m = ed.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("a").cast("long").alias("sa"),
+        F.sum("b").cast("long").alias("sb"),
+        F.sum(F.expr("a * b")).cast("long").alias("sab"),
+        F.sum(F.expr("a * a")).cast("long").alias("saa"),
+        F.sum(F.expr("b * b")).cast("long").alias("sbb"),
+    )
+    return m.select(
+        "n",
+        F.expr(
+            """CASE WHEN (CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+                          - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)) = 0
+                      OR (CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
+                          - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)) = 0
+                    THEN 0L
+                    ELSE CAST(FLOOR(1000000.0 *
+                      ((CAST(n AS DOUBLE) * CAST(sab AS DOUBLE)
+                        - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+                       / SQRT((CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+                               - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+                              * (CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
+                                 - CAST(sb AS DOUBLE)
+                                   * CAST(sb AS DOUBLE)))))
+                      AS BIGINT)
+               END"""
+        ).alias("assortativity_ppm"),
+    )
