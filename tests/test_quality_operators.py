@@ -465,3 +465,23 @@ def test_assortativity_star_is_minus_one(spark, tmp_path):
     r = QUERIES["graph_degree_assortativity"].fn(spark, d).collect()[0]
     assert r["n"] == 12  # 6 undirected edges, both directions
     assert r["assortativity_ppm"] == -1_000_000
+
+
+def test_gini_equal_and_concentrated(spark, tmp_path):
+    """Equal values score Gini 0; full concentration on one of n rows
+    scores (n-1)/n exactly."""
+    import datetime
+
+    ts = datetime.datetime(2024, 1, 1)
+    d = str(tmp_path)
+    rows = [(i, ts, 1, "flat", 5.0, "{}") for i in range(8)]
+    rows += [(100 + i, ts, 1, "conc", 10.0 if i == 0 else 0.0, "{}")
+             for i in range(8)]
+    _write_events(spark, d, rows)
+    out = {
+        r["event_type"]: r
+        for r in QUERIES["w_gini_by_group"].fn(spark, d).collect()
+    }
+    assert out["flat"]["gini_ppm"] == 0
+    # one-holder concentration: G = (n-1)/n = 7/8 = 875000 ppm
+    assert out["conc"]["gini_ppm"] == 875_000

@@ -1665,3 +1665,90 @@ def graph_degree_assortativity(spark, sf_dir):
                END"""
         ).alias("assortativity_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gini coefficient per group (exact rank formula)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "w_gini_by_group",
+    """
+    WITH d AS (
+      SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS x
+      FROM events
+      WHERE value IS NOT NULL AND value >= 0 AND event_type IS NOT NULL
+    ), ranked AS (
+      SELECT event_type, x,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY x) AS i
+      FROM d
+    ), m AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(i * x) AS BIGINT) AS six
+      FROM ranked GROUP BY 1
+    )
+    SELECT event_type, n, sx AS total_c,
+           CASE WHEN sx = 0 OR n = 1 THEN 0
+                ELSE CAST(FLOOR(1000000.0 *
+                  ((2.0 * CAST(six AS DOUBLE)
+                    - (CAST(n AS DOUBLE) + 1.0) * CAST(sx AS DOUBLE))
+                   / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE))))
+                  AS BIGINT)
+           END AS gini_ppm
+    FROM m
+    """,
+    "Inequality: exact Gini coefficient of event value (cents) per "
+    "event type via the rank formula G = (2*sum(i*x_(i)) - "
+    "(n+1)*sum(x)) / (n*sum(x)) — the SCALAR the "
+    "w_pareto_concentration decile Lorenz curve integrates to "
+    "(bins-vs-Brier policy: the curve for diagnosis, the scalar for "
+    "the gate). Ranks come from one per-group window; tie order "
+    "cannot change the statistic (equal values times any permutation "
+    "of consecutive ranks sums identically), so the window's "
+    "tie-break is irrelevant — stated, not assumed. Integer moment "
+    "sums; the final combination in identically-parenthesized IEEE "
+    "doubles floored to ppm (the spearman doctrine; the ppm-scaled "
+    "numerator would pass int64 only until ~5e5 rows/group). "
+    "Degenerate groups (zero mass or a single row) define 0. Plan: "
+    "one per-group rank window + one group aggregate.",
+)
+def w_gini_by_group(spark, sf_dir):
+    d = (
+        t(spark, sf_dir, "events")
+        .where(
+            F.col("value").isNotNull()
+            & (F.col("value") >= 0)
+            & F.col("event_type").isNotNull()
+        )
+        .select(
+            "event_type",
+            F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("x"),
+        )
+    )
+    wr = W.partitionBy("event_type").orderBy("x")
+    ranked = d.select(
+        "event_type", "x", F.row_number().over(wr).cast("long").alias("i")
+    )
+    m = ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.expr("i * x")).cast("long").alias("six"),
+    )
+    return m.select(
+        "event_type",
+        "n",
+        F.col("sx").alias("total_c"),
+        F.expr(
+            """CASE WHEN sx = 0 OR n = 1 THEN 0L
+                    ELSE CAST(FLOOR(1000000.0 *
+                      ((2.0 * CAST(six AS DOUBLE)
+                        - (CAST(n AS DOUBLE) + 1.0) * CAST(sx AS DOUBLE))
+                       / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE))))
+                      AS BIGINT)
+               END"""
+        ).alias("gini_ppm"),
+    )
