@@ -193,6 +193,98 @@ def test_semdedup_empty_corpus(spark):
     assert semdedup_keepers(df).count() == 0
 
 
+def test_semdedup_threshold_guards():
+    """ADVICE r8: the public threshold parameter must mean what the
+    caller passed — unrepresentable, negative, and >1 thresholds raise
+    loudly instead of silently snapping / abs-folding."""
+    import pytest
+
+    from youtube_trending_data_pipeline_spark.operators.dedup import (
+        _semdedup_threshold_frac,
+    )
+
+    assert _semdedup_threshold_frac(0.25) == (1, 4)
+    assert _semdedup_threshold_frac(0.85) == (17, 20)
+    assert _semdedup_threshold_frac(0.0) == (0, 1)
+    assert _semdedup_threshold_frac(1.0) == (1, 1)
+    with pytest.raises(ValueError, match="not exactly representable"):
+        _semdedup_threshold_frac(0.87)  # would snap to 13/15
+    with pytest.raises(ValueError, match=">= 0"):
+        _semdedup_threshold_frac(-0.5)
+    with pytest.raises(ValueError, match="<= 1"):
+        _semdedup_threshold_frac(1.5)
+
+
+def test_semdedup_kernel_guards():
+    """ADVICE r8: predicate-headroom and cell-cap guards raise loudly
+    instead of silently wrapping int64 / OOMing on a hot cell."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+
+    from youtube_trending_data_pipeline_spark.operators.dedup import (
+        _SEMDEDUP_CELL_CAP,
+        _semdedup_cell_kernel,
+    )
+
+    # |v|^2 = 2 * (2^20)^2 = 2^41; q=20 -> q^2*(2^41)^2 = 400*2^82 >> 2^63
+    # yet bound^2*dim = 2^41 < 2^53 passes the Gram-exactness guard —
+    # exactly the gap ADVICE flagged.
+    big = np.int64(2**20)
+    pdf = pd.DataFrame(
+        {"_id": np.array([1, 2], dtype=np.int64),
+         "_qv": [np.array([big, big], dtype=np.int64)] * 2}
+    )
+    with pytest.raises(ValueError, match="headroom"):
+        _semdedup_cell_kernel(pdf, 17, 20)
+
+    hot = pd.DataFrame(
+        {"_id": np.arange(_SEMDEDUP_CELL_CAP + 1, dtype=np.int64),
+         "_qv": [np.array([1, 0], dtype=np.int64)]
+         * (_SEMDEDUP_CELL_CAP + 1)}
+    )
+    with pytest.raises(ValueError, match="cap"):
+        _semdedup_cell_kernel(hot, 1, 4)
+
+
+def test_semdedup_kernel_block_boundary():
+    """Row-block chunking emits the same pairs as the whole-matrix
+    reference across the block boundary."""
+    import numpy as np
+    import pandas as pd
+
+    import youtube_trending_data_pipeline_spark.operators.dedup as dd
+
+    n = 23
+    rng_free = [
+        np.array([(i * 7 + 3) % 11 - 5, (i * 5 + 1) % 9 - 4],
+                 dtype=np.int64)
+        for i in range(n)
+    ]
+    pdf = pd.DataFrame(
+        {"_id": np.arange(n, dtype=np.int64), "_qv": rng_free}
+    )
+    orig_block = dd._SEMDEDUP_GRAM_BLOCK
+    try:
+        dd._SEMDEDUP_GRAM_BLOCK = 4  # force many blocks
+        got = set(
+            map(tuple,
+                dd._semdedup_cell_kernel(pdf, 1, 2)[["id_a", "id_b"]]
+                .values)
+        )
+    finally:
+        dd._SEMDEDUP_GRAM_BLOCK = orig_block
+    want = set()
+    for i in range(n):
+        for j in range(i + 1, n):
+            a, b = rng_free[i], rng_free[j]
+            dot = int(a @ b)
+            na, nb = int(a @ a), int(b @ b)
+            if dot >= 0 and na > 0 and nb > 0 and 4 * dot * dot >= na * nb:
+                want.add((i, j))
+    assert got == want
+
+
 # ---------------------------------------------------------------------------
 # tokenize_to_ids / sim_knn_classify
 # ---------------------------------------------------------------------------

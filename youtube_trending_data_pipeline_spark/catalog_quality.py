@@ -1091,6 +1091,7 @@ _CUSUM_H = 20000  # alarm threshold (cents); alarm resets the statistic
                                 ORDER BY epoch_us(ts), event_id) AS rn,
              CAST(ROUND(value * 100) AS BIGINT) AS v
       FROM events
+      WHERE value IS NOT NULL AND user_id IS NOT NULL
     ), r AS (
       SELECT user_id, rn,
              CASE WHEN GREATEST(0, v - {_CUSUM_K}) >= {_CUSUM_H}
@@ -1140,11 +1141,19 @@ def events_cusum_drift(spark, sf_dir):
     import pandas as pd
     from pyspark.sql.types import LongType, StructField, StructType
 
-    ev = t(spark, sf_dir, "events").select(
-        "user_id",
-        "event_id",
-        F.expr("ts div 1000").alias("ts_us"),
-        F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("v"),
+    # null guard on BOTH engines (ADVICE r8): a null value would become
+    # NaN in the Arrow fold and poison per-user state, and DuckDB NULL
+    # propagation in the recursive CTE differs — a latent divergence
+    # even though current testdata has no null values.
+    ev = (
+        t(spark, sf_dir, "events")
+        .where("value IS NOT NULL AND user_id IS NOT NULL")
+        .select(
+            "user_id",
+            "event_id",
+            F.expr("ts div 1000").alias("ts_us"),
+            F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("v"),
+        )
     )
     schema = StructType(
         [

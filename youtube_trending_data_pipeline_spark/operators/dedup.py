@@ -636,18 +636,69 @@ _SEMDEDUP_CELL_SIZE = 250
 def _semdedup_threshold_frac(threshold: float) -> tuple[int, int]:
     """Cosine threshold as an exact small fraction p/q (q <= 20) so the
     pair predicate is pure int64: q^2*dot^2 >= p^2*|a|^2*|b|^2 tops out
-    near 400 * (64e6)^2 ~ 1.6e18 < 2^63 for 64-dim milli vectors."""
+    near 400 * (64e6)^2 ~ 1.6e18 < 2^63 for 64-dim milli vectors.
+
+    Loud by doctrine: a threshold that is NOT exactly representable
+    with q <= 20 raises instead of silently snapping (0.87 would
+    otherwise become 13/15 ~ 0.8667 and the public parameter would no
+    longer mean what the caller passed), and negative thresholds raise
+    because the dot >= 0 precondition would make them behave as |t|.
+    """
     from fractions import Fraction
 
+    if threshold < 0:
+        raise ValueError(
+            "semdedup threshold must be >= 0 (the int64 predicate "
+            f"requires dot >= 0); got {threshold!r}"
+        )
+    if threshold > 1:
+        raise ValueError(
+            "semdedup threshold is a cosine and must be <= 1 "
+            f"(Cauchy-Schwarz: no pair can pass a threshold > 1); got "
+            f"{threshold!r} — p > q would also outgrow the kernel's "
+            "q^2-side int64 headroom guard"
+        )
     fr = Fraction(threshold).limit_denominator(20)
+    if abs(float(fr) - float(threshold)) > 1e-12:
+        raise ValueError(
+            f"semdedup threshold {threshold!r} is not exactly "
+            f"representable as p/q with q <= 20 (nearest is "
+            f"{fr.numerator}/{fr.denominator} = {float(fr)!r}); pass an "
+            "exact small rational (e.g. 0.25, 0.5, 0.85) so the int64 "
+            "pair predicate means what you asked for"
+        )
     return fr.numerator, fr.denominator
 
 
+# Loud cell-size cap: argmin-L2 assignment to first-n-by-id seeds only
+# *expects* ~_SEMDEDUP_CELL_SIZE members; a pathological corpus can skew
+# a cell arbitrarily hot.  Past the cap one executor's Gram row-blocks
+# stop being "bounded" in any honest sense, so we raise instead of
+# OOMing quietly (row-block chunking below keeps peak memory ~block*n,
+# so the cap is about total O(n^2) work per cell, not one allocation).
+_SEMDEDUP_CELL_CAP = 50 * _SEMDEDUP_CELL_SIZE
+# Upper-triangle row-block width: peak per-block memory is
+# block * cell_size * 8 bytes (~200 MB at the cap) instead of the full
+# n^2 Gram + triu index arrays.
+_SEMDEDUP_GRAM_BLOCK = 2048
+
+
 def _semdedup_cell_kernel(pdf, p: int, q: int):
-    """Within-cell duplicate-pair kernel: one exact integer Gram matrix
+    """Within-cell duplicate-pair kernel: exact integer Gram row-blocks
     via float64 BLAS (every product <= milli_bound^2*dim << 2^53 — the
     _exact_int_matmul doctrine, guarded loudly), upper-triangle pairs in
-    id order, the rational cosine-threshold predicate in int64."""
+    id order, the rational cosine-threshold predicate in int64.
+
+    Two loud guards protect the int64 arithmetic end to end:
+      * bound^2*dim <= 2^53 — every Gram entry is exact in float64;
+      * q^2 * max(|v|^2)^2 < 2^63 — Cauchy-Schwarz gives
+        dot^2 <= na*nb <= max(n2)^2, and p <= q for cosine thresholds,
+        so this single check covers BOTH sides of
+        q^2*dot^2 >= p^2*na*nb; without it unnormalized inputs that
+        pass the Gram guard could silently wrap numpy int64 and emit
+        wrong pairs (the DuckDB oracle raises on overflow, so the
+        engines would diverge loudly-vs-silently).
+    """
     import numpy as np
     import pandas as pd
 
@@ -657,6 +708,14 @@ def _semdedup_cell_kernel(pdf, p: int, q: int):
     )
     if len(pdf) < 2:
         return empty
+    n = len(pdf)
+    if n > _SEMDEDUP_CELL_CAP:
+        raise ValueError(
+            f"semdedup cell holds {n} vectors, past the "
+            f"{_SEMDEDUP_CELL_CAP}-member cap — the seed assignment "
+            "skewed far beyond the expected cell size; raise n_cells "
+            "(corpus-relative GREATEST(8, n // 250)) or re-seed"
+        )
     order = np.argsort(pdf["_id"].to_numpy(), kind="stable")
     ids = pdf["_id"].to_numpy()[order]
     Q = np.stack(pdf["_qv"].to_numpy()[order]).astype(np.int64)
@@ -666,19 +725,38 @@ def _semdedup_cell_kernel(pdf, p: int, q: int):
             "semdedup quantized magnitude breaks the exact-Gram "
             "precondition bound^2*dim <= 2^53"
         )
-    G = np.rint(
-        Q.astype(np.float64) @ Q.astype(np.float64).T
-    ).astype(np.int64)
-    n2 = np.diag(G)
-    iu, ju = np.triu_indices(len(ids), k=1)
-    dot, na, nb = G[iu, ju], n2[iu], n2[ju]
-    ok = (
-        (dot >= 0)
-        & (na > 0)
-        & (nb > 0)
-        & (q * q * dot * dot >= p * p * na * nb)
+    Qf = Q.astype(np.float64)
+    n2 = np.rint((Qf * Qf).sum(axis=1)).astype(np.int64)
+    n2_max = int(n2.max(initial=0))
+    if q * q * n2_max * n2_max >= 2**63:  # Python ints: cannot wrap
+        raise ValueError(
+            "semdedup predicate headroom exceeded: q^2 * max(|v|^2)^2 "
+            f"= {q * q * n2_max * n2_max} >= 2^63 would wrap int64 in "
+            "q^2*dot^2 >= p^2*na*nb; normalize or re-scale the "
+            "embeddings (milli quantization assumes ~unit range)"
+        )
+    out_a: list = []
+    out_b: list = []
+    cols = np.arange(n)
+    for s in range(0, n - 1, _SEMDEDUP_GRAM_BLOCK):
+        e = min(s + _SEMDEDUP_GRAM_BLOCK, n - 1)
+        Gb = np.rint(Qf[s:e] @ Qf.T).astype(np.int64)
+        rows = np.arange(s, e)
+        bi, bj = np.nonzero(cols[None, :] > rows[:, None])
+        gi, gj = rows[bi], bj
+        dot, na, nb = Gb[bi, bj], n2[gi], n2[gj]
+        ok = (
+            (dot >= 0)
+            & (na > 0)
+            & (nb > 0)
+            & (q * q * dot * dot >= p * p * na * nb)
+        )
+        out_a.append(ids[gi][ok])
+        out_b.append(ids[gj][ok])
+    return pd.DataFrame(
+        {"id_a": np.concatenate(out_a) if out_a else empty["id_a"],
+         "id_b": np.concatenate(out_b) if out_b else empty["id_b"]}
     )
-    return pd.DataFrame({"id_a": ids[iu][ok], "id_b": ids[ju][ok]})
 
 
 def semdedup_keepers(

@@ -161,6 +161,33 @@ DRIVER_VERIFIED_R07 = [
     "sketch_theta_intersect",
 ]
 
+# Keys present in CORRECTNESS_r08.json (driver gate, round 8): 50/50 green
+# (rows + schema + hash, zero err).
+DRIVER_VERIFIED_R08 = [
+    "ab_permutation_test", "anomaly_seasonal_residual",
+    "apriori_triple_itemsets", "backfill_gap_plan", "batch_padding_waste",
+    "consistent_hash_rebalance", "dq_benford_digits",
+    "dq_overdispersion_vmr", "dq_sequence_audit", "encoding_rle_audit",
+    "eval_kendall_tau", "exact_median_twopass",
+    "feature_quantile_normalize", "filter_ablation_grid",
+    "forecast_seasonal_naive_mae", "geo_dbscan_core_points",
+    "geo_grid_spatial_join", "graph_kcore_mutual_knn",
+    "graph_ktruss_mutual_knn", "graph_mutual_knn_recall_audit",
+    "graph_rich_club", "graph_temporal_reachability",
+    "hash_collision_audit", "holt_linear_fold", "index_phrase_query",
+    "ivm_delta_aggregate", "join_cardinality_estimate", "late_event_audit",
+    "markov_stationary_iter", "multimodal_audio_zcr",
+    "multimodal_image_sobel", "multimodal_video_motion",
+    "pattern_match_recognize", "privacy_l_diversity",
+    "quota_largest_remainder", "range_partition_balance", "regr_theil_sen",
+    "retrieval_threshold_algorithm", "rfm_segmentation", "scd2_asof_lookup",
+    "select_greedy_max_coverage", "semdedup_keepers", "sim_ivf_topk",
+    "sim_pq_recall_audit", "skew_diagnosis_report",
+    "skyline_pareto_frontier", "text_kwic_concordance",
+    "token_shannon_code_audit", "udaf_weighted_median",
+    "zonemap_skip_stats",
+]
+
 DRIVER_VERIFIED: set[str] = (
     set(DRIVER_VERIFIED_R01)
     | set(DRIVER_VERIFIED_R02_R03)
@@ -168,33 +195,23 @@ DRIVER_VERIFIED: set[str] = (
     | set(DRIVER_VERIFIED_R05)
     | set(DRIVER_VERIFIED_R06)
     | set(DRIVER_VERIFIED_R07)
+    | set(DRIVER_VERIFIED_R08)
 )
 
-# Round-8 window (VERDICT r7 items 1-5):
-#   * entries whose ORACLES / plans change in round 8 lead the window:
-#     apriori_triple_itemsets (r7 changed it to corpus-relative ppm
-#     thresholds without pinning — ADVICE flagged that — and round 8
-#     restructures its triple-support count), sim_ivf_topk (rebuilt
-#     oracle-backed on deterministic integer-Lloyd centroids), and the
-#     four mutual-kNN consumers (n_cells made corpus-relative in-code);
-#   * the remaining never-driver-checked entries (index_phrase_query
-#     onward, plus the 14 round-8 catalog_quality additions registered
-#     at the tail) need no pinning: tier 2 rotates them in
-#     registration order — the window covers the pre-r8 tail this
-#     round, the r8 additions land in round 9. Every r8 addition was
-#     verified EXACT at BOTH gate SFs on a vanilla session as it
-#     landed, and the closing 367-entry sf0.01 sweep re-verified the
-#     whole registry.
+# Round-9 window (VERDICT r8 item 1: close the driver-row lag to zero):
+#   * pinned: entries whose ORACLE changes in round 9 —
+#     events_cusum_drift gains the `value IS NOT NULL AND user_id IS NOT
+#     NULL` filter on BOTH engines (ADVICE r8 item 4);
+#   * then the remaining 38 never-driver-checked entries (the late-r7/r8
+#     eval/DQ tail: haar_transform_daily ... w_gini_by_group) need no
+#     pinning — tier 2 rotates them in registration order.  39 < 50, so
+#     the window's last ~11 slots fall to tier 3 = the OLDEST
+#     r1-verified entries (s5_scan_project, s6_scan_filter_eq, ...) in
+#     registration order as staleness re-checks, exactly as VERDICT r8
+#     prescribed.  After this round every one of the 370 registry
+#     entries has held at least one driver CORRECTNESS row.
 PRIORITY_UNCHECKED = [
-    "apriori_triple_itemsets",
-    "sim_ivf_topk",
-    "graph_mutual_knn_recall_audit",
-    "graph_kcore_mutual_knn",
-    "graph_ktruss_mutual_knn",
-    "graph_rich_club",
-    # oracle rewritten in round 8 (all-integer SemDeDup, corpus-relative
-    # cells, BLAS pair kernel)
-    "semdedup_keepers",
+    "events_cusum_drift",
 ]
 
 # Round-6 window (VERDICT r5 items 1, 2, 7) — superseded by the round-7
