@@ -1,0 +1,169 @@
+"""ANN recall of the bucketed mutual-kNN build on CLUSTERED embeddings
+(VERDICT r8 item 2).
+
+The corpus-relative cell knob (n_cells = GREATEST(8, n // 250)) holds
+the within-cell quadratic bounded, but on the NEAR-RANDOM synthetic
+testdata embeddings it drops recall vs exact from 0.95 (sf0.1, 8
+cells) to ~0.34 (sf1, 80 cells) — the adversarial case for any ANN
+bucketing, since random vectors have no cluster structure for cells to
+exploit.  The production defense ("real corpora are clustered, where
+IVF recall holds") was asserted, not measured.  This script measures
+it: a DETERMINISTIC mixture-of-Gaussians fixture (k isotropic Gaussian
+clusters around hash-seeded centers — no RNG anywhere: every value is
+a pure function of (tag, row, coordinate) through splitmix64, so the
+fixture is bit-identical across runs and machines), at the same two
+scales the random-embedding numbers were taken (2 k vectors = the
+sf0.1 gate size -> 8 cells; 20 k = the 10x replica size -> 80 cells).
+
+MEASURED OUTCOME (round 9): recall does NOT hold on clustered data at
+fixed (probe=5, member=2) — 0.406 at 80 cells vs 0.958 at 8 — because
+pivots inside a tight cluster are interchangeable and per-vector pivot
+ranking is noise-driven.  The fix (exactly the verdict's fallback) is
+the corpus-relative knob schedule in catalog_analysis._mknn_knobs
+(probe ~ sqrt(cells), member ~ probe/5, floors (5, 2) so gate SFs are
+bit-identical): measured recall with the schedule is 0.938 clustered /
+0.914 random at 80 cells, at 16-18 s vs the exact build's ~40 s.
+Lloyd-refined cells were measured as the alternative and lose on both
+axes (0.61-0.69 recall at ~43 s — the within-cluster subdivision
+problem doesn't go away, and the exploded DataFrame Lloyd rounds at 80
+cells dominate).  This script now exercises the production build,
+i.e. the schedule, end-to-end.
+
+Writes /tmp/clustered_knn/{gate,10x}/embeddings.parquet and prints one
+JSON line per run: exact edges, bucketed edges, common, recall ppm,
+and the bucketed build's wall time.  Results are recorded in
+SCALING.md (mutual-kNN section) and PERF.md round 9.
+
+Usage: python scripts/mutual_knn_clustered_recall.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+import youtube_trending_data_pipeline_spark.catalog_analysis as ca
+from youtube_trending_data_pipeline_spark.session import get_spark
+
+DIM = 64          # matches testdata embeddings (and the oracle's range(1,65))
+N_CLUSTERS = 20   # semantic clusters; corpus growth adds members, not clusters
+NOISE = 0.35      # within-cluster sigma relative to unit-norm centers
+FIXTURE_ROOT = "/tmp/clustered_knn"
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Deterministic 64-bit mix (public splitmix64 constants) — the
+    repo's no-RNG doctrine: every fixture value is a pure function of
+    its integer coordinates."""
+    x = (x + np.uint64(0x9E3779B97F4A7C15)).astype(np.uint64)
+    x ^= x >> np.uint64(30)
+    x = (x * np.uint64(0xBF58476D1CE4E5B9)).astype(np.uint64)
+    x ^= x >> np.uint64(27)
+    x = (x * np.uint64(0x94D049BB133111EB)).astype(np.uint64)
+    x ^= x >> np.uint64(31)
+    return x
+
+
+def _hash_uniform(tag: int, rows: np.ndarray, cols: np.ndarray) -> np.ndarray:
+    """Uniform [0, 1) from hashed (tag, row, col) coordinates."""
+    key = (
+        np.uint64(tag) * np.uint64(0x100000001B3)
+        + rows.astype(np.uint64)[:, None] * np.uint64(0x10000_0001)
+        + cols.astype(np.uint64)[None, :]
+    )
+    return _splitmix64(key).astype(np.float64) / np.float64(2**64)
+
+
+def _hash_gauss(tag: int, n: int, dim: int) -> np.ndarray:
+    """~N(0, 1) via Irwin-Hall (sum of 12 hashed uniforms minus 6) —
+    deterministic, close enough to Gaussian for a clustering fixture."""
+    rows = np.arange(n, dtype=np.uint64)
+    cols = np.arange(dim, dtype=np.uint64)
+    acc = np.zeros((n, dim), dtype=np.float64)
+    for r in range(12):
+        acc += _hash_uniform(tag * 12 + r + 1, rows, cols)
+    return acc - 6.0
+
+
+def build_fixture(n: int, path: str) -> None:
+    """Mixture of N_CLUSTERS isotropic Gaussians, unit-normalized, with
+    the testdata embeddings schema (vec_id int64, embedding
+    list<float>, label int32 = the true cluster)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    centers = _hash_gauss(101, N_CLUSTERS, DIM)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    # cluster assignment is itself hashed so ids interleave clusters
+    # (pivot seeds = first-n-by-id must not all land in one cluster)
+    label = (
+        _splitmix64(np.arange(n, dtype=np.uint64) + np.uint64(7_777))
+        % np.uint64(N_CLUSTERS)
+    ).astype(np.int64)
+    noise = _hash_gauss(202, n, DIM) * NOISE
+    vecs = centers[label] + noise
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    os.makedirs(path, exist_ok=True)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.array(
+                list(vecs.astype(np.float32)), type=pa.list_(pa.float32())
+            ),
+            "label": pa.array(label.astype(np.int32)),
+        }
+    )
+    pq.write_table(tbl, os.path.join(path, "embeddings.parquet"))
+
+
+def measure(spark, sf_dir: str, label: str) -> dict:
+    exact = (
+        ca._mutual_knn_edges_exact(spark, sf_dir)
+        .where("src < dst")
+        .localCheckpoint()
+    )
+    t0 = time.perf_counter()
+    bucketed = (
+        ca._mutual_knn_edges(spark, sf_dir)
+        .where("src < dst")
+        .localCheckpoint()
+    )
+    n_bucketed = bucketed.count()
+    build_sec = time.perf_counter() - t0
+    n_exact = exact.count()
+    n_common = exact.join(bucketed, ["src", "dst"], "left_semi").count()
+    return {
+        "run": label,
+        "sf_dir": sf_dir,
+        "exact_edges": n_exact,
+        "bucketed_edges": n_bucketed,
+        "common_edges": n_common,
+        "recall": round(n_common / max(n_exact, 1), 4),
+        "bucketed_build_sec": round(build_sec, 2),
+    }
+
+
+def main() -> None:
+    gate_dir = os.path.join(FIXTURE_ROOT, "gate")
+    big_dir = os.path.join(FIXTURE_ROOT, "10x")
+    build_fixture(2_000, gate_dir)
+    build_fixture(20_000, big_dir)
+
+    spark = get_spark(app_name="mutual-knn-clustered-recall")
+    spark.sparkContext.setLogLevel("ERROR")
+    for sf_dir, label in [
+        (gate_dir, "clustered 2k (8 cells — gate scale)"),
+        (big_dir, "clustered 20k (80 cells — 10x scale)"),
+    ]:
+        print(json.dumps(measure(spark, sf_dir, label)), flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -42,15 +42,59 @@ _PEEL_ROUNDS = 20
 # Both engines derive it from COUNT(*), so the oracle replays it.
 _MKNN_CELLS_MIN = 8
 _MKNN_CELL_SIZE = 250
-_MKNN_PROBE = 5     # probe cells per vector (multi-probe recall knob)
-# Each vector is a MEMBER of its top-2 cells (multi-assignment): with
-# single assignment the candidate relation is asymmetric (u sees v but v
-# never sees u), which systematically destroys MUTUAL edges — measured
-# recall jumps 0.69 -> 0.95 at sf0.01 going (probe=5, member=1) ->
-# (probe=5, member=2) on the near-random synthetic embeddings (the
-# adversarial case for any ANN bucketing; clustered production corpora
-# need smaller knobs).
-_MKNN_MEMBER = 2
+_MKNN_PROBE = 5     # probe FLOOR (multi-probe recall knob; see _mknn_knobs)
+# Each vector is a MEMBER of its top-member cells (multi-assignment):
+# with single assignment the candidate relation is asymmetric (u sees v
+# but v never sees u), which systematically destroys MUTUAL edges —
+# measured recall jumps 0.69 -> 0.95 at sf0.01 going (probe=5,
+# member=1) -> (probe=5, member=2) on the near-random synthetic
+# embeddings (the adversarial case for any ANN bucketing).
+_MKNN_MEMBER = 2    # member FLOOR (see _mknn_knobs)
+
+
+def _mknn_knobs(n_cells: int) -> tuple[int, int]:
+    """Corpus-relative (probe, member) schedule — round 9, closing the
+    recall dial the round-8 corpus-relative CELL knob opened.
+
+    Scaling cells alone (n_cells = n/250) drops the per-vector probed
+    fraction ~1/cells, and MEASURED recall vs the exact build collapsed
+    at the 10x replica (20 k vectors, 80 cells): 0.95 -> 0.335 on the
+    near-random testdata embeddings and 0.95 -> 0.406 on a
+    deterministic mixture-of-Gaussians CLUSTERED fixture
+    (scripts/mutual_knn_clustered_recall.py — the r8 verdict asked for
+    the clustered number instead of the asserted 'clustered corpora
+    hold recall', and it does NOT hold: pivots inside a tight cluster
+    are interchangeable, so per-vector pivot ranking is noise-driven
+    and near neighbors land in different cells).
+
+    The schedule holds the probe count at its gate-scale RATIO to
+    sqrt(cells) — probe = ceil(sqrt(25 * cells / 8)) — and the member
+    count at ceil(probe / 5); at the gate cell floor (8 cells) this
+    reproduces (5, 2) bit-for-bit (all three gate SFs have <= 2000
+    vectors -> 8 cells), so gate results are unchanged, and at the 10x
+    replica (80 cells -> probe 16, member 4) MEASURED recall returns to
+    0.938 (clustered) / 0.914 (random) at 18.6 s / 14.9 s vs the exact
+    build's ~40 s (numbers in PERF.md round 9; Lloyd-refined cells were
+    measured too and lose on both axes: 0.61-0.69 recall at ~43 s).
+    Honest cost: member ~ probe/5 keeps the scored candidate fraction
+    ~constant (~probe*member*250/n ~ 5/8), so holding THIS recall on
+    structure-free embeddings costs a constant fraction of all-pairs —
+    that is the information-theoretic price of 0.9+ recall on k-NN
+    graphs over near-random vectors, paid within cells and cheaper
+    than brute force by the constant, never by asymptotics. Corpora
+    whose neighbors concentrate in few cells can lower the schedule;
+    graph_mutual_knn_recall_audit stays the in-gate regression signal.
+
+    Both engines derive the same numbers: this helper on the Spark
+    side (driver-side ints from one bounded count), the nc CTE in
+    _mutual_cte_sql on the oracle side (CEIL/SQRT on doubles is
+    correctly rounded IEEE in both engines; ceil(p/5) is spelled
+    (p + 4) // 5 so it stays pure-integer)."""
+    import math
+
+    probe = max(_MKNN_PROBE, math.ceil(math.sqrt(25 * n_cells / 8)))
+    member = max(_MKNN_MEMBER, (probe + 4) // 5)
+    return probe, member
 
 _QV_SQL = (
     "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000"
@@ -251,18 +295,21 @@ def _mutual_knn_scored(spark, sf_dir):
       vectors by id are the pivot cells (corpus-relative, round 8 —
       see the knob comment above);
     * every vector ranks the pivots by exact quantized int64 dot
-      (ties to the smaller pivot id): ranks 1.._MKNN_MEMBER are its
+      (ties to the smaller pivot id): ranks 1..member are its
       MEMBER cells (multi-assignment — keeps the candidate relation
       near-symmetric, which mutual filtering needs; see the knob
-      comment above), ranks 1.._MKNN_PROBE its PROBED cells
-      (multi-probe — the recall knob);
+      comment above), ranks 1..probe its PROBED cells (multi-probe —
+      the recall knob); probe and member are CORPUS-RELATIVE since
+      round 9 (_mknn_knobs: probe ~ sqrt(cells), member ~ probe/5 —
+      reproduces (5, 2) at the 8-cell gate floor, holds measured
+      recall ~0.92-0.94 at the 10x replica's 80 cells);
     * candidates for u = members of u's probed cells; a (u, v) pair
-      can surface in up to _MKNN_MEMBER cells with the SAME exact
-      dot, so one distinct() collapses the duplicates;
+      can surface in up to `member` cells with the SAME exact dot,
+      so one distinct() collapses the duplicates;
     * per cell, one applyInPandas numpy int64 matmul scores probers
       against members (the semdedup within-cell BLAS doctrine) and
       keeps each prober's per-cell top-_KNN_K by (-dot, neighbor id);
-    * a global per-u window reduces the <= _MKNN_PROBE * _KNN_K
+    * a global per-u window reduces the <= probe * _KNN_K
       survivors to the true candidate top-_KNN_K (top-k of a union is
       the top-k of the per-group top-ks), and the mutual semi-join
       filter is unchanged from the exact build.
@@ -283,6 +330,10 @@ def _mutual_knn_scored(spark, sf_dir):
         _MKNN_CELLS_MIN,
         t(spark, sf_dir, "embeddings").count() // _MKNN_CELL_SIZE,
     )
+    # corpus-relative probe/member schedule (round 9): reproduces
+    # (5, 2) at the 8-cell gate floor, scales with sqrt(cells) past it
+    # — see _mknn_knobs for the measured recall/cost trade.
+    probe, member = _mknn_knobs(n_cells)
     seeds = F.broadcast(
         q.orderBy("vec_id")
         .limit(n_cells)
@@ -303,12 +354,12 @@ def _mutual_knn_scored(spark, sf_dir):
             ),
         )
         .withColumn("cr", F.row_number().over(w_cell))
-        .where(F.col("cr") <= _MKNN_PROBE)
+        .where(F.col("cr") <= probe)
         .select(
             F.col("seed_id").alias("cell"),
             "vec_id",
             "qv",
-            (F.col("cr") <= _MKNN_MEMBER).alias("is_m"),
+            (F.col("cr") <= member).alias("is_m"),
             F.lit(True).alias("is_p"),  # every kept row probes its cell
         )
     )
@@ -380,9 +431,24 @@ def _mutual_cte_sql(
     return f"""q AS MATERIALIZED (
       SELECT vec_id, {_QV_SQL} AS qv FROM embeddings
     ), nc AS MATERIALIZED (
-      SELECT GREATEST({_MKNN_CELLS_MIN},
-                      COUNT(*) // {_MKNN_CELL_SIZE}) AS n_cells
-      FROM q
+      -- corpus-relative cells AND probe/member schedule (round 9):
+      -- probe = ceil(sqrt(25 * cells / 8)) with floor {_MKNN_PROBE},
+      -- member = ceil(probe / 5) as (probe + 4) // 5 with floor
+      -- {_MKNN_MEMBER} — replays _mknn_knobs bit-for-bit (CEIL/SQRT on
+      -- doubles is correctly-rounded IEEE in both engines)
+      SELECT n_cells, probe,
+             GREATEST({_MKNN_MEMBER}, (probe + 4) // 5) AS member
+      FROM (
+        SELECT n_cells,
+               GREATEST({_MKNN_PROBE},
+                        CAST(CEIL(SQRT(CAST(25 * n_cells AS DOUBLE) / 8))
+                             AS BIGINT)) AS probe
+        FROM (
+          SELECT GREATEST({_MKNN_CELLS_MIN},
+                          COUNT(*) // {_MKNN_CELL_SIZE}) AS n_cells
+          FROM q
+        )
+      )
     ), seeds AS MATERIALIZED (
       SELECT vec_id AS seed_id, qv AS seed_qv FROM (
         SELECT vec_id, qv,
@@ -400,8 +466,9 @@ def _mutual_cte_sql(
       SELECT DISTINCT p.vec_id AS u, m.vec_id AS v
       FROM cellrank p
       JOIN cellrank m ON p.seed_id = m.seed_id
-       AND m.cr <= {_MKNN_MEMBER} AND p.cr <= {_MKNN_PROBE}
-      WHERE p.vec_id <> m.vec_id
+      CROSS JOIN nc
+      WHERE m.cr <= nc.member AND p.cr <= nc.probe
+        AND p.vec_id <> m.vec_id
     ), {scored}
     {edge_name} AS MATERIALIZED (
       SELECT a.u AS src, a.v AS dst

@@ -212,6 +212,15 @@ DRIVER_VERIFIED: set[str] = (
 #     entries has held at least one driver CORRECTNESS row.
 PRIORITY_UNCHECKED = [
     "events_cusum_drift",
+    # mutual-kNN probe/member made corpus-relative in round 9
+    # (_mknn_knobs): gate-SF results are bit-identical (all gate SFs sit
+    # at the 8-cell floor where the schedule reproduces (5, 2)), but the
+    # oracle TEXT changed, so the five consumers re-verify:
+    "graph_mutual_knn_recall_audit",
+    "graph_kcore_mutual_knn",
+    "graph_ktruss_mutual_knn",
+    "graph_rich_club",
+    "sim_margin_topk",
 ]
 
 # Round-6 window (VERDICT r5 items 1, 2, 7) — superseded by the round-7
