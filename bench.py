@@ -7,6 +7,15 @@ line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Each query is executed to completion with a count-collapsing action so
 timing covers scan+compute+shuffle, not result transfer to the driver.
+
+``--isolate [N]`` (round 9, VERDICT r8 #6 — bench methodology
+hardening): run every query N times (default 2) and report the MIN, so
+queue-position noise (GC pauses, JIT warm-up of a preceding query,
+shuffle-service contention) cannot masquerade as a per-query
+regression — the false alarm the r7 `ewma_user_value` "2.29x" turned
+out to be. The default single-pass mode stays bit-compatible with the
+driver contract; shared-subset comparisons across rounds should use
+the isolated numbers (PERF.md records them for the top entries).
 """
 
 from __future__ import annotations
@@ -99,6 +108,14 @@ BENCH_QUERIES = [
 
 
 def main() -> None:
+    reps = 1
+    if "--isolate" in sys.argv:
+        i = sys.argv.index("--isolate")
+        reps = (
+            int(sys.argv[i + 1])
+            if len(sys.argv) > i + 1 and sys.argv[i + 1].isdigit()
+            else 2
+        )
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark(app_name="bench")
@@ -113,11 +130,17 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         spec = QUERIES[name]
-        t0 = time.perf_counter()
-        # noop sink executes the full plan on the executors without
-        # collecting rows to the driver
-        spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            # noop sink executes the full plan on the executors without
+            # collecting rows to the driver
+            spec.fn(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -128,6 +151,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                **({"isolate_reps": reps} if reps > 1 else {}),
             }
         )
     )
