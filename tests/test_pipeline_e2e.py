@@ -239,3 +239,62 @@ def test_sendgrid_shaped_sender_payload(spark, tmp_path):
     assert body["from"] == {"email": "reports@example.invalid"}
     assert body["subject"] == "Weekly Trending Report 2025-10-06"
     assert body["content"] == [{"type": "text/html", "value": html}]
+
+
+def test_backfill_matches_per_day_runs(spark, tmp_path):
+    """Round 9 (scale path): run_backfill_ingestion + run_backfill_
+    aggregates over a multi-day bronze directory produce EXACTLY the
+    silver and gold tables the per-day jobs build date by date — one
+    job instead of N, same bytes."""
+    days = [END - dt.timedelta(days=i) for i in range(5)]
+
+    def build(root, runner):
+        cfg = PipelineConfig(
+            bronze_dir=str(tmp_path / "bronze_bf"),
+            videos_dir=str(root / "videos"),
+            channels_dir=str(root / "channels"),
+            insights_dir=str(root / "insights"),
+        )
+        runner(cfg)
+        return cfg
+
+    (tmp_path / "bronze_bf").mkdir()
+    for d in days:
+        (tmp_path / "bronze_bf" / f"{d.isoformat()}.json").write_text(
+            json.dumps(make_day_json())
+        )
+
+    from youtube_trending_data_pipeline_spark.pipeline import (
+        run_backfill_aggregates,
+        run_backfill_ingestion,
+    )
+
+    def daily(cfg):
+        for d in sorted(days):
+            run_daily_ingestion(spark, cfg, d)
+            run_daily_aggregates(spark, cfg, d)
+
+    def backfill(cfg):
+        run_backfill_ingestion(spark, cfg)
+        run_backfill_aggregates(spark, cfg)
+
+    a = build(tmp_path / "per_day", daily)
+    b = build(tmp_path / "bulk", backfill)
+
+    for table in ("videos_dir", "insights_dir"):
+        pa = spark.read.parquet(getattr(a, table))
+        pb = spark.read.parquet(getattr(b, table))
+        cols = sorted(pa.columns)
+        assert sorted(pb.columns) == cols
+        ra = sorted(map(str, pa.select(*cols).collect()))
+        rb = sorted(map(str, pb.select(*cols).collect()))
+        assert ra == rb, table
+
+    # idempotency: re-running the backfill changes nothing
+    run_backfill_ingestion(spark, b)
+    run_backfill_aggregates(spark, b)
+    assert spark.read.parquet(b.videos_dir).count() == 5 * 60
+
+    # weekly report runs unchanged on the backfilled gold
+    report, html = run_weekly_report(spark, b, END)
+    assert [r["region"] for r in report.collect()] == ["DE", "QA", "US"]

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import datetime as dt
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from youtube_trending_data_pipeline_spark.functions.durations import (
@@ -26,16 +26,22 @@ def _count(col):
     return F.coalesce(col.try_cast("long"), F.lit(0))
 
 
-def flatten_videos(items: DataFrame, run_date: dt.date) -> DataFrame:
+def flatten_videos(items: DataFrame, run_date: dt.date | Column) -> DataFrame:
     """(region, item) rows -> ``daily_trending_videos`` silver schema.
 
     ``run_date`` is an explicit parameter — the reference computes it once
     at module import in Asia/Qatar (ing:32-33); injecting it keeps runs
-    deterministic and backfillable.
+    deterministic and backfillable. It may also be a COLUMN (the bulk
+    backfill passes the per-file date from ``read_bronze_days``), so one
+    flatten serves both the daily job and a multi-year single-job
+    backfill.
     """
+    date_expr = (
+        run_date if isinstance(run_date, Column) else F.lit(run_date)
+    )
     return items.select(
         F.col("item.id").alias("id"),
-        F.lit(run_date).cast("date").alias("date"),
+        date_expr.cast("date").alias("date"),
         F.col("item.snippet.categoryId").alias("category_id"),  # stays STRING (ing:168)
         F.col("item.snippet.channelId").alias("channel_id"),
         _count(F.col("item.statistics.commentCount")).alias("comments_count"),

@@ -62,6 +62,53 @@ def read_bronze_day(
     return stacked
 
 
+def read_bronze_days(
+    spark: SparkSession,
+    path_glob: str,
+    regions: list[str] | None = None,
+    strict: bool = False,
+) -> DataFrame:
+    """Bulk multi-day scan: like :func:`read_bronze_day` but ONE pass
+    over a glob of day-files, each row carrying its own ``file_date``
+    (parsed from the ``YYYY-MM-DD.json`` filename) — the backfill path.
+
+    The reference can only backfill by looping its daily DAG run-by-run
+    (one Airflow dagrun per date, dags/trending_daily_ingestion.py:218);
+    here a multi-year backfill is a single Spark job: every day-file is
+    one input task, so a 1000-executor cluster ingests N years with the
+    same code and N-fold parallelism instead of N sequential runs.
+
+    Output: (file_date, region, response).
+    """
+    regions = regions or ["QA", "US", "DE"]
+    schema = StructType([StructField(r, VIDEO_LIST_RESPONSE) for r in regions])
+    raw = (
+        spark.read.schema(schema)
+        .option("multiLine", True)
+        .option("mode", "FAILFAST" if strict else "PERMISSIVE")
+        .json(path_glob)
+        .withColumn(
+            "file_date",
+            F.to_date(
+                F.regexp_extract(
+                    F.input_file_name(), r"(\d{4}-\d{2}-\d{2})\.json", 1
+                )
+            ),
+        )
+    )
+    return raw.select(
+        "file_date",
+        F.explode(
+            F.map_filter(
+                F.create_map(
+                    *[x for r in regions for x in (F.lit(r), F.col(r))]
+                ),
+                lambda _, v: v.isNotNull(),
+            )
+        ).alias("region", "response"),
+    )
+
+
 def region_items(bronze: DataFrame) -> DataFrame:
     """(region, response) -> one row per (region, item) (J4 second explode)."""
     return bronze.select(
