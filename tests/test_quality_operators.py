@@ -485,3 +485,45 @@ def test_gini_equal_and_concentrated(spark, tmp_path):
     assert out["flat"]["gini_ppm"] == 0
     # one-holder concentration: G = (n-1)/n = 7/8 = 875000 ppm
     assert out["conc"]["gini_ppm"] == 875_000
+
+
+def test_compaction_plan_contiguous_target_bins(spark, tmp_path):
+    """Uniform 100-byte files pack ~82 to a bin at the 8192 target;
+    bins are contiguous, disjoint, and cover every file exactly once."""
+    d = str(tmp_path)
+    _write_docs(
+        spark, d, [(i, "x", "en", "s", 100) for i in range(200)]
+    )
+    rows = sorted(
+        QUERIES["maintenance_compaction_plan"].fn(spark, d).collect(),
+        key=lambda r: r["bin_id"],
+    )
+    assert sum(r["n_files"] for r in rows) == 200
+    # exclusive prefix sum: floor(8192/100)+1 = 82 files reach a bin
+    assert rows[0]["n_files"] == 82
+    assert rows[0]["first_file"] == 0 and rows[0]["last_file"] == 81
+    for a, b in zip(rows, rows[1:]):
+        assert b["first_file"] == a["last_file"] + 1  # contiguous ranges
+        assert b["bin_id"] == a["bin_id"] + 1
+
+
+def test_late_interaction_prefers_token_identity(spark, tmp_path):
+    """A candidate sharing ALL of the query's tokens scores the exact
+    self-similarity (every MaxSim term hits its identical vector, and a
+    vector's self-dot is the max possible dot against it); a
+    disjoint-token candidate is never retrieved at rank 1."""
+    d = str(tmp_path)
+    docs = [
+        (0, "alpha beta gamma delta", "en", "s", 22),   # query
+        (3, "alpha beta gamma delta", "en", "s", 22),   # exact copy
+        (4, "alpha beta something else", "en", "s", 25),  # partial
+        (5, "totally disjoint tokens here", "en", "s", 28),
+    ]
+    _write_docs(spark, d, docs)
+    out = QUERIES["sim_late_interaction_topk"].fn(spark, d).collect()
+    by_rank = {r["rank"]: r for r in out if r["query_id"] == 0}
+    assert by_rank[1]["neighbor_id"] == 3
+    # self-score upper-bounds every other candidate's score
+    assert by_rank[1]["maxsim"] >= by_rank[2]["maxsim"]
+    retrieved = {r["neighbor_id"] for r in out}
+    assert 5 not in retrieved  # no shared token -> never a candidate

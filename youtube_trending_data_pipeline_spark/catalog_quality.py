@@ -1761,3 +1761,222 @@ def w_gini_by_group(spark, sf_dir):
                END"""
         ).alias("gini_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Small-file compaction planner (lakehouse table maintenance)
+# ---------------------------------------------------------------------------
+
+_COMPACT_TARGET = 8192  # target compacted size (bytes of the size proxy)
+
+
+@register(
+    "maintenance_compaction_plan",
+    f"""
+    WITH f AS (
+      SELECT doc_id AS file_id, n_chars AS bytes FROM documents
+    ), c AS (
+      SELECT file_id, bytes,
+             COALESCE(SUM(bytes) OVER (
+               ORDER BY file_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+      FROM f
+    )
+    SELECT cb // {_COMPACT_TARGET} AS bin_id,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(bytes) AS BIGINT) AS bin_bytes,
+           MIN(file_id) AS first_file,
+           MAX(file_id) AS last_file
+    FROM c GROUP BY 1
+    """,
+    "Lakehouse table maintenance: small-file compaction planning — the "
+    "job every 100 TB table needs between writes (daily ingestion "
+    "produces one small file per partition per run; query latency dies "
+    "by a thousand file opens). Files (the documents manifest, doc_id "
+    "as file id, n_chars as the size proxy) pack into target-size "
+    "output bins by EXCLUSIVE prefix sum: bin = floor(bytes_before / "
+    "target) — the deterministic, order-preserving formulation of "
+    "greedy first-fit that Iceberg/Delta-style bin-packing planners "
+    "approximate, expressible as ONE window + one aggregate (no "
+    "sequential driver loop; a stateful first-fit would plan the same "
+    "bins except around files larger than the target, which both "
+    "engines place identically here). Order preservation keeps "
+    "locality: each bin is a CONTIGUOUS file range (first/last prove "
+    "it). Scale shape: the input is the MANIFEST (file metadata, "
+    "millions of rows at 100 TB — not data), so the global-order "
+    "window is metadata-scale; the plan's output drives the actual "
+    "rewrite, which is embarrassingly parallel per bin.",
+)
+def maintenance_compaction_plan(spark, sf_dir):
+    files = t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("file_id"), F.col("n_chars").alias("bytes")
+    )
+    w = W.orderBy("file_id").rowsBetween(W.unboundedPreceding, -1)
+    c = files.withColumn(
+        "cb", F.coalesce(F.sum("bytes").over(w), F.lit(0))
+    )
+    return (
+        c.withColumn("bin_id", F.expr(f"cb div {_COMPACT_TARGET}"))
+        .groupBy("bin_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_files"),
+            F.sum("bytes").cast("long").alias("bin_bytes"),
+            F.min("file_id").alias("first_file"),
+            F.max("file_id").alias("last_file"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Late-interaction (ColBERT MaxSim) retrieval over token vectors
+# ---------------------------------------------------------------------------
+
+_LI_TOKENS = 8   # per-doc token vectors kept (document truncation)
+_LI_DIM = 4      # hash-projected token-vector dimension
+_LI_CAND = 30    # candidate pool per query (posting-list overlap rank)
+_LI_K = 3        # results per query
+_LI_QUERIES = 3  # query docs: doc_id < 3
+
+
+def _li_tvs_spark() -> str:
+    dims = " + ".join(
+        f"element_at(qv, {j}) * element_at(dv, {j})"
+        for j in range(1, _LI_DIM + 1)
+    )
+    return dims
+
+
+@register(
+    "sim_late_interaction_topk",
+    f"""
+    WITH tk AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '),
+                         x -> x <> '')[1:{_LI_TOKENS}] AS toks
+      FROM documents
+    ), tvs AS (
+      SELECT doc_id,
+             list_transform(toks, tok -> list_transform(range(1, {_LI_DIM + 1}),
+               j -> (('0x' || substr(md5(tok || '|' || CAST(j AS VARCHAR)),
+                                     1, 8))::BIGINT) % 201 - 100)) AS v
+      FROM tk
+    ), posting AS (
+      SELECT DISTINCT doc_id, unnest(toks) AS tok FROM tk
+    ), cand AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.doc_id AS query_id, d.doc_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.doc_id
+                 ORDER BY COUNT(*) DESC, d.doc_id) AS rn
+        FROM posting q JOIN posting d ON q.tok = d.tok
+        WHERE q.doc_id < {_LI_QUERIES} AND d.doc_id >= {_LI_QUERIES}
+        GROUP BY 1, 2
+      ) WHERE rn <= {_LI_CAND}
+    ), scored AS (
+      SELECT c.query_id, c.neighbor_id,
+             CAST(list_sum(list_transform(qa.v, qv ->
+               list_max(list_transform(da.v, dv ->
+                 qv[1]*dv[1] + qv[2]*dv[2] + qv[3]*dv[3] + qv[4]*dv[4]))))
+               AS BIGINT) AS maxsim
+      FROM cand c
+      JOIN tvs qa ON qa.doc_id = c.query_id
+      JOIN tvs da ON da.doc_id = c.neighbor_id
+    )
+    SELECT query_id, neighbor_id, maxsim, rank FROM (
+      SELECT query_id, neighbor_id, maxsim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY maxsim DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= {_LI_K}
+    """,
+    "Late-interaction retrieval (ColBERT, Khattab & Zaharia 2020): "
+    "MaxSim scoring — score(q, d) = sum over q's token vectors of the "
+    "max dot against d's token vectors — the multi-vector model that "
+    "beats single-vector retrieval on fine-grained matching and is "
+    "exactly what a training-data mining pipeline runs for targeted "
+    "example retrieval. Token vectors are deterministic md5-hash "
+    "projections (dim 4, [-100, 100] ints — the feature_hashing "
+    "doctrine standing in for a learned encoder; all-integer so both "
+    "engines agree bit-for-bit), documents truncate to their first 8 "
+    "tokens, and candidate generation is the INDEX path: posting-list "
+    "overlap rank (top-30 by shared tokens, the impact-ordered pool) "
+    "— MaxSim runs on candidates only, never all pairs, which is the "
+    "production ColBERT architecture (candidate gen from an inverted "
+    "index, exact late interaction on the pool). Scale shape: the "
+    "posting join shuffles (token, id) pairs; scoring is a "
+    "broadcast-sized query join over a bounded pool; per-pair work is "
+    "8x8 4-dim integer dots in map-side HOFs (bounded, not "
+    "quadratic-in-corpus).",
+)
+def sim_late_interaction_topk(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(
+            f"slice(filter(split(lower(text), ' '), x -> x != ''),"
+            f" 1, {_LI_TOKENS})"
+        ).alias("toks"),
+    )
+    tvs = docs.select(
+        "doc_id",
+        F.expr(
+            f"transform(toks, tok -> transform(sequence(1, {_LI_DIM}),"
+            f" j -> cast(conv(substring(md5(concat(tok, '|',"
+            f" cast(j AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+            f" % 201 - 100))"
+        ).alias("v"),
+    )
+    posting = docs.select(
+        "doc_id", F.explode("toks").alias("tok")
+    ).distinct()
+    qp = posting.where(f"doc_id < {_LI_QUERIES}").select(
+        F.col("doc_id").alias("query_id"), "tok"
+    )
+    dp = posting.where(f"doc_id >= {_LI_QUERIES}").select(
+        F.col("doc_id").alias("neighbor_id"), "tok"
+    )
+    w_cand = W.partitionBy("query_id").orderBy(
+        F.desc("shared"), F.asc("neighbor_id")
+    )
+    cand = (
+        qp.join(dp, "tok")
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .withColumn("rn", F.row_number().over(w_cand))
+        .where(F.col("rn") <= _LI_CAND)
+        .select("query_id", "neighbor_id")
+    )
+    scored = (
+        cand.join(
+            F.broadcast(
+                tvs.where(f"doc_id < {_LI_QUERIES}").select(
+                    F.col("doc_id").alias("query_id"),
+                    F.col("v").alias("qvs"),
+                )
+            ),
+            "query_id",
+        )
+        .join(
+            tvs.select(
+                F.col("doc_id").alias("neighbor_id"),
+                F.col("v").alias("dvs"),
+            ),
+            "neighbor_id",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.expr(
+                "aggregate(qvs, 0L, (acc, qv) -> acc +"
+                " array_max(transform(dvs, dv -> "
+                + _li_tvs_spark()
+                + ")))"
+            ).alias("maxsim"),
+        )
+    )
+    w_top = W.partitionBy("query_id").orderBy(
+        F.desc("maxsim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w_top))
+        .where(F.col("rank") <= _LI_K)
+        .select("query_id", "neighbor_id", "maxsim", "rank")
+    )
