@@ -177,6 +177,14 @@ def test_no_accidental_cartesian_anywhere(spark):
     allowed_scalar_bnlj = {
         "q22_dormant_customers",
         "q11_important_parts",
+        # retention_vacuum_plan: 1-row retention-watermark aggregate
+        # (MAX(ts) - 7d) broadcast onto the version manifest —
+        # constant-append, O(n) over metadata-grain rows.
+        "retention_vacuum_plan",
+        # join_bloom_prefilter_audit: the result row is four 1-row count
+        # aggregates appended onto a fifth — pure constant-appends; the
+        # fact table itself is consumed by broadcast hash semi-joins.
+        "join_bloom_prefilter_audit",
         # eval_auc_exact: 1-row (n_pos, n_neg) totals broadcast onto the
         # 1-row pairs-won aggregate — constant-append.
         "eval_auc_exact",

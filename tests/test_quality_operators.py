@@ -527,3 +527,72 @@ def test_late_interaction_prefers_token_identity(spark, tmp_path):
     assert by_rank[1]["maxsim"] >= by_rank[2]["maxsim"]
     retrieved = {r["neighbor_id"] for r in out}
     assert 5 not in retrieved  # no shared token -> never a candidate
+
+
+def test_retention_vacuum_keeps_time_travel_floor(spark, tmp_path):
+    """A user with versions straddling the watermark keeps the newest
+    pre-watermark version (the time-travel floor) and deletes the rest;
+    a user with only fresh versions emits no row."""
+    import datetime
+
+    d = str(tmp_path)
+    base = datetime.datetime(2024, 1, 31)  # becomes MAX(ts)
+    old = lambda days: base - datetime.timedelta(days=days)
+    rows = [
+        # user 1: versions at -20d, -15d, -10d (all pre-watermark), -1d
+        (1, old(20), 1, "v", 0.0, "{}"),
+        (2, old(15), 1, "v", 0.0, "{}"),
+        (3, old(10), 1, "v", 0.0, "{}"),
+        (4, old(1), 1, "v", 0.0, "{}"),
+        # user 2: everything within retention
+        (5, old(2), 2, "v", 0.0, "{}"),
+        (6, old(0), 2, "v", 0.0, "{}"),
+    ]
+    _write_events(spark, d, rows)
+    out = {r["user_id"]: r
+           for r in QUERIES["retention_vacuum_plan"].fn(spark, d).collect()}
+    assert set(out) == {1}
+    r = out[1]
+    assert r["n_versions"] == 4
+    assert r["n_pre_watermark"] == 3
+    assert r["n_deletable"] == 2
+    assert r["floor_event_id"] == 3  # newest pre-watermark version
+
+
+def test_bloom_prefilter_superset_of_exact(spark, tmp_path):
+    """Bloom admission is a SUPERSET of the exact semi-join (no false
+    negatives, by construction) and counts are internally consistent."""
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [(i, 5 if i < 10 else 50) for i in range(200)],
+        "p_partkey long, p_size long",
+    ).write.mode("overwrite").parquet(f"{d}/part.parquet")
+    spark.createDataFrame(
+        [(i % 200,) for i in range(1000)], "l_partkey long"
+    ).write.mode("overwrite").parquet(f"{d}/lineitem.parquet")
+    r = QUERIES["join_bloom_prefilter_audit"].fn(spark, d).collect()[0]
+    assert r["build_keys"] == 10
+    assert r["probe_rows"] == 1000
+    assert r["exact_rows"] == 50  # 10 keys x 5 rows each
+    assert r["bloom_pass_rows"] >= r["exact_rows"]  # no false negatives
+    assert r["bits_set"] <= 2 * r["build_keys"]
+
+
+def test_rate_limit_bucket_admits_and_refills(spark, tmp_path):
+    """Burst of 5 instant events: the full 3-token bucket admits 3,
+    rejects 2; after a 12 h gap (2 refills) the next 3 admit 2."""
+    import datetime
+
+    d = str(tmp_path)
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [(i, t0 + datetime.timedelta(seconds=i), 1, "e", 0.0, "{}")
+            for i in range(5)]
+    later = t0 + datetime.timedelta(hours=12, minutes=1)
+    rows += [(10 + i, later + datetime.timedelta(seconds=i), 1, "e", 0.0,
+              "{}") for i in range(3)]
+    _write_events(spark, d, rows)
+    r = QUERIES["stream_rate_limit_audit"].fn(spark, d).collect()[0]
+    assert r["n_events"] == 8
+    assert r["n_admitted"] == 3 + 2
+    assert r["n_rejected"] == 3
+    assert r["final_tokens"] == 0

@@ -1980,3 +1980,330 @@ def sim_late_interaction_topk(spark, sf_dir):
         .where(F.col("rank") <= _LI_K)
         .select("query_id", "neighbor_id", "maxsim", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Retention vacuum planner (time-travel-safe file deletion)
+# ---------------------------------------------------------------------------
+
+_VAC_RETAIN_US = 7 * 86_400_000_000  # retention window below MAX(ts)
+
+
+@register(
+    "retention_vacuum_plan",
+    f"""
+    WITH ev AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    ), wm AS (
+      SELECT MAX(us) - {_VAC_RETAIN_US} AS wm FROM ev
+    ), old AS (
+      SELECT e.user_id, e.event_id, e.us,
+             ROW_NUMBER() OVER (PARTITION BY e.user_id
+               ORDER BY e.us DESC, e.event_id DESC) AS rn
+      FROM ev e CROSS JOIN wm WHERE e.us < wm.wm
+    ), tot AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_versions
+      FROM ev GROUP BY 1
+    ), pre AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_pre_watermark,
+             CAST(COUNT(*) - 1 AS BIGINT) AS n_deletable,
+             MAX(CASE WHEN rn = 1 THEN event_id END) AS floor_event_id
+      FROM old GROUP BY 1
+    )
+    SELECT t.user_id, t.n_versions, p.n_pre_watermark, p.n_deletable,
+           p.floor_event_id
+    FROM tot t JOIN pre p ON p.user_id = t.user_id
+    """,
+    "Lakehouse table maintenance, part 2 (with "
+    "maintenance_compaction_plan): retention VACUUM planning — which "
+    "file versions a retention policy may delete WITHOUT breaking "
+    "time travel. Events stand in for the per-partition version log "
+    "(user_id = partition, event = a commit's file version); the "
+    "watermark is corpus-relative (MAX(ts) - 7 days — a retention "
+    "POLICY is relative to now, never an absolute date). The rule is "
+    "the Delta/Iceberg one: everything older than the watermark is "
+    "deletable EXCEPT the newest pre-watermark version per partition "
+    "— that one is the time-travel floor (reconstructing the table AS "
+    "OF the watermark needs it). Output per partition: total "
+    "versions, pre-watermark count, deletable count, and the floor "
+    "version id. Plan: one 1-row watermark broadcast append "
+    "(whitelisted constant-append), one per-partition window over the "
+    "pre-watermark slice, two metadata-grain aggregates — the input "
+    "is a version MANIFEST, metadata-scale at 100 TB.",
+)
+def retention_vacuum_plan(spark, sf_dir):
+    ev = (
+        t(spark, sf_dir, "events")
+        .where("ts IS NOT NULL AND user_id IS NOT NULL")
+        .select("user_id", "event_id", F.expr("ts div 1000").alias("us"))
+    )
+    wm = ev.agg(
+        (F.max("us") - F.lit(_VAC_RETAIN_US)).alias("wm")
+    )
+    old = (
+        ev.crossJoin(F.broadcast(wm))
+        .where("us < wm")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("user_id").orderBy(
+                    F.desc("us"), F.desc("event_id")
+                )
+            ),
+        )
+    )
+    tot = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_versions")
+    )
+    pre = old.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pre_watermark"),
+        (F.count(F.lit(1)) - 1).cast("long").alias("n_deletable"),
+        F.max(F.when(F.col("rn") == 1, F.col("event_id"))).alias(
+            "floor_event_id"
+        ),
+    )
+    return tot.join(pre, "user_id").select(
+        "user_id",
+        "n_versions",
+        "n_pre_watermark",
+        "n_deletable",
+        "floor_event_id",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter join-prefilter effectiveness audit (runtime filters)
+# ---------------------------------------------------------------------------
+
+_BLOOM_M = 4096  # bits
+_BLOOM_SIZE_LT = 15  # build-side dim filter: p_size < 15
+
+
+def _bloom_pos(h32: str, s: str, tag: str) -> str:
+    inner = "concat(CAST(" + s + " AS STRING), '" + tag + "')"
+    return "(" + h32.format(s=inner) + ") % " + str(_BLOOM_M)
+
+
+@register(
+    "join_bloom_prefilter_audit",
+    f"""
+    WITH bk AS (
+      SELECT DISTINCT p_partkey AS k FROM part WHERE p_size < {_BLOOM_SIZE_LT}
+    ), bits AS (
+      SELECT DISTINCT pos FROM (
+        SELECT {_H32_DUCK.format(s="CAST(k AS VARCHAR) || 'a'")}
+               % {_BLOOM_M} AS pos FROM bk
+        UNION ALL
+        SELECT {_H32_DUCK.format(s="CAST(k AS VARCHAR) || 'b'")}
+               % {_BLOOM_M} FROM bk
+      )
+    ), pk AS (
+      SELECT DISTINCT l_partkey AS k FROM lineitem
+    ), passing AS (
+      SELECT pk.k FROM pk
+      WHERE {_H32_DUCK.format(s="CAST(pk.k AS VARCHAR) || 'a'")}
+              % {_BLOOM_M} IN (SELECT pos FROM bits)
+        AND {_H32_DUCK.format(s="CAST(pk.k AS VARCHAR) || 'b'")}
+              % {_BLOOM_M} IN (SELECT pos FROM bits)
+    ), exactk AS (
+      SELECT pk.k FROM pk WHERE pk.k IN (SELECT k FROM bk)
+    )
+    SELECT
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM bk) AS build_keys,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM bits) AS bits_set,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS probe_rows,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+        WHERE l_partkey IN (SELECT k FROM passing)) AS bloom_pass_rows,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+        WHERE l_partkey IN (SELECT k FROM exactk)) AS exact_rows
+    """,
+    "Runtime-filter effectiveness audit: how many probe-side rows "
+    "would a k=2, m=4096 Bloom filter of the (filtered) build-side "
+    "join keys admit, vs the exact semi-join — the measurement behind "
+    "Spark's own runtime row-group/bloom filter pushdown, made "
+    "first-class so a pipeline can DECIDE whether shipping a bloom to "
+    "the probe scan is worth it (false-positive rows = bloom_pass - "
+    "exact; at 100 TB the difference is shuffle volume saved vs a "
+    "4 KB broadcast). Deterministic md5 bit positions (the "
+    "feature-hashing doctrine), both hash probes must hit set bits — "
+    "exact set-membership replay on both engines, no probabilistic "
+    "library type. Plan: the bit set and the build keys are "
+    "broadcast-sized (<= m rows); probing is two broadcast semi-joins "
+    "on DISTINCT probe keys, then one broadcast semi-join back onto "
+    "the fact rows — the fact table is scanned once and never "
+    "shuffled.",
+)
+def join_bloom_prefilter_audit(spark, sf_dir):
+    part = (
+        t(spark, sf_dir, "part")
+        .where(f"p_size < {_BLOOM_SIZE_LT}")
+        .select(F.col("p_partkey").alias("k"))
+        .distinct()
+    )
+    h = _H32_SPARK
+    pos_a = _bloom_pos(h, "k", "a")
+    pos_b = _bloom_pos(h, "k", "b")
+    bits = (
+        part.select(F.expr(pos_a).alias("pos"))
+        .unionAll(part.select(F.expr(pos_b).alias("pos")))
+        .distinct()
+    )
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("k")
+    )
+    pk = li.distinct().select(
+        "k",
+        F.expr(pos_a).alias("ha"),
+        F.expr(pos_b).alias("hb"),
+    )
+    passing = pk.join(
+        F.broadcast(bits.withColumnRenamed("pos", "ha")), "ha", "left_semi"
+    ).join(
+        F.broadcast(bits.withColumnRenamed("pos", "hb")), "hb", "left_semi"
+    ).select("k")
+    exactk = pk.select("k").join(F.broadcast(part), "k", "left_semi")
+    c_build = part.agg(F.count(F.lit(1)).cast("long").alias("build_keys"))
+    c_bits = bits.agg(F.count(F.lit(1)).cast("long").alias("bits_set"))
+    c_probe = li.agg(F.count(F.lit(1)).cast("long").alias("probe_rows"))
+    c_pass = li.join(F.broadcast(passing), "k", "left_semi").agg(
+        F.count(F.lit(1)).cast("long").alias("bloom_pass_rows")
+    )
+    c_exact = li.join(F.broadcast(exactk), "k", "left_semi").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_rows")
+    )
+    return (
+        c_build.crossJoin(F.broadcast(c_bits))
+        .crossJoin(F.broadcast(c_probe))
+        .crossJoin(F.broadcast(c_pass))
+        .crossJoin(F.broadcast(c_exact))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token-bucket rate-limit admission audit (per-user sequential fold)
+# ---------------------------------------------------------------------------
+
+_RL_CAP = 3                      # bucket capacity (tokens)
+_RL_REFILL_US = 21_600_000_000   # 1 token per 6 hours
+
+
+@register(
+    "stream_rate_limit_audit",
+    f"""
+    WITH RECURSIVE x AS (
+      SELECT user_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts), event_id) AS rn,
+             epoch_us(ts) AS us
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    ), r AS (
+      SELECT user_id, rn, us,
+             {_RL_CAP} - 1 AS tok, 1 AS adm
+      FROM x WHERE rn = 1
+      UNION ALL
+      SELECT x.user_id, x.rn, x.us,
+             CASE WHEN LEAST({_RL_CAP},
+                             r.tok + (x.us - r.us) // {_RL_REFILL_US}) >= 1
+                  THEN LEAST({_RL_CAP},
+                             r.tok + (x.us - r.us) // {_RL_REFILL_US}) - 1
+                  ELSE LEAST({_RL_CAP},
+                             r.tok + (x.us - r.us) // {_RL_REFILL_US})
+             END,
+             r.adm + CASE WHEN LEAST({_RL_CAP},
+                             r.tok + (x.us - r.us) // {_RL_REFILL_US}) >= 1
+                          THEN 1 ELSE 0 END
+      FROM r JOIN x ON x.user_id = r.user_id AND x.rn = r.rn + 1
+    ), n AS (
+      SELECT user_id, CAST(MAX(rn) AS BIGINT) AS n_events
+      FROM x GROUP BY user_id
+    )
+    SELECT n.user_id, n.n_events,
+           CAST(r.adm AS BIGINT) AS n_admitted,
+           CAST(n.n_events - r.adm AS BIGINT) AS n_rejected,
+           CAST(r.tok AS BIGINT) AS final_tokens
+    FROM n JOIN r ON r.user_id = n.user_id AND r.rn = n.n_events
+    """,
+    "Ingestion admission control: token-bucket rate limiting per key "
+    "(capacity 3, refill 1 token / 6 h in integer micros, bucket "
+    "starts full) — the fold every crawl/API ingestion front-end runs "
+    "(crawl_politeness_schedule plans WHEN to fetch; this audits what "
+    "an enforcement bucket WOULD have admitted on the observed "
+    "arrivals). The recurrence is order-dependent with clamp-and-"
+    "consume state (no window frame expresses min(cap, tok + "
+    "elapsed // refill) followed by conditional decrement), so it "
+    "uses the ewma/CUSUM Arrow shape: ONE shuffle on user_id + "
+    "sortWithinPartitions, a single-pass mapInPandas kernel carrying "
+    "per-user (tokens, admitted, prev_ts) across batches — all "
+    "integer (positive deltas, so // == div), any partitioning "
+    "bit-identical, DuckDB recursive CTE replays the exact fold. At "
+    "100 TB: state is O(keys), rows stream through Arrow once.",
+)
+def stream_rate_limit_audit(spark, sf_dir):
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    ev = (
+        t(spark, sf_dir, "events")
+        .where("ts IS NOT NULL AND user_id IS NOT NULL")
+        .select(
+            "user_id", "event_id", F.expr("ts div 1000").alias("us")
+        )
+    )
+    schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("n_admitted", LongType()),
+            StructField("n_rejected", LongType()),
+            StructField("final_tokens", LongType()),
+        ]
+    )
+    cap, refill = _RL_CAP, _RL_REFILL_US
+
+    def fold(batches):
+        state: dict[int, list[int]] = {}  # user -> [n, tok, adm, prev_us]
+        for pdf in batches:
+            u = pdf["user_id"].to_numpy()
+            if not len(u):
+                continue
+            us = pdf["us"].to_numpy()
+            cuts = np.flatnonzero(u[1:] != u[:-1]) + 1
+            starts = np.concatenate(([0], cuts)).tolist()
+            ends = np.concatenate((cuts, [len(u)])).tolist()
+            for a, b in zip(starts, ends):
+                run = us[a:b].tolist()
+                st = state.get(int(u[a]))
+                if st is None:
+                    st = [0, cap, 0, None]
+                    state[int(u[a])] = st
+                n, tok, adm, prev = st[0], st[1], st[2], st[3]
+                for x in run:
+                    if prev is not None:
+                        tok = min(cap, tok + (x - prev) // refill)
+                    if tok >= 1:
+                        adm += 1
+                        tok -= 1
+                    prev = x
+                st[0] = n + len(run)
+                st[1] = tok
+                st[2] = adm
+                st[3] = prev
+        if state:
+            yield pd.DataFrame(
+                {
+                    "user_id": list(state.keys()),
+                    "n_events": [s[0] for s in state.values()],
+                    "n_admitted": [s[2] for s in state.values()],
+                    "n_rejected": [s[0] - s[2] for s in state.values()],
+                    "final_tokens": [s[1] for s in state.values()],
+                }
+            )
+
+    return (
+        ev.repartition("user_id")
+        .sortWithinPartitions("user_id", "us", "event_id")
+        .mapInPandas(fold, schema=schema)
+    )
