@@ -104,6 +104,11 @@ BENCH_QUERIES = [
     "sim_margin_topk",
     "eval_bootstrap_ci",
     "text_longest_repeated_ngram",
+    # round-9: late-interaction retrieval pins the posting-join candidate
+    # pool + nested-HOF MaxSim; the rate-limit audit pins the carried-
+    # state Arrow fold family's newest member
+    "sim_late_interaction_topk",
+    "stream_rate_limit_audit",
 ]
 
 
