@@ -180,3 +180,39 @@ def test_mutual_knn_entries_on_empty_embeddings(spark, tmp_path):
     assert rows[0]["exact_edges"] == 0
     assert rows[0]["bucketed_edges"] == 0
     assert rows[0]["recall_ppm"] == 0
+
+
+def test_round9_operators_on_empty_inputs(spark, tmp_path):
+    """Round-9 entries on empty tables: compaction/vacuum/rate-limit
+    produce zero rows; the bloom audit's single summary row survives
+    with zero counts; late interaction retrieves nothing."""
+    from youtube_trending_data_pipeline_spark.catalog import (
+        QUERIES,
+        _load_extensions,
+    )
+
+    _load_extensions()
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    spark.createDataFrame(
+        [],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    spark.createDataFrame(
+        [], "p_partkey long, p_size long"
+    ).write.mode("overwrite").parquet(f"{d}/part.parquet")
+    spark.createDataFrame(
+        [], "l_partkey long"
+    ).write.mode("overwrite").parquet(f"{d}/lineitem.parquet")
+
+    assert QUERIES["maintenance_compaction_plan"].fn(spark, d).count() == 0
+    assert QUERIES["sim_late_interaction_topk"].fn(spark, d).count() == 0
+    assert QUERIES["retention_vacuum_plan"].fn(spark, d).count() == 0
+    assert QUERIES["stream_rate_limit_audit"].fn(spark, d).count() == 0
+    r = QUERIES["join_bloom_prefilter_audit"].fn(spark, d).collect()
+    assert len(r) == 1
+    assert r[0]["build_keys"] == 0 and r[0]["bloom_pass_rows"] == 0
