@@ -224,6 +224,76 @@ def _knn_cell_kernel(pdf, k):
 _EXACT_SALTS = 32  # parallelism of the exact build; result-invariant
 
 
+def _pivot_rank_schema():
+    from pyspark.sql.types import (
+        ArrayType,
+        BooleanType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    return StructType(
+        [
+            StructField("cell", LongType()),
+            StructField("vec_id", LongType()),
+            StructField("qv", ArrayType(LongType())),
+            StructField("is_m", BooleanType()),
+            StructField("is_p", BooleanType()),
+        ]
+    )
+
+
+def _pivot_rank_kernel(pdf, probe: int, member: int):
+    """Pivot-assignment kernel (round 9): rank every PROBER vector's
+    pivot cells by (exact integer dot DESC, seed_id ASC) with ONE
+    float64-BLAS matmul per salt group and emit its top-``probe``
+    (cell, vec_id, qv, is_m = rank <= member, is_p) rows.
+
+    Replaces a crossJoin(broadcast seeds) + interpreted zip_with HOF +
+    row_number window: the HOF evaluated n * n_cells * dim closures
+    (~102M at the 10x replica — measured 8.9 s of the 16.9 s candidate
+    build) and the ranking window shuffled n * n_cells rows each
+    carrying the 64-dim vector. Here the vectors shuffle ONCE (salt
+    groups), seeds replicate once per salt (O(P * n_cells) broadcast
+    rows), and ranking is the vectorized _rowwise_topk. Bit-identical
+    output by construction: _exact_int_matmul is exact under the
+    guarded 2^53 precondition and the composite order matches the old
+    window's (cdot DESC, seed_id ASC)."""
+    import numpy as np
+    import pandas as pd
+
+    seeds = pdf[pdf["is_seed"]]
+    pros = pdf[~pdf["is_seed"]]
+    if not len(seeds) or not len(pros):
+        return pd.DataFrame(
+            {"cell": pd.Series(dtype="int64"),
+             "vec_id": pd.Series(dtype="int64"),
+             "qv": pd.Series(dtype="object"),
+             "is_m": pd.Series(dtype="bool"),
+             "is_p": pd.Series(dtype="bool")}
+        )
+    order = np.argsort(seeds["vec_id"].to_numpy(), kind="stable")
+    sids = seeds["vec_id"].to_numpy(dtype=np.int64)[order]
+    S = np.array(list(seeds["qv"]), dtype=np.int64)[order]
+    pids = pros["vec_id"].to_numpy(dtype=np.int64)
+    qvs = list(pros["qv"])
+    V = np.array(qvs, dtype=np.int64)
+    D = _exact_int_matmul(V, S)  # probers x seeds
+    k = min(probe, len(sids))
+    cols = _rowwise_topk(D, sids, k)
+    ranks = np.tile(np.arange(1, k + 1, dtype=np.int64), len(pids))
+    return pd.DataFrame(
+        {
+            "cell": sids[cols.ravel()],
+            "vec_id": np.repeat(pids, k),
+            "qv": [qvs[i] for i in np.repeat(np.arange(len(pids)), k)],
+            "is_m": ranks <= member,
+            "is_p": np.ones(len(pids) * k, dtype=bool),
+        }
+    )
+
+
 def _mutual_knn_edges_exact(spark, sf_dir):
     """EXACT all-pairs mutual-kNN edge list — the labeled correctness
     baseline (the sim_bruteforce_topk doctrine), kept ONLY to audit the
@@ -334,33 +404,35 @@ def _mutual_knn_scored(spark, sf_dir):
     # (5, 2) at the 8-cell gate floor, scales with sqrt(cells) past it
     # — see _mknn_knobs for the measured recall/cost trade.
     probe, member = _mknn_knobs(n_cells)
-    seeds = F.broadcast(
-        q.orderBy("vec_id")
-        .limit(n_cells)
-        .select(
-            F.col("vec_id").alias("seed_id"), F.col("qv").alias("seed_qv")
-        )
+    seeds = q.orderBy("vec_id").limit(n_cells)
+    # salt-group pivot ranking (round 9): probers hash into P groups,
+    # seeds replicate once per group via a bounded broadcast spine, and
+    # one BLAS kernel per group ranks every prober's cells — replacing
+    # a crossJoin + interpreted-zip_with-dot + row_number window whose
+    # ranking shuffle carried n * n_cells 64-dim vector copies
+    # (measured: the old stage alone was 8.9 s of the 16.9 s sf1
+    # candidate build). The salt count only partitions WORK; each
+    # vector's output is a pure function of (qv, seeds), so results
+    # are bit-identical at any parallelism.
+    n_salts = spark.sparkContext.defaultParallelism
+    salts = F.broadcast(
+        spark.range(n_salts).select(F.col("id").cast("int").alias("g"))
     )
-    w_cell = W.partitionBy("vec_id").orderBy(
-        F.desc("cdot"), F.asc("seed_id")
+    probers = q.select(
+        (F.col("vec_id") % n_salts).cast("int").alias("g"),
+        "vec_id",
+        "qv",
+        F.lit(False).alias("is_seed"),
+    )
+    seeds_rep = seeds.crossJoin(salts).select(
+        "g", "vec_id", "qv", F.lit(True).alias("is_seed")
     )
     tagged = (
-        q.crossJoin(seeds)
-        .withColumn(
-            "cdot",
-            F.expr(
-                "aggregate(zip_with(qv, seed_qv, (x, y) -> x * y),"
-                " 0L, (a, x) -> a + x)"
-            ),
-        )
-        .withColumn("cr", F.row_number().over(w_cell))
-        .where(F.col("cr") <= probe)
-        .select(
-            F.col("seed_id").alias("cell"),
-            "vec_id",
-            "qv",
-            (F.col("cr") <= member).alias("is_m"),
-            F.lit(True).alias("is_p"),  # every kept row probes its cell
+        probers.unionByName(seeds_rep)
+        .groupBy("g")
+        .applyInPandas(
+            lambda pdf: _pivot_rank_kernel(pdf, probe, member),
+            schema=_pivot_rank_schema(),
         )
     )
     return (

@@ -683,6 +683,50 @@ _SEMDEDUP_CELL_CAP = 50 * _SEMDEDUP_CELL_SIZE
 _SEMDEDUP_GRAM_BLOCK = 2048
 
 
+def _semdedup_assign_kernel(pdf):
+    """Cell-assignment kernel (round 9): argmin integer squared-L2 of
+    every vector to the seed set, ties to the smaller seed id, via ONE
+    float64-BLAS exact integer matmul per salt group — replacing a
+    crossJoin(broadcast seeds) + interpreted zip_with-d2 HOF +
+    row_number window (the HOF evaluated n * n_cells * dim closures
+    and the window shuffled n * n_cells vector-carrying rows; same fix
+    as the mutual-kNN pivot ranking, catalog_analysis.
+    _pivot_rank_kernel). Seeds sort by id, so numpy's first-minimum
+    argmin IS the (d2 ASC, seed_id ASC) tie rule."""
+    import numpy as np
+    import pandas as pd
+
+    seeds = pdf[pdf["is_seed"]]
+    pros = pdf[~pdf["is_seed"]]
+    if not len(seeds) or not len(pros):
+        return pd.DataFrame(
+            {"_id": pd.Series(dtype="int64"),
+             "cell": pd.Series(dtype="int64"),
+             "_qv": pd.Series(dtype="object")}
+        )
+    order = np.argsort(seeds["_id"].to_numpy(), kind="stable")
+    sids = seeds["_id"].to_numpy(dtype=np.int64)[order]
+    S = np.array(list(seeds["_qv"]), dtype=np.int64)[order]
+    pids = pros["_id"].to_numpy(dtype=np.int64)
+    qvs = list(pros["_qv"])
+    V = np.array(qvs, dtype=np.int64)
+    bound = np.float64(
+        max(np.abs(V).max(initial=0), np.abs(S).max(initial=0))
+    )
+    if bound * bound * V.shape[1] > 2**53:
+        raise ValueError(
+            "semdedup quantized magnitude breaks the exact-dot "
+            "precondition bound^2*dim <= 2^53"
+        )
+    Vf, Sf = V.astype(np.float64), S.astype(np.float64)
+    D = np.rint(Vf @ Sf.T).astype(np.int64)
+    n2v = np.rint((Vf * Vf).sum(axis=1)).astype(np.int64)
+    n2s = np.rint((Sf * Sf).sum(axis=1)).astype(np.int64)
+    d2 = n2v[:, None] + n2s[None, :] - 2 * D
+    j = np.argmin(d2, axis=1)  # first minimum = smallest seed id
+    return pd.DataFrame({"_id": pids, "cell": sids[j], "_qv": qvs})
+
+
 def _semdedup_cell_kernel(pdf, p: int, q: int):
     """Within-cell duplicate-pair kernel: exact integer Gram row-blocks
     via float64 BLAS (every product <= milli_bound^2*dim << 2^53 — the
@@ -810,24 +854,32 @@ def semdedup_keepers(
             f" * {_SEMDEDUP_MILLI} + 0.5) AS BIGINT))"
         ).alias("_qv"),
     )
-    seeds = F.broadcast(
-        qdf.orderBy("_id")
-        .limit(n_cells)
-        .select(F.col("_id").alias("seed_id"), F.col("_qv").alias("seed_qv"))
+    seeds = qdf.orderBy("_id").limit(n_cells)
+    # salt-group argmin-L2 assignment (round 9): one BLAS kernel per
+    # salt group instead of crossJoin + interpreted HOF + window — see
+    # _semdedup_assign_kernel; output is a pure function of
+    # (_qv, seeds), bit-identical at any parallelism.
+    spark = df.sparkSession
+    n_salts = spark.sparkContext.defaultParallelism
+    salts = F.broadcast(
+        spark.range(n_salts).select(F.col("id").cast("int").alias("g"))
     )
-    w = W.partitionBy("_id").orderBy(F.asc("d2"), F.asc("seed_id"))
+    probers = qdf.select(
+        (F.col("_id") % n_salts).cast("int").alias("g"),
+        "_id",
+        "_qv",
+        F.lit(False).alias("is_seed"),
+    )
+    seeds_rep = seeds.crossJoin(salts).select(
+        "g", "_id", "_qv", F.lit(True).alias("is_seed")
+    )
     assigned = (
-        qdf.crossJoin(seeds)
-        .withColumn(
-            "d2",
-            F.expr(
-                "aggregate(zip_with(_qv, seed_qv,"
-                " (x, y) -> (x - y) * (x - y)), 0L, (a, x) -> a + x)"
-            ),
+        probers.unionByName(seeds_rep)
+        .groupBy("g")
+        .applyInPandas(
+            _semdedup_assign_kernel,
+            schema="_id long, cell long, _qv array<bigint>",
         )
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("_id", F.col("seed_id").alias("cell"), "_qv")
         .localCheckpoint(eager=False)
     )
     cells = assigned.select("_id", "cell")
