@@ -78,6 +78,13 @@ def read_bronze_days(
     one input task, so a 1000-executor cluster ingests N years with the
     same code and N-fold parallelism instead of N sequential runs.
 
+    A ``.json`` file whose name does NOT carry a ``YYYY-MM-DD`` date
+    gets ``file_date = NULL`` — its rows are KEPT and land in the null
+    date partition rather than being dropped silently, so a misnamed
+    file is visible in the output instead of vanishing (the pipeline
+    itself always writes date-named files; this only bites foreign
+    files placed in the bronze directory).
+
     Output: (file_date, region, response).
     """
     regions = regions or ["QA", "US", "DE"]
