@@ -403,3 +403,62 @@ def test_poisson_weights_sum_preserves_mean_bounds(seed):
     total = sum(w(u) for u in range(0, 1_000_000, 997))  # stride sample
     mean = total / len(range(0, 1_000_000, 997))
     assert 0.95 < mean < 1.05  # Poisson(1) mean within grid tolerance
+
+
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.integers(min_value=-1000, max_value=1000),
+            min_size=3, max_size=3,
+        ),
+        min_size=1, max_size=10,
+    ),
+    n_seeds=st.integers(min_value=1, max_value=6),
+    probe=st.integers(min_value=1, max_value=6),
+    member=st.integers(min_value=1, max_value=6),
+)
+@settings(max_examples=60, deadline=None)
+def test_pivot_rank_kernel_matches_reference(vecs, n_seeds, probe, member):
+    """The BLAS pivot-ranking kernel emits exactly each prober's
+    top-probe cells by (dot DESC, seed_id ASC) with is_m = rank <=
+    member — checked against a pure-Python reference on arbitrary
+    small integer vectors (seeds = the first n_seeds vectors by id,
+    like the production build)."""
+    import numpy as np
+    import pandas as pd
+
+    from youtube_trending_data_pipeline_spark.catalog_analysis import (
+        _pivot_rank_kernel,
+    )
+
+    n_seeds = min(n_seeds, len(vecs))
+    ids = list(range(100, 100 + len(vecs)))
+    seed_ids = ids[:n_seeds]
+    rows = []
+    for i, v in enumerate(vecs):
+        rows.append((ids[i], np.array(v, dtype=np.int64), False))
+    for j in range(n_seeds):
+        rows.append(
+            (seed_ids[j], np.array(vecs[j], dtype=np.int64), True)
+        )
+    pdf = pd.DataFrame(rows, columns=["vec_id", "qv", "is_seed"])
+    # shuffle rows deterministically so the kernel can't rely on order
+    pdf = pdf.iloc[np.argsort([(i * 7919) % 97 for i in range(len(pdf))],
+                              kind="stable")].reset_index(drop=True)
+    got = _pivot_rank_kernel(pdf, probe, member)
+    got_set = {
+        (r.vec_id, r.cell, bool(r.is_m))
+        for r in got.itertuples()
+    }
+    want = set()
+    for i, v in enumerate(vecs):
+        dots = []
+        for j in range(n_seeds):
+            dots.append(
+                (-sum(a * b for a, b in zip(v, vecs[j])), seed_ids[j])
+            )
+        dots.sort()
+        for r, (_, sid) in enumerate(dots[:probe], start=1):
+            want.add((ids[i], sid, r <= member))
+    assert got_set == want
+    assert (got["is_p"]).all()
