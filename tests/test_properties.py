@@ -462,3 +462,55 @@ def test_pivot_rank_kernel_matches_reference(vecs, n_seeds, probe, member):
             want.add((ids[i], sid, r <= member))
     assert got_set == want
     assert (got["is_p"]).all()
+
+
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.integers(min_value=-1000, max_value=1000),
+            min_size=3, max_size=3,
+        ),
+        min_size=1, max_size=10,
+    ),
+    n_seeds=st.integers(min_value=1, max_value=6),
+)
+@settings(max_examples=60, deadline=None)
+def test_semdedup_assign_kernel_matches_reference(vecs, n_seeds):
+    """The argmin-L2 assignment kernel picks, for every vector, the
+    seed with minimal integer squared distance and the SMALLEST seed
+    id among ties — checked against a pure-Python reference."""
+    import numpy as np
+    import pandas as pd
+
+    from youtube_trending_data_pipeline_spark.operators.dedup import (
+        _semdedup_assign_kernel,
+    )
+
+    n_seeds = min(n_seeds, len(vecs))
+    ids = list(range(100, 100 + len(vecs)))
+    rows = [
+        (ids[i], np.array(v, dtype=np.int64), False)
+        for i, v in enumerate(vecs)
+    ]
+    rows += [
+        (ids[j], np.array(vecs[j], dtype=np.int64), True)
+        for j in range(n_seeds)
+    ]
+    pdf = pd.DataFrame(rows, columns=["_id", "_qv", "is_seed"])
+    pdf = pdf.iloc[np.argsort([(i * 6151) % 89 for i in range(len(pdf))],
+                              kind="stable")].reset_index(drop=True)
+    got = {
+        r._1: r.cell
+        for r in _semdedup_assign_kernel(pdf)
+        .rename(columns={"_id": "_1"})
+        .itertuples()
+    }
+    want = {}
+    for i, v in enumerate(vecs):
+        best = None
+        for j in range(n_seeds):
+            d2 = sum((a - b) * (a - b) for a, b in zip(v, vecs[j]))
+            if best is None or (d2, ids[j]) < best:
+                best = (d2, ids[j])
+        want[ids[i]] = best[1]
+    assert got == want
