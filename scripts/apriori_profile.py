@@ -1,9 +1,15 @@
-"""Round-8 decomposition of apriori_triple_itemsets' sf0.1 -> sf1 residual.
+"""HISTORICAL round-8 decomposition of the RETIRED r7 Apriori structure.
 
-The r7 verdict asked which stage grows super-linear: the per-doc pair
-self-join (quadratic in doc token count) or the i1xi2xi3 triple-support
-re-join.  This times each stage in isolation (forcing materialization
-with a count over the stage output) at sf0.1 and /tmp/sf1 (10x docs).
+The r7 verdict asked which stage of the THEN-current implementation
+(per-doc pair self-join + i1 x i2 x i3 triple-support re-join) grew
+super-linear; this script answered it (the triple-support re-join) and
+motivated the round-8 rewrite (per-doc combination generation from
+broadcast candidate arrays, packed LONG triple keys).  It deliberately
+still profiles the RETIRED join structure so the r8 before/after
+comparison stays reproducible — its stage times do NOT describe the
+shipped `apriori_triple_itemsets` (which runs ~3 s at sf0.1 /
+~14 s at sf1; see PERF.md rounds 8-9 and scripts/scale_check.py for
+the current entry's numbers).
 
 Run: python scripts/apriori_profile.py
 """

@@ -39,6 +39,10 @@ def main():
     mode = sys.argv[1] if len(sys.argv) > 1 else "scaled"
     spark = get_spark(app_name="semdedup-scale")
     spark.sparkContext.setLogLevel("ERROR")
+    # warm the JVM/Arrow path once so the first measured run is not
+    # charged session startup (without this the sf0.1 base reads ~2x
+    # high and the sf1 ratio looks sub-1x)
+    run(spark, "/root/testdata/sf0.1", 8)
     base = run(spark, "/root/testdata/sf0.1", 8)
     print(f"sf0.1 n_cells=8: {base:.2f} s", flush=True)
     if mode in ("scaled", "both"):
