@@ -8,14 +8,16 @@ line: {"metric": ..., "value": total_sec, "unit": "sec",
 Each query is executed to completion with a count-collapsing action so
 timing covers scan+compute+shuffle, not result transfer to the driver.
 
-``--isolate [N]`` (round 9, VERDICT r8 #6 — bench methodology
-hardening): run every query N times (default 2) and report the MIN, so
-queue-position noise (GC pauses, JIT warm-up of a preceding query,
-shuffle-service contention) cannot masquerade as a per-query
-regression — the false alarm the r7 `ewma_user_value` "2.29x" turned
-out to be. The default single-pass mode stays bit-compatible with the
-driver contract; shared-subset comparisons across rounds should use
-the isolated numbers (PERF.md records them for the top entries).
+Round 10 (VERDICT r9 #6 — the r9 driver bench ran CPU-contended and
+reported a uniform phantom 1.4x): the DEFAULT is now min-of-2 reps per
+query, so even a contended run reports the better of two passes and
+queue-position noise (GC pauses, JIT warm-up of a preceding query, a
+co-tenant burning cores) cannot masquerade as a regression — the same
+protocol PERF.md's isolated re-timings use. ``--single`` restores the
+old one-pass mode; ``--isolate N`` raises the rep count. The JSON
+contract is unchanged (one line, same keys; ``reps`` records the
+protocol). Cross-round comparisons should divide per-query times only
+within the same reps protocol — see PERF.md "reading BENCH_rN".
 """
 
 from __future__ import annotations
@@ -113,7 +115,9 @@ BENCH_QUERIES = [
 
 
 def main() -> None:
-    reps = 1
+    reps = 2  # min-of-2 default (VERDICT r9 #6)
+    if "--single" in sys.argv:
+        reps = 1
     if "--isolate" in sys.argv:
         i = sys.argv.index("--isolate")
         reps = (
@@ -156,7 +160,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                **({"isolate_reps": reps} if reps > 1 else {}),
+                "reps": reps,
             }
         )
     )

@@ -2,10 +2,15 @@
 confs — the same environment the external driver uses), at any SF dir.
 
 For every registry entry: run the Spark query; if it has an oracle, run
-the DuckDB SQL too and compare (count + sorted normalized tuples), except
-entries whose ORACLE is known super-linear at large SF (DuckDB recursive
-transitive closures — the Spark side is fine) which fall back to
-rows-only. Prints one JSON line per entry and a final summary line.
+the DuckDB SQL too and compare through PANDAS frames with the shared
+driver-faithful comparator (column names + row count + numeric dtype
+drift + type-tagged value multiset; see
+``youtube_trending_data_pipeline_spark.parity``) — the old DB-API
+``fetchall`` comparison could not see DuckDB HUGEINT → float64 pandas
+promotion (CORRECTNESS_r09's two hash-fails were sweep-green).  Entries
+whose ORACLE is known super-linear at large SF (DuckDB recursive
+transitive closures — the Spark side is fine) fall back to rows-only.
+Prints one JSON line per entry and a final summary line.
 
 Usage: python sweep.py [sf_dir] [resume_file]
 (default sf_dir /root/testdata/sf0.1; with resume_file, entries already
@@ -15,7 +20,6 @@ recorded there are skipped and the new lines can be concatenated)
 from __future__ import annotations
 
 import json
-import math
 import os
 import sys
 import time
@@ -49,23 +53,14 @@ ORACLE_HEAVY = {
 }
 
 
-def _norm(v):
-    if v is None or (isinstance(v, float) and math.isnan(v)):
-        return "NULL"
-    if isinstance(v, float) and v.is_integer():
-        return str(int(v))
-    s = str(v)
-    if s.endswith(" 00:00:00"):
-        s = s[: -len(" 00:00:00")]
-    return s
-
-
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     big_sf = not sf_dir.rstrip("/").endswith(("sf0.001", "sf0.01"))
 
     import duckdb
     from pyspark.sql import SparkSession
+
+    from youtube_trending_data_pipeline_spark.parity import compare_frames
 
     spark = (
         SparkSession.builder.master("local[32]")
@@ -102,26 +97,19 @@ def main() -> None:
         rec = {"q": name}
         try:
             df = qs[name](spark, sf_dir)
-            cols = sorted(df.columns)
-            rows = df.collect()
-            rec["rows"] = len(rows)
             if name in oracles and not (big_sf and name in ORACLE_HEAVY):
-                a = sorted(
-                    tuple(_norm(r[c]) for c in cols) for r in rows
-                )
-                cur = con.execute(oracles[name])
-                dcols = [d[0] for d in cur.description]
-                idx = [dcols.index(c) for c in cols]
-                b = sorted(
-                    tuple(_norm(row[i]) for i in idx)
-                    for row in cur.fetchall()
-                )
-                rec["match"] = a == b
-                if a == b:
-                    exact += 1
-                else:
+                spdf = df.toPandas()
+                rec["rows"] = len(spdf)
+                dpdf = con.execute(oracles[name]).df()
+                problems = compare_frames(spdf, dpdf)
+                rec["match"] = not problems
+                if problems:
+                    rec["why"] = "; ".join(problems)[:300]
                     failed += 1
+                else:
+                    exact += 1
             else:
+                rec["rows"] = df.count()
                 rec["match"] = None
                 rows_only += 1
         except Exception as e:  # noqa: BLE001 - sweep must report, not die

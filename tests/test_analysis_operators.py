@@ -1621,6 +1621,23 @@ def test_huffman_kraft_equality_and_optimality(spark):
     assert {r["tok"] for r in h} == {r["tok"] for r in s}
 
 
+def test_huffman_vocab_cap_raises(spark, monkeypatch):
+    """VERDICT r9 item 5: the driver-side Huffman collect is bounded —
+    a vocabulary past the cap raises loudly on BOTH engines instead of
+    OOMing the driver or silently truncating."""
+    import pytest
+
+    from youtube_trending_data_pipeline_spark import catalog_analysis_series as s
+
+    monkeypatch.setattr(s, "_HUFFMAN_VOCAB_CAP", 3)
+    with pytest.raises(ValueError, match="distinct tokens"):
+        QUERIES["token_huffman_code_audit"].fn(spark, SF).collect()
+    with pytest.raises(ValueError, match="distinct tokens"):
+        s._huffman_oracle(SF)
+    # guard passes at the boundary
+    s._huffman_vocab_guard(3)
+
+
 def test_kappa_perfect_and_chance_extremes(spark):
     """Crafted corpora: identical labelers give kappa = 1e6; a labeler
     pair whose agreement exactly equals chance gives kappa ~ 0."""

@@ -184,6 +184,34 @@ def test_semdedup_groups_identical_vectors(spark):
     assert not out[3]["kept"] and out[3]["rep_id"] == 0
 
 
+def test_semdedup_negative_ids(spark):
+    """ADVICE r9: Spark % keeps the dividend's sign, so a negative
+    user-supplied id salted with `% n_salts` landed in a salt group
+    with no replicated seeds and was silently DROPPED by the
+    assignment kernel — violating the one-row-per-input-vector
+    contract.  pmod keeps every id in a seeded group."""
+    from youtube_trending_data_pipeline_spark.operators.dedup import (
+        semdedup_keepers,
+    )
+
+    rows = [
+        (-7, [1.0, 0.0, 0.0]),
+        (-1, [1.0, 0.0, 0.0]),   # duplicate of -7
+        (0, [0.0, 1.0, 0.0]),
+        (5, [0.99, 0.01, 0.0]),  # near-dup of -7/-1
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {
+        r["vec_id"]: r
+        for r in semdedup_keepers(df, n_cells=2, threshold=0.9).collect()
+    }
+    # one row per input vector, negative ids included
+    assert sorted(out) == [-7, -1, 0, 5]
+    assert out[-7]["kept"] and out[-7]["rep_id"] == -7
+    assert not out[-1]["kept"] and out[-1]["rep_id"] == -7
+    assert out[0]["kept"]
+
+
 def test_semdedup_empty_corpus(spark):
     from youtube_trending_data_pipeline_spark.operators.dedup import (
         semdedup_keepers,

@@ -120,3 +120,46 @@ def test_identifier_clause_binds_table_names(spark):
             "SELECT count(*) AS n FROM IDENTIFIER(:tbl)",
             args={"tbl": "ident_t WHERE 1=0"},
         ).collect()
+
+
+def test_continuation_module_direct_import_raises():
+    """ADVICE r9: importing a registration-order-sensitive continuation
+    module (catalog_analysis_mining / _series) BEFORE catalog_analysis
+    must fail loudly — the circular path would silently reorder QUERIES,
+    which the driver's correctness-window rotation depends on."""
+    import subprocess
+    import sys
+
+    for mod in ("catalog_analysis_mining", "catalog_analysis_series"):
+        code = (
+            "try:\n"
+            f"    import youtube_trending_data_pipeline_spark.{mod}\n"
+            "    print('NO-RAISE')\n"
+            "except ImportError as e:\n"
+            "    print('RAISED' if 'registration-order' in str(e)"
+            " else 'WRONG: ' + str(e))\n"
+        )
+        out = subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True,
+            text=True,
+            cwd="/root/repo",
+        )
+        assert "RAISED" in out.stdout, (mod, out.stdout, out.stderr[-500:])
+
+
+def test_continuation_registration_order_preserved():
+    """Parent-first import (the only allowed path) keeps the historical
+    registration order: ...analysis entries, then batch 2 (mining),
+    then batch 3 (series)."""
+    from youtube_trending_data_pipeline_spark.catalog import (
+        QUERIES,
+        _load_extensions,
+    )
+
+    _load_extensions()
+    names = list(QUERIES)
+    # last pre-split analysis entry < first mining entry < first series
+    assert names.index("consistent_hash_rebalance") < names.index(
+        "encoding_rle_audit"
+    ) < names.index("text_kwic_concordance")

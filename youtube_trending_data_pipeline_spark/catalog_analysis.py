@@ -318,8 +318,10 @@ def _mutual_knn_edges_exact(spark, sf_dir):
     salts = F.broadcast(
         spark.range(_EXACT_SALTS).select(F.col("id").cast("int").alias("cell"))
     )
+    # pmod: % would put a negative id in a seedless salt group (values
+    # identical for the non-negative internal vec_id)
     probers = q.select(
-        (F.col("vec_id") % _EXACT_SALTS).cast("int").alias("cell"),
+        F.pmod(F.col("vec_id"), F.lit(_EXACT_SALTS)).cast("int").alias("cell"),
         "vec_id",
         "qv",
         F.lit(False).alias("is_m"),
@@ -418,8 +420,10 @@ def _mutual_knn_scored(spark, sf_dir):
     salts = F.broadcast(
         spark.range(n_salts).select(F.col("id").cast("int").alias("g"))
     )
+    # pmod: % would put a negative id in a seedless salt group (values
+    # identical for the non-negative internal vec_id)
     probers = q.select(
-        (F.col("vec_id") % n_salts).cast("int").alias("g"),
+        F.pmod(F.col("vec_id"), F.lit(n_salts)).cast("int").alias("g"),
         "vec_id",
         "qv",
         F.lit(False).alias("is_seed"),

@@ -13,11 +13,29 @@ shim there.
 
 from __future__ import annotations
 
-from pyspark.sql import Window as W  # noqa: F401
-from pyspark.sql import functions as F
+import sys as _sys
 
-from youtube_trending_data_pipeline_spark.catalog import register, t
-from youtube_trending_data_pipeline_spark.catalog_analysis import (  # noqa: F401
+# ADVICE r9: this continuation module must only ever be initialized by
+# catalog_analysis's tail import — a DIRECT first import would take the
+# circular path where this module's entries register AFTER batch 3's,
+# silently reordering QUERIES (which the driver's correctness window
+# rotation depends on). Fail loudly instead of reordering silently.
+if (
+    "youtube_trending_data_pipeline_spark.catalog_analysis"
+    not in _sys.modules
+):
+    raise ImportError(
+        "catalog_analysis_mining is a registration-order-sensitive "
+        "continuation of catalog_analysis; import "
+        "youtube_trending_data_pipeline_spark.catalog_analysis (or the "
+        "catalog) instead — it re-exports every public name here"
+    )
+
+from pyspark.sql import Window as W  # noqa: E402,F401
+from pyspark.sql import functions as F  # noqa: E402
+
+from youtube_trending_data_pipeline_spark.catalog import register, t  # noqa: E402
+from youtube_trending_data_pipeline_spark.catalog_analysis import (  # noqa: E402,F401
     _ER_SHIFT_C,
     _H32_DUCK,
     _H32_SPARK,

@@ -14,11 +14,29 @@ shim there.
 
 from __future__ import annotations
 
-from pyspark.sql import Window as W  # noqa: F401
-from pyspark.sql import functions as F
+import sys as _sys
 
-from youtube_trending_data_pipeline_spark.catalog import register, t
-from youtube_trending_data_pipeline_spark.catalog_analysis import (  # noqa: F401
+# ADVICE r9: this continuation module must only ever be initialized by
+# catalog_analysis's tail import — a DIRECT first import would take a
+# circular path that can reorder QUERIES registration (which the
+# driver's correctness window rotation depends on). Fail loudly
+# instead of reordering silently.
+if (
+    "youtube_trending_data_pipeline_spark.catalog_analysis"
+    not in _sys.modules
+):
+    raise ImportError(
+        "catalog_analysis_series is a registration-order-sensitive "
+        "continuation of catalog_analysis; import "
+        "youtube_trending_data_pipeline_spark.catalog_analysis (or the "
+        "catalog) instead — it re-exports every public name here"
+    )
+
+from pyspark.sql import Window as W  # noqa: E402,F401
+from pyspark.sql import functions as F  # noqa: E402
+
+from youtube_trending_data_pipeline_spark.catalog import register, t  # noqa: E402
+from youtube_trending_data_pipeline_spark.catalog_analysis import (  # noqa: E402,F401
     _ABL_MIN_TOK,
     _ER_BAND_C,
     _ER_CLOSE_C,
@@ -1148,6 +1166,26 @@ def er_entity_clusters(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+# Loud cap on the driver-side vocabulary collect (the semdedup cell-cap
+# doctrine, VERDICT r9 item 5): the Huffman build is O(V log V) DRIVER
+# memory/time, correct only while the vocabulary is a bounded dimension
+# (the synthetic corpus has 31 symbols; real subword vocabs are <= 256k).
+# A corpus whose tokenization explodes past the cap must FAIL loudly at
+# the collect, not OOM the driver — raising preserves the entry's EXACT
+# contract (no silent truncation, which would silently change lengths).
+_HUFFMAN_VOCAB_CAP = 4096
+
+
+def _huffman_vocab_guard(n_tokens: int) -> None:
+    if n_tokens > _HUFFMAN_VOCAB_CAP:
+        raise ValueError(
+            f"token_huffman_code_audit: vocabulary has > "
+            f"{_HUFFMAN_VOCAB_CAP} distinct tokens; the driver-side "
+            "Huffman build is for bounded vocabularies — raise "
+            "_HUFFMAN_VOCAB_CAP deliberately or pre-aggregate the tail"
+        )
+
+
 def _huffman_lengths(counts: list[tuple[str, int]]) -> dict[str, int]:
     """Reference Huffman with total deterministic tie-breaking: the heap
     orders by (weight, min-member-token), so equal-weight merges are a
@@ -1189,6 +1227,7 @@ def _huffman_oracle(sf_dir: str | None = None) -> str:
         ) GROUP BY tok
         """
     ).fetchall()
+    _huffman_vocab_guard(len(rows))
     lengths = _huffman_lengths([(t, c) for t, c in rows])
     values = ", ".join(f"('{t}', {l})" for t, l in sorted(lengths.items()))
     return f"""
@@ -1217,7 +1256,10 @@ def _huffman_oracle(sf_dir: str | None = None) -> str:
     "Huffman outside Spark (the _pca_oracle_sql pattern) and verifies "
     "both. Behavioral tests pin the Kraft EQUALITY (sum 2^-L == 1, "
     "which Shannon codes only bound) and optimality <= the Shannon "
-    "audit's weighted bits.",
+    "audit's weighted bits. Round 10: the driver-side collect is "
+    "bounded by a LOUD 4096-token vocab cap on BOTH engines (the "
+    "semdedup cell-cap doctrine) — an exploded vocabulary raises "
+    "instead of OOMing the driver or silently truncating.",
 )
 def token_huffman_code_audit(spark, sf_dir):
     cnt = (
@@ -1226,7 +1268,12 @@ def token_huffman_code_audit(spark, sf_dir):
         .groupBy("tok")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
-    counts = [(r["tok"], r["c"]) for r in cnt.collect()]
+    # bounded collect: fetch at most cap+1 rows so an exploded vocab
+    # raises loudly instead of materializing on the driver (for vocabs
+    # within the cap, limit(cap+1) IS the complete result set)
+    rows = cnt.limit(_HUFFMAN_VOCAB_CAP + 1).collect()
+    _huffman_vocab_guard(len(rows))
+    counts = [(r["tok"], r["c"]) for r in rows]
     lengths = _huffman_lengths(counts)
     hl = spark.createDataFrame(
         sorted(lengths.items()), "tok string, code_bits long"
@@ -2570,11 +2617,11 @@ def _lloyd_explode(q):
     )
 
 
-def _lloyd_seed_cent(q):
-    """Seed centroids from the first _KM_K vectors by id (milli units)."""
+def _lloyd_seed_cent(q, k: int = _KM_K):
+    """Seed centroids from the first ``k`` vectors by id (milli units)."""
     return (
         q.orderBy("vec_id")
-        .limit(_KM_K)
+        .limit(k)
         .select(F.col("vec_id").alias("cid"), "qv")
         .select("cid", F.posexplode("qv").alias("pos0", "cu"))
         .select(
@@ -2637,14 +2684,20 @@ _IVF_PROBE = 3  # cells probed per query
 _IVF_K = 3      # neighbors returned per query
 
 
-def _ivf_lloyd_oracle(n_probe: int = _IVF_PROBE, k: int = _IVF_K) -> str:
+def _ivf_lloyd_oracle(k: int = _IVF_K) -> str:
     """Full-pipeline replay of sim_ivf_topk: the corpus-side Lloyd fit
     (shared _lloyd_rounds_sql fragments), nearest-cell assignment from
     the final round, integer-L2 query probing against the final
     centroids, candidate union over probed cells, exact cosine re-rank
     — the oracle replays which candidates were pruned, not just the
-    final ranking (same doctrine as _ivf_pivot_oracle)."""
-    from youtube_trending_data_pipeline_spark.catalog_ext import _COS_SQL
+    final ranking (same doctrine as _ivf_pivot_oracle). Round 10: the
+    cell count and probe count replay operators.similarity.ivf_knobs
+    from COUNT(*) (nc CTE — corpus-relative, floors reproduce the old
+    fixed (8, 3) at every gate SF)."""
+    from youtube_trending_data_pipeline_spark.catalog_ext import (
+        _COS_SQL,
+        _ivf_knob_cte,
+    )
 
     R = _KM_ROUNDS
     rr = _COS_SQL.format(a="qr.embedding", b="co.embedding")
@@ -2652,11 +2705,16 @@ def _ivf_lloyd_oracle(n_probe: int = _IVF_PROBE, k: int = _IVF_K) -> str:
     WITH q AS MATERIALIZED (
       SELECT vec_id, {_QV_SQL} AS qv, embedding
       FROM embeddings WHERE vec_id >= 5
+    ), nc AS MATERIALIZED (
+      {_ivf_knob_cte("q")}
     ), x AS MATERIALIZED (
       SELECT vec_id, i AS pos, qv[i] AS xu, qv[i] * {_KM_MILLI} AS xm
       FROM q, range(1, 65) t(i)
     ), seeds AS MATERIALIZED (
-      SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT {_KM_K}
+      SELECT vec_id, qv FROM (
+        SELECT vec_id, qv, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
+        FROM q
+      ) r, nc WHERE r.rn <= nc.n_cells
     ), cent0 AS MATERIALIZED (
       SELECT vec_id AS cid, i AS pos, qv[i] * {_KM_MILLI} AS c
       FROM seeds, range(1, 65) t(i)
@@ -2679,7 +2737,7 @@ def _ivf_lloyd_oracle(n_probe: int = _IVF_PROBE, k: int = _IVF_K) -> str:
                ROW_NUMBER() OVER (PARTITION BY query_id
                                   ORDER BY d2, cid) AS rn
         FROM dq
-      ) WHERE rn <= {n_probe}
+      ) p, nc WHERE p.rn <= nc.probe
     ), cand AS (
       SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
       FROM probes p JOIN a{R} a ON a.cid = p.cell
@@ -2702,12 +2760,17 @@ def _ivf_lloyd_oracle(n_probe: int = _IVF_PROBE, k: int = _IVF_K) -> str:
     "IVF ANN (learned cells + n_probe search + exact re-rank), "
     "end-to-end in the EXACT gate — round 8 retires the registry's "
     "one rows-only entry: the cell builder is now the deterministic "
-    "integer-Lloyd kernel (seeded from the first 8 corpus vectors by "
-    "id, 4 fixed all-integer rounds — a pure function of the data, "
-    "where MLlib's KMeans|| init samples per partition and shifts "
-    "with physical layout). Corpus vectors assign to their final "
+    "integer-Lloyd kernel (seeded from the first n_cells corpus "
+    "vectors by id, 4 fixed all-integer rounds — a pure function of "
+    "the data, where MLlib's KMeans|| init samples per partition and "
+    "shifts with physical layout). Round 10: n_cells and n_probe are "
+    "CORPUS-RELATIVE (operators/similarity.ivf_knobs — cells = "
+    "GREATEST(8, n/250), probe ~ sqrt(cells) floor 3, oracle-replayed "
+    "from COUNT(*); floors reproduce the old fixed (8, 3) at every "
+    "gate SF), so candidates/query grows as sqrt(n), not n. Corpus "
+    "vectors assign to their final "
     "nearest centroid (integer milli-L2, ties to the smaller cid), "
-    "queries probe the 3 nearest cells the same way, and candidates "
+    "queries probe their nearest cells the same way, and candidates "
     "get an exact cosine re-rank with (cos DESC, id ASC) tie-break. "
     "The unrolled-CTE oracle replays the ENTIRE index pipeline — "
     "including which candidates were pruned. Scale shape: per-round "
@@ -2722,19 +2785,24 @@ def sim_ivf_topk(spark, sf_dir):
         cosine_similarity,
     )
 
+    from youtube_trending_data_pipeline_spark.operators.similarity import (
+        ivf_knobs,
+    )
+
     emb = t(spark, sf_dir, "embeddings").select(
         "vec_id", F.expr(_QV_SPARK).alias("qv"), "embedding"
     )
     corpus = emb.where(F.col("vec_id") >= 5)
     queries = emb.where(F.col("vec_id") < 5)
+    n_cells, n_probe = ivf_knobs(corpus.count())
     x = _lloyd_explode(corpus).localCheckpoint(eager=False)
-    cent, assign, _ = _lloyd_fit(x, _lloyd_seed_cent(corpus))
+    cent, assign, _ = _lloyd_fit(x, _lloyd_seed_cent(corpus, n_cells))
     cells = assign.select("vec_id", F.col("cid").alias("cell"))
     wq = W.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cid"))
     probes = (
         _lloyd_dists(_lloyd_explode(queries), cent)
         .withColumn("rn", F.row_number().over(wq))
-        .where(F.col("rn") <= _IVF_PROBE)
+        .where(F.col("rn") <= n_probe)
         .select(
             F.col("vec_id").alias("query_id"), F.col("cid").alias("cell")
         )

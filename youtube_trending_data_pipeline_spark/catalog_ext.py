@@ -486,16 +486,37 @@ def sim_lsh_topk(spark, sf_dir):
 # tested in tests/test_extensions.py.
 
 
-def _ivf_pivot_oracle(n_cells: int = 8, n_probe: int = 3, k: int = 3) -> str:
+def _ivf_knob_cte(corpus_cte: str = "corpus") -> str:
+    """Shared nc CTE body replaying operators.similarity.ivf_knobs from
+    COUNT(*) — corpus-relative cells with the probe ~ sqrt(cells)
+    schedule (CEIL/SQRT on doubles is correctly-rounded IEEE in both
+    engines; floors reproduce (8, 3) at every gate SF)."""
+    return f"""
+      SELECT n_cells,
+             GREATEST(3, CAST(CEIL(SQRT(CAST(9 * n_cells AS DOUBLE) / 8))
+                              AS BIGINT)) AS probe,
+             LEAST(256, n_cells) AS ncode
+      FROM (
+        SELECT GREATEST(8, COUNT(*) // 250) AS n_cells FROM {corpus_cte}
+      )"""
+
+
+def _ivf_pivot_oracle(k: int = 3) -> str:
     cs = _COS_SQL.format(a="c.embedding", b="s.seed_vec")
     qs_ = _COS_SQL.format(a="q.embedding", b="s.seed_vec")
     rr = _COS_SQL.format(a="q.embedding", b="co.embedding")
     return f"""
-    WITH seeds AS (
-      SELECT vec_id AS seed_id, embedding AS seed_vec
-      FROM embeddings WHERE vec_id >= 5 ORDER BY vec_id LIMIT {n_cells}
-    ), corpus AS (
+    WITH corpus AS (
       SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 5
+    ), nc AS (
+      -- corpus-relative cells + probe (round 10): replays ivf_knobs
+      {_ivf_knob_cte("corpus")}
+    ), seeds AS (
+      SELECT vec_id AS seed_id, embedding AS seed_vec FROM (
+        SELECT vec_id, embedding,
+               ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
+        FROM corpus
+      ) r, nc WHERE r.rn <= nc.n_cells
     ), q AS (
       SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 5
     ), cells AS (
@@ -511,7 +532,7 @@ def _ivf_pivot_oracle(n_cells: int = 8, n_probe: int = 3, k: int = 3) -> str:
                ROW_NUMBER() OVER (PARTITION BY q.query_id
                                   ORDER BY {qs_} DESC, s.seed_id ASC) AS rn
         FROM q, seeds s
-      ) WHERE rn <= {n_probe}
+      ) p, nc WHERE p.rn <= nc.probe
     ), cand AS (
       SELECT DISTINCT p.query_id, c.vec_id AS neighbor_id
       FROM probes p JOIN cells c ON c.cell = p.cell
@@ -532,13 +553,18 @@ def _ivf_pivot_oracle(n_cells: int = 8, n_probe: int = 3, k: int = 3) -> str:
     "sim_ivf_pivot_topk",
     _ivf_pivot_oracle(),
     "IVF ANN with deterministic pivot cells, end-to-end in the EXACT "
-    "gate: cell build (argmax-cosine assignment to 8 pivot vectors), "
-    "3-cell probing, and exact re-rank are all pure functions of the "
-    "data, so the oracle replays the ENTIRE index pipeline — including "
-    "which candidates were pruned — not just the final ranking. "
+    "gate: cell build (argmax-cosine assignment to the pivot vectors), "
+    "multi-cell probing, and exact re-rank are all pure functions of "
+    "the data, so the oracle replays the ENTIRE index pipeline — "
+    "including which candidates were pruned — not just the final "
+    "ranking. Round 10: cells and probe are CORPUS-RELATIVE "
+    "(operators/similarity.ivf_knobs — cells = GREATEST(8, n/250), "
+    "probe ~ sqrt(cells) with floor 3, both replayed by the oracle "
+    "from COUNT(*)), so candidates/query grows as sqrt(n) instead of "
+    "n; the floors reproduce the old fixed (8, 3) at every gate SF. "
     "Complements sim_ivf_topk (learned KMeans cells, better recall per "
     "probe, but KMeans|| init depends on physical partitioning, hence "
-    "rows-only + recall tests there).",
+    "the integer-Lloyd build there).",
 )
 def sim_ivf_pivot_topk(spark, sf_dir):
     emb = t(spark, sf_dir, "embeddings")
@@ -546,8 +572,9 @@ def sim_ivf_pivot_topk(spark, sf_dir):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     corpus = emb.where(F.col("vec_id") >= 5)
+    n_cells, n_probe = sim.ivf_knobs(corpus.count())
     return sim.ivf_pivot_topk(
-        corpus, queries, k=3, n_cells=8, n_probe=3
+        corpus, queries, k=3, n_cells=n_cells, n_probe=n_probe
     ).orderBy("query_id", "rank")
 
 
@@ -1479,10 +1506,19 @@ def embedding_quantize_int8(spark, sf_dir):
              CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000 + 0.5)
                   AS BIGINT) AS q
       FROM embeddings, (SELECT unnest(range(1, 65)) AS i)
+    ), nc AS (
+      -- corpus-relative codebook, capped at 256 (8-bit PQ): replays
+      -- operators.similarity.pq_codebook_size from COUNT(*)
+      SELECT LEAST(256, GREATEST(8, COUNT(*) // 250)) AS ncode
+      FROM embeddings
     ), cent AS (
       SELECT vec_id AS centroid_id, sub, j, q
       FROM comps
-      WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)
+      WHERE vec_id IN (
+        SELECT vec_id FROM (
+          SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
+          FROM embeddings
+        ) r, nc WHERE r.rn <= nc.ncode)
     ), scored AS (
       SELECT c.vec_id, c.sub, ct.centroid_id,
              SUM((c.q - ct.q) * (c.q - ct.q)) AS dist
@@ -1500,9 +1536,13 @@ def embedding_quantize_int8(spark, sf_dir):
     "Product-quantization encoding (PQ codes, the ANN storage ladder's "
     "last rung after int8 scalar quantization): each 64-dim vector "
     "splits into 4 subspaces of 16 components; per subspace the "
-    "codebook is the sub-vectors of the 8 smallest vec_ids "
-    "(deterministic auditable pivots, same policy as sim_ivf_pivot_"
-    "topk — learned KMeans codebooks are partition-layout-dependent), "
+    "codebook is the sub-vectors of the smallest vec_ids — "
+    "CORPUS-RELATIVE size LEAST(256, GREATEST(8, n/250)) since round "
+    "10 (operators/similarity.pq_codebook_size, oracle-replayed from "
+    "COUNT(*); the 256 cap is the 8-bit-PQ doctrine, keeping encode "
+    "cost linear) — deterministic auditable pivots, same policy as "
+    "sim_ivf_pivot_topk (learned KMeans codebooks are "
+    "partition-layout-dependent), "
     "and assignment minimizes EXACT integer squared L2 distance at "
     "1e-4 quantization with smallest-centroid tie-break. Plan: the "
     "m x n_centroids codebook broadcasts, sub-vector rows stream "
@@ -1512,10 +1552,12 @@ def embedding_quantize_int8(spark, sf_dir):
 )
 def embedding_pq_encode(spark, sf_dir):
     from youtube_trending_data_pipeline_spark.operators.similarity import (
+        pq_codebook_size,
         pq_encode,
     )
 
-    return pq_encode(t(spark, sf_dir, "embeddings"))
+    emb = t(spark, sf_dir, "embeddings")
+    return pq_encode(emb, n_centroids=pq_codebook_size(emb.count()))
 
 
 def _pagerank_oracle(iterations: int = 5) -> str:
@@ -5169,10 +5211,18 @@ def w_pattern_v_shape(spark, sf_dir):
       FROM embeddings, (SELECT unnest(range(1, 65)) AS i)
     ), corpus AS (
       SELECT * FROM comps WHERE vec_id >= 5
+    ), nc AS (
+      -- corpus-relative codebook, capped at 256 (8-bit PQ): replays
+      -- operators.similarity.pq_codebook_size from COUNT(*)
+      SELECT LEAST(256, GREATEST(8, COUNT(*) // 250)) AS ncode
+      FROM embeddings WHERE vec_id >= 5
     ), cent AS (
       SELECT vec_id AS centroid_id, sub, j, q FROM corpus
-      WHERE vec_id IN (SELECT vec_id FROM embeddings
-                       WHERE vec_id >= 5 ORDER BY vec_id LIMIT 8)
+      WHERE vec_id IN (
+        SELECT vec_id FROM (
+          SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
+          FROM embeddings WHERE vec_id >= 5
+        ) r, nc WHERE r.rn <= nc.ncode)
     ), code_scored AS (
       SELECT c.vec_id, c.sub, ct.centroid_id,
              SUM((c.q - ct.q) * (c.q - ct.q)) AS dist
@@ -5215,7 +5265,12 @@ def w_pattern_v_shape(spark, sf_dir):
     "(4 small ints — the 16x-compressed representation; raw corpus "
     "vectors never stream through the search). Top-3 per query, ties "
     "to the smaller id. Oracle replays codebook build, encoding, "
-    "table build, and ranking end to end on integer grids. Plan: "
+    "table build, and ranking end to end on integer grids. Round 10: "
+    "the codebook is CORPUS-RELATIVE capped at 256 entries "
+    "(operators/similarity.pq_codebook_size, replayed by the oracle "
+    "from COUNT(*)) — growth stops at the 8-bit-code cap, so encode "
+    "cost stays linear in the corpus; the floor reproduces the old "
+    "fixed 8 at every gate SF. Plan: "
     "codes scan + broadcast table join + one (query, neighbor) "
     "reduce + k-bounded window.",
 )
@@ -5225,7 +5280,10 @@ def sim_pq_adc_topk(spark, sf_dir):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     corpus = emb.where(F.col("vec_id") >= 5)
-    return sim.pq_adc_topk(corpus, queries, k=3).orderBy("query_id", "rank")
+    ncode = sim.pq_codebook_size(corpus.count())
+    return sim.pq_adc_topk(
+        corpus, queries, k=3, n_centroids=ncode
+    ).orderBy("query_id", "rank")
 
 
 def _minhash_est_oracle(
@@ -5552,15 +5610,25 @@ def retrieval_hybrid_rrf(spark, sf_dir):
     )
 
 
-def _ivfadc_oracle(n_probe: int = 3, k: int = 3) -> str:
+def _ivfadc_oracle(k: int = 3) -> str:
     """Replay of IVFADC end to end: pivot-cell assignment and probing
     (cosine argmax, _COS_SQL), PQ encoding (integer grids), per-query
-    distance tables, cell-pruned candidate ADC ranking."""
+    distance tables, cell-pruned candidate ADC ranking. Round 10: the
+    coarse cells + probe count replay ivf_knobs and the PQ codebook
+    (the first ncode = LEAST(256, n_cells) seeds) replays
+    pq_codebook_size, all from COUNT(*)."""
     cos_seed = _COS_SQL.format(a="v.embedding", b="s.embedding")
     return f"""
-    WITH seeds AS (
-      SELECT vec_id AS seed_id, embedding FROM embeddings
-      WHERE vec_id >= 5 ORDER BY vec_id LIMIT 8
+    WITH cor AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 5
+    ), nc AS (
+      {_ivf_knob_cte("cor")}
+    ), seeds AS (
+      SELECT vec_id AS seed_id, embedding, rn FROM (
+        SELECT vec_id, embedding,
+               ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
+        FROM cor
+      ) r, nc WHERE r.rn <= nc.n_cells
     ), cells AS (
       SELECT vec_id, seed_id AS cell FROM (
         SELECT v.vec_id, s.seed_id,
@@ -5576,7 +5644,7 @@ def _ivfadc_oracle(n_probe: int = 3, k: int = 3) -> str:
                                   ORDER BY {cos_seed} DESC, s.seed_id)
                  AS rn
         FROM embeddings v, seeds s WHERE v.vec_id < 5
-      ) WHERE rn <= {n_probe}
+      ) p, nc WHERE p.rn <= nc.probe
     ), comps AS (
       SELECT vec_id, CAST((i - 1) // 16 AS INTEGER) AS sub,
              (i - 1) % 16 AS j,
@@ -5585,7 +5653,8 @@ def _ivfadc_oracle(n_probe: int = 3, k: int = 3) -> str:
       FROM embeddings, (SELECT unnest(range(1, 65)) AS i)
     ), cent AS (
       SELECT vec_id AS centroid_id, sub, j, q FROM comps
-      WHERE vec_id IN (SELECT seed_id FROM seeds)
+      WHERE vec_id IN (SELECT seed_id FROM seeds, nc
+                       WHERE seeds.rn <= nc.ncode)
     ), code_scored AS (
       SELECT c.vec_id, c.sub, ct.centroid_id,
              SUM((c.q - ct.q) * (c.q - ct.q)) AS dist
@@ -5632,14 +5701,16 @@ def _ivfadc_oracle(n_probe: int = 3, k: int = 3) -> str:
     _ivfadc_oracle(),
     "IVFADC in the exact gate — the capstone of the ANN ladder and the "
     "architecture FAISS ships as its default billion-scale index "
-    "(Jegou et al., PAMI'11): IVF pivot-cell pruning (queries probe "
-    "their 3 closest of 8 deterministic cells) composed with PQ "
+    "(Jegou et al., PAMI'11): IVF pivot-cell pruning composed with PQ "
     "asymmetric-distance ranking over the pruned candidates, reading "
     "ONLY the 16x-compressed code table. Both halves are the "
     "auditable deterministic variants (sim_ivf_pivot_topk's cells, "
     "embedding_pq_encode's codebook), so the oracle replays the "
     "ENTIRE index build + search: cell argmax, PQ encoding, distance "
-    "tables, pruned ADC ranking, k=3 with id tie-break.",
+    "tables, pruned ADC ranking, k=3 with id tie-break. Round 10: "
+    "cells/probe/codebook are CORPUS-RELATIVE (ivf_knobs + "
+    "pq_codebook_size, oracle-replayed from COUNT(*)); floors "
+    "reproduce the old fixed (8, 3, 8) at every gate SF.",
 )
 def sim_ivfadc_topk(spark, sf_dir):
     emb = t(spark, sf_dir, "embeddings")
@@ -5647,7 +5718,15 @@ def sim_ivfadc_topk(spark, sf_dir):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     corpus = emb.where(F.col("vec_id") >= 5)
-    return sim.ivfadc_topk(corpus, queries, k=3).orderBy("query_id", "rank")
+    n_cells, n_probe = sim.ivf_knobs(corpus.count())
+    return sim.ivfadc_topk(
+        corpus,
+        queries,
+        k=3,
+        n_cells=n_cells,
+        n_probe=n_probe,
+        n_centroids=min(256, n_cells),
+    ).orderBy("query_id", "rank")
 
 
 @register(

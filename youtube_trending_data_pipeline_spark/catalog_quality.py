@@ -1452,8 +1452,9 @@ def _kcenter_oracle() -> str:
     d{r} AS MATERIALIZED (
       SELECT d.vec_id, d.qv,
              LEAST(d.mind,
-                   list_sum(list_transform(list_zip(d.qv, c.qv),
-                            pr -> (pr[1] - pr[2]) * (pr[1] - pr[2]))))
+                   CAST(list_sum(list_transform(list_zip(d.qv, c.qv),
+                            pr -> (pr[1] - pr[2]) * (pr[1] - pr[2])))
+                        AS BIGINT))
                AS mind
       FROM d{r - 1} d, c{r} c
     )""")
@@ -1468,12 +1469,14 @@ def _kcenter_oracle() -> str:
       SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT 1
     ), d1 AS MATERIALIZED (
       SELECT q.vec_id, q.qv,
-             list_sum(list_transform(list_zip(q.qv, c.qv),
-                      pr -> (pr[1] - pr[2]) * (pr[1] - pr[2]))) AS mind
+             CAST(list_sum(list_transform(list_zip(q.qv, c.qv),
+                      pr -> (pr[1] - pr[2]) * (pr[1] - pr[2])))
+                  AS BIGINT) AS mind
       FROM q, c1 c
     ),
     {','.join(steps)}
-    SELECT center_rank, vec_id, mind AS sel_dist FROM (
+    SELECT CAST(center_rank AS BIGINT) AS center_rank, vec_id,
+           CAST(mind AS BIGINT) AS sel_dist FROM (
       SELECT 1 AS center_rank, vec_id, CAST(0 AS BIGINT) AS mind FROM c1
       UNION ALL
 {sel}
@@ -1782,7 +1785,7 @@ _COMPACT_TARGET = 8192  # target compacted size (bytes of the size proxy)
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
       FROM f
     )
-    SELECT cb // {_COMPACT_TARGET} AS bin_id,
+    SELECT CAST(cb // {_COMPACT_TARGET} AS BIGINT) AS bin_id,
            CAST(COUNT(*) AS BIGINT) AS n_files,
            CAST(SUM(bytes) AS BIGINT) AS bin_bytes,
            MIN(file_id) AS first_file,

@@ -864,8 +864,11 @@ def semdedup_keepers(
     salts = F.broadcast(
         spark.range(n_salts).select(F.col("id").cast("int").alias("g"))
     )
+    # pmod, not %: Spark % keeps the dividend's sign, so a negative
+    # user-supplied id would land in a salt group with no replicated
+    # seeds and be silently dropped by the assignment kernel
     probers = qdf.select(
-        (F.col("_id") % n_salts).cast("int").alias("g"),
+        F.pmod(F.col("_id"), F.lit(n_salts)).cast("int").alias("g"),
         "_id",
         "_qv",
         F.lit(False).alias("is_seed"),

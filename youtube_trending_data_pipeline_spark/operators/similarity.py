@@ -28,6 +28,53 @@ from youtube_trending_data_pipeline_spark.functions.vectors import cosine_simila
 # weights keep |product| * 1e9 far below 2^63 / dim.)
 _QUANT = 1_000_000_000.0
 
+# Corpus-relative IVF retrieval knobs (round 10, closing PERF.md's r9
+# handoff item): a FIXED cell count means candidates/query grows as
+# n/cells — linear, but an ever-larger constant. The same doctrine as
+# the mutual-kNN build (catalog_analysis._mknn_knobs):
+#   cells = GREATEST(8, n // 250)   — holds expected cell size at ~250,
+#   probe = GREATEST(3, CEIL(SQRT(9 * cells / 8)))
+#           — holds probe at its gate-scale RATIO to sqrt(cells)
+#             (3/sqrt(8)), so candidates/query grows as sqrt(n), not n.
+# Floors reproduce today's values at every gate SF (<= 2000 vectors ->
+# 8 cells, 3 probes — results bit-identical), and both engines derive
+# the numbers from COUNT(*) so the oracles replay them.
+_IVF_CELLS_MIN = 8
+_IVF_CELL_SIZE = 250
+_IVF_PROBE_MIN = 3
+# PQ codebooks grow with the corpus only up to the 8-bit cap — a FIXED
+# 256-entry codebook per subspace is the point of PQ at scale (one byte
+# per code, encode cost <= 256 * n * d — linear in n; a codebook that
+# kept growing as n/250 would make encoding quadratic).
+PQ_CODEBOOK_CAP = 256
+
+
+def ivf_knobs(n_corpus: int) -> tuple[int, int]:
+    """Corpus-relative (n_cells, n_probe) for the IVF retrieval family.
+
+    Mirrors catalog_analysis._mknn_knobs: cells hold expected cell size
+    at ~250 vectors; probe holds its gate-scale ratio to sqrt(cells).
+    At the 8-cell floor this reproduces (8, 3) bit-for-bit (ceil(sqrt(9))
+    == 3), so all gate-SF results are unchanged; at the 10x replica
+    (20 k vectors -> 80 cells) it gives probe 10. CEIL/SQRT on doubles
+    is correctly-rounded IEEE in both engines, so the oracle-side nc
+    CTE replays the same integers from COUNT(*)."""
+    import math
+
+    cells = max(_IVF_CELLS_MIN, n_corpus // _IVF_CELL_SIZE)
+    probe = max(_IVF_PROBE_MIN, math.ceil(math.sqrt(9 * cells / 8)))
+    return cells, probe
+
+
+def pq_codebook_size(n_corpus: int) -> int:
+    """Corpus-relative PQ codebook size, capped at 256 (8-bit codes —
+    the FAISS-shipping PQ configuration): LEAST(256, GREATEST(8,
+    n // 250)). Reproduces 8 at every gate SF; the cap keeps encode
+    cost linear in the corpus."""
+    return min(
+        PQ_CODEBOOK_CAP, max(_IVF_CELLS_MIN, n_corpus // _IVF_CELL_SIZE)
+    )
+
 
 def ivf_pivot_topk(
     corpus: DataFrame,

@@ -188,6 +188,31 @@ DRIVER_VERIFIED_R08 = [
     "zonemap_skip_stats",
 ]
 
+# Keys present in CORRECTNESS_r09.json (driver gate, round 9): 48/50 green;
+# the 2 hash-fail rows (sample_kcenter_coreset, maintenance_compaction_plan)
+# were DuckDB HUGEINT→float64 oracle TYPING (values verified identical by
+# the r9 judge) — oracles CAST to BIGINT in round 10 and both re-pinned
+# first in PRIORITY_UNCHECKED below.
+DRIVER_VERIFIED_R09 = [
+    "blocklist_term_audit", "budget_knapsack_optimal", "cache_static_hitrate_curve",
+    "corpus_temperature_mix", "decayed_value_sum", "dq_chi2_independence",
+    "dq_luhn_checksum", "drift_tv_distance", "er_entity_clusters",
+    "er_sorted_neighborhood", "eval_auc_exact", "eval_bootstrap_ci",
+    "eval_brier_ece", "eval_cohens_kappa", "eval_mcc",
+    "eval_rouge_n", "eval_spearman_rho", "events_cusum_drift",
+    "funnel_time_to_convert", "graph_degree_assortativity", "graph_kcore_mutual_knn",
+    "graph_ktruss_mutual_knn", "graph_mutual_knn_recall_audit", "graph_rich_club",
+    "haar_transform_daily", "interarrival_percentiles", "join_bloom_prefilter_audit",
+    "maintenance_compaction_plan", "metric_jackknife_cohorts", "optimal_stopping_audit",
+    "pooled_screening_dorfman", "privacy_t_closeness", "retention_vacuum_plan",
+    "s5_scan_project", "s6_scan_filter_eq", "sample_kcenter_coreset",
+    "seq_lis_length", "session_max_concurrency", "sim_late_interaction_topk",
+    "sim_margin_topk", "simpson_paradox_audit", "sketch_ams_f2",
+    "sketch_fm_rho_max", "source_token_jaccard", "stream_rate_limit_audit",
+    "text_longest_repeated_ngram", "token_huffman_code_audit", "tokenizer_oov_audit",
+    "w_gini_by_group", "weekday_profile",
+]
+
 DRIVER_VERIFIED: set[str] = (
     set(DRIVER_VERIFIED_R01)
     | set(DRIVER_VERIFIED_R02_R03)
@@ -196,26 +221,44 @@ DRIVER_VERIFIED: set[str] = (
     | set(DRIVER_VERIFIED_R06)
     | set(DRIVER_VERIFIED_R07)
     | set(DRIVER_VERIFIED_R08)
+    | set(DRIVER_VERIFIED_R09)
 )
 
-# Round-9 window (VERDICT r8 item 1: close the driver-row lag to zero):
-#   * pinned: entries whose ORACLE changes in round 9 —
-#     events_cusum_drift gains the `value IS NOT NULL AND user_id IS NOT
-#     NULL` filter on BOTH engines (ADVICE r8 item 4);
-#   * then the remaining 38 never-driver-checked entries (the late-r7/r8
-#     eval/DQ tail: haar_transform_daily ... w_gini_by_group) need no
-#     pinning — tier 2 rotates them in registration order.  39 < 50, so
-#     the window's last ~11 slots fall to tier 3 = the OLDEST
-#     r1-verified entries (s5_scan_project, s6_scan_filter_eq, ...) in
-#     registration order as staleness re-checks, exactly as VERDICT r8
-#     prescribed.  After this round every one of the 370 registry
-#     entries has held at least one driver CORRECTNESS row.
+# Round-10 window (VERDICT r9 items 1, 3, 4):
+#   * FIRST: the two round-9 hash-fails, re-pinned after their oracles
+#     gained CAST(... AS BIGINT) (DuckDB HUGEINT promotion rendered
+#     float64 through .df() where Spark emits long; values were verified
+#     identical by the r9 judge — typing only);
+#   * then the six IVF/PQ retrieval entries whose ORACLE TEXT changed
+#     when cells/probe/codebook became corpus-relative (VERDICT r9 item
+#     4 — ivf_knobs / pq_codebook_size, replayed from COUNT(*) in nc
+#     CTEs; gate-SF results are bit-identical since every gate SF sits
+#     at the (8, 3, 8) floor; sim_pq_recall_audit composes
+#     sim_pq_adc_topk's oracle so its text changed too);
+#   * remaining ~42 slots fall to tier 3 = stalest driver rows
+#     (r1-verified entries not re-checked since) in registration order.
 PRIORITY_UNCHECKED = [
+    "sample_kcenter_coreset",
+    "maintenance_compaction_plan",
+    "sim_ivf_pivot_topk",
+    "sim_ivf_topk",
+    "sim_pq_adc_topk",
+    "sim_ivfadc_topk",
+    "sim_pq_recall_audit",
+    "embedding_pq_encode",
+]
+
+# Round-9 window — superseded by the round-10 list above, kept for the
+# audit trail (VERDICT r8 item 1: close the driver-row lag to zero):
+#   * pinned: entries whose ORACLE changed in round 9 —
+#     events_cusum_drift gained the null filter (ADVICE r8 item 4), and
+#     the five mutual-kNN consumers re-verified after _mknn_knobs made
+#     probe/member corpus-relative;
+#   * then the remaining never-driver-checked entries; tier 3 staleness
+#     re-checks filled the tail.  After round 9 every registry entry has
+#     held at least one driver CORRECTNESS row.
+PRIORITY_UNCHECKED_R09 = [
     "events_cusum_drift",
-    # mutual-kNN probe/member made corpus-relative in round 9
-    # (_mknn_knobs): gate-SF results are bit-identical (all gate SFs sit
-    # at the 8-cell floor where the schedule reproduces (5, 2)), but the
-    # oracle TEXT changed, so the five consumers re-verify:
     "graph_mutual_knn_recall_audit",
     "graph_kcore_mutual_knn",
     "graph_ktruss_mutual_knn",
@@ -305,25 +348,45 @@ PRIORITY_UNCHECKED_R06 = [
 # regression re-checks keep cycling the oldest verified entries.
 
 
+# round in which each entry last held a driver CORRECTNESS row (later
+# rounds overwrite earlier ones) — tier 3 re-checks the STALEST rows
+# first instead of forever recycling the same early registrations.
+_LAST_VERIFIED: dict[str, int] = {}
+for _rnd, _names in (
+    (1, DRIVER_VERIFIED_R01),
+    (3, DRIVER_VERIFIED_R02_R03),
+    (4, DRIVER_VERIFIED_R04),
+    (5, DRIVER_VERIFIED_R05),
+    (6, DRIVER_VERIFIED_R06),
+    (7, DRIVER_VERIFIED_R07),
+    (8, DRIVER_VERIFIED_R08),
+    (9, DRIVER_VERIFIED_R09),
+):
+    for _n in _names:
+        _LAST_VERIFIED[_n] = _rnd
+
+
 def order_for_driver(names: list[str]) -> list[str]:
     """Order query names so the driver's first-50 window covers fresh work.
 
-    Three tiers, each preserving input (registration) order for names not
-    pinned by the priority list:
-      1. priority unchecked (judge-requested for this round's window)
-      2. remaining driver-unchecked
-      3. already driver-verified (regression safety via local parity suite)
+    Three tiers:
+      1. priority unchecked (judge-requested for this round's window),
+         in PRIORITY_UNCHECKED order
+      2. remaining driver-unchecked, in registration order
+      3. already driver-verified — stalest first (ascending round of
+         their last driver row, then registration order), so staleness
+         re-checks rotate through the whole registry over rounds
     """
     pri_rank = {n: i for i, n in enumerate(PRIORITY_UNCHECKED)}
     reg_rank = {n: i for i, n in enumerate(names)}
 
-    def key(n: str) -> tuple[int, int]:
+    def key(n: str) -> tuple[int, int, int]:
         if n in pri_rank:
             # priority names rank first even when a (failed) driver row
             # exists — that's how fixed regressions get re-verified
-            return (0, pri_rank[n])
+            return (0, 0, pri_rank[n])
         if n not in DRIVER_VERIFIED:
-            return (1, reg_rank[n])
-        return (2, reg_rank[n])
+            return (1, 0, reg_rank[n])
+        return (2, _LAST_VERIFIED.get(n, 0), reg_rank[n])
 
     return sorted(names, key=key)
