@@ -150,18 +150,24 @@ def measure(spark, sf_dir: str, label: str) -> dict:
 
 
 def main() -> None:
-    gate_dir = os.path.join(FIXTURE_ROOT, "gate")
-    big_dir = os.path.join(FIXTURE_ROOT, "10x")
-    build_fixture(2_000, gate_dir)
-    build_fixture(20_000, big_dir)
+    """Default run = the round-9 pair (2 k gate + 20 k 10x). Extra
+    corpus sizes come from argv (round 10 added the 50 k/200-cell and
+    100 k/400-cell points this way: `python scripts/
+    mutual_knn_clustered_recall.py 100000`); the exact baseline is
+    O(n^2), ~4 min at 50 k and ~16 min at 100 k, so the big points run
+    deliberately, not by default."""
+    sizes = [int(a) for a in sys.argv[1:] if a.isdigit()] or [2_000, 20_000]
 
     spark = get_spark(app_name="mutual-knn-clustered-recall")
     spark.sparkContext.setLogLevel("ERROR")
-    for sf_dir, label in [
-        (gate_dir, "clustered 2k (8 cells — gate scale)"),
-        (big_dir, "clustered 20k (80 cells — 10x scale)"),
-    ]:
-        print(json.dumps(measure(spark, sf_dir, label)), flush=True)
+    for n in sizes:
+        d = os.path.join(FIXTURE_ROOT, f"n{n}")
+        build_fixture(n, d)
+        cells = max(8, n // 250)
+        print(
+            json.dumps(measure(spark, d, f"clustered {n} ({cells} cells)")),
+            flush=True,
+        )
     spark.stop()
 
 

@@ -2106,3 +2106,40 @@ def test_sim_ivf_lloyd_planted_blobs(spark, tmp_path):
             assert (r["neighbor_id"] - 5) % 8 == q
             assert r["cos"] == 1.0
         assert sorted(r["neighbor_id"] for r in rs) == [5 + q, 13 + q, 21 + q]
+
+
+def test_knn_kernel_row_block_boundary():
+    """Round 10: the shared kNN kernel streams probers in row blocks
+    (bounded memory at any group size); a block size forcing multiple
+    blocks — including a ragged last block — must be bit-identical to
+    the single-block result."""
+    import numpy as np
+    import pandas as pd
+
+    from youtube_trending_data_pipeline_spark import catalog_analysis as ca
+
+    n_mem, n_pro, dim, k = 17, 11, 8, 3
+    rows = []
+    for i in range(n_mem):
+        rows.append({"vec_id": i, "qv": [(i * 7 + j * 3) % 50 - 25 for j in range(dim)],
+                     "is_m": True, "is_p": False})
+    for i in range(n_pro):
+        rows.append({"vec_id": 100 + i, "qv": [(i * 5 + j * 11) % 50 - 25 for j in range(dim)],
+                     "is_m": False, "is_p": True})
+    # one prober is ALSO a member id -> exercises the self-mask path
+    rows.append({"vec_id": 3, "qv": rows[3]["qv"], "is_m": False, "is_p": True})
+    pdf = pd.DataFrame(rows)
+
+    old = ca._KNN_BLOCK_CELLS
+    try:
+        ca._KNN_BLOCK_CELLS = 10**9  # single block
+        a = ca._knn_cell_kernel(pdf, k).sort_values(["u", "v"]).reset_index(drop=True)
+        ca._KNN_BLOCK_CELLS = 5 * n_mem  # 5 probers per block, ragged tail
+        b = ca._knn_cell_kernel(pdf, k).sort_values(["u", "v"]).reset_index(drop=True)
+    finally:
+        ca._KNN_BLOCK_CELLS = old
+    pd.testing.assert_frame_equal(a, b)
+    assert set(a["u"]) == {100 + i for i in range(n_pro)} | {3}
+    assert (a.groupby("u").size() == k).all()
+    # the duplicated-id prober never reports itself
+    assert not ((a["u"] == 3) & (a["v"] == 3)).any()

@@ -456,3 +456,33 @@ def test_star_components_chain_converges_logarithmically(spark):
     label = {(r["node"], r["component"])
              for r in connected_components(edges).collect()}
     assert star == label == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (12, 10)}
+
+
+def test_ivf_knobs_schedule():
+    """Round 10 (VERDICT r9 #4): the IVF retrieval knobs are
+    corpus-relative with floors that reproduce the retired fixed
+    (8, 3, 8) at every gate SF, and the probe count holds its
+    gate-scale ratio to sqrt(cells) past the floor."""
+    import math
+
+    from youtube_trending_data_pipeline_spark.operators.similarity import (
+        ivf_knobs,
+        pq_codebook_size,
+    )
+
+    # every gate SF sits at the floor (<= 2000 corpus vectors)
+    for n in (15, 195, 1995, 2000):
+        assert ivf_knobs(n) == (8, 3)
+        assert pq_codebook_size(n) == 8
+    # 10x replica: 19995 corpus vectors -> 79 cells, probe ~ sqrt
+    cells, probe = ivf_knobs(19_995)
+    assert cells == 79
+    assert probe == math.ceil(math.sqrt(9 * 79 / 8))
+    assert pq_codebook_size(19_995) == 79
+    # monotone, and the codebook caps at 256 (8-bit PQ) while cells
+    # keep growing with the corpus
+    cells_big, probe_big = ivf_knobs(1_000_000)
+    assert cells_big == 4000 and probe_big == math.ceil(
+        math.sqrt(9 * 4000 / 8)
+    )
+    assert pq_codebook_size(1_000_000) == 256

@@ -187,13 +187,25 @@ def _knn_schema():
     )
 
 
+# Peak score-matrix cells per prober row-block (float64 + the int64 key
+# copy => ~0.5 GB at this setting). Without blocking, a salt group's
+# D matrix is O(probers x members) ALL AT ONCE — at 100 k members and
+# 32 concurrent groups that is hundreds of GB and OOM-kills the workers
+# (measured: the round-10 100 k recall run died exactly this way). Row
+# blocks over PROBERS are bit-exact: each prober's top-k is computed
+# entirely within its own block.
+_KNN_BLOCK_CELLS = 32_000_000
+
+
 def _knn_cell_kernel(pdf, k):
     """Shared applyInPandas kernel for both mutual-kNN builds: score
     every PROBER row (is_p) against every MEMBER row (is_m) of its
-    group with one exact integer matmul, mask self-pairs, and keep each
+    group with exact integer matmuls, mask self-pairs, and keep each
     prober's top-k by (dot DESC, member id ASC) — fully vectorized
     (_exact_int_matmul + _rowwise_topk; the per-row lexsort loop this
-    replaces cost minutes at sf1)."""
+    replaces cost minutes at sf1). Probers stream in row blocks so peak
+    memory is O(block x members), never O(probers x members) — the
+    semdedup row-block Gram doctrine (round 10)."""
     import numpy as np
     import pandas as pd
 
@@ -209,16 +221,21 @@ def _knn_cell_kernel(pdf, k):
     M = np.array(list(mem["qv"]), dtype=np.int64)
     pids = pro["vec_id"].to_numpy(dtype=np.int64)
     P = np.array(list(pro["qv"]), dtype=np.int64)
-    D = _exact_int_matmul(P, M)  # probers x members
-    D[pids[:, None] == mids[None, :]] = _SELF_MASK
-    cols = _rowwise_topk(D, mids, k)
-    dots = np.take_along_axis(D, cols, axis=1).ravel()
-    keep = dots != _SELF_MASK
-    return pd.DataFrame(
-        {"u": np.repeat(pids, cols.shape[1])[keep],
-         "v": mids[cols.ravel()][keep],
-         "dot": dots[keep]}
-    )
+    block = max(1, _KNN_BLOCK_CELLS // max(len(mids), 1))
+    frames = []
+    for s in range(0, len(pids), block):
+        pb = pids[s:s + block]
+        D = _exact_int_matmul(P[s:s + block], M)  # block x members
+        D[pb[:, None] == mids[None, :]] = _SELF_MASK
+        cols = _rowwise_topk(D, mids, k)
+        dots = np.take_along_axis(D, cols, axis=1).ravel()
+        keep = dots != _SELF_MASK
+        frames.append(pd.DataFrame(
+            {"u": np.repeat(pb, cols.shape[1])[keep],
+             "v": mids[cols.ravel()][keep],
+             "dot": dots[keep]}
+        ))
+    return pd.concat(frames, ignore_index=True)
 
 
 _EXACT_SALTS = 32  # parallelism of the exact build; result-invariant
