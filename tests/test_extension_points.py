@@ -122,30 +122,54 @@ def test_identifier_clause_binds_table_names(spark):
         ).collect()
 
 
-def test_continuation_module_direct_import_raises():
-    """ADVICE r9: importing a registration-order-sensitive continuation
-    module (catalog_analysis_mining / _series) BEFORE catalog_analysis
-    must fail loudly — the circular path would silently reorder QUERIES,
-    which the driver's correctness-window rotation depends on."""
+def test_continuation_module_direct_import_order():
+    """ADVICE r9: the continuation modules are registration-order-
+    sensitive. Direct import of catalog_analysis_series FIRST must
+    still produce the canonical order (parent-first top import makes
+    batch 3 register last); direct import of catalog_analysis_mining
+    FIRST — the one path that genuinely reorders — must fail LOUDLY at
+    the parent's tail order assert instead of silently reordering.
+    Both run in fresh interpreters (executor-side kernel unpickling
+    also imports these modules directly, so the safe path has to
+    actually work, not just raise)."""
     import subprocess
     import sys
 
-    for mod in ("catalog_analysis_mining", "catalog_analysis_series"):
-        code = (
-            "try:\n"
-            f"    import youtube_trending_data_pipeline_spark.{mod}\n"
-            "    print('NO-RAISE')\n"
-            "except ImportError as e:\n"
-            "    print('RAISED' if 'registration-order' in str(e)"
-            " else 'WRONG: ' + str(e))\n"
-        )
-        out = subprocess.run(
-            [sys.executable, "-c", code],
-            capture_output=True,
-            text=True,
-            cwd="/root/repo",
-        )
-        assert "RAISED" in out.stdout, (mod, out.stdout, out.stderr[-500:])
+    ok_code = (
+        "import youtube_trending_data_pipeline_spark."
+        "catalog_analysis_series\n"
+        "from youtube_trending_data_pipeline_spark.catalog import "
+        "QUERIES\n"
+        "names = list(QUERIES)\n"
+        "assert names.index('consistent_hash_rebalance') < "
+        "names.index('encoding_rle_audit') < "
+        "names.index('text_kwic_concordance'), names[:5]\n"
+        "print('ORDER-OK')\n"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", ok_code],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+    )
+    assert "ORDER-OK" in out.stdout, (out.stdout, out.stderr[-800:])
+
+    bad_code = (
+        "try:\n"
+        "    import youtube_trending_data_pipeline_spark."
+        "catalog_analysis_mining\n"
+        "    print('NO-RAISE')\n"
+        "except ImportError as e:\n"
+        "    print('RAISED' if 'registration order' in str(e)"
+        " else 'WRONG: ' + str(e))\n"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", bad_code],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+    )
+    assert "RAISED" in out.stdout, (out.stdout, out.stderr[-800:])
 
 
 def test_continuation_registration_order_preserved():

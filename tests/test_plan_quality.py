@@ -645,20 +645,20 @@ def test_xml_funcs_zero_shuffle(spark):
 
 
 def test_pq_encode_broadcast_codebook_single_reduce(spark):
-    """embedding_pq_encode: the m x n_centroids codebook must reach the
-    corpus side as a BROADCAST join (never a shuffled join of the full
-    sub-vector stream), and the argmin must be the min(struct) hash
-    aggregate — partial map-side min, so the post-join exchange carries
-    pre-reduced (vec_id, sub) rows, not the n x centroids scored
-    stream."""
+    """embedding_pq_encode (round 10: salt-group BLAS kernel): the
+    corpus must reach the kernel through ONE salt-group exchange
+    (FlatMapGroupsInPandas), with the codebook replicated via the
+    bounded broadcast salt spine — never a shuffled join of a scored
+    n x centroids stream, and never a per-row Python UDF."""
     df = QUERIES["embedding_pq_encode"].fn(spark, SF)
     plan = formatted_plan(df)
-    assert "BroadcastHashJoin" in plan, plan
+    assert "FlatMapGroupsInPandas" in plan, plan
     assert "SortMergeJoin" not in plan, plan
-    # one exchange for the (vec_id, sub) reduce; the codebook's
-    # broadcast distribution and its tiny limit don't count as data
-    # exchanges of the corpus stream
-    assert "HashAggregate" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    # exactly one corpus-sized shuffle: the salt-group partitioning
+    # (the seed limit's single-partition exchange is AQE-collapsed;
+    # the salt spine reaches the kernel via broadcast)
+    assert count_exchanges(df) == 1, plan
 
 
 def test_bloom_probe_broadcast_both_sides(spark):

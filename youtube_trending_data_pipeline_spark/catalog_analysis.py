@@ -106,73 +106,15 @@ _QV_SPARK = (
 )
 
 
-def _rowwise_topk(D, ids, k):
-    """Per-row top-k COLUMN indices of D by (value DESC, ids ASC),
-    fully vectorized — the per-row ``np.lexsort`` loop this replaces
-    was the sf1 bottleneck of the exact kNN kernel (the 20 k-row loop
-    cost ~6 min; this is two argpartition/argsort passes).
-
-    The composite order is encoded into one int64 key per cell:
-    ``value * M - rank(id)`` with M the next power of two above the
-    column count, so a larger value always wins and the smaller id
-    wins among equals. Falls back to the per-row lexsort when the
-    encoding could overflow int64 (never at these magnitudes — dots
-    are <= ~6e9 and M <= 2^21 for any corpus this kernel sees)."""
-    import numpy as np
-
-    m, n = D.shape
-    k = min(k, n)
-    if k <= 0 or n == 0:
-        return np.empty((m, 0), dtype=np.int64)
-    order_ids = np.argsort(ids, kind="stable")
-    rank = np.empty(n, dtype=np.int64)
-    rank[order_ids] = np.arange(n, dtype=np.int64)
-    M = np.int64(1) << int(max(n - 1, 1)).bit_length()
-    # guard computed in float: the int64 product itself could overflow
-    if float(np.abs(D).max(initial=0)) * float(M) > float(1 << 62):
-        out = np.empty((m, k), dtype=np.int64)
-        for r in range(m):
-            out[r] = np.lexsort((ids, -D[r]))[:k]
-        return out
-    key = D * M - rank[None, :]
-    part = np.argpartition(-key, k - 1, axis=1)[:, :k]
-    rowkeys = np.take_along_axis(-key, part, axis=1)
-    order = np.argsort(rowkeys, axis=1, kind="stable")
-    return np.take_along_axis(part, order, axis=1)
-
-
-# Masks self-pairs so they sort LAST under (dot DESC, id ASC): smaller
-# than any legitimate dot (those are >= -6.4e9) yet small enough in
-# magnitude that _rowwise_topk's key encoding never overflows (the old
-# int64.min // 2 sentinel would).
-_SELF_MASK = -(1 << 40)
-
-
-def _exact_int_matmul(A, B):
-    """EXACT integer dot products via a float64 BLAS matmul.
-
-    numpy's int64 @ has no BLAS kernel (it is a naive triple loop —
-    measured ~380 s for the 20 k x 20 k sf1 exact build); float64 DOES.
-    The result is still exact integers provided every product and every
-    partial sum is <= 2^53: quantized coordinates are |x| <= ~10^5
-    (embedding values ~[-1, 1] at scale 10^4), so a 64-term dot tops
-    out near 64 * 10^10 ~ 6e11, four orders of magnitude under the
-    float64 integer ceiling. The guard enforces the precondition loudly
-    rather than ever returning a silently rounded dot: an int64 matmul
-    fallback would itself wrap silently once bound^2*dim > 2^63, so
-    out-of-range inputs raise instead of risking a wrong answer."""
-    import numpy as np
-
-    bound = np.float64(max(np.abs(A).max(initial=0), np.abs(B).max(initial=0)))
-    if bound * bound * A.shape[1] > 2**53:
-        raise ValueError(
-            "quantized embedding magnitude %s exceeds the exact-dot "
-            "precondition bound^2*dim <= 2^53; re-quantize at a lower "
-            "scale" % bound
-        )
-    return np.rint(
-        A.astype(np.float64) @ B.astype(np.float64).T
-    ).astype(np.int64)
+# Exact-integer BLAS helpers: moved to operators/intlinalg.py in round
+# 10 so operators/similarity.py's IVF assignment kernels share them
+# without a circular import; re-exported here for the existing kernels
+# and tests.
+from youtube_trending_data_pipeline_spark.operators.intlinalg import (  # noqa: E402
+    _SELF_MASK,
+    _exact_int_matmul,
+    _rowwise_topk,
+)
 
 
 def _knn_schema():
@@ -2719,3 +2661,37 @@ for _mod in (_mining, _series):
         if not _k.startswith("__") and _k not in _g:
             _g[_k] = _v
 del _g, _k, _v, _mod
+
+# Registration-order guard (ADVICE r9): by the time this tail runs,
+# batch 2 (mining) must be FULLY registered after this module's own
+# entries; batch 3 (series) either follows batch 2 already (normal
+# parent-first import) or is still mid-body and will append after us
+# (series-first import — order still correct). The one broken path —
+# importing catalog_analysis_mining FIRST, whose own registrations
+# would then land AFTER batch 3's — shows up here as a missing batch-2
+# sentinel, and fails the import loudly instead of silently reordering
+# QUERIES (which the driver's correctness-window rotation depends on).
+from youtube_trending_data_pipeline_spark.catalog import (  # noqa: E402
+    QUERIES as _Q,
+)
+
+_names = list(_Q)
+if "encoding_rle_audit" not in _Q or _names.index(
+    "consistent_hash_rebalance"
+) > _names.index("encoding_rle_audit"):
+    raise ImportError(
+        "catalog registration order violated: batch-2 analysis entries "
+        "did not register directly after catalog_analysis — import "
+        "youtube_trending_data_pipeline_spark.catalog_analysis (or the "
+        "catalog), never catalog_analysis_mining, first"
+    )
+if "text_kwic_concordance" in _Q and _names.index(
+    "encoding_rle_audit"
+) > _names.index("text_kwic_concordance"):
+    raise ImportError(
+        "catalog registration order violated: batch-3 analysis entries "
+        "registered before batch 2 — import "
+        "youtube_trending_data_pipeline_spark.catalog_analysis (or the "
+        "catalog) first"
+    )
+del _Q, _names

@@ -13,23 +13,16 @@ shim there.
 
 from __future__ import annotations
 
-import sys as _sys
-
-# ADVICE r9: this continuation module must only ever be initialized by
-# catalog_analysis's tail import — a DIRECT first import would take the
-# circular path where this module's entries register AFTER batch 3's,
-# silently reordering QUERIES (which the driver's correctness window
-# rotation depends on). Fail loudly instead of reordering silently.
-if (
-    "youtube_trending_data_pipeline_spark.catalog_analysis"
-    not in _sys.modules
-):
-    raise ImportError(
-        "catalog_analysis_mining is a registration-order-sensitive "
-        "continuation of catalog_analysis; import "
-        "youtube_trending_data_pipeline_spark.catalog_analysis (or the "
-        "catalog) instead — it re-exports every public name here"
-    )
+# ADVICE r9: this continuation module is registration-order-sensitive —
+# batch-2 entries must register after catalog_analysis and BEFORE batch
+# 3. Initializing the parent FIRST makes a direct import take the
+# circular path where this module's own body (and its registrations)
+# resumes only after the parent — and therefore batch 3 — completed,
+# which WOULD reorder QUERIES; the parent's tail ORDER ASSERT catches
+# exactly that and fails the import loudly instead of letting the
+# reorder ship silently. (A hard raise here is not an option: executor-
+# side kernel unpickling imports continuation modules directly.)
+import youtube_trending_data_pipeline_spark.catalog_analysis  # noqa: F401,E501 isort:skip
 
 from pyspark.sql import Window as W  # noqa: E402,F401
 from pyspark.sql import functions as F  # noqa: E402

@@ -501,24 +501,39 @@ def _ivf_knob_cte(corpus_cte: str = "corpus") -> str:
       )"""
 
 
+# quantized integer dot for cell-assignment ranking (round 10): the
+# exact arithmetic the Spark-side salt-group BLAS kernel computes —
+# list_sum of elementwise int64 products over the 1e-4 grid
+_QDOT_SQL = (
+    "list_sum(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]))"
+)
+_QGRID_SQL = (
+    "list_transform({v}, x -> CAST(floor(CAST(x AS DOUBLE)"
+    " * 10000 + 0.5) AS BIGINT))"
+)
+
+
 def _ivf_pivot_oracle(k: int = 3) -> str:
-    cs = _COS_SQL.format(a="c.embedding", b="s.seed_vec")
-    qs_ = _COS_SQL.format(a="q.embedding", b="s.seed_vec")
+    cs = _QDOT_SQL.format(a="c.qv", b="s.qv")
+    qs_ = _QDOT_SQL.format(a="q.qv", b="s.qv")
     rr = _COS_SQL.format(a="q.embedding", b="co.embedding")
     return f"""
     WITH corpus AS (
-      SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 5
+      SELECT vec_id, embedding, {_QGRID_SQL.format(v="embedding")} AS qv
+      FROM embeddings WHERE vec_id >= 5
     ), nc AS (
       -- corpus-relative cells + probe (round 10): replays ivf_knobs
       {_ivf_knob_cte("corpus")}
     ), seeds AS (
-      SELECT vec_id AS seed_id, embedding AS seed_vec FROM (
-        SELECT vec_id, embedding,
+      SELECT vec_id AS seed_id, qv FROM (
+        SELECT vec_id, qv,
                ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
         FROM corpus
       ) r, nc WHERE r.rn <= nc.n_cells
     ), q AS (
-      SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 5
+      SELECT vec_id AS query_id, embedding,
+             {_QGRID_SQL.format(v="embedding")} AS qv
+      FROM embeddings WHERE vec_id < 5
     ), cells AS (
       SELECT vec_id, cell FROM (
         SELECT c.vec_id, s.seed_id AS cell,
@@ -553,7 +568,7 @@ def _ivf_pivot_oracle(k: int = 3) -> str:
     "sim_ivf_pivot_topk",
     _ivf_pivot_oracle(),
     "IVF ANN with deterministic pivot cells, end-to-end in the EXACT "
-    "gate: cell build (argmax-cosine assignment to the pivot vectors), "
+    "gate: cell build (argmax assignment to the pivot vectors), "
     "multi-cell probing, and exact re-rank are all pure functions of "
     "the data, so the oracle replays the ENTIRE index pipeline — "
     "including which candidates were pruned — not just the final "
@@ -561,7 +576,11 @@ def _ivf_pivot_oracle(k: int = 3) -> str:
     "(operators/similarity.ivf_knobs — cells = GREATEST(8, n/250), "
     "probe ~ sqrt(cells) with floor 3, both replayed by the oracle "
     "from COUNT(*)), so candidates/query grows as sqrt(n) instead of "
-    "n; the floors reproduce the old fixed (8, 3) at every gate SF. "
+    "n, and assignment ranks by QUANTIZED INTEGER dot evaluated in "
+    "the salt-group BLAS kernel (assign_pivot_cells — the interpreted "
+    "HOF + window shape it replaces measured 23x wall at the 10x "
+    "replica once cells scaled); the exact-cosine re-rank output is "
+    "unchanged in form. "
     "Complements sim_ivf_topk (learned KMeans cells, better recall per "
     "probe, but KMeans|| init depends on physical partitioning, hence "
     "the integer-Lloyd build there).",
@@ -1544,11 +1563,13 @@ def embedding_quantize_int8(spark, sf_dir):
     "sim_ivf_pivot_topk (learned KMeans codebooks are "
     "partition-layout-dependent), "
     "and assignment minimizes EXACT integer squared L2 distance at "
-    "1e-4 quantization with smallest-centroid tie-break. Plan: the "
-    "m x n_centroids codebook broadcasts, sub-vector rows stream "
-    "map-side, and the argmin is one min(struct) hash aggregate — "
-    "partial map-side min, no window. Oracle replays components "
-    "exploded to (sub, j, q) integer grids.",
+    "1e-4 quantization with smallest-centroid tie-break. Plan (round "
+    "10): the salt-group BLAS kernel — vectors hash into "
+    "defaultParallelism groups, the codebook replicates once per "
+    "group, one exact-integer matmul per subspace per group "
+    "(operators/similarity._pq_encode_kernel); vectors shuffle once "
+    "and only the 16x-narrower codes frame leaves the kernel. Oracle "
+    "replays components exploded to (sub, j, q) integer grids.",
 )
 def embedding_pq_encode(spark, sf_dir):
     from youtube_trending_data_pipeline_spark.operators.similarity import (
@@ -5616,16 +5637,19 @@ def _ivfadc_oracle(k: int = 3) -> str:
     distance tables, cell-pruned candidate ADC ranking. Round 10: the
     coarse cells + probe count replay ivf_knobs and the PQ codebook
     (the first ncode = LEAST(256, n_cells) seeds) replays
-    pq_codebook_size, all from COUNT(*)."""
-    cos_seed = _COS_SQL.format(a="v.embedding", b="s.embedding")
+    pq_codebook_size, all from COUNT(*); assignment ranks by the
+    quantized integer dot (the salt-group BLAS kernel's exact
+    arithmetic), matching ivf_pivot_topk."""
+    dot_seed = _QDOT_SQL.format(a="v.qv", b="s.qv")
     return f"""
     WITH cor AS (
-      SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 5
+      SELECT vec_id, embedding, {_QGRID_SQL.format(v="embedding")} AS qv
+      FROM embeddings WHERE vec_id >= 5
     ), nc AS (
       {_ivf_knob_cte("cor")}
     ), seeds AS (
-      SELECT vec_id AS seed_id, embedding, rn FROM (
-        SELECT vec_id, embedding,
+      SELECT vec_id AS seed_id, qv, rn FROM (
+        SELECT vec_id, qv,
                ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
         FROM cor
       ) r, nc WHERE r.rn <= nc.n_cells
@@ -5633,17 +5657,18 @@ def _ivfadc_oracle(k: int = 3) -> str:
       SELECT vec_id, seed_id AS cell FROM (
         SELECT v.vec_id, s.seed_id,
                ROW_NUMBER() OVER (PARTITION BY v.vec_id
-                                  ORDER BY {cos_seed} DESC, s.seed_id)
+                                  ORDER BY {dot_seed} DESC, s.seed_id)
                  AS rn
-        FROM embeddings v, seeds s WHERE v.vec_id >= 5
+        FROM cor v, seeds s
       ) WHERE rn = 1
     ), probes AS (
       SELECT vec_id AS query_id, seed_id AS cell FROM (
         SELECT v.vec_id, s.seed_id,
                ROW_NUMBER() OVER (PARTITION BY v.vec_id
-                                  ORDER BY {cos_seed} DESC, s.seed_id)
+                                  ORDER BY {dot_seed} DESC, s.seed_id)
                  AS rn
-        FROM embeddings v, seeds s WHERE v.vec_id < 5
+        FROM (SELECT vec_id, {_QGRID_SQL.format(v="embedding")} AS qv
+              FROM embeddings WHERE vec_id < 5) v, seeds s
       ) p, nc WHERE p.rn <= nc.probe
     ), comps AS (
       SELECT vec_id, CAST((i - 1) // 16 AS INTEGER) AS sub,

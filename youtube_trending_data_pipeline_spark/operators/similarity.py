@@ -76,6 +76,117 @@ def pq_codebook_size(n_corpus: int) -> int:
     )
 
 
+# Fixed-point scale for cell-assignment dots: components quantize to
+# 1e-4 units (CAST(floor(x * 10000 + 0.5) AS BIGINT) — the same scheme
+# as the mutual-kNN build and the PQ integer grids), so assignment
+# ranking is exact int64 arithmetic: bit-reproducible across engines,
+# partitionings, and BLAS vs fold evaluation order.
+_CELL_QUANT = 10_000
+
+
+def _quantize_expr(vec_col: str):
+    return F.expr(
+        f"transform({vec_col}, x -> CAST(floor(CAST(x AS DOUBLE)"
+        f" * {_CELL_QUANT} + 0.5) AS BIGINT))"
+    )
+
+
+def _cell_assign_schema():
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    return StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("cell", LongType()),
+            StructField("cell_rank", LongType()),
+        ]
+    )
+
+
+def _cell_assign_kernel(pdf, n_keep: int):
+    """Salt-group kernel: rank every non-seed row's cells by (exact
+    integer dot DESC, seed id ASC) with one float64-BLAS matmul and
+    emit its top-``n_keep`` (vec_id, cell, cell_rank) rows — the
+    catalog_analysis._pivot_rank_kernel doctrine applied to the IVF
+    retrieval family (round 10: with corpus-relative cells, the old
+    crossJoin + interpreted-HOF cosine + row_number window evaluated
+    n * cells * dim closures and shuffled n * cells vector-carrying
+    rows — measured 23x wall at the 10x replica)."""
+    import numpy as np
+    import pandas as pd
+
+    from youtube_trending_data_pipeline_spark.operators.intlinalg import (
+        _exact_int_matmul,
+        _rowwise_topk,
+    )
+
+    seeds = pdf[pdf["is_seed"]]
+    pros = pdf[~pdf["is_seed"]]
+    if not len(seeds) or not len(pros):
+        return pd.DataFrame(
+            {"vec_id": pd.Series(dtype="int64"),
+             "cell": pd.Series(dtype="int64"),
+             "cell_rank": pd.Series(dtype="int64")}
+        )
+    sids = seeds["vec_id"].to_numpy(dtype=np.int64)
+    S = np.array(list(seeds["qv"]), dtype=np.int64)
+    pids = pros["vec_id"].to_numpy(dtype=np.int64)
+    V = np.array(list(pros["qv"]), dtype=np.int64)
+    D = _exact_int_matmul(V, S)  # probers x seeds
+    cols = _rowwise_topk(D, sids, n_keep)
+    k = cols.shape[1]
+    return pd.DataFrame(
+        {"vec_id": np.repeat(pids, k),
+         "cell": sids[cols.ravel()],
+         "cell_rank": np.tile(np.arange(1, k + 1, dtype=np.int64),
+                              len(pids))}
+    )
+
+
+def assign_pivot_cells(
+    df: DataFrame,
+    seeds: DataFrame,
+    n_keep: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cell, cell_rank) of each df row's top-``n_keep`` seed cells
+    by (quantized integer dot DESC, seed id ASC).
+
+    ``seeds`` must have columns (seed_id, seed_vec). Salt-group plan
+    (the round-9 mutual-kNN doctrine): rows hash into
+    defaultParallelism groups via pmod (negative ids stay seeded),
+    seeds replicate once per group through a bounded broadcast spine,
+    and one BLAS kernel per group ranks every row's cells — vectors
+    shuffle ONCE and the ranking never windows. Output is a pure
+    function of (vector, seeds): bit-identical at any parallelism."""
+    spark = df.sparkSession
+    n_salts = spark.sparkContext.defaultParallelism
+    salts = F.broadcast(
+        spark.range(n_salts).select(F.col("id").cast("int").alias("g"))
+    )
+    probers = df.select(
+        F.pmod(F.col(id_col), F.lit(n_salts)).cast("int").alias("g"),
+        F.col(id_col).alias("vec_id"),
+        _quantize_expr(vec_col).alias("qv"),
+        F.lit(False).alias("is_seed"),
+    )
+    seeds_rep = seeds.crossJoin(salts).select(
+        "g",
+        F.col("seed_id").alias("vec_id"),
+        _quantize_expr("seed_vec").alias("qv"),
+        F.lit(True).alias("is_seed"),
+    )
+    return (
+        probers.unionByName(seeds_rep)
+        .groupBy("g")
+        .applyInPandas(
+            lambda pdf: _cell_assign_kernel(pdf, n_keep),
+            schema=_cell_assign_schema(),
+        )
+    )
+
+
 def ivf_pivot_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -96,41 +207,32 @@ def ivf_pivot_topk(
     variant stays the quality path, this one is the auditable path and
     the one the exact correctness gate checks end-to-end).
 
-    Shapes: pivot assignment is a broadcast of ``n_cells`` rows onto
-    the corpus (constant-append nested-loop, O(n x n_cells)); the probe
-    side is the same against the tiny query set; candidate search is an
-    equi-join on cell id followed by one per-query top-k window.
+    Round 10: assignment ranks by QUANTIZED INTEGER dot (1e-4 grid —
+    exact, engine-portable int64) instead of double cosine, evaluated
+    by the salt-group BLAS kernel (assign_pivot_cells). With
+    corpus-relative cells the old crossJoin + interpreted-HOF cosine +
+    window shape cost n * cells * dim interpreted closures plus an
+    n * cells vector-carrying ranking shuffle — 23x wall at the 10x
+    replica; the kernel shuffles vectors once. The candidate re-rank
+    (the OUTPUT) stays exact double cosine, unchanged.
+
+    Shapes: seeds are an ``n_cells``-row bounded frame replicated per
+    salt group; candidate search is an equi-join on cell id followed
+    by one per-query top-k window.
     """
-    seeds = F.broadcast(
+    seeds = (
         corpus.orderBy(id_col)
         .limit(n_cells)
         .select(
             F.col(id_col).alias("seed_id"), F.col(vec_col).alias("seed_vec")
         )
     )
-
-    def argmax_cells(df, ident, n_keep):
-        w = Window.partitionBy(ident).orderBy(
-            F.desc("seed_cos"), F.asc("seed_id")
-        )
-        return (
-            df.crossJoin(seeds)
-            .withColumn(
-                "seed_cos", cosine_similarity(vec_col, "seed_vec")
-            )
-            .withColumn("cell_rank", F.row_number().over(w))
-            .where(F.col("cell_rank") <= n_keep)
-            .select(ident, F.col("seed_id").alias("cell"))
-        )
-
-    cells = argmax_cells(
-        corpus.select(id_col, vec_col), id_col, 1
-    )
-    probes = argmax_cells(
-        queries.select(query_id_col, F.col(vec_col)),
-        query_id_col,
-        n_probe,
-    )
+    cells = assign_pivot_cells(
+        corpus, seeds, 1, id_col=id_col, vec_col=vec_col
+    ).select(F.col("vec_id").alias(id_col), "cell")
+    probes = assign_pivot_cells(
+        queries, seeds, n_probe, id_col=query_id_col, vec_col=vec_col
+    ).select(F.col("vec_id").alias(query_id_col), "cell")
     cand = (
         probes.join(cells, "cell")
         .select(query_id_col, F.col(id_col).alias("neighbor_id"))
@@ -666,79 +768,101 @@ def pq_encode(
     tie-break — smallest centroid id — are bit-reproducible across
     engines and reruns).
 
-    Plan shape: the codebook is an ``m * n_centroids``-row broadcast;
-    sub-vector rows stream map-side through the broadcast join, and the
-    argmin is ONE HASH aggregate over a packed BIGINT
-    ``dist * n_centroids + centroid_rank`` (a struct-min would compile
-    to SortAggregate — long-typed min keeps whole-stage hash
-    aggregation with partial map-side min), decoded through a second
-    tiny broadcast. At 100 TB the only corpus-sized exchange carries
-    (corpus rows x m) pre-reduced per partition.
+    Plan shape (round 10 — corpus-relative codebooks made the old
+    interpreted ``zip_with`` fold the bottleneck at n * m * n_centroids
+    evaluations, and an explode-grid rewrite still paid an
+    n * dim * n_centroids streamed join + multi-million-group hash
+    aggregate): the salt-group BLAS kernel doctrine — vectors hash
+    into defaultParallelism groups, the codebook replicates once per
+    group, and one kernel per group runs m exact-integer sub-space
+    matmuls (argmin tie-break to the smallest centroid id = numpy
+    argmin's first-minimum over id-sorted codewords). Vectors shuffle
+    ONCE; the output is the (id, sub, code, dist_q) codes frame — at
+    100 TB the only corpus-sized exchange, 16x narrower than the
+    vectors.
     """
     d_sub = dim // m
-    sub_arrays = F.array(
-        *[F.slice(F.col(vec_col), s * d_sub + 1, d_sub) for s in range(m)]
+    qexpr = F.expr(
+        f"transform({vec_col}, x -> CAST(floor(CAST(x AS DOUBLE)"
+        f" * 10000 + 0.5) AS BIGINT))"
     )
-    subs = df.select(
-        F.col(id_col), F.posexplode(sub_arrays).alias("sub", "svec")
+    spark = df.sparkSession
+    n_salts = spark.sparkContext.defaultParallelism
+    salts = F.broadcast(
+        spark.range(n_salts).select(F.col("id").cast("int").alias("g"))
     )
-    # rank 0..n_centroids-1 in centroid-id order: the packed-long
-    # tie-break (min dist, then min rank) == (min dist, min centroid id)
-    ranked_seeds = (
+    seeds = (
         df.orderBy(id_col)
         .limit(n_centroids)
-        .select(
-            F.col(id_col).alias("centroid_id"),
-            (
-                F.row_number().over(
-                    Window.orderBy(F.col(id_col).asc())
-                )
-                - 1
-            ).alias("rank"),
-            F.col(vec_col).alias("_cv"),
+        .select(F.col(id_col).alias("vec_id"), qexpr.alias("qv"))
+    )
+    probers = df.select(
+        F.pmod(F.col(id_col), F.lit(n_salts)).cast("int").alias("g"),
+        F.col(id_col).alias("vec_id"),
+        qexpr.alias("qv"),
+        F.lit(False).alias("is_seed"),
+    )
+    seeds_rep = seeds.crossJoin(salts).select(
+        "g", "vec_id", "qv", F.lit(True).alias("is_seed")
+    )
+    out = (
+        probers.unionByName(seeds_rep)
+        .groupBy("g")
+        .applyInPandas(
+            lambda pdf: _pq_encode_kernel(pdf, m, d_sub),
+            schema="vec_id long, sub int, code long, dist_q long",
         )
     )
-    codebook = F.broadcast(
-        ranked_seeds.select(
-            "centroid_id",
-            "rank",
-            F.posexplode(
-                F.array(
-                    *[
-                        F.slice(F.col("_cv"), s * d_sub + 1, d_sub)
-                        for s in range(m)
-                    ]
-                )
-            ).alias("sub", "cvec"),
+    return out.select(
+        F.col("vec_id").alias(id_col), "sub", "code", "dist_q"
+    )
+
+
+def _pq_encode_kernel(pdf, m: int, d_sub: int):
+    """Salt-group PQ encoding kernel: per subspace, one exact-integer
+    BLAS matmul against the id-sorted codebook; argmin squared L2 with
+    ties to the smallest centroid id (numpy argmin returns the FIRST
+    minimum, and codewords are processed in ascending id order, so the
+    tie-break is structural). All arithmetic on the 1e-4 integer grid:
+    values identical to the packed-long aggregate this replaces and to
+    the oracle's (sub, j, q) grid replay."""
+    import numpy as np
+    import pandas as pd
+
+    from youtube_trending_data_pipeline_spark.operators.intlinalg import (
+        _exact_int_matmul,
+    )
+
+    seeds = pdf[pdf["is_seed"]]
+    pros = pdf[~pdf["is_seed"]]
+    if not len(seeds) or not len(pros):
+        return pd.DataFrame(
+            {"vec_id": pd.Series(dtype="int64"),
+             "sub": pd.Series(dtype="int32"),
+             "code": pd.Series(dtype="int64"),
+             "dist_q": pd.Series(dtype="int64")}
         )
-    )
-    qdist = F.aggregate(
-        F.zip_with(
-            F.col("svec"),
-            F.col("cvec"),
-            lambda a, b: F.floor(a.cast("double") * 10000 + F.lit(0.5))
-            - F.floor(b.cast("double") * 10000 + F.lit(0.5)),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x * x,
-    )
-    scored = subs.join(codebook, "sub").select(
-        id_col,
-        "sub",
-        (qdist * n_centroids + F.col("rank")).alias("packed"),
-    )
-    best = scored.groupBy(id_col, "sub").agg(F.min("packed").alias("packed"))
-    rank_map = F.broadcast(ranked_seeds.select("centroid_id", "rank"))
-    return (
-        best.withColumn("rank", F.col("packed") % n_centroids)
-        .join(rank_map, "rank")
-        .select(
-            id_col,
-            "sub",
-            F.col("centroid_id").alias("code"),
-            F.expr(f"packed div {n_centroids}").alias("dist_q"),
-        )
-    )
+    order = np.argsort(seeds["vec_id"].to_numpy(), kind="stable")
+    cids = seeds["vec_id"].to_numpy(dtype=np.int64)[order]
+    C = np.array(list(seeds["qv"]), dtype=np.int64)[order]
+    pids = pros["vec_id"].to_numpy(dtype=np.int64)
+    V = np.array(list(pros["qv"]), dtype=np.int64)
+    frames = []
+    for s in range(m):
+        Vs = V[:, s * d_sub:(s + 1) * d_sub]
+        Cs = C[:, s * d_sub:(s + 1) * d_sub]
+        X = _exact_int_matmul(Vs, Cs)
+        v2 = np.einsum("ij,ij->i", Vs, Vs)
+        c2 = np.einsum("ij,ij->i", Cs, Cs)
+        D2 = v2[:, None] - 2 * X + c2[None, :]
+        idx = np.argmin(D2, axis=1)
+        frames.append(pd.DataFrame(
+            {"vec_id": pids,
+             "sub": np.full(len(pids), s, dtype=np.int32),
+             "code": cids[idx],
+             "dist_q": D2[np.arange(len(pids)), idx]}
+        ))
+    return pd.concat(frames, ignore_index=True)
 
 
 def pq_adc_topk(
@@ -850,40 +974,32 @@ def ivfadc_topk(
     in probed cells are ranked, and ranking reads ONLY their PQ codes.
     This is the architecture FAISS ships as its default large-scale
     index; both halves here are the auditable deterministic variants,
-    so the whole search replays in SQL.
+    so the whole search replays in SQL. Round 10: cell assignment and
+    probing rank by quantized integer dot through the salt-group BLAS
+    kernel (assign_pivot_cells — see ivf_pivot_topk for the measured
+    rationale).
 
-    Plan: cells and codes are both index-build artifacts (broadcast
-    constant-append + one reduce each, computed once and reusable);
-    search joins the tiny probe set to the cell-partitioned codes, then
-    one broadcast distance-table join + (query, neighbor) reduce +
+    Plan: cells and codes are both index-build artifacts (one kernel
+    pass + one reduce each, computed once and reusable); search joins
+    the tiny probe set to the cell-partitioned codes, then one
+    broadcast distance-table join + (query, neighbor) reduce +
     k-bounded window. At 100 TB the codes table is the only corpus-
     sized scan — 16x narrower than the raw vectors — and the cell join
     prunes it to n_probe/n_cells of the corpus.
     """
-    seeds = F.broadcast(
+    seeds = (
         corpus.orderBy(id_col)
         .limit(n_cells)
         .select(
             F.col(id_col).alias("seed_id"), F.col(vec_col).alias("seed_vec")
         )
     )
-
-    def argmax_cells(df, ident, n_keep):
-        w = Window.partitionBy(ident).orderBy(
-            F.desc("seed_cos"), F.asc("seed_id")
-        )
-        return (
-            df.crossJoin(seeds)
-            .withColumn("seed_cos", cosine_similarity(vec_col, "seed_vec"))
-            .withColumn("cell_rank", F.row_number().over(w))
-            .where(F.col("cell_rank") <= n_keep)
-            .select(ident, F.col("seed_id").alias("cell"))
-        )
-
-    cells = argmax_cells(corpus.select(id_col, vec_col), id_col, 1)
-    probes = argmax_cells(
-        queries.select(query_id_col, F.col(vec_col)), query_id_col, n_probe
-    )
+    cells = assign_pivot_cells(
+        corpus, seeds, 1, id_col=id_col, vec_col=vec_col
+    ).select(F.col("vec_id").alias(id_col), "cell")
+    probes = assign_pivot_cells(
+        queries, seeds, n_probe, id_col=query_id_col, vec_col=vec_col
+    ).select(F.col("vec_id").alias(query_id_col), "cell")
     codes = pq_encode(
         corpus,
         id_col=id_col,

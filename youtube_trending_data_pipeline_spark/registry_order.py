@@ -246,6 +246,10 @@ PRIORITY_UNCHECKED = [
     "sim_ivfadc_topk",
     "sim_pq_recall_audit",
     "embedding_pq_encode",
+    # implementation (not oracle) changed in round 10 — shares
+    # _lloyd_fit's new salt-group BLAS assignment kernel with
+    # sim_ivf_topk; values bit-identical, re-pinned out of prudence
+    "kmeans_lloyd_integer",
 ]
 
 # Round-9 window — superseded by the round-10 list above, kept for the
