@@ -486,3 +486,34 @@ def test_ivf_knobs_schedule():
         math.sqrt(9 * 4000 / 8)
     )
     assert pq_codebook_size(1_000_000) == 256
+
+
+def test_assign_pivot_cells_negative_ids(spark):
+    """The new salt-group assignment kernels use pmod (ADVICE r9): a
+    negative vector id must still land in a seeded salt group and get
+    assigned, and ranking must be (integer dot DESC, seed id ASC)."""
+    from pyspark.sql import functions as F
+
+    from youtube_trending_data_pipeline_spark.operators.similarity import (
+        assign_pivot_cells,
+    )
+
+    df = spark.createDataFrame(
+        [(-9, [1.0, 0.0]), (-1, [0.0, 1.0]), (3, [1.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    seeds = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (20, [0.0, 1.0])],
+        "seed_id long, seed_vec array<float>",
+    )
+    out = {
+        r["vec_id"]: (r["cell"], r["cell_rank"])
+        for r in assign_pivot_cells(df, seeds, 1).collect()
+    }
+    assert out == {-9: (10, 1), -1: (20, 1), 3: (10, 1)}
+    # 3 ties both seeds at dot 10000 -> smaller seed id wins
+    ranks = {
+        (r["vec_id"], r["cell_rank"]): r["cell"]
+        for r in assign_pivot_cells(df, seeds, 2).collect()
+    }
+    assert ranks[(3, 1)] == 10 and ranks[(3, 2)] == 20

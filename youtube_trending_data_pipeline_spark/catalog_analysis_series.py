@@ -2684,17 +2684,18 @@ def _lloyd_assign(vecs, cent_arr, n_keep: int):
     frame; ``cent_arr``: (cid, carr) milli centroid arrays."""
     spark = vecs.sparkSession
     n_salts = spark.sparkContext.defaultParallelism
-    salts = F.broadcast(
-        spark.range(n_salts).select(F.col("id").cast("int").alias("g"))
-    )
     probers = vecs.select(
         F.pmod(F.col("vec_id"), F.lit(n_salts)).cast("int").alias("g"),
         "vec_id",
         "arr",
         F.lit(False).alias("is_cent"),
     )
-    cents_rep = cent_arr.crossJoin(salts).select(
-        "g",
+    # generator replication, no join (a broadcast crossJoin spine
+    # would plan as BroadcastNestedLoopJoin — banned by the plan gates)
+    cents_rep = cent_arr.select(
+        # sequence of int literals -> array<int>, so the exploded g is
+        # already int32 (matching the probers' pmod cast)
+        F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("g"),
         F.col("cid").alias("vec_id"),
         F.col("carr").alias("arr"),
         F.lit(True).alias("is_cent"),

@@ -162,17 +162,20 @@ def assign_pivot_cells(
     function of (vector, seeds): bit-identical at any parallelism."""
     spark = df.sparkSession
     n_salts = spark.sparkContext.defaultParallelism
-    salts = F.broadcast(
-        spark.range(n_salts).select(F.col("id").cast("int").alias("g"))
-    )
     probers = df.select(
         F.pmod(F.col(id_col), F.lit(n_salts)).cast("int").alias("g"),
         F.col(id_col).alias("vec_id"),
         _quantize_expr(vec_col).alias("qv"),
         F.lit(False).alias("is_seed"),
     )
-    seeds_rep = seeds.crossJoin(salts).select(
-        "g",
+    # explode(sequence(...)) replicates the bounded seed frame once per
+    # salt group as a GENERATOR — no join operator at all (a broadcast
+    # crossJoin spine plans as BroadcastNestedLoopJoin, which the plan
+    # gates ban)
+    seeds_rep = seeds.select(
+        # sequence of int literals -> array<int>, so the exploded g is
+        # already int32 (matching the probers' pmod cast)
+        F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("g"),
         F.col("seed_id").alias("vec_id"),
         _quantize_expr("seed_vec").alias("qv"),
         F.lit(True).alias("is_seed"),
@@ -788,9 +791,6 @@ def pq_encode(
     )
     spark = df.sparkSession
     n_salts = spark.sparkContext.defaultParallelism
-    salts = F.broadcast(
-        spark.range(n_salts).select(F.col("id").cast("int").alias("g"))
-    )
     seeds = (
         df.orderBy(id_col)
         .limit(n_centroids)
@@ -802,8 +802,14 @@ def pq_encode(
         qexpr.alias("qv"),
         F.lit(False).alias("is_seed"),
     )
-    seeds_rep = seeds.crossJoin(salts).select(
-        "g", "vec_id", "qv", F.lit(True).alias("is_seed")
+    # generator replication, no join (see assign_pivot_cells)
+    seeds_rep = seeds.select(
+        # sequence of int literals -> array<int>, so the exploded g is
+        # already int32 (matching the probers' pmod cast)
+        F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("g"),
+        "vec_id",
+        "qv",
+        F.lit(True).alias("is_seed"),
     )
     out = (
         probers.unionByName(seeds_rep)
