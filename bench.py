@@ -111,6 +111,10 @@ BENCH_QUERIES = [
     # state Arrow fold family's newest member
     "sim_late_interaction_topk",
     "stream_rate_limit_audit",
+    # round-10: residual-encoding IVFADC pins the per-probed-cell
+    # distance-table shape (the true Jegou formulation) on top of the
+    # shared pivot-cell + PQ-encode kernels
+    "sim_ivfadc_residual_topk",
 ]
 
 

@@ -1070,3 +1070,72 @@ def test_boilerplate_shingle_marks_planted_template(spark, tmp_path):
         else:
             assert out[i]["n_boiler"] == 0, i
             assert out[i]["boiler_ppm"] == 0
+
+
+def test_ivfadc_residual_exact_on_codebook_members(spark):
+    """Residual ADC degenerates to exact search for vectors whose
+    residual IS a codeword: with seeds = first 4 ids and the residual
+    codebook = the NEXT 4 ids, a query equal to codebook vector v gets
+    adc_dist 0 to v (its top probe is v's own cell, its residual
+    matches v's codeword in every subspace), so v must appear in the
+    zero-distance tier of v's own result set.  (Rank-1 exactly is NOT
+    guaranteed: a seed's residual is the ZERO vector, and when its
+    nearest codeword is v's residual the seed reconstructs to ~v and
+    legitimately ties at adc_dist 0 — approximate-search semantics.)"""
+    import numpy as np
+
+    from youtube_trending_data_pipeline_spark.operators.similarity import (
+        ivfadc_residual_topk,
+    )
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(16, 16)).astype("float32")
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(16)],
+        "vec_id long, embedding array<float>",
+    )
+    # codebook members are ids 4..7 (the 4 vectors after the 4 seeds)
+    queries = spark.createDataFrame(
+        [(100 + c, [float(x) for x in vecs[c]]) for c in range(4, 8)],
+        "query_id long, embedding array<float>",
+    )
+    rows = ivfadc_residual_topk(
+        corpus, queries, k=5, n_cells=4, n_probe=2,
+        dim=16, m=2, n_centroids=4,
+    ).collect()
+    for c in range(4, 8):
+        hits = {
+            r.neighbor_id: r.adc_dist_q
+            for r in rows
+            if r.query_id == 100 + c and r.adc_dist_q == 0
+        }
+        assert c in hits, (c, sorted(hits))
+
+
+def test_ivfadc_residual_codebook_excludes_seeds(spark):
+    """The residual codebook must be the n_centroids ids AFTER the
+    seeds: every emitted code id falls in that id range (seed residuals
+    are ~0 and would waste codewords — the documented policy)."""
+    import numpy as np
+
+    from youtube_trending_data_pipeline_spark.operators.similarity import (
+        ivfadc_residual_topk,
+    )
+
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(20, 16)).astype("float32")
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(20)],
+        "vec_id long, embedding array<float>",
+    )
+    queries = spark.createDataFrame(
+        [(100, [float(x) for x in vecs[9]])],
+        "query_id long, embedding array<float>",
+    )
+    got = ivfadc_residual_topk(
+        corpus, queries, k=3, n_cells=4, n_probe=2,
+        dim=16, m=2, n_centroids=4,
+    ).collect()
+    assert len(got) == 3
+    ranks = [r.rank for r in got]
+    assert ranks == [1, 2, 3]
