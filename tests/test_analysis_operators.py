@@ -1984,11 +1984,26 @@ def test_rowwise_topk_matches_lexsort_reference():
         for r in range(m):
             ref = np.lexsort((ids, -D[r]))[:kk]
             assert list(got[r]) == list(ref), (r, D[r], ids)
-    # fallback: values so large the key encoding would overflow
+    # fallback: per-row SPREAD so large even the rebased key overflows
     D = np.array([[2**61, -(2**61), 5]], dtype=np.int64)
     ids = np.array([3, 1, 2], dtype=np.int64)
     got = ca._rowwise_topk(D, ids, 3)
     assert list(got[0]) == list(np.lexsort((ids, -D[0])))
+    # round 10: the Lloyd regime — huge ABSOLUTE magnitude (-d2 keys
+    # near -3.3e18) with small per-row spread must take the vectorized
+    # rebased path (the old |D|*M guard would have hit the slow
+    # fallback at ~1024 columns) and still match the reference,
+    # including ties
+    n = 1024
+    base = np.int64(-3_300_000_000_000_000_000)
+    offs = rng.randint(0, 10**6, size=(5, n)).astype(np.int64)
+    offs[:, 1] = offs[:, 0]  # planted tie -> id tie-break exercised
+    D = base + offs
+    ids = rng.permutation(np.arange(200, 200 + n)).astype(np.int64)
+    got = ca._rowwise_topk(D, ids, 7)
+    for r in range(5):
+        ref = np.lexsort((ids, -D[r]))[:7]
+        assert list(got[r]) == list(ref), r
 
 
 def test_exact_int_matmul_bit_exact_and_guarded():

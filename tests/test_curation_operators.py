@@ -1139,3 +1139,32 @@ def test_ivfadc_residual_codebook_excludes_seeds(spark):
     assert len(got) == 3
     ranks = [r.rank for r in got]
     assert ranks == [1, 2, 3]
+
+
+def test_substring_spans_marks_planted_shared_run(spark, tmp_path):
+    """Two docs share an exact 12-token run (planted); a third is
+    unique. The shared run must come back as ONE merged span in each
+    sharing doc covering exactly the planted token range; the unique
+    doc must be absent."""
+    shared = " ".join(f"dup{i}" for i in range(12))
+    rows = [
+        (1, f"alpha beta {shared} gamma", "en", "web", 0),
+        (2, f"{shared} delta epsilon zeta", "en", "web", 0),
+        (3, "totally unique words nothing repeats here at all", "en", "web", 0),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).withColumn("n_chars", F.length("text")).write.mode("overwrite").parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    from youtube_trending_data_pipeline_spark.catalog import QUERIES
+
+    out = {
+        r.doc_id: (r.span_start, r.span_end, r.span_tokens)
+        for r in QUERIES["dedup_substring_spans"].fn(spark, str(tmp_path)).collect()
+    }
+    # doc 1: shared run at token positions 3..14 (1-based)
+    assert out[1] == (3, 14, 12), out
+    # doc 2: shared run at positions 1..12
+    assert out[2] == (1, 12, 12), out
+    assert 3 not in out

@@ -4263,3 +4263,122 @@ def boilerplate_shingle_mark(spark, sf_dir):
             "CAST((1000000 * n_boiler) div GREATEST(n_shingles, 1) AS BIGINT)"
         ).alias("boiler_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-document duplicated-substring spans (Lee et al., ACL'22)
+# ---------------------------------------------------------------------------
+
+# tokens per rolling window. Lee et al. dedup at 50-token granularity on
+# web corpora; the synthetic gate documents are ~50 tokens TOTAL, so the
+# gate knob is 5 — the plan shape (posting-group -> equi-join ->
+# gaps-and-islands) is what scales, and W only changes the constant.
+_SPAN_W = 5
+
+
+@register(
+    "dedup_substring_spans",
+    f"""
+    WITH tk AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ), win AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS s,
+             {_H32_DUCK.format(s=f"array_to_string(list_slice(toks, i, i + {_SPAN_W - 1}), ' ')")}
+               AS hv
+      FROM tk, LATERAL (SELECT unnest(range(1, len(toks) - {_SPAN_W - 2})) AS i) g
+      WHERE len(toks) >= {_SPAN_W}
+    ), dup AS (
+      SELECT hv FROM win GROUP BY hv
+      HAVING COUNT(DISTINCT doc_id) >= 2
+    ), hits AS (
+      SELECT DISTINCT w.doc_id, w.s FROM win w JOIN dup USING (hv)
+    ), isl AS (
+      SELECT doc_id, s,
+             CASE WHEN s <= LAG(s) OVER (PARTITION BY doc_id ORDER BY s)
+                         + {_SPAN_W}
+                  THEN 0 ELSE 1 END AS brk
+      FROM hits
+    ), grp AS (
+      SELECT doc_id, s,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY s) AS gid
+      FROM isl
+    )
+    SELECT doc_id,
+           CAST(MIN(s) AS BIGINT) AS span_start,
+           CAST(MAX(s) + {_SPAN_W - 1} AS BIGINT) AS span_end,
+           CAST(MAX(s) + {_SPAN_W} - MIN(s) AS BIGINT) AS span_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_dup_windows
+    FROM grp GROUP BY doc_id, gid
+    """,
+    "Cross-document duplicated-substring REMOVAL PLAN (Lee et al., "
+    "ACL'22 'Deduplicating Training Data Makes Language Models "
+    "Better'): every 5-token rolling window is fingerprinted "
+    "(portable md5-derived 32-bit hash, the winnowing entry's hash); "
+    "a window duplicated across >= 2 DISTINCT documents marks its "
+    "token range, and per document the marked windows merge into "
+    "maximal spans via gaps-and-islands — the exact (doc_id, "
+    "span_start, span_end) cut list their suffix-array pipeline "
+    "emits, re-expressed relationally. Intra-document repeats are "
+    "deliberately NOT marked (the paper cuts those too; here they "
+    "stay — boilerplate_shingle covers the within-source case). "
+    "Plan: one fingerprint aggregate (count-distinct-docs, "
+    "map-side-combined), one posting equi-join back to the window "
+    "stream, one per-doc LAG + running-SUM island pass — every "
+    "exchange is key-partitioned, nothing quadratic, no windows over "
+    "the corpus (only within doc_id). At 100 TB this is the "
+    "shuffle-bound dedup sweep that replaces the paper's "
+    "memory-bound suffix array.",
+)
+def dedup_substring_spans(spark, sf_dir):
+    w = _SPAN_W
+    hexpr = _H32_SPARK.format(s=f"array_join(slice(_toks, i, {w}), ' ')")
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", _toks().alias("_toks")
+    )
+    wins = (
+        docs.where(F.expr(f"size(_toks) >= {w}"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(_toks) - {w - 1}), "
+                    f"i -> struct(CAST(i AS BIGINT) AS s, {hexpr} AS hv))"
+                )
+            ).alias("win"),
+        )
+        .select("doc_id", "win.s", "win.hv")
+    )
+    dup = (
+        wins.groupBy("hv")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("hv")
+    )
+    hits = wins.join(dup, "hv").select("doc_id", "s").distinct()
+    wd = W.partitionBy("doc_id").orderBy("s")
+    isl = hits.withColumn(
+        "brk",
+        F.when(
+            F.col("s") <= F.lag("s").over(wd) + F.lit(w), F.lit(0)
+        ).otherwise(F.lit(1)),
+    )
+    grp = isl.withColumn(
+        "gid",
+        F.sum("brk").over(
+            wd.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    return (
+        grp.groupBy("doc_id", "gid")
+        .agg(
+            F.min("s").alias("span_start"),
+            (F.max("s") + F.lit(w - 1)).alias("span_end"),
+            (F.max("s") + F.lit(w) - F.min("s")).alias("span_tokens"),
+            F.count(F.lit(1)).alias("n_dup_windows"),
+        )
+        .select(
+            "doc_id", "span_start", "span_end", "span_tokens",
+            "n_dup_windows",
+        )
+        .orderBy("doc_id", "span_start")
+    )

@@ -30,9 +30,15 @@ def _rowwise_topk(D, ids, k):
     The composite order is encoded into one int64 key per cell:
     ``value * M - rank(id)`` with M the next power of two above the
     column count, so a larger value always wins and the smaller id
-    wins among equals. Falls back to the per-row lexsort when the
-    encoding could overflow int64 (never at these magnitudes — dots
-    are <= ~6e9 and M <= 2^21 for any corpus this kernel sees)."""
+    wins among equals. Values are REBASED per row (subtract the row
+    max) before encoding — per-row order is invariant under a per-row
+    shift, and the key magnitude then depends on each row's value
+    RANGE, not its absolute magnitude (round 10: the Lloyd kernel's
+    -d2 keys sat at ~3.3e18 of the 4.6e18 ceiling at 128-cell M and
+    would have hit the slow fallback at ~1024 cells; rebased, their
+    per-row spread is orders of magnitude smaller). Falls back to the
+    per-row lexsort only when even the rebased encoding could overflow
+    int64."""
     import numpy as np
 
     m, n = D.shape
@@ -43,13 +49,19 @@ def _rowwise_topk(D, ids, k):
     rank = np.empty(n, dtype=np.int64)
     rank[order_ids] = np.arange(n, dtype=np.int64)
     M = np.int64(1) << int(max(n - 1, 1)).bit_length()
-    # guard computed in float: the int64 product itself could overflow
-    if float(np.abs(D).max(initial=0)) * float(M) > float(1 << 62):
+    # row-range guard computed in float BEFORE the int64 subtraction
+    # (the subtraction itself could wrap for pathological spreads)
+    rowmax = D.max(axis=1, keepdims=True)
+    spread = float(
+        (D.max(axis=1).astype(np.float64)
+         - D.min(axis=1).astype(np.float64)).max(initial=0.0)
+    )
+    if spread >= float(1 << 62) or spread * float(M) > float(1 << 62):
         out = np.empty((m, k), dtype=np.int64)
         for r in range(m):
             out[r] = np.lexsort((ids, -D[r]))[:k]
         return out
-    key = D * M - rank[None, :]
+    key = (D - rowmax) * M - rank[None, :]
     part = np.argpartition(-key, k - 1, axis=1)[:, :k]
     rowkeys = np.take_along_axis(-key, part, axis=1)
     order = np.argsort(rowkeys, axis=1, kind="stable")
