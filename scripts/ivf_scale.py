@@ -42,6 +42,10 @@ ENTRIES = [
     "sim_ivf_topk",
     "sim_pq_adc_topk",
     "sim_ivfadc_topk",
+    # round 10: residual-encoding variant (true Jegou) — same knobs,
+    # one extra kernel pass (residual PQ encode) + per-probed-cell
+    # distance tables
+    "sim_ivfadc_residual_topk",
 ]
 
 
