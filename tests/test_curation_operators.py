@@ -1168,3 +1168,40 @@ def test_substring_spans_marks_planted_shared_run(spark, tmp_path):
     # doc 2: shared run at positions 1..12
     assert out[2] == (1, 12, 12), out
     assert 3 not in out
+
+
+def test_audio_fingerprint_dc_and_gain_invariant(spark):
+    """The sign-of-delta fingerprint must be invariant to DC offset and
+    positive gain (the two transforms byte hashing is blind to), must
+    differ for a reversed waveform, and must quarantine undecodable
+    bytes as NULL."""
+    import struct
+
+    from youtube_trending_data_pipeline_spark.operators.multimodal import (
+        audio_sign_fingerprint,
+    )
+
+    def wav(samples):
+        data = b"".join(struct.pack("<h", s) for s in samples)
+        return (
+            b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<I", 16)
+            + struct.pack("<HHIIHH", 1, 1, 1000, 2000, 2, 16)
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+
+    base = [3, -5, 8, 8, -2, 11, 0, 7]
+    rows = [
+        ("base", "audio", wav(base)),
+        ("dc", "audio", wav([s + 100 for s in base])),
+        ("gain", "audio", wav([s * 3 for s in base])),
+        ("rev", "audio", wav(base[::-1])),
+        ("junk", "audio", b"not a wav at all"),
+    ]
+    media = spark.createDataFrame(
+        rows, "asset_id string, media_type string, content binary"
+    )
+    out = {r.asset_id: r.fp for r in audio_sign_fingerprint(media).collect()}
+    assert out["base"] == out["dc"] == out["gain"]
+    assert out["rev"] != out["base"]
+    assert out["junk"] is None

@@ -7039,3 +7039,111 @@ def sim_ivfadc_residual_topk(spark, sf_dir):
         n_probe=n_probe,
         n_centroids=min(256, n_cells),
     ).orderBy("query_id", "rank")
+
+
+def _wav_header_hex_n(n_samples: int) -> str:
+    """RIFF/WAVE header for ``n_samples`` of 16-bit mono PCM at 1 kHz,
+    as a hex literal (the _wav_header_hex shape, parameterized)."""
+    import struct
+
+    data = 2 * n_samples
+    hdr = (
+        b"RIFF" + struct.pack("<I", 36 + data) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16)
+        + struct.pack("<HHIIHH", 1, 1, 1000, 2000, 2, 16)
+        + b"data" + struct.pack("<I", data)
+    )
+    return hdr.hex()
+
+
+_AFP_N = 16  # samples per synthetic clip -> 15 fingerprint bits
+
+
+def _audio_fp_oracle() -> str:
+    """Replay of the decode->fingerprint path: sample i of a doc's clip
+    is ((doc_id%40)*53 + 101)*i % 2048 - 1024 + (doc_id%5)*3 — a shared
+    per-class sawtooth (class-dependent FREQUENCY, so wrap positions
+    and hence delta signs differ across classes: 36 distinct
+    fingerprints over the 40 classes, including two genuine collisions)
+    plus a PER-DOC DC offset, so clip BYTES differ within a class (md5
+    dedup finds nothing) while sign-of-delta bits are identical (the
+    offset cancels in every comparison)."""
+    def s(i: int) -> str:
+        return (
+            f"(((((doc_id % 40) * 53 + 101) * {i}) % 2048) - 1024"
+            f" + (doc_id % 5) * 3)"
+        )
+
+    bits = " + ".join(
+        f"(CASE WHEN {s(i + 1)} > {s(i)} THEN {1 << i} ELSE 0 END)"
+        for i in range(_AFP_N - 1)
+    )
+    return f"""
+    WITH hashed AS (
+      SELECT doc_id, CAST({bits} AS BIGINT) AS fp FROM documents
+    )
+    SELECT fp,
+           CAST(COUNT(*) AS BIGINT) AS n_assets,
+           CAST(MIN(doc_id) AS BIGINT) AS keeper_id,
+           string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+             AS members
+    FROM hashed GROUP BY fp
+    """
+
+
+@register(
+    "multimodal_audio_fingerprint_dedup",
+    _audio_fp_oracle(),
+    "Multimodal near-dup AUDIO dedup — the audio twin of "
+    "multimodal_image_dhash_dedup: per-doc synthetic 16-sample 16-bit "
+    "PCM WAV (real RIFF bytes, built JVM-side) where docs in the same "
+    "doc_id%40 class share a waveform but carry a PER-DOC DC offset, "
+    "so byte-level dedup (md5) finds nothing while the sign-of-delta "
+    "fingerprint (the Chromaprint family's deterministic skeleton: one "
+    "bit per consecutive-sample comparison, DC- and gain-invariant) "
+    "groups them -> Arrow-batched mapInPandas running the REAL RIFF "
+    "chunk-walking decoder, then ONE hash aggregate keeping the "
+    "smallest doc_id. At 100 TB fingerprints bucket by hamming bands "
+    "exactly like dedup_simhash; decoded samples never shuffle (the "
+    "kernel emits 1 long per clip). Oracle recomputes decode + "
+    "fingerprint arithmetic bit-for-bit.",
+)
+def multimodal_audio_fingerprint_dedup(spark, sf_dir):
+    from youtube_trending_data_pipeline_spark.operators.multimodal import (
+        audio_sign_fingerprint,
+    )
+
+    def sample_hex(i: int):
+        v = (
+            ((F.pmod(F.col("doc_id"), F.lit(40)) * 53 + 101) * i) % 2048
+            - 1024
+            + F.pmod(F.col("doc_id"), F.lit(5)) * 3
+        )
+        u = F.pmod(v, F.lit(65536))
+        return F.concat(
+            F.lpad(F.hex(u % 256), 2, "0"),
+            F.lpad(F.hex(F.floor(u / 256).cast("long")), 2, "0"),
+        )
+
+    data_hex = F.concat(*[sample_hex(i) for i in range(_AFP_N)])
+    media = t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("asset_id"),
+        F.lit("audio").alias("media_type"),
+        F.concat(
+            F.unhex(F.lit(_wav_header_hex_n(_AFP_N))), F.unhex(data_hex)
+        ).alias("content"),
+    )
+    hashed = audio_sign_fingerprint(media).select(
+        F.col("asset_id").cast("long").alias("doc_id"), "fp"
+    )
+    return hashed.groupBy("fp").agg(
+        F.count(F.lit(1)).alias("n_assets"),
+        F.min("doc_id").alias("keeper_id"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list("doc_id")),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("members"),
+    )

@@ -1143,3 +1143,52 @@ def video_motion_sad(media: DataFrame) -> DataFrame:
         "asset_id", "content"
     )
     return video.mapInPandas(kernel, schema=MOTION_SCHEMA)
+
+
+AUDIO_FP_SCHEMA = StructType(
+    [
+        StructField("asset_id", StringType()),
+        StructField("fp", LongType()),
+    ]
+)
+
+
+def _audio_fp_impl(content: bytes) -> int | None:
+    """Sign-of-delta audio fingerprint (the Chromaprint/AcoustID family's
+    core idea reduced to its deterministic skeleton): one bit per
+    consecutive-sample comparison, packed little-endian. Invariant to
+    DC offset and (sign-preserving) gain — the two transforms byte-level
+    hashing is blind to — so re-encoded/re-levelled copies of the same
+    audio collide. XOR-folds into 63 bits so any clip length fits a
+    signed int64 (identity below 64 samples). Undecodable bytes
+    fingerprint to NULL (the quarantine-bucket doctrine of _dhash_impl)."""
+    try:
+        _rate, samples = decode_wav(content)
+    except Exception:
+        return None
+    out = 0
+    for j in range(len(samples) - 1):
+        if samples[j + 1] > samples[j]:
+            out ^= 1 << (j % 63)
+    return out
+
+
+def audio_sign_fingerprint(media: DataFrame, fetch=None) -> DataFrame:
+    """mapInPandas audio fingerprinting: (asset_id, fp) per audio asset.
+
+    Same Arrow-batched, constant-memory kernel shape as image_dhash;
+    media_type filter stays JVM-side."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            content = _resolve_content(pdf, fetch)
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "fp": content.map(_audio_fp_impl),
+                }
+            )
+
+    cols = ["asset_id", "content"] + (["uri"] if "uri" in media.columns else [])
+    audio = media.where(F.col("media_type") == "audio").select(*cols)
+    return audio.mapInPandas(kernel, schema=AUDIO_FP_SCHEMA)
