@@ -7147,3 +7147,148 @@ def multimodal_audio_fingerprint_dedup(spark, sf_dir):
             ",",
         ).alias("members"),
     )
+
+
+def _minhash_recall_oracle() -> str:
+    """Composes the REGISTERED dedup_minhash_lsh oracle as a subquery
+    (the sim_pq_recall_audit doctrine: the audit can never drift from
+    what the index entry computes) against the exact ground truth:
+    token-3-shingle Jaccard >= 0.5 as the INTEGER rational predicate
+    3*|A∩B| >= |A| + |B| over the shingle-posting join (every J > 0
+    pair shares a shingle, so the posting join finds ALL qualifying
+    pairs — no blind all-pairs)."""
+    lsh = _minhash_oracle()
+    return f"""
+    WITH lshp AS (
+      SELECT id_a, id_b FROM ({lsh})
+    ), toks2 AS (
+      SELECT doc_id, {_TOKS.format(t="text")} AS tk FROM documents
+    ), sh2 AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_distinct(
+               list_transform(range(1, len(tk) - 1),
+                 i -> array_to_string(list_slice(tk, i, i + 2), ' '))
+             )) AS s
+      FROM toks2 WHERE len(tk) >= 3
+    ), cnt2 AS (
+      SELECT doc_id, COUNT(*) AS c FROM sh2 GROUP BY doc_id
+    ), common2 AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS nc
+      FROM sh2 a JOIN sh2 b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), exact2 AS (
+      SELECT co.id_a, co.id_b
+      FROM common2 co
+      JOIN cnt2 ca ON ca.doc_id = co.id_a
+      JOIN cnt2 cb ON cb.doc_id = co.id_b
+      WHERE 3 * co.nc >= ca.c + cb.c
+    ), flags AS (
+      SELECT COALESCE(e.id_a, l.id_a) AS id_a,
+             COALESCE(e.id_b, l.id_b) AS id_b,
+             CASE WHEN e.id_a IS NULL THEN 0 ELSE 1 END AS in_e,
+             CASE WHEN l.id_a IS NULL THEN 0 ELSE 1 END AS in_l
+      FROM exact2 e FULL OUTER JOIN lshp l
+        ON e.id_a = l.id_a AND e.id_b = l.id_b
+    )
+    SELECT CAST(COALESCE(SUM(in_e), 0) AS BIGINT) AS n_exact,
+           CAST(COALESCE(SUM(in_l), 0) AS BIGINT) AS n_lsh,
+           CAST(COALESCE(SUM(in_e * in_l), 0) AS BIGINT) AS n_common,
+           CAST(1000000 * COALESCE(SUM(in_e * in_l), 0)
+                // GREATEST(COALESCE(SUM(in_e), 0), 1) AS BIGINT)
+             AS recall_ppm,
+           CAST(1000000 * COALESCE(SUM(in_e * in_l), 0)
+                // GREATEST(COALESCE(SUM(in_l), 0), 1) AS BIGINT)
+             AS precision_ppm
+    FROM flags
+    """
+
+
+@register(
+    "dedup_minhash_recall_audit",
+    _minhash_recall_oracle(),
+    "MinHash-LSH recall/precision audit — the dedup family's member of "
+    "the recall-audit trio (sim_pq_recall_audit, "
+    "graph_mutual_knn_recall_audit): the REGISTERED dedup_minhash_lsh "
+    "pipeline's pairs vs the EXACT token-3-shingle Jaccard >= 0.5 "
+    "ground truth, as one row of (n_exact, n_lsh, n_common, "
+    "recall_ppm, precision_ppm). Ground truth uses the integer "
+    "rational predicate 3*|A∩B| >= |A|+|B| over the shingle-POSTING "
+    "self-join — every J > 0 pair shares a shingle, so the posting "
+    "join finds all qualifying pairs without blind all-pairs (at "
+    "100 TB a df-capped posting head drops boilerplate shingles "
+    "first, the standard CCNet mitigation — a J >= 0.5 pair that "
+    "shares ONLY above-cap shingles is boilerplate by definition). "
+    "Both sides integer-exact; ppm by integer division. This is the "
+    "number that decides the (bands, rows) setting: 64-perm/16-band "
+    "at threshold 0.5 should sit near the S-curve knee.",
+)
+def dedup_minhash_recall_audit(spark, sf_dir):
+    from youtube_trending_data_pipeline_spark.catalog import QUERIES
+
+    docs = t(spark, sf_dir, "documents")
+    lsh = (
+        QUERIES["dedup_minhash_lsh"].fn(spark, sf_dir)
+        .select("id_a", "id_b")
+    )
+    tk = F.filter(
+        F.split(F.col("text"), r"\s+"), lambda x: x != F.lit("")
+    )
+    sh = (
+        docs.select("doc_id", tk.alias("tk"))
+        .where(F.expr("size(tk) >= 3"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        "transform(sequence(1, size(tk) - 2), "
+                        "i -> array_join(slice(tk, i, 3), ' '))"
+                    )
+                )
+            ).alias("s"),
+        )
+        .distinct()
+    )
+    cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("c"))
+    common = (
+        sh.alias("a")
+        .join(sh.alias("b"), "s")
+        .where(F.expr("a.doc_id < b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("nc"))
+    )
+    exact = (
+        common.join(cnt.select(F.col("doc_id").alias("id_a"),
+                               F.col("c").alias("ca")), "id_a")
+        .join(cnt.select(F.col("doc_id").alias("id_b"),
+                         F.col("c").alias("cb")), "id_b")
+        .where(F.expr("3 * nc >= ca + cb"))
+        .select("id_a", "id_b")
+    )
+    flags = (
+        exact.withColumn("in_e", F.lit(1))
+        .join(lsh.withColumn("in_l", F.lit(1)), ["id_a", "id_b"], "full_outer")
+        .select(
+            F.coalesce("in_e", F.lit(0)).alias("in_e"),
+            F.coalesce("in_l", F.lit(0)).alias("in_l"),
+        )
+    )
+    return flags.agg(
+        F.coalesce(F.sum("in_e"), F.lit(0)).cast("long").alias("n_exact"),
+        F.coalesce(F.sum("in_l"), F.lit(0)).cast("long").alias("n_lsh"),
+        F.coalesce(F.sum(F.col("in_e") * F.col("in_l")), F.lit(0))
+        .cast("long").alias("n_common"),
+    ).select(
+        "n_exact",
+        "n_lsh",
+        "n_common",
+        F.expr(
+            "CAST(1000000 * n_common div GREATEST(n_exact, 1) AS BIGINT)"
+        ).alias("recall_ppm"),
+        F.expr(
+            "CAST(1000000 * n_common div GREATEST(n_lsh, 1) AS BIGINT)"
+        ).alias("precision_ppm"),
+    )
