@@ -1205,3 +1205,39 @@ def test_audio_fingerprint_dc_and_gain_invariant(spark):
     assert out["base"] == out["dc"] == out["gain"]
     assert out["rev"] != out["base"]
     assert out["junk"] is None
+
+
+def test_ffd_packing_respects_capacity_and_isolates_oversize(spark, tmp_path):
+    """Every bin's total stays <= 128 tokens unless the bin holds a
+    single oversize doc; an oversize doc never shares its bin; and the
+    planted shard packs into the FFD-optimal 2 bins (next-fit by id
+    order would need 3)."""
+    mk = lambda n: " ".join(f"t{i}" for i in range(n))  # noqa: E731
+    # all ids congruent mod 8 -> one shard: lengths 70, 60, 58, 68
+    # FFD order: 70, 68, 60, 58 -> bins (70+58), (68+60) = 2 bins;
+    # next-fit by id order 70, 60, 58, 68 -> (70), (60+58), (68) = 3
+    rows = [
+        (0, mk(70)), (8, mk(60)), (16, mk(58)), (24, mk(68)),
+        # second shard: one oversize doc (200 tokens) + a small one
+        (1, mk(200)), (9, mk(30)),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").selectExpr(
+        "doc_id", "text", "'en' AS lang", "'web' AS source",
+        "length(text) AS n_chars",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    from youtube_trending_data_pipeline_spark.catalog import QUERIES
+
+    out = QUERIES["pack_sequences_ffd"].fn(spark, str(tmp_path)).collect()
+    by_bin = {}
+    for r in out:
+        by_bin.setdefault((r.shard, r.bin_id), []).append(r)
+    for (sh, b), members in by_bin.items():
+        total = sum(m.n_tokens for m in members)
+        if total > 128:
+            assert len(members) == 1 and members[0].n_tokens > 128, members
+    shard0 = {r.doc_id: r.bin_id for r in out if r.doc_id % 8 == 0}
+    assert len(set(shard0.values())) == 2, shard0
+    # oversize doc alone in its bin
+    over = [r for r in out if r.doc_id == 1][0]
+    mates = [r for r in out if (r.shard, r.bin_id) == (over.shard, over.bin_id)]
+    assert len(mates) == 1

@@ -4382,3 +4382,112 @@ def dedup_substring_spans(spark, sf_dir):
         )
         .orderBy("doc_id", "span_start")
     )
+
+
+# ---------------------------------------------------------------------------
+# First-fit-decreasing sequence packing (the greedy bin-packing variant
+# pack_sequences_linear's docstring defers to)
+# ---------------------------------------------------------------------------
+
+_FFD_CAP = 128       # tokens per training pack
+_FFD_SHARD_DOCS = 64  # expected docs per packing shard (corpus-relative)
+
+
+def _ffd_kernel(pdf: pd.DataFrame, cap: int) -> pd.DataFrame:
+    """First-fit-decreasing within one shard: docs sorted by (n_tokens
+    DESC, doc_id ASC); each goes to the FIRST bin with room, else opens
+    a new bin. Sequential by nature — which is exactly why it runs as a
+    per-shard Arrow kernel (bounded ~64-doc groups) instead of a window:
+    no relational operator expresses carried bin state. Oversize docs
+    (n > cap) open their own bin and stay alone, no special case."""
+    pdf = pdf.sort_values(
+        ["n_tokens", "doc_id"], ascending=[False, True]
+    ).reset_index(drop=True)
+    fills: list[int] = []
+    bins: list[int] = []
+    for n in pdf["n_tokens"]:
+        for j, f in enumerate(fills):
+            if f + n <= cap:
+                fills[j] = f + n
+                bins.append(j + 1)
+                break
+        else:
+            fills.append(int(n))
+            bins.append(len(fills))
+    out = pdf[["doc_id", "shard", "n_tokens"]].copy()
+    out["bin_id"] = pd.Series(bins, dtype="int64")
+    return out[["doc_id", "shard", "bin_id", "n_tokens"]]
+
+
+@register(
+    "pack_sequences_ffd",
+    f"""
+    WITH RECURSIVE tk AS (
+      SELECT doc_id,
+             CAST(len({_TOKS_SQL}) AS BIGINT) AS n
+      FROM documents
+    ), ns AS (
+      SELECT GREATEST(8, COUNT(*) // {_FFD_SHARD_DOCS}) AS n_shards FROM tk
+    ), ranked AS (
+      SELECT doc_id, n, CAST(doc_id % ns.n_shards AS BIGINT) AS shard,
+             ROW_NUMBER() OVER (PARTITION BY doc_id % ns.n_shards
+                                ORDER BY n DESC, doc_id) AS rk
+      FROM tk, ns
+    ), steps AS (
+      SELECT shard, 0 AS step, CAST(NULL AS BIGINT) AS doc_id,
+             CAST(NULL AS BIGINT) AS n, CAST(NULL AS BIGINT) AS bin_id,
+             []::BIGINT[] AS fills
+      FROM (SELECT DISTINCT shard FROM ranked)
+      UNION ALL
+      SELECT shard, step + 1, doc_id, n,
+             CAST(coalesce(idx, len(fills) + 1) AS BIGINT),
+             CASE WHEN idx IS NULL THEN list_append(fills, n)
+                  ELSE list_concat(list_concat(
+                         fills[1:idx-1], [fills[idx] + n]), fills[idx+1:])
+             END
+      -- NB list_position returns 0 (not NULL) on no-match: NULLIF guards
+      -- the new-bin branch; idx is computed ONCE per step in this
+      -- derived table so the slice bounds reuse it
+      FROM (SELECT shard, step, fills, doc_id, n,
+                   NULLIF(list_position(
+                     list_transform(fills, f -> f + n <= {_FFD_CAP}),
+                     true), 0) AS idx
+            FROM (SELECT s.shard, s.step, s.fills, r.doc_id, r.n
+                  FROM steps s
+                  JOIN ranked r ON r.shard = s.shard AND r.rk = s.step + 1))
+    )
+    SELECT doc_id, shard, bin_id, n AS n_tokens
+    FROM steps WHERE doc_id IS NOT NULL
+    """,
+    "First-fit-decreasing sequence packing — the greedy bin-packing "
+    "variant pack_sequences_linear's docstring defers to, made "
+    "distributed the only way a sequential-state algorithm can be: "
+    "docs hash into corpus-relative shards (GREATEST(8, n/64) — "
+    "bounded ~64-doc groups, the knob doctrine), and ONE Arrow kernel "
+    "per shard runs the classical FFD scan (sort by tokens DESC, "
+    "first bin with room, 128-token capacity; 11/9-OPT guarantee "
+    "within each shard). The oracle replays the ENTIRE sequential "
+    "scan as a recursive CTE carrying each shard's bin-fill LIST "
+    "through the recursion — one row per (shard, step) — so the gate "
+    "pins every placement decision, not just aggregate fill. At "
+    "100 TB shards scale with the corpus, packs never cross shards "
+    "(pack ids are (shard, bin) pairs), and the kernel sees ~64 rows "
+    "per group: embarrassingly parallel despite the sequential core.",
+)
+def pack_sequences_ffd(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(_toks()).cast("long").alias("n_tokens")
+    )
+    n_docs = docs.count()
+    n_shards = max(8, n_docs // _FFD_SHARD_DOCS)
+    sharded = docs.withColumn(
+        "shard", F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("long")
+    )
+    return (
+        sharded.groupBy("shard")
+        .applyInPandas(
+            lambda pdf: _ffd_kernel(pdf, _FFD_CAP),
+            schema="doc_id long, shard long, bin_id long, n_tokens long",
+        )
+        .orderBy("doc_id")
+    )
