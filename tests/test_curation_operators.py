@@ -1241,3 +1241,31 @@ def test_ffd_packing_respects_capacity_and_isolates_oversize(spark, tmp_path):
     over = [r for r in out if r.doc_id == 1][0]
     mates = [r for r in out if (r.shard, r.bin_id) == (over.shard, over.bin_id)]
     assert len(mates) == 1
+
+
+def test_leakage_free_split_keeps_chains_together(spark, tmp_path):
+    """A planted A~B~C near-dup chain (A,C never scored directly) must
+    land in ONE split — the structural guarantee sample_hash_split's
+    per-doc hash cannot give — and singletons still spread across
+    splits."""
+    base = "the quick brown fox jumps over the lazy dog again and again " * 3
+    rows = [(1, base + "alpha"), (2, base + "alpha beta"), (3, base + "beta")]
+    # singleton docs with distinct content to populate several splits
+    rows += [
+        (100 + i, f"unique content number {i} " + " ".join(
+            f"w{i}x{j}" for j in range(30)))
+        for i in range(40)
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").selectExpr(
+        "doc_id", "text", "'en' AS lang", "'web' AS source",
+        "length(text) AS n_chars",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    from youtube_trending_data_pipeline_spark.catalog import QUERIES
+
+    out = {
+        r.doc_id: (r.component, r.split)
+        for r in QUERIES["split_leakage_free_components"]
+        .fn(spark, str(tmp_path)).collect()
+    }
+    assert out[1] == out[2] == out[3], out  # one component, one split
+    assert len({v[1] for v in out.values()}) >= 2  # multiple splits used

@@ -7292,3 +7292,95 @@ def dedup_minhash_recall_audit(spark, sf_dir):
             "CAST(1000000 * n_common div GREATEST(n_lsh, 1) AS BIGINT)"
         ).alias("precision_ppm"),
     )
+
+
+@register(
+    "split_leakage_free_components",
+    """
+    WITH RECURSIVE grams AS (
+      SELECT doc_id, source,
+             list_distinct(list_transform(range(1, GREATEST(length(text) - 2, 0) + 1),
+                           i -> substr(text, CAST(i AS INT), 3))) AS g
+      FROM documents
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM grams a JOIN grams b
+        ON a.source = b.source AND a.doc_id < b.doc_id
+      WHERE CASE WHEN len(list_distinct(list_concat(a.g, b.g))) > 0
+                 THEN CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                      / len(list_distinct(list_concat(a.g, b.g)))
+                 ELSE 0.0 END >= 0.6
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, root) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    comp AS (SELECT node, MIN(root) AS component FROM reach GROUP BY node)
+    SELECT d.doc_id,
+           CAST(COALESCE(c.component, d.doc_id) AS BIGINT) AS component,
+           CASE
+             WHEN substr(md5(CAST(COALESCE(c.component, d.doc_id)
+                              AS VARCHAR)), 1, 1)
+                  IN ('0','1','2','3','4','5','6','7','8','9','a','b')
+               THEN 'train'
+             WHEN substr(md5(CAST(COALESCE(c.component, d.doc_id)
+                              AS VARCHAR)), 1, 1) IN ('c','d')
+               THEN 'valid'
+             ELSE 'test'
+           END AS split
+    FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    """,
+    "Leakage-FREE train/valid/test split: the hash split keyed by the "
+    "near-dup COMPONENT instead of the doc — sample_hash_split's id "
+    "hash sends two near-duplicate documents to different splits "
+    "~25% of the time (silent eval contamination: the model sees the "
+    "answer's twin in training), so the split key must be the "
+    "dedup-cluster representative. Composes dedup_components' closure "
+    "(char-3-gram Jaccard >= 0.6 pairs, min-label propagation; "
+    "singleton docs are their own component) with the same md5-nibble "
+    "12/2/2 assignment. STRUCTURAL guarantee: same component -> same "
+    "key -> same split, so no near-dup pair ever straddles. Oracle = "
+    "the recursive-CTE closure + the same hash projection. At 100 TB "
+    "the only additions over the split itself are the dedup pair join "
+    "(banded, never all-pairs) and one label-propagation round per "
+    "graph diameter — both already paid by the dedup pass this "
+    "composes with.",
+)
+def split_leakage_free_components(spark, sf_dir):
+    from youtube_trending_data_pipeline_spark.operators.components import (
+        connected_components,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(
+        docs, "doc_id", "text", ["source"], n=3
+    ).where(F.col("jaccard") >= 0.6)
+    comp = connected_components(pairs, src="id_a", dst="id_b").select(
+        F.col("node").alias("doc_id"), "component"
+    )
+    keyed = (
+        docs.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", F.col("doc_id")).alias("component"),
+        )
+    )
+    nib = F.substring(F.md5(F.col("component").cast("string")), 1, 1)
+    return keyed.select(
+        "doc_id",
+        "component",
+        F.when(
+            nib.isin(*"0123456789ab"), F.lit("train")
+        )
+        .when(nib.isin("c", "d"), F.lit("valid"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
