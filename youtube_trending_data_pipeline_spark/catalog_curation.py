@@ -4491,3 +4491,127 @@ def pack_sequences_ffd(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+def _pair_audit_oracle() -> str:
+    """Replays both fingerprints: the image side recomputes the 3x2 PPM
+    dHash integer arithmetic (the _dhash_oracle bits), the caption side
+    is the md5 of the first-5-token caption STUB (alt-text boilerplate
+    shares prefixes; the gate corpus has zero EXACT caption dups, so a
+    whole-text hash would leave the caption direction vacuously empty);
+    each direction groups by one fingerprint and counts DISTINCT values
+    of the other."""
+    def px(i: int) -> str:
+        return f"(((doc_id % 40) * 11 + {i} * 17) % 256)"
+
+    def gray(p: int) -> str:
+        return f"({px(p * 3)} + {px(p * 3 + 1)} + {px(p * 3 + 2)})"
+
+    cmps = [(0, 1), (1, 2), (3, 4), (4, 5), (0, 3), (1, 4), (2, 5)]
+    bits = " + ".join(
+        f"(CASE WHEN {gray(a)} < {gray(b)} THEN {1 << j} ELSE 0 END)"
+        for j, (a, b) in enumerate(cmps)
+    )
+    return f"""
+    WITH fp AS (
+      SELECT doc_id,
+             CAST({bits} AS BIGINT) AS dhash,
+             md5(array_to_string(list_slice(
+               list_filter(string_split(lower(text), ' '), x -> x <> ''),
+               1, 5), ' ')) AS cap_hash
+      FROM documents
+    ), img AS (
+      SELECT 'image' AS kind, CAST(dhash AS VARCHAR) AS grp,
+             CAST(COUNT(*) AS BIGINT) AS n_assets,
+             CAST(COUNT(DISTINCT cap_hash) AS BIGINT) AS n_distinct_other,
+             CAST(MIN(doc_id) AS BIGINT) AS keeper_id
+      FROM fp GROUP BY dhash HAVING COUNT(*) >= 2
+    ), cap AS (
+      SELECT 'caption' AS kind, cap_hash AS grp,
+             CAST(COUNT(*) AS BIGINT) AS n_assets,
+             CAST(COUNT(DISTINCT dhash) AS BIGINT) AS n_distinct_other,
+             CAST(MIN(doc_id) AS BIGINT) AS keeper_id
+      FROM fp GROUP BY cap_hash HAVING COUNT(*) >= 2
+    )
+    SELECT * FROM img UNION ALL SELECT * FROM cap
+    """
+
+
+@register(
+    "multimodal_pair_dedup_audit",
+    _pair_audit_oracle(),
+    "Cross-modal image-text pair dedup audit — the LAION-curation "
+    "signal pair: (a) the SAME image re-captioned (dhash group with "
+    ">= 2 distinct caption hashes: re-hosted images with rewritten "
+    "alt-text — keep one, or the highest-quality caption) and (b) the "
+    "SAME caption on different images (caption-hash group with >= 2 "
+    "distinct dhashes: boilerplate alt-text — a caption-quality "
+    "signal, not a dedup key). Image fingerprint is the REAL decode "
+    "-> dHash kernel (multimodal_image_dhash_dedup's), caption "
+    "fingerprint is the md5 of the first-5-token caption stub "
+    "(boilerplate alt-text shares prefixes); each direction is "
+    "ONE hash aggregate over (fingerprint, other-fingerprint) rows. "
+    "At 100 TB both sides group narrow fixed-width hashes — decoded "
+    "pixels never shuffle, captions shuffle as 32-byte digests.",
+)
+def multimodal_pair_dedup_audit(spark, sf_dir):
+    from youtube_trending_data_pipeline_spark.operators.multimodal import (
+        image_dhash,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    pixel_hex = F.concat(
+        *[
+            F.lpad(
+                F.hex((F.pmod(F.col("doc_id"), F.lit(40)) * 11 + i * 17) % 256),
+                2,
+                "0",
+            )
+            for i in range(18)
+        ]
+    )
+    media = docs.select(
+        F.col("doc_id").cast("string").alias("asset_id"),
+        F.lit("image").alias("media_type"),
+        F.concat(
+            F.encode(F.lit("P6\n3 2\n255\n"), "utf-8"), F.unhex(pixel_hex)
+        ).alias("content"),
+    )
+    caps = docs.select(
+        "doc_id",
+        F.md5(
+            F.array_join(F.slice(_toks(), 1, 5), " ")
+        ).alias("cap_hash"),
+    )
+    fp = image_dhash(media).select(
+        F.col("asset_id").cast("long").alias("doc_id"), "dhash"
+    ).join(caps, "doc_id")
+    img = (
+        fp.groupBy("dhash")
+        .agg(
+            F.count(F.lit(1)).alias("n_assets"),
+            F.countDistinct("cap_hash").alias("n_distinct_other"),
+            F.min("doc_id").alias("keeper_id"),
+        )
+        .where(F.col("n_assets") >= 2)
+        .select(
+            F.lit("image").alias("kind"),
+            F.col("dhash").cast("string").alias("grp"),
+            "n_assets", "n_distinct_other", "keeper_id",
+        )
+    )
+    cap = (
+        fp.groupBy("cap_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_assets"),
+            F.countDistinct("dhash").alias("n_distinct_other"),
+            F.min("doc_id").alias("keeper_id"),
+        )
+        .where(F.col("n_assets") >= 2)
+        .select(
+            F.lit("caption").alias("kind"),
+            F.col("cap_hash").alias("grp"),
+            "n_assets", "n_distinct_other", "keeper_id",
+        )
+    )
+    return img.unionByName(cap)
