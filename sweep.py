@@ -50,6 +50,13 @@ ORACLE_HEAVY = {
     # same recursive-CTE replay shape as ewma_user_value, with two
     # carried registers
     "holt_linear_fold",
+    # round-10 second session: the FFD oracle is a recursive CTE
+    # carrying bin-fill lists (one row per (shard, step)), the split
+    # oracle embeds the components closure, and the recall audit's
+    # ground truth is a shingle-posting self-join — all sf<=0.01 class
+    "pack_sequences_ffd",
+    "split_leakage_free_components",
+    "dedup_minhash_recall_audit",
 }
 
 
