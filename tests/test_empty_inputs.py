@@ -216,3 +216,39 @@ def test_round9_operators_on_empty_inputs(spark, tmp_path):
     r = QUERIES["join_bloom_prefilter_audit"].fn(spark, d).collect()
     assert len(r) == 1
     assert r[0]["build_keys"] == 0 and r[0]["bloom_pass_rows"] == 0
+
+
+def test_round10_operators_on_empty_inputs(spark, tmp_path):
+    """Round-10 second-session entries on empty tables: the residual
+    IVFADC / audio fingerprint / spans / FFD / pair audit all produce
+    zero rows without crashing; the minhash recall audit's single
+    summary row survives with zero counts and guarded ppm divisions;
+    the leakage-free split is empty over an empty corpus."""
+    from youtube_trending_data_pipeline_spark.catalog import (
+        QUERIES,
+        _load_extensions,
+    )
+
+    _load_extensions()
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    spark.createDataFrame(
+        [], "vec_id long, embedding array<float>"
+    ).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+
+    for name in [
+        "sim_ivfadc_residual_topk",
+        "dedup_substring_spans",
+        "multimodal_audio_fingerprint_dedup",
+        "pack_sequences_ffd",
+        "split_leakage_free_components",
+        "multimodal_pair_dedup_audit",
+    ]:
+        assert QUERIES[name].fn(spark, d).count() == 0, name
+    r = QUERIES["dedup_minhash_recall_audit"].fn(spark, d).collect()
+    assert len(r) == 1
+    assert (r[0]["n_exact"], r[0]["n_lsh"], r[0]["n_common"]) == (0, 0, 0)
+    assert r[0]["recall_ppm"] == 0 and r[0]["precision_ppm"] == 0
