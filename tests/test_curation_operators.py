@@ -1269,3 +1269,37 @@ def test_leakage_free_split_keeps_chains_together(spark, tmp_path):
     }
     assert out[1] == out[2] == out[3], out  # one component, one split
     assert len({v[1] for v in out.values()}) >= 2  # multiple splits used
+
+
+def test_substring_spans_apply_reconstructs_cleaned_text(spark, tmp_path):
+    """Apply must cut exactly the planted shared run: the cleaned text
+    of each sharing doc equals its unique remainder (verified through
+    the md5 digest), and the untouched doc's digest equals the md5 of
+    its own full token join."""
+    import hashlib
+
+    shared = " ".join(f"dup{i}" for i in range(12))
+    rows = [
+        (1, f"alpha beta {shared} gamma", "en", "web", 0),
+        (2, f"{shared} delta epsilon zeta", "en", "web", 0),
+        (3, "totally unique words nothing repeats here at all", "en", "web", 0),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).withColumn("n_chars", F.length("text")).write.mode("overwrite").parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    from youtube_trending_data_pipeline_spark.catalog import QUERIES
+
+    out = {
+        r.doc_id: r
+        for r in QUERIES["dedup_substring_spans_apply"]
+        .fn(spark, str(tmp_path)).collect()
+    }
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    assert out[1].n_tokens_removed == 12
+    assert out[1].clean_md5 == md5("alpha beta gamma")
+    assert out[2].n_tokens_removed == 12
+    assert out[2].clean_md5 == md5("delta epsilon zeta")
+    assert out[3].n_tokens_removed == 0
+    assert out[3].clean_md5 == md5("totally unique words nothing repeats here at all")

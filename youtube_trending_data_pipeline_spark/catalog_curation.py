@@ -4615,3 +4615,122 @@ def multimodal_pair_dedup_audit(spark, sf_dir):
         )
     )
     return img.unionByName(cap)
+
+
+@register(
+    "dedup_substring_spans_apply",
+    f"""
+    WITH tk AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ), win AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS s,
+             {_H32_DUCK.format(s=f"array_to_string(list_slice(toks, i, i + {_SPAN_W - 1}), ' ')")}
+               AS hv
+      FROM tk, LATERAL (SELECT unnest(range(1, len(toks) - {_SPAN_W - 2})) AS i) g
+      WHERE len(toks) >= {_SPAN_W}
+    ), dup AS (
+      SELECT hv FROM win GROUP BY hv
+      HAVING COUNT(DISTINCT doc_id) >= 2
+    ), cov AS (
+      -- every token position covered by a duplicated window
+      SELECT DISTINCT w.doc_id, w.s + o.o AS pos
+      FROM win w JOIN dup USING (hv),
+           LATERAL (SELECT unnest(range(0, {_SPAN_W})) AS o) o
+    ), toks_pos AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos, toks[i] AS tok
+      FROM tk, LATERAL (SELECT unnest(range(1, len(toks) + 1)) AS i) g
+    ), kept AS (
+      SELECT t.doc_id, t.pos, t.tok
+      FROM toks_pos t LEFT JOIN cov c
+        ON c.doc_id = t.doc_id AND c.pos = t.pos
+      WHERE c.pos IS NULL
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(n.nb, 0) AS BIGINT) AS n_tokens_before,
+           CAST(COALESCE(n.nb, 0) - COALESCE(k.na, 0) AS BIGINT)
+             AS n_tokens_removed,
+           md5(COALESCE(k.clean, '')) AS clean_md5
+    FROM documents d
+    LEFT JOIN (SELECT doc_id, len(toks) AS nb FROM tk) n USING (doc_id)
+    LEFT JOIN (
+      SELECT doc_id, COUNT(*) AS na,
+             string_agg(tok, ' ' ORDER BY pos) AS clean
+      FROM kept GROUP BY doc_id
+    ) k USING (doc_id)
+    """,
+    "APPLY the duplicated-substring removal plan — the second half of "
+    "Lee et al. ACL'22 (dedup_substring_spans emits the cut list; "
+    "this entry performs the cut): every token position covered by a "
+    "cross-document duplicated window is dropped, the survivors "
+    "re-join in position order, and the output carries "
+    "(n_tokens_before, n_tokens_removed, md5 of the cleaned text) — "
+    "the digest pins the exact reconstruction, not just counts. "
+    "Plan: the covered-position set is the window-posting equi-join "
+    "exploded by the fixed window width (never text-length "
+    "quadratic), removal is one anti-join on (doc, pos), and "
+    "reassembly is one per-doc ordered aggregate — at 100 TB every "
+    "exchange is key-partitioned and the only wide rows are the "
+    "cleaned documents themselves, exactly once.",
+)
+def dedup_substring_spans_apply(spark, sf_dir):
+    w = _SPAN_W
+    hexpr = _H32_SPARK.format(s=f"array_join(slice(_toks, i, {w}), ' ')")
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", _toks().alias("_toks")
+    )
+    wins = (
+        docs.where(F.expr(f"size(_toks) >= {w}"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(_toks) - {w - 1}), "
+                    f"i -> struct(CAST(i AS BIGINT) AS s, {hexpr} AS hv))"
+                )
+            ).alias("win"),
+        )
+        .select("doc_id", "win.s", "win.hv")
+    )
+    dup = (
+        wins.groupBy("hv")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("hv")
+    )
+    cov = (
+        wins.join(dup, "hv")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("s"), F.col("s") + F.lit(w - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    toks_pos = docs.select(
+        "doc_id", F.posexplode("_toks").alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    kept = toks_pos.join(cov, ["doc_id", "pos"], "left_anti")
+    reasm = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("na"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda x: x.tok,
+            ),
+            " ",
+        ).alias("clean"),
+    )
+    nb = docs.select("doc_id", F.size("_toks").cast("long").alias("nb"))
+    return (
+        t(spark, sf_dir, "documents").select("doc_id")
+        .join(nb, "doc_id", "left")
+        .join(reasm, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("nb", F.lit(0)).cast("long").alias("n_tokens_before"),
+            (F.coalesce("nb", F.lit(0)) - F.coalesce("na", F.lit(0)))
+            .cast("long").alias("n_tokens_removed"),
+            F.md5(F.coalesce("clean", F.lit(""))).alias("clean_md5"),
+        )
+    )
