@@ -252,3 +252,20 @@ def test_round10_operators_on_empty_inputs(spark, tmp_path):
     assert len(r) == 1
     assert (r[0]["n_exact"], r[0]["n_lsh"], r[0]["n_common"]) == (0, 0, 0)
     assert r[0]["recall_ppm"] == 0 and r[0]["precision_ppm"] == 0
+
+
+def test_spans_apply_on_empty_input(spark, tmp_path):
+    """The apply entry keeps its one-row-per-doc contract vacuously on
+    an empty corpus (zero rows, no crash)."""
+    from youtube_trending_data_pipeline_spark.catalog import (
+        QUERIES,
+        _load_extensions,
+    )
+
+    _load_extensions()
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    assert QUERIES["dedup_substring_spans_apply"].fn(spark, d).count() == 0

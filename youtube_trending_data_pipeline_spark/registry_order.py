@@ -235,14 +235,15 @@ DRIVER_VERIFIED: set[str] = (
 #     CTEs; gate-SF results are bit-identical since every gate SF sits
 #     at the (8, 3, 8) floor; sim_pq_recall_audit composes
 #     sim_pq_adc_topk's oracle so its text changed too);
-#   * then tier 2 picks up the seven round-10 second-session additions
+#   * then tier 2 picks up the eight round-10 second-session additions
 #     automatically (never driver-checked, so they outrank tier 3):
 #     sim_ivfadc_residual_topk, dedup_substring_spans,
 #     multimodal_audio_fingerprint_dedup, dedup_minhash_recall_audit,
 #     pack_sequences_ffd, split_leakage_free_components,
-#     multimodal_pair_dedup_audit — all verified EXACT vs their oracles
-#     at sf0.001 AND sf0.01 on a vanilla session as they landed;
-#   * remaining ~34 slots fall to tier 3 = stalest driver rows
+#     multimodal_pair_dedup_audit, dedup_substring_spans_apply — all
+#     verified EXACT vs their oracles at sf0.001 AND sf0.01 on a
+#     vanilla session as they landed;
+#   * remaining ~33 slots fall to tier 3 = stalest driver rows
 #     (r1-verified entries not re-checked since) in registration order.
 PRIORITY_UNCHECKED = [
     "sample_kcenter_coreset",
