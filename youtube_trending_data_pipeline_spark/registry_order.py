@@ -213,6 +213,29 @@ DRIVER_VERIFIED_R09 = [
     "w_gini_by_group", "weekday_profile",
 ]
 
+# Keys present in CORRECTNESS_r10.json (driver gate, round 10): 50/50
+# green, 0 fails, 0 errors — the first round where every registry entry
+# is simultaneously driver-checked AND latest-green (383/383).
+DRIVER_VERIFIED_R10 = [
+    "a10_count_distinct", "a12_rollup", "a13_cube",
+    "a1_distinct", "a5_derived_guard", "a6_mode_per_group",
+    "a8_a9_conditional_agg", "dedup_minhash_recall_audit", "dedup_substring_spans",
+    "dedup_substring_spans_apply", "domain_daily_insights", "embedding_pq_encode",
+    "f1_duration_parse", "f_datetime", "j1_anti_join",
+    "j2_semi_join", "j3_multiway_join", "j4_explode_tokens",
+    "j5_outer_join", "j6_asof_join", "j7_range_join",
+    "kmeans_lloyd_integer", "l_global_sort", "l_global_topk",
+    "l_topk_per_group", "maintenance_compaction_plan", "multimodal_audio_fingerprint_dedup",
+    "multimodal_pair_dedup_audit", "p1_nested_extract", "p6_in_set",
+    "pack_sequences_ffd", "q1_pricing_summary", "s7_scan_range",
+    "s8_existence_probe", "sample_kcenter_coreset", "sessionize",
+    "sim_ivf_pivot_topk", "sim_ivf_topk", "sim_ivfadc_residual_topk",
+    "sim_ivfadc_topk", "sim_pq_adc_topk", "sim_pq_recall_audit",
+    "skew_salted_agg", "split_leakage_free_components", "u1_union_all",
+    "u2_except_intersect", "w2_trailing_window", "w3_weekly_rollup",
+    "w_rank_lag_running", "w_rank_suite",
+]
+
 DRIVER_VERIFIED: set[str] = (
     set(DRIVER_VERIFIED_R01)
     | set(DRIVER_VERIFIED_R02_R03)
@@ -222,9 +245,20 @@ DRIVER_VERIFIED: set[str] = (
     | set(DRIVER_VERIFIED_R07)
     | set(DRIVER_VERIFIED_R08)
     | set(DRIVER_VERIFIED_R09)
+    | set(DRIVER_VERIFIED_R10)
 )
 
-# Round-10 window (VERDICT r9 items 1, 3, 4):
+# Round-11 window (VERDICT r10 item 1): no pins needed — the registry
+# enters round 11 with zero red rows and zero never-checked entries, so
+# the whole 50-slot window falls to tier 3 = stalest driver rows
+# (r1/r5-era entries not rotated since), which the staleness ordering in
+# order_for_driver() already encodes.  Entries added during round 11
+# land in tier 2 (never driver-checked) automatically and outrank the
+# staleness re-checks.
+PRIORITY_UNCHECKED: list[str] = []
+
+# Round-10 window — superseded by the (empty) round-11 list above, kept
+# for the audit trail (VERDICT r9 items 1, 3, 4):
 #   * FIRST: the two round-9 hash-fails, re-pinned after their oracles
 #     gained CAST(... AS BIGINT) (DuckDB HUGEINT promotion rendered
 #     float64 through .df() where Spark emits long; values were verified
@@ -245,7 +279,7 @@ DRIVER_VERIFIED: set[str] = (
 #     vanilla session as they landed;
 #   * remaining ~33 slots fall to tier 3 = stalest driver rows
 #     (r1-verified entries not re-checked since) in registration order.
-PRIORITY_UNCHECKED = [
+PRIORITY_UNCHECKED_R10 = [
     "sample_kcenter_coreset",
     "maintenance_compaction_plan",
     "sim_ivf_pivot_topk",
@@ -373,6 +407,7 @@ for _rnd, _names in (
     (7, DRIVER_VERIFIED_R07),
     (8, DRIVER_VERIFIED_R08),
     (9, DRIVER_VERIFIED_R09),
+    (10, DRIVER_VERIFIED_R10),
 ):
     for _n in _names:
         _LAST_VERIFIED[_n] = _rnd
