@@ -30,7 +30,12 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+# repo root for the package import; the scripts dir itself for the
+# sibling-module import (bare `import mutual_knn_clustered_recall` only
+# resolves when run as a script — pytest/-m/REPL need the explicit entry)
+_SCRIPTS_DIR = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(_SCRIPTS_DIR))
+sys.path.insert(0, _SCRIPTS_DIR)
 
 from mutual_knn_clustered_recall import FIXTURE_ROOT, build_fixture  # noqa: E402
 

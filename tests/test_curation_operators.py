@@ -1119,6 +1119,7 @@ def test_ivfadc_residual_codebook_excludes_seeds(spark):
     import numpy as np
 
     from youtube_trending_data_pipeline_spark.operators.similarity import (
+        _residual_index,
         ivfadc_residual_topk,
     )
 
@@ -1132,6 +1133,14 @@ def test_ivfadc_residual_codebook_excludes_seeds(spark):
         [(100, [float(x) for x in vecs[9]])],
         "query_id long, embedding array<float>",
     )
+    # the property itself, on the emitted codes: with n_cells=4 seeds
+    # (ids 0..3) and n_centroids=4, every code id must be in 4..7
+    idx = _residual_index(corpus, n_cells=4, dim=16, m=2, n_centroids=4)
+    cb_ids = {r.vec_id for r in idx["cb_ids"].collect()}
+    assert cb_ids == {4, 5, 6, 7}
+    code_rows = idx["codes"].collect()
+    assert len(code_rows) == 20 * 2  # every corpus vector, both subspaces
+    assert {r.code for r in code_rows} <= cb_ids
     got = ivfadc_residual_topk(
         corpus, queries, k=3, n_cells=4, n_probe=2,
         dim=16, m=2, n_centroids=4,

@@ -1071,6 +1071,103 @@ def ivfadc_topk(
     )
 
 
+def _residual_index(
+    corpus: DataFrame,
+    n_cells: int,
+    dim: int,
+    m: int,
+    n_centroids: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict[str, DataFrame]:
+    """Build the residual-IVFADC index frames shared by search and audit.
+
+    Returns ``{"seeds", "seed_q", "cells", "res", "cb_ids", "codes"}``:
+    seed vectors (first ``n_cells`` corpus ids), their quantized form
+    keyed by cell, the corpus cell assignment, the exact int64 residual
+    vectors, the codebook member ids (the ``n_centroids`` ids AFTER the
+    seeds — seed residuals are ~0 and would waste codewords), and the
+    per-(vector, subspace) PQ codes over residuals.  Exposed separately
+    so tests can assert the codebook-exclusion property on the actual
+    emitted code ids, not just on the search ranking.
+    """
+    spark = corpus.sparkSession
+    d_sub = dim // m
+    # one ordered limit over the corpus serves BOTH the seed set (first
+    # n_cells ids) and the residual-codebook id head (the n_centroids
+    # after them); checkpointing the bounded frame makes the corpus
+    # TakeOrdered pay once per job instead of once per consumer
+    head = (
+        corpus.orderBy(id_col)
+        .limit(n_cells + n_centroids)
+        .select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("hv"))
+        .withColumn("rn", F.row_number().over(Window.orderBy("vec_id")))
+        .localCheckpoint(eager=False)
+    )
+    seeds = head.where(F.col("rn") <= n_cells).select(
+        F.col("vec_id").alias("seed_id"), F.col("hv").alias("seed_vec")
+    )
+    cells = assign_pivot_cells(
+        corpus, seeds, 1, id_col=id_col, vec_col=vec_col
+    ).select("vec_id", "cell")
+    seed_q = seeds.select(
+        F.col("seed_id").alias("cell"),
+        _quantize_expr("seed_vec").alias("cell_qv"),
+    )
+    # corpus residuals on the integer grid: grid(x) - grid(cell seed),
+    # computed JVM-side (zip_with stays in codegen; the seed frame is a
+    # bounded broadcast)
+    res = (
+        corpus.select(
+            F.col(id_col).alias("vec_id"), _quantize_expr(vec_col).alias("qv")
+        )
+        .join(cells, "vec_id")
+        .join(F.broadcast(seed_q), "cell")
+        .select(
+            "vec_id",
+            "cell",
+            F.zip_with("qv", "cell_qv", lambda a, b: a - b).alias("rv"),
+        )
+    )
+    # residual codebook: the n_centroids corpus vectors by id AFTER the
+    # seeds — the tail of the same checkpointed head frame
+    cb_ids = head.where(F.col("rn") > n_cells).select("vec_id")
+    cb = res.join(F.broadcast(cb_ids), "vec_id").select("vec_id", "rv")
+    # PQ-encode residuals through the shared salt-group kernel: corpus
+    # residuals are probers, codebook residuals replicate per group
+    n_salts = spark.sparkContext.defaultParallelism
+    probers = res.select(
+        F.pmod(F.col("vec_id"), F.lit(n_salts)).cast("int").alias("g"),
+        "vec_id",
+        F.col("rv").alias("qv"),
+        F.lit(False).alias("is_seed"),
+    )
+    cb_rep = cb.select(
+        F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("g"),
+        "vec_id",
+        F.col("rv").alias("qv"),
+        F.lit(True).alias("is_seed"),
+    )
+    codes = (
+        probers.unionByName(cb_rep)
+        .groupBy("g")
+        .applyInPandas(
+            lambda pdf: _pq_encode_kernel(pdf, m, d_sub),
+            schema="vec_id long, sub int, code long, dist_q long",
+        )
+        .select(F.col("vec_id").alias("neighbor_id"), "sub", "code")
+    )
+    return {
+        "seeds": seeds,
+        "seed_q": seed_q,
+        "cells": cells,
+        "res": res,
+        "cb": cb,
+        "cb_ids": cb_ids,
+        "codes": codes,
+    }
+
+
 def ivfadc_residual_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -1111,78 +1208,15 @@ def ivfadc_residual_topk(
     raw-vector variant's table, still bounded by the query set, never
     by the corpus.
     """
-    spark = corpus.sparkSession
     d_sub = dim // m
-    seeds = (
-        corpus.orderBy(id_col)
-        .limit(n_cells)
-        .select(
-            F.col(id_col).alias("seed_id"), F.col(vec_col).alias("seed_vec")
-        )
+    idx = _residual_index(
+        corpus, n_cells, dim, m, n_centroids, id_col=id_col, vec_col=vec_col
     )
-    cells = assign_pivot_cells(
-        corpus, seeds, 1, id_col=id_col, vec_col=vec_col
-    ).select("vec_id", "cell")
+    seeds, seed_q, cells = idx["seeds"], idx["seed_q"], idx["cells"]
+    cb, codes = idx["cb"], idx["codes"]
     probes = assign_pivot_cells(
         queries, seeds, n_probe, id_col=query_id_col, vec_col=vec_col
     ).select(F.col("vec_id").alias("query_id"), "cell")
-    seed_q = seeds.select(
-        F.col("seed_id").alias("cell"),
-        _quantize_expr("seed_vec").alias("cell_qv"),
-    )
-    # corpus residuals on the integer grid: grid(x) - grid(cell seed),
-    # computed JVM-side (zip_with stays in codegen; the seed frame is a
-    # bounded broadcast)
-    res = (
-        corpus.select(
-            F.col(id_col).alias("vec_id"), _quantize_expr(vec_col).alias("qv")
-        )
-        .join(cells, "vec_id")
-        .join(F.broadcast(seed_q), "cell")
-        .select(
-            "vec_id",
-            "cell",
-            F.zip_with("qv", "cell_qv", lambda a, b: a - b).alias("rv"),
-        )
-    )
-    # residual codebook: the n_centroids corpus vectors by id AFTER the
-    # seeds (head frame is bounded, so the global row_number window is a
-    # driver-sized sort, not a corpus shuffle)
-    head = (
-        corpus.orderBy(id_col)
-        .limit(n_cells + n_centroids)
-        .select(F.col(id_col).alias("vec_id"))
-    )
-    cb_ids = (
-        head.withColumn("rn", F.row_number().over(Window.orderBy("vec_id")))
-        .where(F.col("rn") > n_cells)
-        .select("vec_id")
-    )
-    cb = res.join(F.broadcast(cb_ids), "vec_id").select("vec_id", "rv")
-    # PQ-encode residuals through the shared salt-group kernel: corpus
-    # residuals are probers, codebook residuals replicate per group
-    n_salts = spark.sparkContext.defaultParallelism
-    probers = res.select(
-        F.pmod(F.col("vec_id"), F.lit(n_salts)).cast("int").alias("g"),
-        "vec_id",
-        F.col("rv").alias("qv"),
-        F.lit(False).alias("is_seed"),
-    )
-    cb_rep = cb.select(
-        F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("g"),
-        "vec_id",
-        F.col("rv").alias("qv"),
-        F.lit(True).alias("is_seed"),
-    )
-    codes = (
-        probers.unionByName(cb_rep)
-        .groupBy("g")
-        .applyInPandas(
-            lambda pdf: _pq_encode_kernel(pdf, m, d_sub),
-            schema="vec_id long, sub int, code long, dist_q long",
-        )
-        .select(F.col("vec_id").alias("neighbor_id"), "sub", "code")
-    )
     # query residuals PER PROBED CELL -> per-(query, cell) distance table
     qres = (
         queries.select(
