@@ -10,6 +10,7 @@ in catalog queries); these exist for semantics Spark genuinely lacks."""
 from __future__ import annotations
 
 import pandas as pd
+import pytest
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType
 
@@ -122,37 +123,70 @@ def test_identifier_clause_binds_table_names(spark):
         ).collect()
 
 
-def test_continuation_module_direct_import_order():
-    """ADVICE r9: the continuation modules are registration-order-
-    sensitive. Direct import of catalog_analysis_series FIRST must
-    still produce the canonical order (parent-first top import makes
-    batch 3 register last); direct import of catalog_analysis_mining
-    FIRST — the one path that genuinely reorders — must fail LOUDLY at
-    the parent's tail order assert instead of silently reordering.
-    Both run in fresh interpreters (executor-side kernel unpickling
-    also imports these modules directly, so the safe path has to
-    actually work, not just raise)."""
+# one sentinel per registering module, in canonical _load_extensions()
+# registration order (first entry registered by each)
+_ORDER_SENTINELS = [
+    "s5_scan_project",  # catalog (base)
+    "dedup_exact",  # catalog_ext
+    "q3_shipping_priority",  # catalog_tpch
+    "passage_dedup",  # catalog_corpus
+    "keyword_tag",  # catalog_curation
+    "graph_kcore_mutual_knn",  # catalog_analysis
+    "encoding_rle_audit",  # catalog_analysis_mining (batch 2)
+    "text_kwic_concordance",  # catalog_analysis_series (batch 3)
+    "eval_auc_exact",  # catalog_quality
+]
+
+_DIRECT_IMPORT_SAFE_MODULES = [
+    "catalog_ext",
+    "catalog_tpch",
+    "catalog_corpus",
+    "catalog_curation",
+    "catalog_analysis",
+    "catalog_analysis_series",
+    "catalog_quality",
+]
+
+
+@pytest.mark.parametrize("first_module", _DIRECT_IMPORT_SAFE_MODULES)
+def test_any_direct_import_keeps_canonical_order(first_module):
+    """VERDICT r10 item 6: the driver's correctness-window rotation
+    depends on QUERIES' registration order, so importing ANY catalog
+    extension module directly FIRST (executor-side kernel unpickling
+    does exactly that) must still produce the canonical order — each
+    module now imports its predecessor at the top, forming a chain that
+    makes every entry point equivalent to _load_extensions(). Runs in a
+    fresh interpreter so this process's import state can't mask it."""
     import subprocess
     import sys
 
-    ok_code = (
-        "import youtube_trending_data_pipeline_spark."
-        "catalog_analysis_series\n"
+    code = (
+        f"import youtube_trending_data_pipeline_spark.{first_module}\n"
         "from youtube_trending_data_pipeline_spark.catalog import "
-        "QUERIES\n"
+        "QUERIES, _load_extensions\n"
+        "_load_extensions()\n"
         "names = list(QUERIES)\n"
-        "assert names.index('consistent_hash_rebalance') < "
-        "names.index('encoding_rle_audit') < "
-        "names.index('text_kwic_concordance'), names[:5]\n"
+        f"sent = {_ORDER_SENTINELS!r}\n"
+        "idx = [names.index(s) for s in sent]\n"
+        "assert idx == sorted(idx), list(zip(sent, idx))\n"
         "print('ORDER-OK')\n"
     )
     out = subprocess.run(
-        [sys.executable, "-c", ok_code],
+        [sys.executable, "-c", code],
         capture_output=True,
         text=True,
         cwd="/root/repo",
     )
     assert "ORDER-OK" in out.stdout, (out.stdout, out.stderr[-800:])
+
+
+def test_continuation_module_direct_import_order():
+    """ADVICE r9: direct import of catalog_analysis_mining FIRST — the
+    one path that genuinely reorders (the parent's tail import of batch
+    2 becomes a circular no-op) — must fail LOUDLY at the parent's tail
+    order assert instead of silently reordering. Fresh interpreter."""
+    import subprocess
+    import sys
 
     bad_code = (
         "try:\n"
