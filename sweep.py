@@ -57,6 +57,10 @@ ORACLE_HEAVY = {
     "pack_sequences_ffd",
     "split_leakage_free_components",
     "dedup_minhash_recall_audit",
+    # the sampled form bounds the SPARK-side ground truth, but its
+    # DuckDB oracle still replays the full-corpus LSH pipeline (the
+    # audited subject) — big-SF sweeps skip the oracle side only
+    "dedup_minhash_recall_audit_sampled",
 }
 
 

@@ -1312,3 +1312,58 @@ def test_substring_spans_apply_reconstructs_cleaned_text(spark, tmp_path):
     assert out[2].clean_md5 == md5("delta epsilon zeta")
     assert out[3].n_tokens_removed == 0
     assert out[3].clean_md5 == md5("totally unique words nothing repeats here at all")
+
+
+def test_sampled_recall_audit_equals_full_when_sample_saturates(spark, tmp_path):
+    """With n_docs <= _GT_SAMPLE_TARGET the keep threshold saturates at
+    1e6 (every doc sampled), so the sampled audit must reproduce the
+    full audit's row exactly, plus n_sampled_docs == n_docs — the
+    equivalence that makes the sampled numbers an unbiased estimate of
+    the full ones."""
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india " * 4
+    rows = [(1, base + "one"), (2, base + "two")]
+    rows += [
+        (10 + i, f"distinct filler number {i} " + " ".join(
+            f"t{i}u{j}" for j in range(25)))
+        for i in range(30)
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").selectExpr(
+        "doc_id", "text", "'en' AS lang", "'web' AS source",
+        "length(text) AS n_chars",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    from youtube_trending_data_pipeline_spark.catalog import QUERIES
+
+    full = QUERIES["dedup_minhash_recall_audit"].fn(
+        spark, str(tmp_path)
+    ).collect()[0]
+    samp = QUERIES["dedup_minhash_recall_audit_sampled"].fn(
+        spark, str(tmp_path)
+    ).collect()[0]
+    assert samp.n_sampled_docs == 32
+    for c in ("n_exact", "n_lsh", "n_common", "recall_ppm", "precision_ppm"):
+        assert samp[c] == full[c], (c, samp[c], full[c])
+    # the planted near-dup pair is actually caught on both sides
+    assert samp.n_exact >= 1 and samp.n_common >= 1
+
+
+def test_sampled_recall_audit_bounds_ground_truth(spark, tmp_path):
+    """Above the target the hash sample restricts the ground truth:
+    n_sampled_docs lands near _GT_SAMPLE_TARGET, far below the corpus,
+    while the audited LSH side still ran full-corpus (its pairs are
+    endpoint-filtered, so n_lsh <= the full audit's n_lsh)."""
+    rows = [
+        (i, f"unique body number {i} " + " ".join(
+            f"a{i}b{j}" for j in range(20)))
+        for i in range(400)
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").selectExpr(
+        "doc_id", "text", "'en' AS lang", "'web' AS source",
+        "length(text) AS n_chars",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    from youtube_trending_data_pipeline_spark.catalog import QUERIES
+
+    samp = QUERIES["dedup_minhash_recall_audit_sampled"].fn(
+        spark, str(tmp_path)
+    ).collect()[0]
+    # thr = 1e6 * 200 // 400 = 500000 -> expected ~200 of 400 docs
+    assert 120 <= samp.n_sampled_docs <= 280, samp.n_sampled_docs

@@ -252,6 +252,15 @@ def test_round10_operators_on_empty_inputs(spark, tmp_path):
     assert len(r) == 1
     assert (r[0]["n_exact"], r[0]["n_lsh"], r[0]["n_common"]) == (0, 0, 0)
     assert r[0]["recall_ppm"] == 0 and r[0]["precision_ppm"] == 0
+    # sampled form: COUNT(*)=0 saturates the keep threshold (GREATEST
+    # guard, no ANSI div-by-zero), the empty corpus samples nothing,
+    # and the one-row contract holds
+    r2 = QUERIES["dedup_minhash_recall_audit_sampled"].fn(spark, d).collect()
+    assert len(r2) == 1
+    assert (
+        r2[0]["n_sampled_docs"], r2[0]["n_exact"], r2[0]["n_lsh"],
+        r2[0]["n_common"],
+    ) == (0, 0, 0, 0)
 
 
 def test_spans_apply_on_empty_input(spark, tmp_path):

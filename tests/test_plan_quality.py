@@ -364,6 +364,10 @@ def test_no_accidental_cartesian_anywhere(spark):
         # session_max_concurrency: two 1-row count appends onto the
         # 1-row sweep maximum.
         "session_max_concurrency",
+        # dedup_minhash_recall_audit_sampled: 1-row sample-threshold
+        # broadcast onto the corpus keep-filter, plus the 1-row
+        # sampled-doc-count append onto the 1-row audit aggregate.
+        "dedup_minhash_recall_audit_sampled",
     }
     for name, spec in QUERIES.items():
         if name in allowed_cross:
