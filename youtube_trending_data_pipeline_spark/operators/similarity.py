@@ -769,7 +769,10 @@ def pq_encode(
     data). Assignment minimizes EXACT integer squared L2 distance
     (components quantized to 1e-4 units, so the argmin and its
     tie-break — smallest centroid id — are bit-reproducible across
-    engines and reruns).
+    engines and reruns). Subspaces are axis-aligned by design: an OPQ
+    rotation (Ge et al., CVPR'13) cannot be integer-exact cross-engine
+    and is deliberately out of scope — see SCALING.md §2 ("OPQ
+    rotation: deliberately NOT planned") for the documented trade.
 
     Plan shape (round 10 — corpus-relative codebooks made the old
     interpreted ``zip_with`` fold the bottleneck at n * m * n_centroids
@@ -1189,7 +1192,10 @@ def ivfadc_residual_topk(
     them far better than it covers raw vectors — this is why FAISS's
     IVFADC quality beats flat PQ at the same code budget (the
     ``sim_ivfadc_topk`` variant here encodes raw vectors; this one is
-    the quality-correct architecture).
+    the quality-correct architecture). Residual encoding is also this
+    engine's answer to OPQ: it recovers most of a learned rotation's
+    benefit without the cross-engine float-fold hazard — see
+    SCALING.md §2 ("OPQ rotation: deliberately NOT planned").
 
     Deterministic/auditable throughout: vectors land on the 1e-4
     integer grid; residual = grid(x) - grid(seed) is EXACT int64
