@@ -115,6 +115,10 @@ BENCH_QUERIES = [
     # distance-table shape (the true Jegou formulation) on top of the
     # shared pivot-cell + PQ-encode kernels
     "sim_ivfadc_residual_topk",
+    # round-11: the sampled production recall audit pins the
+    # bounded-ground-truth shape (hash-sampled exact side + full-corpus
+    # LSH side endpoint-filtered through broadcast semi-joins)
+    "dedup_minhash_recall_audit_sampled",
 ]
 
 
