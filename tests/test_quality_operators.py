@@ -596,3 +596,28 @@ def test_rate_limit_bucket_admits_and_refills(spark, tmp_path):
     assert r["n_admitted"] == 3 + 2
     assert r["n_rejected"] == 3
     assert r["final_tokens"] == 0
+
+
+def test_auc_ppm_survives_big_pair_counts(spark, tmp_path):
+    """Round-11 100x-replica regression: 1e6 * pairs-won overflows int64
+    once n_pos*n_neg passes ~9.2e12 (hit for real at 10 M events), so
+    the ppm arithmetic must run in DECIMAL(38,0). 3.2 M events per class
+    at two score levels (positives above negatives -> AUC exactly 1.0)
+    puts won2 = 2*n_pos*n_neg ~ 2e13 — the old expression raised
+    ARITHMETIC_OVERFLOW here; the fixed one must return exact ppm."""
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path)
+    n = 3_200_000
+    spark.range(2 * n).select(
+        F.col("id").alias("event_id"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("ts"),
+        F.lit(1).cast("long").alias("user_id"),
+        F.when(F.col("id") < n, "purchase").otherwise("click")
+        .alias("event_type"),
+        F.when(F.col("id") < n, 2.0).otherwise(1.0).alias("value"),
+        F.lit("{}").alias("props"),
+    ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    r = QUERIES["eval_auc_exact"].fn(spark, d).collect()[0]
+    assert (r["n_pos"], r["n_neg"]) == (n, n)
+    assert r["auc_ppm"] == 1_000_000  # separable, exact even at 2e13 pairs

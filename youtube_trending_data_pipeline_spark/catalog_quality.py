@@ -122,8 +122,16 @@ def eval_auc_exact(spark, sf_dir):
         .select(
             "n_pos",
             "n_neg",
+            # 1e6 * won2 exceeds int64 once n_pos*n_neg passes ~9.2e12
+            # (~6 M balanced events — hit for real at the 100x replica),
+            # so the ppm product/quotient runs in DECIMAL(38,0): exact
+            # integer arithmetic with 1e38 headroom, cast back to BIGINT
+            # after the division. DuckDB's oracle needs no change — its
+            # SUM(BIGINT) is already HUGEINT.
             F.expr(
-                "CAST((1000000 * won2) div (2 * n_pos * n_neg) AS BIGINT)"
+                "CAST((CAST(1000000 AS DECIMAL(38,0)) * won2)"
+                " div (CAST(2 AS DECIMAL(38,0)) * n_pos * n_neg)"
+                " AS BIGINT)"
             ).alias("auc_ppm"),
         )
     )
