@@ -61,6 +61,8 @@ ORACLE_HEAVY = {
     # DuckDB oracle still replays the full-corpus LSH pipeline (the
     # audited subject) — big-SF sweeps skip the oracle side only
     "dedup_minhash_recall_audit_sampled",
+    # composes the full LSH replay into a recursive-CTE closure
+    "dedup_components_lsh",
 }
 
 

@@ -1367,3 +1367,34 @@ def test_sampled_recall_audit_bounds_ground_truth(spark, tmp_path):
     ).collect()[0]
     # thr = 1e6 * 200 // 400 = 500000 -> expected ~200 of 400 docs
     assert 120 <= samp.n_sampled_docs <= 280, samp.n_sampled_docs
+
+
+def test_components_lsh_clusters_chain_and_spares_singletons(spark, tmp_path):
+    """A planted A~B~C chain of token-shingle near-dups (A and C differ
+    enough that only B links them) must land in ONE component through
+    the LSH candidate path, while distinct docs stay out of the output
+    (only edge-participating nodes appear, the dedup_components
+    contract)."""
+    # 110-token shared base -> per-link Jaccard ~0.96, far above the
+    # 0.5 LSH knee (a ~0.8-J chain can deterministically miss the
+    # 16x4 banding for a specific fixture — observed while writing this)
+    base = "the quick brown fox jumps over the lazy dog again and again " * 10
+    rows = [(1, base + "alpha"), (2, base + "alpha beta"), (3, base + "beta")]
+    rows += [
+        (100 + i, f"totally different content {i} " + " ".join(
+            f"w{i}x{j}" for j in range(30)))
+        for i in range(10)
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").selectExpr(
+        "doc_id", "text", "'en' AS lang", "'web' AS source",
+        "length(text) AS n_chars",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    from youtube_trending_data_pipeline_spark.catalog import QUERIES
+
+    out = {
+        r.node: r.component
+        for r in QUERIES["dedup_components_lsh"].fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert out.get(1) == out.get(2) == out.get(3) == 1
+    assert all(n in (1, 2, 3) for n in out), out  # singletons absent

@@ -62,16 +62,19 @@ def _minhash_oracle(
     threshold: float = 0.5,
 ) -> str:
     """DuckDB replay of minhash_near_duplicates, bit-exact: same word
-    shingles, same portable md5-derived base hash, same seeded affine
-    permutations mod the Mersenne prime, same empty-doc sentinels, band
+    shingles, same portable md5-derived base hash, same seeded Carter-Wegman
+    permutations mod the Mersenne prime 2^31-1 (round 11 — see
+    operators/dedup.py:_cw_params31 for why the old 2^61-1 family was
+    order-preserving), same empty-doc sentinels, band
     equality on the raw signature slices (the Spark side hashes each band
     slice, which only matters for shuffle-key width, not semantics)."""
-    params = dd._affine_params(num_perm, seed)
+    params = dd._cw_params31(num_perm, seed)
     rpb = num_perm // bands
-    p = dd._MERSENNE_P
+    p = dd._MERSENNE_P31
     n = shingle_words
     mins = ",\n             ".join(
-        f"MIN((h * {a} + {b}) % {p}) AS m{i}" for i, (a, b) in enumerate(params)
+        f"MIN(((h % {p}) * {a} + {b}) % {p}) AS m{i}"
+        for i, (a, b) in enumerate(params)
     )
     sent = ",\n             ".join(
         f"COALESCE(m{i}, {-(i + 1)}) AS m{i}" for i in range(num_perm)
@@ -2879,6 +2882,61 @@ def dedup_keep_best(spark, sf_dir):
     )
 
 
+def _components_lsh_oracle() -> str:
+    """Recursive-CTE closure over the REGISTERED dedup_minhash_lsh
+    pipeline's pairs (the composition doctrine: the clustering can never
+    drift from what the candidate entry computes)."""
+    lsh = _minhash_oracle()
+    return f"""
+    WITH RECURSIVE pairs AS (
+      SELECT id_a, id_b FROM ({lsh})
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, root) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node
+    )
+    SELECT node, MIN(root) AS component FROM reach GROUP BY node
+    """
+
+
+@register(
+    "dedup_components_lsh",
+    _components_lsh_oracle(),
+    "PRODUCTION form of dedup_components (round-11 100x hunt finding): "
+    "the exact char-3-gram entry builds candidate pairs with the "
+    "within-source quadratic guard, which fires BY DESIGN once a source "
+    "block passes max_block_rows (measured: 25 k-row blocks at the 100x "
+    "replica) — the operator docstring's prescription for that regime "
+    "is the MinHash-LSH candidate path, whose volume is bounded by "
+    "band-bucket size, not block size. This entry is that path: the "
+    "REGISTERED dedup_minhash_lsh pipeline's near-dup pairs (64-perm / "
+    "16-band token-3-shingle signatures, estimated Jaccard >= 0.5) "
+    "closed into components by min-label propagation — the CCNet-style "
+    "production dedup clustering. Oracle composes the full LSH replay "
+    "into a recursive-CTE closure, so the clustering can never drift "
+    "from the candidate entry. At 100 TB every stage is the already-"
+    "measured LSH pipeline (78.6x wall at 100x data, banded equi-joins, "
+    "never all-pairs) plus one label-propagation round per component "
+    "diameter.",
+)
+def dedup_components_lsh(spark, sf_dir):
+    from youtube_trending_data_pipeline_spark.catalog import QUERIES
+    from youtube_trending_data_pipeline_spark.operators.components import (
+        connected_components,
+    )
+
+    pairs = (
+        QUERIES["dedup_minhash_lsh"].fn(spark, sf_dir).select("id_a", "id_b")
+    )
+    return connected_components(pairs, src="id_a", dst="id_b")
+
+
 @register(
     "sim_range_search",
     f"""
@@ -5318,12 +5376,13 @@ def _minhash_est_oracle(
     the estimator (matching positions / num_perm, ppm) NEXT TO the
     exact shingle Jaccard and the absolute error — the calibration
     table for choosing num_perm."""
-    params = dd._affine_params(num_perm, seed)
+    params = dd._cw_params31(num_perm, seed)
     rpb = num_perm // bands
-    p = dd._MERSENNE_P
+    p = dd._MERSENNE_P31
     n = shingle_words
     mins = ",\n             ".join(
-        f"MIN((h * {a} + {b}) % {p}) AS m{i}" for i, (a, b) in enumerate(params)
+        f"MIN(((h % {p}) * {a} + {b}) % {p}) AS m{i}"
+        for i, (a, b) in enumerate(params)
     )
     sent = ",\n             ".join(
         f"COALESCE(m{i}, {-(i + 1)}) AS m{i}" for i in range(num_perm)

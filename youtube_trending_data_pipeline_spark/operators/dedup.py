@@ -120,6 +120,31 @@ def _affine_params(num_perm: int, seed: int) -> list[tuple[int, int]]:
     ]
 
 
+# Carter-Wegman universal family mod 2^31-1 for the MinHash permutations.
+# Round-11 estimator-quality fix: the old family — a, b < 2^30 against
+# p = 2^61-1 — keeps a*h + b below 2*p, so the "permutation" wraps AT
+# MOST ONCE and is order-preserving on each of its two pieces: nearly
+# every permutation picks the shingle with the globally smallest base
+# hash, so signature positions are strongly correlated instead of
+# independent. Measured on a 3-doc fixture: a TRUE Jaccard 0.8 pair
+# agreed on only 22/64 positions (expected ~51) and missed all 16
+# bands, while boilerplate-sharing pairs over-estimated (the r10 recall
+# audit's precision 0.21 was this bug, not LSH's S-curve). With
+# h' = h % p31 and a, b < p31 = 2^31-1, the product stays < 2^62 (ANSI
+# int64-safe on both engines) and the map wraps ~a*h'/p31 ~ 2^31 times
+# — a genuinely scrambling universal-hash family, the textbook MinHash
+# construction.
+_MERSENNE_P31 = (1 << 31) - 1
+
+
+def _cw_params31(num_perm: int, seed: int) -> list[tuple[int, int]]:
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, _MERSENNE_P31), rng.randrange(0, _MERSENNE_P31))
+        for _ in range(num_perm)
+    ]
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
@@ -140,7 +165,7 @@ def minhash_signatures(
     Docs with no shingle (shorter than the window) get an empty-doc
     sentinel signature so they never collide with real content.
     """
-    params = _affine_params(num_perm, seed)
+    params = _cw_params31(num_perm, seed)
     df = _ensure_parallelism(df)
     ids = df.select(F.col(id_col).alias("id"))
     exploded = df.select(
@@ -156,7 +181,10 @@ def minhash_signatures(
     )
     mins = exploded.groupBy("id").agg(
         *[
-            F.min((F.col("_h") * a + b) % F.lit(_MERSENNE_P)).alias(f"_m{i}")
+            F.min(
+                ((F.col("_h") % _MERSENNE_P31) * a + b)
+                % F.lit(_MERSENNE_P31)
+            ).alias(f"_m{i}")
             for i, (a, b) in enumerate(params)
         ]
     )

@@ -248,14 +248,22 @@ DRIVER_VERIFIED: set[str] = (
     | set(DRIVER_VERIFIED_R10)
 )
 
-# Round-11 window (VERDICT r10 item 1): no pins needed — the registry
-# enters round 11 with zero red rows and zero never-checked entries, so
-# the whole 50-slot window falls to tier 3 = stalest driver rows
-# (r1/r5-era entries not rotated since), which the staleness ordering in
-# order_for_driver() already encodes.  Entries added during round 11
-# land in tier 2 (never driver-checked) automatically and outrank the
-# staleness re-checks.
-PRIORITY_UNCHECKED: list[str] = []
+# Round-11 window: the round began with no pins (zero red rows, zero
+# never-checked entries), but the MinHash permutation-family fix landed
+# mid-round — _cw_params31 replaced the near-order-preserving
+# a,b < 2^30 / p = 2^61-1 affine family (see operators/dedup.py) — so
+# every entry whose ORACLE TEXT embeds the family re-pins first (all
+# verified EXACT at sf0.001 AND sf0.01 on a vanilla session as the fix
+# landed; the recall audit's precision moved 0.21 -> 1.000).  Tier 2
+# then auto-covers the two round-11 additions
+# (dedup_minhash_recall_audit_sampled, dedup_components_lsh — both
+# vanilla-session EXACT at both gate SFs); remaining slots fall to
+# tier 3 staleness rotation (r1/r3-era rows).
+PRIORITY_UNCHECKED = [
+    "dedup_minhash_lsh",
+    "dedup_minhash_jaccard_est",
+    "dedup_minhash_recall_audit",
+]
 
 # Round-10 window — superseded by the (empty) round-11 list above, kept
 # for the audit trail (VERDICT r9 items 1, 3, 4):

@@ -54,7 +54,14 @@ def get_spark(
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # single-JVM local mode shares driver heap across all 32 executor
+        # threads; 8g starves the iterative graph family's concurrent hash
+        # aggregations at the 100x replica (round 11: graph_pagerank raised
+        # AGGREGATE_OUT_OF_MEMORY at 60M lineitem / 10M events on 8g, runs
+        # in 33 s on a bigger heap). The box has 128 GiB; a real cluster
+        # sizes executors independently — this knob only shapes the local
+        # harness.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
