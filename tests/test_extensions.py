@@ -458,6 +458,49 @@ def test_star_components_chain_converges_logarithmically(spark):
     assert star == label == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (12, 10)}
 
 
+def test_min_label_components_raise_on_nonconvergence(spark):
+    """Round-12 ADVICE fix: min-label propagation must RAISE when the
+    graph diameter exceeds its round budget, never return silently
+    unconverged (wrong) labels — a 20-node chain needs 19 rounds, so
+    max_iter=4 must fail loudly while max_iter=25 still converges."""
+    import pytest
+
+    from youtube_trending_data_pipeline_spark.operators.components import (
+        connected_components,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(19)], "src long, dst long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=4)
+    ok = connected_components(chain, max_iter=25).collect()
+    assert len(ok) == 20 and all(r["component"] == 0 for r in ok)
+
+
+def test_default_driver_mem_sizing(monkeypatch):
+    """Round-12 ADVICE fix: the 24g local heap only applies on big boxes;
+    the env var always wins; small machines keep the old 8g."""
+    from youtube_trending_data_pipeline_spark import session as s
+
+    monkeypatch.setenv("SPARK_GRAFT_DRIVER_MEM", "13g")
+    assert s._default_driver_mem() == "13g"
+
+    monkeypatch.delenv("SPARK_GRAFT_DRIVER_MEM", raising=False)
+    gib = 1024**3
+    page = 4096
+    monkeypatch.setattr(
+        s.os, "sysconf",
+        lambda name: (128 * gib // page) if name == "SC_PHYS_PAGES" else page,
+    )
+    assert s._default_driver_mem() == "24g"
+    monkeypatch.setattr(
+        s.os, "sysconf",
+        lambda name: (16 * gib // page) if name == "SC_PHYS_PAGES" else page,
+    )
+    assert s._default_driver_mem() == "8g"
+
+
 def test_ivf_knobs_schedule():
     """Round 10 (VERDICT r9 #4): the IVF retrieval knobs are
     corpus-relative with floors that reproduce the retired fixed

@@ -158,14 +158,19 @@ def text_tfidf_topk(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 _CMS_WIDTH = 512
-_CMS_PARAMS = dd._affine_params(4, seed=7)
+# Carter-Wegman mod 2^31-1 — the same universal family MinHash uses
+# (operators/dedup.py:_cw_params31).  Round 12 retired the restricted
+# a,b < 2^30 affine family here too: against p = 2^61-1 it wraps at most
+# once, i.e. is near-order-preserving, which is weaker than the pairwise
+# independence the CMS error bound (Cormode & Muthukrishnan) assumes.
+_CMS_PARAMS = dd._cw_params31(4, seed=7)
 
 
 def _cms_oracle() -> str:
-    p = dd._MERSENNE_P
+    p = dd._MERSENNE_P31
     h32 = "(('0x' || substr(md5(token), 1, 8))::BIGINT)"
     buckets = ",\n             ".join(
-        f"(({h32} * {a} + {b}) % {p}) % {_CMS_WIDTH} AS b{r}"
+        f"((({h32} % {p}) * {a} + {b}) % {p}) % {_CMS_WIDTH} AS b{r}"
         for r, (a, b) in enumerate(_CMS_PARAMS)
     )
     ests = ",\n             ".join(
@@ -198,9 +203,10 @@ def _cms_oracle() -> str:
     "cms_heavy_hitters",
     _cms_oracle(),
     "Count-min sketch frequency estimation, audited against exact "
-    "counts: token frequencies folded into a 4x512 CMS (4 seeded affine "
-    "hash rows over the portable md5-derived 32-bit base hash, the same "
-    "permutation family as minhash), estimate = min over rows, reported "
+    "counts: token frequencies folded into a 4x512 CMS (4 seeded "
+    "Carter-Wegman rows mod 2^31-1 over the portable md5-derived 32-bit "
+    "base hash — the same universal family as minhash, as the CMS error "
+    "bound assumes), estimate = min over rows, reported "
     "for the top-20 exact heavy hitters so the CMS >= exact invariant "
     "and the collision overestimates are both visible. The sketch is "
     "built from the VOCABULARY aggregate, not the token stream — "
@@ -222,7 +228,10 @@ def cms_heavy_hitters(spark, sf_dir):
     for r, (a, bb) in enumerate(_CMS_PARAMS):
         b = b.withColumn(
             f"b{r}",
-            ((F.col("h32") * F.lit(a) + F.lit(bb)) % F.lit(dd._MERSENNE_P))
+            (
+                ((F.col("h32") % F.lit(dd._MERSENNE_P31)) * F.lit(a) + F.lit(bb))
+                % F.lit(dd._MERSENNE_P31)
+            )
             % F.lit(_CMS_WIDTH),
         )
     for r in range(4):

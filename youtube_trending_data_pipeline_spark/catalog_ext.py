@@ -2917,24 +2917,29 @@ def _components_lsh_oracle() -> str:
     "band-bucket size, not block size. This entry is that path: the "
     "REGISTERED dedup_minhash_lsh pipeline's near-dup pairs (64-perm / "
     "16-band token-3-shingle signatures, estimated Jaccard >= 0.5) "
-    "closed into components by min-label propagation — the CCNet-style "
-    "production dedup clustering. Oracle composes the full LSH replay "
-    "into a recursive-CTE closure, so the clustering can never drift "
-    "from the candidate entry. At 100 TB every stage is the already-"
-    "measured LSH pipeline (78.6x wall at 100x data, banded equi-joins, "
-    "never all-pairs) plus one label-propagation round per component "
-    "diameter.",
+    "closed into components by alternating large-star/small-star rounds "
+    "(Kiveris et al.) — the CCNet-style production dedup clustering. "
+    "Oracle composes the full LSH replay into a recursive-CTE closure, "
+    "so the clustering can never drift from the candidate entry. The "
+    "star closure converges in O(log n) rounds regardless of component "
+    "diameter and RAISES if it doesn't — boilerplate chains at replica "
+    "scale can exceed any fixed diameter budget, so the production path "
+    "must not depend on one (round-12 ADVICE fix; min-label propagation "
+    "now also raises on non-convergence instead of returning silently "
+    "wrong labels). At 100 TB every stage is the already-measured LSH "
+    "pipeline (banded equi-joins, never all-pairs) plus ~log2(n) "
+    "star rounds of (long,long) edge aggregates.",
 )
 def dedup_components_lsh(spark, sf_dir):
     from youtube_trending_data_pipeline_spark.catalog import QUERIES
     from youtube_trending_data_pipeline_spark.operators.components import (
-        connected_components,
+        connected_components_star,
     )
 
     pairs = (
         QUERIES["dedup_minhash_lsh"].fn(spark, sf_dir).select("id_a", "id_b")
     )
-    return connected_components(pairs, src="id_a", dst="id_b")
+    return connected_components_star(pairs, src="id_a", dst="id_b")
 
 
 @register(

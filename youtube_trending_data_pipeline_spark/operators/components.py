@@ -48,6 +48,12 @@ def connected_components(
     The loop is driver-side control flow but all data stays distributed;
     the per-iteration convergence check is a LIMIT 1 existence probe, not
     a collect of labels.
+
+    Raises RuntimeError if labels are still changing after ``max_iter``
+    rounds — min-label propagation needs diameter rounds, so a graph
+    whose diameter exceeds the budget would otherwise return silently
+    WRONG (merged-too-little) components. Long-chain graphs should use
+    connected_components_star (O(log n) rounds) instead.
     """
     e = edges.select(
         F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
@@ -88,6 +94,11 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"min-label propagation did not converge in {max_iter} rounds "
+            "(graph diameter exceeds budget); use connected_components_star"
+        )
     return labels.select("node", F.col("label").alias("component"))
 
 

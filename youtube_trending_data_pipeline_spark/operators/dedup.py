@@ -110,16 +110,6 @@ def drop_exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFram
 # ---------------------------------------------------------------------------
 
 
-def _affine_params(num_perm: int, seed: int) -> list[tuple[int, int]]:
-    # a, b < 2^30 and the base hash reduced to 32 bits keep a*h + b < 2^63
-    # — no long overflow (Spark 4 ANSI mode would throw on wraparound)
-    rng = random.Random(seed)
-    return [
-        (rng.randrange(1, 1 << 30), rng.randrange(0, 1 << 30))
-        for _ in range(num_perm)
-    ]
-
-
 # Carter-Wegman universal family mod 2^31-1 for the MinHash permutations.
 # Round-11 estimator-quality fix: the old family — a, b < 2^30 against
 # p = 2^61-1 — keeps a*h + b below 2*p, so the "permutation" wraps AT

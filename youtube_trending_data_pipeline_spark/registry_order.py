@@ -236,6 +236,29 @@ DRIVER_VERIFIED_R10 = [
     "w_rank_lag_running", "w_rank_suite",
 ]
 
+# Keys present in CORRECTNESS_r11.json (driver gate, round 11): 50/50
+# green, 0 fails, 0 errors — second consecutive round with every registry
+# entry simultaneously driver-checked AND latest-green (385/385).
+DRIVER_VERIFIED_R11 = [
+    "dedup_minhash_lsh", "dedup_minhash_jaccard_est", "dedup_minhash_recall_audit",
+    "dedup_components_lsh", "dedup_minhash_recall_audit_sampled", "f9_format_number",
+    "f_string_funcs", "a15_percentiles", "a16_string_agg",
+    "a17_pivot", "f_math_funcs", "f_array_funcs",
+    "f_conditional_null", "a18_having", "f_string_suite",
+    "f_date_suite", "dedup_exact", "dedup_ngram_jaccard",
+    "funnel_view_click_purchase", "retention_cohorts", "dedup_levenshtein",
+    "dedup_embedding_cosine", "sim_bruteforce_topk", "clean_corpus_pipeline",
+    "sim_label_centroids", "text_stats", "text_langid",
+    "text_token_bpe", "grouped_zscore", "text_fingerprint",
+    "f_json_funcs", "f_variant_funcs", "cdc_latest_per_key",
+    "a20_argmax", "a21_stats_moments", "f_bitwise_funcs",
+    "dedup_components", "sample_hash_split", "doc_chunk_overlap",
+    "contamination_check", "q3_shipping_priority", "q5_local_supplier_volume",
+    "q6_forecast_revenue", "q18_large_volume_customer", "q4_order_priority",
+    "q12_priority_class_counts", "q14_promo_revenue_share", "q19_disjunctive_predicates",
+    "q7_volume_shipping", "q8_market_share",
+]
+
 DRIVER_VERIFIED: set[str] = (
     set(DRIVER_VERIFIED_R01)
     | set(DRIVER_VERIFIED_R02_R03)
@@ -246,27 +269,52 @@ DRIVER_VERIFIED: set[str] = (
     | set(DRIVER_VERIFIED_R08)
     | set(DRIVER_VERIFIED_R09)
     | set(DRIVER_VERIFIED_R10)
+    | set(DRIVER_VERIFIED_R11)
 )
 
-# Round-11 window: the round began with no pins (zero red rows, zero
+# Round-12 window: zero red rows and zero never-checked entries after
+# round 11, so only prudence pins lead — entries whose IMPLEMENTATION
+# (not oracle) changed this round (the kmeans-r10 precedent):
+#   * dedup_components_lsh switched from min-label propagation to
+#     connected_components_star (ADVICE r11 medium: the label loop could
+#     silently return unconverged components after max_iter; the star
+#     closure is O(log n) rounds and raises on non-convergence).  Same
+#     output contract (component = min reachable id), oracle unchanged,
+#     verified EXACT at both gate SFs on a vanilla session as the switch
+#     landed.
+#   * cms_heavy_hitters: ORACLE TEXT changed — the sketch's 4 hash rows
+#     moved from the retired restricted affine family (a,b < 2^30 vs
+#     p = 2^61-1, near-order-preserving) to the Carter-Wegman mod 2^31-1
+#     family MinHash uses (ADVICE r11); both engine sides replay the new
+#     params, verified EXACT at both gate SFs as the switch landed.
+# Remaining slots fall to tier 3 staleness rotation (stalest surviving
+# rows are the r3/r4-era entries not re-checked since).
+PRIORITY_UNCHECKED: list[str] = [
+    "dedup_components_lsh",
+    "cms_heavy_hitters",
+]
+
+# Round-11 window — superseded by the round-12 list above, kept for the
+# audit trail: the round began with no pins (zero red rows, zero
 # never-checked entries), but the MinHash permutation-family fix landed
 # mid-round — _cw_params31 replaced the near-order-preserving
 # a,b < 2^30 / p = 2^61-1 affine family (see operators/dedup.py) — so
-# every entry whose ORACLE TEXT embeds the family re-pins first (all
+# every entry whose ORACLE TEXT embeds the family re-pinned first (all
 # verified EXACT at sf0.001 AND sf0.01 on a vanilla session as the fix
 # landed; the recall audit's precision moved 0.21 -> 1.000).  Tier 2
-# then auto-covers the two round-11 additions
+# then auto-covered the two round-11 additions
 # (dedup_minhash_recall_audit_sampled, dedup_components_lsh — both
-# vanilla-session EXACT at both gate SFs); remaining slots fall to
+# vanilla-session EXACT at both gate SFs); remaining slots fell to
 # tier 3 staleness rotation (r1/r3-era rows).
-PRIORITY_UNCHECKED = [
+PRIORITY_UNCHECKED_R11 = [
     "dedup_minhash_lsh",
     "dedup_minhash_jaccard_est",
     "dedup_minhash_recall_audit",
 ]
 
-# Round-10 window — superseded by the (empty) round-11 list above, kept
-# for the audit trail (VERDICT r9 items 1, 3, 4):
+# Round-10 window — superseded by the round-11 list above (three
+# re-pinned MinHash entries), kept for the audit trail (VERDICT r9
+# items 1, 3, 4):
 #   * FIRST: the two round-9 hash-fails, re-pinned after their oracles
 #     gained CAST(... AS BIGINT) (DuckDB HUGEINT promotion rendered
 #     float64 through .df() where Spark emits long; values were verified
@@ -416,6 +464,7 @@ for _rnd, _names in (
     (8, DRIVER_VERIFIED_R08),
     (9, DRIVER_VERIFIED_R09),
     (10, DRIVER_VERIFIED_R10),
+    (11, DRIVER_VERIFIED_R11),
 ):
     for _n in _names:
         _LAST_VERIFIED[_n] = _rnd

@@ -22,6 +22,29 @@ from pyspark.sql import SparkSession
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
 
 
+def _default_driver_mem() -> str:
+    """Size the local single-JVM heap from the machine, not a constant.
+
+    local[N] shares one driver heap across all executor threads; 8g
+    starves the iterative graph family's concurrent hash aggregations at
+    the 100x replica (round 11: graph_pagerank raised
+    AGGREGATE_OUT_OF_MEMORY at 60M lineitem / 10M events on 8g, runs in
+    33 s on a 24g heap). But hard-coding 24g would swap/OOM-kill small
+    developer boxes (round-12 ADVICE), so: 24g only when the box has
+    >= 64 GiB, else the old 8g — and SPARK_GRAFT_DRIVER_MEM always wins.
+    A real cluster sizes executors independently; this knob only shapes
+    the local harness.
+    """
+    env = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+    if env:
+        return env
+    try:
+        total = os.sysconf("SC_PHYS_PAGES") * os.sysconf("SC_PAGE_SIZE")
+    except (ValueError, OSError, AttributeError):
+        return "8g"
+    return "24g" if total >= 64 * 1024**3 else "8g"
+
+
 def get_spark(
     app_name: str = "youtube-trending-spark",
     master: str | None = None,
@@ -54,14 +77,7 @@ def get_spark(
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
-        # single-JVM local mode shares driver heap across all 32 executor
-        # threads; 8g starves the iterative graph family's concurrent hash
-        # aggregations at the 100x replica (round 11: graph_pagerank raised
-        # AGGREGATE_OUT_OF_MEMORY at 60M lineitem / 10M events on 8g, runs
-        # in 33 s on a bigger heap). The box has 128 GiB; a real cluster
-        # sizes executors independently — this knob only shapes the local
-        # harness.
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.driver.memory", _default_driver_mem())
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
