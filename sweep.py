@@ -12,9 +12,12 @@ whose ORACLE is known super-linear at large SF (DuckDB recursive
 transitive closures — the Spark side is fine) fall back to rows-only.
 Prints one JSON line per entry and a final summary line.
 
-Usage: python sweep.py [sf_dir] [resume_file]
+Usage: python sweep.py [sf_dir] [resume_file] [--only n1,n2,...]
 (default sf_dir /root/testdata/sf0.1; with resume_file, entries already
-recorded there are skipped and the new lines can be concatenated)
+recorded there are skipped and the new lines can be concatenated;
+--only restricts to named entries AND overrides the big-SF ORACLE_HEAVY
+skip — the caller is explicitly asking for the full oracle compare, the
+round-12 100x-EXACT workflow)
 """
 
 from __future__ import annotations
@@ -67,7 +70,13 @@ ORACLE_HEAVY = {
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    argv = list(sys.argv[1:])
+    only: set[str] | None = None
+    if "--only" in argv:
+        i = argv.index("--only")
+        only = set(argv[i + 1].split(","))
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.1"
     big_sf = not sf_dir.rstrip("/").endswith(("sf0.001", "sf0.01"))
 
     import duckdb
@@ -95,8 +104,8 @@ def main() -> None:
     os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
     qs, oracles = entry.queries(), entry.oracle_sql()
     done: set[str] = set()
-    if len(sys.argv) > 2 and os.path.exists(sys.argv[2]):
-        with open(sys.argv[2]) as fh:
+    if len(argv) > 1 and os.path.exists(argv[1]):
+        with open(argv[1]) as fh:
             done = {
                 json.loads(line).get("q")
                 for line in fh
@@ -104,13 +113,15 @@ def main() -> None:
             }
     exact = rows_only = failed = 0
     for name in qs:
-        if name in done:
+        if name in done or (only is not None and name not in only):
             continue
         t0 = time.perf_counter()
         rec = {"q": name}
         try:
             df = qs[name](spark, sf_dir)
-            if name in oracles and not (big_sf and name in ORACLE_HEAVY):
+            if name in oracles and (
+                only is not None or not (big_sf and name in ORACLE_HEAVY)
+            ):
                 spdf = df.toPandas()
                 rec["rows"] = len(spdf)
                 dpdf = con.execute(oracles[name]).df()
@@ -135,7 +146,7 @@ def main() -> None:
             {
                 "summary": True,
                 "sf_dir": sf_dir,
-                "total": len(qs),
+                "total": len(only) if only is not None else len(qs),
                 "exact": exact,
                 "rows_only": rows_only,
                 "failed": failed,
