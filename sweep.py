@@ -66,6 +66,8 @@ ORACLE_HEAVY = {
     "dedup_minhash_recall_audit_sampled",
     # composes the full LSH replay into a recursive-CTE closure
     "dedup_components_lsh",
+    # same closure composition plus the split projection (round 12)
+    "split_leakage_free_lsh",
 }
 
 

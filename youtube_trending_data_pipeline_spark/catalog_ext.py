@@ -7609,11 +7609,11 @@ def dedup_minhash_recall_audit_sampled(spark, sf_dir):
     "singleton docs are their own component) with the same md5-nibble "
     "12/2/2 assignment. STRUCTURAL guarantee: same component -> same "
     "key -> same split, so no near-dup pair ever straddles. Oracle = "
-    "the recursive-CTE closure + the same hash projection. At 100 TB "
-    "the only additions over the split itself are the dedup pair join "
-    "(banded, never all-pairs) and one label-propagation round per "
-    "graph diameter — both already paid by the dedup pass this "
-    "composes with.",
+    "the recursive-CTE closure + the same hash projection. The exact "
+    "char-gram candidate join stops loudly past gate scale (the "
+    "quadratic guard, confirmed at the 100x replica) — the PRODUCTION "
+    "form is split_leakage_free_lsh, which keys by the MinHash-LSH "
+    "star closure instead.",
 )
 def split_leakage_free_components(spark, sf_dir):
     from youtube_trending_data_pipeline_spark.operators.components import (
@@ -7625,6 +7625,74 @@ def split_leakage_free_components(spark, sf_dir):
         docs, "doc_id", "text", ["source"], n=3
     ).where(F.col("jaccard") >= 0.6)
     comp = connected_components(pairs, src="id_a", dst="id_b").select(
+        F.col("node").alias("doc_id"), "component"
+    )
+    keyed = (
+        docs.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", F.col("doc_id")).alias("component"),
+        )
+    )
+    nib = F.substring(F.md5(F.col("component").cast("string")), 1, 1)
+    return keyed.select(
+        "doc_id",
+        "component",
+        F.when(
+            nib.isin(*"0123456789ab"), F.lit("train")
+        )
+        .when(nib.isin("c", "d"), F.lit("valid"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+
+
+def _split_lsh_oracle() -> str:
+    """Composition doctrine: the split key replays the REGISTERED
+    dedup_components_lsh closure (itself the full MinHash-LSH replay),
+    then the same md5-nibble 12/2/2 projection as
+    split_leakage_free_components."""
+    return f"""
+    SELECT d.doc_id,
+           CAST(COALESCE(c.component, d.doc_id) AS BIGINT) AS component,
+           CASE
+             WHEN substr(md5(CAST(COALESCE(c.component, d.doc_id)
+                              AS VARCHAR)), 1, 1)
+                  IN ('0','1','2','3','4','5','6','7','8','9','a','b')
+               THEN 'train'
+             WHEN substr(md5(CAST(COALESCE(c.component, d.doc_id)
+                              AS VARCHAR)), 1, 1) IN ('c','d')
+               THEN 'valid'
+             ELSE 'test'
+           END AS split
+    FROM documents d LEFT JOIN ({_components_lsh_oracle()}) c
+      ON c.node = d.doc_id
+    """
+
+
+@register(
+    "split_leakage_free_lsh",
+    _split_lsh_oracle(),
+    "PRODUCTION form of split_leakage_free_components (round 12): the "
+    "leakage-free train/valid/test split keyed by the MinHash-LSH "
+    "near-dup component instead of the exact char-3-gram one — the "
+    "char-gram entry composes ngram_jaccard_pairs, whose within-source "
+    "quadratic guard fires BY DESIGN once a source block passes "
+    "max_block_rows (25 k-row blocks at the 100x replica), exactly "
+    "like dedup_components vs dedup_components_lsh. This entry "
+    "composes the REGISTERED dedup_components_lsh star closure "
+    "(banded equi-join candidates, O(log n) star rounds, raises on "
+    "non-convergence) with the same md5-nibble 12/2/2 assignment; "
+    "singleton docs key by their own id. STRUCTURAL guarantee "
+    "unchanged: same component -> same key -> same split. Oracle "
+    "composes the full LSH-closure replay with the hash projection.",
+)
+def split_leakage_free_lsh(spark, sf_dir):
+    from youtube_trending_data_pipeline_spark.catalog import QUERIES
+
+    docs = t(spark, sf_dir, "documents")
+    comp = QUERIES["dedup_components_lsh"].fn(spark, sf_dir).select(
         F.col("node").alias("doc_id"), "component"
     )
     keyed = (
