@@ -130,6 +130,31 @@ def test_containment_flags_subset_document(spark):
     assert a == 1_000_000 and b < 200_000
 
 
+def test_containment_capped_matches_exact_at_gate_scale(spark):
+    """Round 12: the DF-capped production form (candidates from rare
+    shingles only, exact rescore on full shingle sets) must reproduce
+    the uncapped entry's flagged pairs AND scores at gate scale — the
+    cap only prunes candidate GENERATION, never scoring."""
+    def rows(name):
+        return {
+            (r.id_a, r.id_b): (r.containment_a_ppm, r.containment_b_ppm)
+            for r in QUERIES[name].fn(spark, SF).collect()
+        }
+
+    assert rows("dedup_containment_capped") == rows("dedup_shingle_containment")
+
+
+def test_containment_df_cap_schedule():
+    """Corpus-relative DF cap: floor 16 at gate corpora, ceiling 128."""
+    from youtube_trending_data_pipeline_spark.catalog_curation import (
+        containment_df_cap,
+    )
+
+    assert containment_df_cap(500) == 16
+    assert containment_df_cap(3000) == 100
+    assert containment_df_cap(500_000) == 128
+
+
 def test_walk_forward_train_grows_and_roles_disjoint(spark):
     rows = QUERIES["split_walk_forward"].fn(spark, SF).collect()
     by = {(r.fold, r.role): r for r in rows}

@@ -3434,10 +3434,12 @@ def graph_degree_distribution(spark, sf_dir):
     "while its Jaccard stays tiny, so symmetric near-dup passes keep "
     "both copies. Pairs with >= 80% containment in either direction "
     "are flagged (ppm integers). Candidate generation here is the "
-    "shingle equi-join (bounded by shared-shingle pairs at gate "
-    "scale); at 100 TB the same LSH banding as dedup_minhash_lsh "
-    "prefilters candidates and this containment check replaces the "
-    "Jaccard threshold.",
+    "UNCAPPED shingle equi-join — quadratic in posting-list length "
+    "(one shingle held by d docs emits d^2/2 join rows), measured "
+    "pathological at the 500 k-doc 100x replica — so this entry is "
+    "the gate-scale exact form; the PRODUCTION form is "
+    "dedup_containment_capped (rare-shingle candidate blocking + "
+    "exact full-set rescore, identical results at gate scale).",
 )
 def dedup_shingle_containment(spark, sf_dir):
     sh = (
@@ -3461,6 +3463,133 @@ def dedup_shingle_containment(spark, sf_dir):
     b = sh.select(F.col("doc_id").alias("id_b"), F.col("s").alias("s2"))
     inter = (
         a.join(b, (F.col("s") == F.col("s2")) & (F.col("id_a") < F.col("id_b")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("ninter"))
+    )
+    out = (
+        inter.join(
+            szs.select(F.col("doc_id").alias("id_a"), F.col("nsh").alias("nsh_a")),
+            "id_a",
+        )
+        .join(
+            szs.select(F.col("doc_id").alias("id_b"), F.col("nsh").alias("nsh_b")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.expr("(1000000 * ninter) div nsh_a").alias("containment_a_ppm"),
+            F.expr("(1000000 * ninter) div nsh_b").alias("containment_b_ppm"),
+        )
+    )
+    return out.where(
+        (F.col("containment_a_ppm") >= 800000)
+        | (F.col("containment_b_ppm") >= 800000)
+    )
+
+
+def containment_df_cap(n_docs: int) -> int:
+    """Document-frequency cap for containment candidate generation —
+    corpus-relative like the IVF/codebook knobs, replayed from COUNT(*)
+    by the oracle: shingles held by more than this many documents are
+    too common to generate candidates from (a shingle with document
+    frequency d produces d^2/2 join rows — the round-12 100x sweep
+    measured the uncapped join pathological at 500 k docs)."""
+    return max(16, min(128, n_docs // 30))
+
+
+@register(
+    "dedup_containment_capped",
+    f"""
+    WITH tk AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ), sh AS (
+      SELECT doc_id, unnest(list_distinct(
+        list_transform(range(1, len(toks) - 1),
+                       i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+      )) AS s
+      FROM tk WHERE len(toks) >= 3
+    ), cap AS (
+      SELECT GREATEST(16, LEAST(128, COUNT(*) // 30)) AS c FROM documents
+    ), rare AS (
+      SELECT doc_id, s FROM sh
+      WHERE s IN (SELECT s FROM sh GROUP BY s
+                  HAVING COUNT(*) <= (SELECT c FROM cap))
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id
+    ), szs AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nsh FROM sh GROUP BY 1
+    ), inter AS (
+      SELECT c.id_a, c.id_b, CAST(COUNT(*) AS BIGINT) AS ninter
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.id_a
+      JOIN sh b ON b.doc_id = c.id_b AND b.s = a.s
+      GROUP BY 1, 2
+    )
+    SELECT i.id_a, i.id_b,
+           CAST((1000000 * i.ninter) // za.nsh AS BIGINT)
+             AS containment_a_ppm,
+           CAST((1000000 * i.ninter) // zb.nsh AS BIGINT)
+             AS containment_b_ppm
+    FROM inter i
+    JOIN szs za ON za.doc_id = i.id_a
+    JOIN szs zb ON zb.doc_id = i.id_b
+    WHERE (1000000 * i.ninter) // za.nsh >= 800000
+       OR (1000000 * i.ninter) // zb.nsh >= 800000
+    """,
+    "PRODUCTION form of dedup_shingle_containment (round-12 100x sweep "
+    "finding: the uncapped shingle equi-join is quadratic in posting-"
+    "list length — one shingle held by d documents emits d^2/2 join "
+    "rows, pathological at the 500 k-doc replica). Candidate pairs "
+    "must share at least one RARE shingle (document frequency <= a "
+    "corpus-relative cap, containment_df_cap — the prefix-filtering / "
+    "stop-shingle doctrine of blocked entity resolution); flagged "
+    "candidates are then re-scored EXACTLY on their FULL shingle sets, "
+    "so precision is identical to the exact entry and recall misses "
+    "only pairs whose every shared shingle is hotter than the cap. "
+    "Shuffle bound: candidate volume <= cap x |postings| instead of "
+    "sum of posting-length^2; the rescore join fans out candidates by "
+    "shingles-per-doc, never doc-count. Both knobs replay from "
+    "COUNT(*) in the oracle.",
+)
+def dedup_containment_capped(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    cap = containment_df_cap(docs.count())
+    sh = (
+        docs.select("doc_id", _toks().alias("toks"))
+        .where(F.size("toks") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        "transform(sequence(0, size(toks) - 3), i -> "
+                        "array_join(slice(toks, i + 1, 3), ' '))"
+                    )
+                )
+            ).alias("s"),
+        )
+    )
+    rare = sh.join(
+        sh.groupBy("s").agg(F.count(F.lit(1)).alias("df")).where(
+            F.col("df") <= cap
+        ).select("s"),
+        "s",
+    )
+    cand = (
+        rare.select(F.col("doc_id").alias("id_a"), "s")
+        .join(
+            rare.select(F.col("doc_id").alias("id_b"), F.col("s").alias("s2")),
+            (F.col("s") == F.col("s2")) & (F.col("id_a") < F.col("id_b")),
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    szs = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nsh"))
+    inter = (
+        cand.join(sh.select(F.col("doc_id").alias("id_a"), "s"), "id_a")
+        .join(sh.select(F.col("doc_id").alias("id_b"), "s"), ["id_b", "s"])
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("ninter"))
     )
