@@ -130,6 +130,29 @@ def test_containment_flags_subset_document(spark):
     assert a == 1_000_000 and b < 200_000
 
 
+def test_containment_posting_guard_fires(spark):
+    """Round 12: the exact containment entry must fail LOUDLY when a
+    shingle posting list exceeds max_posting_len (d docs emit d^2/2
+    join rows — the 100x replica measured 23.8e9 rows uncapped), not
+    silently burn hours; production is dedup_containment_capped."""
+    import pytest
+
+    from youtube_trending_data_pipeline_spark.catalog_curation import (
+        dedup_shingle_containment,
+    )
+
+    d = tempfile.mkdtemp(prefix="cont-guard-")
+    shared = "alpha beta gamma delta"
+    spark.createDataFrame(
+        [(i, f"{shared} unique{i} tail{i}") for i in range(5)],
+        "doc_id long, text string",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    with pytest.raises(Exception, match="max_posting_len"):
+        dedup_shingle_containment(spark, d, max_posting_len=2).collect()
+    # and silent when under the bound
+    assert dedup_shingle_containment(spark, d, max_posting_len=10).count() >= 0
+
+
 def test_containment_capped_matches_exact_at_gate_scale(spark):
     """Round 12: the DF-capped production form (candidates from rare
     shingles only, exact rescore on full shingle sets) must reproduce

@@ -3441,7 +3441,7 @@ def graph_degree_distribution(spark, sf_dir):
     "dedup_containment_capped (rare-shingle candidate blocking + "
     "exact full-set rescore, identical results at gate scale).",
 )
-def dedup_shingle_containment(spark, sf_dir):
+def dedup_shingle_containment(spark, sf_dir, max_posting_len: int = 2_000):
     sh = (
         t(spark, sf_dir, "documents")
         .select("doc_id", _toks().alias("toks"))
@@ -3457,6 +3457,34 @@ def dedup_shingle_containment(spark, sf_dir):
                 )
             ).alias("s"),
         )
+    )
+    # quadratic guard (the ngram_jaccard_pairs doctrine, round 12): a
+    # posting list of d docs emits d^2/2 join rows, so any shingle
+    # hotter than max_posting_len fails the job loudly instead of
+    # silently burning hours — the 100x replica measured exactly that.
+    # Gate corpora (<= 5000 docs) can never trip it; production uses
+    # dedup_containment_capped.
+    hot = sh.groupBy("s").agg(F.count(F.lit(1)).alias("_df"))
+    sh = (
+        sh.join(hot, "s")
+        .where(
+            F.assert_true(
+                F.col("_df") <= F.lit(max_posting_len),
+                F.concat(
+                    F.lit(
+                        "dedup_shingle_containment: a shingle posting "
+                        f"list exceeds max_posting_len={max_posting_len} "
+                        "(got "
+                    ),
+                    F.col("_df").cast("string"),
+                    F.lit(
+                        " docs); use dedup_containment_capped (DF-capped "
+                        "candidates + exact rescore)"
+                    ),
+                ),
+            ).isNull()
+        )
+        .drop("_df")
     )
     szs = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nsh"))
     a = sh.select(F.col("doc_id").alias("id_a"), "s")
