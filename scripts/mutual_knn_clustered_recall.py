@@ -149,14 +149,109 @@ def measure(spark, sf_dir: str, label: str) -> dict:
     }
 
 
+def _sampled_exact_edges(spark, sf_dir: str, mod: int):
+    """EXACT mutual-kNN edges restricted to the sample-induced subgraph
+    (round 12, the dedup_minhash_recall_audit_sampled doctrine): probers
+    are the hash-sampled vectors (xxhash64(vec_id) % mod == 0), members
+    stay the FULL corpus, so each sampled vector's top-k is its true
+    global top-k and the mutual semi-join (which only sees sampled
+    probers on both sides) yields exactly the exact-mutual edges whose
+    BOTH endpoints are sampled — an unbiased restriction. Cost s*n
+    instead of n^2; edge yield E*(s/n)^2, so pick mod to leave >= ~10k
+    edges (SE at recall 0.99 ~ sqrt(0.0099/edges))."""
+    from pyspark.sql import functions as F
+
+    q = ca.t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr(ca._QV_SPARK).alias("qv")
+    )
+    salts = F.broadcast(
+        spark.range(ca._EXACT_SALTS).select(
+            F.col("id").cast("int").alias("cell")
+        )
+    )
+    probers = (
+        q.where(F.pmod(F.xxhash64("vec_id"), F.lit(mod)) == 0)
+        .select(
+            F.pmod(F.col("vec_id"), F.lit(ca._EXACT_SALTS))
+            .cast("int").alias("cell"),
+            "vec_id", "qv",
+            F.lit(False).alias("is_m"), F.lit(True).alias("is_p"),
+        )
+    )
+    members = q.crossJoin(salts).select(
+        "cell", "vec_id", "qv",
+        F.lit(True).alias("is_m"), F.lit(False).alias("is_p"),
+    )
+    knn = (
+        probers.unionByName(members)
+        .groupBy("cell")
+        .applyInPandas(
+            lambda pdf: ca._knn_cell_kernel(pdf, ca._KNN_K),
+            schema=ca._knn_schema(),
+        )
+        .select("u", "v")
+    )
+    rev = knn.select(F.col("v").alias("ru"), F.col("u").alias("rv"))
+    return knn.join(
+        rev, (knn["u"] == rev["ru"]) & (knn["v"] == rev["rv"]), "left_semi"
+    ).select(F.col("u").alias("src"), F.col("v").alias("dst"))
+
+
+def measure_sampled(spark, sf_dir: str, label: str, mod: int) -> dict:
+    """Sampled recall point: exact ground truth on the sample-induced
+    subgraph, bucketed production build run FULL then restricted to the
+    same sample (both sides' mutualness is w.r.t. the full corpus)."""
+    from pyspark.sql import functions as F
+
+    exact = (
+        _sampled_exact_edges(spark, sf_dir, mod)
+        .where("src < dst")
+        .localCheckpoint()
+    )
+    n_exact = exact.count()
+    t0 = time.perf_counter()
+    bucketed_full = (
+        ca._mutual_knn_edges(spark, sf_dir)
+        .where("src < dst")
+        .localCheckpoint()
+    )
+    n_full = bucketed_full.count()
+    build_sec = time.perf_counter() - t0
+    in_sample = (
+        (F.pmod(F.xxhash64("src"), F.lit(mod)) == 0)
+        & (F.pmod(F.xxhash64("dst"), F.lit(mod)) == 0)
+    )
+    bucketed = bucketed_full.where(in_sample)
+    n_common = exact.join(bucketed, ["src", "dst"], "left_semi").count()
+    return {
+        "run": label,
+        "sf_dir": sf_dir,
+        "sample_mod": mod,
+        "exact_edges_in_sample": n_exact,
+        "bucketed_edges_full": n_full,
+        "common_edges": n_common,
+        "recall": round(n_common / max(n_exact, 1), 4),
+        "bucketed_build_sec": round(build_sec, 2),
+    }
+
+
 def main() -> None:
     """Default run = the round-9 pair (2 k gate + 20 k 10x). Extra
     corpus sizes come from argv (round 10 added the 50 k/200-cell and
     100 k/400-cell points this way: `python scripts/
     mutual_knn_clustered_recall.py 100000`); the exact baseline is
     O(n^2), ~4 min at 50 k and ~16 min at 100 k, so the big points run
-    deliberately, not by default."""
-    sizes = [int(a) for a in sys.argv[1:] if a.isdigit()] or [2_000, 20_000]
+    deliberately, not by default.  `--sampled-mod M` switches the
+    ground truth to the hash-sampled subgraph estimator (round 12's
+    sixth octave: `... 500000 --sampled-mod 5` costs s*n instead of
+    n^2 and leaves ~E/25 edges to grade against)."""
+    args = sys.argv[1:]
+    mod = None
+    if "--sampled-mod" in args:
+        i = args.index("--sampled-mod")
+        mod = int(args[i + 1])
+        del args[i : i + 2]
+    sizes = [int(a) for a in args if a.isdigit()] or [2_000, 20_000]
 
     spark = get_spark(app_name="mutual-knn-clustered-recall")
     spark.sparkContext.setLogLevel("ERROR")
@@ -164,10 +259,13 @@ def main() -> None:
         d = os.path.join(FIXTURE_ROOT, f"n{n}")
         build_fixture(n, d)
         cells = max(8, n // 250)
-        print(
-            json.dumps(measure(spark, d, f"clustered {n} ({cells} cells)")),
-            flush=True,
-        )
+        if mod is None:
+            rec = measure(spark, d, f"clustered {n} ({cells} cells)")
+        else:
+            rec = measure_sampled(
+                spark, d, f"clustered {n} ({cells} cells) sampled", mod
+            )
+        print(json.dumps(rec), flush=True)
     spark.stop()
 
 
