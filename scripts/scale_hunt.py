@@ -58,14 +58,21 @@ def main() -> None:
 
     for name in names:
         if not _alive(spark):
+            # previous entry killed the JVM (e.g. heap OOM) — the cached
+            # py4j gateway points at the dead process, so reset it too
+            # or the relaunch raises instead of starting a new JVM
             try:
                 spark.stop()
             except Exception:
                 pass
+            from pyspark import SparkContext
             from pyspark.sql import SparkSession
 
             SparkSession._instantiatedSession = None
             SparkSession._activeSession = None
+            SparkContext._active_spark_context = None
+            SparkContext._gateway = None
+            SparkContext._jvm = None
             spark = get_spark(app_name="scale-hunt-revived")
             spark.sparkContext.setLogLevel("ERROR")
         rec: dict = {"q": name}
