@@ -355,40 +355,60 @@ def _temporal_oracle() -> str:
     "time is >= the arrival time at the source — the contact-tracing "
     "/ information-diffusion primitive a static BFS gets WRONG "
     "(static paths can ride edges that fired before the source was "
-    "reached). Four fixed relaxation rounds, each one equi-join of "
-    "the arrival vector onto the timed edge list + a MIN aggregate; "
-    "arrivals are monotone nonincreasing so the unrolled oracle "
-    "replays the exact same prefix regardless of convergence. "
-    "At 100 TB: the timed edge list shuffles once, rounds reuse it "
-    "(localCheckpoint lineage cuts, the pagerank doctrine).",
+    "reached). Four fixed relaxation rounds over the co-occurrence "
+    "cliques; arrivals are monotone nonincreasing so the unrolled "
+    "oracle replays the exact same prefix regardless of convergence. "
+    "SCALE SHAPE (round-12 rewrite, a 100x-sweep find): the naive "
+    "clique edge list is quadratic in bucket occupancy — a (type, "
+    "bucket) holding u users emits u^2 pairs, and the 100x replica's "
+    "shared time range drove the materialized edge list past local "
+    "disk (50+ GB spill, job death). The engine now STAR-EXPANDS "
+    "each co-occurrence clique through a virtual hub node (hub id = "
+    "-(bk * n_types + type_rank) - 1, disjoint from user ids): "
+    "user->hub and hub->user edges at the bucket's time, |edges| "
+    "LINEAR in bucket membership, and each clique relaxation round "
+    "becomes exactly two hub rounds (u->hub needs arrival(u) <= b "
+    "and stamps the hub b; hub->v stamps v at b) — arrivals after "
+    "2k hub rounds equal the clique graph's after k rounds, so the "
+    "clique-semantics oracle verifies the star engine EXACTLY. At "
+    "100 TB: the hub edge list shuffles once, rounds reuse it "
+    "(localCheckpoint lineage cuts, the pagerank doctrine). 100x "
+    "replica: the pre-fix clique build died on disk; the star build "
+    "runs clean.",
 )
 def graph_temporal_reachability(spark, sf_dir):
     ev = t(spark, sf_dir, "events")
-    b = ev.select(
+    posts = ev.select(
         "user_id",
         "event_type",
         F.expr(f"(ts div 1000) div {_TR_BUCKET_US}").alias("bk"),
     ).distinct()
-    x, y = b.alias("x"), b.alias("y")
-    und = (
-        x.join(
-            y,
-            (F.col("x.event_type") == F.col("y.event_type"))
-            & (F.col("x.bk") == F.col("y.bk"))
-            & (F.col("x.user_id") < F.col("y.user_id")),
-        )
-        .select(
-            F.col("x.user_id").alias("u"),
-            F.col("y.user_id").alias("v"),
-            F.col("x.bk").alias("b"),
-        )
-        .distinct()
+    # dimension-sized: rank the event types so hub ids are a pure
+    # function of the data (deterministic across partitionings)
+    types = posts.select("event_type").distinct()
+    n_types = types.count()  # scalar probe, bounded by the type dimension
+    trank = types.select(
+        "event_type",
+        (F.row_number().over(W.orderBy("event_type")) - 1).alias("_tix"),
     )
-    edges = und.select(
-        F.col("u").alias("src"), F.col("v").alias("dst"), "b"
-    ).unionAll(
-        und.select(F.col("v").alias("src"), F.col("u").alias("dst"), "b")
-    ).localCheckpoint(eager=False)
+    hubbed = posts.join(F.broadcast(trank), "event_type").select(
+        "user_id",
+        "bk",
+        (-(F.col("bk") * n_types + F.col("_tix")) - 1).alias("hub"),
+    )
+    edges = (
+        hubbed.select(
+            F.col("user_id").alias("src"), F.col("hub").alias("dst"),
+            F.col("bk").alias("b"),
+        )
+        .unionAll(
+            hubbed.select(
+                F.col("hub").alias("src"), F.col("user_id").alias("dst"),
+                F.col("bk").alias("b"),
+            )
+        )
+        .localCheckpoint(eager=False)
+    )
     arrivals = (
         ev.where(F.col("user_id") % _TR_SEED_MOD == 0)
         .select(F.col("user_id").alias("node"))
@@ -396,7 +416,7 @@ def graph_temporal_reachability(spark, sf_dir):
         .select("node", F.lit(0).cast("long").alias("arrival"))
         .localCheckpoint(eager=False)
     )
-    for _ in range(_TR_ROUNDS):
+    for _ in range(2 * _TR_ROUNDS):
         relaxed = (
             edges.join(arrivals, edges["src"] == arrivals["node"])
             .where(F.col("arrival") <= F.col("b"))
@@ -408,7 +428,7 @@ def graph_temporal_reachability(spark, sf_dir):
             .agg(F.min("arrival").alias("arrival"))
             .localCheckpoint(eager=False)
         )
-    return arrivals.select(
+    return arrivals.where(F.col("node") >= 0).select(
         F.col("node").alias("user_id"),
         F.col("arrival").cast("long").alias("arrival_bucket"),
     )

@@ -287,11 +287,24 @@ DRIVER_VERIFIED: set[str] = (
 #     p = 2^61-1, near-order-preserving) to the Carter-Wegman mod 2^31-1
 #     family MinHash uses (ADVICE r11); both engine sides replay the new
 #     params, verified EXACT at both gate SFs as the switch landed.
-# Remaining slots fall to tier 3 staleness rotation (stalest surviving
-# rows are the r3/r4-era entries not re-checked since).
+#   * graph_temporal_reachability: IMPLEMENTATION changed (oracle
+#     unchanged) — the quadratic co-occurrence clique expansion star-
+#     expands through virtual hub nodes after the 100x sweep measured
+#     the clique edge list dying on local disk; arrivals after 2k hub
+#     rounds equal the clique graph's after k rounds, verified EXACT
+#     at both gate SFs as the rewrite landed (100x: disk death -> 24 s).
+#   * dedup_shingle_containment: IMPLEMENTATION changed (oracle
+#     unchanged) — gained the loud max_posting_len guard; values
+#     identical under the guard, EXACT at sf0.01 as it landed.
+# Tier 2 then auto-covers the round-12 additions (split_leakage_free_lsh,
+# dedup_containment_capped — both vanilla-session EXACT at both gate
+# SFs); remaining slots fall to tier 3 staleness rotation (stalest
+# surviving rows are the r3/r4-era entries not re-checked since).
 PRIORITY_UNCHECKED: list[str] = [
     "dedup_components_lsh",
     "cms_heavy_hitters",
+    "graph_temporal_reachability",
+    "dedup_shingle_containment",
 ]
 
 # Round-11 window — superseded by the round-12 list above, kept for the
