@@ -78,6 +78,15 @@ def main() -> None:
         i = argv.index("--only")
         only = set(argv[i + 1].split(","))
         del argv[i : i + 2]
+    mem = None
+    if "--mem" in argv:
+        # big-SF 100x-EXACT runs need a real heap (the iterative graph
+        # family OOMs the 1g vanilla default); the DRIVER-faithful part
+        # is the comparator, not the heap size, so this stays opt-in and
+        # the default session remains exactly what the driver builds
+        i = argv.index("--mem")
+        mem = argv[i + 1]
+        del argv[i : i + 2]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.1"
     big_sf = not sf_dir.rstrip("/").endswith(("sf0.001", "sf0.01"))
 
@@ -89,6 +98,11 @@ def main() -> None:
     spark = (
         SparkSession.builder.master("local[32]")
         .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+        if mem is None
+        else SparkSession.builder.master("local[32]")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.driver.memory", mem)
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -104,7 +118,24 @@ def main() -> None:
     # generated oracles (embedding_pca_project) embed data-dependent
     # literals; point them at the swept SF so both sides read one dataset
     os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
-    qs, oracles = entry.queries(), entry.oracle_sql()
+    # materialize generated oracles LAZILY per entry: a generator whose
+    # own scale guard fires at the swept SF (token_huffman_code_audit's
+    # vocab cap at the 100x replica) must fail only ITS row, not the
+    # whole sweep (round 12)
+    from youtube_trending_data_pipeline_spark.catalog import QUERIES
+
+    qs = entry.queries()
+
+    class _LazyOracles:
+        def __contains__(self, name):
+            spec = QUERIES.get(name)
+            return spec is not None and spec.oracle is not None
+
+        def __getitem__(self, name):
+            o = QUERIES[name].oracle
+            return o() if callable(o) else o
+
+    oracles = _LazyOracles()
     done: set[str] = set()
     if len(argv) > 1 and os.path.exists(argv[1]):
         with open(argv[1]) as fh:
