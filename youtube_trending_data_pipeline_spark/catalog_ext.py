@@ -1596,7 +1596,7 @@ def _pagerank_oracle(iterations: int = 5) -> str:
     steps = []
     for i in range(1, iterations + 1):
         steps.append(f"""
-    r{i} AS (
+    r{i} AS MATERIALIZED (
       SELECT n.node,
              CAST({base} + (85 * COALESCE(s.s, 0)) // 100 AS BIGINT) AS rank
       FROM nodes n LEFT JOIN (
@@ -1608,17 +1608,17 @@ def _pagerank_oracle(iterations: int = 5) -> str:
       ) s ON s.node = n.node
     )""")
     return f"""
-    WITH pairs AS (
+    WITH pairs AS MATERIALIZED (
       SELECT DISTINCT l_suppkey AS s, o_custkey + 1000000 AS c
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     ),
-    edges AS (
+    edges AS MATERIALIZED (
       SELECT s AS src, c AS dst FROM pairs
       UNION
       SELECT c AS src, s AS dst FROM pairs
     ),
-    outdeg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM edges GROUP BY src),
-    nodes AS (SELECT DISTINCT src AS node FROM edges
+    outdeg AS MATERIALIZED (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM edges GROUP BY src),
+    nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges
               UNION SELECT DISTINCT dst FROM edges),
     r0 AS (SELECT node, CAST({scale} AS BIGINT) AS rank FROM nodes),
     {','.join(steps)}
@@ -5157,7 +5157,7 @@ def _lpa_oracle(iterations: int = 3) -> str:
     steps = []
     for i in range(1, iterations + 1):
         steps.append(f"""
-    l{i} AS (
+    l{i} AS MATERIALIZED (
       SELECT node, label FROM (
         SELECT e.dst AS node, r.label,
                ROW_NUMBER() OVER (PARTITION BY e.dst
@@ -5167,18 +5167,18 @@ def _lpa_oracle(iterations: int = 3) -> str:
       ) WHERE rn = 1
     )""")
     return f"""
-    WITH pairs AS (
+    WITH pairs AS MATERIALIZED (
       SELECT DISTINCT l_suppkey AS s, o_custkey + 1000000 AS c
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     ),
-    edges AS (
+    edges AS MATERIALIZED (
       SELECT s AS src, c AS dst FROM pairs
       UNION
       SELECT c AS src, s AS dst FROM pairs
     ),
-    nodes AS (SELECT DISTINCT src AS node FROM edges
+    nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges
               UNION SELECT DISTINCT dst FROM edges),
-    l0 AS (SELECT node, CAST(node AS BIGINT) AS label FROM nodes),
+    l0 AS MATERIALIZED (SELECT node, CAST(node AS BIGINT) AS label FROM nodes),
     {','.join(steps)}
     SELECT node, CAST(label AS BIGINT) AS label FROM l{iterations}
     """
@@ -5896,7 +5896,7 @@ def _bfs_oracle(rounds: int = 4) -> str:
     steps = []
     for i in range(1, rounds + 1):
         steps.append(f"""
-    d{i} AS (
+    d{i} AS MATERIALIZED (
       SELECT node, CAST(MIN(dist) AS BIGINT) AS dist FROM (
         SELECT node, dist FROM d{i - 1}
         UNION ALL
@@ -5905,11 +5905,11 @@ def _bfs_oracle(rounds: int = 4) -> str:
       ) GROUP BY node
     )""")
     return f"""
-    WITH pairs AS (
+    WITH pairs AS MATERIALIZED (
       SELECT DISTINCT l_suppkey AS s, o_custkey + 1000000 AS c
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     ),
-    edges AS (
+    edges AS MATERIALIZED (
       SELECT s AS src, c AS dst FROM pairs
       UNION
       SELECT c AS src, s AS dst FROM pairs
@@ -6659,7 +6659,7 @@ def _ppr_oracle(iterations: int = 4, scale: int = 1_000_000_000_000) -> str:
     steps = []
     for i in range(1, iterations + 1):
         steps.append(f"""
-    r{i} AS (
+    r{i} AS MATERIALIZED (
       SELECT n.node,
              CAST(n.seed * {base} + (85 * COALESCE(s.s, 0)) // 100
                   AS BIGINT) AS rank
@@ -6672,18 +6672,18 @@ def _ppr_oracle(iterations: int = 4, scale: int = 1_000_000_000_000) -> str:
       ) s ON s.node = n.node
     )""")
     return f"""
-    WITH pairs AS (
+    WITH pairs AS MATERIALIZED (
       SELECT DISTINCT l_suppkey AS s, o_custkey + 1000000 AS c
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     ),
-    edges AS (
+    edges AS MATERIALIZED (
       SELECT s AS src, c AS dst FROM pairs
       UNION
       SELECT c AS src, s AS dst FROM pairs
     ),
-    outdeg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg
+    outdeg AS MATERIALIZED (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg
                FROM edges GROUP BY src),
-    nodes AS (SELECT DISTINCT src AS node FROM edges
+    nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges
               UNION SELECT DISTINCT dst FROM edges),
     tagged AS (
       SELECT node, CASE WHEN node % 100 = 0 AND node < 1000000

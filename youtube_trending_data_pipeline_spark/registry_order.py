@@ -296,6 +296,13 @@ DRIVER_VERIFIED: set[str] = (
 #   * dedup_shingle_containment: IMPLEMENTATION changed (oracle
 #     unchanged) — gained the loud max_posting_len guard; values
 #     identical under the guard, EXACT at sf0.01 as it landed.
+#   * graph_pagerank / graph_label_propagation / graph_bfs_distances /
+#     graph_personalized_pagerank: ORACLE TEXT changed — the shared
+#     pairs/edges/outdeg/nodes CTEs and the unrolled rounds are now
+#     AS MATERIALIZED (DuckDB re-inlined the 60M-x-15M edge build into
+#     every unrolled round and spilled past local disk at the 100x
+#     replica); identical values, all four EXACT at sf0.01 as the
+#     change landed.
 # Tier 2 then auto-covers the round-12 additions (split_leakage_free_lsh,
 # dedup_containment_capped — both vanilla-session EXACT at both gate
 # SFs); remaining slots fall to tier 3 staleness rotation (stalest
@@ -305,6 +312,10 @@ PRIORITY_UNCHECKED: list[str] = [
     "cms_heavy_hitters",
     "graph_temporal_reachability",
     "dedup_shingle_containment",
+    "graph_pagerank",
+    "graph_label_propagation",
+    "graph_bfs_distances",
+    "graph_personalized_pagerank",
 ]
 
 # Round-11 window — superseded by the round-12 list above, kept for the
