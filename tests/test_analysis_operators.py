@@ -1638,6 +1638,77 @@ def test_huffman_vocab_cap_raises(spark, monkeypatch):
     s._huffman_vocab_guard(3)
 
 
+def test_huffman_capped_rest_merge_and_kraft(spark):
+    """Production form (r12 100x sweep): k=16 sits below the gate
+    corpus' 31-symbol vocabulary, so the tail-merge path runs at every
+    SF — top-15 tokens keep their own leaves, the '<rest>' row carries
+    the exact summed tail count, and Kraft holds with equality over
+    the capped tree."""
+    h = QUERIES["token_huffman_code_audit_capped"].fn(spark, SF).collect()
+    full = QUERIES["token_huffman_code_audit"].fn(spark, SF).collect()
+    by_tok = {r["tok"]: r for r in h}
+    assert "<rest>" in by_tok and len(h) == 16
+    kraft = sum(2.0 ** -r["code_bits"] for r in h)
+    assert abs(kraft - 1.0) < 1e-9
+    ordered = sorted(full, key=lambda r: (-r["c"], r["tok"]))
+    assert set(by_tok) - {"<rest>"} == {r["tok"] for r in ordered[:15]}
+    assert by_tok["<rest>"]["c"] == sum(r["c"] for r in ordered[15:])
+    full_c = {r["tok"]: r["c"] for r in full}
+    for r in h:
+        if r["tok"] != "<rest>":
+            assert r["c"] == full_c[r["tok"]]
+
+
+def test_huffman_capped_equals_parent_when_not_binding(spark, monkeypatch):
+    """With k above the vocabulary size the capped entry IS the parent:
+    no rest leaf, identical (tok, count, length) rows."""
+    from youtube_trending_data_pipeline_spark import (
+        catalog_analysis_series as s,
+    )
+
+    monkeypatch.setattr(s, "_HUFFMAN_CAPPED_K", 4096)
+    h = QUERIES["token_huffman_code_audit_capped"].fn(spark, SF).collect()
+    full = QUERIES["token_huffman_code_audit"].fn(spark, SF).collect()
+    assert sorted((r["tok"], r["c"], r["code_bits"]) for r in h) == sorted(
+        (r["tok"], r["c"], r["code_bits"]) for r in full
+    )
+
+
+def test_huffman_capped_rest_collision_raises(spark):
+    """The reserved '<rest>' label appearing as a REAL corpus token
+    raises loudly on both engines instead of silently merging."""
+    import tempfile
+
+    import pytest
+
+    from youtube_trending_data_pipeline_spark import (
+        catalog_analysis_series as s,
+    )
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tempfile.mkdtemp(prefix="huffcap-")
+    # single-file parquet (not a Spark directory) so the generated
+    # oracle's DuckDB read sees the same path as the Spark entry
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": list(range(6)),
+                "text": [f"alpha beta <rest> w{i}" for i in range(6)],
+                "lang": ["en"] * 6,
+                "source": ["s"] * 6,
+                "n_chars": [20] * 6,
+            }
+        ),
+        f"{d}/documents.parquet",
+    )
+    with pytest.raises(ValueError, match="reserved rest label"):
+        QUERIES["token_huffman_code_audit_capped"].fn(spark, d).collect()
+    with pytest.raises(ValueError, match="reserved rest label"):
+        s._huffman_capped_oracle(d)
+
+
 def test_kappa_perfect_and_chance_extremes(spark):
     """Crafted corpora: identical labelers give kappa = 1e6; a labeler
     pair whose agreement exactly equals chance gives kappa ~ 0."""

@@ -1175,8 +1175,10 @@ def _huffman_vocab_guard(n_tokens: int) -> None:
         raise ValueError(
             f"token_huffman_code_audit: vocabulary has > "
             f"{_HUFFMAN_VOCAB_CAP} distinct tokens; the driver-side "
-            "Huffman build is for bounded vocabularies — raise "
-            "_HUFFMAN_VOCAB_CAP deliberately or pre-aggregate the tail"
+            "Huffman build is for bounded vocabularies — use "
+            "token_huffman_code_audit_capped (top-(k-1) + merged rest "
+            "leaf, bounded at any corpus size) or raise "
+            "_HUFFMAN_VOCAB_CAP deliberately"
         )
 
 
@@ -1273,6 +1275,163 @@ def token_huffman_code_audit(spark, sf_dir):
         sorted(lengths.items()), "tok string, code_bits long"
     )
     return cnt.join(F.broadcast(hl), "tok").select(
+        "tok",
+        "c",
+        "code_bits",
+        (F.col("c") * F.col("code_bits")).cast("long").alias("weighted_bits"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Capped Huffman audit: the production form of token_huffman_code_audit
+# ---------------------------------------------------------------------------
+
+
+# Production form of the Huffman audit (the dedup_containment_capped
+# precedent): instead of raising when the vocabulary passes the driver
+# cap, keep the top-(k-1) tokens by count and merge everything else
+# into ONE rest pseudo-leaf, so the driver-side collect is bounded BY
+# CONSTRUCTION at any corpus size.  k = 16 (not the 4096 parent cap) so
+# the tail-merge path is exercised at every SF, including the gate
+# corpus' 31-symbol vocabulary — the capped entry's behavior never
+# depends on whether the data happens to fit.
+_HUFFMAN_CAPPED_K = 16
+_HUFFMAN_REST = "<rest>"
+
+
+def _huffman_capped_split(
+    rows: list[tuple[str, int]], k: int
+) -> tuple[list[tuple[str, int]], int]:
+    """Deterministic top-(k-1) by (count DESC, token ASC) + summed tail.
+    Pure function shared by the Spark entry (applied distributed) and
+    the generated oracle (applied to the DuckDB counts)."""
+    ordered = sorted(rows, key=lambda tc: (-tc[1], tc[0]))
+    top = ordered[: k - 1]
+    return top, sum(c for _, c in ordered[k - 1 :])
+
+
+def _huffman_rest_collision_guard(has_collision: bool) -> None:
+    if has_collision:
+        raise ValueError(
+            "token_huffman_code_audit_capped: the corpus contains the "
+            f"reserved rest label {_HUFFMAN_REST!r} as a real token — "
+            "the merged-tail row would be ambiguous; pick a different "
+            "_HUFFMAN_REST for this corpus"
+        )
+
+
+def _huffman_capped_oracle(sf_dir: str | None = None) -> str:
+    """GENERATED oracle (the _huffman_oracle pattern): DuckDB recomputes
+    the full token counts AND the tail sum; only the keep-set and the
+    reference Huffman lengths (derived outside Spark from the same
+    deterministic split) are embedded — count drift on either side
+    breaks the VALUES join."""
+    import os
+
+    import duckdb
+
+    sf = sf_dir or os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM (
+          SELECT unnest({_TOKS_SQL}) AS tok
+          FROM '{sf}/documents.parquet'
+        ) GROUP BY tok
+        """
+    ).fetchall()
+    _huffman_rest_collision_guard(any(t == _HUFFMAN_REST for t, _ in rows))
+    top, rest_c = _huffman_capped_split(
+        [(t, c) for t, c in rows], _HUFFMAN_CAPPED_K
+    )
+    leaves = top + ([(_HUFFMAN_REST, rest_c)] if rest_c else [])
+    lengths = _huffman_lengths(leaves)
+    keep_values = ", ".join(f"('{t}')" for t, _ in sorted(top))
+    hl_values = ", ".join(f"('{t}', {l})" for t, l in sorted(lengths.items()))
+    rest_arm = (
+        f"""
+      UNION ALL
+      SELECT '{_HUFFMAN_REST}' AS tok, CAST(SUM(c) AS BIGINT) AS c
+      FROM cnt WHERE tok NOT IN (SELECT tok FROM keep)
+        """
+        if rest_c
+        else ""
+    )
+    return f"""
+    WITH cnt AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM (
+        SELECT unnest({_TOKS_SQL}) AS tok FROM documents
+      ) GROUP BY tok
+    ), keep(tok) AS (VALUES {keep_values}),
+    merged AS (
+      SELECT tok, c FROM cnt WHERE tok IN (SELECT tok FROM keep)
+      {rest_arm}
+    ), hl(tok, code_bits) AS (VALUES {hl_values})
+    SELECT merged.tok, merged.c, CAST(hl.code_bits AS BIGINT) AS code_bits,
+           CAST(merged.c * hl.code_bits AS BIGINT) AS weighted_bits
+    FROM merged JOIN hl USING (tok)
+    """
+
+
+@register(
+    "token_huffman_code_audit_capped",
+    _huffman_capped_oracle,
+    "PRODUCTION form of token_huffman_code_audit (found by the round-12 "
+    "100x sweep: the parent's loud 4096-vocab cap fires at 500 k docs). "
+    "The dedup_containment_capped doctrine applied to the driver-side "
+    "collect: keep the top-(k-1) tokens by (count DESC, token ASC) — a "
+    "deterministic, distributed ORDER BY ... LIMIT — and merge the "
+    "entire tail into ONE '<rest>' pseudo-leaf whose count is a single "
+    "1-row aggregate, so the Huffman build's driver memory is k leaves "
+    "BY CONSTRUCTION at any corpus size. k = 16 (deliberately below the "
+    "gate corpus' 31-symbol vocabulary) so the tail-merge path runs at "
+    "every SF rather than only past the parent's cap. A reserved-label "
+    "collision ('<rest>' appearing as a real token) raises loudly on "
+    "both engines. The generated oracle recomputes counts AND the tail "
+    "sum in DuckDB; only the keep-set and reference Huffman lengths are "
+    "embedded (the _huffman_oracle pattern).",
+)
+def token_huffman_code_audit_capped(spark, sf_dir):
+    cnt = (
+        t(spark, sf_dir, "documents")
+        .select(F.explode(_toks_a()).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint()  # vocab-sized; reused by 3 bounded passes
+    )
+    top_rows = (
+        cnt.orderBy(F.col("c").desc(), "tok")
+        .limit(_HUFFMAN_CAPPED_K - 1)
+        .collect()
+    )
+    keep = [r["tok"] for r in top_rows]
+    probe = cnt.agg(
+        F.sum(
+            F.when(~F.col("tok").isin(keep), F.col("c")).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("tail_c"),
+        F.max((F.col("tok") == _HUFFMAN_REST).cast("int")).alias("collide"),
+    ).collect()[0]
+    _huffman_rest_collision_guard(bool(probe["collide"]))
+    rest_c = int(probe["tail_c"] or 0)
+    leaves = [(r["tok"], r["c"]) for r in top_rows] + (
+        [(_HUFFMAN_REST, rest_c)] if rest_c else []
+    )
+    lengths = _huffman_lengths(leaves)
+    hl = spark.createDataFrame(
+        sorted(lengths.items()), "tok string, code_bits long"
+    )
+    merged = cnt.filter(F.col("tok").isin(keep))
+    if rest_c:
+        merged = merged.unionAll(
+            spark.createDataFrame(
+                [(_HUFFMAN_REST, rest_c)], "tok string, c long"
+            )
+        )
+    return merged.join(F.broadcast(hl), "tok").select(
         "tok",
         "c",
         "code_bits",

@@ -304,9 +304,11 @@ DRIVER_VERIFIED: set[str] = (
 #     replica); identical values, all four EXACT at sf0.01 as the
 #     change landed.
 # Tier 2 then auto-covers the round-12 additions (split_leakage_free_lsh,
-# dedup_containment_capped — both vanilla-session EXACT at both gate
-# SFs); remaining slots fall to tier 3 staleness rotation (stalest
-# surviving rows are the r3/r4-era entries not re-checked since).
+# dedup_containment_capped, token_huffman_code_audit_capped — the last
+# is the production Huffman form the completed 100x sweep demanded; all
+# vanilla-session EXACT at both gate SFs); remaining slots fall to
+# tier 3 staleness rotation (stalest surviving rows are the r3/r4-era
+# entries not re-checked since).
 PRIORITY_UNCHECKED: list[str] = [
     "dedup_components_lsh",
     "cms_heavy_hitters",
