@@ -3387,10 +3387,15 @@ def graph_degree_distribution(spark, sf_dir):
         )
         .distinct()
     )
-    edges = (
-        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
-        .union(pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")))
-        .distinct()
+    # no distinct after the union: pairs is already distinct, and the
+    # two arms live in DISJOINT node-id spaces (suppkey vs
+    # custkey + 1e6), so (s, c) can never collide with a reversed
+    # (c', s') — the SQL oracle's UNION dedup is a no-op here, and
+    # skipping it saves a full exchange over the doubled edge list
+    # (the r12 100x sweep measured this entry at 118 s; the dedup
+    # shuffle was a third of the plan)
+    edges = pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")).union(
+        pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
     )
     deg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("degree")
