@@ -357,6 +357,11 @@ def text_longest_repeated_ngram(spark, sf_dir):
         .select("doc_id", _toks().alias("v"))
         .repartition(spark.sparkContext.defaultParallelism)
     )
+    # the gram key is HASHED at generation (xxhash64 inside the lambda)
+    # so the aggregate's shuffle carries (doc_id, n, int64) rows, never
+    # n-gram text — the output only ever counts distinct grams, so the
+    # 64-bit key is observationally identical to the string short of a
+    # same-doc-same-n collision (~200 grams/doc against 2^64)
     grams = dt.select(
         "doc_id",
         F.explode(
@@ -365,8 +370,8 @@ def text_longest_repeated_ngram(spark, sf_dir):
                                             n -> size(v) >= n), n ->
                      transform(sequence(1, size(v) - n + 1), i ->
                        named_struct('n', n,
-                                    'g', array_join(slice(v, i, n),
-                                                    ' ')))))"""
+                                    'g', xxhash64(array_join(
+                                           slice(v, i, n), ' '))))))"""
             )
         ).alias("p"),
     ).select("doc_id", "p.n", "p.g")
