@@ -1638,6 +1638,50 @@ def test_huffman_vocab_cap_raises(spark, monkeypatch):
     s._huffman_vocab_guard(3)
 
 
+def test_zonemap_layout_matches_ntile_window(spark, monkeypatch):
+    """r12 100x regression: the distributed bucket-offset file
+    assignment must equal NTILE over the global order EXACTLY — the
+    spark_partition_id() predecessor produced a phantom 65th file at
+    60 M rows when AQE coalesced the exchange's two readers
+    differently. Pin against a real single-window NTILE on a fixture
+    with unique days (day -> file_id is then a bijection), covering
+    both layouts and a remainder-producing file count (1000 % 7 != 0
+    exercises the cut branch)."""
+    from pyspark.sql import Window
+
+    from youtube_trending_data_pipeline_spark import catalog_analysis as ca
+
+    # day unique (bijection key), okey a permutation (tie-free orders)
+    li = spark.createDataFrame(
+        [(i, (i * 389) % 1000, i % 3 + 1) for i in range(1000)],
+        "day long, l_orderkey long, l_linenumber long",
+    )
+    for n_files in (7, 64):
+        monkeypatch.setattr(ca, "_ZM_FILES", n_files)
+        for label, order_cols, buckets in [
+            ("ingest", ["l_orderkey", "l_linenumber"],
+             [F.expr("l_orderkey div 16")]),
+            ("sorted", ["day", "l_orderkey", "l_linenumber"],
+             [F.col("day"), F.expr("l_orderkey div 16")]),
+        ]:
+            got = {
+                r["day"]: r["file_id"]
+                for r in ca._zm_layout_files(
+                    li, label, order_cols, buckets
+                ).collect()
+            }
+            want = {
+                r["day"]: r["nt"]
+                for r in li.select(
+                    "day",
+                    F.ntile(n_files)
+                    .over(Window.orderBy(*order_cols))
+                    .alias("nt"),
+                ).collect()
+            }
+            assert got == want, (label, n_files)
+
+
 def test_huffman_capped_rest_merge_and_kraft(spark):
     """Production form (r12 100x sweep): k=16 sits below the gate
     corpus' 31-symbol vocabulary, so the tail-merge path runs at every

@@ -1444,6 +1444,66 @@ _ZM_QUARTERS = [
 _ZM_Q_VALUES = ", ".join(f"('{q}', {lo}, {hi})" for q, lo, hi in _ZM_QUARTERS)
 
 
+def _zm_layout_files(li, label: str, order_cols: list[str], bucket_cols):
+    """Exact NTILE(_ZM_FILES) over a tie-free global order with no
+    single-task pass over the data: bucket each row by a COARSE
+    MONOTONE PREFIX of the sort key (a pure function of the data —
+    never spark_partition_id(), whose numbering AQE may coalesce
+    DIFFERENTLY for the two readers of the same exchange; the r12
+    100x run caught exactly that as a 65th file), count rows per
+    bucket in a dimension-sized branch of the same plan, turn the
+    counts into offsets with a cumsum window over the BUCKET frame
+    (thousands of rows, single-task by design), broadcast them
+    back, and derive each row's global rank as bucket-local
+    row_number + bucket offset. l_orderkey div 4096 keeps bucket
+    SIZE constant (~4096 orders) while bucket COUNT scales with
+    the data — the per-bucket local sort never grows with SF. The
+    ntile bucket is then a pure-column formula of (rank, total):
+    the first total % n files take total//n + 1 rows, the rest
+    total//n."""
+    src = li.select(
+        "*", *(e.alias(f"_b{i}") for i, e in enumerate(bucket_cols))
+    )
+    bcols = [f"_b{i}" for i in range(len(bucket_cols))]
+    cnt = src.groupBy(*bcols).agg(
+        F.count(F.lit(1)).cast("long").alias("_n")
+    )
+    w_all = W.orderBy(*bcols).rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    off = cnt.select(
+        *bcols,
+        (F.sum("_n").over(W.orderBy(*bcols)) - F.col("_n")).alias(
+            "_off"
+        ),
+        F.sum("_n").over(w_all).alias("_total"),
+    )
+    rk = (
+        F.row_number()
+        .over(W.partitionBy(*bcols).orderBy(*order_cols))
+        .cast("long")
+        + F.col("_off")
+    )
+    base = (F.col("_total") / _ZM_FILES).cast("long")
+    rem = F.col("_total") - base * _ZM_FILES
+    cut = rem * (base + 1)
+    file_id = (
+        F.when(rk <= cut, ((rk - 1) / (base + 1)).cast("long") + 1)
+        .otherwise(
+            ((rk - 1 - cut) / F.greatest(base, F.lit(1))).cast("long")
+            + rem
+            + 1
+        )
+        .cast("int")
+    )
+    return src.join(F.broadcast(off), bcols).select(
+        F.lit(label).alias("layout"),
+        "day",
+        file_id.alias("file_id"),
+    )
+
+
+
 @register(
     "zonemap_skip_stats",
     f"""
@@ -1490,16 +1550,19 @@ _ZM_Q_VALUES = ", ".join(f"('{q}', {lo}, {hi})" for q, lo, hi in _ZM_QUARTERS)
     "surviving files force it to scan, against the true match count "
     "as the lower bound. The sorted layout's near-perfect pruning vs "
     "the ingest layout's near-zero is the measured argument for "
-    "OPTIMIZE/sort-on-write at 100 TB. The file assignment IS the "
-    "production layout pattern: each layout is a repartitionByRange "
-    "+ local sort whose per-partition row counts broadcast back as "
-    "offsets, turning partition-local row_numbers into exact global "
-    "ranks (the sort keys are tie-free, so rank == NTILE's input "
-    "order) — NO single-task global window anywhere (the r12 100x "
-    "sweep measured the old two global-NTILE form at 190 s for 60 M "
-    "rows; the range-partitioned form is exactly equivalent and "
-    "parallel). The audit over the resulting zone maps is "
-    "dimension-sized: 64 files x 4 predicates.",
+    "OPTIMIZE/sort-on-write at 100 TB. The file assignment is exact "
+    "NTILE computed DISTRIBUTED: rows bucket by a coarse monotone "
+    "prefix of the sort key (l_orderkey div 4096 — constant bucket "
+    "SIZE, bucket count scales with data), per-bucket counts cumsum "
+    "into offsets on the dimension-sized bucket frame, and global "
+    "rank = bucket offset + bucket-local row_number (tie-free keys, "
+    "so rank == NTILE's input order) — no single-task pass over the "
+    "DATA anywhere, and no spark_partition_id() (AQE may coalesce "
+    "two readers of one exchange differently, which the r12 100x run "
+    "caught as a phantom 65th file; buckets are a pure function of "
+    "the data instead). The old global-NTILE-window form cost 190 s "
+    "at 60 M rows, single-task. The audit over the resulting zone "
+    "maps is dimension-sized: 64 files x 4 predicates.",
 )
 def zonemap_skip_stats(spark, sf_dir):
     from youtube_trending_data_pipeline_spark.catalog import ts_micros
@@ -1516,60 +1579,17 @@ def zonemap_skip_stats(spark, sf_dir):
         "l_linenumber",
     )
 
-    def layout_files(label: str, order_cols: list[str]):
-        """Exact NTILE(_ZM_FILES) over a tie-free global order, built
-        the way a production layout job is: range-partition on the
-        sort key (RangePartitioner puts ordered key ranges in ordered
-        partition ids; AQE coalescing merges only ADJACENT partitions
-        so the id order survives), count rows per partition-id in a
-        dimension-sized branch of the SAME plan (<= shuffle-partition
-        rows — the cumsum window over it is single-task by design),
-        broadcast the offsets back, and derive each row's global rank
-        as partition-local row_number + offset. The ntile bucket is a
-        pure-column formula of (rank, total): the first total % n
-        buckets take total//n + 1 rows, the rest total//n."""
-        with_pid = li.repartitionByRange(*order_cols).withColumn(
-            "_pid", F.spark_partition_id()
-        )
-        cnt = with_pid.groupBy("_pid").agg(
-            F.count(F.lit(1)).cast("long").alias("_n")
-        )
-        w_all = W.orderBy("_pid").rowsBetween(
-            W.unboundedPreceding, W.unboundedFollowing
-        )
-        off = cnt.select(
-            "_pid",
-            (
-                F.sum("_n").over(W.orderBy("_pid")) - F.col("_n")
-            ).alias("_off"),
-            F.sum("_n").over(w_all).alias("_total"),
-        )
-        rk = (
-            F.row_number()
-            .over(W.partitionBy("_pid").orderBy(*order_cols))
-            .cast("long")
-            + F.col("_off")
-        )
-        base = (F.col("_total") / _ZM_FILES).cast("long")
-        rem = F.col("_total") - base * _ZM_FILES
-        cut = rem * (base + 1)
-        file_id = (
-            F.when(rk <= cut, ((rk - 1) / (base + 1)).cast("long") + 1)
-            .otherwise(
-                ((rk - 1 - cut) / F.greatest(base, F.lit(1))).cast("long")
-                + rem
-                + 1
-            )
-            .cast("int")
-        )
-        return with_pid.join(F.broadcast(off), "_pid").select(
-            F.lit(label).alias("layout"),
-            "day",
-            file_id.alias("file_id"),
-        )
+    okey_coarse = F.expr("l_orderkey div 4096")
 
-    files = layout_files("ingest", ["l_orderkey", "l_linenumber"]).unionAll(
-        layout_files("sorted", ["day", "l_orderkey", "l_linenumber"])
+    files = _zm_layout_files(
+        li, "ingest", ["l_orderkey", "l_linenumber"], [okey_coarse]
+    ).unionAll(
+        _zm_layout_files(
+            li,
+            "sorted",
+            ["day", "l_orderkey", "l_linenumber"],
+            [F.col("day"), okey_coarse],
+        )
     )
     zm = files.groupBy("layout", "file_id").agg(
         F.min("day").alias("zmin"),

@@ -302,7 +302,20 @@ DRIVER_VERIFIED: set[str] = (
 #     AS MATERIALIZED (DuckDB re-inlined the 60M-x-15M edge build into
 #     every unrolled round and spilled past local disk at the 100x
 #     replica); identical values, all four EXACT at sf0.01 as the
-#     change landed.
+#     change landed (and pagerank/bfs now EXACT at /tmp/sf10 itself —
+#     1.6 M rows each, SCALING §8b).
+#   * zonemap_skip_stats: IMPLEMENTATION changed (oracle unchanged) —
+#     the two single-task global NTILE windows became the production
+#     repartitionByRange + in-plan offset pattern after the completed
+#     100x sweep measured them at 190 s; EXACT at both gate SFs +
+#     vanilla-driver sim as the rewrite landed.
+#   * graph_degree_distribution: IMPLEMENTATION changed (oracle
+#     unchanged) — dropped the union-distinct exchange the disjoint
+#     node-id spaces make a no-op; EXACT at both gate SFs + 100x.
+#   * text_longest_repeated_ngram: IMPLEMENTATION changed (oracle
+#     unchanged) — gram keys now xxhash64-hashed in the generation
+#     lambda so the aggregate shuffle never carries n-gram text;
+#     EXACT at both gate SFs + vanilla-driver sim.
 # Tier 2 then auto-covers the round-12 additions (split_leakage_free_lsh,
 # dedup_containment_capped, token_huffman_code_audit_capped — the last
 # is the production Huffman form the completed 100x sweep demanded; all
@@ -314,6 +327,9 @@ PRIORITY_UNCHECKED: list[str] = [
     "cms_heavy_hitters",
     "graph_temporal_reachability",
     "dedup_shingle_containment",
+    "zonemap_skip_stats",
+    "graph_degree_distribution",
+    "text_longest_repeated_ngram",
     "graph_pagerank",
     "graph_label_propagation",
     "graph_bfs_distances",
