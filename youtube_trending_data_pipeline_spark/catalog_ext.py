@@ -6654,7 +6654,17 @@ def basket_brand_lift(spark, sf_dir):
 
 def _ppr_oracle(iterations: int = 4, scale: int = 1_000_000_000_000) -> str:
     """Unrolled replay of integer personalized PageRank: restart mass to
-    seeds only, same BIGINT arithmetic as _pagerank_oracle."""
+    seeds only, same BIGINT arithmetic as _pagerank_oracle.
+
+    Node encoding is PARITY-BASED (supplier -> 2*suppkey, customer ->
+    2*custkey + 1): the r12 100x sweep caught the old `custkey +
+    1000000` offset as an absolute-threshold scale bug — replica
+    suppkeys pass 1e6, colliding with the customer id space, and the
+    old seed tag `node % 100 = 0 AND node < 1000000` then disagreed
+    with the Spark side's `suppkey % 100 = 0` (EXACT at both gate SFs,
+    WRONG at 100x). Parity keeps the spaces disjoint at ANY scale and
+    the seed tag is a pure function of the supplier id on both
+    engines: even node with (node / 2) % 100 = 0."""
     base = 15 * scale // 100
     steps = []
     for i in range(1, iterations + 1):
@@ -6673,7 +6683,7 @@ def _ppr_oracle(iterations: int = 4, scale: int = 1_000_000_000_000) -> str:
     )""")
     return f"""
     WITH pairs AS MATERIALIZED (
-      SELECT DISTINCT l_suppkey AS s, o_custkey + 1000000 AS c
+      SELECT DISTINCT 2 * l_suppkey AS s, 2 * o_custkey + 1 AS c
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     ),
     edges AS MATERIALIZED (
@@ -6686,7 +6696,7 @@ def _ppr_oracle(iterations: int = 4, scale: int = 1_000_000_000_000) -> str:
     nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges
               UNION SELECT DISTINCT dst FROM edges),
     tagged AS (
-      SELECT node, CASE WHEN node % 100 = 0 AND node < 1000000
+      SELECT node, CASE WHEN node % 2 = 0 AND (node // 2) % 100 = 0
                         THEN 1 ELSE 0 END AS seed
       FROM nodes
     ),
@@ -6717,21 +6727,24 @@ def graph_personalized_pagerank(spark, sf_dir):
 
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    # parity node encoding (2s / 2c+1): disjoint id spaces at ANY
+    # scale — the old custkey + 1e6 offset collided once replica
+    # suppkeys passed 1e6 and silently diverged from the oracle's
+    # seed tag (r12 100x catch; see _ppr_oracle)
     pairs = (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
         .select(
-            F.col("l_suppkey").alias("s"),
-            (F.col("o_custkey") + 1000000).alias("c"),
+            (F.col("l_suppkey") * 2).alias("s"),
+            (F.col("o_custkey") * 2 + 1).alias("c"),
         )
         .distinct()
     )
-    # no distinct after the union — disjoint id ranges, see
-    # graph_pagerank above
+    # no distinct after the union — disjoint parities
     edges = (
         pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
         .union(pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")))
     )
-    seeds = pairs.where(F.col("s") % 100 == 0).select(
+    seeds = pairs.where(F.expr("(s div 2) % 100 = 0")).select(
         F.col("s").alias("node")
     )
     return personalized_pagerank_integer(edges, seeds, iterations=4)

@@ -296,6 +296,15 @@ DRIVER_VERIFIED: set[str] = (
 #   * dedup_shingle_containment: IMPLEMENTATION changed (oracle
 #     unchanged) — gained the loud max_posting_len guard; values
 #     identical under the guard, EXACT at sf0.01 as it landed.
+#   * graph_personalized_pagerank: ORACLE TEXT + IMPLEMENTATION
+#     changed AGAIN late in r12 — the 100x-EXACT extension caught the
+#     custkey + 1e6 node offset as an absolute-threshold scale bug
+#     (replica suppkeys pass 1e6, collide with the customer space, and
+#     the oracle's `node < 1000000` seed guard diverged from Spark's
+#     `suppkey % 100 = 0`: EXACT at both gate SFs, WRONG at 100x).
+#     Node encoding is now parity-based (2s / 2c+1, disjoint at any
+#     scale), seeds a pure function of suppkey on both engines; EXACT
+#     at sf0.001 + sf0.01 + vanilla sim as the fix landed.
 #   * graph_pagerank / graph_label_propagation / graph_bfs_distances /
 #     graph_personalized_pagerank: ORACLE TEXT changed — the shared
 #     pairs/edges/outdeg/nodes CTEs and the unrolled rounds are now
