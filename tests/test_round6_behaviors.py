@@ -276,6 +276,41 @@ def test_personalized_pagerank_localizes_to_seed_component(spark):
     assert got[0] > got[1] > 0               # seed holds restart mass
 
 
+def test_personalized_pagerank_big_suppkey_is_seed(spark):
+    """r12 100x regression: a seed supplier whose key exceeds the OLD
+    custkey + 1e6 node offset must still receive restart mass — the
+    retired encoding collided its node id with the customer space and
+    the retired oracle guard (node < 1e6) dropped it from the seed
+    set, diverging from the Spark side at replica scale. Parity
+    encoding (2s / 2c+1) keeps the spaces disjoint at any key range."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tempfile.mkdtemp(prefix="pprbig-")
+    # supplier 1_000_100 (% 100 == 0, > 1e6) serves customer 5;
+    # supplier 7 (not a seed) serves customer 9
+    pq.write_table(
+        pa.table({"l_orderkey": [1, 2], "l_suppkey": [1_000_100, 7],
+                  "l_linenumber": [1, 1]}),
+        f"{d}/lineitem.parquet",
+    )
+    pq.write_table(
+        pa.table({"o_orderkey": [1, 2], "o_custkey": [5, 9]}),
+        f"{d}/orders.parquet",
+    )
+    got = {
+        r["node"]: r["rank"]
+        for r in QUERIES["graph_personalized_pagerank"].fn(spark, d).collect()
+    }
+    seed_node, cust_node = 2 * 1_000_100, 2 * 5 + 1
+    other_supp, other_cust = 2 * 7, 2 * 9 + 1
+    assert got[seed_node] > got[cust_node] > 0   # seed holds restart mass
+    assert got[other_supp] == 0 and got[other_cust] == 0  # unreachable
+    # parity invariant: supplier nodes even, customer nodes odd
+    assert all(n % 2 == 0 for n in (seed_node, other_supp))
+    assert all(n % 2 == 1 for n in (cust_node, other_cust))
+
+
 def test_bmp_encoder_roundtrip_and_quarantine(spark):
     """encode_bmp is the exact inverse of decode_bmp for arbitrary
     rasters (including odd widths that need row padding), and corrupt
