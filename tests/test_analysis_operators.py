@@ -1658,16 +1658,16 @@ def test_zonemap_layout_matches_ntile_window(spark, monkeypatch):
     )
     for n_files in (7, 64):
         monkeypatch.setattr(ca, "_ZM_FILES", n_files)
-        for label, order_cols, buckets in [
+        for label, order_cols, l1, l2 in [
             ("ingest", ["l_orderkey", "l_linenumber"],
-             [F.expr("l_orderkey div 16")]),
+             [F.expr("l_orderkey div 256")], [F.expr("l_orderkey div 16")]),
             ("sorted", ["day", "l_orderkey", "l_linenumber"],
-             [F.col("day"), F.expr("l_orderkey div 16")]),
+             [F.col("day")], [F.expr("l_orderkey div 16")]),
         ]:
             got = {
                 r["day"]: r["file_id"]
                 for r in ca._zm_layout_files(
-                    li, label, order_cols, buckets
+                    li, label, order_cols, l1, l2
                 ).collect()
             }
             want = {

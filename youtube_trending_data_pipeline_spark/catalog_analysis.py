@@ -1444,43 +1444,66 @@ _ZM_QUARTERS = [
 _ZM_Q_VALUES = ", ".join(f"('{q}', {lo}, {hi})" for q, lo, hi in _ZM_QUARTERS)
 
 
-def _zm_layout_files(li, label: str, order_cols: list[str], bucket_cols):
+def _zm_layout_files(li, label: str, order_cols: list[str], l1_cols, l2_cols):
     """Exact NTILE(_ZM_FILES) over a tie-free global order with no
-    single-task pass over the data: bucket each row by a COARSE
-    MONOTONE PREFIX of the sort key (a pure function of the data —
-    never spark_partition_id(), whose numbering AQE may coalesce
-    DIFFERENTLY for the two readers of the same exchange; the r12
-    100x run caught exactly that as a 65th file), count rows per
-    bucket in a dimension-sized branch of the same plan, turn the
-    counts into offsets with a cumsum window over the BUCKET frame
-    (thousands of rows, single-task by design), broadcast them
-    back, and derive each row's global rank as bucket-local
-    row_number + bucket offset. l_orderkey div 4096 keeps bucket
-    SIZE constant (~4096 orders) while bucket COUNT scales with
-    the data — the per-bucket local sort never grows with SF. The
-    ntile bucket is then a pure-column formula of (rank, total):
-    the first total % n files take total//n + 1 rows, the rest
-    total//n."""
+    single-task pass over the data AND no data-sized broadcast: bucket
+    each row by a TWO-LEVEL coarse monotone prefix of the sort key (a
+    pure function of the data — never spark_partition_id(), whose
+    numbering AQE may coalesce DIFFERENTLY for the two readers of the
+    same exchange; the r12 100x run caught exactly that as a 65th
+    file).
+
+    Level 1 (``l1_cols``) is DIMENSION-SIZED by construction (ship
+    days, or a very coarse orderkey prefix — thousands of buckets at
+    any SF): its per-bucket counts cumsum into global offsets on one
+    task and broadcast back, both bounded. Level 2 (``l2_cols``,
+    refines level 1) keeps bucket SIZE constant (~4096 orders) so the
+    per-bucket local sort never grows with SF; its within-level-1
+    offsets come from a cumsum window PARTITIONED BY level 1 —
+    distributed, never single-task — and attach to the data through a
+    same-key join that reuses the row_number window's partitioning
+    (no broadcast of the level-2 frame; ADVICE r12 measured 9.3 M
+    sorted-layout buckets at sf10, which the old single-level scheme
+    cumsum'd on one task and broadcast). Global rank = level-1 offset
+    + within-level-1 level-2 offset + bucket-local row_number. The
+    ntile bucket is then a pure-column formula of (rank, total): the
+    first total % n files take total//n + 1 rows, the rest total//n."""
     src = li.select(
-        "*", *(e.alias(f"_b{i}") for i, e in enumerate(bucket_cols))
+        "*",
+        *(e.alias(f"_a{i}") for i, e in enumerate(l1_cols)),
+        *(e.alias(f"_b{i}") for i, e in enumerate(l2_cols)),
     )
-    bcols = [f"_b{i}" for i in range(len(bucket_cols))]
-    cnt = src.groupBy(*bcols).agg(
-        F.count(F.lit(1)).cast("long").alias("_n")
+    acols = [f"_a{i}" for i in range(len(l1_cols))]
+    bcols = [f"_b{i}" for i in range(len(l2_cols))]
+    cnt2 = src.groupBy(*acols, *bcols).agg(
+        F.count(F.lit(1)).cast("long").alias("_n2")
     )
-    w_all = W.orderBy(*bcols).rowsBetween(
+    off2 = cnt2.select(
+        *acols,
+        *bcols,
+        (
+            F.sum("_n2").over(W.partitionBy(*acols).orderBy(*bcols))
+            - F.col("_n2")
+        ).alias("_off2"),
+    )
+    cnt1 = cnt2.groupBy(*acols).agg(F.sum("_n2").alias("_n1"))
+    w_all = W.orderBy(*acols).rowsBetween(
         W.unboundedPreceding, W.unboundedFollowing
     )
-    off = cnt.select(
+    off1 = cnt1.select(
+        *acols,
+        (F.sum("_n1").over(W.orderBy(*acols)) - F.col("_n1")).alias("_off1"),
+        F.sum("_n1").over(w_all).alias("_total"),
+    )
+    off = off2.join(F.broadcast(off1), acols).select(
+        *acols,
         *bcols,
-        (F.sum("_n").over(W.orderBy(*bcols)) - F.col("_n")).alias(
-            "_off"
-        ),
-        F.sum("_n").over(w_all).alias("_total"),
+        (F.col("_off1") + F.col("_off2")).alias("_off"),
+        "_total",
     )
     rk = (
         F.row_number()
-        .over(W.partitionBy(*bcols).orderBy(*order_cols))
+        .over(W.partitionBy(*acols, *bcols).orderBy(*order_cols))
         .cast("long")
         + F.col("_off")
     )
@@ -1496,7 +1519,7 @@ def _zm_layout_files(li, label: str, order_cols: list[str], bucket_cols):
         )
         .cast("int")
     )
-    return src.join(F.broadcast(off), bcols).select(
+    return src.join(off, acols + bcols).select(
         F.lit(label).alias("layout"),
         "day",
         file_id.alias("file_id"),
@@ -1551,18 +1574,24 @@ def _zm_layout_files(li, label: str, order_cols: list[str], bucket_cols):
     "as the lower bound. The sorted layout's near-perfect pruning vs "
     "the ingest layout's near-zero is the measured argument for "
     "OPTIMIZE/sort-on-write at 100 TB. The file assignment is exact "
-    "NTILE computed DISTRIBUTED: rows bucket by a coarse monotone "
-    "prefix of the sort key (l_orderkey div 4096 — constant bucket "
-    "SIZE, bucket count scales with data), per-bucket counts cumsum "
-    "into offsets on the dimension-sized bucket frame, and global "
-    "rank = bucket offset + bucket-local row_number (tie-free keys, "
-    "so rank == NTILE's input order) — no single-task pass over the "
-    "DATA anywhere, and no spark_partition_id() (AQE may coalesce "
-    "two readers of one exchange differently, which the r12 100x run "
-    "caught as a phantom 65th file; buckets are a pure function of "
-    "the data instead). The old global-NTILE-window form cost 190 s "
-    "at 60 M rows, single-task. The audit over the resulting zone "
-    "maps is dimension-sized: 64 files x 4 predicates.",
+    "NTILE computed DISTRIBUTED over a TWO-LEVEL coarse monotone "
+    "prefix of the sort key: level 1 (ship day / a very coarse "
+    "orderkey range) is dimension-sized at any SF, so its cumsum-to-"
+    "offsets runs one task and broadcasts bounded rows; level 2 "
+    "(l_orderkey div 4096 — constant bucket SIZE, count scales with "
+    "data) gets within-level-1 offsets from a cumsum window "
+    "PARTITIONED by level 1 and attaches through a same-key join, "
+    "never a broadcast (ADVICE r12: the single-level scheme put 9.3 M "
+    "sorted-layout buckets through a single-task cumsum + broadcast "
+    "at sf10). Global rank = level-1 offset + level-2 offset + "
+    "bucket-local row_number (tie-free keys, so rank == NTILE's input "
+    "order) — no single-task pass over the DATA anywhere, and no "
+    "spark_partition_id() (AQE may coalesce two readers of one "
+    "exchange differently, which the r12 100x run caught as a phantom "
+    "65th file; buckets are a pure function of the data instead). The "
+    "old global-NTILE-window form cost 190 s at 60 M rows, "
+    "single-task. The audit over the resulting zone maps is "
+    "dimension-sized: 64 files x 4 predicates.",
 )
 def zonemap_skip_stats(spark, sf_dir):
     from youtube_trending_data_pipeline_spark.catalog import ts_micros
@@ -1580,15 +1609,23 @@ def zonemap_skip_stats(spark, sf_dir):
     )
 
     okey_coarse = F.expr("l_orderkey div 4096")
+    # level-1 buckets are dimension-sized at any SF: ~2 k ship days, or
+    # ~2 k coarse orderkey ranges per 8.6 B orders (div 4096 div 1024)
+    okey_very_coarse = F.expr("l_orderkey div 4194304")
 
     files = _zm_layout_files(
-        li, "ingest", ["l_orderkey", "l_linenumber"], [okey_coarse]
+        li,
+        "ingest",
+        ["l_orderkey", "l_linenumber"],
+        [okey_very_coarse],
+        [okey_coarse],
     ).unionAll(
         _zm_layout_files(
             li,
             "sorted",
             ["day", "l_orderkey", "l_linenumber"],
-            [F.col("day"), okey_coarse],
+            [F.col("day")],
+            [okey_coarse],
         )
     )
     zm = files.groupBy("layout", "file_id").agg(

@@ -1201,6 +1201,13 @@ def _huffman_lengths(counts: list[tuple[str, int]]) -> dict[str, int]:
     return heap[0][2]
 
 
+def _sql_quote(token: str) -> str:
+    """Escape a corpus token for embedding in a SQL string literal
+    (ADVICE r12: a top-k token containing a single quote would
+    otherwise break the generated oracle with a syntax error)."""
+    return token.replace("'", "''")
+
+
 def _huffman_oracle(sf_dir: str | None = None) -> str:
     """GENERATED oracle (the _pca_oracle_sql doctrine): DuckDB reads the
     same parquet, the reference Huffman (deterministic tie-breaks) runs
@@ -1225,7 +1232,9 @@ def _huffman_oracle(sf_dir: str | None = None) -> str:
     ).fetchall()
     _huffman_vocab_guard(len(rows))
     lengths = _huffman_lengths([(t, c) for t, c in rows])
-    values = ", ".join(f"('{t}', {l})" for t, l in sorted(lengths.items()))
+    values = ", ".join(
+        f"('{_sql_quote(t)}', {l})" for t, l in sorted(lengths.items())
+    )
     return f"""
     WITH cnt AS (
       SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM (
@@ -1348,8 +1357,10 @@ def _huffman_capped_oracle(sf_dir: str | None = None) -> str:
     )
     leaves = top + ([(_HUFFMAN_REST, rest_c)] if rest_c else [])
     lengths = _huffman_lengths(leaves)
-    keep_values = ", ".join(f"('{t}')" for t, _ in sorted(top))
-    hl_values = ", ".join(f"('{t}', {l})" for t, l in sorted(lengths.items()))
+    keep_values = ", ".join(f"('{_sql_quote(t)}')" for t, _ in sorted(top))
+    hl_values = ", ".join(
+        f"('{_sql_quote(t)}', {l})" for t, l in sorted(lengths.items())
+    )
     rest_arm = (
         f"""
       UNION ALL

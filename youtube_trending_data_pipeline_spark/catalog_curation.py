@@ -3353,7 +3353,7 @@ def ab_test_metrics(spark, sf_dir):
     "graph_degree_distribution",
     """
     WITH pairs AS (
-      SELECT DISTINCT l_suppkey AS s, o_custkey + 1000000 AS c
+      SELECT DISTINCT 2 * l_suppkey AS s, 2 * o_custkey + 1 AS c
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     ), edges AS (
       SELECT s AS src, c AS dst FROM pairs
@@ -3382,18 +3382,23 @@ def graph_degree_distribution(spark, sf_dir):
     pairs = (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
         .select(
-            F.col("l_suppkey").alias("s"),
-            (F.col("o_custkey") + 1000000).alias("c"),
+            (F.col("l_suppkey") * 2).alias("s"),
+            (F.col("o_custkey") * 2 + 1).alias("c"),
         )
         .distinct()
     )
     # no distinct after the union: pairs is already distinct, and the
-    # two arms live in DISJOINT node-id spaces (suppkey vs
-    # custkey + 1e6), so (s, c) can never collide with a reversed
-    # (c', s') — the SQL oracle's UNION dedup is a no-op here, and
-    # skipping it saves a full exchange over the doubled edge list
-    # (the r12 100x sweep measured this entry at 118 s; the dedup
-    # shuffle was a third of the plan)
+    # two arms live in DISJOINT node-id spaces — PARITY encoding
+    # (2s even / 2c+1 odd, the graph_personalized_pagerank r12 fix;
+    # ADVICE r13: the previous custkey + 1e6 offset collides once
+    # replica suppkeys pass 1e6, making the no-distinct optimization
+    # data luck) — so (s, c) can never collide with a reversed
+    # (c', s') AT ANY SCALE: the SQL oracle's UNION dedup is a
+    # structural no-op, and skipping it saves a full exchange over the
+    # doubled edge list (the r12 100x sweep measured this entry at
+    # 118 s; the dedup shuffle was a third of the plan). Output is
+    # (degree, n_nodes) — invariant under any injective relabeling,
+    # so the encoding swap changes no result row.
     edges = pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")).union(
         pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
     )

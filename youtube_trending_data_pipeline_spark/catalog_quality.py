@@ -361,7 +361,13 @@ def text_longest_repeated_ngram(spark, sf_dir):
     # so the aggregate's shuffle carries (doc_id, n, int64) rows, never
     # n-gram text — the output only ever counts distinct grams, so the
     # 64-bit key is observationally identical to the string short of a
-    # same-doc-same-n collision (~200 grams/doc against 2^64)
+    # same-doc-same-n collision (~200 grams/doc against 2^64).  Both
+    # collision directions exist (ADVICE r12): two occurrences of one
+    # gram colliding UNDER-counts distinct grams, and two distinct
+    # singleton grams colliding manufactures a FALSE repeat (count 2),
+    # which can raise that doc's max_rep_n.  Either is ~1e-15 per doc;
+    # if stronger guarantees are ever needed, widen the key to a
+    # (xxhash64, gram_length) pair or a 128-bit hash.
     grams = dt.select(
         "doc_id",
         F.explode(

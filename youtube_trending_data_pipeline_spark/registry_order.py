@@ -259,6 +259,28 @@ DRIVER_VERIFIED_R11 = [
     "q7_volume_shipping", "q8_market_share",
 ]
 
+DRIVER_VERIFIED_R12 = [
+    "dedup_components_lsh", "cms_heavy_hitters", "graph_temporal_reachability",
+    "dedup_shingle_containment", "zonemap_skip_stats",
+    "graph_degree_distribution", "text_longest_repeated_ngram",
+    "graph_pagerank", "graph_label_propagation", "graph_bfs_distances",
+    "graph_personalized_pagerank", "split_leakage_free_lsh",
+    "dedup_containment_capped", "token_huffman_code_audit_capped",
+    "q10_returned_items", "q15_top_supplier", "q17_small_quantity_revenue",
+    "q22_dormant_customers", "q13_customer_distribution",
+    "q21_waiting_suppliers", "q9_product_type_profit", "q11_important_parts",
+    "q16_supplier_part_counts", "q2_min_cost_supplier",
+    "q20_excess_shipment_suppliers", "multimodal_image_features",
+    "w_forward_fill", "resample_daily", "a22_histogram", "j6b_asof_forward",
+    "j4b_posexplode", "f_map_funcs", "f_array_hof", "j4c_explode_outer",
+    "f_try_arith", "a24_regr_fit", "dedup_components_star",
+    "dedup_keep_best", "sim_range_search", "r1_recursive_spine",
+    "pack_sequences_linear", "winsorize_doc_lengths", "scd2_build",
+    "activity_islands", "profile_table", "snapshot_diff",
+    "hopping_window_counts", "dedup_incremental", "text_redact_pii",
+    "text_repetition_score",
+]
+
 DRIVER_VERIFIED: set[str] = (
     set(DRIVER_VERIFIED_R01)
     | set(DRIVER_VERIFIED_R02_R03)
@@ -270,6 +292,7 @@ DRIVER_VERIFIED: set[str] = (
     | set(DRIVER_VERIFIED_R09)
     | set(DRIVER_VERIFIED_R10)
     | set(DRIVER_VERIFIED_R11)
+    | set(DRIVER_VERIFIED_R12)
 )
 
 # Round-12 window: zero red rows and zero never-checked entries after
@@ -331,7 +354,39 @@ DRIVER_VERIFIED: set[str] = (
 # vanilla-session EXACT at both gate SFs); remaining slots fall to
 # tier 3 staleness rotation (stalest surviving rows are the r3/r4-era
 # entries not re-checked since).
+# Round-13 window (OPTIMIZATION round): the driver re-verified all 11
+# r12 pins plus the tier-2/3 rotation (CORRECTNESS_r12: 50/50 green) —
+# rotate them out.  No new entries exist (optimization rounds add no
+# features), so pins are (a) entries whose IMPLEMENTATION this round's
+# optimizations touch (appended as they land, the kmeans-r10 precedent;
+# each verified EXACT at both gate SFs on a vanilla session as it
+# lands), then (b) the stalest surviving tier — the r5-r7 rows that
+# have not been driver-rotated in 5-7 rounds.
 PRIORITY_UNCHECKED: list[str] = [
+    # (a) r13 touched implementations/oracles (ADVICE r12 parity fix:
+    # degree distribution's node encoding is now 2s / 2c+1 on both
+    # sides — output invariant; plus the optimization-touched entries)
+    "graph_degree_distribution",
+    "zonemap_skip_stats",
+    "graph_kcore_mutual_knn",
+    "graph_ktruss_mutual_knn",
+    "graph_rich_club",
+    "graph_link_prediction",
+    "graph_mutual_knn_recall_audit",
+    "sim_margin_topk",
+    # (b) staleness tier
+    "s3_bronze_roundtrip",
+    "p2_channel_defaults",
+    "f2_timestamp_parse",
+    "s1_datasource_roundtrip",
+    "s2_channels_roundtrip",
+    "report_html_hash",
+    "udtf_sentence_split",
+]
+
+# Round-12 window — superseded by the round-13 list above, kept for the
+# audit trail (all 11 re-verified green in CORRECTNESS_r12).
+PRIORITY_UNCHECKED_R12 = [
     "dedup_components_lsh",
     "cms_heavy_hitters",
     "graph_temporal_reachability",
@@ -516,6 +571,7 @@ for _rnd, _names in (
     (9, DRIVER_VERIFIED_R09),
     (10, DRIVER_VERIFIED_R10),
     (11, DRIVER_VERIFIED_R11),
+    (12, DRIVER_VERIFIED_R12),
 ):
     for _n in _names:
         _LAST_VERIFIED[_n] = _rnd
