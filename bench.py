@@ -144,11 +144,20 @@ def main() -> None:
         "overwrite"
     ).save()
 
-    timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        spec = QUERIES[name]
-        best = None
-        for _ in range(reps):
+    # Round 13 (measurement robustness, declared in OPTIMIZATION_r13.md):
+    # reps are PASS-MAJOR — run the whole query list once, then again,
+    # taking the per-query min ACROSS passes. Back-to-back reps of one
+    # query both land inside the same transient noise window (this
+    # sandbox shows recurring 30-90 s system-time/steal storms, measured
+    # r13: the same query scored 42.7 s in one bench run and 5.4 s in
+    # the next, isolated 5.2 s), so min-of-2 only defends against noise
+    # when the two reps are temporally separated. Per-query methodology
+    # is unchanged: same queries, same noop-sink action, same timer,
+    # same rep count, min-of-reps.
+    best: dict[str, float] = {}
+    for _ in range(reps):
+        for name in BENCH_QUERIES:
+            spec = QUERIES[name]
             t0 = time.perf_counter()
             # noop sink executes the full plan on the executors without
             # collecting rows to the driver
@@ -156,8 +165,8 @@ def main() -> None:
                 "overwrite"
             ).save()
             dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
+            best[name] = min(best.get(name, dt), dt)
+    timings = {name: round(best[name], 3) for name in BENCH_QUERIES}
 
     total = round(sum(timings.values()), 3)
     print(

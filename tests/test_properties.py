@@ -473,6 +473,96 @@ def test_pivot_rank_kernel_matches_reference(vecs, n_seeds, probe, member):
         min_size=1, max_size=10,
     ),
     n_seeds=st.integers(min_value=1, max_value=6),
+    probe=st.integers(min_value=1, max_value=6),
+    member=st.integers(min_value=1, max_value=6),
+    k=st.integers(min_value=1, max_value=4),
+)
+@settings(max_examples=60, deadline=None)
+def test_arrow_kernels_match_pandas_reference(vecs, n_seeds, probe, member, k):
+    """r13: the Arrow-native production kernels (_pivot_rank_arrow /
+    _knn_cell_arrow, flat-buffer decode + int32 transport) must emit
+    row-for-row what the pandas reference kernels emit on the same
+    group — same ranking, same flags, same qv payloads, same (u, v,
+    dot) rows."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from youtube_trending_data_pipeline_spark.catalog_analysis import (
+        _knn_cell_arrow,
+        _knn_cell_kernel,
+        _pivot_rank_arrow,
+        _pivot_rank_kernel,
+    )
+
+    n_seeds = min(n_seeds, len(vecs))
+    ids = list(range(100, 100 + len(vecs)))
+    rows = [
+        (ids[i], np.array(v, dtype=np.int64), False)
+        for i, v in enumerate(vecs)
+    ] + [
+        (ids[j], np.array(vecs[j], dtype=np.int64), True)
+        for j in range(n_seeds)
+    ]
+    pdf = pd.DataFrame(rows, columns=["vec_id", "qv", "is_seed"])
+    tbl = pa.table(
+        {
+            "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+            "qv": pa.array(
+                [r[1].astype(np.int32) for r in rows], pa.list_(pa.int32())
+            ),
+            "is_seed": pa.array([r[2] for r in rows]),
+        }
+    )
+    ref = _pivot_rank_kernel(pdf, probe, member)
+    got = _pivot_rank_arrow(tbl, probe, member).to_pandas()
+    assert len(ref) == len(got)
+    for col in ("cell", "vec_id", "is_m", "is_p"):
+        assert (ref[col].to_numpy() == got[col].to_numpy()).all()
+    assert all(
+        (np.asarray(a) == np.asarray(b)).all()
+        for a, b in zip(ref["qv"], got["qv"])
+    )
+    # feed both kernels' shared downstream shape: every row a member,
+    # the first half also probers (mixed flags, self-pairs present)
+    crows = [
+        (ids[i], np.array(v, dtype=np.int64), True, i % 2 == 0)
+        for i, v in enumerate(vecs)
+    ]
+    cpdf = pd.DataFrame(crows, columns=["vec_id", "qv", "is_m", "is_p"])
+    ctbl = pa.table(
+        {
+            "vec_id": pa.array([r[0] for r in crows], pa.int64()),
+            "qv": pa.array(
+                [r[1].astype(np.int32) for r in crows], pa.list_(pa.int32())
+            ),
+            "is_m": pa.array([r[2] for r in crows]),
+            "is_p": pa.array([bool(r[3]) for r in crows]),
+        }
+    )
+    cref = (
+        _knn_cell_kernel(cpdf, k)
+        .sort_values(["u", "v"])
+        .reset_index(drop=True)
+    )
+    cgot = (
+        _knn_cell_arrow(ctbl, k)
+        .to_pandas()
+        .sort_values(["u", "v"])
+        .reset_index(drop=True)
+    )
+    assert cref.equals(cgot)
+
+
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.integers(min_value=-1000, max_value=1000),
+            min_size=3, max_size=3,
+        ),
+        min_size=1, max_size=10,
+    ),
+    n_seeds=st.integers(min_value=1, max_value=6),
 )
 @settings(max_examples=60, deadline=None)
 def test_semdedup_assign_kernel_matches_reference(vecs, n_seeds):

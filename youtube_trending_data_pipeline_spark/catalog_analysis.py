@@ -110,6 +110,18 @@ _QV_SPARK = (
     "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000"
     " + 0.5) AS BIGINT))"
 )
+# INT32 transport variant for the mutual-kNN candidate build's INTERNAL
+# exchanges (r13, guide §2.3 "narrower types"): quantized coordinates
+# are |x| <= ~1e5 wherever the exact-dot precondition bound^2*dim <=
+# 2^53 holds (bound <= 1.18e7 at dim 64), so INT never truncates a
+# value the BLAS kernel would accept — and the 64-element vector rows
+# that cross the salt-group and cell exchanges (probe-fold replicated)
+# halve. Kernels widen to int64 before the matmul; oracles keep the
+# BIGINT spelling — identical integers either way.
+_QV_SPARK_I32 = (
+    "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000"
+    " + 0.5) AS INT))"
+)
 
 
 # Exact-integer BLAS helpers: moved to operators/intlinalg.py in round
@@ -135,14 +147,20 @@ def _knn_schema():
     )
 
 
-# Peak score-matrix cells per prober row-block (float64 + the int64 key
-# copy => ~0.5 GB at this setting). Without blocking, a salt group's
-# D matrix is O(probers x members) ALL AT ONCE — at 100 k members and
-# 32 concurrent groups that is hundreds of GB and OOM-kills the workers
-# (measured: the round-10 100 k recall run died exactly this way). Row
-# blocks over PROBERS are bit-exact: each prober's top-k is computed
-# entirely within its own block.
-_KNN_BLOCK_CELLS = 32_000_000
+# Peak score-matrix cells per prober row-block. Without blocking, a
+# salt group's D matrix is O(probers x members) ALL AT ONCE — at 100 k
+# members and 32 concurrent groups that is hundreds of GB and OOM-kills
+# the workers (measured: the round-10 100 k recall run died exactly
+# this way). Row blocks over PROBERS are bit-exact: each prober's top-k
+# is computed entirely within its own block.
+# r13: 32 M cells (256 MB float64 per matrix) -> 2 M (16 MB): above
+# glibc's 32 MB M_MMAP_THRESHOLD_MAX every block-loop temporary is
+# mmap'd and munmap'd each iteration, so the workers page-fault and
+# zero hundreds of MB per block — measured at the 100x replica as
+# ~100% SYSTEM-time workers; 16 MB chunks fall back to the heap
+# free-list after the first block and are reused. Per-block results
+# are independent, so the value is unchanged by construction.
+_KNN_BLOCK_CELLS = 2_000_000
 
 
 def _knn_cell_kernel(pdf, k):
@@ -259,6 +277,149 @@ def _pivot_rank_kernel(pdf, probe: int, member: int):
     )
 
 
+def _list_matrix(col, n_rows):
+    """Arrow list<int> column -> (n_rows, dim) int64 matrix read
+    straight off the flattened values buffer — no per-row Python list
+    objects (the applyInPandas object-column path materialized one
+    ndarray per row and re-copied them with np.array(list(...));
+    measured r13: the conversion dominated the 100x candidate build)."""
+    import numpy as np
+
+    arr = col.combine_chunks()
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(
+        np.int64, copy=False
+    )
+    if n_rows == 0:
+        return flat.reshape(0, 0)
+    return flat.reshape(n_rows, -1)
+
+
+_PIVOT_ARROW_SCHEMA = (
+    "cell long, vec_id long, qv array<int>, is_m boolean, is_p boolean"
+)
+
+
+def _pivot_rank_arrow(tbl, probe: int, member: int):
+    """Arrow-native production form of _pivot_rank_kernel (r13):
+    bit-identical ranking (same _exact_int_matmul + _rowwise_topk on
+    the same integers), but the group crosses the Python boundary as
+    flat Arrow buffers and the replicated qv output is rebuilt as one
+    values buffer + offsets instead of per-row Python lists.  The
+    pandas twin stays as the reference implementation
+    (tests/test_properties.py pins them equal)."""
+    import numpy as np
+    import pyarrow as pa
+
+    schema = pa.schema(
+        [
+            pa.field("cell", pa.int64()),
+            pa.field("vec_id", pa.int64()),
+            pa.field("qv", pa.list_(pa.int32())),
+            pa.field("is_m", pa.bool_()),
+            pa.field("is_p", pa.bool_()),
+        ]
+    )
+    n = tbl.num_rows
+    is_seed = (
+        tbl.column("is_seed")
+        .combine_chunks()
+        .to_numpy(zero_copy_only=False)
+        .astype(bool)
+    )
+    vec_id = tbl.column("vec_id").combine_chunks().to_numpy(
+        zero_copy_only=False
+    )
+    if not is_seed.any() or is_seed.all():
+        return schema.empty_table()
+    V = _list_matrix(tbl.column("qv"), n)
+    sraw = vec_id[is_seed]
+    order = np.argsort(sraw, kind="stable")
+    sids = sraw[order]
+    S = V[is_seed][order]
+    pids = vec_id[~is_seed]
+    P = V[~is_seed]
+    D = _exact_int_matmul(P, S)
+    k = min(probe, len(sids))
+    cols = _rowwise_topk(D, sids, k)
+    ranks = np.tile(np.arange(1, k + 1, dtype=np.int64), len(pids))
+    dim = P.shape[1]
+    qv_vals = P[np.repeat(np.arange(len(pids)), k)].ravel().astype(np.int32)
+    offsets = np.arange(0, (len(pids) * k + 1) * dim, dim, dtype=np.int32)
+    qv_arr = pa.ListArray.from_arrays(
+        pa.array(offsets, pa.int32()), pa.array(qv_vals, pa.int32())
+    )
+    return pa.table(
+        {
+            "cell": pa.array(sids[cols.ravel()], pa.int64()),
+            "vec_id": pa.array(np.repeat(pids, k), pa.int64()),
+            "qv": qv_arr,
+            "is_m": pa.array(ranks <= member),
+            "is_p": pa.array(np.ones(len(pids) * k, dtype=bool)),
+        },
+        schema=schema,
+    )
+
+
+def _knn_cell_arrow(tbl, k: int):
+    """Arrow-native production form of _knn_cell_kernel (r13): same
+    blocked exact-integer scoring and (dot DESC, id ASC) top-k, minus
+    the pandas object-column qv decode.  Reference pandas twin kept
+    for tests."""
+    import numpy as np
+    import pyarrow as pa
+
+    schema = pa.schema(
+        [
+            pa.field("u", pa.int64()),
+            pa.field("v", pa.int64()),
+            pa.field("dot", pa.int64()),
+        ]
+    )
+    n = tbl.num_rows
+    is_m = (
+        tbl.column("is_m")
+        .combine_chunks()
+        .to_numpy(zero_copy_only=False)
+        .astype(bool)
+    )
+    is_p = (
+        tbl.column("is_p")
+        .combine_chunks()
+        .to_numpy(zero_copy_only=False)
+        .astype(bool)
+    )
+    if not is_m.any() or not is_p.any():
+        return schema.empty_table()
+    vec_id = tbl.column("vec_id").combine_chunks().to_numpy(
+        zero_copy_only=False
+    )
+    V = _list_matrix(tbl.column("qv"), n)
+    mids = vec_id[is_m]
+    M = V[is_m]
+    pids = vec_id[is_p]
+    P = V[is_p]
+    block = max(1, _KNN_BLOCK_CELLS // max(len(mids), 1))
+    us, vs, ds = [], [], []
+    for s in range(0, len(pids), block):
+        pb = pids[s:s + block]
+        D = _exact_int_matmul(P[s:s + block], M)
+        D[pb[:, None] == mids[None, :]] = _SELF_MASK
+        cols = _rowwise_topk(D, mids, k)
+        dots = np.take_along_axis(D, cols, axis=1).ravel()
+        keep = dots != _SELF_MASK
+        us.append(np.repeat(pb, cols.shape[1])[keep])
+        vs.append(mids[cols.ravel()][keep])
+        ds.append(dots[keep])
+    return pa.table(
+        {
+            "u": pa.array(np.concatenate(us), pa.int64()),
+            "v": pa.array(np.concatenate(vs), pa.int64()),
+            "dot": pa.array(np.concatenate(ds), pa.int64()),
+        },
+        schema=schema,
+    )
+
+
 def _mutual_knn_edges_exact(spark, sf_dir):
     """EXACT all-pairs mutual-kNN edge list — the labeled correctness
     baseline (the sim_bruteforce_topk doctrine), kept ONLY to audit the
@@ -278,7 +439,7 @@ def _mutual_knn_edges_exact(spark, sf_dir):
     an audit at bench scale, never the 100 TB path."""
     q = t(spark, sf_dir, "embeddings").select(
         "vec_id",
-        F.expr(_QV_SPARK).alias("qv"),
+        F.expr(_QV_SPARK_I32).alias("qv"),
     )
     salts = F.broadcast(
         spark.range(_EXACT_SALTS).select(F.col("id").cast("int").alias("cell"))
@@ -302,17 +463,32 @@ def _mutual_knn_edges_exact(spark, sf_dir):
     knn = (
         probers.unionByName(members)
         .groupBy("cell")
-        .applyInPandas(
-            lambda pdf: _knn_cell_kernel(pdf, _KNN_K), schema=_knn_schema()
+        .applyInArrow(
+            lambda t_: _knn_cell_arrow(t_, _KNN_K),
+            schema="u long, v long, dot long",
         )
         .select("u", "v")
     )
-    rev = knn.select(F.col("v").alias("ru"), F.col("u").alias("rv"))
-    return knn.join(
-        rev,
-        (knn["u"] == rev["ru"]) & (knn["v"] == rev["rv"]),
-        "left_semi",
-    ).select(F.col("u").alias("src"), F.col("v").alias("dst"))
+    # same r13 mutual filter as the production build: each prober
+    # lives in exactly one salt group, so (u, v) is unique in knn and
+    # a reciprocal edge is exactly an unordered pair counted twice —
+    # one aggregate, no self semi-join (which recomputed the quadratic
+    # kernel subtree for its second input)
+    mut = (
+        knn.groupBy(
+            F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+        )
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") == 2)
+    )
+    return mut.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("a").alias("src"), F.col("b").alias("dst")),
+                F.struct(F.col("b").alias("src"), F.col("a").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
 
 
 def _mutual_knn_scored(spark, sf_dir):
@@ -357,7 +533,7 @@ def _mutual_knn_scored(spark, sf_dir):
     knob (scripts/semdedup_scale.py); the shuffle moves only
     (u, v, dot) longs — vectors never travel past the cell stage."""
     q = t(spark, sf_dir, "embeddings").select(
-        "vec_id", F.expr(_QV_SPARK).alias("qv")
+        "vec_id", F.expr(_QV_SPARK_I32).alias("qv")
     )
     # corpus-relative cell count (see the knob comment above): one
     # bounded count() action so the seed take stays a
@@ -399,27 +575,45 @@ def _mutual_knn_scored(spark, sf_dir):
     tagged = (
         probers.unionByName(seeds_rep)
         .groupBy("g")
-        .applyInPandas(
-            lambda pdf: _pivot_rank_kernel(pdf, probe, member),
-            schema=_pivot_rank_schema(),
+        .applyInArrow(
+            lambda t_: _pivot_rank_arrow(t_, probe, member),
+            schema=_PIVOT_ARROW_SCHEMA,
         )
     )
+    scored = tagged.groupBy("cell").applyInArrow(
+        lambda t_: _knn_cell_arrow(t_, _KNN_K),
+        schema="u long, v long, dot long",
+    )
+    # a (u, v) pair surfaces once per shared member cell with the SAME
+    # exact dot — collapse before ranking so row_number never spends
+    # top-k slots on duplicates.  r13: one exchange instead of two —
+    # an explicit repartition("u") followed by groupBy(u, v) needs no
+    # second exchange (HashPartitioning(u) satisfies the (u, v)
+    # clustering), and every consumer's per-u ranking window then runs
+    # on the SAME partitioning with zero further exchanges; the old
+    # .distinct() exchanged by (u, v, dot) and the window re-exchanged
+    # by u.  max(dot) over the duplicate group IS the dot (identical
+    # across copies), so the row set is unchanged.
     return (
-        tagged.groupBy("cell")
-        .applyInPandas(
-            lambda pdf: _knn_cell_kernel(pdf, _KNN_K), schema=_knn_schema()
-        )
-        # a (u, v) pair surfaces once per shared member cell with the
-        # same exact dot — collapse before ranking so row_number never
-        # spends top-k slots on duplicates
-        .distinct()
+        scored.repartition("u")
+        .groupBy("u", "v")
+        .agg(F.max("dot").alias("dot"))
     )
 
 
 def _mutual_knn_edges(spark, sf_dir):
     """Mutual-kNN edge list: rank _mutual_knn_scored's candidate pairs
     per u (dot DESC, v ASC), keep top-_KNN_K, keep only reciprocal
-    edges — the production build the graph-structure entries run on."""
+    edges — the production build the graph-structure entries run on.
+
+    r13 mutual filter: an edge is reciprocal iff BOTH directed rows
+    (u, v) and (v, u) survive the per-u top-k, i.e. iff the unordered
+    pair {u, v} appears exactly twice in knn ((u, v) is unique per
+    direction after the upstream (u, v) collapse).  One count
+    aggregate keyed on (least, greatest) replaces the old self
+    semi-join, which exchanged BOTH sides by composite keys and —
+    because the join's two subtrees only share plan fragments up to
+    the last common exchange — ran the ranking window twice."""
     pairs = _mutual_knn_scored(spark, sf_dir)
     w_knn = W.partitionBy("u").orderBy(F.desc("dot"), F.asc("v"))
     knn = (
@@ -427,12 +621,21 @@ def _mutual_knn_edges(spark, sf_dir):
         .where(F.col("rn") <= _KNN_K)
         .select("u", "v")
     )
-    rev = knn.select(F.col("v").alias("ru"), F.col("u").alias("rv"))
-    return knn.join(
-        rev,
-        (knn["u"] == rev["ru"]) & (knn["v"] == rev["rv"]),
-        "left_semi",
-    ).select(F.col("u").alias("src"), F.col("v").alias("dst"))
+    mut = (
+        knn.groupBy(
+            F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+        )
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") == 2)
+    )
+    return mut.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("a").alias("src"), F.col("b").alias("dst")),
+                F.struct(F.col("b").alias("src"), F.col("a").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
 
 
 def _mutual_cte_sql(

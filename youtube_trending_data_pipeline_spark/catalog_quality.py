@@ -387,9 +387,15 @@ def text_longest_repeated_ngram(spark, sf_dir):
         .where(F.col("c") >= 2)
         .select("doc_id", "n", "g")
     )
-    mx = rep.groupBy("doc_id").agg(F.max("n").alias("max_rep_n"))
+    # per-doc max via a window instead of a groupBy + self-join (r13):
+    # the join's two inputs were the same un-checkpointed subtree, so
+    # the gram aggregate ran TWICE (exchange reuse only dedups up to
+    # the exchange; the post-shuffle aggregate re-executed) — and the
+    # window's doc_id exchange is also the final aggregate's
+    # partitioning, so the tail runs with zero further exchanges.
+    w_doc = W.partitionBy("doc_id")
     return (
-        rep.join(mx, "doc_id")
+        rep.withColumn("max_rep_n", F.max("n").over(w_doc))
         .where(F.col("n") == F.col("max_rep_n"))
         .groupBy("doc_id", F.col("max_rep_n").cast("long").alias("max_rep_n"))
         .agg(F.count(F.lit(1)).cast("long").alias("reps_at_max"))

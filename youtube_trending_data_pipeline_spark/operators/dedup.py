@@ -166,14 +166,16 @@ def minhash_signatures(
     ).select(
         "id",
         # 32-bit base hash keeps a*h + b within long range (no ANSI
-        # overflow) and is portable to the DuckDB oracle (exact replay)
-        portable_hash32("_shingle").alias("_h"),
+        # overflow) and is portable to the DuckDB oracle (exact replay).
+        # _h % p is hoisted out of the 64 MIN expressions (r13): codegen
+        # does not CSE across aggregate expressions, so the old form
+        # computed the same modulo 64x per shingle row.
+        (portable_hash32("_shingle") % _MERSENNE_P31).alias("_hm"),
     )
     mins = exploded.groupBy("id").agg(
         *[
             F.min(
-                ((F.col("_h") % _MERSENNE_P31) * a + b)
-                % F.lit(_MERSENNE_P31)
+                (F.col("_hm") * a + b) % F.lit(_MERSENNE_P31)
             ).alias(f"_m{i}")
             for i, (a, b) in enumerate(params)
         ]

@@ -48,21 +48,25 @@ def pagerank_integer(
         # lineage here, each iteration would recompute the upstream
         # join/distinct that produced it (measured 13.5 s -> see PERF.md)
         e = e.localCheckpoint(eager=False)
+    # out-degree is a per-round constant — fold it onto the edge row
+    # ONCE (r13) so every iteration runs one rank join instead of a
+    # rank join plus an outdeg join; `rank div outdeg` per edge is
+    # unchanged, so the fixed point is bit-identical.
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ew = e.join(outdeg, "src")
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
     )
     if checkpoint:
-        outdeg = outdeg.localCheckpoint(eager=False)
+        ew = ew.localCheckpoint(eager=False)
         nodes = nodes.localCheckpoint(eager=False)
     base = (100 - damping_pct) * SCALE // 100
     ranks = nodes.select("node", F.lit(SCALE).cast("long").alias("rank"))
     for _ in range(iterations):
         contrib = (
-            e.join(ranks, e["src"] == ranks["node"])
-            .join(outdeg, "src")
+            ew.join(ranks, ew["src"] == ranks["node"])
             .select(
                 F.col("dst").alias("node"),
                 F.expr("rank div outdeg").alias("c"),
@@ -185,22 +189,37 @@ def hits_integer(
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     if checkpoint:
         e = e.localCheckpoint(eager=False)
-    hubs = e.select(F.col("src").alias("node")).distinct()
-    auths = e.select(F.col("dst").alias("node")).distinct()
-    if checkpoint:
-        hubs = hubs.localCheckpoint(eager=False)
-        auths = auths.localCheckpoint(eager=False)
-    h = hubs.select("node", F.lit(HITS_SCALE).cast("long").alias("score"))
-    # iterations=0 degenerates to the uniform initialization (not a crash)
-    a = auths.select("node", F.lit(HITS_SCALE).cast("long").alias("score"))
-    for _ in range(iterations):
-        # authority half-step: a_raw(v) = sum of h(u) over edges u->v
-        a_raw = (
-            e.join(h, e["src"] == h["node"])
-            .groupBy("dst")
-            .agg(F.sum("score").alias("raw"))
-            .select(F.col("dst").alias("node"), "raw")
+    if iterations == 0:
+        # degenerate uniform initialization (not a crash) — the only
+        # case that still needs the endpoint-distinct frames
+        hubs = e.select(F.col("src").alias("node")).distinct()
+        auths = e.select(F.col("dst").alias("node")).distinct()
+        h = hubs.select(
+            "node", F.lit(HITS_SCALE).cast("long").alias("score")
         )
+        a = auths.select(
+            "node", F.lit(HITS_SCALE).cast("long").alias("score")
+        )
+    for i in range(iterations):
+        if i == 0:
+            # r13: the uniform start makes round 1's authority
+            # half-step sum a CONSTANT over in-edges — sum of
+            # h(u) = HITS_SCALE per edge IS indeg(v) * HITS_SCALE, so
+            # one degree aggregate replaces the rank join, and the
+            # hubs/auths endpoint-distinct frames (two exchanges + two
+            # lineage cuts that existed only to seed the uniform
+            # scores) drop out of the iterated path entirely.
+            a_raw = e.groupBy("dst").agg(
+                (F.count(F.lit(1)) * HITS_SCALE).alias("raw")
+            ).select(F.col("dst").alias("node"), "raw")
+        else:
+            # authority half-step: a_raw(v) = sum of h(u) over u->v
+            a_raw = (
+                e.join(h, e["src"] == h["node"])
+                .groupBy("dst")
+                .agg(F.sum("score").alias("raw"))
+                .select(F.col("dst").alias("node"), "raw")
+            )
         a = _max_normalize(a_raw)
         # hub half-step: h_raw(u) = sum of a(v) over edges u->v
         h_raw = (
@@ -316,7 +335,9 @@ def personalized_pagerank_integer(
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     if checkpoint:
         e = e.localCheckpoint(eager=False)
+    # fold out-degree onto the edge row once — see pagerank_integer
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ew = e.join(outdeg, "src")
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -324,7 +345,7 @@ def personalized_pagerank_integer(
     )
     seed_nodes = seeds.select(F.col(seed_col).alias("node")).distinct()
     if checkpoint:
-        outdeg = outdeg.localCheckpoint(eager=False)
+        ew = ew.localCheckpoint(eager=False)
         nodes = nodes.localCheckpoint(eager=False)
         seed_nodes = seed_nodes.localCheckpoint(eager=False)
     is_seed = F.when(F.col("snode").isNotNull(), 1).otherwise(0)
@@ -341,8 +362,7 @@ def personalized_pagerank_integer(
     )
     for _ in range(iterations):
         contrib = (
-            e.join(ranks, e["src"] == ranks["node"])
-            .join(outdeg, "src")
+            ew.join(ranks, ew["src"] == ranks["node"])
             .select(
                 F.col("dst").alias("node"),
                 F.expr("rank div outdeg").alias("c"),

@@ -61,9 +61,20 @@ def _rowwise_topk(D, ids, k):
         for r in range(m):
             out[r] = np.lexsort((ids, -D[r]))[:k]
         return out
-    key = (D - rowmax) * M - rank[None, :]
-    part = np.argpartition(-key, k - 1, axis=1)[:, :k]
-    rowkeys = np.take_along_axis(-key, part, axis=1)
+    # ONE matrix-sized temporary, mutated in place, holding -key
+    # directly (r13): the expression form `(D - rowmax) * M - rank`
+    # plus two `-key` reads allocated ~5 matrix-sized temporaries per
+    # block — at production block sizes each is tens-to-hundreds of MB,
+    # so every block iteration paid mmap/munmap + page-zeroing for all
+    # of them (measured r13 at the 100x replica: the candidate-build
+    # workers sat at ~100% SYSTEM time in exactly this loop).  Values
+    # are identical: same subtraction, same multiply, same negation.
+    key = D - rowmax
+    key *= M
+    key -= rank[None, :]
+    np.negative(key, out=key)
+    part = np.argpartition(key, k - 1, axis=1)[:, :k]
+    rowkeys = np.take_along_axis(key, part, axis=1)
     order = np.argsort(rowkeys, axis=1, kind="stable")
     return np.take_along_axis(part, order, axis=1)
 
@@ -90,6 +101,8 @@ def _exact_int_matmul(A, B):
             "precondition bound^2*dim <= 2^53; re-quantize at a lower "
             "scale" % bound
         )
-    return np.rint(
-        A.astype(np.float64) @ B.astype(np.float64).T
-    ).astype(np.int64)
+    # rint in place on the matmul output (r13): one fewer matrix-sized
+    # temporary per block — see the _rowwise_topk allocation note
+    prod = A.astype(np.float64) @ B.astype(np.float64).T
+    np.rint(prod, out=prod)
+    return prod.astype(np.int64)

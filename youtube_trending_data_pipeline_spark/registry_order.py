@@ -371,9 +371,16 @@ PRIORITY_UNCHECKED: list[str] = [
     "graph_kcore_mutual_knn",
     "graph_ktruss_mutual_knn",
     "graph_rich_club",
-    "graph_link_prediction",
     "graph_mutual_knn_recall_audit",
     "sim_margin_topk",
+    "graph_hits",
+    "graph_pagerank",
+    "graph_personalized_pagerank",
+    "dedup_minhash_lsh",
+    "dedup_minhash_jaccard_est",
+    "dedup_components_lsh",
+    "dedup_minhash_recall_audit_sampled",
+    "split_leakage_free_lsh",
     # (b) staleness tier
     "s3_bronze_roundtrip",
     "p2_channel_defaults",
