@@ -48,25 +48,29 @@ def pagerank_integer(
         # lineage here, each iteration would recompute the upstream
         # join/distinct that produced it (measured 13.5 s -> see PERF.md)
         e = e.localCheckpoint(eager=False)
-    # out-degree is a per-round constant — fold it onto the edge row
-    # ONCE (r13) so every iteration runs one rank join instead of a
-    # rank join plus an outdeg join; `rank div outdeg` per edge is
-    # unchanged, so the fixed point is bit-identical.
+    # NOTE (r13 measured negative result, kept for the record): folding
+    # outdeg onto the checkpointed edge row to save the per-round
+    # outdeg join LOSES at bench scale — the planner already broadcasts
+    # the node-sized outdeg frame there, so the fold only widened the
+    # per-round sort-merge rows and added a materialization job
+    # (pagerank 3.16 s -> 3.85 s isolated min-of-5). At cluster scale
+    # the same join degrades to a second shuffle per round, but the
+    # adaptive planner makes that call from sizes — leave it to AQE.
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    ew = e.join(outdeg, "src")
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
     )
     if checkpoint:
-        ew = ew.localCheckpoint(eager=False)
+        outdeg = outdeg.localCheckpoint(eager=False)
         nodes = nodes.localCheckpoint(eager=False)
     base = (100 - damping_pct) * SCALE // 100
     ranks = nodes.select("node", F.lit(SCALE).cast("long").alias("rank"))
     for _ in range(iterations):
         contrib = (
-            ew.join(ranks, ew["src"] == ranks["node"])
+            e.join(ranks, e["src"] == ranks["node"])
+            .join(outdeg, "src")
             .select(
                 F.col("dst").alias("node"),
                 F.expr("rank div outdeg").alias("c"),
@@ -335,9 +339,7 @@ def personalized_pagerank_integer(
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     if checkpoint:
         e = e.localCheckpoint(eager=False)
-    # fold out-degree onto the edge row once — see pagerank_integer
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    ew = e.join(outdeg, "src")
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -345,7 +347,7 @@ def personalized_pagerank_integer(
     )
     seed_nodes = seeds.select(F.col(seed_col).alias("node")).distinct()
     if checkpoint:
-        ew = ew.localCheckpoint(eager=False)
+        outdeg = outdeg.localCheckpoint(eager=False)
         nodes = nodes.localCheckpoint(eager=False)
         seed_nodes = seed_nodes.localCheckpoint(eager=False)
     is_seed = F.when(F.col("snode").isNotNull(), 1).otherwise(0)
@@ -362,7 +364,8 @@ def personalized_pagerank_integer(
     )
     for _ in range(iterations):
         contrib = (
-            ew.join(ranks, ew["src"] == ranks["node"])
+            e.join(ranks, e["src"] == ranks["node"])
+            .join(outdeg, "src")
             .select(
                 F.col("dst").alias("node"),
                 F.expr("rank div outdeg").alias("c"),

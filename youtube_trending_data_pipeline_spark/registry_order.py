@@ -374,8 +374,6 @@ PRIORITY_UNCHECKED: list[str] = [
     "graph_mutual_knn_recall_audit",
     "sim_margin_topk",
     "graph_hits",
-    "graph_pagerank",
-    "graph_personalized_pagerank",
     "dedup_minhash_lsh",
     "dedup_minhash_jaccard_est",
     "dedup_components_lsh",
