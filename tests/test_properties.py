@@ -560,6 +560,88 @@ def test_arrow_kernels_match_pandas_reference(vecs, n_seeds, probe, member, k):
             st.integers(min_value=-1000, max_value=1000),
             min_size=3, max_size=3,
         ),
+        min_size=2, max_size=12,
+    ),
+    n_seeds=st.integers(min_value=1, max_value=5),
+    pq=st.sampled_from([(1, 4), (1, 2), (17, 20), (3, 4)]),
+)
+@settings(max_examples=60, deadline=None)
+def test_semdedup_arrow_kernels_match_pandas_reference(vecs, n_seeds, pq):
+    """r13: the Arrow-native semdedup kernels must emit row-for-row what
+    the pandas reference kernels emit — same argmin-L2 assignment, same
+    qv payloads, same within-cell duplicate pairs."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from youtube_trending_data_pipeline_spark.operators.dedup import (
+        _semdedup_assign_arrow,
+        _semdedup_assign_kernel,
+        _semdedup_cell_arrow,
+        _semdedup_cell_kernel,
+    )
+
+    p, q = pq
+    n_seeds = min(n_seeds, len(vecs))
+    ids = list(range(100, 100 + len(vecs)))
+    rows = [
+        (ids[i], np.array(v, dtype=np.int64), False)
+        for i, v in enumerate(vecs)
+    ] + [
+        (ids[j], np.array(vecs[j], dtype=np.int64), True)
+        for j in range(n_seeds)
+    ]
+    pdf = pd.DataFrame(rows, columns=["_id", "_qv", "is_seed"])
+    tbl = pa.table(
+        {
+            "_id": pa.array([r[0] for r in rows], pa.int64()),
+            "_qv": pa.array(
+                [r[1].astype(np.int32) for r in rows], pa.list_(pa.int32())
+            ),
+            "is_seed": pa.array([r[2] for r in rows]),
+        }
+    )
+    ref = _semdedup_assign_kernel(pdf)
+    got = _semdedup_assign_arrow(tbl).to_pandas()
+    assert len(ref) == len(got)
+    assert (ref["_id"].to_numpy() == got["_id"].to_numpy()).all()
+    assert (ref["cell"].to_numpy() == got["cell"].to_numpy()).all()
+    assert all(
+        (np.asarray(a) == np.asarray(b)).all()
+        for a, b in zip(ref["_qv"], got["_qv"])
+    )
+    cpdf = pd.DataFrame(
+        {"_id": ids, "_qv": [np.array(v, dtype=np.int64) for v in vecs]}
+    )
+    ctbl = pa.table(
+        {
+            "_id": pa.array(ids, pa.int64()),
+            "_qv": pa.array(
+                [np.array(v, dtype=np.int32) for v in vecs],
+                pa.list_(pa.int32()),
+            ),
+        }
+    )
+    cref = (
+        _semdedup_cell_kernel(cpdf, p, q)
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    cgot = (
+        _semdedup_cell_arrow(ctbl, p, q)
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    assert cref.equals(cgot)
+
+
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.integers(min_value=-1000, max_value=1000),
+            min_size=3, max_size=3,
+        ),
         min_size=1, max_size=10,
     ),
     n_seeds=st.integers(min_value=1, max_value=6),

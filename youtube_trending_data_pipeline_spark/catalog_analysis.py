@@ -277,22 +277,9 @@ def _pivot_rank_kernel(pdf, probe: int, member: int):
     )
 
 
-def _list_matrix(col, n_rows):
-    """Arrow list<int> column -> (n_rows, dim) int64 matrix read
-    straight off the flattened values buffer — no per-row Python list
-    objects (the applyInPandas object-column path materialized one
-    ndarray per row and re-copied them with np.array(list(...));
-    measured r13: the conversion dominated the 100x candidate build)."""
-    import numpy as np
-
-    arr = col.combine_chunks()
-    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(
-        np.int64, copy=False
-    )
-    if n_rows == 0:
-        return flat.reshape(0, 0)
-    return flat.reshape(n_rows, -1)
-
+from youtube_trending_data_pipeline_spark.operators.intlinalg import (  # noqa: E402
+    _list_matrix,
+)
 
 _PIVOT_ARROW_SCHEMA = (
     "cell long, vec_id long, qv array<int>, is_m boolean, is_p boolean"

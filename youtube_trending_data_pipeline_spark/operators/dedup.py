@@ -823,6 +823,156 @@ def _semdedup_cell_kernel(pdf, p: int, q: int):
     )
 
 
+def _semdedup_assign_arrow(tbl):
+    """Arrow-native production form of _semdedup_assign_kernel (r13):
+    identical argmin-L2 assignment on the same integers, but the group
+    crosses the Python boundary as flat Arrow buffers (the mutual-kNN
+    kernel doctrine; pandas twin kept as the test reference)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from youtube_trending_data_pipeline_spark.operators.intlinalg import (
+        _list_matrix,
+    )
+
+    schema = pa.schema(
+        [
+            pa.field("_id", pa.int64()),
+            pa.field("cell", pa.int64()),
+            pa.field("_qv", pa.list_(pa.int32())),
+        ]
+    )
+    n = tbl.num_rows
+    is_seed = (
+        tbl.column("is_seed")
+        .combine_chunks()
+        .to_numpy(zero_copy_only=False)
+        .astype(bool)
+    )
+    ids = tbl.column("_id").combine_chunks().to_numpy(zero_copy_only=False)
+    if not is_seed.any() or is_seed.all():
+        return schema.empty_table()
+    V_all = _list_matrix(tbl.column("_qv"), n)
+    sraw = ids[is_seed]
+    order = np.argsort(sraw, kind="stable")
+    sids = sraw[order]
+    S = V_all[is_seed][order]
+    pids = ids[~is_seed]
+    V = V_all[~is_seed]
+    bound = np.float64(
+        max(np.abs(V).max(initial=0), np.abs(S).max(initial=0))
+    )
+    if bound * bound * V.shape[1] > 2**53:
+        raise ValueError(
+            "semdedup quantized magnitude breaks the exact-dot "
+            "precondition bound^2*dim <= 2^53"
+        )
+    Vf, Sf = V.astype(np.float64), S.astype(np.float64)
+    D = Vf @ Sf.T
+    np.rint(D, out=D)
+    D = D.astype(np.int64)
+    n2v = np.rint((Vf * Vf).sum(axis=1)).astype(np.int64)
+    n2s = np.rint((Sf * Sf).sum(axis=1)).astype(np.int64)
+    d2 = n2v[:, None] + n2s[None, :] - 2 * D
+    j = np.argmin(d2, axis=1)  # first minimum = smallest seed id
+    dim = V.shape[1]
+    qv_vals = V.ravel().astype(np.int32)
+    offsets = np.arange(0, (len(pids) + 1) * dim, dim, dtype=np.int32)
+    qv_arr = pa.ListArray.from_arrays(
+        pa.array(offsets, pa.int32()), pa.array(qv_vals, pa.int32())
+    )
+    return pa.table(
+        {
+            "_id": pa.array(pids, pa.int64()),
+            "cell": pa.array(sids[j], pa.int64()),
+            "_qv": qv_arr,
+        },
+        schema=schema,
+    )
+
+
+def _semdedup_cell_arrow(tbl, p: int, q: int):
+    """Arrow-native production form of _semdedup_cell_kernel (r13):
+    same guarded exact-Gram row-blocks and int64 rational predicate,
+    minus the pandas object-column decode. Pandas twin kept for
+    tests; parity pinned in tests/test_properties.py."""
+    import numpy as np
+    import pyarrow as pa
+
+    from youtube_trending_data_pipeline_spark.operators.intlinalg import (
+        _list_matrix,
+    )
+
+    schema = pa.schema(
+        [pa.field("id_a", pa.int64()), pa.field("id_b", pa.int64())]
+    )
+    n = tbl.num_rows
+    if n < 2:
+        return schema.empty_table()
+    if n > _SEMDEDUP_CELL_CAP:
+        raise ValueError(
+            f"semdedup cell holds {n} vectors, past the "
+            f"{_SEMDEDUP_CELL_CAP}-member cap — the seed assignment "
+            "skewed far beyond the expected cell size; raise n_cells "
+            "(corpus-relative GREATEST(8, n // 250)) or re-seed"
+        )
+    ids_raw = tbl.column("_id").combine_chunks().to_numpy(
+        zero_copy_only=False
+    )
+    order = np.argsort(ids_raw, kind="stable")
+    ids = ids_raw[order]
+    Q = _list_matrix(tbl.column("_qv"), n)[order]
+    bound = np.float64(np.abs(Q).max(initial=0))
+    if bound * bound * Q.shape[1] > 2**53:
+        raise ValueError(
+            "semdedup quantized magnitude breaks the exact-Gram "
+            "precondition bound^2*dim <= 2^53"
+        )
+    Qf = Q.astype(np.float64)
+    n2 = np.rint((Qf * Qf).sum(axis=1)).astype(np.int64)
+    n2_max = int(n2.max(initial=0))
+    if q * q * n2_max * n2_max >= 2**63:  # Python ints: cannot wrap
+        raise ValueError(
+            "semdedup predicate headroom exceeded: q^2 * max(|v|^2)^2 "
+            f"= {q * q * n2_max * n2_max} >= 2^63 would wrap int64 in "
+            "q^2*dot^2 >= p^2*na*nb; normalize or re-scale the "
+            "embeddings (milli quantization assumes ~unit range)"
+        )
+    out_a: list = []
+    out_b: list = []
+    cols = np.arange(n)
+    for s in range(0, n - 1, _SEMDEDUP_GRAM_BLOCK):
+        e = min(s + _SEMDEDUP_GRAM_BLOCK, n - 1)
+        Gb = Qf[s:e] @ Qf.T
+        np.rint(Gb, out=Gb)
+        Gb = Gb.astype(np.int64)
+        rows = np.arange(s, e)
+        bi, bj = np.nonzero(cols[None, :] > rows[:, None])
+        gi, gj = rows[bi], bj
+        dot, na, nb = Gb[bi, bj], n2[gi], n2[gj]
+        ok = (
+            (dot >= 0)
+            & (na > 0)
+            & (nb > 0)
+            & (q * q * dot * dot >= p * p * na * nb)
+        )
+        out_a.append(ids[gi][ok])
+        out_b.append(ids[gj][ok])
+    return pa.table(
+        {
+            "id_a": pa.array(
+                np.concatenate(out_a) if out_a else np.array([], np.int64),
+                pa.int64(),
+            ),
+            "id_b": pa.array(
+                np.concatenate(out_b) if out_b else np.array([], np.int64),
+                pa.int64(),
+            ),
+        },
+        schema=schema,
+    )
+
+
 def semdedup_keepers(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -867,11 +1017,15 @@ def semdedup_keepers(
     )
 
     p, q = _semdedup_threshold_frac(threshold)
+    # int32 transport (r13, the mutual-kNN _QV_SPARK_I32 doctrine):
+    # milli-quantized coordinates are |x| <= ~1e5 wherever the exact-dot
+    # precondition holds, so INT never truncates a value the kernels
+    # would accept; kernels widen to int64 before the matmul.
     qdf = df.select(
         F.col(id_col).alias("_id"),
         F.expr(
             f"transform({vec_col}, x -> CAST(floor(CAST(x AS DOUBLE)"
-            f" * {_SEMDEDUP_MILLI} + 0.5) AS BIGINT))"
+            f" * {_SEMDEDUP_MILLI} + 0.5) AS INT))"
         ).alias("_qv"),
     )
     seeds = qdf.orderBy("_id").limit(n_cells)
@@ -899,15 +1053,15 @@ def semdedup_keepers(
     assigned = (
         probers.unionByName(seeds_rep)
         .groupBy("g")
-        .applyInPandas(
-            _semdedup_assign_kernel,
-            schema="_id long, cell long, _qv array<bigint>",
+        .applyInArrow(
+            _semdedup_assign_arrow,
+            schema="_id long, cell long, _qv array<int>",
         )
         .localCheckpoint(eager=False)
     )
     cells = assigned.select("_id", "cell")
-    pairs = assigned.groupBy("cell").applyInPandas(
-        lambda pdf: _semdedup_cell_kernel(pdf, p, q),
+    pairs = assigned.groupBy("cell").applyInArrow(
+        lambda t_: _semdedup_cell_arrow(t_, p, q),
         schema="id_a long, id_b long",
     )
     comp = connected_components(pairs, src="id_a", dst="id_b")

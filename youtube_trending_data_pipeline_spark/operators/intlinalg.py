@@ -12,7 +12,30 @@ loops) are orders of magnitude behind both.
 
 from __future__ import annotations
 
-__all__ = ["_SELF_MASK", "_exact_int_matmul", "_rowwise_topk"]
+__all__ = [
+    "_SELF_MASK",
+    "_exact_int_matmul",
+    "_list_matrix",
+    "_rowwise_topk",
+]
+
+
+def _list_matrix(col, n_rows):
+    """Arrow list<int> column -> (n_rows, dim) int64 matrix read
+    straight off the flattened values buffer — no per-row Python list
+    objects (the applyInPandas object-column path materialized one
+    ndarray per row and re-copied them with np.array(list(...));
+    measured r13: the conversion dominated the 100x mutual-kNN
+    candidate build)."""
+    import numpy as np
+
+    arr = col.combine_chunks()
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(
+        np.int64, copy=False
+    )
+    if n_rows == 0:
+        return flat.reshape(0, 0)
+    return flat.reshape(n_rows, -1)
 
 # Masks self-pairs so they sort LAST under (dot DESC, id ASC): smaller
 # than any legitimate dot (those are >= -6.4e9) yet small enough in

@@ -379,6 +379,7 @@ PRIORITY_UNCHECKED: list[str] = [
     "dedup_components_lsh",
     "dedup_minhash_recall_audit_sampled",
     "split_leakage_free_lsh",
+    "semdedup_keepers",
     # (b) staleness tier
     "s3_bronze_roundtrip",
     "p2_channel_defaults",
