@@ -407,22 +407,53 @@ def test_lsh_candidate_plan_construction_runs_no_job(spark):
     df.explain(mode="simple")  # planning only — no action, no job
 
 
-def test_hyperplane_signature_stage_is_codegen_hash_aggregate(spark):
-    """VERDICT r1 #4 gate: the corpus-side hyperplane signature must be a
-    hash aggregate over exploded rows (codegen + map-side partial agg),
-    with NO interpreted higher-order-function lambdas anywhere in its
-    plan — the shape that took minhash from 408 s to 7 s."""
+def test_hyperplane_signature_stage_is_map_only_arrow(spark):
+    """r13 gate (supersedes the r1 hash-aggregate gate): the corpus-side
+    hyperplane signature must be ONE map-only Arrow kernel — zero
+    exchanges, zero row blowup, no interpreted higher-order-function
+    lambdas — and must equal the r7 exploded-aggregate reference
+    bit-for-bit, including the empty/short/long-vector edge semantics."""
+    from pyspark.sql import functions as F
+
     from youtube_trending_data_pipeline_spark.operators.similarity import (
         hyperplane_signatures,
+        hyperplane_signatures_agg,
     )
     from youtube_trending_data_pipeline_spark.plans.explain import physical_plan
 
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     sigs = hyperplane_signatures(emb, "vec_id", "embedding", planes=4, tables=2)
     plan = physical_plan(sigs)
-    assert "HashAggregate" in plan
+    assert "MapInArrow" in plan or "PythonMapInArrow" in plan, plan
+    assert "Exchange" not in plan  # map-only: no shuffle anywhere
     assert "lambdafunction" not in plan.lower()  # no interpreted HOF fold
-    assert "Generate" in plan  # posexplode feeding the aggregate
+
+    # value parity vs the r7 reference on real vectors + edge rows:
+    # NULL vector, empty vector, short vector, over-long vector
+    edge = spark.createDataFrame(
+        [
+            (9001, None),
+            (9002, []),
+            (9003, [0.5, -0.25]),
+            (9004, [0.01 * i for i in range(70)]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    both = emb.select("vec_id", "embedding").unionByName(edge)
+    got = {
+        r["id"]: (r["b0"], r["b1"])
+        for r in hyperplane_signatures(
+            both, "vec_id", "embedding", planes=4, tables=2
+        ).collect()
+    }
+    want = {
+        r["id"]: (r["b0"], r["b1"])
+        for r in hyperplane_signatures_agg(
+            both, "vec_id", "embedding", planes=4, tables=2
+        ).collect()
+    }
+    assert got == want
+    assert got[9001] == (0, 0) and got[9002] == (0, 0)
 
 
 def test_gram_matrix_single_small_exchange(spark):

@@ -332,28 +332,105 @@ def hyperplane_signatures(
 ) -> DataFrame:
     """(id, b0..b{tables-1}): one BIGINT sign-bit signature per table.
 
-    Shape (round 7): posexplode the vector to (id, pos, x) rows, join
-    the BROADCAST plane-weight table (tables x planes x dim rows of
-    seeded constants), quantize each product to an integer, hash-
-    aggregate the per-(table, plane) dots, then assemble sign bits with
-    one tables-arm conditional aggregate — whole-stage codegen with
-    map-side partial aggregation, never an interpreted per-row
-    higher-order fold (the minhash-signatures restructure). The
-    previous form baked tables*planes*dim weight LITERALS into the
-    plan as element_at(array(...)) lookups inside tables*planes
-    aggregate expressions; at 16 tables x 4 planes that is a 4096-
-    literal expression tree whose one-time Janino compile dominated
-    the entry's bench time (~2/3 of 8-9 s, PERF.md r6) and whose plan
-    size grows with the knob settings — the weight TABLE keeps codegen
-    constant-size at any (tables, planes, dim).
+    Shape (r13): ONE map-only Arrow kernel (mapInArrow) computing every
+    table's sign bits per vector with numpy — zero shuffles, zero row
+    blowup. The r7 form (kept below as ``hyperplane_signatures_agg``,
+    the parity-test reference) posexploded each vector and joined a
+    broadcast weight table, multiplying every corpus row into
+    tables x planes x dim = 4096 rows that then hash-aggregated back
+    down through an id-keyed exchange; correct and codegen-friendly,
+    but 4096x the rows and one exchange where a map suffices (guide
+    §4.2: hand whole Arrow batches to vectorized native code).
 
-    The weights are the same seeded constants (same doubles, same
-    quantized products — oracle-verified bit-identical signatures);
-    they ship as a ~4096-row broadcast instead of plan literals. Rows
-    whose vector is empty/NULL get signature 0 (left join + coalesce),
-    matching the previous semantics; dimensions beyond ``dim`` drop at
-    the inner pos-join exactly as the old array lookup ignored them.
-    """
+    Bit-for-bit the same signatures: per element the kernel computes
+    ``floor((float64(x) * w) * 1e9 + 0.5)`` with the same IEEE ops and
+    association the JVM expression used, sums the per-plane quantized
+    products in int64, and packs ``dot > 0`` sign bits. Edge semantics
+    preserved and pinned by tests: empty/NULL vectors get signature 0;
+    positions past ``dim`` are ignored (the old inner pos-join);
+    shorter vectors sum their present positions. Precondition (held by
+    every caller): ``id_col`` is unique per row — the old groupBy(id)
+    would have MERGED duplicate ids where this emits one row per input
+    row."""
+    import numpy as np
+
+    plane_sets = [_hyperplanes(dim, planes, seed + ti) for ti in range(tables)]
+    W = np.array(plane_sets, dtype=np.float64)  # tables x planes x dim
+    n_tables, n_planes = tables, planes
+    quant = _QUANT
+
+    def kernel(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for batch in batches:
+            ids = batch.column(0)
+            arr = batch.column(1)
+            n = len(ids)
+            lengths = np.asarray(
+                arr.value_lengths().fill_null(0), dtype=np.int64
+            )
+            flat = arr.flatten().to_numpy(zero_copy_only=False).astype(
+                np.float64, copy=False
+            )
+            starts = np.concatenate(
+                ([0], np.cumsum(lengths)[:-1])
+            ) if n else np.zeros(0, dtype=np.int64)
+            bits = np.zeros((n, n_tables), dtype=np.int64)
+            full = lengths == dim
+            if full.any():
+                idxf = np.nonzero(full)[0]
+                gather = (
+                    starts[full][:, None] + np.arange(dim)[None, :]
+                ).ravel()
+                X = flat[gather].reshape(-1, dim)
+                for t_ in range(n_tables):
+                    acc = np.zeros(len(idxf), dtype=np.int64)
+                    for p_ in range(n_planes):
+                        q = np.floor(X * W[t_, p_][None, :] * quant + 0.5)
+                        dots = q.astype(np.int64).sum(axis=1)
+                        acc += (dots > 0).astype(np.int64) << p_
+                    bits[idxf, t_] = acc
+            for i in np.nonzero(~full)[0]:
+                ln = int(lengths[i])
+                if ln == 0:
+                    continue  # empty/NULL vector -> signature 0
+                m = min(ln, dim)
+                x = flat[starts[i]:starts[i] + m]
+                for t_ in range(n_tables):
+                    b = 0
+                    for p_ in range(n_planes):
+                        q = np.floor(
+                            x * W[t_, p_][:m] * quant + 0.5
+                        ).astype(np.int64).sum()
+                        if q > 0:
+                            b += 1 << p_
+                    bits[i, t_] = b
+            yield pa.record_batch(
+                [ids]
+                + [pa.array(bits[:, t_], pa.int64()) for t_ in range(n_tables)],
+                names=["id"] + [f"b{t_}" for t_ in range(n_tables)],
+            )
+
+    schema = "id long, " + ", ".join(f"b{t_} long" for t_ in range(tables))
+    return df.select(
+        F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("_v")
+    ).mapInArrow(kernel, schema=schema)
+
+
+def hyperplane_signatures_agg(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    planes: int = 8,
+    seed: int = 7,
+    tables: int = 1,
+    dim: int = 64,
+) -> DataFrame:
+    """Reference implementation (r7 shape): posexplode + broadcast
+    weight-table join + hash aggregates. Kept ONLY as the parity-test
+    baseline for the mapInArrow production form above — see
+    tests/test_extensions.py / test_plan_quality.py."""
     plane_sets = [_hyperplanes(dim, planes, seed + ti) for ti in range(tables)]
     weights = F.broadcast(
         df.sparkSession.createDataFrame(

@@ -380,6 +380,8 @@ PRIORITY_UNCHECKED: list[str] = [
     "dedup_minhash_recall_audit_sampled",
     "split_leakage_free_lsh",
     "semdedup_keepers",
+    "sim_lsh_topk",
+    "dedup_embedding_cosine",
     # (b) staleness tier
     "s3_bronze_roundtrip",
     "p2_channel_defaults",
