@@ -545,6 +545,16 @@ def embedding_near_duplicates(
         b,
         (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")),
     ).select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    # Exchange the NARROW pair rows round-robin before the vector joins
+    # (r13, guide §2.5): the sig frame is small enough that the planner
+    # broadcasts the bucket self-join, which fuses pair GENERATION with
+    # the exact-cosine re-rank inside the scan partitions — so one
+    # degenerate bucket's quadratic fan-out runs its entire interpreted
+    # cosine workload in a single task (measured at the 100x replica:
+    # 11 of 13 tasks sub-second, 2 stragglers >20 min). After this
+    # exchange the straggler pays only pair generation (16-byte rows)
+    # and the scoring spreads evenly; values are per-row, unaffected.
+    pairs = pairs.repartition(df.sparkSession.sparkContext.defaultParallelism)
     va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_vec_a"))
     vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vec_b"))
     return (
