@@ -429,13 +429,16 @@ def test_hyperplane_signature_stage_is_map_only_arrow(spark):
     assert "lambdafunction" not in plan.lower()  # no interpreted HOF fold
 
     # value parity vs the r7 reference on real vectors + edge rows:
-    # NULL vector, empty vector, short vector, over-long vector
+    # NULL vector, empty vector, short vector, over-long vector, and a
+    # vector with ELEMENT-level NULLs (r14, ADVICE r13: the kernel
+    # zero-fills them to mirror the reference SUM's NULL-skip)
     edge = spark.createDataFrame(
         [
             (9001, None),
             (9002, []),
             (9003, [0.5, -0.25]),
             (9004, [0.01 * i for i in range(70)]),
+            (9005, [0.5, None, -0.75, None, 0.125]),
         ],
         "vec_id long, embedding array<float>",
     )

@@ -686,3 +686,57 @@ def test_semdedup_assign_kernel_matches_reference(vecs, n_seeds):
                 best = (d2, ids[j])
         want[ids[i]] = best[1]
     assert got == want
+
+
+def test_list_matrix_rejects_ragged_and_empty_groups():
+    """r14 (ADVICE r13): the flat-buffer decode must fail LOUDLY on a
+    ragged group — a divisible total would otherwise reshape into a
+    silently misaligned matrix — and on all-empty groups (opaque
+    reshape error before)."""
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+
+    from youtube_trending_data_pipeline_spark.operators.intlinalg import (
+        _list_matrix,
+    )
+
+    # ragged but divisible: 2 rows, lengths 1 + 3 = 4 -> old reshape
+    # (2, 2) would silently misalign
+    ragged = pa.chunked_array([pa.array([[1], [2, 3, 4]], pa.list_(pa.int32()))])
+    with pytest.raises(ValueError, match="ragged"):
+        _list_matrix(ragged, 2)
+    empty = pa.chunked_array([pa.array([[], []], pa.list_(pa.int32()))])
+    with pytest.raises(ValueError, match="ragged or empty"):
+        _list_matrix(empty, 2)
+    # NULL list counts as length 0 -> ragged
+    withnull = pa.chunked_array(
+        [pa.array([[1, 2], None], pa.list_(pa.int32()))]
+    )
+    with pytest.raises(ValueError, match="ragged"):
+        _list_matrix(withnull, 2)
+    # uniform groups still decode exactly
+    ok = pa.chunked_array(
+        [pa.array([[1, 2, 3], [4, 5, 6]], pa.list_(pa.int32()))]
+    )
+    M = _list_matrix(ok, 2)
+    assert M.dtype == np.int64 and M.shape == (2, 3)
+    assert (M == np.array([[1, 2, 3], [4, 5, 6]])).all()
+
+
+def test_list_offsets_guard_rejects_int32_overflow():
+    """r14 (ADVICE r13): replicated-list offsets must raise a
+    descriptive error instead of wrapping int32 into negative offsets
+    (ArrowInvalid far from the cause)."""
+    import numpy as np
+    import pytest
+
+    from youtube_trending_data_pipeline_spark.operators.intlinalg import (
+        _list_offsets_i32,
+    )
+
+    off = _list_offsets_i32(3, 4)
+    assert off.dtype == np.int32
+    assert (off == np.array([0, 4, 8, 12], np.int32)).all()
+    with pytest.raises(ValueError, match="2\\^31"):
+        _list_offsets_i32((1 << 31) // 64 + 1, 64)

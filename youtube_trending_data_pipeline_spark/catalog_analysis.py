@@ -279,6 +279,7 @@ def _pivot_rank_kernel(pdf, probe: int, member: int):
 
 from youtube_trending_data_pipeline_spark.operators.intlinalg import (  # noqa: E402
     _list_matrix,
+    _list_offsets_i32,
 )
 
 _PIVOT_ARROW_SCHEMA = (
@@ -331,7 +332,9 @@ def _pivot_rank_arrow(tbl, probe: int, member: int):
     ranks = np.tile(np.arange(1, k + 1, dtype=np.int64), len(pids))
     dim = P.shape[1]
     qv_vals = P[np.repeat(np.arange(len(pids)), k)].ravel().astype(np.int32)
-    offsets = np.arange(0, (len(pids) * k + 1) * dim, dim, dtype=np.int32)
+    # int64-safe offsets with a loud 2^31 guard (r14, ADVICE r13: an
+    # int32 arange wrapped silently once len(pids)*k*dim crossed 2^31)
+    offsets = _list_offsets_i32(len(pids) * k, dim)
     qv_arr = pa.ListArray.from_arrays(
         pa.array(offsets, pa.int32()), pa.array(qv_vals, pa.int32())
     )

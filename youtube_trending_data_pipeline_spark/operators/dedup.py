@@ -843,6 +843,7 @@ def _semdedup_assign_arrow(tbl):
 
     from youtube_trending_data_pipeline_spark.operators.intlinalg import (
         _list_matrix,
+        _list_offsets_i32,
     )
 
     schema = pa.schema(
@@ -887,7 +888,8 @@ def _semdedup_assign_arrow(tbl):
     j = np.argmin(d2, axis=1)  # first minimum = smallest seed id
     dim = V.shape[1]
     qv_vals = V.ravel().astype(np.int32)
-    offsets = np.arange(0, (len(pids) + 1) * dim, dim, dtype=np.int32)
+    # int64-safe offsets with a loud 2^31 guard (r14, ADVICE r13)
+    offsets = _list_offsets_i32(len(pids), dim)
     qv_arr = pa.ListArray.from_arrays(
         pa.array(offsets, pa.int32()), pa.array(qv_vals, pa.int32())
     )

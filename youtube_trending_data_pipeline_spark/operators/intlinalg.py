@@ -16,6 +16,7 @@ __all__ = [
     "_SELF_MASK",
     "_exact_int_matmul",
     "_list_matrix",
+    "_list_offsets_i32",
     "_rowwise_topk",
 ]
 
@@ -26,7 +27,13 @@ def _list_matrix(col, n_rows):
     objects (the applyInPandas object-column path materialized one
     ndarray per row and re-copied them with np.array(list(...));
     measured r13: the conversion dominated the 100x mutual-kNN
-    candidate build)."""
+    candidate build).
+
+    Validates that every list has the SAME length (r14, ADVICE r13):
+    the flat reshape would silently misalign a ragged group whose
+    total element count happens to divide n_rows (the pandas
+    np.array(list(...)) path failed loudly as an object array), and an
+    all-empty group would raise an opaque reshape error."""
     import numpy as np
 
     arr = col.combine_chunks()
@@ -35,7 +42,39 @@ def _list_matrix(col, n_rows):
     )
     if n_rows == 0:
         return flat.reshape(0, 0)
-    return flat.reshape(n_rows, -1)
+    lengths = arr.value_lengths().fill_null(0).to_numpy(
+        zero_copy_only=False
+    )
+    lo, hi = int(lengths.min()), int(lengths.max())
+    if lo != hi or hi == 0:
+        raise ValueError(
+            "vector group is ragged or empty: list lengths span "
+            f"[{lo}, {hi}] over {n_rows} rows — every vector must "
+            "share one nonzero dimension (NULL/short/empty vectors "
+            "must be filtered or padded upstream)"
+        )
+    return flat.reshape(n_rows, hi)
+
+
+def _list_offsets_i32(n_rows, dim):
+    """int32 Arrow list offsets [0, dim, 2*dim, ...] for n_rows
+    fixed-width lists, with a LOUD overflow guard (r14, ADVICE r13):
+    the total value count must stay under 2^31 for a non-large Arrow
+    ListArray, and an int32 np.arange would wrap silently into
+    negative offsets (ArrowInvalid far from the cause) once
+    n_rows * dim crosses it."""
+    import numpy as np
+
+    total = int(n_rows) * int(dim)
+    if total >= 1 << 31:
+        raise ValueError(
+            f"replicated vector output of {n_rows} rows x {dim} dims "
+            f"= {total} values exceeds the 2^31-1 Arrow ListArray "
+            "offset ceiling for one group; raise the salt/cell count "
+            "so groups shrink (each group's output must stay under "
+            "2^31 list elements)"
+        )
+    return np.arange(0, (n_rows + 1) * dim, dim, dtype=np.int32)
 
 # Masks self-pairs so they sort LAST under (dot DESC, id ASC): smaller
 # than any legitimate dot (those are >= -6.4e9) yet small enough in

@@ -370,7 +370,15 @@ def hyperplane_signatures(
             lengths = np.asarray(
                 arr.value_lengths().fill_null(0), dtype=np.int64
             )
-            flat = arr.flatten().to_numpy(zero_copy_only=False).astype(
+            # element-level NULLs zero-fill (r14, ADVICE r13): the agg
+            # reference's SUM skips NULL per-element products, and a
+            # zeroed element contributes floor(0*w*quant+0.5) = 0 —
+            # identical; without this, NaN reaches np.floor(...).astype
+            # (undefined, typically INT64_MIN) and the sign bit flips.
+            flat_arr = arr.flatten()
+            if flat_arr.null_count:
+                flat_arr = flat_arr.fill_null(0.0)
+            flat = flat_arr.to_numpy(zero_copy_only=False).astype(
                 np.float64, copy=False
             )
             starts = np.concatenate(
